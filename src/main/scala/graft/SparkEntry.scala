@@ -1,13 +1,28 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` maps one entry per implemented operator family from SURVEY §2;
+  * `oracleSql` holds the DuckDB twin executed by the driver on the same
+  * parquet tables (column names aligned on both sides — the compare sorts
+  * columns by name before hashing).
+  */
 object SparkEntry {
+
+  /** All query families (reference parity + beyond-reference pipeline ops). */
+  def allQ: Seq[Q] =
+    Relational.all ++ Aggregates.all ++ FunctionsQ.all ++ Advanced.all ++ Pipeline.all
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q03_join_revenue_by_nation")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allQ.map(q => q.name -> q.fn).toMap
+
+  def oracleSql: Map[String, String] =
+    allQ.flatMap(q => q.oracle.map(sql => q.name -> sql.trim)).toMap
 }

@@ -1,0 +1,36 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's canonical configuration.
+  *
+  * H2-compatibility choices (SURVEY §7 "hard parts"): ANSI mode OFF so
+  * type coercions behave like H2/DuckDB rather than erroring; UTC session
+  * timezone for oracle parity; shuffle partitions sized for the local[N]
+  * harness, with AQE enabled so the same plans re-partition themselves on a
+  * real cluster (runtime coalescing + skew-join splitting at 100 TB).
+  */
+object GraftSession {
+
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.ansi.enabled", "false")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+    .config("spark.ui.enabled", "false")
+
+  /** Local session for tests/CLI. */
+  def local(threads: Int = 4): SparkSession = {
+    val s = configure(
+      SparkSession.builder()
+        .master(s"local[$threads]")
+        .appName("graft")
+        .config("spark.sql.shuffle.partitions", threads.toString))
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

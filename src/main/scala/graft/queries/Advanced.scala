@@ -1,0 +1,203 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.core.Tables
+import graft.operators.{Dml, Recursive}
+import Q._
+
+/** Windowing (beyond-reference, SURVEY §2.5 — the reference has only ROWNUM,
+  * Rownum.java:21), SYSTEM_RANGE (RangeTable.java), WITH RECURSIVE
+  * (TableView.java:427-434), MERGE (dml/Merge.java), UPDATE/DELETE rewrites,
+  * and the CSVWRITE→CSVREAD round trip (db/Csv.java:46).
+  */
+object Advanced {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  val all: Seq[Q] = Seq(
+
+    // ---- ROWNUM / ranking. ROW_NUMBER over a deterministic total order is
+    // the distributed replacement for the reference's result-ordinal ROWNUM.
+    Q("q34_window_rank",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        t(s, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .withColumn("rk", rank().over(w))
+          .withColumn("drk", dense_rank().over(w))
+          .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+          .withColumn("next_key", lead(col("o_orderkey"), 1).over(w))
+          .withColumn("quart", ntile(4).over(w))
+          .filter(col("rn") <= 100)
+          .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+            col("rn"), col("rk"), col("drk"), col("prev_price"),
+            col("next_key"), col("quart"))
+      },
+      Some("""
+        SELECT o_orderstatus, o_orderkey, o_totalprice, rn, rk, drk,
+               prev_price, next_key, quart
+        FROM (
+          SELECT o_orderstatus, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER w AS rn,
+                 RANK() OVER w AS rk,
+                 DENSE_RANK() OVER w AS drk,
+                 LAG(o_totalprice, 1) OVER w AS prev_price,
+                 LEAD(o_orderkey, 1) OVER w AS next_key,
+                 NTILE(4) OVER w AS quart
+          FROM orders
+          WINDOW w AS (PARTITION BY o_orderstatus
+                       ORDER BY o_totalprice DESC, o_orderkey ASC)
+        ) WHERE rn <= 100""")),
+
+    // ---- Running/windowed aggregate: exact decimal sum keeps the prefix
+    // sums bit-identical regardless of either engine's accumulation scheme.
+    Q("q35_window_running_sum",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "orders")
+          .filter(col("o_custkey") < 200)
+          .withColumn("running_spend",
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w).cast("double"))
+          .withColumn("order_seq", row_number().over(
+            Window.partitionBy(col("o_custkey"))
+              .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)))
+          .select(col("o_custkey"), col("o_orderkey"), col("order_seq"),
+            col("running_spend"))
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey,
+               ROW_NUMBER() OVER w AS order_seq,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+                 (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 AS running_spend
+        FROM orders
+        WHERE o_custkey < 200
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""")),
+
+    // ---- SYSTEM_RANGE(min,max,step) (RangeTable.java, RangeIndex.java:24)
+    // → spark.range: generated partition-parallel, no materialized data.
+    Q("q36_system_range",
+      (s, _) => s.range(1, 1001, 7).toDF("n")
+        .withColumn("n_sq", col("n") * col("n"))
+        .filter(col("n") % 2 === 1),
+      Some("""
+        SELECT range AS n, range * range AS n_sq
+        FROM range(1, 1001, 7) WHERE range % 2 = 1""")),
+
+    // ---- WITH RECURSIVE (TableView recursive flag): driver-side fixpoint of
+    // distributed unions; here a 1..40 sequence as the canonical H2 test
+    // shape (SELECT 1 UNION ALL SELECT n+1 FROM r WHERE n<40).
+    Q("q37_recursive_cte",
+      (s, _) => {
+        val seed = s.range(1, 2).toDF("n")
+        Recursive.fixpointAll(seed) { f =>
+          f.filter(col("n") < 40).select((col("n") + 1).as("n"))
+        }
+      },
+      Some("""
+        WITH RECURSIVE r(n) AS (
+          SELECT CAST(1 AS BIGINT) AS n
+          UNION ALL
+          SELECT n + 1 FROM r WHERE n < 40)
+        SELECT n FROM r""")),
+
+    // ---- Recursive transitive closure over a real relation: chains of
+    // orders per customer ordered by date — depth-limited reachability,
+    // UNION (distinct) semantics with semi-naive frontier.
+    Q("q38_recursive_closure",
+      (s, dir) => {
+        // edges: nation n -> nation (n+1) within same region (synthetic DAG)
+        val nat = t(s, dir, "nation")
+        val a = nat.select(col("n_regionkey").as("rk"), col("n_nationkey").as("src"))
+        val b = nat.select(col("n_regionkey").as("rk2"), col("n_nationkey").as("dst"))
+        val edges = a.join(b, col("rk") === col("rk2") && (col("dst") === col("src") + 5))
+          .select(col("src"), col("dst")).localCheckpoint(true)
+        val seed = edges.select(col("src").as("origin"), col("dst").as("node"))
+        Recursive.fixpoint(seed) { f =>
+          f.join(edges, f("node") === edges("src"))
+            .select(f("origin"), edges("dst").as("node"))
+        }
+      },
+      Some("""
+        WITH RECURSIVE
+        edges AS (
+          SELECT a.n_nationkey AS src, b.n_nationkey AS dst
+          FROM nation a JOIN nation b
+            ON a.n_regionkey = b.n_regionkey AND b.n_nationkey = a.n_nationkey + 5),
+        reach(origin, node) AS (
+          SELECT src AS origin, dst AS node FROM edges
+          UNION
+          SELECT r.origin, e.dst AS node
+          FROM reach r JOIN edges e ON r.node = e.src)
+        SELECT origin, node FROM reach""")),
+
+    // ---- MERGE INTO … KEY(…) (dml/Merge.java:35,146): update-else-insert.
+    Q("q39_merge_upsert",
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+        val sup = t(s, dir, "supplier")
+        val updates = cust.filter(col("c_custkey") % 7 === 0)
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+            (col("c_acctbal") + 100.0).as("c_acctbal"), col("c_mktsegment"))
+        val inserts = sup.select((col("s_suppkey") + 1000000L).as("c_custkey"),
+          col("s_name"), col("s_nationkey"), col("s_acctbal"),
+          lit("NEW").as("c_mktsegment"))
+        Dml.mergeInto(cust, updates.union(inserts), Seq("c_custkey"))
+      },
+      Some("""
+        WITH src AS (
+          SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0 AS c_acctbal,
+                 c_mktsegment
+          FROM customer WHERE c_custkey % 7 = 0
+          UNION ALL
+          SELECT s_suppkey + 1000000, s_name, s_nationkey, s_acctbal, 'NEW'
+          FROM supplier)
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM src)
+        UNION ALL
+        SELECT * FROM src""")),
+
+    // ---- UPDATE … WHERE as copy-on-write rewrite (dml/Update.java:45).
+    Q("q40_update_rewrite",
+      (s, dir) => Dml.update(
+        t(s, dir, "supplier"),
+        col("s_acctbal") < 0,
+        Map("s_acctbal" -> lit(0.0), "s_name" -> concat(col("s_name"), lit("*")))),
+      Some("""
+        SELECT s_suppkey,
+               CASE WHEN s_acctbal < 0 THEN s_name || '*' ELSE s_name END AS s_name,
+               s_nationkey,
+               CASE WHEN s_acctbal < 0 THEN 0.0 ELSE s_acctbal END AS s_acctbal
+        FROM supplier""")),
+
+    // ---- DELETE … WHERE (dml/Delete.java:36).
+    Q("q41_delete_rewrite",
+      (s, dir) => Dml.delete(t(s, dir, "orders"),
+        col("o_orderstatus") === "F" && col("o_totalprice") < 50000),
+      Some("""
+        SELECT * FROM orders
+        WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 50000)""")),
+
+    // ---- CSVWRITE → CSVREAD round trip (Function.java:352-353,
+    // db/Csv.java:46): written distributed (no driver collect), read back
+    // with explicit schema.
+    Q("q42_csv_roundtrip",
+      (s, dir) => {
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_rt"
+        t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          .write.mode("overwrite").option("header", "true").csv(out)
+        s.read.option("header", "true")
+          .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+          .csv(out)
+      },
+      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation"))
+  )
+}

@@ -1,0 +1,177 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.core.Tables
+import Q._
+
+/** Reference-parity aggregation surface (SURVEY §2.4): the full aggregate
+  * function list of Aggregate.java:51-130 plus the distributed partial/final
+  * decomposition semantics of Select.queryGroupMerge / Select.calculate
+  * (Select.java:1069-1162) — which is exactly Spark's partial+final
+  * aggregation, verified here against the oracle.
+  */
+object Aggregates {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  /** GROUP_CONCAT(x ORDER BY k [DESC] SEPARATOR sep) — composed from
+    * built-ins (collect_list + array_sort + concat_ws) so it stays inside
+    * whole-stage codegen'd hash aggregation; reference:
+    * Aggregate.java:219-229 + AggregateDataGroupConcat.java. */
+  def groupConcat(value: Column, order: Column, sep: String, desc: Boolean = false): Column = {
+    val sorted = array_sort(collect_list(struct(order.as("k"), value.as("v"))))
+    val arr = if (desc) reverse(sorted) else sorted
+    array_join(transform(arr, s => s.getField("v")), sep)
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // ---- Welford stats (AggregateDataDefault.java:79-90) recomputed via the
+    // exact-sum decomposition (sum, sum-of-squares, count) — the same
+    // re-derivation Select.calculate does for distributed STDDEV
+    // (Select.java:1135-1162). Bit-identical across engines because the
+    // decimal sums are exact and the final double arithmetic is IEEE.
+    Q("q20_stats_decomposed",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val n = count(lit(1)).cast("double")
+        val p = col("l_extendedprice").cast(DecimalType(18, 2))
+        val sm = sum(p).cast("double")
+        val ss = sum(p * p).cast("double")
+        li.groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            sm.as("s"),
+            (((ss - sm * sm / n)) / (n - lit(1.0))).as("var_samp_price"),
+            sqrt(((ss - sm * sm / n)) / (n - lit(1.0))).as("stddev_samp_price"),
+            (((ss - sm * sm / n)) / n).as("var_pop_price"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""
+        WITH g AS (
+          SELECT l_returnflag,
+                 CAST(COUNT(*) AS DOUBLE) AS n,
+                 COUNT(*) AS cnt,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS ss
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag,
+               cnt AS n,
+               s,
+               (ss - s * s / n) / (n - 1.0) AS var_samp_price,
+               SQRT((ss - s * s / n) / (n - 1.0)) AS stddev_samp_price,
+               (ss - s * s / n) / n AS var_pop_price
+        FROM g ORDER BY l_returnflag""")),
+
+    // ---- MIN/MAX/COUNT + COUNT(DISTINCT) (AggregateDataCount/Default;
+    // quick-aggregate path Select.java:904 → parquet stats do this free).
+    Q("q21_minmax_countdistinct",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .agg(
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          min(col("l_shipdate")).as("min_ship"),
+          max(col("l_shipdate")).as("max_ship"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          count(col("l_quantity")).as("n")),
+      Some("""
+        SELECT l_linestatus,
+               MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+               MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship,
+               COUNT(DISTINCT l_orderkey) AS n_orders,
+               COUNT(DISTINCT l_partkey) AS n_parts,
+               COUNT(l_quantity) AS n
+        FROM lineitem GROUP BY l_linestatus""")),
+
+    // ---- BOOL_AND/BOOL_OR (Aggregate.java:604-610) and BIT_AND/BIT_OR
+    // (:612-617).
+    Q("q22_bool_bit_agg",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          bool_and(col("l_quantity") > 1).as("all_gt1"),
+          bool_or(col("l_discount") > 0.09).as("any_disc"),
+          bit_and(col("l_linenumber")).as("band"),
+          bit_or(col("l_linenumber")).as("bor"),
+          bit_xor(col("l_linenumber")).as("bxor")),
+      Some("""
+        SELECT l_returnflag,
+               BOOL_AND(l_quantity > 1) AS all_gt1,
+               BOOL_OR(l_discount > 0.09) AS any_disc,
+               BIT_AND(l_linenumber) AS band,
+               BIT_OR(l_linenumber) AS bor,
+               BIT_XOR(l_linenumber) AS bxor
+        FROM lineitem GROUP BY l_returnflag""")),
+
+    // ---- SUM(boolean) counts true rows — H2 semantics
+    // (Aggregate.java:577-580): sum over the bool cast to int.
+    Q("q23_sum_bool",
+      (s, dir) => t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum((col("o_totalprice") > 150000).cast("int")).as("n_big"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority")),
+      Some("""
+        SELECT o_orderpriority,
+               CAST(SUM(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+               COUNT(*) AS n
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- GROUP_CONCAT with ORDER BY + SEPARATOR
+    // (Aggregate.java:219-229, AggregateDataGroupConcat.java).
+    Q("q24_group_concat",
+      (s, dir) => t(s, dir, "nation")
+        .groupBy(col("n_regionkey"))
+        .agg(groupConcat(col("n_name"), col("n_name"), "|", desc = true).as("names"))
+        .orderBy(col("n_regionkey")),
+      Some("""
+        SELECT n_regionkey, STRING_AGG(n_name, '|' ORDER BY n_name DESC) AS names
+        FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")),
+
+    // ---- GROUP_CONCAT(DISTINCT …) flavor → collect_set + sort.
+    Q("q25_group_concat_distinct",
+      (s, dir) => t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(array_join(array_sort(collect_set(col("o_orderstatus"))), ",").as("statuses"))
+        .orderBy(col("o_orderpriority")),
+      Some("""
+        SELECT o_orderpriority,
+               STRING_AGG(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- HISTOGRAM(x) (Aggregate.java:572-576, AggregateDataHistogram.java):
+    // value→count pairs; surfaced row-wise (value, cnt) for a stable oracle.
+    Q("q26_histogram",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linenumber").as("value"))
+        .agg(count(lit(1)).as("cnt")),
+      Some("""
+        SELECT l_returnflag, l_linenumber AS value, COUNT(*) AS cnt
+        FROM lineitem GROUP BY l_returnflag, l_linenumber""")),
+
+    // ---- SELECTIVITY(x) = distinct% (AggregateDataSelectivity.java,
+    // consumed by ANALYZE ddl/Analyze.java:59-98): exact integer arithmetic
+    // in both engines (no float division → no boundary flakes).
+    Q("q27_selectivity",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("cd_p"),
+          countDistinct(col("l_suppkey")).as("cd_s"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          expr("(100 * cd_p) div n").as("sel_partkey"),
+          expr("(100 * cd_s) div n").as("sel_suppkey")),
+      Some("""
+        SELECT l_returnflag,
+               CAST((100 * COUNT(DISTINCT l_partkey)) // COUNT(*) AS BIGINT) AS sel_partkey,
+               CAST((100 * COUNT(DISTINCT l_suppkey)) // COUNT(*) AS BIGINT) AS sel_suppkey
+        FROM lineitem GROUP BY l_returnflag"""))
+  )
+}
