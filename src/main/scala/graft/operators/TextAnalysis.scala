@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup.normalize
+
+/** Text analysis for training-data pipelines (beyond-reference surface):
+  * language ID, quality scoring, token counting, document fingerprinting.
+  * All pure column expressions (codegen'd, partition-parallel, no UDFs).
+  */
+object TextAnalysis {
+
+  /** Tokens of the normalized text (non-empty, whitespace-split). */
+  def tokens(text: Column): Column =
+    filter(split(normalize(text), " "), t => length(t) > 0)
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish subword count estimate: word-piece regex over the raw text
+    * (letters runs, digit runs, single punctuation — the common pre-tokenizer
+    * shape), cheap proxy for LLM token budgeting at corpus scale. */
+  def subwordCount(text: Column): Column =
+    size(filter(
+      split(text, "(?<=[^\\p{L}\\p{N}])|(?=[^\\p{L}\\p{N}])"),
+      t => length(trim(t)) > 0)).cast("long")
+
+  /** Per-language stopword evidence (tiny curated lists; deterministic). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "you", "that",
+      "was", "for", "on", "are", "with", "as", "at", "this", "but", "be"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit",
+      "auf", "für", "von", "sich", "dem", "den", "auch", "es", "ich", "zu", "sie"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "un", "des", "du", "que",
+      "qui", "dans", "pour", "pas", "sur", "avec", "au", "ce", "il", "je"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "una", "un", "de", "que",
+      "en", "no", "se", "por", "con", "para", "su", "al", "lo", "como"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "就", "不", "人",
+      "都", "一", "他", "这", "中", "大", "来", "上", "个", "们"))
+
+  /** Heuristic language ID: stopword-hit rate per language over the token
+    * set; winner = max hits (ties → lexicographically last code — documented
+    * determinism, not linguistics). Docs with zero evidence → "und". */
+  def langId(text: Column): Column = {
+    val toks = array_distinct(tokens(text))
+    val scored = array(stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(
+        size(array_intersect(toks, lit(words.toArray))).as("score"),
+        lit(lang).as("lang"))
+    }: _*)
+    val best = array_max(scored)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Quality signals: char/word stats and character-class ratios (the
+    * classic Gopher/C4-style filters), plus a composite keep/drop flag. */
+  def qualitySignals(text: Column): Seq[Column] = {
+    val nChars = length(text).cast("long")
+    val alpha = length(regexp_replace(text, "[^a-zA-Z]", "")).cast("long")
+    val digits = length(regexp_replace(text, "[^0-9]", "")).cast("long")
+    val spaces = length(regexp_replace(text, "[^ ]", "")).cast("long")
+    val toks = tokens(text)
+    val nToks = size(toks).cast("long")
+    val meanTokLen = when(nToks > 0,
+      aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double") / nToks)
+      .otherwise(lit(0.0))
+    val alphaRatio = when(nChars > 0, alpha.cast("double") / nChars).otherwise(lit(0.0))
+    val digitRatio = when(nChars > 0, digits.cast("double") / nChars).otherwise(lit(0.0))
+    Seq(
+      nChars.as("n_chars_m"),
+      nToks.as("n_tokens"),
+      alphaRatio.as("alpha_ratio"),
+      digitRatio.as("digit_ratio"),
+      (spaces.cast("double") / greatest(nChars, lit(1L))).as("space_ratio"),
+      meanTokLen.as("mean_token_len"),
+      (nChars >= 20 && nToks >= 5 && alphaRatio > 0.5 && digitRatio < 0.3)
+        .as("quality_keep"))
+  }
+
+  /** Winnowing document fingerprint (Schleimer et al., SIGMOD'03): k-shingle
+    * hashes → min hash per sliding window of `w` → distinct set. Two docs
+    * share fingerprint hashes iff they share k-length substrings; robust to
+    * reordering/insertion. Pure array exprs over one pass of the text. */
+  def fingerprint(text: Column, k: Int = 8, w: Int = 4): Column = {
+    val t = normalize(text)
+    val n = length(t)
+    val stream = when(n < k, array(xxhash64(t))).otherwise(
+      transform(sequence(lit(1), n - lit(k - 1)), i => xxhash64(t.substr(i, lit(k)))))
+    // Let-binding via a 1-element array lambda: `s` binds the evaluated
+    // stream ONCE per row. Referencing `stream` directly inside the window
+    // lambda would re-evaluate the full O(n) hash stream per window — O(n²)
+    // per document.
+    element_at(
+      transform(array(stream), s =>
+        when(size(s) <= w, array_distinct(array(array_min(s))))
+          .otherwise(array_distinct(transform(
+            sequence(lit(1), size(s) - lit(w - 1)),
+            i => array_min(slice(s, i, lit(w))))))),
+      1)
+  }
+
+  /** One row per document with every text-analysis signal. */
+  def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      Seq(col(idCol), tokenCount(col(textCol)).as("token_count"),
+        subwordCount(col(textCol)).as("subword_count"),
+        langId(col(textCol)).as("pred_lang"),
+        xxhash64(normalize(col(textCol))).as("content_hash"),
+        size(fingerprint(col(textCol))).cast("long").as("fp_size")) ++
+        qualitySignals(col(textCol)): _*)
+}
