@@ -22,7 +22,8 @@ object GraftSession {
     .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
     .config("spark.ui.enabled", "false")
 
-  /** Local session for tests/CLI. */
+  /** Local session for tests/CLI, with the H2 function/aggregate registry
+    * installed (SURVEY §7 module `functions/`). */
   def local(threads: Int = 4): SparkSession = {
     val s = configure(
       SparkSession.builder()
@@ -31,6 +32,8 @@ object GraftSession {
         .config("spark.sql.shuffle.partitions", threads.toString))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.functions.H2Functions.registerAll(s)
+    graft.functions.Aggregators.registerAll(s)
     s
   }
 }

@@ -22,15 +22,11 @@ object Dedup {
 
   /** Distinct hashed character k-shingles of the normalized text.
     * Hash-first keeps the set representation at 8 bytes/shingle regardless
-    * of shingle length. */
-  def shingleHashSet(text: Column, k: Int): Column = {
-    val t = normalize(text)
-    val n = length(t)
-    when(n < k, array(xxhash64(t))).otherwise(
-      array_distinct(transform(
-        sequence(lit(1), n - lit(k - 1)),
-        i => xxhash64(t.substr(i, lit(k))))))
-  }
+    * of shingle length. Implemented as a custom rolling-hash Expression —
+    * the equivalent transform(sequence…, xxhash64(substr…)) composition
+    * evaluates its lambda interpretively per element and is ~25× slower. */
+  def shingleHashSet(text: Column, k: Int): Column =
+    graft.functions.TextHashExprs.shingleHashSet(normalize(text), k)
 
   /** Distinct hashed word n-grams (token shingles). */
   def wordNgramHashSet(text: Column, n: Int): Column = {
@@ -44,14 +40,9 @@ object Dedup {
 
   /** MinHash signature (array<long>, length numHashes) over a hashed shingle
     * set, via seeded affine rehash h_j(x) = a_j*x + b_j with wrap-around —
-    * one pass over the set per lane, all inside codegen'd array exprs. */
-  def minhashSignature(shingleHashes: Column, numHashes: Int, seed: Long): Column = {
-    val rnd = new scala.util.Random(seed)
-    val lanes = Seq.fill(numHashes)((rnd.nextLong() | 1L, rnd.nextLong()))
-    array(lanes.map { case (a, b) =>
-      array_min(transform(shingleHashes, x => x * a + b))
-    }: _*)
-  }
+    * one tight loop per row (custom Expression; see TextHashExprs). */
+  def minhashSignature(shingleHashes: Column, numHashes: Int, seed: Long): Column =
+    graft.functions.TextHashExprs.minhashSig(shingleHashes, numHashes, seed)
 
   /** LSH banding: (band_idx, band_hash) per band; equal band ⇒ candidate.
     * With numHashes=128, bands=16 (r=8): P(candidate) ≈ 1-(1-j^8)^16 — steep

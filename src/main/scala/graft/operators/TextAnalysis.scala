@@ -22,7 +22,9 @@ object TextAnalysis {
     * shape), cheap proxy for LLM token budgeting at corpus scale. */
   def subwordCount(text: Column): Column =
     size(filter(
-      split(text, "(?<=[^\\p{L}\\p{N}])|(?=[^\\p{L}\\p{N}])"),
+      split(text,
+        "(?<=[^\\p{L}\\p{N}])|(?=[^\\p{L}\\p{N}])" + // punct/space boundaries
+          "|(?<=\\p{L})(?=\\p{N})|(?<=\\p{N})(?=\\p{L})"), // letter↔digit
       t => length(trim(t)) > 0)).cast("long")
 
   /** Per-language stopword evidence (tiny curated lists; deterministic). */
@@ -81,23 +83,8 @@ object TextAnalysis {
     * hashes → min hash per sliding window of `w` → distinct set. Two docs
     * share fingerprint hashes iff they share k-length substrings; robust to
     * reordering/insertion. Pure array exprs over one pass of the text. */
-  def fingerprint(text: Column, k: Int = 8, w: Int = 4): Column = {
-    val t = normalize(text)
-    val n = length(t)
-    val stream = when(n < k, array(xxhash64(t))).otherwise(
-      transform(sequence(lit(1), n - lit(k - 1)), i => xxhash64(t.substr(i, lit(k)))))
-    // Let-binding via a 1-element array lambda: `s` binds the evaluated
-    // stream ONCE per row. Referencing `stream` directly inside the window
-    // lambda would re-evaluate the full O(n) hash stream per window — O(n²)
-    // per document.
-    element_at(
-      transform(array(stream), s =>
-        when(size(s) <= w, array_distinct(array(array_min(s))))
-          .otherwise(array_distinct(transform(
-            sequence(lit(1), size(s) - lit(w - 1)),
-            i => array_min(slice(s, i, lit(w))))))),
-      1)
-  }
+  def fingerprint(text: Column, k: Int = 8, w: Int = 4): Column =
+    graft.functions.TextHashExprs.winnowFingerprint(normalize(text), k, w)
 
   /** One row per document with every text-analysis signal. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame =

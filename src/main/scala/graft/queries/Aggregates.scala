@@ -40,30 +40,38 @@ object Aggregates {
         val p = col("l_extendedprice").cast(DecimalType(18, 2))
         val sm = sum(p).cast("double")
         val ss = sum(p * p).cast("double")
+        // Variance family surfaced as floor-scaled integers: the exact
+        // decimal sums convert decimal→double differently across engines at
+        // 1e13 magnitude (DuckDB double-rounds via int128/10^s, Java rounds
+        // once via BigDecimal), so raw doubles can differ at the last ulp.
         li.groupBy(col("l_returnflag"))
           .agg(
             count(lit(1)).as("n"),
-            sm.as("s"),
-            (((ss - sm * sm / n)) / (n - lit(1.0))).as("var_samp_price"),
-            sqrt(((ss - sm * sm / n)) / (n - lit(1.0))).as("stddev_samp_price"),
-            (((ss - sm * sm / n)) / n).as("var_pop_price"))
+            sum(p).as("s_cents"),
+            floor((ss - sm * sm / n) / (n - lit(1.0))).cast("long").as("var_samp_i"),
+            floor(sqrt((ss - sm * sm / n) / (n - lit(1.0))) * 1000).cast("long")
+              .as("stddev_samp_x1000"),
+            floor((ss - sm * sm / n) / n).cast("long").as("var_pop_i"))
           .orderBy(col("l_returnflag"))
+          .withColumn("s_cents", (col("s_cents") * 100).cast("long"))
       },
       Some("""
         WITH g AS (
           SELECT l_returnflag,
                  CAST(COUNT(*) AS DOUBLE) AS n,
                  COUNT(*) AS cnt,
+                 SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS s_dec,
                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s,
                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                           * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS ss
           FROM lineitem GROUP BY l_returnflag)
         SELECT l_returnflag,
                cnt AS n,
-               s,
-               (ss - s * s / n) / (n - 1.0) AS var_samp_price,
-               SQRT((ss - s * s / n) / (n - 1.0)) AS stddev_samp_price,
-               (ss - s * s / n) / n AS var_pop_price
+               CAST(s_dec * 100 AS BIGINT) AS s_cents,
+               CAST(FLOOR((ss - s * s / n) / (n - 1.0)) AS BIGINT) AS var_samp_i,
+               CAST(FLOOR(SQRT((ss - s * s / n) / (n - 1.0)) * 1000) AS BIGINT)
+                 AS stddev_samp_x1000,
+               CAST(FLOOR((ss - s * s / n) / n) AS BIGINT) AS var_pop_i
         FROM g ORDER BY l_returnflag""")),
 
     // ---- MIN/MAX/COUNT + COUNT(DISTINCT) (AggregateDataCount/Default;
@@ -172,6 +180,47 @@ object Aggregates {
         SELECT l_returnflag,
                CAST((100 * COUNT(DISTINCT l_partkey)) // COUNT(*) AS BIGINT) AS sel_partkey,
                CAST((100 * COUNT(DISTINCT l_suppkey)) // COUNT(*) AS BIGINT) AS sel_suppkey
-        FROM lineitem GROUP BY l_returnflag"""))
+        FROM lineitem GROUP BY l_returnflag""")),
+
+    // ---- The same three aggregates through the typed Aggregator classes
+    // (CREATE AGGREGATE parity, api/AggregateFunction.java:16-43) — the
+    // oracle twins prove the partial/final decomposition is value-correct.
+    Q("q43_group_concat_udaf",
+      (s, dir) => {
+        val gc = udaf(new graft.functions.Aggregators.GroupConcat("|", desc = true))
+        t(s, dir, "nation").groupBy(col("n_regionkey"))
+          .agg(gc(col("n_name"), col("n_name")).as("names"))
+          .orderBy(col("n_regionkey"))
+      },
+      Some("""
+        SELECT n_regionkey, STRING_AGG(n_name, '|' ORDER BY n_name DESC) AS names
+        FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")),
+
+    Q("q44_selectivity_udaf",
+      (s, dir) => {
+        val sel = udaf(new graft.functions.Aggregators.Selectivity(),
+          org.apache.spark.sql.Encoders.LONG)
+        t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+          .agg(sel(col("l_partkey")).as("sel_partkey"))
+      },
+      Some("""
+        SELECT l_returnflag,
+               CAST(GREATEST(1, LEAST(100, (100 * COUNT(DISTINCT l_partkey)) // COUNT(*)))
+                 AS INTEGER) AS sel_partkey
+        FROM lineitem GROUP BY l_returnflag""")),
+
+    Q("q45_histogram_udaf",
+      (s, dir) => {
+        val hist = udaf(new graft.functions.Aggregators.Histogram,
+          org.apache.spark.sql.Encoders.LONG)
+        t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+          .agg(hist(col("l_linenumber").cast("long")).as("__h"))
+          .select(col("l_returnflag"), explode(col("__h")).as("__e"))
+          .select(col("l_returnflag"),
+            col("__e._1").as("value"), col("__e._2").as("cnt"))
+      },
+      Some("""
+        SELECT l_returnflag, CAST(l_linenumber AS BIGINT) AS value, COUNT(*) AS cnt
+        FROM lineitem GROUP BY l_returnflag, l_linenumber"""))
   )
 }

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+    (2L, "the quick brown fox jumps over the lazy dog and runs far away home"),  // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat and runs far away home"),  // near dup of 1
+    (4L, "completely different content about spark dataframes and catalyst"),
+    (5L, "unrelated short text")
+  ).toDF("doc_id", "text")
+
+  test("minhash finds exact and near duplicates, keeps earliest") {
+    val cfg = Dedup.MinHashConfig(numHashes = 64, bands = 16, threshold = 0.6)
+    val pairs = Dedup.minhashCandidates(docs, "doc_id", "text", cfg)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+
+    val survivors = Dedup.minhashDedup(docs, "doc_id", "text", cfg)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(1L, 4L, 5L))
+  }
+
+  test("exact-dup pair has jaccard 1.0") {
+    val cfg = Dedup.MinHashConfig(numHashes = 64, bands = 16, threshold = 0.9)
+    val j = Dedup.minhashCandidates(docs, "doc_id", "text", cfg)
+      .filter($"id_a" === 1L && $"id_b" === 2L)
+      .select("jaccard").as[Double].head()
+    assert(j == 1.0)
+  }
+
+  test("simhash: identical hash for identical text, close for near dup") {
+    val hashes = docs.select($"doc_id", Dedup.simhashColumn($"text").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes(1L) == hashes(2L))
+    val hd13 = java.lang.Long.bitCount(hashes(1L) ^ hashes(3L))
+    val hd14 = java.lang.Long.bitCount(hashes(1L) ^ hashes(4L))
+    assert(hd13 < hd14)
+
+    val pairs = Dedup.simhashCandidates(docs, "doc_id", "text", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("word n-gram jaccard: exact dup = 1.0, near dup high, distinct low") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+        threshold = 0.0, Dedup.MinHashConfig(numHashes = 64, bands = 32, threshold = 0.0))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs(((1L, 2L))) == 1.0)
+    // doc3 differs in 1 of 13 tokens => 3-gram overlap well below 1, above 0.3
+    val j13 = pairs(((1L, 3L)))
+    assert(j13 > 0.3 && j13 < 1.0)
+  }
+
+  test("dedup is deterministic across runs") {
+    val cfg = Dedup.MinHashConfig(numHashes = 64, bands = 16, threshold = 0.6)
+    val a = Dedup.minhashCandidates(docs, "doc_id", "text", cfg).collect().toSet
+    val b = Dedup.minhashCandidates(docs, "doc_id", "text", cfg).collect().toSet
+    assert(a == b)
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dml, Multimodal, Recursive}
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mergeInto = update-else-insert keyed semantics (Merge.java:146)") {
+    val target = Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)).toDF("k", "v", "x")
+    val source = Seq((2, "B", 99.0), (4, "d", 40.0)).toDF("k", "v", "x")
+    val out = Dml.mergeInto(target, source, Seq("k"))
+      .orderBy($"k").collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1, "a", 10.0), (2, "B", 99.0), (3, "c", 30.0), (4, "d", 40.0)))
+  }
+
+  test("update rewrites only matching rows; delete keeps null-condition rows") {
+    val t = Seq((1, 5.0), (2, -3.0)).toDF("k", "bal")
+    val upd = Dml.update(t, $"bal" < 0, Map("bal" -> lit(0.0)))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toSet
+    assert(upd == Set((1, 5.0), (2, 0.0)))
+
+    val d = Seq((1, Some(true)), (2, Some(false)), (3, None)).toDF("k", "del")
+    val kept = Dml.delete(d, $"del").select("k").as[Int].collect().toSet
+    assert(kept == Set(2, 3)) // null condition ⇒ not deleted
+  }
+
+  test("recursive fixpointAll generates the H2 UNION ALL sequence") {
+    val out = Recursive.fixpointAll(spark.range(1, 2).toDF("n")) { f =>
+      f.filter($"n" < 5).select(($"n" + 1).as("n"))
+    }.as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("recursive fixpoint computes transitive closure (distinct)") {
+    val edges = Seq((1, 2), (2, 3), (3, 4)).toDF("src", "dst")
+    val seed = edges.select($"src".as("origin"), $"dst".as("node"))
+    val closure = Recursive.fixpoint(seed) { f =>
+      f.join(edges, f("node") === edges("src"))
+        .select(f("origin"), edges("dst").as("node"))
+    }.collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(closure == Set((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)))
+  }
+
+  test("multimodal decode is deterministic with the declared schema") {
+    val docs = graft.core.Tables.load(spark, sf, "documents").limit(50)
+    val media = Multimodal.syntheticMedia(docs)
+    val meta1 = Multimodal.decodeMeta(media)
+    assert(meta1.schema == Multimodal.metaSchema)
+    val a = meta1.collect().map(_.toString).sorted
+    val b = Multimodal.decodeMeta(media).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+    assert(meta1.count() == 50)
+  }
+
+  test("frame sampling explodes only video/audio rows with frame counts") {
+    val docs = graft.core.Tables.load(spark, sf, "documents").limit(60)
+    val meta = Multimodal.decodeMeta(Multimodal.syntheticMedia(docs))
+    val frames = Multimodal.sampleFrames(meta, everyNth = 10)
+    assert(frames.count() > 0)
+    val bad = frames.filter($"frame_idx" >= $"n_frames" || $"frame_idx" % 10 =!= 0)
+    assert(bad.count() == 0)
+  }
+
+  test("feature extraction yields fixed-dim float vectors") {
+    val docs = graft.core.Tables.load(spark, sf, "documents").limit(20)
+    val feats = Multimodal.extractFeatures(Multimodal.syntheticMedia(docs), dim = 8)
+    assert(feats.select(size($"feature")).as[Int].collect().forall(_ == 8))
+  }
+
+  test("aggregators: group_concat ordering, histogram counts, selectivity") {
+    val gc = udaf(new graft.functions.Aggregators.GroupConcat("-"))
+    val df = Seq(("b", "x2"), ("a", "x1"), ("c", "x3")).toDF("k", "v")
+    val s = df.agg(gc($"k", $"v")).as[String].head()
+    assert(s == "x1-x2-x3")
+
+    val hist = udaf(new graft.functions.Aggregators.Histogram,
+      org.apache.spark.sql.Encoders.LONG)
+    val h = Seq(1L, 1L, 2L, 3L, 3L, 3L).toDF("x").agg(hist($"x"))
+      .as[Seq[(Long, Long)]].head()
+    assert(h == Seq((1L, 2L), (2L, 1L), (3L, 3L)))
+
+    val sel = udaf(new graft.functions.Aggregators.Selectivity(),
+      org.apache.spark.sql.Encoders.LONG)
+    val v = (1L to 100L).map(i => i % 10).toDF("x").agg(sel($"x")).as[Int].head()
+    assert(v == 10)
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),   // closest to 0
+    (2L, Array(0.5f, 0.5f, 0.0f, 0.0f)),
+    (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),   // orthogonal to 0
+    (4L, Array(-1.0f, 0.0f, 0.0f, 0.0f)),  // opposite of 0
+    (5L, Array(1.0f, 0.0f, 0.0f, 0.0f))    // duplicate of 0
+  ).toDF("vec_id", "embedding")
+
+  test("cosine column computes expected values") {
+    val c = vecs.as("a").crossJoin(vecs.as("b"))
+      .filter($"a.vec_id" === 0L && $"b.vec_id" === 3L)
+      .select(Similarity.cosine($"a.embedding", $"b.embedding")).as[Double].head()
+    assert(math.abs(c) < 1e-9)
+  }
+
+  test("brute-force top-k ranks by cosine with deterministic ties") {
+    val q = vecs.filter($"vec_id" === 0L)
+    val top = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 3)
+      .orderBy($"rank").collect()
+    assert(top.map(_.getLong(1)).toSeq == Seq(5L, 1L, 2L)) // dup first (cos=1)
+    assert(top.head.getDouble(2) == 1.0)
+  }
+
+  test("lsh top-k finds the exact duplicate with rank 1") {
+    val q = vecs.filter($"vec_id" === 0L)
+    val top = Similarity.lshTopK(vecs, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 3, dim = 4, bitsPerTable = 2, tables = 4)
+      .orderBy($"rank").collect()
+    assert(top.nonEmpty)
+    assert(top.head.getLong(1) == 5L && top.head.getDouble(2) == 1.0)
+  }
+
+  test("embedding near-dup pairs catch duplicates above threshold") {
+    val pairs = Similarity.embeddingNearDupPairs(vecs, "vec_id", "embedding",
+        threshold = 0.99, dim = 4, bitsPerTable = 2, tables = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 5L)))
+    assert(!pairs.contains((0L, 3L)))
+  }
+}
