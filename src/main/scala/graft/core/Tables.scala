@@ -17,8 +17,18 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // events.ts is parquet TIMESTAMP(NANOS): Spark has no nanosecond
+    // timestamp type, so the session reads it as nanos-since-epoch long
+    // (spark.sql.legacy.parquet.nanosAsLong) and we surface micros.
+    if (name == "events")
+      df.withColumn("ts",
+        // integer div, not `/` — double division loses precision at 1e18 ns
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    else df
+  }
 
   /** Register every corpus table as a temp view (idempotent). */
   def registerAll(spark: SparkSession, dir: String): Unit =

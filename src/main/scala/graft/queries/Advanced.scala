@@ -185,6 +185,55 @@ object Advanced {
         SELECT * FROM orders
         WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 50000)""")),
 
+    // ---- Windowed event aggregation (batch twin of the streaming
+    // Sessions.windowedAgg; hour buckets match DuckDB date_trunc). Events'
+    // nanos timestamps truncate to micros on the Spark side — hour
+    // truncation is unaffected.
+    Q("q46_events_windowed",
+      (s, dir) => graft.streaming.Sessions.windowedAgg(
+          // pre-cast value to exact decimal so the windowed sum is
+          // order-independent (cross-engine hash-stable)
+          t(s, dir, "events").withColumn("value", dec2(col("value"))), "1 hour")
+        .select(
+          unix_millis(col("window_start")).as("win_start_ms"),
+          col("event_type"), col("n"),
+          col("total").cast("double").as("total")),
+      Some(s"""
+        SELECT epoch_ms(DATE_TRUNC('hour', ts)) AS win_start_ms,
+               event_type,
+               COUNT(*) AS n,
+               ${dsumSql(dec2Sql("value"))} AS total
+        FROM events
+        GROUP BY 1, 2""")),
+
+    // ---- Sessionization batch twin (streaming parity in StreamingSpec):
+    // classic gap-split via lag + running sum, 30-minute inactivity.
+    Q("q47_sessionize",
+      (s, dir) => graft.streaming.Sessions
+        .sessionizeBatch(
+          t(s, dir, "events")
+            .select(col("user_id"), col("ts"), col("event_type"),
+              dec2(col("value")).as("value")), // decimal in → exact session sums
+          gapMinutes = 30)
+        .select(col("user_id"), col("start_ms"), col("end_ms"),
+          col("n_events"),
+          col("total_value").cast("double").as("total_value")),
+      Some("""
+        WITH x AS (
+          SELECT user_id, epoch_ms(ts) AS ms, CAST(value AS DECIMAL(18,2)) AS v,
+                 LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+          FROM events),
+        y AS (
+          SELECT user_id, ms, v,
+                 SUM(CASE WHEN prev IS NULL OR ms - prev > 1800000 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ms
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM x)
+        SELECT user_id, MIN(ms) AS start_ms, MAX(ms) AS end_ms,
+               COUNT(*) AS n_events,
+               CAST(SUM(v) AS DOUBLE) AS total_value
+        FROM y GROUP BY user_id, sid""")),
+
     // ---- CSVWRITE → CSVREAD round trip (Function.java:352-353,
     // db/Csv.java:46): written distributed (no driver collect), read back
     // with explicit schema.

@@ -1,0 +1,116 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming operators over the `events` stream (beyond-reference surface —
+  * the reference has no dataflow streaming at all, SURVEY §2.9; its async
+  * layer is request scheduling). Structured Streaming is the Spark-native
+  * model: same DataFrame transforms, incremental execution, watermark-driven
+  * state eviction.
+  *
+  * Every operator has a batch twin with identical semantics so correctness
+  * is provable against the DuckDB oracle (batch) and the streaming path is
+  * asserted equal to the batch path in StreamingSpec.
+  */
+object Sessions {
+
+  final case class SessionEvent(
+      user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
+
+  final case class UserSession(
+      user_id: Long, start_ms: Long, end_ms: Long, n_events: Long, total_value: Double)
+
+  // public: the state encoder's generated code must see the constructor
+  final case class SessState(startMs: Long, endMs: Long, n: Long, total: Double)
+
+  /** Tumbling/sliding window aggregation — works identically on a batch
+    * DataFrame and a streaming one (watermark added only when streaming). */
+  def windowedAgg(events: DataFrame, duration: String, slide: Option[String] = None,
+      watermark: Option[String] = None): DataFrame = {
+    val wm = watermark.map(w => events.withWatermark("ts", w)).getOrElse(events)
+    val win = slide.map(s => window(col("ts"), duration, s))
+      .getOrElse(window(col("ts"), duration))
+    wm.groupBy(win.as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("event_type"), col("n"), col("total"))
+  }
+
+  /** Batch sessionization: split each user's event sequence on inactivity
+    * gaps > gapMinutes (classic lag + cumulative-sum session ids — two
+    * window passes over one shuffle by user_id). */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val gapMs = gapMinutes * 60000L
+    events
+      .withColumn("__ms", unix_millis(col("ts")))
+      .withColumn("__prev", lag(col("__ms"), 1).over(byUser))
+      .withColumn("__brk",
+        when(col("__prev").isNull || col("__ms") - col("__prev") > gapMs, 1L)
+          .otherwise(0L))
+      .withColumn("__sid", sum(col("__brk")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("__sid"))
+      .agg(
+        min(col("__ms")).as("start_ms"),
+        max(col("__ms")).as("end_ms"),
+        count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+      .drop("__sid")
+  }
+
+  /** Streaming sessionization via flatMapGroupsWithState: sessions emit when
+    * the event-time watermark passes their gap window. State per user is one
+    * open session (bounded memory); eviction is watermark-driven, so a
+    * 1000-executor deployment holds |active users| state, not |events|. */
+  def sessionizeStream(events: Dataset[SessionEvent], gapMinutes: Int,
+      watermarkDelay: String = "10 minutes"): Dataset[UserSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    def fn(userId: Long, evs: Iterator[SessionEvent],
+        state: GroupState[SessState]): Iterator[UserSession] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[UserSession]
+      if (state.hasTimedOut) {
+        state.getOption.foreach(s =>
+          out += UserSession(userId, s.startMs, s.endMs, s.n, s.total))
+        state.remove()
+      } else {
+        var cur = state.getOption
+        evs.toSeq.sortBy(_.ts.getTime).foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case None => cur = Some(SessState(t, t, 1L, e.value))
+            case Some(s) if t - s.endMs <= gapMs =>
+              cur = Some(SessState(s.startMs, math.max(s.endMs, t),
+                s.n + 1, s.total + e.value))
+            case Some(s) =>
+              out += UserSession(userId, s.startMs, s.endMs, s.n, s.total)
+              cur = Some(SessState(t, t, 1L, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.endMs + gapMs)
+        }
+      }
+      out.iterator
+    }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, UserSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+
+  /** Streaming exact dedup: watermark-bounded dropDuplicates on an id —
+    * the streaming twin of d01 exact dedup. */
+  def dedupStream(events: DataFrame, idCols: Seq[String], watermarkDelay: String): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicates(idCols :+ "ts")
+}

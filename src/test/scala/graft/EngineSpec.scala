@@ -1,0 +1,116 @@
+package graft
+
+import graft.sqlfront.Engine
+
+/** Ports the reference's own JUnit semantic cases (FIXTURES.md §A) through
+  * the H2-dialect front door: SqlTestBase/SelectTest shapes (A1), JoinTest
+  * outer-join semantics (A2), MergeTest update-else-insert, UPDATE/DELETE
+  * with LIMIT, SYSTEM_RANGE, FROM-first, sequences.
+  */
+class EngineSpec extends SparkSpec {
+
+  private def freshEngine: Engine = new Engine(spark)
+
+  test("A1 canonical table: insert, where, group/having, order/limit/offset") {
+    val e = freshEngine
+    e.sql("CREATE TABLE t (pk varchar(100) NOT NULL PRIMARY KEY, f1 varchar(100), f2 varchar(100), f3 int)")
+    e.sql("""INSERT INTO t VALUES
+      ('01','a1','b',51), ('02','a1','b',61), ('03','a1','b',61),
+      ('04','a2','b',71), ('05','a2','b',81), ('06','a2','b',91),
+      ('07','a3','b',11), ('08','a3','k',21), ('09','a3','l',31),
+      ('10','a4','b',41), ('11','a4','b',41), ('12','a4','b',41)""")
+    assert(e.sql("SELECT count(*) AS n FROM t").head().getLong(0) == 12)
+    assert(e.sql("SELECT count(*) FROM t WHERE pk >= '10' AND f3 > 40").head().getLong(0) == 3)
+    val grouped = e.sql(
+      "SELECT f1, count(f1) AS c FROM t GROUP BY f1 HAVING count(f1) = 3 ORDER BY f1")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(grouped.length == 4)
+    val slice = e.sql("SELECT f2 FROM t ORDER BY f2 DESC LIMIT 2 OFFSET 1")
+      .collect().map(_.getString(0)).toSeq
+    assert(slice == Seq("k", "b")) // l,k,b,... desc → offset 1 gives k then b
+  }
+
+  test("A2 join semantics: non-equi ON, null-condition ON, false WHERE") {
+    val e = freshEngine
+    e.sql("CREATE TABLE j1 (pk int PRIMARY KEY, id int, name varchar(500))")
+    e.sql("CREATE TABLE j2 (pk int PRIMARY KEY, id2 int, name2 varchar(500))")
+    e.sql("INSERT INTO j1 VALUES (1, 10, 'a'), (2, 40, 'b')")
+    e.sql("INSERT INTO j2 VALUES (1, 10, 'x'), (2, 50, 'y')")
+    // non-equi ON (JoinTest `ON id>30`)
+    assert(e.sql("SELECT count(*) FROM j1 JOIN j2 ON id > 30").head().getLong(0) == 2)
+    // LEFT JOIN with never-matching ON → full null padding
+    val padded = e.sql(
+      "SELECT name, name2 FROM j1 LEFT JOIN j2 ON name2 = null ORDER BY name")
+      .collect()
+    assert(padded.length == 2 && padded.forall(_.isNullAt(1)))
+    // outer join + always-false WHERE → empty
+    assert(e.sql("SELECT * FROM j1 LEFT JOIN j2 ON id = id2 WHERE 1 > 2").count() == 0)
+  }
+
+  test("MERGE INTO KEY: update-else-insert (MergeTest)") {
+    val e = freshEngine
+    e.sql("CREATE TABLE mt (k int PRIMARY KEY, v varchar(100))")
+    e.sql("INSERT INTO mt VALUES (1,'a'), (2,'b')")
+    e.sql("MERGE INTO mt KEY(k) VALUES (2,'B2'), (3,'c')")
+    val rows = e.sql("SELECT k, v FROM mt ORDER BY k")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(rows == Seq((1, "a"), (2, "B2"), (3, "c")))
+    // KEY defaults to the declared PRIMARY KEY
+    e.sql("MERGE INTO mt VALUES (3,'C3'), (4,'d')")
+    assert(e.sql("SELECT v FROM mt WHERE k=3").head().getString(0) == "C3")
+    assert(e.sql("SELECT count(*) FROM mt").head().getLong(0) == 4)
+  }
+
+  test("UPDATE/DELETE with WHERE and LIMIT (Update.java:140-150)") {
+    val e = freshEngine
+    e.sql("CREATE TABLE u (k int PRIMARY KEY, bal double)")
+    e.sql("INSERT INTO u VALUES (1,-5.0), (2,-3.0), (3, 7.0)")
+    e.sql("UPDATE u SET bal = 0.0 WHERE bal < 0 LIMIT 1")
+    assert(e.sql("SELECT count(*) FROM u WHERE bal = 0.0").head().getLong(0) == 1)
+    e.sql("UPDATE u SET bal = bal + 1.0")
+    // one negative was zeroed then +1 → positive; the other stays negative
+    assert(e.sql("SELECT count(*) FROM u WHERE bal > 0").head().getLong(0) == 2)
+    e.sql("DELETE FROM u WHERE bal > 0 LIMIT 1")
+    assert(e.sql("SELECT count(*) FROM u").head().getLong(0) == 2)
+    e.sql("DELETE FROM u")
+    assert(e.sql("SELECT count(*) FROM u").head().getLong(0) == 0)
+  }
+
+  test("SYSTEM_RANGE, FROM-first, ORDER BY =n, SAMPLE_SIZE") {
+    val e = freshEngine
+    assert(e.sql("SELECT count(*) FROM SYSTEM_RANGE(1, 100)").head().getLong(0) == 100)
+    assert(e.sql("SELECT sum(x) FROM SYSTEM_RANGE(1, 10, 3)").head().getLong(0) == 22)
+    e.sql("CREATE TABLE ff (a int, b int)")
+    e.sql("INSERT INTO ff VALUES (1, 10), (2, 20), (3, 30)")
+    val ffirst = e.sql("FROM ff SELECT a, b WHERE a > 1 ORDER BY =2 LIMIT 1")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(ffirst == Seq((2, 20)))
+    assert(e.sql("SELECT a FROM ff SAMPLE_SIZE 2").count() == 2)
+  }
+
+  test("sequences: NEXTVAL/CURRVAL in insert and select") {
+    val e = freshEngine
+    e.sql("CREATE SEQUENCE seq1 START WITH 100 INCREMENT BY 10")
+    e.sql("CREATE TABLE s (id bigint, v varchar(10))")
+    e.sql("INSERT INTO s VALUES (NEXTVAL('seq1'), 'a'), (NEXTVAL('seq1'), 'b')")
+    val ids = e.sql("SELECT id FROM s ORDER BY id").collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(100L, 110L))
+    assert(e.sql("SELECT CAST(CURRVAL('seq1') AS BIGINT) AS c").head().getLong(0) == 110L)
+  }
+
+  test("CREATE TABLE AS SELECT + corpus views + CSVREAD") {
+    val e = freshEngine
+    graft.core.Tables.names.foreach(n =>
+      e.register(n, graft.core.Tables.load(spark, sf, n)))
+    e.sql("CREATE TABLE big_cust AS SELECT * FROM customer WHERE c_acctbal > 9000")
+    assert(e.sql("SELECT count(*) FROM big_cust").head().getLong(0) ==
+      e.table("customer").filter("c_acctbal > 9000").count())
+    // CSVREAD in FROM position
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_csvread_test"
+    e.table("region").coalesce(1).write.mode("overwrite")
+      .option("header", "true").csv(dir)
+    val csvFile = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".csv")).head.getAbsolutePath
+    assert(e.sql(s"SELECT count(*) FROM CSVREAD('$csvFile')").head().getLong(0) == 5)
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dsl.Model
+
+case class P(name: String, age: Int)
+
+class ModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val people = Seq(
+    (1, "Alice", "Berlin", 30, Seq("scala", "sql")),
+    (2, "Bob", "Paris", 25, Seq("python")),
+    (3, "carol", "berlin", 35, Seq.empty[String]),
+    (4, "Dave", "Rome", 40, Seq("sql"))
+  ).toDF("id", "name", "city", "age", "tags")
+
+  test("predicate vocabulary: eq/ieq/like/contains/in/between") {
+    assert(Model(people).where().eq("city", "Berlin").findCount() == 1)
+    assert(Model(people).where().ieq("city", "BERLIN").findCount() == 2)
+    assert(Model(people).where().ilike("name", "a%").findCount() == 1)
+    assert(Model(people).where().icontains("name", "AROL").findCount() == 1)
+    assert(Model(people).where().in("city", "Paris", "Rome").findCount() == 2)
+    assert(Model(people).between("age", 26, 36).findCount() == 2)
+    assert(Model(people).istartsWith("name", "c").findCount() == 1)
+    assert(Model(people).matches("name", "^[AB]").findCount() == 2)
+  }
+
+  test("array predicates") {
+    assert(Model(people).arrayContains("tags", "sql").findCount() == 2)
+    assert(Model(people).arrayIsEmpty("tags").findCount() == 1)
+    assert(Model(people).arrayIsNotEmpty("tags").findCount() == 3)
+  }
+
+  test("and/or/not with lp/rp grouping") {
+    // city = 'Berlin' OR (age > 30 AND NOT name LIKE 'c%')
+    val n = Model(people).where()
+      .eq("city", "Berlin")
+      .or().lp().gt("age", 30).not().like("name", "c%").rp()
+      .findCount()
+    assert(n == 2) // Alice (Berlin), Dave (40, not c%) — carol excluded
+    // NOT applied to a whole group
+    val m = Model(people).not().lp().eq("city", "Paris").or().eq("city", "Rome").rp()
+      .findCount()
+    assert(m == 2)
+  }
+
+  test("select/orderBy/limit/offset composition") {
+    val names = Model(people).where().gt("age", 24)
+      .select("name", "age").orderByDesc("age").offset(1).limit(2)
+      .toDF.collect().map(_.getString(0)).toSeq
+    assert(names == Seq("carol", "Alice"))
+  }
+
+  test("groupBy/agg/having") {
+    val rows = Model(people)
+      .groupBy("city").agg(count(lit(1)).as("n"), max($"age").as("max_age"))
+      .having($"n" >= 1)
+      .orderBy("city")
+      .toDF.collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.length == 4)
+  }
+
+  test("join composes relations") {
+    val orders = Seq((1, 100.0), (1, 50.0), (2, 70.0)).toDF("pid", "amount")
+    val joined = Model(people).where().gt("age", 20)
+      .join(Model(orders), col("id") === col("pid"))
+      .groupBy("name").agg(sum($"amount").as("total"))
+      .orderBy("name")
+      .toDF.collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(joined.toSeq == Seq(("Alice", 150.0), ("Bob", 70.0)))
+  }
+
+  test("typed dataset exit") {
+    val ds = Model(people).where().ge("age", 35).select("name", "age")
+      .toDS[P](org.apache.spark.sql.Encoders.product[P])
+    assert(ds.collect().map(_.name).toSet == Set("carol", "Dave"))
+  }
+
+  test("findOne/findList executors") {
+    assert(Model(people).eq("id", 3).findOne().map(_.getString(1)) == Some("carol"))
+    assert(Model(people).findList().length == 4)
+  }
+}

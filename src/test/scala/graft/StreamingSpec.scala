@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.Sessions
+import graft.streaming.Sessions.{SessionEvent, UserSession}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkEvents(rows: Seq[(Long, String, String, Double)]) =
+    rows.map { case (u, ts, et, v) =>
+      SessionEvent(u, java.sql.Timestamp.valueOf(ts), et, v)
+    }.toDF("user_id", "ts", "event_type", "value")
+
+  private lazy val fixture = mkEvents(Seq(
+    (1L, "2024-01-01 10:00:00", "view", 1.0),
+    (1L, "2024-01-01 10:10:00", "click", 2.0),   // same session (10m gap)
+    (1L, "2024-01-01 11:30:00", "view", 3.0),    // new session (80m gap)
+    (2L, "2024-01-01 10:05:00", "view", 5.0),    // user 2, one session
+    (2L, "2024-01-01 10:20:00", "purchase", 7.0)))
+
+  test("batch sessionization splits on inactivity gaps") {
+    val sessions = Sessions.sessionizeBatch(fixture, gapMinutes = 30)
+      .orderBy($"user_id", $"start_ms").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getDouble(4)))
+    // (user, n_events, total) per session
+    assert(sessions.toSeq == Seq((1L, 2L, 3.0), (1L, 1L, 3.0), (2L, 2L, 12.0)))
+  }
+
+  test("streaming sessionization equals the batch twin after watermark flush") {
+    val dir = Files.createTempDirectory("graft_stream").toFile.getAbsolutePath
+    fixture.as[SessionEvent].coalesce(1).write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream
+      .schema(fixture.schema)
+      .parquet(dir)
+      .as[SessionEvent]
+    val q = Sessions.sessionizeStream(stream, gapMinutes = 30)
+      .writeStream.format("memory").queryName("graft_sessions")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      q.processAllAvailable()
+      // push the watermark far past every session end → all sessions flush
+      mkEvents(Seq((99L, "2024-01-02 12:00:00", "view", 0.0)))
+        .as[SessionEvent].coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      q.processAllAvailable() // extra batch so timed-out state emits
+
+      val streamed = spark.table("graft_sessions").as[UserSession]
+        .filter($"user_id" =!= 99L)
+        .collect().map(s => (s.user_id, s.start_ms, s.end_ms, s.n_events, s.total_value))
+        .sortBy(x => (x._1, x._2)).toSeq
+      val batch = Sessions.sessionizeBatch(fixture, 30)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .sortBy(x => (x._1, x._2)).toSeq
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("windowed aggregation: streaming complete mode equals batch") {
+    val dir = Files.createTempDirectory("graft_stream_w").toFile.getAbsolutePath
+    fixture.as[SessionEvent].coalesce(1).write.mode("overwrite").parquet(dir)
+
+    val batch = Sessions.windowedAgg(fixture, "1 hour")
+      .collect().map(r => (r.getTimestamp(0), r.getString(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+
+    val stream = spark.readStream.schema(fixture.schema).parquet(dir)
+    val q = Sessions.windowedAgg(stream, "1 hour")
+      .writeStream.format("memory").queryName("graft_winagg")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("graft_winagg")
+        .collect().map(r => (r.getTimestamp(0), r.getString(2), r.getLong(3), r.getDouble(4)))
+        .toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("windowed agg on the real events table") {
+    val ev = graft.core.Tables.load(spark, sf, "events")
+    val out = Sessions.windowedAgg(ev, "1 hour")
+    assert(out.count() > 0)
+    val n = out.agg(sum($"n")).head().getLong(0)
+    assert(n == ev.count())
+  }
+}
