@@ -268,6 +268,15 @@ object H2Functions {
     else d.toLocalDate.getMonth.getDisplayName(
       java.time.format.TextStyle.FULL, java.util.Locale.ENGLISH)
 
+  /** FILE_READ(name[, default]) (Function.java:365): file content as text.
+    * Resolves on the executing node — on a cluster the path must be on a
+    * shared filesystem (same constraint as the reference's server-side
+    * file access). */
+  def fileRead(name: String, default: String): String =
+    try new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(name)),
+      StandardCharsets.UTF_8)
+    catch { case _: java.io.IOException => default }
+
   /** Register every function for SQL + Column use (CREATE ALIAS parity:
     * FunctionAlias.java:44 — spark.udf is the Spark-native twin). */
   def registerAll(spark: SparkSession): Unit = {
@@ -299,5 +308,6 @@ object H2Functions {
     u.register("iso_day_of_week", (d: java.sql.Date) => isoDayOfWeek(d))
     u.register("dayname", (d: java.sql.Date) => dayName(d))
     u.register("monthname", (d: java.sql.Date) => monthName(d))
+    u.register("file_read", (n: String, d: String) => fileRead(n, d))
   }
 }

@@ -50,4 +50,13 @@ object Dml {
 
   /** TRUNCATE (ddl/TruncateTable.java). */
   def truncate(table: DataFrame): DataFrame = table.limit(0)
+
+  /** Distributed uniqueness validation — the ETL-write-path replacement for
+    * the reference's scatter-query GlobalUniqueIndex (GlobalUniqueIndex
+    * .java:33): returns the violating keys with their multiplicities
+    * (empty result = constraint holds). One shuffle on the key. */
+  def duplicateKeys(table: DataFrame, keys: Seq[String]): DataFrame =
+    table.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
 }

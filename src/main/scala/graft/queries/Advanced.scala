@@ -234,6 +234,32 @@ object Advanced {
                CAST(SUM(v) AS DOUBLE) AS total_value
         FROM y GROUP BY user_id, sid""")),
 
+    // ---- Global-unique-index parity (GlobalUniqueIndex.java:33): the
+    // scatter uniqueness check becomes a groupBy-count validation; also
+    // proves the unique case returns empty (lineitem PK).
+    Q("q48_unique_validation",
+      (s, dir) => Dml.duplicateKeys(t(s, dir, "orders"), Seq("o_custkey"))
+        .select(col("o_custkey"), col("n"))
+        .union(Dml.duplicateKeys(t(s, dir, "lineitem"),
+            Seq("l_orderkey", "l_linenumber"))
+          .select(col("l_orderkey"), col("n"))),
+      Some("""
+        SELECT o_custkey, COUNT(*) AS n FROM orders
+        GROUP BY o_custkey HAVING COUNT(*) > 1
+        UNION ALL
+        SELECT l_orderkey, COUNT(*) AS n FROM lineitem
+        GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1""")),
+
+    // ---- TABLE(col = ARRAY[...]) FROM-position array-to-rows
+    // (TableFunction.java:32-160) → explode.
+    Q("q49_table_function",
+      (s, _) => s.range(1).select(
+          explode(lit(Array(1, 4, 9, 16, 25))).as("x"))
+        .withColumn("root", sqrt(col("x")).cast("int")),
+      Some("""
+        SELECT UNNEST([1, 4, 9, 16, 25]) AS x,
+               CAST(SQRT(UNNEST([1, 4, 9, 16, 25])) AS INTEGER) AS root""")),
+
     // ---- CSVWRITE → CSVREAD round trip (Function.java:352-353,
     // db/Csv.java:46): written distributed (no driver collect), read back
     // with explicit schema.

@@ -96,9 +96,36 @@ final class Engine(val spark: SparkSession) {
   private val mergeRe =
     """(?is)^\s*MERGE\s+INTO\s+(\w+)\s*(?:\(([^)]*)\)\s*)?(?:KEY\s*\(([^)]*)\)\s*)?(VALUES\s*.*|SELECT\s+.*|FROM\s+.*)$""".r
 
+  private val createViewRe =
+    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(\w+)\s+AS\s+(.*)$""".r
+  private val explainRe = """(?is)^\s*EXPLAIN\s+(?:PLAN\s+FOR\s+)?(.*)$""".r
+  private val setVarRe = """(?is)^\s*SET\s+@(\w+)\s*=\s*(.*)$""".r
+  private val scriptRe = """(?is)^\s*SCRIPT\s*$""".r
+  private val variables = mutable.HashMap.empty[String, String]
+
   private def execOne(stmt0: String): DataFrame = {
     val stmt = stmt0.trim
     stmt match {
+      case explainRe(q) =>
+        // EXPLAIN [PLAN FOR] … (dml/Explain.java:30, Select.getPlanSQL)
+        import spark.implicits._
+        val df = runSelect(q)
+        Seq(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExtendedMode)).toDF("plan")
+      case setVarRe(name, value) =>
+        // SET @v = expr (Variable.java:20); substituted at plan time
+        variables(name.toLowerCase) =
+          spark.sql(s"SELECT ${substSequences(value)}").head().get(0) match {
+            case s: String => s"'${s.replace("'", "''")}'"
+            case v => String.valueOf(v)
+          }
+        status()
+      case scriptRe() =>
+        // SCRIPT (dml/Script.java): DDL re-emission as a result set
+        import spark.implicits._
+        script().toDF("script")
+      case createViewRe(name, query) =>
+        register(name, runSelect(query)); status()
       case createTableAsRe(name, query) =>
         register(name, runSelect(query)); status()
       case createTableRe(name, colDefs) =>
@@ -212,6 +239,14 @@ final class Engine(val spark: SparkSession) {
     })
     // ORDER BY =n → ORDER BY n (Parser.java:1493)
     q = q.replaceAll("""(?i)(ORDER\s+BY\s+)=\s*(\d+)""", "$1$2")
+    // INFORMATION_SCHEMA.X → synthesized meta view (MetaTable.java:68)
+    val infoRe = """(?i)INFORMATION_SCHEMA\.(\w+)""".r
+    q = infoRe.replaceAllIn(q, m => metaView(m.group(1).toLowerCase))
+    // @var substitution (Variable.java:20)
+    val varRe = """@(\w+)""".r
+    q = varRe.replaceAllIn(q, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        variables.getOrElse(m.group(1).toLowerCase, "NULL")))
     // SAMPLE_SIZE n → LIMIT n (head-sample semantics, Select.java:877)
     q = q.replaceAll("""(?i)\bSAMPLE_SIZE\s+(\d+)""", "LIMIT $1")
     // NEXTVAL/CURRVAL
@@ -232,6 +267,65 @@ final class Engine(val spark: SparkSession) {
     val cv = """(?i)CURRVAL\s*\(\s*'(\w+)'\s*\)""".r
     cv.replaceAllIn(q, m => sequences(m.group(1).toLowerCase).curr.toString)
   }
+
+  /** INFORMATION_SCHEMA synthesis (MetaTable.java:68 — ids :77-107): the
+    * meta tables meaningful for a batch engine, generated from the live
+    * catalog. Registered lazily per reference. */
+  private def metaView(name: String): String = {
+    import spark.implicits._
+    val view = s"graft_info_$name"
+    val df = name match {
+      case "tables" =>
+        tables.keys.toSeq.map(t => ("graft", "public", t, "TABLE", "PARQUET"))
+          .toDF("table_catalog", "table_schema", "table_name", "table_type",
+            "storage_type")
+      case "columns" =>
+        tables.toSeq.flatMap { case (t, df0) =>
+          df0.schema.fields.zipWithIndex.map { case (f, i) =>
+            (t, f.name, i + 1, f.dataType.catalogString.toUpperCase,
+              if (f.nullable) "YES" else "NO")
+          }
+        }.toDF("table_name", "column_name", "ordinal_position", "data_type",
+          "is_nullable")
+      case "sequences" =>
+        sequences.toSeq.map { case (n, s) => (n, s.curr, s.inc) }
+          .toDF("sequence_name", "current_value", "increment")
+      case "settings" =>
+        spark.conf.getAll.toSeq.sortBy(_._1).map { case (k, v) => (k, v) }
+          .toDF("setting_name", "setting_value")
+      case "constraints" =>
+        primaryKeys.toSeq.map { case (t, ks) =>
+          (t, "PRIMARY KEY", ks.mkString(",")) }
+          .toDF("table_name", "constraint_type", "column_list")
+      case other => throw new IllegalArgumentException(
+        s"INFORMATION_SCHEMA.$other not supported")
+    }
+    df.createOrReplaceTempView(view)
+    view
+  }
+
+  /** SCRIPT-style DDL dump (dml/Script.java): re-emittable CREATE TABLE +
+    * sequence statements for the current catalog. Data itself snapshots to
+    * parquet via `backup`. */
+  def script(): Seq[String] = {
+    val ddl = tables.toSeq.map { case (name, df) =>
+      val cols = df.schema.fields.map { f =>
+        val pk = primaryKeys.get(name).exists(_.contains(f.name.toLowerCase))
+        s"${f.name} ${f.dataType.sql}${if (pk) " PRIMARY KEY" else ""}"
+      }
+      s"CREATE TABLE $name (${cols.mkString(", ")});"
+    }
+    val seqs = sequences.toSeq.map { case (n, s) =>
+      s"CREATE SEQUENCE $n START WITH ${s.next} INCREMENT BY ${s.inc};"
+    }
+    ddl ++ seqs
+  }
+
+  /** BACKUP-style snapshot (dml/Backup.java): every table to parquet. */
+  def backup(dir: String): Unit =
+    tables.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    }
 
   // ---- helpers ----
 

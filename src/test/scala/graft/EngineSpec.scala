@@ -98,6 +98,38 @@ class EngineSpec extends SparkSpec {
     assert(e.sql("SELECT CAST(CURRVAL('seq1') AS BIGINT) AS c").head().getLong(0) == 110L)
   }
 
+  test("EXPLAIN, SET @var, INFORMATION_SCHEMA, SCRIPT, CREATE VIEW") {
+    val e = freshEngine
+    e.sql("CREATE TABLE meta_t (a int PRIMARY KEY, b varchar(10))")
+    e.sql("INSERT INTO meta_t VALUES (1,'x'), (2,'y'), (3,'z')")
+    // EXPLAIN returns the plan text
+    val plan = e.sql("EXPLAIN SELECT a FROM meta_t WHERE a > 1").head().getString(0)
+    assert(plan.contains("Physical Plan"))
+    // SET @v / @v substitution
+    e.sql("SET @threshold = 1 + 1")
+    assert(e.sql("SELECT count(*) FROM meta_t WHERE a >= @threshold").head().getLong(0) == 2)
+    // INFORMATION_SCHEMA.TABLES / COLUMNS (MetaTable parity)
+    val tnames = e.sql(
+      "SELECT table_name FROM INFORMATION_SCHEMA.TABLES ORDER BY table_name")
+      .collect().map(_.getString(0))
+    assert(tnames.contains("meta_t"))
+    val cols = e.sql(
+      "SELECT column_name, data_type FROM INFORMATION_SCHEMA.COLUMNS WHERE table_name = 'meta_t' ORDER BY ordinal_position")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(cols == Seq(("a", "INT"), ("b", "STRING")))
+    // SCRIPT re-emits DDL
+    val ddl = e.sql("SCRIPT").collect().map(_.getString(0))
+    assert(ddl.exists(s => s.startsWith("CREATE TABLE meta_t") && s.contains("PRIMARY KEY")))
+    // CREATE VIEW
+    e.sql("CREATE VIEW big_meta AS SELECT * FROM meta_t WHERE a > 1")
+    assert(e.sql("SELECT count(*) FROM big_meta").head().getLong(0) == 2)
+    // FILE_READ function
+    val f = java.nio.file.Files.createTempFile("graft", ".txt")
+    java.nio.file.Files.writeString(f, "hello graft")
+    assert(e.sql(s"SELECT file_read('$f', 'dflt') AS c").head().getString(0) == "hello graft")
+    assert(e.sql("SELECT file_read('/nonexistent/x', 'dflt') AS c").head().getString(0) == "dflt")
+  }
+
   test("CREATE TABLE AS SELECT + corpus views + CSVREAD") {
     val e = freshEngine
     graft.core.Tables.names.foreach(n =>

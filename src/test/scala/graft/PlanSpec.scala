@@ -1,0 +1,60 @@
+package graft
+
+import graft.SparkEntry
+
+/** Plan-shape assertions: the properties that make these queries survive a
+  * 100× scale-up — filter/column pushdown into the parquet scan, broadcast
+  * of small dims, TakeOrderedAndProject for top-k, partial+final hash
+  * aggregation, whole-stage codegen presence. A regression here is a
+  * performance bug even when results stay correct.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  /** Final AQE plan: execute first so isFinalPlan=true (codegen markers
+    * only appear in the final adaptive plan). */
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02 filter+projection push into the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("l_discount"), p) // filter reached the source
+    // column pruning: only the 6 needed columns in ReadSchema
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!rs.contains("l_partkey") && !rs.contains("l_tax"), rs)
+  }
+
+  test("q03 broadcasts the small dims, shuffles the facts") {
+    val p = plan("q03_join_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // partial+final aggregation (distributed agg decomposition)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("q18 top-k plans TakeOrderedAndProject (no global sort)") {
+    val p = plan("q18_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortExec"), p)
+  }
+
+  test("q09 semi-join planned as a real semi join") {
+    val p = plan("q09_semi_join")
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("q01 aggregation runs inside whole-stage codegen") {
+    val p = finalPlan("q01_pricing_summary")
+    assert(p.contains("WholeStageCodegen") || p.contains("*("), p)
+  }
+
+  test("q16 distinct decomposes into partial+final hash aggregate") {
+    val p = plan("q16_distinct_multi")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+}
