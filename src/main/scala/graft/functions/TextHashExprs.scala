@@ -58,11 +58,45 @@ case class ShingleHashSet(child: Expression, k: Int)
       if (seen.add(m)) out += m
       i += 1
     }
-    new GenericArrayData(out.toArray)
+    val arr = out.toArray
+    java.util.Arrays.sort(arr) // sorted set → downstream merge-Jaccard is O(n)
+    new GenericArrayData(arr)
   }
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashSet =
     copy(child = newChild)
+}
+
+/** Exact Jaccard of two SORTED distinct long arrays via linear merge —
+  * replaces interpreted array_intersect/array_union on the LSH verification
+  * path (the dominant cost once candidates number in the 100k's). */
+case class JaccardSorted(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "jaccard_sorted"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val (n, m) = (a.numElements(), b.numElements())
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < n && j < m) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = n + m - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardSorted =
+    copy(left = newLeft, right = newRight)
 }
 
 /** MinHash signature over a hashed set: lane j = min over x of mix(a_j*x+b_j)
@@ -174,4 +208,7 @@ object TextHashExprs {
     GraftColumnBridge.column(MinHashSig(GraftColumnBridge.expression(c), numHashes, seed))
   def winnowFingerprint(c: Column, k: Int, w: Int): Column =
     GraftColumnBridge.column(WinnowFingerprint(GraftColumnBridge.expression(c), k, w))
+  def jaccardSorted(a: Column, b: Column): Column =
+    GraftColumnBridge.column(JaccardSorted(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 }

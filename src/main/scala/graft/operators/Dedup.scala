@@ -32,10 +32,11 @@ object Dedup {
   def wordNgramHashSet(text: Column, n: Int): Column = {
     val toks = filter(split(normalize(text), " "), t => length(t) > 0)
     val cnt = size(toks)
-    when(cnt < n, array(xxhash64(concat_ws(" ", toks)))).otherwise(
-      array_distinct(transform(
-        sequence(lit(1), cnt - lit(n - 1)),
-        i => xxhash64(concat_ws("", slice(toks, i, lit(n)))))))
+    sort_array( // sorted set -> downstream merge-Jaccard
+      when(cnt < n, array(xxhash64(concat_ws(" ", toks)))).otherwise(
+        array_distinct(transform(
+          sequence(lit(1), cnt - lit(n - 1)),
+          i => xxhash64(concat_ws("", slice(toks, i, lit(n))))))))
   }
 
   /** MinHash signature (array<long>, length numHashes) over a hashed shingle
@@ -116,9 +117,8 @@ object Dedup {
     pairs
       .join(sets.select(col("__id").as("id_a"), col("__sh").as("__sa")), Seq("id_a"))
       .join(sets.select(col("__id").as("id_b"), col("__sh").as("__sb")), Seq("id_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
-          size(array_union(col("__sa"), col("__sb"))).cast("double"))
+      .withColumn("jaccard", // sorted-merge expression; sets come out sorted
+        graft.functions.TextHashExprs.jaccardSorted(col("__sa"), col("__sb")))
       .filter(col("jaccard") >= cfg.threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -197,8 +197,7 @@ object Dedup {
       .join(grams.select(col("__id").as("id_a"), col("__g").as("__ga")), Seq("id_a"))
       .join(grams.select(col("__id").as("id_b"), col("__g").as("__gb")), Seq("id_b"))
       .withColumn("ngram_jaccard",
-        size(array_intersect(col("__ga"), col("__gb"))).cast("double") /
-          size(array_union(col("__ga"), col("__gb"))).cast("double"))
+        graft.functions.TextHashExprs.jaccardSorted(col("__ga"), col("__gb")))
       .filter(col("ngram_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("ngram_jaccard"))
   }
