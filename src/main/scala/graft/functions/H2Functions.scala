@@ -73,6 +73,30 @@ object H2Functions {
     out
   }
 
+  /** ENCRYPT/DECRYPT('AES', key, data) (Function.java math group): AES-128
+    * ECB over zero-padded blocks — deterministic, key truncated/padded to
+    * 16 bytes. (ECB matches the reference's block-cipher behavior; for real
+    * security use an authenticated mode outside the engine.) */
+  private def aes(mode: Int, key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val k = java.util.Arrays.copyOf(key, 16)
+    val c = javax.crypto.Cipher.getInstance("AES/ECB/NoPadding")
+    c.init(mode, new javax.crypto.spec.SecretKeySpec(k, "AES"))
+    val padded =
+      if (data.length % 16 == 0) data
+      else java.util.Arrays.copyOf(data, (data.length / 16 + 1) * 16)
+    c.doFinal(padded)
+  }
+
+  def encrypt(alg: String, key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    require(alg != null && alg.equalsIgnoreCase("AES"), s"unsupported cipher $alg")
+    aes(javax.crypto.Cipher.ENCRYPT_MODE, key, data)
+  }
+
+  def decrypt(alg: String, key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    require(alg != null && alg.equalsIgnoreCase("AES"), s"unsupported cipher $alg")
+    aes(javax.crypto.Cipher.DECRYPT_MODE, key, data)
+  }
+
   // ---- strings ----
 
   /** SOUNDEX (4-char American Soundex, with the classic h/w-transparency
@@ -309,5 +333,7 @@ object H2Functions {
     u.register("dayname", (d: java.sql.Date) => dayName(d))
     u.register("monthname", (d: java.sql.Date) => monthName(d))
     u.register("file_read", (n: String, d: String) => fileRead(n, d))
+    u.register("encrypt", (a: String, k: Array[Byte], d: Array[Byte]) => encrypt(a, k, d))
+    u.register("decrypt", (a: String, k: Array[Byte], d: Array[Byte]) => decrypt(a, k, d))
   }
 }

@@ -97,6 +97,55 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
   }
 
+  /** IVF (inverted-file) approximate top-k: k-means coarse quantizer →
+    * per-centroid posting lists → probe the query's `nProbe` nearest cells →
+    * exact cosine re-rank. The list assignment is one ML transform over the
+    * corpus; the probe join shuffles only candidate cells, so per-query work
+    * is ~nProbe/nCentroids of the corpus — the classic IVF-flat trade.
+    * Centroids are driver-held (nCentroids × dim — tiny) and broadcast.
+    */
+  def ivfTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, nCentroids: Int = 16, nProbe: Int = 3, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val train = corpus.select(col(corpusId).as("neighbor_id"),
+      col(corpusVec).as("__cv"),
+      array_to_vector(col(corpusVec).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(10)
+      .fit(train.select("features"))
+    val assigned = model.transform(train)
+      .select(col("neighbor_id"), col("__cv"), col("prediction").as("__cell"))
+
+    // query → nProbe nearest centroids (centroids as a broadcast literal df)
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+      .toDF("__cell", "__centroid")
+    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
+    val qCells = q.crossJoin(broadcast(centroids))
+      .withColumn("__d", aggregate(
+        zip_with(col("__qv"), col("__centroid"),
+          (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+        lit(0.0), (acc, v) => acc + v))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("__d").asc, col("__cell").asc)))
+      .filter(col("__r") <= nProbe)
+      .select(col("query_id"), col("__qv"), col("__cell"))
+
+    val cand = assigned.join(broadcast(qCells), Seq("__cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_sim", cosine(col("__cv"), col("__qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+  }
+
   /** Embedding near-duplicate pairs: all (a<b) with cosine ≥ threshold,
     * candidates from shared LSH buckets (any table). */
   def embeddingNearDupPairs(

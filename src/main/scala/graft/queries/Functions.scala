@@ -179,6 +179,16 @@ object FunctionsQ {
           AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#17', 'Brand#4')
           AND p_name NOT LIKE '%copper%'""")),
 
+    // ---- STRING_IGNORECASE parity (Value.java:118, CompareMode): Spark 4
+    // collation on the engine side, lower() normalization in the oracle.
+    Q("q50_collation_ignorecase",
+      (s, dir) => t(s, dir, "customer")
+        .filter(collate(col("c_mktsegment"), "UTF8_LCASE") === lit("building"))
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment")),
+      Some("""
+        SELECT c_custkey, c_name, c_mktsegment FROM customer
+        WHERE LOWER(c_mktsegment) = 'building'""")),
+
     // ---- Array functions (Function.java:350-359): ARRAY_GET → element_at,
     // ARRAY_CONTAINS → array_contains, ARRAY_LENGTH → size; built from
     // embeddings' native ArrayType column.

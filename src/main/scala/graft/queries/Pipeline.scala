@@ -84,6 +84,17 @@ object Pipeline {
       },
       None),
 
+    // ---- ANN: IVF-flat (k-means cells + probe; third ANN strategy).
+    Q("s03_ann_ivf",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.ivfTopK(
+          emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+          k = 10, nCentroids = 16, nProbe = 4)
+      },
+      None),
+
     // ---- Text stats with DuckDB oracle (token counts, char-class ratios,
     // quality flag — the SQL-expressible subset of TextAnalysis.analyze).
     Q("t01_text_stats",

@@ -93,6 +93,17 @@ class H2FunctionsSpec extends SparkSpec {
     assert(xmlCdata("x") == "<![CDATA[x]]>")
   }
 
+  test("encrypt/decrypt round-trip (AES)") {
+    val key = "0123456789abcdef".getBytes
+    val data = "secret payload!!".getBytes // 16 bytes
+    val enc = encrypt("AES", key, data)
+    assert(enc.toSeq != data.toSeq)
+    assert(decrypt("AES", key, enc).toSeq == data.toSeq)
+    // non-multiple-of-16 zero-pads
+    val enc2 = encrypt("AES", key, "abc".getBytes)
+    assert(decrypt("AES", key, enc2).take(3).toSeq == "abc".getBytes.toSeq)
+  }
+
   test("functions are SQL-registered") {
     val r = spark.sql(
       """SELECT soundex_h2('Robert') AS s, difference('Robert','Rupert') AS d,

@@ -40,6 +40,26 @@ class SimilaritySpec extends SparkSpec {
     assert(top.head.getLong(1) == 5L && top.head.getDouble(2) == 1.0)
   }
 
+  test("ivf top-k finds the exact duplicate with rank 1") {
+    val q = vecs.filter($"vec_id" === 0L)
+    val top = Similarity.ivfTopK(vecs, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 3, nCentroids = 2, nProbe = 2)
+      .orderBy($"rank").collect()
+    assert(top.nonEmpty)
+    assert(top.head.getLong(1) == 5L && top.head.getDouble(2) == 1.0)
+  }
+
+  test("salted join equals plain join (Skew.saltedJoin)") {
+    import graft.operators.Skew
+    val big = Seq((1, "x"), (1, "y"), (1, "z"), (2, "w")).toDF("k", "v")
+    val dim = Seq((1, "one"), (2, "two"), (3, "three")).toDF("k", "name")
+    val salted = Skew.saltedJoin(big, dim, "k", saltFactor = 4)
+      .select("k", "v", "name").collect().map(_.toString).sorted.toSeq
+    val plain = big.join(dim, Seq("k"))
+      .select("k", "v", "name").collect().map(_.toString).sorted.toSeq
+    assert(salted == plain)
+  }
+
   test("embedding near-dup pairs catch duplicates above threshold") {
     val pairs = Similarity.embeddingNearDupPairs(vecs, "vec_id", "embedding",
         threshold = 0.99, dim = 4, bitsPerTable = 2, tables = 6)
