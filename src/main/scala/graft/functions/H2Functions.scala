@@ -335,5 +335,8 @@ object H2Functions {
     u.register("file_read", (n: String, d: String) => fileRead(n, d))
     u.register("encrypt", (a: String, k: Array[Byte], d: Array[Byte]) => encrypt(a, k, d))
     u.register("decrypt", (a: String, k: Array[Byte], d: Array[Byte]) => decrypt(a, k, d))
+    // RANDOM_UUID/SYS_GUID (Function.java math group) — nondeterministic by
+    // contract, excluded from oracle queries.
+    u.register("random_uuid", () => java.util.UUID.randomUUID().toString)
   }
 }

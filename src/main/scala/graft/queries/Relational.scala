@@ -217,6 +217,25 @@ object Relational {
         WHERE o_totalprice >
           (SELECT ${davgSql(dec2Sql("o_totalprice"))} FROM orders) * 1.5""")),
 
+    // ---- §2.2: quantified compare > ALL / > ANY (ConditionInSelect.java
+    // :26-95): rewritten to MAX/MIN scalar aggregates — the same rewrite the
+    // reference's optimizer applies for single-column quantifiers.
+    Q("q51_quantified_compare",
+      (s, dir) => {
+        val ord = t(s, dir, "orders")
+        val fThr = ord.filter(col("o_orderstatus") === "F")
+          .agg(max(col("o_totalprice")).as("mx"), min(col("o_totalprice")).as("mn"))
+        ord.crossJoin(broadcast(fThr))
+          .filter(col("o_totalprice") > col("mx") || // > ALL(F prices)
+            (col("o_orderstatus") === "P" && col("o_totalprice") > col("mn"))) // > ANY
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      },
+      Some("""
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        WHERE o_totalprice > ALL (SELECT o_totalprice FROM orders WHERE o_orderstatus = 'F')
+           OR (o_orderstatus = 'P' AND o_totalprice > ANY
+               (SELECT o_totalprice FROM orders WHERE o_orderstatus = 'F'))""")),
+
     // ---- §2.7: set operations (SelectUnion.java). Positional column
     // matching with conversion to left types (SelectUnion.java:113-139) →
     // Spark `union` (positional), NOT unionByName.

@@ -55,6 +55,7 @@ final class Engine(val spark: SparkSession) {
 
   def table(name: String): DataFrame = tables(name.toLowerCase)
   def tableNames: Seq[String] = tables.keys.toSeq
+  def mode: String = compatibilityMode
 
   /** Execute one or more ';'-separated statements; returns the DataFrame of
     * the last query (or an empty status frame for DDL/DML). */
@@ -101,7 +102,15 @@ final class Engine(val spark: SparkSession) {
   private val explainRe = """(?is)^\s*EXPLAIN\s+(?:PLAN\s+FOR\s+)?(.*)$""".r
   private val setVarRe = """(?is)^\s*SET\s+@(\w+)\s*=\s*(.*)$""".r
   private val scriptRe = """(?is)^\s*SCRIPT\s*$""".r
+  private val runScriptRe = """(?is)^\s*RUNSCRIPT\s+FROM\s+'([^']+)'\s*$""".r
+  private val prepareRe =
+    """(?is)^\s*PREPARE\s+(\w+)\s+AS\s+(.*)$""".r
+  private val executeRe = """(?is)^\s*EXECUTE\s+(\w+)\s*(?:\((.*)\))?\s*$""".r
+  private val deallocateRe = """(?is)^\s*DEALLOCATE\s+(?:PREPARE\s+)?(\w+)\s*$""".r
+  private val setModeRe = """(?is)^\s*SET\s+MODE\s+(\w+)\s*$""".r
   private val variables = mutable.HashMap.empty[String, String]
+  private val procedures = mutable.HashMap.empty[String, String]
+  private var compatibilityMode: String = "REGULAR"
 
   private def execOne(stmt0: String): DataFrame = {
     val stmt = stmt0.trim
@@ -124,6 +133,30 @@ final class Engine(val spark: SparkSession) {
         // SCRIPT (dml/Script.java): DDL re-emission as a result set
         import spark.implicits._
         script().toDF("script")
+      case runScriptRe(path) =>
+        // RUNSCRIPT FROM 'file' (dml/RunScript.java)
+        sql(new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8))
+      case setModeRe(mode) =>
+        // compatibility modes MySQL/PostgreSQL/… (db/Mode.java:17): recorded;
+        // coercion differences are handled by ANSI-off session conf
+        compatibilityMode = mode.toUpperCase; status()
+      case prepareRe(name, body) =>
+        // PREPARE/EXECUTE/DEALLOCATE procedures (ddl/PrepareProcedure.java,
+        // dml/ExecuteProcedure.java): named parameterized saved queries;
+        // `?` placeholders substitute positionally at EXECUTE.
+        procedures(name.toLowerCase) = body; status()
+      case executeRe(name, args) =>
+        val body0 = procedures.getOrElse(name.toLowerCase,
+          throw new IllegalArgumentException(s"no prepared statement $name"))
+        var body = body0
+        Option(args).toSeq.flatMap(splitTop(_)).map(_.trim).foreach { a =>
+          body = body.replaceFirst("\\?",
+            java.util.regex.Matcher.quoteReplacement(a))
+        }
+        execOne(body)
+      case deallocateRe(name) =>
+        procedures.remove(name.toLowerCase); status()
       case createViewRe(name, query) =>
         register(name, runSelect(query)); status()
       case createTableAsRe(name, query) =>

@@ -130,6 +130,28 @@ class EngineSpec extends SparkSpec {
     assert(e.sql("SELECT file_read('/nonexistent/x', 'dflt') AS c").head().getString(0) == "dflt")
   }
 
+  test("PREPARE/EXECUTE/DEALLOCATE, RUNSCRIPT, SET MODE") {
+    val e = freshEngine
+    e.sql("CREATE TABLE pr (a int, b varchar(10)); INSERT INTO pr VALUES (1,'x'),(2,'y'),(3,'z')")
+    e.sql("PREPARE getbig AS SELECT b FROM pr WHERE a >= ? ORDER BY a")
+    val got = e.sql("EXECUTE getbig(2)").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("y", "z"))
+    e.sql("DEALLOCATE getbig")
+    intercept[IllegalArgumentException] { e.sql("EXECUTE getbig(1)") }
+    // RUNSCRIPT executes a file of statements
+    val f = java.nio.file.Files.createTempFile("graft_rs", ".sql")
+    java.nio.file.Files.writeString(f,
+      "CREATE TABLE rs_t (k int);\nINSERT INTO rs_t VALUES (7), (8);")
+    e.sql(s"RUNSCRIPT FROM '$f'")
+    assert(e.sql("SELECT count(*) FROM rs_t").head().getLong(0) == 2)
+    // SET MODE records the compatibility mode (db/Mode.java)
+    e.sql("SET MODE MySQL")
+    assert(e.mode == "MYSQL")
+    // RANDOM_UUID shape
+    val uuid = e.sql("SELECT random_uuid() AS u").head().getString(0)
+    assert(uuid.matches("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"))
+  }
+
   test("CREATE TABLE AS SELECT + corpus views + CSVREAD") {
     val e = freshEngine
     graft.core.Tables.names.foreach(n =>
