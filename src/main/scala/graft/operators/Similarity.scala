@@ -38,11 +38,10 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos_sim", cosine(col("__cv"), col("__qv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+    // bounded-heap top-k per query (custom operator) — no per-key full sort
+    graft.plans.TopKPerKey(scored, Seq("query_id"),
+      Seq(("cos_sim", true), ("neighbor_id", false)), k)
   }
 
   /** Deterministic random hyperplanes (dim × m) from a seeded RNG. */
@@ -90,11 +89,9 @@ object Similarity {
         col("__v_query_id"), col("__v_neighbor_id"))
       .distinct()
       .withColumn("cos_sim", cosine(col("__v_neighbor_id"), col("__v_query_id")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    cand.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+    graft.plans.TopKPerKey(cand, Seq("query_id"),
+      Seq(("cos_sim", true), ("neighbor_id", false)), k)
   }
 
   /** IVF (inverted-file) approximate top-k: k-means coarse quantizer →
@@ -139,11 +136,10 @@ object Similarity {
     val cand = assigned.join(broadcast(qCells), Seq("__cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos_sim", cosine(col("__cv"), col("__qv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    cand.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+      // no dedup needed: each neighbor lives in exactly one cell
+    graft.plans.TopKPerKey(cand, Seq("query_id"),
+      Seq(("cos_sim", true), ("neighbor_id", false)), k)
   }
 
   /** Embedding near-duplicate pairs: all (a<b) with cosine ≥ threshold,
