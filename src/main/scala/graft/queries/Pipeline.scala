@@ -159,6 +159,19 @@ object Pipeline {
       (s, dir) => Multimodal.sampleFrames(
         Multimodal.decodeMeta(Multimodal.syntheticMedia(t(s, dir, "documents"))),
         everyNth = 30),
+      None),
+
+    // ---- Multimodal: feature extraction + resize stages (stub codec, real
+    // batch plumbing) — fp_mean surfaced so the rows-only check sees shape.
+    Q("m03_media_features",
+      (s, dir) => {
+        val media = Multimodal.syntheticMedia(t(s, dir, "documents"))
+        val feats = Multimodal.extractFeatures(media, dim = 16)
+        val resized = Multimodal.resizeMeta(Multimodal.decodeMeta(media), maxEdge = 512)
+        resized.join(feats, Seq("media_id"))
+          .select(col("media_id"), col("kind"), col("out_width"), col("out_height"),
+            size(col("feature")).as("feat_dim"))
+      },
       None)
   )
 }

@@ -53,6 +53,25 @@ class BucketingSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS ord_bkt")
   }
 
+  test("date-partitioned layout prunes partitions at the scan") {
+    // the canonical 100 TB layout: facts partitioned by day → time-range
+    // queries read only matching directories (PartitionFilters, zero I/O on
+    // the rest) — the Spark twin of the reference's index range scan.
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toFile.getAbsolutePath
+    val ev = graft.core.Tables.load(spark, sf, "events")
+      .withColumn("day", to_date(col("ts")))
+    ev.write.mode("overwrite").partitionBy("day").parquet(dir)
+    val q = spark.read.parquet(dir)
+      .filter(col("day") === lit("2024-01-02").cast("date"))
+      .agg(count(lit(1)).as("n"))
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(day"), p)
+    // correctness: equals the unpartitioned filter
+    val expect = ev.filter(col("day") === lit("2024-01-02").cast("date")).count()
+    assert(q.head().getLong(0) == expect)
+  }
+
   test("parquet footer aggregate pushdown answers COUNT/MIN/MAX without a scan") {
     // quick-aggregate needs the v2 parquet source (v1 FileScan can't push aggs)
     val v1Default = spark.conf.get("spark.sql.sources.useV1SourceList")

@@ -81,6 +81,20 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops duplicate ids within the watermark") {
+    val dir = Files.createTempDirectory("graft_stream_d").toFile.getAbsolutePath
+    val withDups = fixture.union(fixture.limit(2)) // re-send first two events
+    withDups.as[SessionEvent].coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(fixture.schema).parquet(dir)
+    val q = graft.streaming.Sessions.dedupStream(stream, Seq("user_id"), "1 hour")
+      .writeStream.format("memory").queryName("graft_dedup")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("graft_dedup").count() == fixture.count())
+    } finally q.stop()
+  }
+
   test("windowed agg on the real events table") {
     val ev = graft.core.Tables.load(spark, sf, "events")
     val out = Sessions.windowedAgg(ev, "1 hour")
