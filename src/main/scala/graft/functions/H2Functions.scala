@@ -31,6 +31,14 @@ object H2Functions {
 
   def zero(): Int = 0
 
+  /** TRUNCATE_VALUE(v, precision, scale-ish) (Function.java conversion
+    * group): round toward zero keeping `scale` decimal digits. */
+  def truncateValue(d: java.lang.Double, scale: Int): java.lang.Double = {
+    if (d == null) return null
+    new java.math.BigDecimal(d.doubleValue())
+      .setScale(scale, java.math.RoundingMode.DOWN).doubleValue()
+  }
+
   /** HASH(alg, data, iterations) — SHA256 re-applied `iterations` times. */
   def hashFn(alg: String, data: Array[Byte], iterations: Int): Array[Byte] = {
     require(alg != null && alg.equalsIgnoreCase("SHA256"), s"unsupported hash $alg")
@@ -338,5 +346,6 @@ object H2Functions {
     // RANDOM_UUID/SYS_GUID (Function.java math group) — nondeterministic by
     // contract, excluded from oracle queries.
     u.register("random_uuid", () => java.util.UUID.randomUUID().toString)
+    u.register("truncate_value", (d: java.lang.Double, s: Int) => truncateValue(d, s))
   }
 }

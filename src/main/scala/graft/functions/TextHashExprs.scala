@@ -67,6 +67,33 @@ case class ShingleHashSet(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Fraction of positions where two equal-length long arrays agree — the
+  * MinHash Jaccard estimator over two signatures. */
+case class MatchingFraction(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "matching_fraction"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    if (n == 0) return 0.0
+    var i = 0
+    var m = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) m += 1
+      i += 1
+    }
+    m.toDouble / n
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MatchingFraction =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Exact Jaccard of two SORTED distinct long arrays via linear merge —
   * replaces interpreted array_intersect/array_union on the LSH verification
   * path (the dominant cost once candidates number in the 100k's). */
@@ -210,5 +237,8 @@ object TextHashExprs {
     GraftColumnBridge.column(WinnowFingerprint(GraftColumnBridge.expression(c), k, w))
   def jaccardSorted(a: Column, b: Column): Column =
     GraftColumnBridge.column(JaccardSorted(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  def matchingFraction(a: Column, b: Column): Column =
+    GraftColumnBridge.column(MatchingFraction(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 }

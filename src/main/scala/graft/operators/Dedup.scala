@@ -92,10 +92,10 @@ object Dedup {
         shingleHashSet(col(textCol), cfg.shingleSize).as("__sh"))
       .withColumn("__sig", minhashSignature(col("__sh"), cfg.numHashes, cfg.seed))
       .withColumn("__bands", bandHashes(col("__sig"), cfg.bands, cfg.rowsPerBand))
-      .drop("__sig")
       .localCheckpoint(eager = true)
 
     val sets = base.select(col("__id"), col("__sh"))
+    val sigs = base.select(col("__id"), col("__sig"))
     val banded = base.select(col("__id"),
       posexplode(col("__bands")).as(Seq("__b", "__bh")))
 
@@ -114,7 +114,23 @@ object Dedup {
           col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
 
-    pairs
+    // Stage A: cheap signature-estimate filter — the MinHash signature IS an
+    // unbiased Jaccard estimator (matching-lane fraction), and at 8 bytes ×
+    // numHashes it ships 4-8× less data than the shingle sets. Pairs whose
+    // estimate falls a safety margin below the threshold skip exact
+    // verification entirely (stderr of the estimate is ~1/√numHashes; the
+    // 2σ margin keeps recall while cutting the heavy join's input).
+    val margin = 2.0 / math.sqrt(cfg.numHashes.toDouble)
+    val estimated = pairs
+      .join(sigs.select(col("__id").as("id_a"), col("__sig").as("__ga")), Seq("id_a"))
+      .join(sigs.select(col("__id").as("id_b"), col("__sig").as("__gb")), Seq("id_b"))
+      .withColumn("__est",
+        graft.functions.TextHashExprs.matchingFraction(col("__ga"), col("__gb")))
+      .filter(col("__est") >= cfg.threshold - margin)
+      .select(col("id_a"), col("id_b"))
+
+    // Stage B: exact verify on the survivors only.
+    estimated
       .join(sets.select(col("__id").as("id_a"), col("__sh").as("__sa")), Seq("id_a"))
       .join(sets.select(col("__id").as("id_b"), col("__sh").as("__sb")), Seq("id_b"))
       .withColumn("jaccard", // sorted-merge expression; sets come out sorted

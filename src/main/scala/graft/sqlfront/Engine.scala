@@ -87,7 +87,7 @@ final class Engine(val spark: SparkSession) {
   private val createSeqRe =
     """(?is)^\s*CREATE\s+SEQUENCE\s+(\w+)(?:\s+START\s+WITH\s+(-?\d+))?(?:\s+INCREMENT\s+BY\s+(-?\d+))?\s*$""".r
   private val insertValuesRe =
-    """(?is)^\s*INSERT\s+INTO\s+(\w+)\s*(?:\(([^)]*)\)\s*)?VALUES\s*(.*)$""".r
+    """(?is)^\s*INSERT\s+INTO\s+(\w+)\s*(?:\(([^)]*)\)\s*)?(?:DIRECT\s+)?VALUES\s*(.*)$""".r
   private val insertSelectRe =
     """(?is)^\s*INSERT\s+INTO\s+(\w+)\s*(?:\(([^)]*)\)\s*)?(SELECT\s+.*|FROM\s+.*)$""".r
   private val updateRe =
@@ -272,6 +272,14 @@ final class Engine(val spark: SparkSession) {
     })
     // ORDER BY =n → ORDER BY n (Parser.java:1493)
     q = q.replaceAll("""(?i)(ORDER\s+BY\s+)=\s*(\d+)""", "$1$2")
+    // H2/MSSQL `SELECT TOP n …` → LIMIT n appended
+    val topRe = """(?is)^(\s*SELECT\s+)TOP\s+(\d+)\s+(.*)$""".r
+    q = q match {
+      case topRe(sel, n, rest) => s"$sel$rest LIMIT $n"
+      case other => other
+    }
+    // MySQL `LIMIT offset, count` → LIMIT count OFFSET offset
+    q = q.replaceAll("""(?i)\bLIMIT\s+(\d+)\s*,\s*(\d+)""", "LIMIT $2 OFFSET $1")
     // INFORMATION_SCHEMA.X → synthesized meta view (MetaTable.java:68)
     val infoRe = """(?i)INFORMATION_SCHEMA\.(\w+)""".r
     q = infoRe.replaceAllIn(q, m => metaView(m.group(1).toLowerCase))

@@ -88,6 +88,18 @@ class EngineSpec extends SparkSpec {
     assert(e.sql("SELECT a FROM ff SAMPLE_SIZE 2").count() == 2)
   }
 
+  test("TOP n, MySQL LIMIT a,b, INSERT DIRECT, TRUNCATE_VALUE") {
+    val e = freshEngine
+    e.sql("CREATE TABLE tt (a int)")
+    e.sql("INSERT INTO tt DIRECT VALUES (5), (3), (1), (4), (2)")
+    assert(e.sql("SELECT TOP 2 a FROM tt ORDER BY a").collect()
+      .map(_.getInt(0)).toSeq == Seq(1, 2))
+    assert(e.sql("SELECT a FROM tt ORDER BY a LIMIT 1, 2").collect()
+      .map(_.getInt(0)).toSeq == Seq(2, 3))
+    assert(e.sql("SELECT truncate_value(3.14159, 2) AS t").head().getDouble(0) == 3.14)
+    assert(e.sql("SELECT truncate_value(-3.14159, 3) AS t").head().getDouble(0) == -3.141)
+  }
+
   test("sequences: NEXTVAL/CURRVAL in insert and select") {
     val e = freshEngine
     e.sql("CREATE SEQUENCE seq1 START WITH 100 INCREMENT BY 10")
@@ -150,6 +162,35 @@ class EngineSpec extends SparkSpec {
     // RANDOM_UUID shape
     val uuid = e.sql("SELECT random_uuid() AS u").head().getString(0)
     assert(uuid.matches("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"))
+  }
+
+  test("SubqueryTest/DistinctQueryTest shapes through the front door") {
+    val e = freshEngine
+    e.sql("""CREATE TABLE st (pk int PRIMARY KEY, grp varchar(10), v int);
+      INSERT INTO st VALUES (1,'a',10),(2,'a',20),(3,'b',30),(4,'b',40),(5,'c',50)""")
+    // correlated scalar subquery (re-executed per row in the reference,
+    // decorrelated by Catalyst — same results, Select.java:510-567)
+    val corr = e.sql(
+      """SELECT pk FROM st s WHERE v > (SELECT AVG(v) FROM st i WHERE i.grp = s.grp)
+         ORDER BY pk""").collect().map(_.getInt(0)).toSeq
+    assert(corr == Seq(2, 4))
+    // IN + EXISTS
+    assert(e.sql(
+      "SELECT count(*) FROM st WHERE grp IN (SELECT grp FROM st WHERE v >= 40)")
+      .head().getLong(0) == 3)
+    assert(e.sql(
+      """SELECT count(*) FROM st s WHERE EXISTS
+         (SELECT 1 FROM st i WHERE i.grp = s.grp AND i.v > s.v)""")
+      .head().getLong(0) == 2)
+    // DISTINCT single + multi column (queryDistinct paths)
+    assert(e.sql("SELECT DISTINCT grp FROM st").count() == 3)
+    assert(e.sql("SELECT DISTINCT grp, v >= 30 AS big FROM st").count() == 3)
+    // ROWNUM over join results (JoinTest rownum case) via row_number
+    val rn = e.sql(
+      """SELECT ROW_NUMBER() OVER (ORDER BY a.pk, b.pk) AS rn
+         FROM st a JOIN st b ON a.grp = b.grp ORDER BY rn DESC LIMIT 1""")
+      .head().getInt(0)
+    assert(rn == 9) // 2*2 + 2*2 + 1 pairs
   }
 
   test("CREATE TABLE AS SELECT + corpus views + CSVREAD") {
