@@ -51,6 +51,82 @@ object H2Functions {
     r
   }
 
+  /** LZF-style fast compression (the reference's default COMPRESS codec,
+    * lealone-common compress/CompressLZF.java — ours is format-private but
+    * algorithmically the same literal-run/back-reference scheme; round-trip
+    * compatible with [[expandLzf]]). */
+  def compressLzf(data: Array[Byte]): Array[Byte] = {
+    if (data == null) return null
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 16)
+    val n = data.length
+    val hdr = Array[Byte]((n >>> 24).toByte, (n >>> 16).toByte, (n >>> 8).toByte, n.toByte)
+    out.write(hdr)
+    val hashTab = new Array[Int](1 << 14)
+    java.util.Arrays.fill(hashTab, -1)
+    var i = 0
+    var litStart = 0
+    def flushLiterals(until: Int): Unit = {
+      var s = litStart
+      while (s < until) {
+        val run = math.min(32, until - s)
+        out.write(run - 1) // control 0..31 = literal run length-1
+        out.write(data, s, run)
+        s += run
+      }
+    }
+    while (i + 3 <= n) {
+      val h = (((data(i) & 0xff) << 16) | ((data(i + 1) & 0xff) << 8) |
+        (data(i + 2) & 0xff)) * 2654435761L
+      val slot = ((h >>> 18) & 0x3fff).toInt
+      val cand = hashTab(slot)
+      hashTab(slot) = i
+      if (cand >= 0 && i - cand <= 8191 &&
+        data(cand) == data(i) && data(cand + 1) == data(i + 1) &&
+        data(cand + 2) == data(i + 2)) {
+        var len = 3
+        while (i + len < n && len < 264 && data(cand + len) == data(i + len)) len += 1
+        flushLiterals(i)
+        val off = i - cand
+        // control 32..255: match; encode (len-3) in 3 bits or extended
+        if (len - 3 < 7) out.write(0x20 | ((len - 3) << 2) | (off >>> 11))
+        else { out.write(0x20 | (7 << 2) | (off >>> 11)); out.write(len - 3 - 7) }
+        out.write((off >>> 3) & 0xff)
+        out.write(off & 0x07)
+        i += len
+        litStart = i
+      } else i += 1
+    }
+    flushLiterals(n)
+    out.toByteArray
+  }
+
+  def expandLzf(c: Array[Byte]): Array[Byte] = {
+    if (c == null) return null
+    val n = ((c(0) & 0xff) << 24) | ((c(1) & 0xff) << 16) | ((c(2) & 0xff) << 8) | (c(3) & 0xff)
+    val out = new Array[Byte](n)
+    var i = 4
+    var o = 0
+    while (o < n) {
+      val ctl = c(i) & 0xff
+      i += 1
+      if (ctl < 32) { // literal run
+        val run = ctl + 1
+        System.arraycopy(c, i, out, o, run)
+        i += run; o += run
+      } else {
+        var len = ((ctl >>> 2) & 0x07) + 3
+        if (len == 10) { len = (c(i) & 0xff) + 3 + 7; i += 1 }
+        val off = ((ctl & 0x03) << 11) | ((c(i) & 0xff) << 3) | (c(i + 1) & 0x07)
+        i += 2
+        val src = o - off
+        var j = 0
+        while (j < len) { out(o + j) = out(src + j); j += 1 } // overlapping ok
+        o += len
+      }
+    }
+    out
+  }
+
   /** COMPRESS/EXPAND with DEFLATE (the reference also ships LZF;
     * lealone-common compress/ — DEFLATE is the interoperable subset). */
   def compressDeflate(data: Array[Byte]): Array[Byte] = {
@@ -95,15 +171,64 @@ object H2Functions {
     c.doFinal(padded)
   }
 
-  def encrypt(alg: String, key: Array[Byte], data: Array[Byte]): Array[Byte] = {
-    require(alg != null && alg.equalsIgnoreCase("AES"), s"unsupported cipher $alg")
-    aes(javax.crypto.Cipher.ENCRYPT_MODE, key, data)
+  /** XTEA (the reference's second block cipher, lealone-common security/):
+    * 32-round Feistel over 8-byte blocks, 128-bit key. */
+  private def xteaBlocks(key: Array[Byte], data: Array[Byte], enc: Boolean): Array[Byte] = {
+    val k = java.util.Arrays.copyOf(key, 16)
+    val ks = Array.tabulate(4)(i => ((k(4 * i) & 0xff) << 24) | ((k(4 * i + 1) & 0xff) << 16) |
+      ((k(4 * i + 2) & 0xff) << 8) | (k(4 * i + 3) & 0xff))
+    val padded = if (data.length % 8 == 0) data
+      else java.util.Arrays.copyOf(data, (data.length / 8 + 1) * 8)
+    val out = new Array[Byte](padded.length)
+    val delta = 0x9e3779b9
+    var off = 0
+    while (off < padded.length) {
+      def rd(o: Int) = ((padded(o) & 0xff) << 24) | ((padded(o + 1) & 0xff) << 16) |
+        ((padded(o + 2) & 0xff) << 8) | (padded(o + 3) & 0xff)
+      var v0 = rd(off)
+      var v1 = rd(off + 4)
+      if (enc) {
+        var sum = 0
+        var i = 0
+        while (i < 32) {
+          v0 += (((v1 << 4) ^ (v1 >>> 5)) + v1) ^ (sum + ks(sum & 3))
+          sum += delta
+          v1 += (((v0 << 4) ^ (v0 >>> 5)) + v0) ^ (sum + ks((sum >>> 11) & 3))
+          i += 1
+        }
+      } else {
+        var sum = delta * 32
+        var i = 0
+        while (i < 32) {
+          v1 -= (((v0 << 4) ^ (v0 >>> 5)) + v0) ^ (sum + ks((sum >>> 11) & 3))
+          sum -= delta
+          v0 -= (((v1 << 4) ^ (v1 >>> 5)) + v1) ^ (sum + ks(sum & 3))
+          i += 1
+        }
+      }
+      def wr(o: Int, v: Int): Unit = {
+        out(o) = (v >>> 24).toByte; out(o + 1) = (v >>> 16).toByte
+        out(o + 2) = (v >>> 8).toByte; out(o + 3) = v.toByte
+      }
+      wr(off, v0); wr(off + 4, v1)
+      off += 8
+    }
+    out
   }
 
-  def decrypt(alg: String, key: Array[Byte], data: Array[Byte]): Array[Byte] = {
-    require(alg != null && alg.equalsIgnoreCase("AES"), s"unsupported cipher $alg")
-    aes(javax.crypto.Cipher.DECRYPT_MODE, key, data)
-  }
+  def encrypt(alg: String, key: Array[Byte], data: Array[Byte]): Array[Byte] =
+    alg.toUpperCase match {
+      case "AES" => aes(javax.crypto.Cipher.ENCRYPT_MODE, key, data)
+      case "XTEA" => xteaBlocks(key, data, enc = true)
+      case a => throw new IllegalArgumentException(s"unsupported cipher $a")
+    }
+
+  def decrypt(alg: String, key: Array[Byte], data: Array[Byte]): Array[Byte] =
+    alg.toUpperCase match {
+      case "AES" => aes(javax.crypto.Cipher.DECRYPT_MODE, key, data)
+      case "XTEA" => xteaBlocks(key, data, enc = false)
+      case a => throw new IllegalArgumentException(s"unsupported cipher $a")
+    }
 
   // ---- strings ----
 
@@ -318,6 +443,8 @@ object H2Functions {
     u.register("h2_hash", (a: String, d: Array[Byte], i: Int) => hashFn(a, d, i))
     u.register("compress", (d: Array[Byte]) => compressDeflate(d))
     u.register("expand", (d: Array[Byte]) => expandDeflate(d))
+    u.register("compress_lzf", (d: Array[Byte]) => compressLzf(d))
+    u.register("expand_lzf", (d: Array[Byte]) => expandLzf(d))
     u.register("soundex_h2", (s: String) => soundex(s))
     u.register("difference", (a: String, b: String) => difference(a, b))
     u.register("rawtohex", (s: String) => rawToHex(s))

@@ -113,4 +113,33 @@ object Sessions {
   def dedupStream(events: DataFrame, idCols: Seq[String], watermarkDelay: String): DataFrame =
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicates(idCols :+ "ts")
+
+  /** Stream-stream interval join: events of two streams with equal keys
+    * whose timestamps lie within `withinMinutes` of each other. Both sides
+    * carry watermarks so join state is evicted (bounded memory — the
+    * requirement for unbounded runs at scale). */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      withinMinutes: Int, watermarkDelay: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermarkDelay).alias("l")
+    val r = right.withWatermark("ts", watermarkDelay).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col("r.ts").between(
+          col("l.ts") - expr(s"INTERVAL $withinMinutes MINUTES"),
+          col("l.ts") + expr(s"INTERVAL $withinMinutes MINUTES")))
+  }
+
+  /** Write-path trigger hook — the Spark-native stand-in for the
+    * reference's row triggers (api/Trigger.java, fired at Insert.update,
+    * Insert.java:157-161): `onBatch` observes every micro-batch before it
+    * commits to `path`. Returns the started query (caller stops it). */
+  def writeWithTrigger(stream: DataFrame, path: String, checkpoint: String)(
+      onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        onBatch(batch.toDF(), id)
+        batch.write.mode("append").parquet(path)
+      }
+      .start()
 }

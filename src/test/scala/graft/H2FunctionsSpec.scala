@@ -57,6 +57,29 @@ class H2FunctionsSpec extends SparkSpec {
     assert(expandDeflate(c).toSeq == data.toSeq)
   }
 
+  test("XTEA encrypt/decrypt round-trip") {
+    val key = "0123456789abcdef".getBytes
+    val data = "xtea block tests".getBytes // 16 bytes
+    val enc = encrypt("XTEA", key, data)
+    assert(enc.toSeq != data.toSeq)
+    assert(decrypt("XTEA", key, enc).toSeq == data.toSeq)
+    assert(decrypt("XTEA", key, encrypt("XTEA", key, "odd".getBytes)).take(3).toSeq
+      == "odd".getBytes.toSeq)
+  }
+
+  test("LZF round-trip and actually compresses repetitive input") {
+    val data = ("spark graft lzf " * 200).getBytes("UTF-8")
+    val c = compressLzf(data)
+    assert(c.length < data.length / 2)
+    assert(expandLzf(c).toSeq == data.toSeq)
+    // non-compressible input still round-trips
+    val rnd = new scala.util.Random(3)
+    val noise = Array.fill(1000)(rnd.nextInt().toByte)
+    assert(expandLzf(compressLzf(noise)).toSeq == noise.toSeq)
+    assert(expandLzf(compressLzf(Array.empty[Byte])).isEmpty)
+    assert(expandLzf(compressLzf("ab".getBytes)).toSeq == "ab".getBytes.toSeq)
+  }
+
   test("hash is iterated SHA-256") {
     val h1 = hashFn("SHA256", "abc".getBytes, 1)
     assert(h1.length == 32)

@@ -95,6 +95,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    val dir = Files.createTempDirectory("graft_ssj").toFile.getAbsolutePath
+    val clicks = mkEvents(Seq(
+      (1L, "2024-01-01 10:00:00", "click", 1.0),
+      (2L, "2024-01-01 11:00:00", "click", 2.0)))
+    val buys = mkEvents(Seq(
+      (1L, "2024-01-01 10:05:00", "purchase", 10.0),  // within 10m of click
+      (2L, "2024-01-01 12:00:00", "purchase", 20.0))) // outside
+    clicks.coalesce(1).write.mode("overwrite").parquet(s"$dir/l")
+    buys.coalesce(1).write.mode("overwrite").parquet(s"$dir/r")
+
+    val batch = graft.streaming.Sessions.intervalJoin(
+      spark.read.parquet(s"$dir/l"), spark.read.parquet(s"$dir/r"),
+      "user_id", withinMinutes = 10).count()
+    assert(batch == 1)
+
+    val sl = spark.readStream.schema(clicks.schema).parquet(s"$dir/l")
+    val sr = spark.readStream.schema(buys.schema).parquet(s"$dir/r")
+    val q = graft.streaming.Sessions.intervalJoin(sl, sr, "user_id", 10)
+      .writeStream.format("memory").queryName("graft_ssj").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("graft_ssj").count() == batch)
+    } finally q.stop()
+  }
+
+  test("foreachBatch write trigger observes every batch (Trigger.java parity)") {
+    val dir = Files.createTempDirectory("graft_trig").toFile.getAbsolutePath
+    fixture.as[SessionEvent].coalesce(1).write.mode("overwrite").parquet(s"$dir/in")
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    val stream = spark.readStream.schema(fixture.schema).parquet(s"$dir/in")
+    val q = graft.streaming.Sessions.writeWithTrigger(
+      stream, s"$dir/out", s"$dir/ckpt") { (batch, _) =>
+      seen.addAndGet(batch.count())
+    }
+    try {
+      q.processAllAvailable()
+      assert(seen.get() == fixture.count())
+      assert(spark.read.parquet(s"$dir/out").count() == fixture.count())
+    } finally q.stop()
+  }
+
   test("windowed agg on the real events table") {
     val ev = graft.core.Tables.load(spark, sf, "events")
     val out = Sessions.windowedAgg(ev, "1 hour")
