@@ -260,6 +260,48 @@ object Advanced {
         SELECT UNNEST([1, 4, 9, 16, 25]) AS x,
                CAST(SQRT(UNNEST([1, 4, 9, 16, 25])) AS INTEGER) AS root""")),
 
+    // ---- The custom TopKPerKey physical operator through the oracle gate:
+    // top-3 events per user by value (bounded heaps vs DuckDB's window).
+    Q("q52_topk_per_user",
+      (s, dir) => graft.plans.TopKPerKey(
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("value")),
+        Seq("user_id"), Seq(("value", true), ("event_id", false)), k = 3),
+      Some("""
+        SELECT user_id, event_id, value, rank FROM (
+          SELECT user_id, event_id, value,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                      ORDER BY value DESC, event_id ASC) AS INTEGER) AS rank
+          FROM events)
+        WHERE rank <= 3""")),
+
+    // ---- §1.1 type-system mapping: cross-type CASTs with identical
+    // semantics in both engines (stringified where display rules differ).
+    Q("q53_type_casts",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 500)
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber").cast("short").as("ln_short"),
+          col("l_linenumber").cast("byte").cast("int").as("ln_byte"),
+          col("l_orderkey").cast("string").as("ok_str"),
+          concat(col("l_orderkey").cast("decimal(18,2)").cast("string")).as("ok_dec_str"),
+          lit("123.45").cast("decimal(8,2)").cast("string").as("dec_str"),
+          lit("42").cast("int").as("str_int"),
+          hex(encode(col("l_returnflag"), "UTF-8")).as("flag_hex"),
+          (col("l_quantity") >= 25).cast("int").as("bool_int")),
+      Some("""
+        SELECT l_orderkey,
+               CAST(l_linenumber AS SMALLINT) AS ln_short,
+               CAST(CAST(l_linenumber AS TINYINT) AS INTEGER) AS ln_byte,
+               CAST(l_orderkey AS VARCHAR) AS ok_str,
+               CAST(CAST(l_orderkey AS DECIMAL(18,2)) AS VARCHAR) AS ok_dec_str,
+               CAST(CAST('123.45' AS DECIMAL(8,2)) AS VARCHAR) AS dec_str,
+               CAST('42' AS INTEGER) AS str_int,
+               HEX(ENCODE(l_returnflag)) AS flag_hex,
+               CAST(l_quantity >= 25 AS INTEGER) AS bool_int
+        FROM lineitem WHERE l_orderkey < 500""")),
+
     // ---- CSVWRITE → CSVREAD round trip (Function.java:352-353,
     // db/Csv.java:46): written distributed (no driver collect), read back
     // with explicit schema.
