@@ -14,7 +14,8 @@ object SparkEntry {
 
   /** All query families (reference parity + beyond-reference pipeline ops). */
   def allQ: Seq[Q] =
-    Relational.all ++ Aggregates.all ++ FunctionsQ.all ++ Advanced.all ++ Pipeline.all
+    Relational.all ++ Aggregates.all ++ FunctionsQ.all ++ FunctionsQ2.all ++
+      Advanced.all ++ Pipeline.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
