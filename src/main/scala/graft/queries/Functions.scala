@@ -43,7 +43,11 @@ object FunctionsQ {
           repeat(substring(col("c_name"), 1, 2), 3).as("rep2"),
           ascii(col("c_name")).cast("long").as("first_ascii"),
           expr("left(c_name, 4)").as("l4"),
-          expr("right(c_name, 4)").as("r4")),
+          expr("right(c_name, 4)").as("r4"),
+          bit_length(col("c_mktsegment")).cast("long").as("seg_bits"),
+          octet_length(col("c_mktsegment")).cast("long").as("seg_octets"),
+          chr(lit(65) + pmod(col("c_custkey"), lit(26))).as("chr_c"),
+          concat(lit("x"), expr("space(3)"), lit("y")).as("spaced")),
       Some("""
         SELECT c_custkey,
                UPPER(c_mktsegment) AS seg_up,
@@ -63,7 +67,11 @@ object FunctionsQ {
                REPEAT(SUBSTRING(c_name, 1, 2), 3) AS rep2,
                CAST(ASCII(c_name) AS BIGINT) AS first_ascii,
                LEFT(c_name, 4) AS l4,
-               RIGHT(c_name, 4) AS r4
+               RIGHT(c_name, 4) AS r4,
+               CAST(BIT_LENGTH(c_mktsegment) AS BIGINT) AS seg_bits,
+               CAST(STRLEN(c_mktsegment) AS BIGINT) AS seg_octets,
+               CHR(CAST(65 + c_custkey % 26 AS INTEGER)) AS chr_c,
+               'x' || REPEAT(' ', 3) || 'y' AS spaced
         FROM customer WHERE c_custkey < 500""")),
 
     // ---- Math functions (Function.java:188-234). sqrt is IEEE
