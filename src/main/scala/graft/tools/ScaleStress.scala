@@ -1,0 +1,44 @@
+package graft.tools
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+
+/** 10x-replicated corpus stress: every document appears 10x with distinct
+  * ids — a worst-case dedup load (dense true-duplicate clusters) at 50k
+  * docs / 650k embeddings-scale rows. Prints wall times; recorded in
+  * NOTES_r1.md as headroom evidence. */
+object ScaleStress {
+  def main(a: Array[String]): Unit = {
+    val spark = graft.core.GraftSession.local(32)
+    val dir = "/root/testdata/sf0.1"
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[stress] $label ${(System.nanoTime()-t0)/1e9}%.2fs"); r
+    }
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val big = (0 until 10).map(i =>
+        docs.select((col("doc_id") * 10 + i).as("doc_id"), col("text")))
+      .reduce(_ union _).localCheckpoint(true)
+    println("[stress] docs=" + big.count())
+    val cfg = Dedup.MinHashConfig(numHashes = 64, bands = 16, threshold = 0.8)
+    val survivors = time("minhash-dedup-50k-dense-dups") {
+      Dedup.minhashDedup(big, "doc_id", "text", cfg).count()
+    }
+    println("[stress] survivors=" + survivors + " (expect ~5000: one per cluster)")
+    val sim = time("simhash-pairs-50k") {
+      Dedup.simhashCandidates(big, "doc_id", "text", maxHamming = 3).count()
+    }
+    println("[stress] simhash pairs=" + sim)
+    val emb = graft.core.Tables.load(spark, dir, "embeddings")
+    val bigEmb = (0 until 10).map(i =>
+        emb.select((col("vec_id") * 10 + i).as("vec_id"), col("embedding")))
+      .reduce(_ union _).localCheckpoint(true)
+    println("[stress] vecs=" + bigEmb.count())
+    val ann = time("ann-lsh-50k-corpus-100-queries") {
+      Similarity.lshTopK(bigEmb, "vec_id", "embedding",
+        bigEmb.filter(col("vec_id") < 100), "vec_id", "embedding",
+        k = 10, dim = 64, bitsPerTable = 8, tables = 8).count()
+    }
+    println("[stress] ann rows=" + ann)
+    spark.stop()
+  }
+}
