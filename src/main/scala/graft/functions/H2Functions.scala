@@ -425,6 +425,23 @@ object H2Functions {
     else d.toLocalDate.getMonth.getDisplayName(
       java.time.format.TextStyle.FULL, java.util.Locale.ENGLISH)
 
+  /** H2 DECODE(v, search1, result1[, search2, result2…][, default])
+    * (Function.java:337-347): first matching search wins; null-safe
+    * comparison like the reference. Column-level composition (codegen'd
+    * when-chain), not a UDF. */
+  def decodeH2(v: org.apache.spark.sql.Column,
+      pairs: Seq[(org.apache.spark.sql.Column, org.apache.spark.sql.Column)],
+      default: Option[org.apache.spark.sql.Column] = None): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, when}
+    require(pairs.nonEmpty, "DECODE needs at least one search/result pair")
+    val chain = pairs.foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+      case (acc, (s, r)) =>
+        val c = v <=> s // null-safe: DECODE(null, null, x) = x in H2
+        Some(acc.map(_.when(c, r)).getOrElse(when(c, r)))
+    }.get
+    default.map(chain.otherwise).getOrElse(chain.otherwise(lit(null)))
+  }
+
   /** FILE_READ(name[, default]) (Function.java:365): file content as text.
     * Resolves on the executing node — on a cluster the path must be on a
     * shared filesystem (same constraint as the reference's server-side

@@ -127,6 +127,17 @@ class H2FunctionsSpec extends SparkSpec {
     assert(decrypt("AES", key, enc2).take(3).toSeq == "abc".getBytes.toSeq)
   }
 
+  test("DECODE: first match wins, null-safe, default") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(("a"), ("b"), ("z"), (null: String)).toDF("x")
+    val out = df.select(decodeH2($"x",
+        Seq(lit("a") -> lit(1), lit("b") -> lit(2), lit(null).cast("string") -> lit(99)),
+        default = Some(lit(-1))).as("d"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(out == Seq(1, 2, -1, 99))
+  }
+
   test("functions are SQL-registered") {
     val r = spark.sql(
       """SELECT soundex_h2('Robert') AS s, difference('Robert','Rupert') AS d,
