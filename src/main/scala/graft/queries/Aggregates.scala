@@ -198,7 +198,9 @@ object Aggregates {
 
     Q("q44_selectivity_udaf",
       (s, dir) => {
-        val sel = udaf(new graft.functions.Aggregators.Selectivity(),
+        // cap far above any SF's distinct count so the estimate is exact and
+        // the oracle (exact distinct%) stays a valid twin at every SF
+        val sel = udaf(new graft.functions.Aggregators.Selectivity(1 << 21),
           org.apache.spark.sql.Encoders.LONG)
         t(s, dir, "lineitem").groupBy(col("l_returnflag"))
           .agg(sel(col("l_partkey")).as("sel_partkey"))
