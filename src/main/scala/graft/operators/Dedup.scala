@@ -141,7 +141,7 @@ object Dedup {
 
   /** Survivors after MinHash dedup: drop every doc that has a near-duplicate
     * with a smaller id ("keep earliest" greedy — the standard streaming-order
-    * discipline; full transitive clustering = Recursive.fixpoint over pairs). */
+    * discipline). For full transitive clustering use [[minhashDedupTransitive]]. */
   def minhashDedup(
       df: DataFrame,
       idCol: String,
@@ -151,6 +151,17 @@ object Dedup {
       .select(col("id_b").as("__victim")).distinct()
     df.join(victims, col(idCol) === col("__victim"), "left_anti")
   }
+
+  /** Transitive MinHash dedup: connected components over the near-dup pair
+    * graph (a~b~c collapses to ONE survivor even when a≁c directly) — one
+    * min-id survivor per component via label propagation. */
+  def minhashDedupTransitive(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      cfg: MinHashConfig = MinHashConfig()): DataFrame =
+    ConnectedComponents.transitiveSurvivors(df, idCol,
+      minhashCandidates(df, idCol, textCol, cfg))
 
   /** 64-bit SimHash over word-token hashes. */
   def simhashColumn(text: Column): Column = {

@@ -42,6 +42,15 @@ object Pipeline {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
       None),
 
+    // ---- Transitive MinHash dedup: connected components over the near-dup
+    // graph (label propagation; one min-id survivor per component).
+    Q("d07_minhash_dedup_transitive",
+      (s, dir) => Dedup.minhashDedupTransitive(
+          t(s, dir, "documents"), "doc_id", "text",
+          Dedup.MinHashConfig(numHashes = 64, bands = 16, threshold = 0.35))
+        .select(col("doc_id"), col("lang"), col("source")),
+      None),
+
     // ---- SimHash near-dup pairs (custom Catalyst expression + banding).
     Q("d04_simhash_pairs",
       (s, dir) => Dedup.simhashCandidates(

@@ -58,6 +58,39 @@ class DedupSpec extends SparkSpec {
     assert(j13 > 0.3 && j13 < 1.0)
   }
 
+  test("connected components: chains collapse transitively") {
+    import graft.operators.ConnectedComponents
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 9L)).toDF("id_a", "id_b")
+    val comps = ConnectedComponents.labelPropagation(
+        edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps(1L) == 1L && comps(2L) == 1L && comps(3L) == 1L)
+    assert(comps(5L) == 5L && comps(6L) == 5L)
+    assert(!comps.contains(9L)) // self-loops dropped, isolated node absent
+
+    // transitive survivors: chain a~b~c keeps only min id
+    val docs = Seq(1L, 2L, 3L, 5L, 6L, 7L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val surv = ConnectedComponents.transitiveSurvivors(docs, "doc_id", pairs)
+      .as[Long].collect().toSet
+    assert(surv == Set(1L, 5L, 7L))
+  }
+
+  test("transitive minhash dedup collapses chains keep-earliest cannot") {
+    // a~b and b~c strongly similar, a vs c less so: chain of 3
+    val chain = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta mu lambda"),
+      (4L, "completely different text about something else entirely here")
+    ).toDF("doc_id", "text")
+    val cfg = Dedup.MinHashConfig(numHashes = 64, bands = 32, threshold = 0.5)
+    val surv = Dedup.minhashDedupTransitive(chain, "doc_id", "text", cfg)
+      .select("doc_id").as[Long].collect().toSet
+    assert(surv.contains(1L) && surv.contains(4L))
+    assert(!surv.contains(2L) && !surv.contains(3L))
+  }
+
   test("dedup is deterministic across runs") {
     val cfg = Dedup.MinHashConfig(numHashes = 64, bands = 16, threshold = 0.6)
     val a = Dedup.minhashCandidates(docs, "doc_id", "text", cfg).collect().toSet
