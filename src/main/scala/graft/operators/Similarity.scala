@@ -33,11 +33,15 @@ object Similarity {
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int): DataFrame = {
+    // norms precomputed once per vector (not once per pair): cos = dot/(na*nb)
     val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"))
+      .withColumn("__cn", norm(col("__cv")))
     val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
+      .withColumn("__qn", norm(col("__qv")))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos_sim", cosine(col("__cv"), col("__qv")))
+      .withColumn("cos_sim",
+        dot(col("__cv"), col("__qv")) / (col("__cn") * col("__qn")))
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
     // bounded-heap top-k per query (custom operator) — no per-key full sort
     graft.plans.TopKPerKey(scored, Seq("query_id"),
@@ -74,6 +78,7 @@ object Similarity {
 
     def bucketed(df: DataFrame, id: String, vec: String, idOut: String): DataFrame =
       df.select(col(id).as(idOut), col(vec).as(s"__v_$idOut"),
+        norm(col(vec)).as(s"__n_$idOut"), // norm once per vector
         posexplode(array(planesPerTable.map(p => lshBucket(col(vec), p)): _*))
           .as(Seq("__tbl", "__bkt")))
         .localCheckpoint(eager = true) // cut the hyperplane-expr lineage
@@ -86,9 +91,12 @@ object Similarity {
         col("__tbl") === col("__tbl2") && col("__bkt") === col("__bkt2") &&
           col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        col("__v_query_id"), col("__v_neighbor_id"))
+        col("__v_query_id"), col("__v_neighbor_id"),
+        col("__n_query_id"), col("__n_neighbor_id"))
       .distinct()
-      .withColumn("cos_sim", cosine(col("__v_neighbor_id"), col("__v_query_id")))
+      .withColumn("cos_sim",
+        dot(col("__v_neighbor_id"), col("__v_query_id")) /
+          (col("__n_neighbor_id") * col("__n_query_id")))
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
     graft.plans.TopKPerKey(cand, Seq("query_id"),
       Seq(("cos_sim", true), ("neighbor_id", false)), k)
@@ -151,17 +159,19 @@ object Similarity {
     val planesPerTable = (0 until tables).map(t =>
       hyperplanes(dim, bitsPerTable, seed + 100 + t))
     val b = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      norm(col(vecCol)).as("__n"), // norm once per vector
       posexplode(array(planesPerTable.map(p => lshBucket(col(vecCol), p)): _*))
         .as(Seq("__tbl", "__bkt")))
       .localCheckpoint(eager = true) // reused by both sides of the pair join
     val l = b.select(col("__tbl"), col("__bkt"), col("__id").as("id_a"),
-      col("__v").as("__va"))
+      col("__v").as("__va"), col("__n").as("__na"))
     val r = b.select(col("__tbl").as("__t2"), col("__bkt").as("__b2"),
-      col("__id").as("id_b"), col("__v").as("__vb"))
+      col("__id").as("id_b"), col("__v").as("__vb"), col("__n").as("__nb"))
     l.join(r, col("__tbl") === col("__t2") && col("__bkt") === col("__b2") &&
         col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("__va"), col("__vb")).distinct()
-      .withColumn("cos_sim", cosine(col("__va"), col("__vb")))
+      .select(col("id_a"), col("id_b"), col("__va"), col("__vb"),
+        col("__na"), col("__nb")).distinct()
+      .withColumn("cos_sim", dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
       .filter(col("cos_sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos_sim"))
   }

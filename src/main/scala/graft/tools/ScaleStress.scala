@@ -39,6 +39,27 @@ object ScaleStress {
         k = 10, dim = 64, bitsPerTable = 8, tables = 8).count()
     }
     println("[stress] ann rows=" + ann)
+
+    // 10x lineitem (6M rows ≈ SF1): relational headliners, noop sink
+    val li = graft.core.Tables.load(spark, dir, "lineitem")
+    val bigLi = (0 until 10).map(i =>
+        li.withColumn("l_orderkey", col("l_orderkey") * 10 + i))
+      .reduce(_ union _).localCheckpoint(true)
+    println("[stress] lineitem rows=" + bigLi.count())
+    bigLi.createOrReplaceTempView("big_lineitem")
+    time("q1-shape-6M") {
+      bigLi.filter(col("l_shipdate") <= lit("1999-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sq"),
+          avg(col("l_extendedprice")).as("ap"), count(lit(1)).as("n"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    val ord = graft.core.Tables.load(spark, dir, "orders")
+    time("join-agg-6M") {
+      bigLi.join(ord, expr("l_orderkey div 10") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }
