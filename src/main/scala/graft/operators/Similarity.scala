@@ -124,7 +124,8 @@ object Similarity {
     val model = new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(10)
       .fit(train.select("features"))
     val assigned = model.transform(train)
-      .select(col("neighbor_id"), col("__cv"), col("prediction").as("__cell"))
+      .select(col("neighbor_id"), col("__cv"), norm(col("__cv")).as("__cn"),
+        col("prediction").as("__cell"))
 
     // query → nProbe nearest centroids (centroids as a broadcast literal df)
     val centroids = model.clusterCenters.zipWithIndex
@@ -139,11 +140,12 @@ object Similarity {
       .withColumn("__r", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("__d").asc, col("__cell").asc)))
       .filter(col("__r") <= nProbe)
-      .select(col("query_id"), col("__qv"), col("__cell"))
+      .select(col("query_id"), col("__qv"), norm(col("__qv")).as("__qn"), col("__cell"))
 
     val cand = assigned.join(broadcast(qCells), Seq("__cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos_sim", cosine(col("__cv"), col("__qv")))
+      .withColumn("cos_sim",
+        dot(col("__cv"), col("__qv")) / (col("__cn") * col("__qn")))
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
       // no dedup needed: each neighbor lives in exactly one cell
     graft.plans.TopKPerKey(cand, Seq("query_id"),

@@ -77,16 +77,27 @@ object Aggregates {
     // ---- MIN/MAX/COUNT + COUNT(DISTINCT) (AggregateDataCount/Default;
     // quick-aggregate path Select.java:904 → parquet stats do this free).
     Q("q21_minmax_countdistinct",
-      (s, dir) => t(s, dir, "lineitem")
-        .groupBy(col("l_linestatus"))
-        .agg(
+      (s, dir) => {
+        // Two COUNT(DISTINCT)s in one agg make Catalyst Expand the input 3×;
+        // splitting into per-key distinct aggs + a join of tiny grouped
+        // results measures ~25% faster at sf0.1 (graft.tools.DistinctExp)
+        // and scales better (no row multiplication on the fact scan).
+        val li = t(s, dir, "lineitem")
+        val base = li.groupBy(col("l_linestatus")).agg(
           min(col("l_quantity")).as("min_qty"),
           max(col("l_quantity")).as("max_qty"),
           min(col("l_shipdate")).as("min_ship"),
           max(col("l_shipdate")).as("max_ship"),
-          countDistinct(col("l_orderkey")).as("n_orders"),
-          countDistinct(col("l_partkey")).as("n_parts"),
-          count(col("l_quantity")).as("n")),
+          count(col("l_quantity")).as("n"))
+        val dOrd = li.select(col("l_linestatus"), col("l_orderkey")).distinct()
+          .groupBy(col("l_linestatus")).agg(count(lit(1)).as("n_orders"))
+        val dPart = li.select(col("l_linestatus"), col("l_partkey")).distinct()
+          .groupBy(col("l_linestatus")).agg(count(lit(1)).as("n_parts"))
+        base.join(dOrd, Seq("l_linestatus")).join(dPart, Seq("l_linestatus"))
+          .select(col("l_linestatus"), col("min_qty"), col("max_qty"),
+            col("min_ship"), col("max_ship"), col("n_orders"), col("n_parts"),
+            col("n"))
+      },
       Some("""
         SELECT l_linestatus,
                MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
