@@ -179,13 +179,19 @@ object FunctionsQ {
           col("p_name").rlike("(red|blue) (bolt|widget)"))
         .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#17", "Brand#4"))
         .filter(!col("p_name").like("%copper%"))
+        // LIKE … ESCAPE (CompareLike.java:46 escape handling): literal '_'
+        .filter(expr(
+          raw"replace(p_name, ' ', '_') LIKE '%red\\_%' ESCAPE '\\'") ||
+          col("p_name").like("%bolt%"))
         .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type")),
       Some("""
         SELECT p_partkey, p_name, p_brand, p_type
         FROM part
         WHERE (p_type LIKE '%ECO%' OR regexp_matches(p_name, '(red|blue) (bolt|widget)'))
           AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#17', 'Brand#4')
-          AND p_name NOT LIKE '%copper%'""")),
+          AND p_name NOT LIKE '%copper%'
+          AND (REPLACE(p_name, ' ', '_') LIKE '%red\_%' ESCAPE '\'
+               OR p_name LIKE '%bolt%')""")),
 
     // ---- STRING_IGNORECASE parity (Value.java:118, CompareMode): Spark 4
     // collation on the engine side, lower() normalization in the oracle.

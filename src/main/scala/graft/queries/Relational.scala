@@ -273,6 +273,24 @@ object Relational {
         INTERSECT
         SELECT c_custkey FROM customer WHERE c_acctbal > 5000""")),
 
+    // ---- Set-op ALL variants (beyond-reference; H2 has only the distinct
+    // forms, SelectUnion.java:48-63 — Spark gives the multiset semantics free).
+    Q("q56_intersect_all",
+      (s, dir) => t(s, dir, "orders").select(col("o_custkey").as("k"))
+        .intersectAll(t(s, dir, "customer").select(col("c_custkey"))),
+      Some("""
+        SELECT o_custkey AS k FROM orders
+        INTERSECT ALL
+        SELECT c_custkey FROM customer""")),
+
+    Q("q57_except_all",
+      (s, dir) => t(s, dir, "orders").select(col("o_custkey").as("k"))
+        .exceptAll(t(s, dir, "customer").select(col("c_custkey"))),
+      Some("""
+        SELECT o_custkey AS k FROM orders
+        EXCEPT ALL
+        SELECT c_custkey FROM customer""")),
+
     // ---- §2.4: DISTINCT (queryDistinct / queryDistinctForMultiFields,
     // Select.java:793-859) → dropDuplicates; Spark plans partial/final
     // hash-distinct, the distributed twin of the index-distinct walk.
