@@ -491,5 +491,24 @@ object H2Functions {
     // contract, excluded from oracle queries.
     u.register("random_uuid", () => java.util.UUID.randomUUID().toString)
     u.register("truncate_value", (d: java.lang.Double, s: Int) => truncateValue(d, s))
+    // System/session functions (Function.java:325-336,354-369): engine
+    // constants where meaningful for a batch library; JVM stats where real.
+    // capture session constants NOW — udf closures must not capture the
+    // (non-serializable) SparkSession itself
+    val warehousePath = spark.conf.get("spark.sql.warehouse.dir", "")
+    val appId = spark.sparkContext.applicationId
+    u.register("database", () => "graft")
+    u.register("current_user_h2", () => sys.props.getOrElse("user.name", "graft"))
+    u.register("database_path", () => warehousePath)
+    u.register("session_id", () => appId)
+    u.register("memory_free", () => Runtime.getRuntime.freeMemory() / 1024)
+    u.register("memory_used", () =>
+      (Runtime.getRuntime.totalMemory() - Runtime.getRuntime.freeMemory()) / 1024)
+    u.register("lock_timeout", () => 0)
+    u.register("lock_mode", () => 0)      // no locks in a batch snapshot engine
+    u.register("readonly", () => false)
+    u.register("autocommit", () => true)  // every write is its own snapshot
+    u.register("transaction_id", () => null.asInstanceOf[String])
+    u.register("graft_version", () => "0.1.0")
   }
 }

@@ -37,6 +37,8 @@ final class Engine(val spark: SparkSession) {
 
   private val tables = mutable.LinkedHashMap.empty[String, DataFrame]
   private val primaryKeys = mutable.HashMap.empty[String, Seq[String]]
+  private val identityCols = mutable.HashMap.empty[String, String]
+  private val identityNext = mutable.HashMap.empty[String, Long]
   private val sequences = mutable.HashMap.empty[String, Sequence]
   private var rangeViewId = 0
 
@@ -164,6 +166,15 @@ final class Engine(val spark: SparkSession) {
       case createTableRe(name, colDefs) =>
         val (schema, pks) = parseColumnDefs(colDefs)
         if (pks.nonEmpty) primaryKeys(name.toLowerCase) = pks
+        // IDENTITY / AUTO_INCREMENT column (Column.java auto-increment +
+        // backing Sequence, Sequence.java:25): engine-assigned ids
+        splitTop(colDefs).map(_.trim).foreach { d =>
+          val up = d.toUpperCase
+          if (up.contains("IDENTITY") || up.contains("AUTO_INCREMENT")) {
+            identityCols(name.toLowerCase) = d.split("\\s+")(0).toLowerCase
+            identityNext(name.toLowerCase) = 1L
+          }
+        }
         register(name, spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
         status()
@@ -494,7 +505,26 @@ final class Engine(val spark: SparkSession) {
 
   private def doInsert(name: String, cols: Option[String], src: DataFrame): Unit = {
     val t = table(name)
-    val aligned = alignTo(t, cols.map(c => splitTop(c).map(_.trim)), src)
+    val aligned0 = alignTo(t, cols.map(c => splitTop(c).map(_.trim)), src)
+    // fill the IDENTITY column where the insert left it NULL: contiguous
+    // engine-assigned ids (driver-side counter — same non-parallel contract
+    // as the reference's Sequence; documented in README divergences)
+    val aligned = identityCols.get(name.toLowerCase) match {
+      case Some(idCol) =>
+        val start = identityNext(name.toLowerCase)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(monotonically_increasing_id())
+        val filled = aligned0.withColumn("__idgen",
+            row_number().over(w).cast("long") + (start - 1))
+          .withColumn(idCol,
+            coalesce(col(idCol), col("__idgen"))
+              .cast(t.schema(idCol).dataType))
+          .drop("__idgen")
+        val n = aligned0.count()
+        identityNext(name.toLowerCase) = start + n
+        filled.select(t.columns.map(col).toSeq: _*)
+      case None => aligned0
+    }
     register(name, t.union(aligned))
   }
 }

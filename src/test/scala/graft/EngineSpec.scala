@@ -164,6 +164,27 @@ class EngineSpec extends SparkSpec {
     assert(uuid.matches("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"))
   }
 
+  test("IDENTITY auto-increment and system function stubs") {
+    val e = freshEngine
+    e.sql("CREATE TABLE ids (id IDENTITY, v varchar(10))")
+    e.sql("INSERT INTO ids (v) VALUES ('a'), ('b')")
+    e.sql("INSERT INTO ids (v) VALUES ('c')")
+    val rows = e.sql("SELECT id, v FROM ids ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // explicit id wins; counter continues independently
+    e.sql("INSERT INTO ids VALUES (100, 'x')")
+    assert(e.sql("SELECT max(id) FROM ids").head().getLong(0) == 100L)
+    // system/session stubs
+    val r = e.sql(
+      "SELECT database() AS d, autocommit() AS a, memory_used() AS m, graft_version() AS v")
+      .head()
+    assert(r.getString(0) == "graft")
+    assert(r.getBoolean(1))
+    assert(r.getLong(2) > 0)
+    assert(r.getString(3).nonEmpty)
+  }
+
   test("SubqueryTest/DistinctQueryTest shapes through the front door") {
     val e = freshEngine
     e.sql("""CREATE TABLE st (pk int PRIMARY KEY, grp varchar(10), v int);
