@@ -214,13 +214,17 @@ object FunctionsQ {
           element_at(col("embedding"), 1).cast("double").as("first_dim"),
           size(col("embedding")).cast("long").as("dim"),
           array_contains(col("embedding"), 0.0f).as("has_zero"),
-          slice(col("embedding"), 1, 4).cast("array<double>").as("head4")),
+          // A raw array column is unhashable by the driver's pandas compare;
+          // fold the slice to a scalar (left-to-right double sum) instead.
+          aggregate(slice(col("embedding"), 1, 4), lit(0.0),
+            (acc, x) => acc + x.cast("double")).as("head4_sum")),
       Some("""
         SELECT vec_id,
                CAST(embedding[1] AS DOUBLE) AS first_dim,
                CAST(LEN(embedding) AS BIGINT) AS dim,
                LIST_CONTAINS(embedding, 0.0) AS has_zero,
-               CAST(embedding[1:4] AS DOUBLE[]) AS head4
+               CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE)
+                 + CAST(embedding[3] AS DOUBLE) + CAST(embedding[4] AS DOUBLE) AS head4_sum
         FROM embeddings WHERE vec_id < 100"""))
   )
 }
