@@ -59,4 +59,61 @@ object Dml {
     table.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > 1)
+
+  /** Referential-integrity violations (db/constraint/ConstraintReferential
+    * .java): child rows whose FK tuple has no match in the parent — a
+    * distributed left-anti join on the key, the batch twin of the
+    * reference's per-row existence probe. Rows with any NULL key column
+    * pass (SQL FK semantics). Empty result = constraint holds. */
+  def fkViolations(child: DataFrame, childCols: Seq[String],
+      parent: DataFrame, parentCols: Seq[String]): DataFrame = {
+    val nonNull = childCols.map(c => col(c).isNotNull).reduce(_ && _)
+    val parentKeys = parent.select(parentCols.map(col).toSeq: _*)
+      .toDF(childCols: _*).distinct()
+    child.filter(nonNull).join(parentKeys, childCols, "left_anti")
+  }
+
+  /** CHECK-constraint violations (db/constraint/ConstraintCheck.java):
+    * rows where the predicate is FALSE. NULL (unknown) passes, exactly the
+    * SQL CHECK three-valued rule the reference implements. */
+  def checkViolations(table: DataFrame, check: Column): DataFrame =
+    table.filter(!coalesce(check, lit(true)))
+
+  /** Contiguous id assignment without a single-partition global window: one
+    * lightweight job collects per-partition row counts (Long per partition,
+    * not data), then every partition fills its own offset range in
+    * parallel — the zipWithIndex pattern. Rows whose id column is already
+    * non-NULL keep it; the candidate ids are `start + rowIndex` exactly as
+    * the reference's Sequence-backed auto-increment hands out
+    * (db/table/Column.java auto-increment). Returns the filled frame and
+    * the total row count (so the caller can advance its counter without a
+    * second action). Requires a deterministic input plan (both jobs must
+    * see the same rows — true for all Engine insert sources). */
+  def assignContiguous(df: DataFrame, idCol: String, start: Long): (DataFrame, Long) = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = df.schema
+    val idIdx = schema.fieldIndex(idCol)
+    val toId: Long => Any = schema(idIdx).dataType match {
+      case IntegerType => v => v.toInt
+      case ShortType   => v => v.toShort
+      case d: DecimalType => v => new java.math.BigDecimal(v)
+      case _           => v => v
+    }
+    val rdd = df.rdd
+    val sizes = rdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = sizes.scanLeft(0L)(_ + _)
+    val filled = rdd.mapPartitionsWithIndex { (i, it) =>
+      var next = start + offsets(i)
+      it.map { r =>
+        val vs = r.toSeq.toArray
+        if (vs(idIdx) == null) vs(idIdx) = toId(next)
+        next += 1
+        Row.fromSeq(vs.toIndexedSeq)
+      }
+    }
+    (df.sparkSession.createDataFrame(filled, schema), offsets.last)
+  }
 }

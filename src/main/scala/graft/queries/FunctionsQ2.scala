@@ -38,6 +38,45 @@ object FunctionsQ2 {
         SELECT vec_id, CAST(r.range AS BIGINT) AS pos,
                CAST(embedding[r.range] AS DOUBLE) AS val
         FROM embeddings, range(1, 65) r
-        WHERE vec_id < 40"""))
+        WHERE vec_id < 40""")),
+
+    // ---- Referential-constraint validator (db/constraint/
+    // ConstraintReferential.java): the batch twin is a left-anti join of
+    // the child keys against the parent — one shuffle, no per-row probe.
+    // Parent restricted to c_custkey < 500 so violations are non-empty.
+    Q("q58_fk_violations",
+      (s, dir) => graft.operators.Dml.fkViolations(
+          t(s, dir, "orders"), Seq("o_custkey"),
+          t(s, dir, "customer").filter(col("c_custkey") < 500), Seq("c_custkey"))
+        .select(col("o_orderkey"), col("o_custkey")),
+      Some("""
+        SELECT o_orderkey, o_custkey FROM orders
+        WHERE o_custkey IS NOT NULL
+          AND o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey < 500)""")),
+
+    // ---- CHECK-constraint validator (db/constraint/ConstraintCheck.java):
+    // rows where the predicate is FALSE (NULL passes, 3-valued rule).
+    Q("q60_check_violations",
+      (s, dir) => graft.operators.Dml.checkViolations(
+          t(s, dir, "lineitem"),
+          col("l_discount").between(0.0, 0.05))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_discount")),
+      Some("""
+        SELECT l_orderkey, l_linenumber, l_discount FROM lineitem
+        WHERE NOT COALESCE(l_discount BETWEEN 0.0 AND 0.05, TRUE)""")),
+
+    // ---- TABLE(col T=ARRAY[…]) FROM form through the SQL front door
+    // (expression/function/TableFunction.java:32-160): literal arrays
+    // become a broadcast-joinable inline relation.
+    Q("q59_table_literal_join",
+      (s, dir) => {
+        val e = new graft.sqlfront.Engine(s)
+        e.register("nation", t(s, dir, "nation"))
+        e.sql("""SELECT n.n_name, w.k FROM TABLE(k INT=ARRAY[0,1,2,3,4]) w
+                 JOIN nation n ON n.n_nationkey = w.k""")
+      },
+      Some("""
+        SELECT n_name, k FROM (VALUES (0),(1),(2),(3),(4)) w(k)
+        JOIN nation ON n_nationkey = k"""))
   )
 }

@@ -42,9 +42,27 @@ final class Engine(val spark: SparkSession) {
   private val sequences = mutable.HashMap.empty[String, Sequence]
   private var rangeViewId = 0
 
+  // DDL surface recorded for INFORMATION_SCHEMA + validation
+  // (ddl/CreateIndex.java, db/constraint/ConstraintReferential.java,
+  // ConstraintCheck.java, ddl/CreateFunctionAlias.java, TableView.java)
+  private case class IndexDef(name: String, table: String, cols: Seq[String],
+      unique: Boolean)
+  private case class FkDef(name: String, table: String, cols: Seq[String],
+      refTable: String, refCols: Seq[String])
+  private case class CheckDef(name: String, table: String, expr: String)
+  private val indexes = mutable.LinkedHashMap.empty[String, IndexDef]
+  private val foreignKeys = mutable.ArrayBuffer.empty[FkDef]
+  private val checks = mutable.ArrayBuffer.empty[CheckDef]
+  private val viewDefs = mutable.LinkedHashMap.empty[String, String]
+  private val aliases = mutable.LinkedHashMap.empty[String, String]
+
   private final class Sequence(var next: Long, val inc: Long) {
     var curr: Long = next - inc
     def nextVal(): Long = { curr = next; next += inc; curr }
+    /** Bulk advance after a per-row multi-occurrence fill (SequenceValue
+      * semantics: every evaluation increments). */
+    def advance(n: Long): Unit =
+      if (n > 0) { next += n * inc; curr = next - inc }
   }
 
   graft.functions.H2Functions.registerAll(spark)
@@ -101,6 +119,41 @@ final class Engine(val spark: SparkSession) {
 
   private val createViewRe =
     """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(\w+)\s+AS\s+(.*)$""".r
+  private val dropViewRe =
+    """(?is)^\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r
+  // ALTER TABLE family (ddl/AlterTableAddColumn.java,
+  // AlterTableAlterColumn.java, AlterTableRename.java,
+  // AlterTableRenameColumn.java, AlterTableAddConstraint.java)
+  private val alterRenameTableRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+TO\s+(\w+)\s*$""".r
+  private val alterAddConstraintRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+CONSTRAINT\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+(.*)$""".r
+  private val alterAddColRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+(?:COLUMN\s+)?(\w+)\s+(.+?)(?:\s+BEFORE\s+(\w+))?\s*$""".r
+  private val alterDropColRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r
+  private val alterRenameColRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ALTER\s+COLUMN\s+(\w+)\s+RENAME\s+TO\s+(\w+)\s*$""".r
+  private val alterColNullRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ALTER\s+COLUMN\s+(\w+)\s+SET\s+(?:NOT\s+)?NULL\s*$""".r
+  private val alterColTypeRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ALTER\s+COLUMN\s+(\w+)\s+(?:SET\s+DATA\s+TYPE\s+)?([A-Za-z].*)$""".r
+  // CREATE/DROP INDEX (ddl/CreateIndex.java, ddl/DropIndex.java) — recorded
+  // and surfaced via INFORMATION_SCHEMA.INDEXES; execution is a no-op
+  // because Spark's scan planning subsumes secondary indexes.
+  private val createIndexRe =
+    """(?is)^\s*CREATE\s+(UNIQUE\s+)?(?:HASH\s+)?INDEX\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+ON\s+(\w+)\s*\(([^)]*)\)\s*$""".r
+  private val dropIndexRe =
+    """(?is)^\s*DROP\s+INDEX\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r
+  // CSVWRITE('dir','sql') statement form (Function.java:353, Csv.java:123)
+  private val csvWriteRe =
+    """(?is)^\s*(?:CALL\s+)?CSVWRITE\s*\(\s*'([^']+)'\s*,\s*'(.*)'\s*\)\s*$""".r
+  // CREATE ALIAS name FOR "class.method" (ddl/CreateFunctionAlias.java —
+  // the reference resolves the target by reflection; so do we)
+  private val createAliasRe =
+    """(?is)^\s*CREATE\s+ALIAS\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+FOR\s+"([^"]+)"\s*$""".r
+  private val dropAliasRe =
+    """(?is)^\s*DROP\s+ALIAS\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r
   private val explainRe = """(?is)^\s*EXPLAIN\s+(?:PLAN\s+FOR\s+)?(.*)$""".r
   private val setVarRe = """(?is)^\s*SET\s+@(\w+)\s*=\s*(.*)$""".r
   private val scriptRe = """(?is)^\s*SCRIPT\s*$""".r
@@ -160,7 +213,74 @@ final class Engine(val spark: SparkSession) {
       case deallocateRe(name) =>
         procedures.remove(name.toLowerCase); status()
       case createViewRe(name, query) =>
+        viewDefs(name.toLowerCase) = query.trim
         register(name, runSelect(query)); status()
+      case dropViewRe(name) =>
+        viewDefs.remove(name.toLowerCase)
+        tables.remove(name.toLowerCase)
+        spark.catalog.dropTempView(name.toLowerCase); status()
+      case alterRenameTableRe(a, b) =>
+        renameTable(a.toLowerCase, b.toLowerCase); status()
+      case alterAddConstraintRe(tn, cn, body) =>
+        addConstraint(tn.toLowerCase, cn.toLowerCase, body.trim); status()
+      case alterDropColRe(tn, c) =>
+        register(tn, table(tn).drop(c.toLowerCase)); status()
+      case alterRenameColRe(tn, from, to) =>
+        register(tn, table(tn).withColumnRenamed(from.toLowerCase, to.toLowerCase))
+        primaryKeys.get(tn.toLowerCase).foreach { ks =>
+          primaryKeys(tn.toLowerCase) =
+            ks.map(k => if (k == from.toLowerCase) to.toLowerCase else k)
+        }
+        if (identityCols.get(tn.toLowerCase).contains(from.toLowerCase))
+          identityCols(tn.toLowerCase) = to.toLowerCase
+        status()
+      case alterColNullRe(_, _) =>
+        // nullability is advisory in a snapshot engine; accepted for parity
+        status()
+      case alterAddColRe(tn, cName, typeSpec, before)
+          if !cName.equalsIgnoreCase("CONSTRAINT") =>
+        val t = table(tn)
+        val newCol = lit(null).cast(parseType(typeSpec)).as(cName.toLowerCase)
+        val cols = t.columns.map(col).toSeq
+        val out = Option(before) match {
+          case Some(b) =>
+            val i = t.columns.indexWhere(_.equalsIgnoreCase(b))
+            require(i >= 0, s"BEFORE column $b not found")
+            t.select((cols.take(i) :+ newCol) ++ cols.drop(i): _*)
+          case None => t.select(cols :+ newCol: _*)
+        }
+        register(tn, out); status()
+      case alterColTypeRe(tn, cName, typeSpec) =>
+        val t = table(tn)
+        val c = cName.toLowerCase
+        register(tn, t.withColumn(c, col(c).cast(parseType(typeSpec))))
+        status()
+      case createIndexRe(unique, name, tn, cols) =>
+        val ks = cols.split(",").map(_.trim.toLowerCase).toSeq
+        if (unique != null)
+          require(Dml.duplicateKeys(table(tn), ks).isEmpty,
+            s"unique index $name violated by existing rows")
+        indexes(name.toLowerCase) =
+          IndexDef(name.toLowerCase, tn.toLowerCase, ks, unique != null)
+        status()
+      case dropIndexRe(name) =>
+        indexes.remove(name.toLowerCase); status()
+      case csvWriteRe(path, querySql) =>
+        // H2's CSVWRITE returns the written row count; the path is a
+        // directory (Spark writes partitioned files — coalesced to one for
+        // the reference's single-file contract)
+        import spark.implicits._
+        val df = runSelect(querySql.replace("''", "'"))
+        val n = df.count()
+        df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+        Seq(n).toDF("rows_written")
+      case createAliasRe(name, target) =>
+        ReflectAlias.register(spark, name.toLowerCase, target)
+        aliases(name.toLowerCase) = target; status()
+      case dropAliasRe(name) =>
+        aliases.remove(name.toLowerCase)
+        spark.sql(s"DROP TEMPORARY FUNCTION IF EXISTS ${name.toLowerCase}")
+        status()
       case createTableAsRe(name, query) =>
         register(name, runSelect(query)); status()
       case createTableRe(name, colDefs) =>
@@ -191,7 +311,7 @@ final class Engine(val spark: SparkSession) {
       case insertValuesRe(name, cols, tuples) =>
         doInsert(name, Option(cols), parseValueRows(name, tuples)); status()
       case insertSelectRe(name, cols, query) =>
-        doInsert(name, Option(cols), runSelect(query)); status()
+        doInsert(name, Option(cols), selectForInsert(query)); status()
       case mergeRe(name, cols, keys, source) =>
         val src = source.trim match {
           case v if v.toUpperCase.startsWith("VALUES") =>
@@ -213,11 +333,14 @@ final class Engine(val spark: SparkSession) {
         }.toMap
         val out = Option(limit) match {
           case None => Dml.update(t, cond0, setMap)
-          case Some(n) => // H2 UPDATE..LIMIT: first n matching rows
+          case Some(n) => // H2 UPDATE..LIMIT: first n matching rows.
+            // orderBy+limit plans as TakeOrderedAndProject (no full sort
+            // shuffle), and the ≤n victim ids broadcast back to the scan.
             val rid = t.withColumn("__rid", monotonically_increasing_id())
             val victims = rid.filter(cond0).orderBy(col("__rid")).limit(n.toInt)
               .select(col("__rid").as("__vic"))
-            Dml.update(rid.join(victims, col("__rid") === col("__vic"), "left"),
+            Dml.update(
+                rid.join(broadcast(victims), col("__rid") === col("__vic"), "left"),
                 col("__vic").isNotNull, setMap)
               .drop("__rid", "__vic")
         }
@@ -231,7 +354,7 @@ final class Engine(val spark: SparkSession) {
             val rid = t.withColumn("__rid", monotonically_increasing_id())
             val victims = rid.filter(cond0).orderBy(col("__rid")).limit(n.toInt)
               .select(col("__rid").as("__vic"))
-            rid.join(victims, col("__rid") === col("__vic"), "left_anti")
+            rid.join(broadcast(victims), col("__rid") === col("__vic"), "left_anti")
               .drop("__rid")
         }
         register(name, out); status()
@@ -261,9 +384,12 @@ final class Engine(val spark: SparkSession) {
         else s"SELECT ${rest.substring(0, tailIdx)} FROM $fromPart ${rest.substring(tailIdx)}"
       }
     }
+    // All rewrites below are literal-aware (rewriteOutside): a quoted
+    // 'user@example.com' or 'LIMIT 3,4' inside a string must never be
+    // rewritten (translate used to be string-blind — round-1 advice).
     // SYSTEM_RANGE(a,b[,s]) → registered range view
-    val sysRange = """(?i)SYSTEM_RANGE\s*\(\s*(-?\d+)\s*,\s*(-?\d+)\s*(?:,\s*(-?\d+)\s*)?\)""".r
-    q = sysRange.replaceAllIn(q, m => {
+    val sysRange = """(?i)\bSYSTEM_RANGE\s*\(\s*(-?\d+)\s*,\s*(-?\d+)\s*(?:,\s*(-?\d+)\s*)?\)""".r
+    q = rewriteOutside(q, sysRange) { m =>
       val (a, b) = (m.group(1).toLong, m.group(2).toLong)
       val step = Option(m.group(3)).map(_.toLong).getOrElse(1L)
       rangeViewId += 1
@@ -271,18 +397,22 @@ final class Engine(val spark: SparkSession) {
       spark.range(a, b + (if (step > 0) 1 else -1), step).toDF("x")
         .createOrReplaceTempView(v)
       v
-    })
+    }
     // CSVREAD('path') → registered csv view
-    val csvRead = """(?i)CSVREAD\s*\(\s*'([^']+)'\s*\)""".r
-    q = csvRead.replaceAllIn(q, m => {
+    val csvRead = """(?i)\bCSVREAD\s*\(\s*'([^']+)'\s*\)""".r
+    q = rewriteOutside(q, csvRead) { m =>
       rangeViewId += 1
       val v = s"graft_csvread_$rangeViewId"
       spark.read.option("header", "true").option("inferSchema", "true")
         .csv(m.group(1)).createOrReplaceTempView(v)
       v
-    })
+    }
+    // TABLE(c T=ARRAY[…] …) / TABLE_DISTINCT in FROM position
+    // (expression/function/TableFunction.java:32-160) → registered view
+    q = rewriteTableFunctions(q)
     // ORDER BY =n → ORDER BY n (Parser.java:1493)
-    q = q.replaceAll("""(?i)(ORDER\s+BY\s+)=\s*(\d+)""", "$1$2")
+    q = rewriteOutside(q, """(?i)(ORDER\s+BY\s+)=\s*(\d+)""".r)(m =>
+      m.group(1) + m.group(2))
     // H2/MSSQL `SELECT TOP n …` → LIMIT n appended
     val topRe = """(?is)^(\s*SELECT\s+)TOP\s+(\d+)\s+(.*)$""".r
     q = q match {
@@ -290,34 +420,164 @@ final class Engine(val spark: SparkSession) {
       case other => other
     }
     // MySQL `LIMIT offset, count` → LIMIT count OFFSET offset
-    q = q.replaceAll("""(?i)\bLIMIT\s+(\d+)\s*,\s*(\d+)""", "LIMIT $2 OFFSET $1")
+    q = rewriteOutside(q, """(?i)\bLIMIT\s+(\d+)\s*,\s*(\d+)""".r)(m =>
+      s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}")
     // INFORMATION_SCHEMA.X → synthesized meta view (MetaTable.java:68)
     val infoRe = """(?i)INFORMATION_SCHEMA\.(\w+)""".r
-    q = infoRe.replaceAllIn(q, m => metaView(m.group(1).toLowerCase))
-    // @var substitution (Variable.java:20)
+    q = rewriteOutside(q, infoRe)(m => metaView(m.group(1).toLowerCase))
+    // @var substitution (Variable.java:20; unset vars read as NULL, same
+    // as the reference's ValueNull for an unset session variable)
     val varRe = """@(\w+)""".r
-    q = varRe.replaceAllIn(q, m =>
-      java.util.regex.Matcher.quoteReplacement(
-        variables.getOrElse(m.group(1).toLowerCase, "NULL")))
+    q = rewriteOutside(q, varRe)(m =>
+      variables.getOrElse(m.group(1).toLowerCase, "NULL"))
     // SAMPLE_SIZE n → LIMIT n (head-sample semantics, Select.java:877)
-    q = q.replaceAll("""(?i)\bSAMPLE_SIZE\s+(\d+)""", "LIMIT $1")
+    q = rewriteOutside(q, """(?i)\bSAMPLE_SIZE\s+(\d+)""".r)(m =>
+      s"LIMIT ${m.group(1)}")
     // NEXTVAL/CURRVAL
     substSequences(q)
   }
 
+  /** Spans [start,end) of single-quoted literals ('' is the escape). */
+  private def literalSpans(s: String): IndexedSeq[(Int, Int)] = {
+    val out = mutable.ArrayBuffer.empty[(Int, Int)]
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\'') {
+        val start = i
+        i += 1
+        var done = false
+        while (i < s.length && !done) {
+          if (s.charAt(i) == '\'') {
+            if (i + 1 < s.length && s.charAt(i + 1) == '\'') i += 2
+            else { done = true; i += 1 }
+          } else i += 1
+        }
+        out += ((start, i))
+      } else i += 1
+    }
+    out.toIndexedSeq
+  }
+
+  /** Apply a regex rewrite only to matches that start outside string
+    * literals; matches inside a literal are left verbatim. */
+  private def rewriteOutside(q: String, re: scala.util.matching.Regex)(
+      f: scala.util.matching.Regex.Match => String): String = {
+    val spans = literalSpans(q)
+    re.replaceAllIn(q, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        if (spans.exists(sp => m.start >= sp._1 && m.start < sp._2)) m.matched
+        else f(m)))
+  }
+
+  /** `TABLE(id INT=ARRAY[1,2], name VARCHAR=('a','b'))` in FROM position →
+    * a registered view built from the literal arrays, null-padded to the
+    * longest column exactly like the reference (TableFunction.java:139
+    * pads short columns); TABLE_DISTINCT de-duplicates. Needs balanced-
+    * paren extraction (ARRAY[…] nests), so not a plain regex rewrite. */
+  private def rewriteTableFunctions(q0: String): String = {
+    var q = q0
+    val word = """(?i)\b(TABLE_DISTINCT|TABLE)\s*\(""".r
+    var search = 0
+    var guard = 0
+    while (guard < 64) {
+      guard += 1
+      val spans = literalSpans(q)
+      val m0 = word.findAllMatchIn(q).find(m =>
+        m.start >= search && !spans.exists(sp => m.start >= sp._1 && m.start < sp._2))
+      m0 match {
+        case None => return q
+        case Some(m) =>
+          // find the matching close paren, respecting quotes/nesting
+          val open = m.end - 1
+          var depth = 0; var i = open; var inStr = false; var close = -1
+          while (i < q.length && close < 0) {
+            q.charAt(i) match {
+              case '\'' => inStr = !inStr
+              case '(' | '[' if !inStr => depth += 1
+              case ')' | ']' if !inStr =>
+                depth -= 1; if (depth == 0) close = i
+              case _ =>
+            }
+            i += 1
+          }
+          require(close > 0, "unbalanced TABLE(…)")
+          val inner = q.substring(open + 1, close)
+          val itemRe =
+            """(?is)^\s*(\w+)\s+([A-Za-z]\w*(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)\s*=\s*(?:ARRAY\s*\[(.*)\]|\((.*)\))\s*$""".r
+          val cols = splitTopBrackets(inner).map {
+            case itemRe(name, tpe, arr, tup) =>
+              val vals = splitTop(Option(arr).getOrElse(tup)).map(_.trim)
+              (name.toLowerCase, parseType(tpe), vals)
+            case bad => throw new IllegalArgumentException(
+              s"bad TABLE() column: $bad")
+          }
+          val n = cols.map(_._3.length).max
+          val tuples = (0 until n).map { r =>
+            cols.map(_._3.lift(r).getOrElse("NULL")).mkString("(", ", ", ")")
+          }.mkString(", ")
+          val sel = cols.zipWithIndex.map { case ((name, tpe, _), i) =>
+            s"CAST(c$i AS ${tpe.sql}) AS $name"
+          }.mkString(", ")
+          val anon = cols.indices.map(i => s"c$i").mkString(", ")
+          rangeViewId += 1
+          val v = s"graft_table_fn_$rangeViewId"
+          val df0 = spark.sql(s"SELECT $sel FROM VALUES $tuples AS __t($anon)")
+          val df = if (m.group(1).equalsIgnoreCase("TABLE_DISTINCT"))
+            df0.distinct() else df0
+          df.createOrReplaceTempView(v)
+          q = q.substring(0, m.start) + v + q.substring(close + 1)
+          search = m.start + v.length
+      }
+    }
+    q
+  }
+
   private def runSelect(q: String): DataFrame = spark.sql(translate(q))
 
+  private val nextvalRe = """(?i)\bNEXTVAL\s*\(\s*'(\w+)'\s*\)""".r
+  private val currvalRe = """(?i)\bCURRVAL\s*\(\s*'(\w+)'\s*\)""".r
+
   private def substSequences(q0: String): String = {
-    var q = q0
-    val nv = """(?i)NEXTVAL\s*\(\s*'(\w+)'\s*\)""".r
-    while (nv.findFirstIn(q).isDefined) {
-      q = nv.replaceFirstIn(q, {
-        val m = nv.findFirstMatchIn(q).get
-        sequences(m.group(1).toLowerCase).nextVal().toString
-      })
+    // per-occurrence evaluation (each NEXTVAL increments), literal-aware
+    val q = rewriteOutside(q0, nextvalRe)(m =>
+      sequences(m.group(1).toLowerCase).nextVal().toString)
+    rewriteOutside(q, currvalRe)(m =>
+      sequences(m.group(1).toLowerCase).curr.toString)
+  }
+
+  /** SELECT source for INSERT INTO … SELECT. A plain textual NEXTVAL
+    * substitution would hand every row the same value; the reference's
+    * SequenceValue evaluates per row (round-1 advice). Occurrence j of a
+    * sequence with k occurrences in the statement becomes
+    * `base + ((rownum-1)*k + j) * inc` — exactly the reference's
+    * left-to-right per-row evaluation order — and the counter advances by
+    * rowCount*k afterwards. The global row_number keeps the same
+    * non-parallel contract as the reference's Sequence (documented). */
+  private def selectForInsert(q: String): DataFrame = {
+    val spans = literalSpans(q)
+    val ms = nextvalRe.findAllMatchIn(q)
+      .filterNot(m => spans.exists(sp => m.start >= sp._1 && m.start < sp._2))
+      .toList
+    if (ms.isEmpty) return runSelect(q)
+    val bySeq = ms.groupBy(_.group(1).toLowerCase)
+    val occIdx = mutable.HashMap.empty[String, Int]
+    val rn = "(ROW_NUMBER() OVER (ORDER BY monotonically_increasing_id()) - 1)"
+    val sb = new StringBuilder
+    var last = 0
+    ms.foreach { m =>
+      sb.append(q.substring(last, m.start))
+      val s = m.group(1).toLowerCase
+      val seq = sequences(s)
+      val k = bySeq(s).size
+      val j = occIdx.getOrElse(s, 0); occIdx(s) = j + 1
+      sb.append(s"(${seq.next} + ($rn * ${k * seq.inc} + ${j * seq.inc}))")
+      last = m.end
     }
-    val cv = """(?i)CURRVAL\s*\(\s*'(\w+)'\s*\)""".r
-    cv.replaceAllIn(q, m => sequences(m.group(1).toLowerCase).curr.toString)
+    sb.append(q.substring(last))
+    val df = runSelect(sb.toString)
+    val n = df.count()
+    bySeq.foreach { case (s, occ) => sequences(s).advance(n * occ.size) }
+    df
   }
 
   /** INFORMATION_SCHEMA synthesis (MetaTable.java:68 — ids :77-107): the
@@ -346,9 +606,44 @@ final class Engine(val spark: SparkSession) {
         spark.conf.getAll.toSeq.sortBy(_._1).map { case (k, v) => (k, v) }
           .toDF("setting_name", "setting_value")
       case "constraints" =>
-        primaryKeys.toSeq.map { case (t, ks) =>
-          (t, "PRIMARY KEY", ks.mkString(",")) }
-          .toDF("table_name", "constraint_type", "column_list")
+        (primaryKeys.toSeq.map { case (t, ks) =>
+          (t, "PRIMARY_KEY", "PRIMARY KEY", ks.mkString(",")) } ++
+         foreignKeys.toSeq.map(fk => (fk.table, fk.name, "REFERENTIAL",
+           fk.cols.mkString(",") + "->" + fk.refTable + "(" +
+             fk.refCols.mkString(",") + ")")) ++
+         checks.toSeq.map(ck => (ck.table, ck.name, "CHECK", ck.expr)) ++
+         indexes.values.filter(_.unique).toSeq.map(ix =>
+           (ix.table, ix.name, "UNIQUE", ix.cols.mkString(","))))
+          .toDF("table_name", "constraint_name", "constraint_type",
+            "column_list")
+      case "indexes" =>
+        // MetaTable.java INDEXES (id 3): one row per indexed column
+        indexes.values.toSeq.flatMap { ix =>
+          ix.cols.zipWithIndex.map { case (c, i) =>
+            (ix.table, ix.name, !ix.unique, i + 1, c, "BTREE")
+          }
+        }.toDF("table_name", "index_name", "non_unique", "ordinal_position",
+          "column_name", "index_type")
+      case "views" =>
+        // MetaTable.java VIEWS (id 14)
+        viewDefs.toSeq.map { case (n, sql) => ("graft", "public", n, sql) }
+          .toDF("table_catalog", "table_schema", "table_name",
+            "view_definition")
+      case "function_aliases" =>
+        // MetaTable.java FUNCTION_ALIASES (id 12)
+        aliases.toSeq.map { case (n, target) =>
+          val dot = target.lastIndexOf('.')
+          ("graft", "public", n, target.substring(0, dot max 0),
+            target.substring(dot + 1))
+        }.toDF("alias_catalog", "alias_schema", "alias_name", "java_class",
+          "java_method")
+      case "sessions" =>
+        // MetaTable.java SESSIONS (id 17): single local session by contract
+        Seq((0L, "SA", spark.sparkContext.applicationId))
+          .toDF("id", "user_name", "session_start")
+      case "users" =>
+        // MetaTable.java USERS (id 8): the implicit admin
+        Seq(("SA", true)).toDF("name", "admin")
       case other => throw new IllegalArgumentException(
         s"INFORMATION_SCHEMA.$other not supported")
     }
@@ -370,7 +665,87 @@ final class Engine(val spark: SparkSession) {
     val seqs = sequences.toSeq.map { case (n, s) =>
       s"CREATE SEQUENCE $n START WITH ${s.next} INCREMENT BY ${s.inc};"
     }
-    ddl ++ seqs
+    val ixs = indexes.values.toSeq.map { ix =>
+      s"CREATE ${if (ix.unique) "UNIQUE " else ""}INDEX ${ix.name} " +
+        s"ON ${ix.table} (${ix.cols.mkString(", ")});"
+    }
+    val cons = foreignKeys.toSeq.map { fk =>
+      s"ALTER TABLE ${fk.table} ADD CONSTRAINT ${fk.name} FOREIGN KEY " +
+        s"(${fk.cols.mkString(", ")}) REFERENCES ${fk.refTable} " +
+        s"(${fk.refCols.mkString(", ")});"
+    } ++ checks.toSeq.map { ck =>
+      s"ALTER TABLE ${ck.table} ADD CONSTRAINT ${ck.name} CHECK (${ck.expr});"
+    }
+    val vws = viewDefs.toSeq.map { case (n, sql) =>
+      s"CREATE VIEW $n AS $sql;"
+    }
+    val als = aliases.toSeq.map { case (n, t) =>
+      s"""CREATE ALIAS $n FOR "$t";"""
+    }
+    ddl ++ seqs ++ ixs ++ cons ++ vws ++ als
+  }
+
+  // ---- DDL helpers ----
+
+  private def renameTable(from: String, to: String): Unit = {
+    val df = tables.remove(from).getOrElse(
+      throw new IllegalArgumentException(s"no table $from"))
+    spark.catalog.dropTempView(from)
+    primaryKeys.remove(from).foreach(primaryKeys(to) = _)
+    identityCols.remove(from).foreach(identityCols(to) = _)
+    identityNext.remove(from).foreach(identityNext(to) = _)
+    indexes.mapValuesInPlace((_, ix) =>
+      if (ix.table == from) ix.copy(table = to) else ix)
+    foreignKeys.indices.foreach { i =>
+      val fk0 = foreignKeys(i)
+      var fk = fk0
+      if (fk.table == from) fk = fk.copy(table = to)
+      if (fk.refTable == from) fk = fk.copy(refTable = to)
+      if (fk ne fk0) foreignKeys(i) = fk
+    }
+    checks.indices.foreach { i =>
+      if (checks(i).table == from) checks(i) = checks(i).copy(table = to)
+    }
+    register(to, df)
+  }
+
+  /** ALTER TABLE … ADD CONSTRAINT (ddl/AlterTableAddConstraint.java):
+    * existing rows are validated before the constraint is recorded, the
+    * same all-rows check the reference runs — here one distributed
+    * anti-join/filter/groupBy rather than a per-row index probe. */
+  private def addConstraint(tn: String, cn: String, body: String): Unit = {
+    val fkRe = """(?is)^FOREIGN\s+KEY\s*\(([^)]*)\)\s+REFERENCES\s+(\w+)\s*(?:\(([^)]*)\))?\s*$""".r
+    val ckRe = """(?is)^CHECK\s*\((.*)\)\s*$""".r
+    val uqRe = """(?is)^UNIQUE\s*\(([^)]*)\)\s*$""".r
+    val pkRe = """(?is)^PRIMARY\s+KEY\s*\(([^)]*)\)\s*$""".r
+    def keys(s: String) = s.split(",").map(_.trim.toLowerCase).toSeq
+    body match {
+      case fkRe(cols, ref, refCols) =>
+        val cCols = keys(cols)
+        val rCols = Option(refCols).map(keys)
+          .orElse(primaryKeys.get(ref.toLowerCase))
+          .getOrElse(throw new IllegalArgumentException(
+            s"no primary key on $ref to reference"))
+        require(Dml.fkViolations(table(tn), cCols, table(ref), rCols).isEmpty,
+          s"FK $cn violated by existing rows")
+        foreignKeys += FkDef(cn, tn, cCols, ref.toLowerCase, rCols)
+      case ckRe(e) =>
+        require(Dml.checkViolations(table(tn), expr(e)).isEmpty,
+          s"CHECK $cn violated by existing rows")
+        checks += CheckDef(cn, tn, e.trim)
+      case uqRe(cols) =>
+        val ks = keys(cols)
+        require(Dml.duplicateKeys(table(tn), ks).isEmpty,
+          s"UNIQUE $cn violated by existing rows")
+        indexes(cn) = IndexDef(cn, tn, ks, unique = true)
+      case pkRe(cols) =>
+        val ks = keys(cols)
+        require(Dml.duplicateKeys(table(tn), ks).isEmpty,
+          s"PRIMARY KEY $cn violated by existing rows")
+        primaryKeys(tn) = ks
+      case other => throw new IllegalArgumentException(
+        s"unsupported constraint: $other")
+    }
   }
 
   /** BACKUP-style snapshot (dml/Backup.java): every table to parquet. */
@@ -422,6 +797,24 @@ final class Engine(val spark: SparkSession) {
       case "BINARY" | "VARBINARY" | "BLOB" | "BYTEA" => BinaryType
       case _ => StringType // VARCHAR/CHAR/CLOB/TEXT/UUID/…
     }
+  }
+
+  /** Like [[splitTop]] but also treats `[…]` as nesting (ARRAY literals). */
+  private def splitTopBrackets(s: String): Seq[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var depth = 0
+    var inStr = false
+    s.foreach {
+      case '\'' => inStr = !inStr; sb += '\''
+      case c @ ('(' | '[') if !inStr => depth += 1; sb += c
+      case c @ (')' | ']') if !inStr => depth -= 1; sb += c
+      case ',' if !inStr && depth == 0 =>
+        out += sb.toString; sb.clear()
+      case c => sb += c
+    }
+    if (sb.nonEmpty) out += sb.toString
+    out.toSeq
   }
 
   /** Split on top-level commas (ignoring parens and quoted strings). */
@@ -507,24 +900,109 @@ final class Engine(val spark: SparkSession) {
     val t = table(name)
     val aligned0 = alignTo(t, cols.map(c => splitTop(c).map(_.trim)), src)
     // fill the IDENTITY column where the insert left it NULL: contiguous
-    // engine-assigned ids (driver-side counter — same non-parallel contract
-    // as the reference's Sequence; documented in README divergences)
+    // engine-assigned ids via per-partition offsets (Dml.assignContiguous)
+    // — parallel, no single-partition window, and the same one-pass size
+    // job doubles as the counter advance (no extra count() action)
     val aligned = identityCols.get(name.toLowerCase) match {
       case Some(idCol) =>
         val start = identityNext(name.toLowerCase)
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(monotonically_increasing_id())
-        val filled = aligned0.withColumn("__idgen",
-            row_number().over(w).cast("long") + (start - 1))
-          .withColumn(idCol,
-            coalesce(col(idCol), col("__idgen"))
-              .cast(t.schema(idCol).dataType))
-          .drop("__idgen")
-        val n = aligned0.count()
+        val (filled, n) = Dml.assignContiguous(aligned0, idCol, start)
         identityNext(name.toLowerCase) = start + n
-        filled.select(t.columns.map(col).toSeq: _*)
+        filled
       case None => aligned0
     }
+    validateConstraints(name.toLowerCase, aligned)
     register(name, t.union(aligned))
+  }
+
+  /** Batch twin of the reference's per-row constraint checks on INSERT
+    * (ConstraintReferential.checkRow, ConstraintCheck.checkRow): validate
+    * only the incoming batch — an anti join / filter per declared
+    * constraint, not a full-table rescan. */
+  private def validateConstraints(tn: String, batch: DataFrame): Unit = {
+    foreignKeys.filter(_.table == tn).foreach { fk =>
+      require(Dml.fkViolations(batch, fk.cols, table(fk.refTable), fk.refCols).isEmpty,
+        s"FK ${fk.name} violated: ${fk.table}(${fk.cols.mkString(",")}) → " +
+          s"${fk.refTable}(${fk.refCols.mkString(",")})")
+    }
+    checks.filter(_.table == tn).foreach { ck =>
+      require(Dml.checkViolations(batch, expr(ck.expr)).isEmpty,
+        s"CHECK ${ck.name} violated: ${ck.expr}")
+    }
+  }
+}
+
+/** CREATE ALIAS target resolution (ddl/CreateFunctionAlias.java +
+  * db/schema/FunctionAlias.java — the reference also resolves
+  * `"class.method"` by reflection and wraps it as a SQL function). The
+  * method is looked up lazily inside the closure by name so the UDF stays
+  * serializable for executors; only public static methods qualify, matching
+  * FunctionAlias.java's `Modifier.isStatic` check. Source-code aliases
+  * (`CREATE ALIAS … AS 'code'`) need a compiler and are rejected. */
+private[sqlfront] object ReflectAlias {
+
+  private def resolve(target: String): java.lang.reflect.Method = {
+    val dot = target.lastIndexOf('.')
+    require(dot > 0, s"""alias target must be "class.method": $target""")
+    val (clsName, mName) = (target.substring(0, dot), target.substring(dot + 1))
+    Class.forName(clsName).getMethods
+      .filter(m => m.getName == mName &&
+        java.lang.reflect.Modifier.isStatic(m.getModifiers))
+      .sortBy(_.getParameterCount)
+      .headOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"no public static method $mName on $clsName"))
+  }
+
+  private def sparkType(c: Class[_]): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    c match {
+      case java.lang.Integer.TYPE => IntegerType
+      case c if c == classOf[java.lang.Integer] => IntegerType
+      case java.lang.Long.TYPE => LongType
+      case c if c == classOf[java.lang.Long] => LongType
+      case java.lang.Double.TYPE => DoubleType
+      case c if c == classOf[java.lang.Double] => DoubleType
+      case java.lang.Float.TYPE => FloatType
+      case c if c == classOf[java.lang.Float] => FloatType
+      case java.lang.Boolean.TYPE => BooleanType
+      case c if c == classOf[java.lang.Boolean] => BooleanType
+      case java.lang.Short.TYPE => ShortType
+      case c if c == classOf[java.lang.Short] => ShortType
+      case c if c == classOf[String] => StringType
+      case c if c == classOf[Array[Byte]] => BinaryType
+      case c if c == classOf[java.math.BigDecimal] => DecimalType(38, 18)
+      case other => throw new IllegalArgumentException(
+        s"unsupported alias parameter/return type: $other")
+    }
+  }
+
+  def register(spark: SparkSession, name: String, target: String): Unit = {
+    val m = resolve(target) // fail fast on the driver
+    val returnType = sparkType(m.getReturnType)
+    // Serializable wrapper: captures only strings, resolves lazily per JVM.
+    class Fn extends Serializable {
+      @transient private lazy val method = resolve(target)
+      def call(args: Array[AnyRef]): AnyRef = method.invoke(null, args: _*)
+    }
+    val fn = new Fn
+    import org.apache.spark.sql.api.java._
+    m.getParameterCount match {
+      case 0 => spark.udf.register(name,
+        new UDF0[Any] { def call() = fn.call(Array.empty) }, returnType)
+      case 1 => spark.udf.register(name,
+        new UDF1[AnyRef, Any] { def call(a: AnyRef) = fn.call(Array(a)) },
+        returnType)
+      case 2 => spark.udf.register(name,
+        new UDF2[AnyRef, AnyRef, Any] {
+          def call(a: AnyRef, b: AnyRef) = fn.call(Array(a, b))
+        }, returnType)
+      case 3 => spark.udf.register(name,
+        new UDF3[AnyRef, AnyRef, AnyRef, Any] {
+          def call(a: AnyRef, b: AnyRef, c: AnyRef) = fn.call(Array(a, b, c))
+        }, returnType)
+      case n => throw new IllegalArgumentException(
+        s"alias arity $n not supported (max 3)")
+    }
   }
 }

@@ -214,6 +214,196 @@ class EngineSpec extends SparkSpec {
     assert(rn == 9) // 2*2 + 2*2 + 1 pairs
   }
 
+  test("ALTER TABLE: add/drop/rename column, type change, rename table (ddl/AlterTable*)") {
+    val e = freshEngine
+    e.sql("CREATE TABLE at (a int PRIMARY KEY, b varchar(10))")
+    e.sql("INSERT INTO at VALUES (1,'x'), (2,'y')")
+    // ADD COLUMN (AlterTableAddColumn.java), default NULL
+    e.sql("ALTER TABLE at ADD COLUMN c double")
+    assert(e.table("at").columns.toSeq == Seq("a", "b", "c"))
+    assert(e.sql("SELECT count(*) FROM at WHERE c IS NULL").head().getLong(0) == 2)
+    // ADD ... BEFORE keeps reference column order semantics
+    e.sql("ALTER TABLE at ADD d bigint BEFORE b")
+    assert(e.table("at").columns.toSeq == Seq("a", "d", "b", "c"))
+    // RENAME COLUMN
+    e.sql("ALTER TABLE at ALTER COLUMN b RENAME TO label")
+    assert(e.table("at").columns.contains("label"))
+    // type change (AlterTableAlterColumn.java): int → bigint, value kept
+    e.sql("ALTER TABLE at ALTER COLUMN a BIGINT")
+    assert(e.table("at").schema("a").dataType.typeName == "long")
+    assert(e.sql("SELECT sum(a) FROM at").head().getLong(0) == 3)
+    // DROP COLUMN
+    e.sql("ALTER TABLE at DROP COLUMN c")
+    assert(!e.table("at").columns.contains("c"))
+    // RENAME TO moves metadata with the table
+    e.sql("ALTER TABLE at RENAME TO at2")
+    assert(e.sql("SELECT count(*) FROM at2").head().getLong(0) == 2)
+    intercept[Exception] { e.table("at") }
+    // SCRIPT round-trips the evolved schema
+    val ddl = e.sql("SCRIPT").collect().map(_.getString(0))
+    assert(ddl.exists(s => s.startsWith("CREATE TABLE at2") && s.contains("label")))
+  }
+
+  test("CREATE/DROP INDEX recorded + INFORMATION_SCHEMA.INDEXES (ddl/CreateIndex.java)") {
+    val e = freshEngine
+    e.sql("CREATE TABLE ix (a int, b varchar(10))")
+    e.sql("INSERT INTO ix VALUES (1,'x'), (2,'y'), (2,'z')")
+    // plain index: accepted, recorded, execution is a Spark no-op
+    e.sql("CREATE INDEX ix_a ON ix (a)")
+    e.sql("CREATE UNIQUE INDEX ix_b ON ix (b)")
+    val rows = e.sql(
+      """SELECT index_name, column_name, non_unique FROM INFORMATION_SCHEMA.INDEXES
+         WHERE table_name = 'ix' ORDER BY index_name""")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2))).toSeq
+    assert(rows == Seq(("ix_a", "a", true), ("ix_b", "b", false)))
+    // unique index over duplicate data is rejected (GlobalUniqueIndex parity)
+    intercept[Exception] { e.sql("CREATE UNIQUE INDEX ix_dup ON ix (a)") }
+    e.sql("DROP INDEX ix_a")
+    assert(e.sql(
+      "SELECT count(*) FROM INFORMATION_SCHEMA.INDEXES WHERE table_name = 'ix'")
+      .head().getLong(0) == 1)
+    // SCRIPT re-emits surviving index DDL
+    assert(e.sql("SCRIPT").collect().map(_.getString(0))
+      .exists(_.startsWith("CREATE UNIQUE INDEX ix_b")))
+  }
+
+  test("FK + CHECK constraints: existing-row validation and insert-batch checks") {
+    val e = freshEngine
+    e.sql("CREATE TABLE parent (id int PRIMARY KEY, nm varchar(10))")
+    e.sql("INSERT INTO parent VALUES (1,'a'), (2,'b')")
+    e.sql("CREATE TABLE child (cid int PRIMARY KEY, pid int, qty int)")
+    e.sql("INSERT INTO child VALUES (10, 1, 5), (11, 2, 7), (12, NULL, 1)")
+    // FK over valid data (NULL FK passes per SQL semantics)
+    e.sql("ALTER TABLE child ADD CONSTRAINT fk_p FOREIGN KEY (pid) REFERENCES parent (id)")
+    // insert violating the FK is rejected; valid insert passes
+    intercept[Exception] { e.sql("INSERT INTO child VALUES (13, 99, 2)") }
+    e.sql("INSERT INTO child VALUES (13, 2, 2)")
+    assert(e.sql("SELECT count(*) FROM child").head().getLong(0) == 4)
+    // CHECK: NULL passes (3-valued), FALSE rejects
+    e.sql("ALTER TABLE child ADD CONSTRAINT ck_qty CHECK (qty > 0)")
+    intercept[Exception] { e.sql("INSERT INTO child VALUES (14, 1, -5)") }
+    e.sql("INSERT INTO child VALUES (14, 1, NULL)")
+    // adding a CHECK that existing rows violate is rejected
+    intercept[Exception] {
+      e.sql("ALTER TABLE child ADD CONSTRAINT ck_big CHECK (qty > 100)")
+    }
+    // UNIQUE constraint over duplicates is rejected
+    e.sql("ALTER TABLE child ADD CONSTRAINT uq_cid UNIQUE (cid)")
+    intercept[Exception] {
+      e.sql("ALTER TABLE parent ADD CONSTRAINT uq_nm UNIQUE (nm)");
+      e.sql("INSERT INTO parent VALUES (3,'a'), (4,'a')")
+      e.sql("ALTER TABLE parent ADD CONSTRAINT uq_nm2 UNIQUE (nm)")
+    }
+    // constraint catalog surfaces all of it
+    val kinds = e.sql(
+      "SELECT constraint_type FROM INFORMATION_SCHEMA.CONSTRAINTS WHERE table_name = 'child'")
+      .collect().map(_.getString(0)).toSet
+    assert(Set("REFERENTIAL", "CHECK", "UNIQUE").subsetOf(kinds))
+  }
+
+  test("CSVWRITE statement + TABLE()/TABLE_DISTINCT FROM forms") {
+    val e = freshEngine
+    e.sql("CREATE TABLE cw (a int, b varchar(10))")
+    e.sql("INSERT INTO cw VALUES (1,'x'), (2,'y'), (3,'z')")
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_csvwrite_stmt"
+    val n = e.sql(s"CALL CSVWRITE('$dir', 'SELECT * FROM cw WHERE a >= 2')")
+      .head().getLong(0)
+    assert(n == 2)
+    assert(e.sql(s"SELECT count(*) FROM CSVREAD('$dir')").head().getLong(0) == 2)
+    // TABLE(...) in FROM position (TableFunction.java:32-160), both the
+    // ARRAY[...] and tuple literal syntaxes, null-padding the short column
+    val t = e.sql(
+      "SELECT id, nm FROM TABLE(id INT=ARRAY[1,2,3], nm VARCHAR=('a','b')) ORDER BY id")
+      .collect().map(r => (r.getInt(0), if (r.isNullAt(1)) null else r.getString(1))).toSeq
+    assert(t == Seq((1, "a"), (2, "b"), (3, null)))
+    assert(e.sql("SELECT count(*) FROM TABLE_DISTINCT(v INT=ARRAY[1,1,2,2,3])")
+      .head().getLong(0) == 3)
+    // joins against real tables work (the reference's typical usage)
+    e.sql("CREATE TABLE lk (k int, txt varchar(10))")
+    e.sql("INSERT INTO lk VALUES (1,'one'), (2,'two'), (3,'three')")
+    assert(e.sql(
+      """SELECT count(*) FROM lk JOIN TABLE(k INT=ARRAY[1,3]) w ON lk.k = w.k""")
+      .head().getLong(0) == 2)
+  }
+
+  test("CREATE ALIAS reflection + DROP ALIAS + FUNCTION_ALIASES view") {
+    val e = freshEngine
+    // the reference resolves "class.method" static targets by reflection
+    // (FunctionAlias.java); Integer.bitCount is a stable JDK static
+    e.sql("""CREATE ALIAS bitcount FOR "java.lang.Integer.bitCount"""")
+    assert(e.sql("SELECT bitcount(7) AS c").head().getInt(0) == 3)
+    e.sql("""CREATE ALIAS str_repeat FOR "graft.AliasFixture.rep"""")
+    assert(e.sql("SELECT str_repeat('ab', 3) AS r").head().getString(0) == "ababab")
+    val fa = e.sql(
+      "SELECT alias_name, java_method FROM INFORMATION_SCHEMA.FUNCTION_ALIASES ORDER BY alias_name")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(fa == Seq(("bitcount", "bitCount"), ("str_repeat", "rep")))
+    e.sql("DROP ALIAS bitcount")
+    assert(e.sql("SELECT count(*) FROM INFORMATION_SCHEMA.FUNCTION_ALIASES")
+      .head().getLong(0) == 1)
+    // SCRIPT re-emits the alias DDL
+    assert(e.sql("SCRIPT").collect().map(_.getString(0))
+      .exists(_.contains("CREATE ALIAS str_repeat")))
+  }
+
+  test("translate() is string-literal-safe; views/users/sessions meta views") {
+    val e = freshEngine
+    // @var inside a quoted literal must never be substituted (round-1 advice)
+    assert(e.sql("SELECT 'user@example.com' AS s").head().getString(0)
+      == "user@example.com")
+    e.sql("SET @v = 42")
+    assert(e.sql("SELECT '@v is literal' AS s, @v AS n").head().getString(0)
+      == "@v is literal")
+    // LIMIT/SAMPLE_SIZE-looking text inside literals survives
+    assert(e.sql("SELECT 'LIMIT 1, 2' AS s").head().getString(0) == "LIMIT 1, 2")
+    assert(e.sql("SELECT 'SYSTEM_RANGE(1,5)' AS s").head().getString(0)
+      == "SYSTEM_RANGE(1,5)")
+    // VIEWS meta view surfaces the definition
+    e.sql("CREATE TABLE vt (a int)")
+    e.sql("CREATE VIEW v_pos AS SELECT a FROM vt WHERE a > 0")
+    val vd = e.sql(
+      "SELECT view_definition FROM INFORMATION_SCHEMA.VIEWS WHERE table_name = 'v_pos'")
+      .head().getString(0)
+    assert(vd.contains("a > 0"))
+    e.sql("DROP VIEW v_pos")
+    assert(e.sql("SELECT count(*) FROM INFORMATION_SCHEMA.VIEWS").head().getLong(0) == 0)
+    // SESSIONS / USERS stubs exist with the documented shape
+    assert(e.sql("SELECT user_name FROM INFORMATION_SCHEMA.SESSIONS").head().getString(0) == "SA")
+    assert(e.sql("SELECT name FROM INFORMATION_SCHEMA.USERS WHERE admin").count() == 1)
+  }
+
+  test("NEXTVAL is per-row in INSERT ... SELECT (SequenceValue semantics)") {
+    val e = freshEngine
+    e.sql("CREATE SEQUENCE rowseq START WITH 1000 INCREMENT BY 1")
+    e.sql("CREATE TABLE src (v varchar(10))")
+    e.sql("INSERT INTO src VALUES ('a'), ('b'), ('c'), ('d')")
+    e.sql("CREATE TABLE dst (id bigint, v varchar(10))")
+    e.sql("INSERT INTO dst SELECT NEXTVAL('rowseq'), v FROM src")
+    val ids = e.sql("SELECT id FROM dst ORDER BY id").collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(1000L, 1001L, 1002L, 1003L), s"ids were $ids")
+    // the counter advanced past the batch; CURRVAL sees the last value
+    assert(e.sql("SELECT CAST(CURRVAL('rowseq') AS BIGINT) AS c").head().getLong(0) == 1003L)
+    e.sql("INSERT INTO dst VALUES (NEXTVAL('rowseq'), 'e')")
+    assert(e.sql("SELECT max(id) FROM dst").head().getLong(0) == 1004L)
+    // NEXTVAL inside a string literal is untouched
+    assert(e.sql("SELECT 'NEXTVAL(''rowseq'')' AS s").head().getString(0)
+      == "NEXTVAL('rowseq')")
+  }
+
+  test("IDENTITY fill is parallel and contiguous across a multi-partition insert") {
+    val e = freshEngine
+    e.sql("CREATE TABLE big_ids (id IDENTITY, x bigint)")
+    e.sql("INSERT INTO big_ids (x) SELECT x FROM SYSTEM_RANGE(1, 5000)")
+    val stats = e.sql(
+      "SELECT count(*) AS n, count(DISTINCT id) AS d, min(id) AS lo, max(id) AS hi FROM big_ids")
+      .head()
+    assert(stats.getLong(0) == 5000 && stats.getLong(1) == 5000)
+    assert(stats.getLong(2) == 1 && stats.getLong(3) == 5000)
+    // second insert continues the counter
+    e.sql("INSERT INTO big_ids (x) VALUES (0)")
+    assert(e.sql("SELECT max(id) FROM big_ids").head().getLong(0) == 5001)
+  }
+
   test("CREATE TABLE AS SELECT + corpus views + CSVREAD") {
     val e = freshEngine
     graft.core.Tables.names.foreach(n =>
