@@ -15,6 +15,30 @@ object Pipeline {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
 
+  /** DuckDB twin of [[TextAnalysis.langId]], generated from the same
+    * stopword map so the lists cannot drift. */
+  private def langIdOracle: String = {
+    val entries = TextAnalysis.stopwords.toSeq.sortBy(_._1).map { case (lang, ws) =>
+      val lst = ws.map(w => s"'${w}'").mkString("[", ",", "]")
+      s"{'score': len(list_intersect(toks, $lst)), 'lang': '$lang'}"
+    }.mkString(",\n              ")
+    s"""
+        WITH t AS (
+          SELECT doc_id,
+            list_distinct(list_filter(string_split(
+              trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+              x -> len(x) > 0)) AS toks
+          FROM documents),
+        s AS (
+          SELECT doc_id,
+            list_aggregate([
+              $entries], 'max') AS best
+          FROM t)
+        SELECT doc_id,
+               CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS pred_lang
+        FROM s"""
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- Exact dedup: survivor = min doc_id per identical text.
@@ -28,11 +52,28 @@ object Pipeline {
         FROM documents GROUP BY text""")),
 
     // ---- MinHash+LSH near-dup candidate pairs with exact Jaccard verify.
+    // Oracle: all-pairs exact character-5-shingle Jaccard (feasible at the
+    // driver's sf0.01 gate scale; the LSH path must reproduce it exactly —
+    // Jaccard over hashed shingle sets equals Jaccard over the raw sets
+    // modulo 2^-64 collisions, and banding recall is 1.0 in the ≥0.9
+    // Jaccard regime the corpus duplicates occupy).
     Q("d02_minhash_pairs",
       (s, dir) => Dedup.minhashCandidates(
         t(s, dir, "documents"), "doc_id", "text",
         Dedup.MinHashConfig(numHashes = 64, bands = 16, threshold = 0.35)),
-      None),
+      Some("""
+        WITH s AS (
+          SELECT doc_id,
+            list_distinct(list_transform(range(1, greatest(len(nrm)-3, 1)),
+              i -> nrm[i:i+4])) AS sh
+          FROM (SELECT doc_id,
+                  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nrm
+                FROM documents))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE jaccard >= 0.35""")),
 
     // ---- MinHash dedup survivors (keep-earliest).
     Q("d03_minhash_dedup",
@@ -58,11 +99,29 @@ object Pipeline {
       None),
 
     // ---- Exact word-3-gram Jaccard over LSH candidates.
+    // Oracle: all-pairs word-3-gram Jaccard (short docs collapse to one
+    // whole-text gram, mirroring wordNgramHashSet's cnt<n branch).
     Q("d05_ngram_jaccard",
       (s, dir) => Dedup.ngramJaccardPairs(
         t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.1,
         Dedup.MinHashConfig(numHashes = 64, bands = 16, threshold = 0.0)),
-      None),
+      Some("""
+        WITH s AS (
+          SELECT doc_id,
+            CASE WHEN len(toks) < 3 THEN [list_aggregate(toks, 'string_agg', ' ')]
+                 ELSE list_distinct(list_transform(range(1, len(toks)-1),
+                        i -> toks[i] || toks[i+1] || toks[i+2]))
+            END AS g
+          FROM (SELECT doc_id,
+                  list_filter(string_split(
+                    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                    x -> len(x) > 0) AS toks
+                FROM documents))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+          (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS ngram_jaccard
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE ngram_jaccard >= 0.1""")),
 
     // ---- Embedding near-dup pairs via hyperplane LSH + cosine verify.
     Q("d06_embedding_neardup",
@@ -72,6 +131,10 @@ object Pipeline {
       None),
 
     // ---- ANN: exact brute-force cosine top-k (baseline; corpus-linear).
+    // Oracle reproduces the cosine bit-for-bit: the same float→double cast,
+    // the same left-to-right product fold (list_reduce ≡ Spark `aggregate`),
+    // the same (corpus_norm * query_norm) operand order — so cos_sim
+    // hash-matches as a raw double, no rounding tolerance needed.
     Q("s01_ann_bruteforce",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
@@ -80,7 +143,23 @@ object Pipeline {
           emb.filter(col("vec_id") < 8), "vec_id", "embedding",
           k = 10)
       },
-      None),
+      Some("""
+        WITH c AS (
+          SELECT vec_id, embedding,
+            sqrt(list_reduce(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a+b)) AS nrm
+          FROM embeddings),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            list_reduce(list_transform(list_zip(c.embedding, q.embedding),
+              z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (a,b) -> a+b)
+              / (c.nrm * q.nrm) AS cos_sim
+          FROM c q JOIN c ON q.vec_id < 8 AND c.vec_id <> q.vec_id)
+        SELECT query_id, neighbor_id, cos_sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+        FROM scored
+        QUALIFY rank <= 10""")),
 
     // ---- ANN: hyperplane-LSH bucketed top-k (scale path; sublinear).
     Q("s02_ann_lsh",
@@ -141,10 +220,14 @@ object Pipeline {
         FROM q""")),
 
     // ---- Language ID (stopword-evidence heuristic; deterministic).
+    // Oracle mirrors the argmax exactly: per-language distinct-stopword hit
+    // counts, winner = max (score, lang) struct — list_aggregate 'max' uses
+    // the same field-lexicographic struct ordering as Spark's array_max,
+    // including the ties→last-lang-code rule.
     Q("t02_lang_id",
       (s, dir) => t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang")),
-      None),
+      Some(langIdOracle)),
 
     // ---- Winnowing fingerprint (size + content hash of the set).
     Q("t03_fingerprint",
