@@ -62,26 +62,44 @@ object Aggregators {
 
   /** SELECTIVITY(x): estimated distinct percentage 0..100, as the
     * reference's ANALYZE uses for its cost model. Distinct hashes tracked
-    * exactly up to `maxTracked`, then scaled linearly (same bounded-memory
-    * discipline as AggregateDataSelectivity). */
+    * exactly up to `maxTracked`; past saturation the estimate scales by the
+    * rows seen while the tracker was live — est = size · total/tracked —
+    * mirroring the reference's bounded-memory scaling
+    * (AggregateDataSelectivity; round-1 advice: the unscaled version
+    * under-estimated selectivity on high-cardinality inputs).
+    *
+    * Buffer = (tracked hashes, non-null rows total, rows seen while the
+    * tracker was unsaturated). Merge scales the absorbed partial's tracking
+    * window by the fraction of its set that fit. */
   class Selectivity(maxTracked: Int = 10000)
-      extends Aggregator[java.lang.Long, (mutable.HashSet[Long], Long), Int] {
-    def zero: (mutable.HashSet[Long], Long) = (mutable.HashSet.empty, 0L)
-    def reduce(b: (mutable.HashSet[Long], Long), a: java.lang.Long) = {
-      if (a != null && b._1.size < maxTracked) b._1 += a.longValue()
-      (b._1, b._2 + (if (a != null) 1L else 0L))
+      extends Aggregator[java.lang.Long, (mutable.HashSet[Long], Long, Long), Int] {
+    def zero: (mutable.HashSet[Long], Long, Long) = (mutable.HashSet.empty, 0L, 0L)
+    def reduce(b: (mutable.HashSet[Long], Long, Long), a: java.lang.Long) = {
+      if (a == null) b
+      else {
+        val tracking = b._1.size < maxTracked
+        if (tracking) b._1 += a.longValue()
+        (b._1, b._2 + 1L, b._3 + (if (tracking) 1L else 0L))
+      }
     }
-    def merge(b1: (mutable.HashSet[Long], Long), b2: (mutable.HashSet[Long], Long)) = {
-      b2._1.foreach { h => if (b1._1.size < maxTracked) b1._1 += h }
-      (b1._1, b1._2 + b2._2)
+    def merge(b1: (mutable.HashSet[Long], Long, Long),
+        b2: (mutable.HashSet[Long], Long, Long)) = {
+      val total = b1._2 + b2._2
+      var absorbed = 0L
+      b2._1.foreach { h =>
+        if (b1._1.size < maxTracked) { b1._1 += h; absorbed += 1L }
+      }
+      val trk2 = if (b2._1.isEmpty) b2._3 else b2._3 * absorbed / b2._1.size
+      (b1._1, total, b1._3 + trk2)
     }
-    def finish(b: (mutable.HashSet[Long], Long)): Int = {
+    def finish(b: (mutable.HashSet[Long], Long, Long)): Int = {
       if (b._2 == 0L) return 0
-      val est = if (b._1.size >= maxTracked) b._1.size.toLong.max(1L) else b._1.size.toLong
-      math.min(100, math.max(1, (est * 100 / b._2).toInt))
+      // percent = est*100/total with est = size·total/tracked ⇒ size*100/tracked
+      val tracked = math.max(1L, math.min(b._3, b._2))
+      math.min(100, math.max(1, (b._1.size * 100 / tracked).toInt))
     }
-    def bufferEncoder: Encoder[(mutable.HashSet[Long], Long)] =
-      Encoders.kryo[(mutable.HashSet[Long], Long)]
+    def bufferEncoder: Encoder[(mutable.HashSet[Long], Long, Long)] =
+      Encoders.kryo[(mutable.HashSet[Long], Long, Long)]
     def outputEncoder: Encoder[Int] = Encoders.scalaInt
   }
 

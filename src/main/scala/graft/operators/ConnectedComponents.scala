@@ -11,8 +11,9 @@ import org.apache.spark.sql.functions._
   * neighbors; convergence in O(diameter) rounds, each round one shuffle on
   * node id. Labels start as the node ids themselves, so the final label is
   * each component's minimum id — deterministic. Driver holds only the
-  * iteration counter (same discipline as [[Recursive]]); frontiers are
-  * localCheckpoint'ed to cut lineage.
+  * iteration counter (same discipline as [[Recursive]]); each round's
+  * frontier is lineage-cut via [[graft.core.Checkpoint]] (local or
+  * reliable, cluster-durable by config).
   */
 object ConnectedComponents {
 
@@ -23,11 +24,11 @@ object ConnectedComponents {
       .union(edges.toDF("dst", "src").select(col("src"), col("dst")))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint(eager = true)
+      .transform(graft.core.Checkpoint.cut)
 
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
-      .localCheckpoint(eager = true)
+      .transform(graft.core.Checkpoint.cut)
 
     var changed = 1L
     var i = 0
@@ -42,9 +43,9 @@ object ConnectedComponents {
         .select(col("node"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
           (col("nbr_min") < col("label")).as("__chg"))
-        .localCheckpoint(eager = true)
+        .transform(graft.core.Checkpoint.cut)
       changed = updated.filter(coalesce(col("__chg"), lit(false))).count()
-      labels = updated.select(col("node"), col("label")).localCheckpoint(eager = true)
+      labels = updated.select(col("node"), col("label")).transform(graft.core.Checkpoint.cut)
       i += 1
     }
     labels.withColumnRenamed("label", "component")

@@ -71,7 +71,9 @@ object Dedup {
     *  2. posexplode bands → shuffle on (band_idx, band_hash) — the ONLY
     *     quadratic-risk point is a degenerate bucket, so buckets larger than
     *     `maxBucket` are dropped (boilerplate/empty-text floods; standard
-    *     LSH hygiene — logged via the dropped-bucket count, not silently);
+    *     LSH hygiene). The drop is observable, not silent: the
+    *     `minhash_lsh` observation emits `dropped_band_rows` (rows in
+    *     over-cap buckets) for any QueryExecutionListener / metrics sink;
     *  3. pair-join inside buckets, dedup pairs, then ONE join back to the
     *     (id, shingles) side to fetch both sets for exact verification.
     */
@@ -92,7 +94,7 @@ object Dedup {
         shingleHashSet(col(textCol), cfg.shingleSize).as("__sh"))
       .withColumn("__sig", minhashSignature(col("__sh"), cfg.numHashes, cfg.seed))
       .withColumn("__bands", bandHashes(col("__sig"), cfg.bands, cfg.rowsPerBand))
-      .localCheckpoint(eager = true)
+      .transform(graft.core.Checkpoint.cut)
 
     val sets = base.select(col("__id"), col("__sh"))
     val sigs = base.select(col("__id"), col("__sig"))
@@ -103,6 +105,9 @@ object Dedup {
     val sized = banded
       .withColumn("__bsz", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("__b"), col("__bh"))))
+      .observe("minhash_lsh",
+        sum(when(col("__bsz") > maxBucket, 1L).otherwise(0L))
+          .as("dropped_band_rows"))
       .filter(col("__bsz") <= maxBucket)
       .drop("__bsz")
 
@@ -169,23 +174,43 @@ object Dedup {
     simhash64(transform(toks, t => xxhash64(t)))
   }
 
-  /** SimHash near-duplicate pairs: band the 64-bit hash into `bands` chunks
-    * (pigeonhole: hamming ≤ bands-1 guarantees ≥1 equal band), bucket-join,
-    * verify with bit_count(a^b) ≤ maxHamming. */
+  /** SimHash near-duplicate pairs: band the 64-bit hash into disjoint
+    * chunks (pigeonhole: hamming ≤ bands-1 guarantees ≥1 equal band),
+    * bucket-join, verify with bit_count(a^b) ≤ maxHamming.
+    *
+    * The band count is DERIVED as `maxHamming + 1` by default so the
+    * pigeonhole recall guarantee can never be silently violated (round-1
+    * advice: a caller-chosen bands < maxHamming+1 used to drop pairs with
+    * hamming in [bands, maxHamming] invisibly). An explicit `bands` must
+    * satisfy `bands > maxHamming`. Chunks may be uneven (64 need not divide
+    * evenly); larger maxHamming ⇒ more, narrower bands ⇒ coarser buckets —
+    * the honest cost of exact recall; keep maxHamming modest at scale. */
   def simhashCandidates(
       df: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
-      bands: Int = 4): DataFrame = {
-    val bits = 64 / bands
+      bands: Int = 0): DataFrame = {
+    val nb = if (bands > 0) bands else maxHamming + 1
+    require(nb > maxHamming,
+      s"bands=$nb cannot guarantee recall at maxHamming=$maxHamming (need bands > maxHamming)")
+    require(nb <= 64, s"bands=$nb exceeds the 64-bit hash width")
     val base = df.select(col(idCol).as("__id"),
         simhashColumn(col(textCol)).as("__sh"))
-      .localCheckpoint(eager = true) // reused by both sides of the bucket join
-    val mask = if (bits == 64) -1L else (1L << bits) - 1
+      .transform(graft.core.Checkpoint.cut) // reused by both sides of the bucket join
+    // disjoint chunks covering all 64 bits: first (64 % nb) bands get the
+    // extra bit — uneven widths keep the pigeonhole argument intact
+    val baseW = 64 / nb
+    val rem = 64 % nb
+    val chunks = (0 until nb).map { b =>
+      val w = baseW + (if (b < rem) 1 else 0)
+      val off = b * baseW + math.min(b, rem)
+      (off, w)
+    }
     val banded = base.select(col("__id"), col("__sh"),
-      posexplode(array((0 until bands).map { b =>
-        shiftrightunsigned(col("__sh"), b * bits).bitwiseAND(lit(mask))
+      posexplode(array(chunks.map { case (off, w) =>
+        val mask = if (w == 64) -1L else (1L << w) - 1
+        shiftrightunsigned(col("__sh"), off).bitwiseAND(lit(mask))
       }: _*)).as(Seq("__b", "__bv")))
     val l = banded.select(col("__b"), col("__bv"), col("__id").as("id_a"),
       col("__sh").as("__ha"))
@@ -218,7 +243,7 @@ object Dedup {
       cfg: MinHashConfig = MinHashConfig(threshold = 0.0)): DataFrame = {
     val grams = df.select(col(idCol).as("__id"),
         wordNgramHashSet(col(textCol), n).as("__g"))
-      .localCheckpoint(eager = true) // joined twice (id_a and id_b sides)
+      .transform(graft.core.Checkpoint.cut) // joined twice (id_a and id_b sides)
     minhashCandidates(df, idCol, textCol, cfg)
       .select(col("id_a"), col("id_b"))
       .join(grams.select(col("__id").as("id_a"), col("__g").as("__ga")), Seq("id_a"))

@@ -9,20 +9,21 @@ import org.apache.spark.sql.DataFrame
   * Spark job, so the loop scales to any frontier size; only the *iteration
   * count* is driver-bound, exactly like the reference's iteration buffer.
   *
-  * Frontiers are localCheckpoint()ed each round to cut the exponentially
-  * growing lineage (a 100-iteration loop would otherwise blow up plan
-  * compilation long before data size matters).
+  * Frontiers are lineage-cut each round via [[graft.core.Checkpoint]]
+  * (a 100-iteration loop would otherwise blow up plan compilation long
+  * before data size matters); set `spark.graft.checkpoint.mode=reliable`
+  * for a cluster-durable cut that survives executor loss.
   */
 object Recursive {
 
   /** UNION ALL semantics (duplicates kept, like `WITH RECURSIVE … UNION ALL`):
     * iterate `step` from `seed` until the step yields no rows. */
   def fixpointAll(seed: DataFrame, maxIter: Int = 1000)(step: DataFrame => DataFrame): DataFrame = {
-    var acc = seed.localCheckpoint(eager = true)
+    var acc = seed.transform(graft.core.Checkpoint.cut)
     var frontier = acc
     var i = 0
     while (i < maxIter && !frontier.isEmpty) {
-      frontier = step(frontier).localCheckpoint(eager = true)
+      frontier = step(frontier).transform(graft.core.Checkpoint.cut)
       if (!frontier.isEmpty) acc = acc.union(frontier)
       i += 1
     }
@@ -32,12 +33,12 @@ object Recursive {
   /** UNION (distinct) semantics: rows already produced are not re-expanded —
     * the standard semi-naive transitive-closure evaluation. */
   def fixpoint(seed: DataFrame, maxIter: Int = 1000)(step: DataFrame => DataFrame): DataFrame = {
-    var acc = seed.distinct().localCheckpoint(eager = true)
+    var acc = seed.distinct().transform(graft.core.Checkpoint.cut)
     var frontier = acc
     var i = 0
     while (i < maxIter && !frontier.isEmpty) {
-      frontier = step(frontier).distinct().except(acc).localCheckpoint(eager = true)
-      if (!frontier.isEmpty) acc = acc.union(frontier).localCheckpoint(eager = true)
+      frontier = step(frontier).distinct().except(acc).transform(graft.core.Checkpoint.cut)
+      if (!frontier.isEmpty) acc = acc.union(frontier).transform(graft.core.Checkpoint.cut)
       i += 1
     }
     acc

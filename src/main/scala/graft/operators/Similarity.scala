@@ -81,7 +81,7 @@ object Similarity {
         norm(col(vec)).as(s"__n_$idOut"), // norm once per vector
         posexplode(array(planesPerTable.map(p => lshBucket(col(vec), p)): _*))
           .as(Seq("__tbl", "__bkt")))
-        .localCheckpoint(eager = true) // cut the hyperplane-expr lineage
+        .transform(graft.core.Checkpoint.cut) // cut the hyperplane-expr lineage
 
     val c = bucketed(corpus, corpusId, corpusVec, "neighbor_id")
     val q = bucketed(queries, queryId, queryVec, "query_id")
@@ -164,7 +164,7 @@ object Similarity {
       norm(col(vecCol)).as("__n"), // norm once per vector
       posexplode(array(planesPerTable.map(p => lshBucket(col(vecCol), p)): _*))
         .as(Seq("__tbl", "__bkt")))
-      .localCheckpoint(eager = true) // reused by both sides of the pair join
+      .transform(graft.core.Checkpoint.cut) // reused by both sides of the pair join
     val l = b.select(col("__tbl"), col("__bkt"), col("__id").as("id_a"),
       col("__v").as("__va"), col("__n").as("__na"))
     val r = b.select(col("__tbl").as("__t2"), col("__bkt").as("__b2"),

@@ -21,6 +21,13 @@ object Skew {
       key: String,
       saltFactor: Int = 8,
       joinType: String = "inner"): DataFrame = {
+    // right/full outer would emit each unmatched build row saltFactor times
+    // (the build side is replicated); only probe-side-preserving joins are
+    // sound under salting (round-1 advice)
+    require(Set("inner", "left", "leftouter", "left_outer", "semi",
+      "leftsemi", "left_semi", "anti", "leftanti", "left_anti")
+        .contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left/semi/anti joins, not $joinType")
     val saltedLeft = skewed.withColumn("__salt",
       pmod(xxhash64(struct(skewed.columns.map(col).toSeq: _*)), lit(saltFactor))
         .cast("int"))
