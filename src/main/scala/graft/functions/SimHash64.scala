@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftColumnBridge
@@ -17,11 +17,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   *
   * A custom Catalyst Expression (preference order (b) of the build brief):
   * the 64-lane tally loop has no composition of built-ins that avoids
-  * exploding 64 aggregates per row. Interpreted eval only (CodegenFallback);
-  * the surrounding pipeline stays in whole-stage codegen.
+  * exploding 64 aggregates per row. `doGenCode` emits a static call into
+  * [[SimHash64.compute]], keeping the expression inside whole-stage codegen
+  * with the tally loop as ordinary compiled bytecode.
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     child.dataType match {
@@ -35,8 +36,23 @@ case class SimHash64(child: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    SimHash64.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SimHash64.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  def simhash64(c: Column): Column =
+    GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(c)))
+
+  /** Static kernel shared by interpreted eval and generated code. */
+  def compute(arr: ArrayData): Long = {
     val counts = new Array[Int](64)
     var i = 0
     val n = arr.numElements()
@@ -59,12 +75,4 @@ case class SimHash64(child: Expression)
     }
     r
   }
-
-  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
-    copy(child = newChild)
-}
-
-object SimHash64 {
-  def simhash64(c: Column): Column =
-    GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(c)))
 }

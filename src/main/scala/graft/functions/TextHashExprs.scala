@@ -2,10 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Hot-path text hashing as custom Catalyst expressions (SURVEY §4.3 rule:
   * native Expression beats UDF beats interpreted lambda). Spark's
@@ -14,21 +15,21 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * dozens of lanes per row that dominates the dedup operators' runtime
   * (26s → ~1s on the sf0.1 bench after this change). Each expression here
   * is one JIT-friendly loop per row.
-  */
-
-/** Distinct rolling-hash values of all character k-shingles of the input
-  * string → array<long> (unordered set semantics).
   *
-  * Hash: polynomial rolling hash over UTF-16 code units with multiplier
-  * 31**… wrap-around arithmetic, finalized with a xorshift-multiply mix
-  * (splitmix64 finalizer) so band hashing sees well-mixed bits.
+  * All expressions implement `doGenCode` (round-2): the generated code
+  * calls a static kernel in [[TextHashKernels]], so the expression stays
+  * inside whole-stage codegen — no interpreted-eval boxing boundary, no
+  * fallback row conversion — while the loop itself runs as ordinary
+  * compiled bytecode. (Inlining the loop as generated Java would add
+  * nothing: it is already a single virtual-call-free loop per row.)
   */
-case class ShingleHashSet(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "shingle_hash_set"
+/** Static kernels shared by interpreted eval and generated code. A
+  * top-level object compiles to static forwarders, so generated Java calls
+  * `graft.functions.TextHashKernels.xxx(...)` directly. */
+object TextHashKernels {
 
+  /** splitmix64 finalizer — well-mixed bits for band hashing. */
   private def mix(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
@@ -36,24 +37,25 @@ case class ShingleHashSet(child: Expression, k: Int)
     z ^ (z >>> 31)
   }
 
-  override def nullSafeEval(input: Any): Any = {
+  private val P = 1099511628211L // FNV prime as rolling multiplier
+
+  /** Distinct rolling-hash values of all character k-shingles, sorted. */
+  def shingleHashSet(input: UTF8String, k: Int): ArrayData = {
     val s = input.toString
     val n = s.length
     if (n < k) return new GenericArrayData(Array(mix(s.hashCode.toLong)))
-    // p^(k-1) for the rolling subtract
-    val p = 1099511628211L // FNV prime as multiplier
-    var pk = 1L
+    var pk = 1L // P^(k-1) for the rolling subtract
     var i = 0
-    while (i < k - 1) { pk *= p; i += 1 }
+    while (i < k - 1) { pk *= P; i += 1 }
     val seen = new java.util.HashSet[java.lang.Long](math.min(n, 1024))
     val out = new scala.collection.mutable.ArrayBuffer[Long](math.min(n, 1024))
     var h = 0L
     i = 0
-    while (i < k) { h = h * p + s.charAt(i); i += 1 }
+    while (i < k) { h = h * P + s.charAt(i); i += 1 }
     var m = mix(h)
     if (seen.add(m)) out += m
     while (i < n) {
-      h = (h - s.charAt(i - k) * pk) * p + s.charAt(i)
+      h = (h - s.charAt(i - k) * pk) * P + s.charAt(i)
       m = mix(h)
       if (seen.add(m)) out += m
       i += 1
@@ -63,21 +65,8 @@ case class ShingleHashSet(child: Expression, k: Int)
     new GenericArrayData(arr)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): ShingleHashSet =
-    copy(child = newChild)
-}
-
-/** Fraction of positions where two equal-length long arrays agree — the
-  * MinHash Jaccard estimator over two signatures. */
-case class MatchingFraction(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
-
-  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
-  override def prettyName: String = "matching_fraction"
-
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
+  /** Fraction of positions where two equal-length long arrays agree. */
+  def matchingFraction(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     if (n == 0) return 0.0
     var i = 0
@@ -89,24 +78,10 @@ case class MatchingFraction(left: Expression, right: Expression)
     m.toDouble / n
   }
 
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): MatchingFraction =
-    copy(left = newLeft, right = newRight)
-}
-
-/** Exact Jaccard of two SORTED distinct long arrays via linear merge —
-  * replaces interpreted array_intersect/array_union on the LSH verification
-  * path (the dominant cost once candidates number in the 100k's). */
-case class JaccardSorted(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
-
-  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
-  override def prettyName: String = "jaccard_sorted"
-
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
-    val (n, m) = (a.numElements(), b.numElements())
+  /** Exact Jaccard of two SORTED distinct long arrays via linear merge. */
+  def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    val m = b.numElements()
     var i = 0
     var j = 0
     var inter = 0
@@ -121,30 +96,10 @@ case class JaccardSorted(left: Expression, right: Expression)
     if (union == 0) 1.0 else inter.toDouble / union
   }
 
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): JaccardSorted =
-    copy(left = newLeft, right = newRight)
-}
-
-/** MinHash signature over a hashed set: lane j = min over x of mix(a_j*x+b_j)
-  * — one tight two-level loop, array<long>(numHashes) out. */
-case class MinHashSig(child: Expression, numHashes: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "minhash_sig"
-
-  @transient private lazy val lanes: (Array[Long], Array[Long]) = {
-    val rnd = new scala.util.Random(seed)
-    val a = Array.fill(numHashes)(rnd.nextLong() | 1L)
-    val b = Array.fill(numHashes)(rnd.nextLong())
-    (a, b)
-  }
-
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** MinHash signature: lane j = min over x of a_j*x + b_j. */
+  def minhashSig(arr: ArrayData, as: Array[Long], bs: Array[Long]): ArrayData = {
     val n = arr.numElements()
-    val (as, bs) = lanes
+    val numHashes = as.length
     val sig = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i < n) {
@@ -160,41 +115,23 @@ case class MinHashSig(child: Expression, numHashes: Int, seed: Long)
     new GenericArrayData(sig)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
-    copy(child = newChild)
-}
-
-/** Winnowing fingerprint: k-shingle rolling-hash stream → min per sliding
-  * window of w (classic monotone-deque, O(n)) → distinct set. */
-case class WinnowFingerprint(child: Expression, k: Int, w: Int)
-    extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "winnow_fingerprint"
-
-  private def mix(z0: Long): Long = {
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
-
-  override def nullSafeEval(input: Any): Any = {
+  /** Winnowing fingerprint: k-shingle rolling-hash stream → min per sliding
+    * window of w (monotone deque, O(n)) → distinct set. */
+  def winnowFingerprint(input: UTF8String, k: Int, w: Int): ArrayData = {
     val s = input.toString
     val n = s.length
     if (n < k) return new GenericArrayData(Array(mix(s.hashCode.toLong)))
-    val p = 1099511628211L
     var pk = 1L
     var i = 0
-    while (i < k - 1) { pk *= p; i += 1 }
+    while (i < k - 1) { pk *= P; i += 1 }
     val m = n - k + 1 // number of shingles
     val stream = new Array[Long](m)
     var h = 0L
     i = 0
-    while (i < k) { h = h * p + s.charAt(i); i += 1 }
+    while (i < k) { h = h * P + s.charAt(i); i += 1 }
     stream(0) = mix(h)
     while (i < n) {
-      h = (h - s.charAt(i - k) * pk) * p + s.charAt(i)
+      h = (h - s.charAt(i - k) * pk) * P + s.charAt(i)
       stream(i - k + 1) = mix(h)
       i += 1
     }
@@ -223,6 +160,114 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
     }
     new GenericArrayData(out.toArray)
   }
+}
+
+/** Distinct rolling-hash values of all character k-shingles of the input
+  * string → array<long> (unordered set semantics). Polynomial rolling hash
+  * over UTF-16 code units, splitmix64-finalized. */
+case class ShingleHashSet(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hash_set"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashKernels.shingleHashSet(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashKernels.shingleHashSet($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashSet =
+    copy(child = newChild)
+}
+
+/** Fraction of positions where two equal-length long arrays agree — the
+  * MinHash Jaccard estimator over two signatures. */
+case class MatchingFraction(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "matching_fraction"
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    TextHashKernels.matchingFraction(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.TextHashKernels.matchingFraction($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MatchingFraction =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Exact Jaccard of two SORTED distinct long arrays via linear merge —
+  * replaces interpreted array_intersect/array_union on the LSH verification
+  * path (the dominant cost once candidates number in the 100k's). */
+case class JaccardSorted(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "jaccard_sorted"
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    TextHashKernels.jaccardSorted(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.TextHashKernels.jaccardSorted($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardSorted =
+    copy(left = newLeft, right = newRight)
+}
+
+/** MinHash signature over a hashed set: lane j = min over x of mix-free
+  * affine a_j*x+b_j — one tight two-level loop, array<long>(numHashes) out.
+  * The lane coefficients ride into generated code as reference objects. */
+case class MinHashSig(child: Expression, numHashes: Int, seed: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  @transient private lazy val lanes: (Array[Long], Array[Long]) = {
+    val rnd = new scala.util.Random(seed)
+    val a = Array.fill(numHashes)(rnd.nextLong() | 1L)
+    val b = Array.fill(numHashes)(rnd.nextLong())
+    (a, b)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashKernels.minhashSig(input.asInstanceOf[ArrayData], lanes._1, lanes._2)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", lanes._1, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", lanes._2, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashKernels.minhashSig($c, $aRef, $bRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** Winnowing fingerprint: k-shingle rolling-hash stream → min per sliding
+  * window of w (classic monotone-deque, O(n)) → distinct set. */
+case class WinnowFingerprint(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprint"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashKernels.winnowFingerprint(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashKernels.winnowFingerprint($c, $k, $w);")
 
   override protected def withNewChildInternal(newChild: Expression): WinnowFingerprint =
     copy(child = newChild)

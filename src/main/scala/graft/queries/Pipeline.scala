@@ -93,9 +93,14 @@ object Pipeline {
       None),
 
     // ---- SimHash near-dup pairs (custom Catalyst expression + banding).
+    // maxHamming=3 → 4 derived 16-bit bands with an EXACT pigeonhole recall
+    // guarantee (round-1 ran hamming≤16 over 4 bands, which silently missed
+    // pairs with hamming 4..16; radius 3 is the classic near-dup setting —
+    // larger radii need proportionally more, narrower bands and go
+    // quadratic on coarse buckets).
     Q("d04_simhash_pairs",
       (s, dir) => Dedup.simhashCandidates(
-        t(s, dir, "documents"), "doc_id", "text", maxHamming = 16),
+        t(s, dir, "documents"), "doc_id", "text", maxHamming = 3),
       None),
 
     // ---- Exact word-3-gram Jaccard over LSH candidates.

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** The custom expressions must run INSIDE whole-stage codegen (round-2:
+  * they were CodegenFallback). CODEGEN_ONLY + fallback=false makes any
+  * broken generated path a hard error instead of a silent interpreted
+  * fallback, and parity against default mode pins the semantics. */
+class CodegenSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+    (2L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+    (3L, "the quick brown fox jumps over the lazy cat and runs far away home"),
+    (4L, "completely different content about spark dataframes and catalyst"),
+    (5L, "xy") // shorter than the shingle size → degenerate branch
+  ).toDF("doc_id", "text")
+
+  private def forced[A](body: => A): A = {
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try body finally {
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+      spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
+  test("text-hash expressions evaluate under forced codegen with eval parity") {
+    def all() = docs.select(
+        $"doc_id",
+        Dedup.shingleHashSet($"text", 5).as("sh"),
+        graft.functions.TextHashExprs.winnowFingerprint(
+          Dedup.normalize($"text"), 8, 4).as("fp"),
+        Dedup.simhashColumn($"text").as("sim"))
+      .withColumn("sig",
+        graft.functions.TextHashExprs.minhashSig($"sh", 32, 42L))
+      .select($"doc_id", $"sim",
+        xxhash64(concat_ws(",", transform($"sh", _.cast("string")))).as("sh_h"),
+        xxhash64(concat_ws(",", transform($"fp", _.cast("string")))).as("fp_h"),
+        xxhash64(concat_ws(",", transform($"sig", _.cast("string")))).as("sig_h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val generated = forced(all())
+    assert(generated == all())
+    assert(generated.size == 5)
+  }
+
+  test("jaccard/matching-fraction binary expressions under forced codegen") {
+    def pairs() = Dedup.minhashCandidates(docs, "doc_id", "text",
+        Dedup.MinHashConfig(numHashes = 64, bands = 16, threshold = 0.6))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val generated = forced(pairs())
+    assert(generated == pairs())
+    assert(generated.exists { case (a, b, j) => a == 1L && b == 2L && j == 1.0 })
+  }
+}
