@@ -75,22 +75,66 @@ object Pipeline {
         FROM s a JOIN s b ON a.doc_id < b.doc_id
         WHERE jaccard >= 0.35""")),
 
-    // ---- MinHash dedup survivors (keep-earliest).
+    // ---- MinHash dedup survivors (keep-earliest). Oracle: drop every doc
+    // with an exact-Jaccard near-duplicate of smaller id (all-pairs at
+    // gate scale; same exactness argument as d02).
     Q("d03_minhash_dedup",
       (s, dir) => Dedup.minhashDedup(
           t(s, dir, "documents"), "doc_id", "text",
           Dedup.MinHashConfig(numHashes = 64, bands = 16, threshold = 0.35))
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
-      None),
+      Some("""
+        WITH s AS (
+          SELECT doc_id,
+            list_distinct(list_transform(range(1, greatest(len(nrm)-3, 1)),
+              i -> nrm[i:i+4])) AS sh
+          FROM (SELECT doc_id,
+                  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nrm
+                FROM documents)),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM s a JOIN s b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.35)
+        SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE doc_id NOT IN (SELECT id_b FROM pairs)""")),
 
     // ---- Transitive MinHash dedup: connected components over the near-dup
     // graph (label propagation; one min-id survivor per component).
+    // Oracle: recursive transitive closure over the exact all-pairs edge
+    // set — a victim is any node that can reach a smaller id.
     Q("d07_minhash_dedup_transitive",
       (s, dir) => Dedup.minhashDedupTransitive(
           t(s, dir, "documents"), "doc_id", "text",
           Dedup.MinHashConfig(numHashes = 64, bands = 16, threshold = 0.35))
         .select(col("doc_id"), col("lang"), col("source")),
-      None),
+      Some("""
+        WITH pairs AS (
+          WITH s AS (
+            SELECT doc_id,
+              list_distinct(list_transform(range(1, greatest(len(nrm)-3, 1)),
+                i -> nrm[i:i+4])) AS sh
+            FROM (SELECT doc_id,
+                    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nrm
+                  FROM documents))
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM s a JOIN s b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.35),
+        edges AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        reach AS (
+          WITH RECURSIVE r(src, dst) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.src, e.b FROM r JOIN edges e ON r.dst = e.a
+            WHERE e.b <> r.src)
+          SELECT * FROM r),
+        victims AS (
+          SELECT src AS node FROM reach GROUP BY src HAVING min(dst) < src)
+        SELECT doc_id, lang, source FROM documents
+        WHERE doc_id NOT IN (SELECT node FROM victims)""")),
 
     // ---- SimHash near-dup pairs (custom Catalyst expression + banding).
     // maxHamming=3 → 4 derived 16-bit bands with an EXACT pigeonhole recall
@@ -129,6 +173,12 @@ object Pipeline {
         WHERE ngram_jaccard >= 0.1""")),
 
     // ---- Embedding near-dup pairs via hyperplane LSH + cosine verify.
+    // Deliberately rows-only: the corpus has no high-cosine near-dups
+    // (max pairwise cos ≈ 0.51 at sf0.01), so threshold 0.35 operates in
+    // the approximate-recall regime where hyperplane LSH is sub-1.0 recall
+    // BY DESIGN — an exact all-pairs oracle would assert a guarantee the
+    // operator intentionally does not make. Precision is exact (every
+    // emitted pair is cosine-verified; SimilaritySpec pins recall bounds).
     Q("d06_embedding_neardup",
       (s, dir) => Similarity.embeddingNearDupPairs(
         t(s, dir, "embeddings"), "vec_id", "embedding",
