@@ -55,6 +55,13 @@ final class Engine(val spark: SparkSession) {
   private val checks = mutable.ArrayBuffer.empty[CheckDef]
   private val viewDefs = mutable.LinkedHashMap.empty[String, String]
   private val aliases = mutable.LinkedHashMap.empty[String, String]
+  // CREATE CONSTANT (schema/Constant.java), CREATE DOMAIN
+  // (ddl/CreateUserDataType.java), CREATE TRIGGER (recorded; row-hook
+  // execution is out of engine scope per BASELINE — the streaming
+  // foreachBatch hook is the batch twin)
+  private val constants = mutable.LinkedHashMap.empty[String, String]
+  private val domains = mutable.LinkedHashMap.empty[String, String]
+  private val triggers = mutable.LinkedHashMap.empty[String, (String, String)]
 
   private final class Sequence(var next: Long, val inc: Long) {
     var curr: Long = next - inc
@@ -154,6 +161,18 @@ final class Engine(val spark: SparkSession) {
     """(?is)^\s*CREATE\s+ALIAS\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+FOR\s+"([^"]+)"\s*$""".r
   private val dropAliasRe =
     """(?is)^\s*DROP\s+ALIAS\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r
+  private val createConstantRe =
+    """(?is)^\s*CREATE\s+CONSTANT\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+VALUE\s+(.*)$""".r
+  private val dropConstantRe =
+    """(?is)^\s*DROP\s+CONSTANT\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r
+  private val createDomainRe =
+    """(?is)^\s*CREATE\s+DOMAIN\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+(?:AS\s+)?(.+?)(?:\s+CHECK\s*\(.*\))?\s*$""".r
+  private val dropDomainRe =
+    """(?is)^\s*DROP\s+DOMAIN\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r
+  private val createTriggerRe =
+    """(?is)^\s*CREATE\s+TRIGGER\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+((?:BEFORE|AFTER|INSTEAD\s+OF)\s+[\w ,]+?)\s+ON\s+(\w+)\s+.*$""".r
+  private val dropTriggerRe =
+    """(?is)^\s*DROP\s+TRIGGER\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r
   private val explainRe = """(?is)^\s*EXPLAIN\s+(?:PLAN\s+FOR\s+)?(.*)$""".r
   private val setVarRe = """(?is)^\s*SET\s+@(\w+)\s*=\s*(.*)$""".r
   private val scriptRe = """(?is)^\s*SCRIPT\s*$""".r
@@ -281,6 +300,22 @@ final class Engine(val spark: SparkSession) {
         aliases.remove(name.toLowerCase)
         spark.sql(s"DROP TEMPORARY FUNCTION IF EXISTS ${name.toLowerCase}")
         status()
+      case createConstantRe(name, value) =>
+        constants(name.toLowerCase) = value.trim; status()
+      case dropConstantRe(name) =>
+        constants.remove(name.toLowerCase); status()
+      case createDomainRe(name, baseType) =>
+        // resolves through parseType, so the domain is usable in CREATE
+        // TABLE column definitions (CreateUserDataType.java)
+        domains(name.toLowerCase) = baseType.trim; status()
+      case dropDomainRe(name) =>
+        domains.remove(name.toLowerCase); status()
+      case createTriggerRe(name, timing, tableName) =>
+        triggers(name.toLowerCase) =
+          (tableName.toLowerCase, timing.trim.toUpperCase.replaceAll("\\s+", " "))
+        status()
+      case dropTriggerRe(name) =>
+        triggers.remove(name.toLowerCase); status()
       case createTableAsRe(name, query) =>
         register(name, runSelect(query)); status()
       case createTableRe(name, colDefs) =>
@@ -433,6 +468,16 @@ final class Engine(val spark: SparkSession) {
     // SAMPLE_SIZE n → LIMIT n (head-sample semantics, Select.java:877)
     q = rewriteOutside(q, """(?i)\bSAMPLE_SIZE\s+(\d+)""".r)(m =>
       s"LIMIT ${m.group(1)}")
+    // CREATE CONSTANT names → literal value (schema/Constant.java). Column
+    // names shadow constants (the reference resolves columns first), so a
+    // name that exists as any registered column is left alone.
+    if (constants.nonEmpty) {
+      val colNames = tables.values.flatMap(_.columns).map(_.toLowerCase).toSet
+      constants.foreach { case (n, v) =>
+        if (!colNames.contains(n))
+          q = rewriteOutside(q, s"(?i)\\b$n\\b".r)(_ => v)
+      }
+    }
     // NEXTVAL/CURRVAL
     substSequences(q)
   }
@@ -638,12 +683,89 @@ final class Engine(val spark: SparkSession) {
         }.toDF("alias_catalog", "alias_schema", "alias_name", "java_class",
           "java_method")
       case "sessions" =>
-        // MetaTable.java SESSIONS (id 17): single local session by contract
+        // MetaTable.java SESSIONS (id 25): single local session by contract
         Seq((0L, "SA", spark.sparkContext.applicationId))
           .toDF("id", "user_name", "session_start")
       case "users" =>
-        // MetaTable.java USERS (id 8): the implicit admin
+        // MetaTable.java USERS (id 9): the implicit admin
         Seq(("SA", true)).toDF("name", "admin")
+      case "table_types" => // id 3
+        Seq("SYSTEM TABLE", "TABLE", "VIEW").toDF("type")
+      case "type_info" => // id 4: the types parseType accepts
+        Seq(
+          ("INT", java.sql.Types.INTEGER, 10), ("BIGINT", java.sql.Types.BIGINT, 19),
+          ("SMALLINT", java.sql.Types.SMALLINT, 5), ("TINYINT", java.sql.Types.TINYINT, 3),
+          ("DOUBLE", java.sql.Types.DOUBLE, 17), ("REAL", java.sql.Types.REAL, 7),
+          ("DECIMAL", java.sql.Types.DECIMAL, 38), ("BOOLEAN", java.sql.Types.BOOLEAN, 1),
+          ("DATE", java.sql.Types.DATE, 10), ("TIMESTAMP", java.sql.Types.TIMESTAMP, 29),
+          ("VARBINARY", java.sql.Types.VARBINARY, Int.MaxValue),
+          ("VARCHAR", java.sql.Types.VARCHAR, Int.MaxValue))
+          .toDF("type_name", "data_type", "precision")
+      case "catalogs" => // id 5
+        Seq("graft").toDF("catalog_name")
+      case "help" => // id 7: reference ships help.csv; no embedded docs here
+        Seq.empty[(Int, String, String, String)]
+          .toDF("id", "section", "topic", "syntax")
+      case "roles" => // id 10
+        Seq(("PUBLIC", "system role")).toDF("name", "remarks")
+      case "rights" => // id 11: no grants in a single-user batch engine
+        Seq.empty[(String, String, String, String)]
+          .toDF("grantee", "granteetype", "rights", "table_name")
+      case "schemata" => // id 13
+        Seq(("graft", "public", "SA", "OFF")).toDF(
+          "catalog_name", "schema_name", "schema_owner", "default_collation_name")
+      case "table_privileges" => // id 14
+        Seq.empty[(String, String, String, String)]
+          .toDF("grantor", "grantee", "table_name", "privilege_type")
+      case "column_privileges" => // id 15
+        Seq.empty[(String, String, String, String)]
+          .toDF("grantor", "grantee", "table_name", "column_name")
+      case "collations" => // id 16: Spark 4 collation surface (q50 uses it)
+        Seq(("OFF", "binary"), ("UTF8_BINARY", "binary"), ("UTF8_LCASE", "ci"))
+          .toDF("name", "key")
+      case "in_doubt" => // id 18: no 2PC transactions exist
+        Seq.empty[(String, Int)].toDF("transaction_name", "transaction_state")
+      case "cross_references" => // id 19: FK edges, one row per column pair
+        foreignKeys.toSeq.flatMap { fk =>
+          fk.refCols.zip(fk.cols).zipWithIndex.map { case ((pc, fc), i) =>
+            (fk.refTable, pc, fk.table, fc, i + 1, fk.name)
+          }
+        }.toDF("pktable_name", "pkcolumn_name", "fktable_name",
+          "fkcolumn_name", "ordinal_position", "fk_name")
+      case "function_columns" => // id 21: alias parameters via reflection
+        aliases.toSeq.flatMap { case (n, target) =>
+          scala.util.Try {
+            val dot = target.lastIndexOf('.')
+            Class.forName(target.substring(0, dot)).getMethods
+              .filter(m => m.getName == target.substring(dot + 1) &&
+                java.lang.reflect.Modifier.isStatic(m.getModifiers))
+              .sortBy(_.getParameterCount).headOption.toSeq
+              .flatMap(m => m.getParameterTypes.zipWithIndex.map { case (p, i) =>
+                (n, i + 1, p.getSimpleName.toUpperCase)
+              })
+          }.getOrElse(Seq.empty)
+        }.toDF("alias_name", "pos", "type_name")
+      case "constants" => // id 22
+        constants.toSeq.map { case (n, v) => ("graft", "public", n, v) }
+          .toDF("constant_catalog", "constant_schema", "constant_name", "sql")
+      case "domains" => // id 23
+        domains.toSeq.map { case (n, t) => (n, t.toUpperCase) }
+          .toDF("domain_name", "type_name")
+      case "triggers" => // id 24
+        triggers.toSeq.map { case (n, (tbl, timing)) => (n, tbl, timing) }
+          .toDF("trigger_name", "table_name", "timing")
+      case "locks" => // id 26: a snapshot engine never holds row locks
+        Seq.empty[(String, String, String)]
+          .toDF("table_name", "session_id", "lock_type")
+      case "session_state" => // id 27: statements that recreate this session
+        (variables.toSeq.map { case (k, v) => (s"@$k", s"SET @$k = $v") } ++
+         procedures.toSeq.map { case (k, v) => (k, s"PREPARE $k AS $v") })
+          .toDF("key", "sql")
+      case "query_statistics" => // id 28: populated only under SET QUERY_STATISTICS
+        Seq.empty[(String, Long, Double)]
+          .toDF("sql_statement", "execution_count", "average_execution_time")
+      case "databases" => // id 29
+        Seq("graft").toDF("database_name")
       case other => throw new IllegalArgumentException(
         s"INFORMATION_SCHEMA.$other not supported")
     }
@@ -682,7 +804,13 @@ final class Engine(val spark: SparkSession) {
     val als = aliases.toSeq.map { case (n, t) =>
       s"""CREATE ALIAS $n FOR "$t";"""
     }
-    ddl ++ seqs ++ ixs ++ cons ++ vws ++ als
+    val consts = constants.toSeq.map { case (n, v) =>
+      s"CREATE CONSTANT $n VALUE $v;"
+    }
+    val doms = domains.toSeq.map { case (n, t) =>
+      s"CREATE DOMAIN $n AS ${t.toUpperCase};"
+    }
+    ddl ++ seqs ++ ixs ++ cons ++ vws ++ als ++ consts ++ doms
   }
 
   // ---- DDL helpers ----
@@ -779,6 +907,8 @@ final class Engine(val spark: SparkSession) {
   private def parseType(t0: String): DataType = {
     val t = t0.trim.toUpperCase
     val base = t.takeWhile(c => c.isLetter || c == '_')
+    // user-defined domain resolves to its base type (CreateUserDataType)
+    domains.get(base.toLowerCase).foreach(d => return parseType(d))
     base match {
       case "INT" | "INTEGER" | "MEDIUMINT" | "SERIAL" => IntegerType
       case "BIGINT" | "LONG" | "IDENTITY" => LongType

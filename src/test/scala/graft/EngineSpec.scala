@@ -404,6 +404,48 @@ class EngineSpec extends SparkSpec {
     assert(e.sql("SELECT max(id) FROM big_ids").head().getLong(0) == 5001)
   }
 
+  test("CONSTANT/DOMAIN/TRIGGER DDL + full INFORMATION_SCHEMA breadth (MetaTable 30)") {
+    val e = freshEngine
+    // CREATE CONSTANT substitutes outside literals; columns shadow it
+    e.sql("CREATE CONSTANT max_qty VALUE 50")
+    assert(e.sql("SELECT max_qty + 1 AS v").head().getInt(0) == 51)
+    assert(e.sql("SELECT 'max_qty' AS s").head().getString(0) == "max_qty")
+    e.sql("CREATE TABLE shadow_t (max_qty int)")
+    e.sql("INSERT INTO shadow_t VALUES (7)")
+    assert(e.sql("SELECT max_qty FROM shadow_t").head().getInt(0) == 7)
+    // CREATE DOMAIN resolves through column definitions
+    e.sql("CREATE DOMAIN money AS DECIMAL(18,2)")
+    e.sql("CREATE TABLE prices (p money)")
+    assert(e.table("prices").schema("p").dataType.sql == "DECIMAL(18,2)")
+    // trigger recorded + surfaced (row-hook execution out of scope)
+    e.sql("CREATE TRIGGER trg_p AFTER INSERT ON prices CALL \"x.Y\"")
+    assert(e.sql(
+      "SELECT table_name FROM INFORMATION_SCHEMA.TRIGGERS WHERE trigger_name = 'trg_p'")
+      .head().getString(0) == "prices")
+    // every MetaTable id (MetaTable.java:77-107) resolves
+    val all = Seq("tables", "columns", "indexes", "table_types", "type_info",
+      "catalogs", "settings", "help", "sequences", "users", "roles", "rights",
+      "function_aliases", "schemata", "table_privileges", "column_privileges",
+      "collations", "views", "in_doubt", "cross_references", "constraints",
+      "function_columns", "constants", "domains", "triggers", "sessions",
+      "locks", "session_state", "query_statistics", "databases")
+    all.foreach { t =>
+      e.sql(s"SELECT count(*) FROM INFORMATION_SCHEMA.${t.toUpperCase}").head()
+    }
+    assert(e.sql("SELECT count(*) FROM INFORMATION_SCHEMA.CONSTANTS").head().getLong(0) == 1)
+    assert(e.sql("SELECT type_name FROM INFORMATION_SCHEMA.DOMAINS").head().getString(0)
+      == "DECIMAL(18,2)")
+    // SET @v surfaces in SESSION_STATE
+    e.sql("SET @who = 'graft'")
+    assert(e.sql(
+      "SELECT sql FROM INFORMATION_SCHEMA.SESSION_STATE WHERE key = '@who'")
+      .head().getString(0).startsWith("SET @who"))
+    // SCRIPT round-trips constants and domains
+    val ddl = e.sql("SCRIPT").collect().map(_.getString(0))
+    assert(ddl.exists(_.startsWith("CREATE CONSTANT max_qty")))
+    assert(ddl.exists(_.startsWith("CREATE DOMAIN money")))
+  }
+
   test("CREATE TABLE AS SELECT + corpus views + CSVREAD") {
     val e = freshEngine
     graft.core.Tables.names.foreach(n =>
