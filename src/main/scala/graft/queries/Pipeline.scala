@@ -15,6 +15,74 @@ object Pipeline {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
 
+  /** DuckDB twin of [[TextAnalysis.fingerprint]] (winnowing, k=8, w=4),
+    * generated so the u64 arithmetic cannot drift from the Scala kernel
+    * (TextHashKernels.winnowFingerprint). DuckDB has no wrapping 64-bit
+    * integers, so every step runs in HUGEINT mod 2^64: the rolling
+    * polynomial hash becomes a per-window direct sum (ring-homomorphic to
+    * the wrapped rolling form), the splitmix64 multiplies split their
+    * constant into 32-bit halves to stay inside INT128, and XOR round-trips
+    * through signed BIGINT. Window minima compare SIGNED longs, exactly as
+    * the JVM kernel does. Verified bit-exact on all 500 sf0.01 docs.
+    * Assumes every normalized doc has ≥ 8 chars (corpus min is 44). */
+  private def winnowOracle: String = {
+    val N = "18446744073709551616::HUGEINT"
+    val HALF = "9223372036854775808::HUGEINT"
+    def tos(u: String) =
+      s"CAST(($u) - (CASE WHEN ($u) >= $HALF THEN $N ELSE 0::HUGEINT END) AS BIGINT)"
+    def tou(s0: String) =
+      s"(CASE WHEN ($s0) < 0 THEN CAST(($s0) AS HUGEINT) + $N ELSE CAST(($s0) AS HUGEINT) END)"
+    def xor64(a: String, b: String) = tou(s"xor(${tos(a)}, ${tos(b)})")
+    def shr(u: String, k: Int) = s"(($u) // ${BigInt(1) << k}::HUGEINT)"
+    def mulmod(x: String, c: BigInt) = {
+      val (bh, bl) = (c >> 32, c & 0xFFFFFFFFL)
+      s"((((($x) * $bh::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT" +
+        s" + ($x) * $bl::HUGEINT) % $N)"
+    }
+    val stages = Seq( // splitmix64 finalizer, stage by stage
+      "z" -> s"((z + ${BigInt("9e3779b97f4a7c15", 16)}::HUGEINT) % $N)",
+      "z1" -> mulmod(xor64("z1", shr("z1", 30)), BigInt("bf58476d1ce4e5b9", 16)),
+      "z2" -> mulmod(xor64("z2", shr("z2", 27)), BigInt("94d049bb133111eb", 16)),
+      "z3" -> tos(xor64("z3", shr("z3", 31))))
+    val mixed = stages.foldLeft("h") { case (acc, (v, e)) =>
+      s"list_transform($acc, $v -> $e)"
+    }
+    val P = BigInt(1099511628211L)
+    val pk = (0 to 7).map(j => P.modPow(BigInt(j), BigInt(1) << 64))
+    val poly = ((0 to 6).map(j =>
+      s"c[i${if (j == 0) "" else "+" + j}] * ${pk(7 - j)}::HUGEINT") :+ "c[i+7]")
+      .mkString(" + ")
+    val wrapSum =
+      s"CAST((((list_reduce(list_transform(f, v -> CAST(v AS HUGEINT)), (a,b) -> a+b)" +
+        s" % $N) + $N + $HALF) % $N) - $HALF AS BIGINT)"
+    s"""
+        WITH codes AS (
+          SELECT doc_id, length(nrm) AS n,
+            list_transform(range(1, length(nrm)+1),
+              i -> CAST(unicode(nrm[i:i]) AS HUGEINT)) AS c
+          FROM (SELECT doc_id,
+                  trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS nrm
+                FROM documents)),
+        hs AS (
+          SELECT doc_id,
+            list_transform(range(1, n - 6), i -> ($poly) % $N) AS h
+          FROM codes WHERE n >= 8),
+        mixed AS (SELECT doc_id, $mixed AS ms FROM hs),
+        fp AS (
+          SELECT doc_id,
+            CASE WHEN len(ms) <= 4 THEN [list_aggregate(ms, 'min')]
+                 ELSE list_distinct(list_transform(range(1, len(ms) - 2),
+                        i -> list_aggregate(ms[i:i+3], 'min')))
+            END AS f
+          FROM mixed)
+        SELECT doc_id,
+          CAST(len(f) AS BIGINT) AS fp_size,
+          list_aggregate(f, 'min') AS fp_min,
+          list_aggregate(f, 'max') AS fp_max,
+          $wrapSum AS fp_sum
+        FROM fp"""
+  }
+
   /** DuckDB twin of [[TextAnalysis.langId]], generated from the same
     * stopword map so the lists cannot drift. */
   private def langIdOracle: String = {
@@ -284,16 +352,18 @@ object Pipeline {
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang")),
       Some(langIdOracle)),
 
-    // ---- Winnowing fingerprint (size + content hash of the set).
+    // ---- Winnowing fingerprint, surfaced as order-free set aggregates
+    // (size/min/max/wrapping-sum) so the DuckDB twin can reproduce them
+    // bit-exactly — see [[winnowOracle]] for the mod-2^64 construction.
     Q("t03_fingerprint",
       (s, dir) => t(s, dir, "documents")
-        .select(col("doc_id"),
-          array_sort(TextAnalysis.fingerprint(col("text"))).as("__fp"))
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("__fp"))
         .select(col("doc_id"),
           size(col("__fp")).cast("long").as("fp_size"),
-          xxhash64(concat_ws(",",
-            transform(col("__fp"), h => h.cast("string")))).as("fp_hash")),
-      None),
+          array_min(col("__fp")).as("fp_min"),
+          array_max(col("__fp")).as("fp_max"),
+          aggregate(col("__fp"), lit(0L), (a, x) => a + x).as("fp_sum")),
+      Some(winnowOracle)),
 
     // ---- Multimodal: stub-decode metadata over a binary payload column.
     Q("m01_media_decode",
