@@ -83,6 +83,58 @@ object Pipeline {
         FROM fp"""
   }
 
+  /** DuckDB twin of [[Multimodal.syntheticMedia]] + the stub codec
+    * (Multimodal.stubDecode): the payload is the UTF-8 byte encoding of
+    * `text`, and the stub derives metadata from the Java fold
+    * `h = fold(1125899906842597, acc*31 + signedByte)` over those bytes.
+    * DuckDB reads the bytes back out of hex(encode(text)) (two hex chars
+    * per byte, sign-adjusted to Java's signed byte), folds in HUGEINT
+    * mod 2^64, and mirrors Java's truncating signed division for h/7 and
+    * h/11. Produces the `decoded` CTE every m-query builds on. */
+  private def stubDecodeOracle: String = {
+    val N = "18446744073709551616::HUGEINT"
+    val HALF = "9223372036854775808::HUGEINT"
+    def hexByte(i: String) = // value of byte i (1-based) from the hex dump
+      s"((strpos('0123456789ABCDEF', hx[2*$i-1:2*$i-1])-1)*16" +
+        s" + (strpos('0123456789ABCDEF', hx[2*$i:2*$i])-1))"
+    def jdiv(x: String, d: Int) = // Java's truncating signed division
+      s"(CASE WHEN $x < 0 THEN -((-($x)) // $d) ELSE ($x) // $d END)"
+    s"""
+        bytes AS (
+          SELECT doc_id, hex(encode(text)) AS hx,
+                 octet_length(encode(text)) AS n
+          FROM documents),
+        folded AS (
+          SELECT doc_id, n,
+            list_reduce(
+              list_prepend(1125899906842597::HUGEINT,
+                list_transform(range(1, n+1),
+                  i -> CAST(CASE WHEN ${hexByte("i")} >= 128
+                            THEN ${hexByte("i")} - 256
+                            ELSE ${hexByte("i")} END AS HUGEINT))),
+              (acc, x) -> ((acc * 31 + x) % $N + $N) % $N) AS hu
+          FROM bytes),
+        stub AS (
+          SELECT doc_id AS media_id,
+            ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+            CAST(n AS BIGINT) AS n_bytes,
+            abs(CAST((hu) - (CASE WHEN (hu) >= $HALF THEN $N ELSE 0::HUGEINT END) AS BIGINT)) AS ah,
+            abs(${jdiv(s"CAST((hu) - (CASE WHEN (hu) >= $HALF THEN $N ELSE 0::HUGEINT END) AS BIGINT)", 7)}) AS ah7,
+            abs(${jdiv(s"CAST((hu) - (CASE WHEN (hu) >= $HALF THEN $N ELSE 0::HUGEINT END) AS BIGINT)", 11)}) AS ah11
+          FROM folded),
+        decoded AS (
+          SELECT media_id, kind, n_bytes,
+            CASE kind WHEN 'image' THEN CAST(ah % 1920 + 1 AS INT)
+                      WHEN 'video' THEN CAST(ah % 1280 + 1 AS INT) END AS width,
+            CASE kind WHEN 'image' THEN CAST(ah7 % 1080 + 1 AS INT)
+                      WHEN 'video' THEN CAST(ah7 % 720 + 1 AS INT) END AS height,
+            CASE kind WHEN 'audio' THEN CAST(ah % 4800 + 1 AS INT)
+                      WHEN 'video' THEN CAST(ah11 % 300 + 1 AS INT) END AS n_frames,
+            CASE kind WHEN 'image' THEN 'stub/png' WHEN 'audio' THEN 'stub/wav'
+                      ELSE 'stub/mp4' END AS format
+          FROM stub)"""
+  }
+
   /** DuckDB twin of [[TextAnalysis.langId]], generated from the same
     * stopword map so the lists cannot drift. */
   private def langIdOracle: String = {
@@ -366,20 +418,33 @@ object Pipeline {
       Some(winnowOracle)),
 
     // ---- Multimodal: stub-decode metadata over a binary payload column.
+    // The codec is a stub, but a DETERMINISTIC one — so the whole decode
+    // path (payload bytes → fold → metadata) is oracled bit-exactly via
+    // the generated byte-fold twin (see stubDecodeOracle).
     Q("m01_media_decode",
       (s, dir) => Multimodal.decodeMeta(
         Multimodal.syntheticMedia(t(s, dir, "documents"))),
-      None),
+      Some(s"""
+        WITH ${stubDecodeOracle}
+        SELECT media_id, kind, n_bytes, width, height, n_frames, format
+        FROM decoded""")),
 
     // ---- Multimodal: frame sampling (row explosion per sampled frame).
     Q("m02_frame_sample",
       (s, dir) => Multimodal.sampleFrames(
         Multimodal.decodeMeta(Multimodal.syntheticMedia(t(s, dir, "documents"))),
         everyNth = 30),
-      None),
+      Some(s"""
+        WITH ${stubDecodeOracle}
+        SELECT media_id, kind, n_frames,
+               CAST(f // 30 AS INT) AS sample_idx,
+               CAST(f AS INT) AS frame_idx
+        FROM decoded, UNNEST(range(0, CAST(n_frames AS BIGINT), 30)) AS u(f)
+        WHERE n_frames IS NOT NULL""")),
 
     // ---- Multimodal: feature extraction + resize stages (stub codec, real
-    // batch plumbing) — fp_mean surfaced so the rows-only check sees shape.
+    // batch plumbing). Feature VALUES are JVM-seeded (not SQL-expressible);
+    // the surfaced shape (dim) and the resize arithmetic are oracled.
     Q("m03_media_features",
       (s, dir) => {
         val media = Multimodal.syntheticMedia(t(s, dir, "documents"))
@@ -389,6 +454,17 @@ object Pipeline {
           .select(col("media_id"), col("kind"), col("out_width"), col("out_height"),
             size(col("feature")).as("feat_dim"))
       },
-      None)
+      Some(s"""
+        WITH ${stubDecodeOracle},
+        resized AS (
+          SELECT media_id, kind, width, height,
+            CASE WHEN greatest(width, height) > 512
+                 THEN 512.0 / greatest(width, height) ELSE 1.0 END AS scale
+          FROM decoded)
+        SELECT media_id, kind,
+               CAST(trunc(width * scale) AS INT) AS out_width,
+               CAST(trunc(height * scale) AS INT) AS out_height,
+               16 AS feat_dim
+        FROM resized"""))
   )
 }
