@@ -83,6 +83,95 @@ object Pipeline {
         FROM fp"""
   }
 
+  /** DuckDB twin of [[Dedup.simhashColumn]]: XXH64(seed=42) of each
+    * token's UTF-8 bytes (Spark's `xxhash64`), then the 64-lane SimHash
+    * tally — all in HUGEINT mod-2^64 SQL. The XXH64 tail path is unrolled
+    * for inputs < 32 bytes (3×8-byte, one 4-byte, 3×1-byte conditional
+    * steps; corpus max token is 8 bytes); rotations become shift-add on
+    * disjoint bit ranges, variable×constant multiplies split the constant
+    * into 32-bit halves to stay inside INT128. Verified bit-exact against
+    * the JVM on every sf0.01 document before adoption. */
+  private def simhashOracle: String = {
+    val N = "18446744073709551616::HUGEINT"
+    val HALF = "9223372036854775808::HUGEINT"
+    val P1 = BigInt("11400714785074694791")
+    val P2 = BigInt("14029467366897019727")
+    val P3 = BigInt("1609587929392839161")
+    val P4 = BigInt("9650029242287828579")
+    val P5 = BigInt("2870177450012600261")
+    def tos(u: String) =
+      s"CAST(($u) - (CASE WHEN ($u) >= $HALF THEN $N ELSE 0::HUGEINT END) AS BIGINT)"
+    def tou(s0: String) =
+      s"(CASE WHEN ($s0) < 0 THEN CAST(($s0) AS HUGEINT) + $N ELSE CAST(($s0) AS HUGEINT) END)"
+    def xor64(a: String, b: String) = tou(s"xor(${tos(a)}, ${tos(b)})")
+    def shr(u: String, k: Int) = s"(($u) // ${BigInt(1) << k}::HUGEINT)"
+    def rotl(x: String, r: Int) =
+      s"(((($x) * ${BigInt(1) << r}::HUGEINT) % $N + (($x) // ${BigInt(1) << (64 - r)}::HUGEINT)))"
+    def mulmod(x: String, c: BigInt) = {
+      val (bh, bl) = (c >> 32, c & 0xFFFFFFFFL)
+      s"((((($x) * $bh::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT" +
+        s" + ($x) * $bl::HUGEINT) % $N)"
+    }
+    def hexByte(i: String) =
+      s"((strpos('0123456789ABCDEF', hx[2*($i)-1:2*($i)-1])-1)*16" +
+        s" + (strpos('0123456789ABCDEF', hx[2*($i):2*($i)])-1))"
+    def rd(i: String, w: Int) = "(" + (0 until w).map(j =>
+      s"CAST(${hexByte(s"($i)+$j")} AS HUGEINT) * ${BigInt(1) << (8 * j)}::HUGEINT")
+      .mkString(" + ") + ")"
+    def step8(h: String, b: String) = {
+      val k = mulmod(rotl(mulmod(b, P2), 31) + s" % $N", P1)
+      s"((${mulmod(rotl(xor64(h, k), 27) + s" % $N", P1)} + $P4::HUGEINT) % $N)"
+    }
+    def step4(h: String, b4: String) =
+      s"((${mulmod(rotl(xor64(h, mulmod(b4, P1)), 23) + s" % $N", P2)} + $P3::HUGEINT) % $N)"
+    def stepB(h: String, b1: String) =
+      mulmod(rotl(xor64(h, mulmod(b1, P5)), 11) + s" % $N", P1)
+    val bits = (0 until 64).map(b =>
+      s"CASE WHEN SUM(CASE WHEN (hu // ${BigInt(1) << b}::HUGEINT) % 2 = 1" +
+        s" THEN 1 ELSE -1 END) > 0 THEN ${BigInt(1) << b}::HUGEINT" +
+        s" ELSE 0::HUGEINT END AS bit$b").mkString(",\n            ")
+    val bitSum = (0 until 64).map(b => s"bit$b").mkString(" + ")
+    s"""
+        toks AS (
+          SELECT doc_id, UNNEST(list_filter(string_split(
+            trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '), ' '),
+            x -> len(x) > 0)) AS tok
+          FROM documents),
+        t0 AS (
+          SELECT doc_id, hex(encode(tok)) AS hx, octet_length(encode(tok)) AS n
+          FROM toks),
+        t1 AS (SELECT doc_id, hx, n,
+          ((42 + $P5::HUGEINT + n) % $N) AS h0, n // 8 AS c8 FROM t0),
+        t2 AS (SELECT doc_id, hx, n, c8,
+          CASE WHEN c8 >= 1 THEN ${step8("h0", rd("1", 8))} ELSE h0 END AS h1 FROM t1),
+        t3 AS (SELECT doc_id, hx, n, c8,
+          CASE WHEN c8 >= 2 THEN ${step8("h1", rd("9", 8))} ELSE h1 END AS h2 FROM t2),
+        t4 AS (SELECT doc_id, hx, n, c8,
+          CASE WHEN c8 >= 3 THEN ${step8("h2", rd("17", 8))} ELSE h2 END AS h3 FROM t3),
+        t5 AS (SELECT doc_id, hx, n, 8*c8 AS o4, (n - 8*c8) >= 4 AS has4,
+          CASE WHEN (n - 8*c8) >= 4 THEN ${step4("h3", rd("8*c8+1", 4))} ELSE h3 END AS h4 FROM t4),
+        t6 AS (SELECT doc_id, hx, n, o4 + (CASE WHEN has4 THEN 4 ELSE 0 END) AS ob, h4 FROM t5),
+        t7 AS (SELECT doc_id, hx, n, ob,
+          CASE WHEN n > ob THEN ${stepB("h4", s"CAST(${hexByte("ob+1")} AS HUGEINT)")} ELSE h4 END AS h5 FROM t6),
+        t8 AS (SELECT doc_id, hx, n, ob,
+          CASE WHEN n > ob+1 THEN ${stepB("h5", s"CAST(${hexByte("ob+2")} AS HUGEINT)")} ELSE h5 END AS h6 FROM t7),
+        t9 AS (SELECT doc_id, hx, n, ob,
+          CASE WHEN n > ob+2 THEN ${stepB("h6", s"CAST(${hexByte("ob+3")} AS HUGEINT)")} ELSE h6 END AS h7 FROM t8),
+        a1 AS (SELECT doc_id, ${xor64("h7", shr("h7", 33))} AS v1 FROM t9),
+        a2 AS (SELECT doc_id, ${mulmod("v1", P2)} AS v2 FROM a1),
+        a3 AS (SELECT doc_id, ${xor64("v2", shr("v2", 29))} AS v3 FROM a2),
+        a4 AS (SELECT doc_id, ${mulmod("v3", P3)} AS v4 FROM a3),
+        th AS (SELECT doc_id, ${xor64("v4", shr("v4", 32))} AS hu FROM a4),
+        tallies AS (
+          SELECT doc_id,
+            $bits
+          FROM th GROUP BY doc_id),
+        sim AS MATERIALIZED (
+          -- materialized: the pair join references sim twice, and inlining
+          -- this expression tree twice explodes the planner
+          SELECT doc_id, ${tos(s"($bitSum)")} AS simhash FROM tallies)"""
+  }
+
   /** DuckDB twin of [[Multimodal.syntheticMedia]] + the stub codec
     * (Multimodal.stubDecode): the payload is the UTF-8 byte encoding of
     * `text`, and the stub derives metadata from the Java fold
@@ -265,7 +354,12 @@ object Pipeline {
     Q("d04_simhash_pairs",
       (s, dir) => Dedup.simhashCandidates(
         t(s, dir, "documents"), "doc_id", "text", maxHamming = 3),
-      None),
+      Some(s"""
+        WITH ${simhashOracle}
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""")),
 
     // ---- Exact word-3-gram Jaccard over LSH candidates.
     // Oracle: all-pairs word-3-gram Jaccard (short docs collapse to one
