@@ -9,6 +9,12 @@ import graft.operators.{Dedup, Similarity}
 object ScaleStress {
   def main(a: Array[String]): Unit = {
     val spark = graft.core.GraftSession.local(32)
+    // optional arg: checkpoint mode (local | reliable) — cluster-durability
+    // cost measurement for the iterative operators
+    a.headOption.foreach { m =>
+      spark.conf.set(graft.core.Checkpoint.ModeKey, m)
+      println(s"[stress] checkpoint mode: $m")
+    }
     val dir = "/root/testdata/sf0.1"
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
