@@ -114,11 +114,35 @@ object TopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
 }
 
 object TopKPerKey {
+
+  /** Window-composed fallback with bounded memory per partition: Spark's
+    * sort-based window spills to disk, so it survives arbitrarily many
+    * distinct keys — at the price of a full per-key sort. Use when the key
+    * cardinality per partition is unbounded (general groupwise top-k over
+    * a high-cardinality key); the heap operator is the right choice for
+    * the ANN re-rank contract (bounded query set). */
+  def windowed(df: DataFrame, keyNames: Seq[String],
+      orderBy: Seq[(String, Boolean)], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    val ord = orderBy.map { case (n, desc) =>
+      if (desc) col(n).desc else col(n).asc }
+    df.withColumn("rank",
+        row_number().over(Window.partitionBy(keyNames.map(col): _*).orderBy(ord: _*)))
+      .filter(col("rank") <= k)
+  }
+
   /** Rows of `df` ranked 1..k per key, best first. `orderBy` entries are
     * (columnName, descending). Attribute resolution happens here against the
     * analyzed child (the classic-Column bridge yields lazy ColumnNode
     * wrappers the analyzer won't resolve inside a foreign node). Registers
-    * the strategy on first use (idempotent). */
+    * the strategy on first use (idempotent).
+    *
+    * MEMORY CONTRACT: the heap executor holds O(|distinct keys in
+    * partition| · k) rows with no spill — sized for the ANN re-rank shape
+    * (keys = the broadcast query set, thousands at most). For an unbounded/
+    * high-cardinality key use [[windowed]], which spills via Spark's
+    * sort-based window at the cost of a full per-key sort. */
   def apply(df: DataFrame, keyNames: Seq[String],
       orderBy: Seq[(String, Boolean)], k: Int): DataFrame = {
     val spark = df.sparkSession

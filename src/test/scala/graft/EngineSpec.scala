@@ -446,6 +446,34 @@ class EngineSpec extends SparkSpec {
     assert(ddl.exists(_.startsWith("CREATE DOMAIN money")))
   }
 
+  test("front-door edge cases: quoted CSVWRITE SQL, commas in TABLE() literals, FK→PK default, BEFORE errors") {
+    val e = freshEngine
+    e.sql("CREATE TABLE ec (a int, b varchar(20))")
+    e.sql("INSERT INTO ec VALUES (1,'x,y'), (2,'z')")
+    // CSVWRITE with '' escaped quotes inside the query string (Csv.java form)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_csvwrite_esc"
+    val n = e.sql(s"CALL CSVWRITE('$dir', 'SELECT * FROM ec WHERE b = ''x,y''')")
+      .head().getLong(0)
+    assert(n == 1)
+    // TABLE() literal containing a comma inside quotes survives splitting
+    val vals = e.sql("SELECT v FROM TABLE(v VARCHAR=ARRAY['a,b','c']) ORDER BY v")
+      .collect().map(_.getString(0)).toSeq
+    assert(vals == Seq("a,b", "c"))
+    // FK REFERENCES without an explicit column list targets the parent PK
+    e.sql("CREATE TABLE pkp (id int PRIMARY KEY, v varchar(5))")
+    e.sql("INSERT INTO pkp VALUES (1,'a')")
+    e.sql("CREATE TABLE pkc (r int)")
+    e.sql("INSERT INTO pkc VALUES (1)")
+    e.sql("ALTER TABLE pkc ADD CONSTRAINT fk_def FOREIGN KEY (r) REFERENCES pkp")
+    intercept[Exception] { e.sql("INSERT INTO pkc VALUES (99)") }
+    // ALTER ... ADD BEFORE a nonexistent column is a clear error
+    intercept[Exception] { e.sql("ALTER TABLE ec ADD c2 int BEFORE nope") }
+    // DOMAIN with a CHECK clause parses (check recorded at type level only)
+    e.sql("CREATE DOMAIN posint AS INT CHECK (VALUE > 0)")
+    e.sql("CREATE TABLE dt (p posint)")
+    assert(e.table("dt").schema("p").dataType.typeName == "integer")
+  }
+
   test("CREATE TABLE AS SELECT + corpus views + CSVREAD") {
     val e = freshEngine
     graft.core.Tables.names.foreach(n =>

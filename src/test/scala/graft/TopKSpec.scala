@@ -35,6 +35,14 @@ class TopKSpec extends SparkSpec {
     assert(out.toSeq == Seq(("a", 2.0, 1), ("a", 1.0, 2), ("b", 9.0, 1)))
   }
 
+  test("TopKPerKey.windowed (the spill-safe fallback) matches the heap operator") {
+    val heap = TopKPerKey(df, Seq("key"), Seq(("score", true), ("id", false)), k = 5)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getInt(3))).toSet
+    val win = TopKPerKey.windowed(df, Seq("key"), Seq(("score", true), ("id", false)), k = 5)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getInt(3))).toSet
+    assert(heap == win)
+  }
+
   test("plan contains the custom exec node with an inserted exchange") {
     val out = TopKPerKey(df, Seq("key"), Seq(("score", true)), k = 2)
     out.collect()
