@@ -224,9 +224,13 @@ final class Engine(val spark: SparkSession) {
         val body0 = procedures.getOrElse(name.toLowerCase,
           throw new IllegalArgumentException(s"no prepared statement $name"))
         var body = body0
+        // positional `?` substitution, skipping any ? inside string literals
         Option(args).toSeq.flatMap(splitTop(_)).map(_.trim).foreach { a =>
-          body = body.replaceFirst("\\?",
-            java.util.regex.Matcher.quoteReplacement(a))
+          val spans = literalSpans(body)
+          val idx = Iterator.iterate(body.indexOf('?'))(i => body.indexOf('?', i + 1))
+            .takeWhile(_ >= 0)
+            .find(i => !spans.exists(sp => i >= sp._1 && i < sp._2))
+          idx.foreach(i => body = body.substring(0, i) + a + body.substring(i + 1))
         }
         execOne(body)
       case deallocateRe(name) =>

@@ -150,6 +150,9 @@ class EngineSpec extends SparkSpec {
     assert(got == Seq("y", "z"))
     e.sql("DEALLOCATE getbig")
     intercept[IllegalArgumentException] { e.sql("EXECUTE getbig(1)") }
+    // a literal '?' in the prepared body is not a parameter slot
+    e.sql("PREPARE qmark AS SELECT b || '?' AS s FROM pr WHERE a = ?")
+    assert(e.sql("EXECUTE qmark(2)").head().getString(0) == "y?")
     // RUNSCRIPT executes a file of statements
     val f = java.nio.file.Files.createTempFile("graft_rs", ".sql")
     java.nio.file.Files.writeString(f,
