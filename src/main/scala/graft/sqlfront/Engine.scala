@@ -273,11 +273,18 @@ final class Engine(val spark: SparkSession) {
           case None => t.select(cols :+ newCol: _*)
         }
         register(tn, out); status()
-      case alterColTypeRe(tn, cName, typeSpec) =>
+      case alterColTypeRe(tn, cName, typeSpec)
+          // SET DEFAULT / SELECTIVITY / RESTART forms are attribute tweaks,
+          // not type changes — accept as recorded no-ops rather than
+          // mis-parsing "SET"/"SELECTIVITY" as a (string) type
+          if !Set("SET", "SELECTIVITY", "RESTART")
+            .contains(typeSpec.trim.split("\\s+")(0).toUpperCase) =>
         val t = table(tn)
         val c = cName.toLowerCase
         register(tn, t.withColumn(c, col(c).cast(parseType(typeSpec))))
         status()
+      case alterColTypeRe(_, _, _) =>
+        status() // attribute-only ALTER COLUMN form: advisory in a snapshot engine
       case createIndexRe(unique, name, tn, cols) =>
         val ks = cols.split(",").map(_.trim.toLowerCase).toSeq
         if (unique != null)

@@ -475,6 +475,11 @@ class EngineSpec extends SparkSpec {
     e.sql("CREATE DOMAIN posint AS INT CHECK (VALUE > 0)")
     e.sql("CREATE TABLE dt (p posint)")
     assert(e.table("dt").schema("p").dataType.typeName == "integer")
+    // attribute-only ALTER COLUMN forms must NOT be misparsed as a type
+    // change (SET would otherwise parse as a string type and corrupt)
+    e.sql("ALTER TABLE dt ALTER COLUMN p SET DEFAULT 5")
+    e.sql("ALTER TABLE dt ALTER COLUMN p SELECTIVITY 50")
+    assert(e.table("dt").schema("p").dataType.typeName == "integer")
   }
 
   test("CREATE TABLE AS SELECT + corpus views + CSVREAD") {
