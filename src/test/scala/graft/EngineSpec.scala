@@ -76,6 +76,16 @@ class EngineSpec extends SparkSpec {
     assert(e.sql("SELECT count(*) FROM u").head().getLong(0) == 0)
   }
 
+  test("scalar subqueries in UPDATE SET and UPDATE/DELETE WHERE (Update.java shapes)") {
+    val e = freshEngine
+    e.sql("CREATE TABLE sq (k int PRIMARY KEY, v int)")
+    e.sql("INSERT INTO sq VALUES (1, 10), (2, 20), (3, 30)")
+    e.sql("UPDATE sq SET v = (SELECT max(v) FROM sq) WHERE k = 1")
+    assert(e.sql("SELECT v FROM sq WHERE k = 1").head().getInt(0) == 30)
+    e.sql("DELETE FROM sq WHERE v < (SELECT avg(v) FROM sq)")
+    assert(e.sql("SELECT count(*) FROM sq").head().getLong(0) == 2)
+  }
+
   test("SYSTEM_RANGE, FROM-first, ORDER BY =n, SAMPLE_SIZE") {
     val e = freshEngine
     assert(e.sql("SELECT count(*) FROM SYSTEM_RANGE(1, 100)").head().getLong(0) == 100)
