@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.operators.Dedup
+import graft.streaming.StreamDedup
+
+class StreamDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cfg = Dedup.MinHashConfig(numHashes = 64, bands = 16, threshold = 0.6)
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog and runs far away home", "2024-01-01 10:00:00"),
+    (4L, "completely different content about spark dataframes and catalyst", "2024-01-01 10:01:00"),
+    (2L, "the quick brown fox jumps over the lazy dog and runs far away home", "2024-01-01 10:02:00"),
+    (5L, "unrelated short text that matches nothing else in this corpus", "2024-01-01 10:03:00"),
+    (3L, "the quick brown fox jumps over the lazy cat and runs far away home", "2024-01-01 10:04:00"),
+    (6L, "the quick brown fox jumps over the lazy dog and runs far away home", "2024-01-01 10:05:00")
+  ).map { case (id, t, ts) => (id, t, java.sql.Timestamp.valueOf(ts)) }
+    .toDF("doc_id", "text", "ts")
+
+  /** Brute-force expectation: (earlier, later) by arrival where the pair
+    * shares ≥1 LSH band AND the signature estimate clears threshold−2σ. */
+  private lazy val expected: Set[(Long, Long)] = {
+    val rows = docs
+      .withColumn("sig", Dedup.minhashSignature(
+        Dedup.shingleHashSet($"text", cfg.shingleSize), cfg.numHashes, cfg.seed))
+      .withColumn("bands", Dedup.bandHashes($"sig", cfg.bands, cfg.rowsPerBand))
+      .select($"doc_id", $"sig", $"bands", unix_millis($"ts").as("ms"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getSeq[Long](2).toArray, r.getLong(3)))
+      .sortBy(x => (x._4, x._1))
+    val margin = 2.0 / math.sqrt(cfg.numHashes.toDouble)
+    (for {
+      i <- rows.indices
+      j <- (i + 1) until rows.length
+      (ida, siga, bandsa, _) = rows(i)
+      (idb, sigb, bandsb, _) = rows(j)
+      if bandsa.zip(bandsb).exists { case (x, y) => x == y }
+      est = siga.zip(sigb).count { case (x, y) => x == y }.toDouble / siga.length
+      if est >= cfg.threshold - margin
+    } yield (ida, idb)).toSet
+  }
+
+  test("batch-mode execution of the streaming operator matches brute force") {
+    val got = StreamDedup.minhashCandidatesStream(docs, cfg)
+      .collect().map(p => (p.id_prior, p.id_new)).toSet
+    assert(got == expected)
+    // the dense-dup cluster (1,2,6 identical; 3 near) is fully linked
+    assert(expected.contains((1L, 2L)) && expected.contains((1L, 6L))
+      && expected.contains((2L, 6L)) && expected.contains((1L, 3L)))
+    assert(!expected.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("streaming run (two micro-batches) equals batch mode and brute force") {
+    val dir = Files.createTempDirectory("graft_sdedup").toFile.getAbsolutePath
+    val (first, second) = (docs.filter($"doc_id" <= 4), docs.filter($"doc_id" > 4))
+    first.coalesce(1).write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+    val q = StreamDedup.minhashCandidatesStream(stream, cfg)
+      .writeStream.format("memory").queryName("graft_stream_dedup")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      q.processAllAvailable()
+      second.coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val got = spark.table("graft_stream_dedup")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected)
+    } finally q.stop()
+  }
+}
