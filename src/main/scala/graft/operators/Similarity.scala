@@ -15,10 +15,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** dot(a, b) in double precision (sequential fold — deterministic). */
+  /** dot(a, b) in double precision (sequential fold — deterministic).
+    * Custom codegen'd expression (graft.functions.DotProduct): the
+    * zip_with+aggregate composition it replaces evaluated its lambdas
+    * interpretively per element; the numeric contract (left-to-right
+    * double fold) is bit-identical, so the DuckDB oracle twins hold. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VecExprs.dotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -57,9 +60,7 @@ object Similarity {
   /** Sign-bucket of a vector under `m` hyperplanes: an m-bit code. */
   def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      val d = aggregate(
-        zip_with(vec, lit(p.toArray), (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
+      val d = graft.functions.VecExprs.dotProduct(vec, lit(p.toArray))
       when(d >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
