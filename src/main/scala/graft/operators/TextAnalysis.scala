@@ -63,8 +63,10 @@ object TextAnalysis {
     val spaces = length(regexp_replace(text, "[^ ]", "")).cast("long")
     val toks = tokens(text)
     val nToks = size(toks).cast("long")
+    // sum of token lengths == length of the separator-free concat — a pure
+    // codegen'd built-in instead of an interpreted per-element fold
     val meanTokLen = when(nToks > 0,
-      aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double") / nToks)
+      length(concat_ws("", toks)).cast("double") / nToks)
       .otherwise(lit(0.0))
     val alphaRatio = when(nChars > 0, alpha.cast("double") / nChars).otherwise(lit(0.0))
     val digitRatio = when(nChars > 0, digits.cast("double") / nChars).otherwise(lit(0.0))
