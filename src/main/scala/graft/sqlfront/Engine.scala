@@ -433,6 +433,9 @@ final class Engine(val spark: SparkSession) {
     // All rewrites below are literal-aware (rewriteOutside): a quoted
     // 'user@example.com' or 'LIMIT 3,4' inside a string must never be
     // rewritten (translate used to be string-blind — round-1 advice).
+    // Mode-gated syntax (db/Mode.java): MSSQL bracket identifiers.
+    if (compatibilityMode == "MSSQLSERVER" || compatibilityMode == "MSSQL")
+      q = rewriteOutside(q, """\[([A-Za-z_]\w*)\]""".r)(m => s"`${m.group(1)}`")
     // SYSTEM_RANGE(a,b[,s]) → registered range view
     val sysRange = """(?i)\bSYSTEM_RANGE\s*\(\s*(-?\d+)\s*,\s*(-?\d+)\s*(?:,\s*(-?\d+)\s*)?\)""".r
     q = rewriteOutside(q, sysRange) { m =>

@@ -172,6 +172,11 @@ class EngineSpec extends SparkSpec {
     // SET MODE records the compatibility mode (db/Mode.java)
     e.sql("SET MODE MySQL")
     assert(e.mode == "MYSQL")
+    // MSSQL mode enables [bracket] identifiers (mode-gated, like Mode.java's
+    // squareBracketQuotedNames flag); other modes leave them alone
+    e.sql("SET MODE MSSQLServer")
+    assert(e.sql("SELECT [a] FROM pr WHERE [a] = 2").head().getInt(0) == 2)
+    e.sql("SET MODE REGULAR")
     // RANDOM_UUID shape
     val uuid = e.sql("SELECT random_uuid() AS u").head().getString(0)
     assert(uuid.matches("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"))
