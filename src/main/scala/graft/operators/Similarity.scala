@@ -51,8 +51,11 @@ object Similarity {
       Seq(("cos_sim", true), ("neighbor_id", false)), k)
   }
 
-  /** Deterministic random hyperplanes (dim × m) from a seeded RNG. */
-  private def hyperplanes(dim: Int, m: Int, seed: Long): Seq[Seq[Double]] = {
+  /** Deterministic random hyperplanes (dim × m) from a seeded RNG.
+    * `private[graft]`: the DuckDB oracle generator inlines these exact
+    * doubles as SQL literals (Double.toString round-trips), which is what
+    * makes the approximate LSH paths hash-verifiable. */
+  private[graft] def hyperplanes(dim: Int, m: Int, seed: Long): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(m)(Seq.fill(dim)(rnd.nextGaussian()))
   }

@@ -83,6 +83,87 @@ object Pipeline {
         FROM fp"""
   }
 
+  /** The exact left-to-right double fold both engines share (Spark
+    * DotProduct kernel ≡ DuckDB list_reduce). */
+  private def foldDotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), " +
+      s"z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (x,y) -> x+y)"
+
+  private def normSql(v: String): String =
+    s"sqrt(list_reduce(list_transform($v, " +
+      s"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a+b))"
+
+  /** The m-bit hyperplane sign bucket of `vecExpr` — the planes are seeded
+    * CONSTANTS, so their exact double values inline as SQL literals
+    * (Double.toString round-trips), making the "approximate" LSH paths
+    * hash-verifiable: the oracle reproduces the same approximation. */
+  private def lshBucketSql(vecExpr: String, planes: Seq[Seq[Double]]): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      val lits = p.map(_.toString).mkString("[", ", ", "]")
+      s"(CASE WHEN ${foldDotSql(vecExpr, lits)} >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** DuckDB twin of [[Similarity.lshTopK]] (s02): bucket codes from the
+    * inlined hyperplanes, candidate pairs from shared (table, bucket),
+    * exact fold-cosine re-rank, row_number top-k. */
+  private def annLshOracle(tables: Int, bits: Int, seed: Long, k: Int): String = {
+    val bks = (0 until tables)
+      .map(t => lshBucketSql("embedding",
+        graft.operators.Similarity.hyperplanes(64, bits, seed + t)))
+      .mkString("[", ",\n            ", "]")
+    s"""
+        WITH c AS MATERIALIZED (
+          SELECT vec_id, embedding, ${normSql("embedding")} AS nrm,
+            $bks AS bks
+          FROM embeddings),
+        e AS MATERIALIZED (
+          SELECT vec_id, tbl.range AS tbl, bks[tbl.range] AS bkt
+          FROM c, range(1, ${tables + 1}) tbl),
+        cand AS (
+          SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
+          FROM e n JOIN e q ON n.tbl = q.tbl AND n.bkt = q.bkt
+          WHERE q.vec_id < 8 AND n.vec_id <> q.vec_id),
+        scored AS (
+          SELECT cand.query_id, cand.neighbor_id,
+            ${foldDotSql("cn.embedding", "cq.embedding")} / (cn.nrm * cq.nrm) AS cos_sim
+          FROM cand
+          JOIN c cn ON cn.vec_id = cand.neighbor_id
+          JOIN c cq ON cq.vec_id = cand.query_id)
+        SELECT query_id, neighbor_id, cos_sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+        FROM scored
+        QUALIFY rank <= $k"""
+  }
+
+  /** DuckDB twin of [[Similarity.embeddingNearDupPairs]] (d06). */
+  private def embNearDupOracle(tables: Int, bits: Int, seed: Long,
+      threshold: Double): String = {
+    val bks = (0 until tables)
+      .map(t => lshBucketSql("embedding",
+        graft.operators.Similarity.hyperplanes(64, bits, seed + 100 + t)))
+      .mkString("[", ",\n            ", "]")
+    s"""
+        WITH c AS MATERIALIZED (
+          SELECT vec_id, embedding, ${normSql("embedding")} AS nrm,
+            $bks AS bks
+          FROM embeddings),
+        e AS MATERIALIZED (
+          SELECT vec_id, tbl.range AS tbl, bks[tbl.range] AS bkt
+          FROM c, range(1, ${tables + 1}) tbl),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM e a JOIN e b ON a.tbl = b.tbl AND a.bkt = b.bkt
+          WHERE a.vec_id < b.vec_id)
+        SELECT cand.id_a, cand.id_b,
+          ${foldDotSql("ca.embedding", "cb.embedding")} / (ca.nrm * cb.nrm) AS cos_sim
+        FROM cand
+        JOIN c ca ON ca.vec_id = cand.id_a
+        JOIN c cb ON cb.vec_id = cand.id_b
+        WHERE ${foldDotSql("ca.embedding", "cb.embedding")} / (ca.nrm * cb.nrm)
+          >= $threshold"""
+  }
+
   /** DuckDB twin of [[Dedup.simhashColumn]]: XXH64(seed=42) of each
     * token's UTF-8 bytes (Spark's `xxhash64`), then the 64-lane SimHash
     * tally — all in HUGEINT mod-2^64 SQL. The XXH64 tail path is unrolled
@@ -387,17 +468,15 @@ object Pipeline {
         WHERE ngram_jaccard >= 0.1""")),
 
     // ---- Embedding near-dup pairs via hyperplane LSH + cosine verify.
-    // Deliberately rows-only: the corpus has no high-cosine near-dups
-    // (max pairwise cos ≈ 0.51 at sf0.01), so threshold 0.35 operates in
-    // the approximate-recall regime where hyperplane LSH is sub-1.0 recall
-    // BY DESIGN — an exact all-pairs oracle would assert a guarantee the
-    // operator intentionally does not make. Precision is exact (every
-    // emitted pair is cosine-verified; SimilaritySpec pins recall bounds).
+    // The LSH path is approximate vs ground truth but DETERMINISTIC: the
+    // seeded hyperplanes are constants, so the oracle inlines their exact
+    // doubles and reproduces the same candidate set + cosine bit-for-bit —
+    // the approximation itself is hash-verified.
     Q("d06_embedding_neardup",
       (s, dir) => Similarity.embeddingNearDupPairs(
         t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.35, dim = 64, bitsPerTable = 6, tables = 8),
-      None),
+      Some(embNearDupOracle(tables = 8, bits = 6, seed = 42L, threshold = 0.35))),
 
     // ---- ANN: exact brute-force cosine top-k (baseline; corpus-linear).
     // Oracle reproduces the cosine bit-for-bit: the same float→double cast,
@@ -431,6 +510,8 @@ object Pipeline {
         QUALIFY rank <= 10""")),
 
     // ---- ANN: hyperplane-LSH bucketed top-k (scale path; sublinear).
+    // Oracled like d06: the seeded planes inline as literals, so the
+    // bucket codes, candidate set, and re-rank reproduce exactly.
     Q("s02_ann_lsh",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
@@ -439,7 +520,7 @@ object Pipeline {
           emb.filter(col("vec_id") < 8), "vec_id", "embedding",
           k = 10, dim = 64, bitsPerTable = 5, tables = 8)
       },
-      None),
+      Some(annLshOracle(tables = 8, bits = 5, seed = 42L, k = 10))),
 
     // ---- ANN: IVF-flat (k-means cells + probe; third ANN strategy).
     Q("s03_ann_ivf",
