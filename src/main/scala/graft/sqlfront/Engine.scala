@@ -173,6 +173,21 @@ final class Engine(val spark: SparkSession) {
     """(?is)^\s*CREATE\s+TRIGGER\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+((?:BEFORE|AFTER|INSTEAD\s+OF)\s+[\w ,]+?)\s+ON\s+(\w+)\s+.*$""".r
   private val dropTriggerRe =
     """(?is)^\s*DROP\s+TRIGGER\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r
+  // DROP ALL OBJECTS (ddl/DropDatabase.java), CREATE SCHEMA
+  // (ddl/CreateSchema.java), GRANT/REVOKE (ddl/GrantRevoke.java — recorded
+  // only; single-user batch engine enforces nothing)
+  private val dropAllRe =
+    """(?is)^\s*DROP\s+ALL\s+OBJECTS\s*$""".r
+  private val createSchemaRe =
+    """(?is)^\s*CREATE\s+SCHEMA\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)(?:\s+AUTHORIZATION\s+\w+)?\s*$""".r
+  private val dropSchemaRe =
+    """(?is)^\s*DROP\s+SCHEMA\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r
+  private val grantRe =
+    """(?is)^\s*GRANT\s+([\w, ]+?)\s+ON\s+(\w+)\s+TO\s+(\w+)\s*$""".r
+  private val revokeRe =
+    """(?is)^\s*REVOKE\s+([\w, ]+?)\s+ON\s+(\w+)\s+FROM\s+(\w+)\s*$""".r
+  private val schemas = mutable.LinkedHashSet("public")
+  private val rights = mutable.ArrayBuffer.empty[(String, String, String)]
   private val explainRe = """(?is)^\s*EXPLAIN\s+(?:PLAN\s+FOR\s+)?(.*)$""".r
   private val setVarRe = """(?is)^\s*SET\s+@(\w+)\s*=\s*(.*)$""".r
   private val scriptRe = """(?is)^\s*SCRIPT\s*$""".r
@@ -327,6 +342,28 @@ final class Engine(val spark: SparkSession) {
         status()
       case dropTriggerRe(name) =>
         triggers.remove(name.toLowerCase); status()
+      case dropAllRe() =>
+        tables.keys.toSeq.foreach(spark.catalog.dropTempView)
+        tables.clear(); primaryKeys.clear(); identityCols.clear()
+        identityNext.clear(); sequences.clear(); indexes.clear()
+        foreignKeys.clear(); checks.clear(); viewDefs.clear()
+        constants.clear(); domains.clear(); triggers.clear(); rights.clear()
+        status()
+      case createSchemaRe(name) =>
+        schemas += name.toLowerCase; status()
+      case dropSchemaRe(name) =>
+        require(name.toLowerCase != "public", "cannot drop PUBLIC")
+        schemas -= name.toLowerCase; status()
+      case grantRe(privs, obj, grantee) =>
+        privs.split(",").map(_.trim.toUpperCase).foreach(p =>
+          rights += ((grantee.toLowerCase, p, obj.toLowerCase)))
+        status()
+      case revokeRe(privs, obj, grantee) =>
+        val revoked = privs.split(",").map(_.trim.toUpperCase).toSet
+        rights.filterInPlace { case (g, p, o) =>
+          !(g == grantee.toLowerCase && o == obj.toLowerCase && revoked(p))
+        }
+        status()
       case createTableAsRe(name, query) =>
         register(name, runSelect(query)); status()
       case createTableRe(name, colDefs) =>
@@ -722,11 +759,11 @@ final class Engine(val spark: SparkSession) {
           .toDF("id", "section", "topic", "syntax")
       case "roles" => // id 10
         Seq(("PUBLIC", "system role")).toDF("name", "remarks")
-      case "rights" => // id 11: no grants in a single-user batch engine
-        Seq.empty[(String, String, String, String)]
+      case "rights" => // id 11: recorded grants (enforcement out of scope)
+        rights.toSeq.map { case (g, p, o) => (g, "USER", p, o) }
           .toDF("grantee", "granteetype", "rights", "table_name")
       case "schemata" => // id 13
-        Seq(("graft", "public", "SA", "OFF")).toDF(
+        schemas.toSeq.map(s => ("graft", s, "SA", "OFF")).toDF(
           "catalog_name", "schema_name", "schema_owner", "default_collation_name")
       case "table_privileges" => // id 14
         Seq.empty[(String, String, String, String)]

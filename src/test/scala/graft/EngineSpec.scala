@@ -462,6 +462,20 @@ class EngineSpec extends SparkSpec {
     val ddl = e.sql("SCRIPT").collect().map(_.getString(0))
     assert(ddl.exists(_.startsWith("CREATE CONSTANT max_qty")))
     assert(ddl.exists(_.startsWith("CREATE DOMAIN money")))
+    // CREATE SCHEMA / GRANT / REVOKE recorded and surfaced; DROP ALL OBJECTS
+    e.sql("CREATE SCHEMA staging")
+    assert(e.sql("SELECT count(*) FROM INFORMATION_SCHEMA.SCHEMATA").head().getLong(0) == 2)
+    e.sql("GRANT SELECT, INSERT ON prices TO etl_user")
+    assert(e.sql(
+      "SELECT count(*) FROM INFORMATION_SCHEMA.RIGHTS WHERE grantee = 'etl_user'")
+      .head().getLong(0) == 2)
+    e.sql("REVOKE INSERT ON prices FROM etl_user")
+    assert(e.sql(
+      "SELECT rights FROM INFORMATION_SCHEMA.RIGHTS WHERE grantee = 'etl_user'")
+      .head().getString(0) == "SELECT")
+    e.sql("DROP ALL OBJECTS")
+    assert(e.sql("SELECT count(*) FROM INFORMATION_SCHEMA.TABLES").head().getLong(0) == 0)
+    assert(e.sql("SELECT count(*) FROM INFORMATION_SCHEMA.CONSTANTS").head().getLong(0) == 0)
   }
 
   test("front-door edge cases: quoted CSVWRITE SQL, commas in TABLE() literals, FK→PK default, BEFORE errors") {
