@@ -27,7 +27,18 @@ import graft.operators.Dml
   *   - `UPDATE … LIMIT n` / `DELETE … LIMIT n` (Update.java:140-150)
   *   - sequences: CREATE SEQUENCE / NEXTVAL / CURRVAL (SequenceValue.java)
   *     — driver-side counters, documented as non-parallel id generation;
-  *     at scale use monotonically_increasing_id instead.
+  *     INSERT…SELECT NEXTVAL assigns per row; at scale use
+  *     monotonically_increasing_id instead
+  *   - `TABLE(c T=ARRAY[…])` / TABLE_DISTINCT in FROM (TableFunction.java)
+  *   - `CALL CSVWRITE('dir','sql')` (Csv.java:123)
+  *   - ALTER TABLE add/drop/rename column, type change, rename table
+  *     (ddl/AlterTable*.java); CREATE/DROP INDEX (recorded; unique
+  *     validates); ADD CONSTRAINT FK/CHECK/UNIQUE/PK (validated on add and
+  *     per insert batch); CREATE ALIAS by reflection
+  *     (ddl/CreateFunctionAlias.java); CREATE CONSTANT/DOMAIN/TRIGGER/
+  *     SCHEMA, GRANT/REVOKE (recorded), DROP ALL OBJECTS
+  *   - all 30 INFORMATION_SCHEMA meta tables (MetaTable.java:77-107)
+  *   - every textual rewrite is string-literal-aware (rewriteOutside)
   *
   * Tables live as temp views so translated SQL sees them; every mutation
   * re-registers the view (snapshot semantics — readers of the old DataFrame
@@ -213,7 +224,7 @@ final class Engine(val spark: SparkSession) {
       case setVarRe(name, value) =>
         // SET @v = expr (Variable.java:20); substituted at plan time
         variables(name.toLowerCase) =
-          spark.sql(s"SELECT ${substSequences(value)}").head().get(0) match {
+          spark.sql(s"SELECT ${substSequences(substConstants(value))}").head().get(0) match {
             case s: String => s"'${s.replace("'", "''")}'"
             case v => String.valueOf(v)
           }
@@ -409,10 +420,12 @@ final class Engine(val spark: SparkSession) {
         register(name, Dml.mergeInto(t, aligned, key)); status()
       case updateRe(name, sets, where, limit) =>
         val t = table(name)
-        val cond0 = Option(where).map(w => expr(substSequences(w))).getOrElse(lit(true))
+        val cond0 = Option(where).map(w =>
+          expr(substSequences(substConstants(w, Seq(name.toLowerCase)))))
+          .getOrElse(lit(true))
         val setMap = splitTop(sets).map { s =>
           val Array(c, v) = s.split("=", 2)
-          c.trim -> expr(substSequences(v.trim))
+          c.trim -> expr(substSequences(substConstants(v.trim, Seq(name.toLowerCase))))
         }.toMap
         val out = Option(limit) match {
           case None => Dml.update(t, cond0, setMap)
@@ -430,7 +443,9 @@ final class Engine(val spark: SparkSession) {
         register(name, out); status()
       case deleteRe(name, where, limit) =>
         val t = table(name)
-        val cond0 = Option(where).map(w => expr(substSequences(w))).getOrElse(lit(true))
+        val cond0 = Option(where).map(w =>
+          expr(substSequences(substConstants(w, Seq(name.toLowerCase)))))
+          .getOrElse(lit(true))
         val out = Option(limit) match {
           case None => Dml.delete(t, cond0)
           case Some(n) =>
@@ -519,18 +534,31 @@ final class Engine(val spark: SparkSession) {
     // SAMPLE_SIZE n → LIMIT n (head-sample semantics, Select.java:877)
     q = rewriteOutside(q, """(?i)\bSAMPLE_SIZE\s+(\d+)""".r)(m =>
       s"LIMIT ${m.group(1)}")
-    // CREATE CONSTANT names → literal value (schema/Constant.java). Column
-    // names shadow constants (the reference resolves columns first), so a
-    // name that exists as any registered column is left alone.
-    if (constants.nonEmpty) {
-      val colNames = tables.values.flatMap(_.columns).map(_.toLowerCase).toSet
-      constants.foreach { case (n, v) =>
-        if (!colNames.contains(n))
-          q = rewriteOutside(q, s"(?i)\\b$n\\b".r)(_ => v)
-      }
+    // NEXTVAL/CURRVAL + CREATE CONSTANT names
+    substSequences(substConstants(q))
+  }
+
+  /** CREATE CONSTANT names → literal value (schema/Constant.java). Column
+    * names shadow constants (the reference resolves columns first) — but
+    * only columns of tables the statement actually references (word scan),
+    * so an unrelated table sharing the name doesn't block substitution
+    * elsewhere. Over-shadowing fails loudly (unresolved column), never
+    * silently mis-binds. Applied to SELECTs and to UPDATE/DELETE/VALUES
+    * scalar expressions alike. */
+  private def substConstants(q0: String, context: Seq[String] = Nil): String = {
+    if (constants.isEmpty) return q0
+    var q = q0
+    val lower = q.toLowerCase
+    val colNames = tables.keys
+      .filter(t => context.contains(t) ||
+        s"\\b${java.util.regex.Pattern.quote(t)}\\b".r
+          .findFirstIn(lower).isDefined)
+      .flatMap(t => tables(t).columns.map(_.toLowerCase)).toSet
+    constants.foreach { case (n, v) =>
+      if (!colNames.contains(n))
+        q = rewriteOutside(q, s"(?i)\\b$n\\b".r)(_ => v)
     }
-    // NEXTVAL/CURRVAL
-    substSequences(q)
+    q
   }
 
   /** Spans [start,end) of single-quoted literals ('' is the escape). */
@@ -1049,7 +1077,8 @@ final class Engine(val spark: SparkSession) {
     val t = table(tableName)
     val rows = splitTop(tuples0.trim).map(_.trim).filter(_.nonEmpty).map { tup =>
       require(tup.startsWith("(") && tup.endsWith(")"), s"bad VALUES tuple: $tup")
-      splitTop(tup.substring(1, tup.length - 1)).map(v => substSequences(v.trim))
+      splitTop(tup.substring(1, tup.length - 1))
+        .map(v => substSequences(substConstants(v.trim, Seq(tableName.toLowerCase))))
     }
     val selects = rows.map(vs => s"SELECT ${vs.mkString(", ")}")
     spark.sql(selects.mkString(" UNION ALL "))

@@ -431,6 +431,11 @@ class EngineSpec extends SparkSpec {
     e.sql("CREATE TABLE shadow_t (max_qty int)")
     e.sql("INSERT INTO shadow_t VALUES (7)")
     assert(e.sql("SELECT max_qty FROM shadow_t").head().getInt(0) == 7)
+    // constants resolve in DML scalar positions too (UPDATE SET/WHERE, VALUES)
+    e.sql("CREATE TABLE cst (v int)")
+    e.sql("INSERT INTO cst VALUES (max_qty)")
+    e.sql("UPDATE cst SET v = v + max_qty WHERE v = max_qty")
+    assert(e.sql("SELECT v FROM cst").head().getInt(0) == 100)
     // CREATE DOMAIN resolves through column definitions
     e.sql("CREATE DOMAIN money AS DECIMAL(18,2)")
     e.sql("CREATE TABLE prices (p money)")
