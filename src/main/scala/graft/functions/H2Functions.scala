@@ -490,6 +490,12 @@ object H2Functions {
     // RANDOM_UUID/SYS_GUID (Function.java math group) — nondeterministic by
     // contract, excluded from oracle queries.
     u.register("random_uuid", () => java.util.UUID.randomUUID().toString)
+    // SECURE_RAND(n) (Function.java SECURE_RAND): n cryptographic bytes
+    u.register("secure_rand", (n: Int) => {
+      val b = new Array[Byte](math.max(n, 1))
+      new java.security.SecureRandom().nextBytes(b)
+      b
+    })
     u.register("truncate_value", (d: java.lang.Double, s: Int) => truncateValue(d, s))
     // System/session functions (Function.java:325-336,354-369): engine
     // constants where meaningful for a batch library; JVM stats where real.

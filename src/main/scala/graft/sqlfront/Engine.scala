@@ -74,9 +74,14 @@ final class Engine(val spark: SparkSession) {
   private val domains = mutable.LinkedHashMap.empty[String, String]
   private val triggers = mutable.LinkedHashMap.empty[String, (String, String)]
 
+  // session last-identity / last-sequence values (IDENTITY()/SCOPE_IDENTITY()
+  // and LASTVAL() — Function.java session functions)
+  private var lastIdentity: Option[Long] = None
+  private var lastSeqVal: Option[Long] = None
+
   private final class Sequence(var next: Long, val inc: Long) {
     var curr: Long = next - inc
-    def nextVal(): Long = { curr = next; next += inc; curr }
+    def nextVal(): Long = { curr = next; next += inc; lastSeqVal = Some(curr); curr }
     /** Bulk advance after a per-row multi-occurrence fill (SequenceValue
       * semantics: every evaluation increments). */
     def advance(n: Long): Unit =
@@ -534,6 +539,26 @@ final class Engine(val spark: SparkSession) {
     // SAMPLE_SIZE n → LIMIT n (head-sample semantics, Select.java:877)
     q = rewriteOutside(q, """(?i)\bSAMPLE_SIZE\s+(\d+)""".r)(m =>
       s"LIMIT ${m.group(1)}")
+    // H2 function-name surface → the registered UDF names / Spark natives
+    // (Function.java registry): H2's DATEADD/DATEDIFF take a unit STRING
+    // (vs Spark's keyword/2-arg forms), so the quoted-unit call shape maps
+    // to the _h2 UDFs; INSERT/HASH collide with keywords/natives and carry
+    // suffixed registrations; session-identity functions resolve to the
+    // engine's counters.
+    q = rewriteOutside(q, """(?i)\b(?:DATEADD|TIMESTAMPADD)\s*\(\s*'""".r)(_ => "dateadd_h2('")
+    q = rewriteOutside(q, """(?i)\b(?:DATEDIFF|TIMESTAMPDIFF)\s*\(\s*'""".r)(_ => "datediff_h2('")
+    q = rewriteOutside(q, """(?i)\bHASH\s*\(""".r)(_ => "h2_hash(")
+    q = rewriteOutside(q, """(?i)\bINSERT\s*\(""".r)(_ => "insert_str(")
+    q = rewriteOutside(q, """(?i)\bCHARINDEX\s*\(""".r)(_ => "locate(")
+    q = rewriteOutside(q, """(?i)\bGETDATE\s*\(\s*\)""".r)(_ => "now()")
+    q = rewriteOutside(q, """(?i)\bRANDOM\s*\(""".r)(_ => "rand(")
+    q = rewriteOutside(q, """(?i)\bSYS_GUID\s*\(\s*\)""".r)(_ => "random_uuid()")
+    q = rewriteOutside(q, """(?i)\bLEALONE_VERSION\s*\(\s*\)""".r)(_ => "graft_version()")
+    q = rewriteOutside(q,
+      """(?i)\b(?:IDENTITY|SCOPE_IDENTITY|LAST_INSERT_ID|IDENTITY_VAL_LOCAL)\s*\(\s*\)""".r)(
+      _ => lastIdentity.map(_.toString).getOrElse("NULL"))
+    q = rewriteOutside(q, """(?i)\bLASTVAL\s*\(\s*\)""".r)(
+      _ => lastSeqVal.map(_.toString).getOrElse("NULL"))
     // NEXTVAL/CURRVAL + CREATE CONSTANT names
     substSequences(substConstants(q))
   }
@@ -1118,6 +1143,7 @@ final class Engine(val spark: SparkSession) {
         val start = identityNext(name.toLowerCase)
         val (filled, n) = Dml.assignContiguous(aligned0, idCol, start)
         identityNext(name.toLowerCase) = start + n
+        if (n > 0) lastIdentity = Some(start + n - 1)
         filled
       case None => aligned0
     }

@@ -182,6 +182,38 @@ class EngineSpec extends SparkSpec {
     assert(uuid.matches("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"))
   }
 
+  test("H2 function-name front door: DATEADD/DATEDIFF/HASH/INSERT/CHARINDEX/RANDOM etc") {
+    val e = freshEngine
+    // quoted-unit DATEADD/DATEDIFF route to the H2-semantics UDFs
+    assert(e.sql("SELECT CAST(DATEADD('MONTH', 1, DATE '2024-01-15') AS DATE) AS d")
+      .head().get(0).toString == "2024-02-15")
+    assert(e.sql("SELECT DATEDIFF('DAY', DATE '2024-01-01', DATE '2024-01-11') AS n")
+      .head().getLong(0) == 10)
+    // HASH / INSERT / CHARINDEX / RANDOM / SYS_GUID / LEALONE_VERSION
+    assert(e.sql("SELECT HASH('SHA256', STRINGTOUTF8('x'), 1) AS h").head().get(0) != null)
+    assert(e.sql("SELECT INSERT('abcdef', 2, 3, 'XX') AS s").head().getString(0) == "aXXef")
+    assert(e.sql("SELECT CHARINDEX('cd', 'abcdef') AS i").head().getInt(0) == 3)
+    assert(e.sql("SELECT RANDOM() AS r").head().getDouble(0) >= 0.0)
+    assert(e.sql("SELECT SYS_GUID() AS g").head().getString(0).length == 36)
+    assert(e.sql("SELECT LEALONE_VERSION() AS v").head().getString(0).nonEmpty)
+    assert(e.sql("SELECT length(SECURE_RAND(8)) AS n").head().getInt(0) == 8)
+    // 'DATEADD(' inside a string literal is untouched
+    assert(e.sql("SELECT 'DATEADD(''x'')' AS s").head().getString(0) == "DATEADD('x')")
+  }
+
+  test("session identity functions: IDENTITY()/SCOPE_IDENTITY()/LASTVAL()") {
+    val e = freshEngine
+    e.sql("CREATE TABLE sid (id IDENTITY, v varchar(5))")
+    assert(e.sql("SELECT IDENTITY() AS i").head().isNullAt(0)) // none yet
+    e.sql("INSERT INTO sid (v) VALUES ('a'), ('b'), ('c')")
+    assert(e.sql("SELECT IDENTITY() AS i").head().getInt(0) == 3)
+    assert(e.sql("SELECT SCOPE_IDENTITY() AS i").head().getInt(0) == 3)
+    e.sql("CREATE SEQUENCE lv START WITH 7")
+    assert(e.sql("SELECT LASTVAL() AS l").head().isNullAt(0))
+    e.sql("SELECT NEXTVAL('lv') AS x").collect()
+    assert(e.sql("SELECT LASTVAL() AS l").head().getInt(0) == 7)
+  }
+
   test("IDENTITY auto-increment and system function stubs") {
     val e = freshEngine
     e.sql("CREATE TABLE ids (id IDENTITY, v varchar(10))")
