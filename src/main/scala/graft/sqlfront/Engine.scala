@@ -129,6 +129,11 @@ final class Engine(val spark: SparkSession) {
   private val truncateRe = """(?is)^\s*TRUNCATE\s+TABLE\s+(\w+)\s*$""".r
   private val createSeqRe =
     """(?is)^\s*CREATE\s+SEQUENCE\s+(\w+)(?:\s+START\s+WITH\s+(-?\d+))?(?:\s+INCREMENT\s+BY\s+(-?\d+))?\s*$""".r
+  // MySQL-mode INSERT … ON DUPLICATE KEY UPDATE (Mode.java
+  // onDuplicateKeyUpdate; parsed only when the mode enables it, as the
+  // reference's parser does) — must match before the plain VALUES form
+  private val insertOnDupRe =
+    """(?is)^\s*INSERT\s+INTO\s+(\w+)\s*(?:\(([^)]*)\)\s*)?VALUES\s*(.*?)\s+ON\s+DUPLICATE\s+KEY\s+UPDATE\s+(.*)$""".r
   private val insertValuesRe =
     """(?is)^\s*INSERT\s+INTO\s+(\w+)\s*(?:\(([^)]*)\)\s*)?(?:DIRECT\s+)?VALUES\s*(.*)$""".r
   private val insertSelectRe =
@@ -213,9 +218,40 @@ final class Engine(val spark: SparkSession) {
   private val executeRe = """(?is)^\s*EXECUTE\s+(\w+)\s*(?:\((.*)\))?\s*$""".r
   private val deallocateRe = """(?is)^\s*DEALLOCATE\s+(?:PREPARE\s+)?(\w+)\s*$""".r
   private val setModeRe = """(?is)^\s*SET\s+MODE\s+(\w+)\s*$""".r
+  // SHOW … (Parser.java:884 parseShow — MySQL/PostgreSQL compatibility
+  // statements rewritten into INFORMATION_SCHEMA selects)
+  private val showRe = """(?is)^\s*SHOW\s+(.*)$""".r
+  // CALL expr (dml/Call.java): evaluate an expression/function as a
+  // one-row result; the JDBC `?= CALL f(…)` out-parameter form strips to
+  // the same statement
+  private val callRe = """(?is)^\s*(?:\?\s*=\s*)?CALL\s+(.*)$""".r
   private val variables = mutable.HashMap.empty[String, String]
   private val procedures = mutable.HashMap.empty[String, String]
   private var compatibilityMode: String = "REGULAR"
+
+  /** Compatibility-mode feature flags (db/Mode.java:34-141). The reference
+    * ships exactly three modes — REGULAR, MySQL, PostgreSQL — each enabling
+    * a fixed flag set (Mode.java:143-166); unknown names keep REGULAR
+    * semantics (plus the MSSQL bracket-identifier extension handled in
+    * translate). aliasColumnName and lowerCaseIdentifiers hold natively:
+    * Spark returns the alias as the column name and this catalog lowercases
+    * identifiers everywhere. */
+  private case class ModeFlags(
+      convertInsertNullToZero: Boolean = false,
+      indexDefinitionInCreateTable: Boolean = false,
+      onDuplicateKeyUpdate: Boolean = false,
+      logIsLogBase10: Boolean = false,
+      serialColumnIsNotPK: Boolean = false)
+  private def modeFlags: ModeFlags = compatibilityMode match {
+    case "MYSQL" => ModeFlags(convertInsertNullToZero = true,
+      indexDefinitionInCreateTable = true, onDuplicateKeyUpdate = true)
+    case "POSTGRESQL" => ModeFlags(logIsLogBase10 = true,
+      serialColumnIsNotPK = true)
+    case _ => ModeFlags(indexDefinitionInCreateTable = true)
+  }
+  // NOT NULL columns per table (Column.java nullable) — drives MySQL-mode
+  // convertInsertNullToZero and SHOW COLUMNS
+  private val notNullCols = mutable.HashMap.empty[String, Set[String]]
 
   private def execOne(stmt0: String): DataFrame = {
     val stmt = stmt0.trim
@@ -319,7 +355,7 @@ final class Engine(val spark: SparkSession) {
       case createIndexRe(unique, name, tn, cols) =>
         val ks = cols.split(",").map(_.trim.toLowerCase).toSeq
         if (unique != null)
-          require(Dml.duplicateKeys(table(tn), ks).isEmpty,
+          require(Dml.duplicateKeys(nonNullKeyed(table(tn), ks), ks).isEmpty,
             s"unique index $name violated by existing rows")
         indexes(name.toLowerCase) =
           IndexDef(name.toLowerCase, tn.toLowerCase, ks, unique != null)
@@ -383,16 +419,31 @@ final class Engine(val spark: SparkSession) {
       case createTableAsRe(name, query) =>
         register(name, runSelect(query)); status()
       case createTableRe(name, colDefs) =>
-        val (schema, pks) = parseColumnDefs(colDefs)
-        if (pks.nonEmpty) primaryKeys(name.toLowerCase) = pks
-        // IDENTITY / AUTO_INCREMENT column (Column.java auto-increment +
-        // backing Sequence, Sequence.java:25): engine-assigned ids
+        val tn = name.toLowerCase
+        val (schema, pks0, inlineIdx) = parseColumnDefs(colDefs)
+        var pks = pks0
+        val notNull = mutable.Set.empty[String]
+        // IDENTITY / AUTO_INCREMENT / SERIAL column (Column.java
+        // auto-increment + backing Sequence, Sequence.java:25):
+        // engine-assigned ids. SERIAL/BIGSERIAL is auto-increment PK except
+        // under PostgreSQL mode (Mode.java serialColumnIsNotPK).
         splitTop(colDefs).map(_.trim).foreach { d =>
           val up = d.toUpperCase
-          if (up.contains("IDENTITY") || up.contains("AUTO_INCREMENT")) {
-            identityCols(name.toLowerCase) = d.split("\\s+")(0).toLowerCase
-            identityNext(name.toLowerCase) = 1L
+          val cn = d.split("\\s+")(0).toLowerCase
+          val typeTok = up.split("\\s+").drop(1).headOption.getOrElse("")
+          val serial = typeTok.startsWith("SERIAL") || typeTok.startsWith("BIGSERIAL")
+          if (up.contains("IDENTITY") || up.contains("AUTO_INCREMENT") || serial) {
+            identityCols(tn) = cn
+            identityNext(tn) = 1L
+            if (serial && !modeFlags.serialColumnIsNotPK && !pks.contains(cn))
+              pks = pks :+ cn
           }
+          if (up.contains("NOT NULL") || up.contains("PRIMARY KEY")) notNull += cn
+        }
+        if (pks.nonEmpty) { primaryKeys(tn) = pks; notNull ++= pks }
+        notNullCols(tn) = notNull.toSet
+        inlineIdx.foreach { case (ixName, cols, unique) =>
+          indexes(ixName) = IndexDef(ixName, tn, cols, unique)
         }
         register(name, spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
@@ -407,6 +458,13 @@ final class Engine(val spark: SparkSession) {
           Option(start).map(_.toLong).getOrElse(1L),
           Option(inc).map(_.toLong).getOrElse(1L))
         status()
+      case insertOnDupRe(name, cols, tuples, sets)
+          if modeFlags.onDuplicateKeyUpdate =>
+        doUpsert(name, Option(cols), parseValueRows(name, tuples), sets); status()
+      case insertOnDupRe(_, _, _, _) =>
+        throw new IllegalArgumentException(
+          "INSERT … ON DUPLICATE KEY UPDATE requires SET MODE MySQL " +
+            "(Mode.java onDuplicateKeyUpdate)")
       case insertValuesRe(name, cols, tuples) =>
         doInsert(name, Option(cols), parseValueRows(name, tuples)); status()
       case insertSelectRe(name, cols, query) =>
@@ -461,7 +519,56 @@ final class Engine(val spark: SparkSession) {
               .drop("__rid")
         }
         register(name, out); status()
+      case showRe(what) => execShow(what.trim)
+      case callRe(e) => runSelect(s"SELECT $e")
       case _ => runSelect(stmt)
+    }
+  }
+
+  /** SHOW … (Parser.java:884 parseShow): each form rewrites to a select —
+    * the same strategy as the reference, which builds SELECT text over
+    * INFORMATION_SCHEMA (or DUAL constants for the PostgreSQL-protocol
+    * session settings). */
+  private def execShow(what: String): DataFrame = {
+    import spark.implicits._
+    def one(name: String, value: String) = Seq(value).toDF(name)
+    val up = what.toUpperCase.replaceAll("\\s+", " ")
+    val showTablesRe = """(?i)^TABLES(?:\s+FROM\s+(\w+))?$""".r
+    val showColumnsRe = """(?i)^COLUMNS\s+FROM\s+(\w+)(?:\s+FROM\s+(\w+))?$""".r
+    what.trim match {
+      case _ if up == "DATABASES" =>
+        runSelect("SELECT database_name FROM INFORMATION_SCHEMA.DATABASES")
+      case _ if up == "SCHEMAS" =>
+        runSelect("SELECT schema_name FROM INFORMATION_SCHEMA.SCHEMATA")
+      // PostgreSQL-protocol session settings (Parser.java:892-910)
+      case _ if up == "CLIENT_ENCODING" => one("client_encoding", "UNICODE")
+      case _ if up == "DEFAULT_TRANSACTION_ISOLATION" =>
+        one("default_transaction_isolation", "read committed")
+      case _ if up == "TRANSACTION ISOLATION LEVEL" =>
+        one("transaction_isolation", "read committed")
+      case _ if up == "DATESTYLE" => one("datestyle", "ISO")
+      case _ if up == "SERVER_VERSION" => one("server_version", "8.1.4")
+      case _ if up == "SERVER_ENCODING" => one("server_encoding", "UTF8")
+      case showTablesRe(schema) =>
+        val s = Option(schema).map(_.toLowerCase).getOrElse("public")
+        runSelect("SELECT table_name, table_schema FROM INFORMATION_SCHEMA.TABLES " +
+          s"WHERE table_schema='$s' ORDER BY table_name")
+      case showColumnsRe(tn, _) =>
+        // FIELD/TYPE/NULL/KEY/DEFAULT shape (Parser.java:922-933); KEY is
+        // PRI for a primary-key column, UNI for a unique-indexed one
+        val t = tn.toLowerCase
+        val pk = primaryKeys.getOrElse(t, Seq.empty).toSet
+        val uni = indexes.values.filter(ix => ix.unique && ix.table == t)
+          .flatMap(_.cols).toSet
+        val nn = notNullCols.getOrElse(t, Set.empty)
+        table(t).schema.fields.toSeq.map { f =>
+          (f.name, f.dataType.catalogString.toUpperCase,
+            // PRIMARY KEY implies NOT NULL (Column.java PK nullability)
+            if (f.nullable && !pk(f.name) && !nn(f.name)) "YES" else "NO",
+            if (pk(f.name)) "PRI" else if (uni(f.name)) "UNI" else "",
+            "NULL")
+        }.toDF("field", "type", "null", "key", "default")
+      case other => throw new IllegalArgumentException(s"SHOW $other not supported")
     }
   }
 
@@ -528,6 +635,22 @@ final class Engine(val spark: SparkSession) {
     // MySQL `LIMIT offset, count` → LIMIT count OFFSET offset
     q = rewriteOutside(q, """(?i)\bLIMIT\s+(\d+)\s*,\s*(\d+)""".r)(m =>
       s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}")
+    // standard OFFSET … ROWS / FETCH FIRST … ROWS ONLY (Mode.java
+    // supportOffsetFetch — on by default in every reference mode); Spark
+    // wants LIMIT before OFFSET, so the combined form swaps
+    q = rewriteOutside(q,
+      """(?i)\bOFFSET\s+(\d+)\s+ROWS?\s+FETCH\s+(?:FIRST|NEXT)\s+(\d+)\s+ROWS?\s+ONLY""".r)(
+      m => s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}")
+    q = rewriteOutside(q,
+      """(?i)\bFETCH\s+(?:FIRST|NEXT)\s+(\d+)\s+ROWS?\s+ONLY""".r)(m =>
+      s"LIMIT ${m.group(1)}")
+    q = rewriteOutside(q,
+      """(?i)\bFETCH\s+(?:FIRST|NEXT)\s+ROWS?\s+ONLY""".r)(_ => "LIMIT 1")
+    q = rewriteOutside(q, """(?i)\bOFFSET\s+(\d+)\s+ROWS?\b""".r)(m =>
+      s"OFFSET ${m.group(1)}")
+    // PostgreSQL-mode LOG(x) is base 10 (Mode.java logIsLogBase10);
+    // two-argument LOG keeps Spark's log(base, expr) meaning
+    if (modeFlags.logIsLogBase10) q = rewriteSingleArgLog(q)
     // INFORMATION_SCHEMA.X → synthesized meta view (MetaTable.java:68)
     val infoRe = """(?i)INFORMATION_SCHEMA\.(\w+)""".r
     q = rewriteOutside(q, infoRe)(m => metaView(m.group(1).toLowerCase))
@@ -616,6 +739,37 @@ final class Engine(val spark: SparkSession) {
       java.util.regex.Matcher.quoteReplacement(
         if (spans.exists(sp => m.start >= sp._1 && m.start < sp._2)) m.matched
         else f(m)))
+  }
+
+  /** PostgreSQL-mode LOG rewrite (Mode.java logIsLogBase10): single-
+    * argument LOG(x) becomes LOG10(x); LOG(b, x) is left alone (already
+    * base-b in Spark). Needs balanced-paren scanning to count top-level
+    * commas, so not a plain regex rewrite. */
+  private def rewriteSingleArgLog(q: String): String = {
+    val re = """(?i)\bLOG\s*\(""".r
+    val spans = literalSpans(q)
+    val sb = new StringBuilder
+    var last = 0
+    for (m <- re.findAllMatchIn(q)
+         if !spans.exists(sp => m.start >= sp._1 && m.start < sp._2)) {
+      var depth = 1; var i = m.end; var commas = 0; var inStr = false
+      while (i < q.length && depth > 0) {
+        q.charAt(i) match {
+          case '\'' => inStr = !inStr
+          case '(' if !inStr => depth += 1
+          case ')' if !inStr => depth -= 1
+          case ',' if !inStr && depth == 1 => commas += 1
+          case _ =>
+        }
+        i += 1
+      }
+      if (depth == 0 && commas == 0 && m.start >= last) {
+        sb.append(q.substring(last, m.start)).append("LOG10(")
+        last = m.end
+      }
+    }
+    sb.append(q.substring(last))
+    sb.toString
   }
 
   /** `TABLE(id INT=ARRAY[1,2], name VARCHAR=('a','b'))` in FROM position →
@@ -967,7 +1121,7 @@ final class Engine(val spark: SparkSession) {
         checks += CheckDef(cn, tn, e.trim)
       case uqRe(cols) =>
         val ks = keys(cols)
-        require(Dml.duplicateKeys(table(tn), ks).isEmpty,
+        require(Dml.duplicateKeys(nonNullKeyed(table(tn), ks), ks).isEmpty,
           s"UNIQUE $cn violated by existing rows")
         indexes(cn) = IndexDef(cn, tn, ks, unique = true)
       case pkRe(cols) =>
@@ -988,8 +1142,23 @@ final class Engine(val spark: SparkSession) {
 
   // ---- helpers ----
 
-  private def parseColumnDefs(defs: String): (StructType, Seq[String]) = {
+  /** UNIQUE-index NULL semantics (Mode.java:88-99): with both unique-null
+    * flags off — as in every reference mode — rows with NULL in any indexed
+    * column never conflict, so uniqueness validation only considers fully
+    * non-NULL key tuples. PRIMARY KEY validation keeps the strict form. */
+  private def nonNullKeyed(df: DataFrame, ks: Seq[String]): DataFrame =
+    df.filter(ks.map(k => col(k).isNotNull).reduce(_ && _))
+
+  /** Column-definition list of CREATE TABLE. Also accepts inline
+    * `[UNIQUE] KEY|INDEX name(cols)` entries when the compatibility mode
+    * enables them (Mode.java indexDefinitionInCreateTable — REGULAR and
+    * MySQL do, PostgreSQL doesn't), returned as (name, cols, unique). */
+  private def parseColumnDefs(defs: String)
+      : (StructType, Seq[String], Seq[(String, Seq[String], Boolean)]) = {
     val pks = mutable.ArrayBuffer.empty[String]
+    val inlineIdx = mutable.ArrayBuffer.empty[(String, Seq[String], Boolean)]
+    val inlineIdxRe =
+      """(?is)^(UNIQUE\s+)?(?:KEY|INDEX)\s+(\w+)\s*\(([^)]*)\)$""".r
     val fields = splitTop(defs).flatMap { d0 =>
       val d = d0.trim
       val up = d.toUpperCase
@@ -997,15 +1166,21 @@ final class Engine(val spark: SparkSession) {
         pks ++= d.substring(d.indexOf('(') + 1, d.lastIndexOf(')'))
           .split(",").map(_.trim.toLowerCase)
         None
-      } else {
-        val parts = d.split("\\s+", 2)
-        val name = parts(0).toLowerCase
-        val rest = if (parts.length > 1) parts(1) else "STRING"
-        if (rest.toUpperCase.contains("PRIMARY KEY")) pks += name
-        Some(StructField(name, parseType(rest), nullable = true))
+      } else d match {
+        case inlineIdxRe(unique, ixName, cols)
+            if modeFlags.indexDefinitionInCreateTable =>
+          inlineIdx += ((ixName.toLowerCase,
+            cols.split(",").map(_.trim.toLowerCase).toSeq, unique != null))
+          None
+        case _ =>
+          val parts = d.split("\\s+", 2)
+          val name = parts(0).toLowerCase
+          val rest = if (parts.length > 1) parts(1) else "STRING"
+          if (rest.toUpperCase.contains("PRIMARY KEY")) pks += name
+          Some(StructField(name, parseType(rest), nullable = true))
       }
     }
-    (StructType(fields), pks.toSeq)
+    (StructType(fields), pks.toSeq, inlineIdx.toSeq)
   }
 
   private def parseType(t0: String): DataType = {
@@ -1015,7 +1190,7 @@ final class Engine(val spark: SparkSession) {
     domains.get(base.toLowerCase).foreach(d => return parseType(d))
     base match {
       case "INT" | "INTEGER" | "MEDIUMINT" | "SERIAL" => IntegerType
-      case "BIGINT" | "LONG" | "IDENTITY" => LongType
+      case "BIGINT" | "LONG" | "IDENTITY" | "BIGSERIAL" => LongType
       case "SMALLINT" => ShortType
       case "TINYINT" => ByteType
       case "DOUBLE" | "FLOAT8" => DoubleType
@@ -1131,24 +1306,95 @@ final class Engine(val spark: SparkSession) {
     }
   }
 
-  private def doInsert(name: String, cols: Option[String], src: DataFrame): Unit = {
-    val t = table(name)
-    val aligned0 = alignTo(t, cols.map(c => splitTop(c).map(_.trim)), src)
-    // fill the IDENTITY column where the insert left it NULL: contiguous
-    // engine-assigned ids via per-partition offsets (Dml.assignContiguous)
-    // — parallel, no single-partition window, and the same one-pass size
-    // job doubles as the counter advance (no extra count() action)
-    val aligned = identityCols.get(name.toLowerCase) match {
+  /** Fill the IDENTITY column where the insert left it NULL: contiguous
+    * engine-assigned ids via per-partition offsets (Dml.assignContiguous)
+    * — parallel, no single-partition window, and the same one-pass size
+    * job doubles as the counter advance (no extra count() action). */
+  private def fillIdentity(tn: String, df: DataFrame): DataFrame =
+    identityCols.get(tn) match {
       case Some(idCol) =>
-        val start = identityNext(name.toLowerCase)
-        val (filled, n) = Dml.assignContiguous(aligned0, idCol, start)
-        identityNext(name.toLowerCase) = start + n
+        val start = identityNext(tn)
+        val (filled, n) = Dml.assignContiguous(df, idCol, start)
+        identityNext(tn) = start + n
         if (n > 0) lastIdentity = Some(start + n - 1)
         filled
-      case None => aligned0
+      case None => df
     }
-    validateConstraints(name.toLowerCase, aligned)
+
+  /** MySQL-mode convertInsertNullToZero (Mode.java:42): NULL inserted into
+    * a NOT NULL column becomes 0 / '' / the current timestamp instead of
+    * erroring. The engine-filled IDENTITY column is exempt. */
+  private def convertNullToZero(tn: String, t: DataFrame, df: DataFrame): DataFrame = {
+    val nn = notNullCols.getOrElse(tn, Set.empty)
+    if (nn.isEmpty) df
+    else df.select(t.schema.fields.toSeq.map { f =>
+      if (!nn(f.name) || identityCols.get(tn).contains(f.name)) col(f.name)
+      else {
+        val zero: Column = f.dataType match {
+          case StringType => lit("")
+          case TimestampType => current_timestamp()
+          case DateType => current_date()
+          case BooleanType => lit(false)
+          case _ => lit(0).cast(f.dataType)
+        }
+        coalesce(col(f.name), zero).as(f.name)
+      }
+    }: _*)
+  }
+
+  private def doInsert(name: String, cols: Option[String], src: DataFrame): Unit = {
+    val t = table(name)
+    val tn = name.toLowerCase
+    val aligned0 = alignTo(t, cols.map(c => splitTop(c).map(_.trim)), src)
+    var aligned = fillIdentity(tn, aligned0)
+    if (modeFlags.convertInsertNullToZero)
+      aligned = convertNullToZero(tn, t, aligned)
+    validateConstraints(tn, aligned)
     register(name, t.union(aligned))
+  }
+
+  /** MySQL `INSERT … ON DUPLICATE KEY UPDATE` (Mode.java
+    * onDuplicateKeyUpdate): rows whose key already exists apply the SET
+    * list to the existing row; the rest insert. `VALUES(c)` in a SET
+    * expression refers to the value the row would have inserted, exactly
+    * MySQL's semantics. The key is the PRIMARY KEY, else the first unique
+    * index. Executes as one left join (update side) plus one anti join
+    * (insert side) on the key — both shuffle-bounded, no driver loop. */
+  private def doUpsert(name: String, cols: Option[String], src0: DataFrame,
+      sets: String): Unit = {
+    val t = table(name)
+    val tn = name.toLowerCase
+    val key = primaryKeys.get(tn)
+      .orElse(indexes.values.find(ix => ix.unique && ix.table == tn).map(_.cols))
+      .getOrElse(throw new IllegalArgumentException(
+        s"ON DUPLICATE KEY UPDATE needs a PRIMARY KEY or unique index on $name"))
+    val src = fillIdentity(tn, alignTo(t, cols.map(c => splitTop(c).map(_.trim)), src0))
+    val setPairs = splitTop(sets).map { s =>
+      val Array(c, v) = s.split("=", 2)
+      // VALUES(col) → the source row's value (MySQL VALUES() function)
+      val rewritten = rewriteOutside(v.trim,
+        """(?i)\bVALUES\s*\(\s*(\w+)\s*\)""".r)(m => s"__src_${m.group(1).toLowerCase}")
+      c.trim.toLowerCase -> rewritten
+    }.toMap
+    val srcR = src.select(src.columns.toSeq.map(c => col(c).as(s"__src_$c")) :+
+      lit(true).as("__src_match"): _*)
+    val keyCond = key.map(k => col(k) === col(s"__src_$k")).reduce(_ && _)
+    val updated = t.join(srcR, keyCond, "left")
+      .select(t.schema.fields.toSeq.map { f =>
+        setPairs.get(f.name) match {
+          case Some(e) => when(col("__src_match"),
+              expr(substSequences(substConstants(e, Seq(tn)))).cast(f.dataType))
+            .otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }: _*)
+    val insCond = key.map(k => col(s"__s.$k") === col(s"__t.$k")).reduce(_ && _)
+    val inserted = src.alias("__s").join(t.alias("__t"), insCond, "left_anti")
+      .select(t.columns.toSeq.map(col): _*)
+    val batch = if (modeFlags.convertInsertNullToZero)
+      convertNullToZero(tn, t, inserted) else inserted
+    validateConstraints(tn, batch)
+    register(name, updated.union(batch))
   }
 
   /** Batch twin of the reference's per-row constraint checks on INSERT
@@ -1164,6 +1410,22 @@ final class Engine(val spark: SparkSession) {
     checks.filter(_.table == tn).foreach { ck =>
       require(Dml.checkViolations(batch, expr(ck.expr)).isEmpty,
         s"CHECK ${ck.name} violated: ${ck.expr}")
+    }
+    // Unique enforcement on insert (PK + unique indexes — the per-batch
+    // twin of the reference's per-row unique-index probe,
+    // GlobalUniqueIndex.java:33): a batch-internal duplicate check plus a
+    // semi join against existing keys. NULL-keyed rows never conflict
+    // (Mode.java:88-99 default).
+    val uniqueKeySets = primaryKeys.get(tn).toSeq ++
+      indexes.values.filter(ix => ix.table == tn && ix.unique).map(_.cols)
+    uniqueKeySets.distinct.foreach { ks =>
+      if (ks.forall(batch.columns.contains)) {
+        val b = nonNullKeyed(batch, ks)
+        require(Dml.duplicateKeys(b, ks).isEmpty,
+          s"unique key (${ks.mkString(",")}) violated within insert batch on $tn")
+        require(b.join(table(tn).select(ks.map(col).toSeq: _*), ks, "left_semi").isEmpty,
+          s"unique key (${ks.mkString(",")}) violated: key already exists in $tn")
+      }
     }
   }
 }
@@ -1219,7 +1481,35 @@ private[sqlfront] object ReflectAlias {
     // Serializable wrapper: captures only strings, resolves lazily per JVM.
     class Fn extends Serializable {
       @transient private lazy val method = resolve(target)
-      def call(args: Array[AnyRef]): AnyRef = method.invoke(null, args: _*)
+      // Convert each SQL value to the Java parameter type, as the
+      // reference's FunctionAlias does via Value.convertTo before invoke
+      private def coerce(a: AnyRef, t: Class[_]): AnyRef = a match {
+        case null => null
+        case n: java.lang.Number => t match {
+          case java.lang.Integer.TYPE => Int.box(n.intValue())
+          case c if c == classOf[java.lang.Integer] => Int.box(n.intValue())
+          case java.lang.Long.TYPE => Long.box(n.longValue())
+          case c if c == classOf[java.lang.Long] => Long.box(n.longValue())
+          case java.lang.Double.TYPE => Double.box(n.doubleValue())
+          case c if c == classOf[java.lang.Double] => Double.box(n.doubleValue())
+          case java.lang.Float.TYPE => Float.box(n.floatValue())
+          case c if c == classOf[java.lang.Float] => Float.box(n.floatValue())
+          case java.lang.Short.TYPE => Short.box(n.shortValue())
+          case c if c == classOf[java.lang.Short] => Short.box(n.shortValue())
+          case c if c == classOf[java.math.BigDecimal] => n match {
+            case d: java.math.BigDecimal => d
+            case _ => new java.math.BigDecimal(n.toString)
+          }
+          case c if c == classOf[String] => n.toString
+          case _ => n
+        }
+        case other if t == classOf[String] => other.toString
+        case other => other
+      }
+      def call(args: Array[AnyRef]): AnyRef = {
+        val pts = method.getParameterTypes
+        method.invoke(null, args.zip(pts).map { case (a, t) => coerce(a, t) }: _*)
+      }
     }
     val fn = new Fn
     import org.apache.spark.sql.api.java._

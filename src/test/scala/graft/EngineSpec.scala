@@ -201,6 +201,109 @@ class EngineSpec extends SparkSpec {
     assert(e.sql("SELECT 'DATEADD(''x'')' AS s").head().getString(0) == "DATEADD('x')")
   }
 
+  test("SHOW statements: DATABASES/SCHEMAS/TABLES/COLUMNS + pg session settings") {
+    val e = freshEngine
+    e.sql("CREATE TABLE sh_a (id int PRIMARY KEY, v varchar(10))")
+    e.sql("CREATE TABLE sh_b (x double)")
+    e.sql("CREATE UNIQUE INDEX sh_uv ON sh_a(v)")
+    assert(e.sql("SHOW DATABASES").collect().map(_.getString(0)).toSeq == Seq("graft"))
+    assert(e.sql("SHOW SCHEMAS").collect().map(_.getString(0)).contains("public"))
+    val tabs = e.sql("SHOW TABLES").collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(tabs == Seq(("sh_a", "public"), ("sh_b", "public"))) // ordered by name
+    val cols = e.sql("SHOW COLUMNS FROM sh_a").collect()
+      .map(r => (r.getString(0), r.getString(2), r.getString(3))).toSeq
+    assert(cols == Seq(("id", "NO", "PRI"), ("v", "YES", "UNI")))
+    // PostgreSQL-protocol session settings (Parser.java:892-910)
+    assert(e.sql("SHOW CLIENT_ENCODING").head().getString(0) == "UNICODE")
+    assert(e.sql("SHOW TRANSACTION ISOLATION LEVEL").head().getString(0) == "read committed")
+    assert(e.sql("SHOW SERVER_ENCODING").head().getString(0) == "UTF8")
+    assert(e.sql("SHOW DATESTYLE").head().getString(0) == "ISO")
+  }
+
+  test("CALL statement evaluates expressions and aliases (CallableStatementTest)") {
+    val e = freshEngine
+    assert(e.sql("CALL 1+1").head().getInt(0) == 2)
+    e.sql("CREATE ALIAS MY_SQRT FOR \"java.lang.Math.sqrt\"")
+    assert(e.sql("CALL MY_SQRT(4.0)").head().getDouble(0) == 2.0)
+    // JDBC out-parameter form `?= CALL f(x)` (CallableStatementTest.java:40)
+    assert(e.sql("?= CALL MY_SQRT(9.0)").head().getDouble(0) == 3.0)
+  }
+
+  test("MySQL mode: ON DUPLICATE KEY UPDATE with VALUES(), null-to-zero, inline KEY") {
+    val e = freshEngine
+    e.sql("SET MODE MySQL")
+    // indexDefinitionInCreateTable: inline KEY/INDEX entries (Mode.java:57)
+    e.sql("CREATE TABLE mu (id int PRIMARY KEY, v varchar(20) NOT NULL, n int, KEY idx_v(v))")
+    assert(e.sql("SELECT index_name FROM INFORMATION_SCHEMA.INDEXES WHERE table_name='mu'")
+      .collect().map(_.getString(0)).toSeq == Seq("idx_v"))
+    e.sql("INSERT INTO mu VALUES (1,'a',10), (2,'b',20)")
+    // onDuplicateKeyUpdate (Mode.java:134): update-else-insert on the PK
+    e.sql("INSERT INTO mu VALUES (2,'B',5), (3,'c',30) " +
+      "ON DUPLICATE KEY UPDATE n = n + VALUES(n), v = VALUES(v)")
+    val rows = e.sql("SELECT id, v, n FROM mu ORDER BY id").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq
+    assert(rows == Seq((1, "a", 10), (2, "B", 25), (3, "c", 30)))
+    // convertInsertNullToZero (Mode.java:42): NULL into NOT NULL v → ''
+    e.sql("INSERT INTO mu VALUES (4, NULL, NULL)")
+    val r4 = e.sql("SELECT v, n FROM mu WHERE id=4").head()
+    assert(r4.getString(0) == "" && r4.isNullAt(1)) // n is nullable: stays NULL
+    // outside MySQL mode the clause is rejected, as in the reference parser
+    val e2 = freshEngine
+    e2.sql("CREATE TABLE r (id int PRIMARY KEY, n int)")
+    intercept[IllegalArgumentException] {
+      e2.sql("INSERT INTO r VALUES (1,1) ON DUPLICATE KEY UPDATE n = 2")
+    }
+  }
+
+  test("PostgreSQL mode: LOG base 10, SERIAL not PK; REGULAR: SERIAL is identity PK") {
+    val e = freshEngine
+    // REGULAR: LOG is natural log; SERIAL = auto-increment PK (H2 semantics)
+    assert(math.abs(e.sql("SELECT LOG(EXP(1.0)) AS l").head().getDouble(0) - 1.0) < 1e-12)
+    e.sql("CREATE TABLE sr (id SERIAL, v varchar(5))")
+    e.sql("INSERT INTO sr (v) VALUES ('a'), ('b')")
+    assert(e.sql("SELECT id FROM sr ORDER BY id").collect().map(_.getInt(0)).toSeq == Seq(1, 2))
+    assert(e.sql("SELECT column_list FROM INFORMATION_SCHEMA.CONSTRAINTS " +
+      "WHERE table_name='sr' AND constraint_type='PRIMARY KEY'").head().getString(0) == "id")
+    e.sql("SET MODE PostgreSQL")
+    // logIsLogBase10 (Mode.java:114): single-arg LOG is base 10; 2-arg untouched
+    assert(math.abs(e.sql("SELECT LOG(100.0) AS l").head().getDouble(0) - 2.0) < 1e-12)
+    assert(math.abs(e.sql("SELECT LOG(2, 8) AS l").head().getDouble(0) - 3.0) < 1e-12)
+    // serialColumnIsNotPK (Mode.java:119): still auto-increment, not PK
+    e.sql("CREATE TABLE pgs (id BIGSERIAL, v varchar(5))")
+    e.sql("INSERT INTO pgs (v) VALUES ('x'), ('y')")
+    assert(e.sql("SELECT id FROM pgs ORDER BY id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(e.sql("SELECT count(*) FROM INFORMATION_SCHEMA.CONSTRAINTS " +
+      "WHERE table_name='pgs' AND constraint_type='PRIMARY KEY'").head().getLong(0) == 0)
+  }
+
+  test("OFFSET…ROWS / FETCH FIRST…ROWS ONLY and unique-index NULL-distinct") {
+    val e = freshEngine
+    e.sql("CREATE TABLE of (x int)")
+    e.sql("INSERT INTO of VALUES (1),(2),(3),(4),(5)")
+    assert(e.sql("SELECT x FROM of ORDER BY x OFFSET 1 ROWS FETCH NEXT 2 ROWS ONLY")
+      .collect().map(_.getInt(0)).toSeq == Seq(2, 3))
+    assert(e.sql("SELECT x FROM of ORDER BY x FETCH FIRST 2 ROWS ONLY")
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 2))
+    assert(e.sql("SELECT x FROM of ORDER BY x FETCH FIRST ROW ONLY")
+      .collect().map(_.getInt(0)).toSeq == Seq(1))
+    assert(e.sql("SELECT x FROM of ORDER BY x OFFSET 3 ROWS")
+      .collect().map(_.getInt(0)).toSeq == Seq(4, 5))
+    // unique-index NULL semantics (Mode.java:88-99, all flags off): multiple
+    // NULLs never conflict; duplicated non-NULL values are rejected at
+    // insert time (GlobalUniqueIndex per-batch twin)
+    e.sql("CREATE TABLE un (k int, v varchar(5))")
+    e.sql("INSERT INTO un VALUES (NULL,'a'), (NULL,'b'), (1,'c')")
+    e.sql("CREATE UNIQUE INDEX un_k ON un(k)") // NULL,NULL,1 → allowed
+    e.sql("INSERT INTO un VALUES (NULL,'d')") // more NULLs still fine
+    intercept[IllegalArgumentException] {
+      e.sql("INSERT INTO un VALUES (1,'e')") // duplicate non-NULL key
+    }
+    intercept[IllegalArgumentException] {
+      e.sql("INSERT INTO un VALUES (7,'x'), (7,'y')") // batch-internal dup
+    }
+    assert(e.sql("SELECT count(*) FROM un").head().getLong(0) == 4)
+  }
+
   test("session identity functions: IDENTITY()/SCOPE_IDENTITY()/LASTVAL()") {
     val e = freshEngine
     e.sql("CREATE TABLE sid (id IDENTITY, v varchar(5))")
