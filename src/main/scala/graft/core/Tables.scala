@@ -33,4 +33,34 @@ object Tables {
   /** Register every corpus table as a temp view (idempotent). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Opt-in co-located layout for repeated-join workloads: materialize
+    * `name` bucketed (and per-bucket sorted) on `keys` as a managed table —
+    * once per (name, keys, buckets); later calls reuse it — and return it.
+    * Joins between two tables bucketed on their join keys with the same
+    * bucket count plan with ZERO exchange on either side (BucketingSpec
+    * proves it; tools/BucketedBench measures q03 fact join 0.82→0.55 s at
+    * sf0.1). This is the single-node stand-in for the production layout
+    * where facts are hash-distributed on the join key at ingest — the
+    * 100 TB answer to the li⋈ord shuffle dominating q03's plan audit. */
+  def loadBucketed(spark: SparkSession, dir: String, name: String,
+      keys: Seq[String], buckets: Int = 32): DataFrame = {
+    require(keys.nonEmpty, "bucketing needs at least one key column")
+    val t = s"graft_bkt_${name}_${keys.mkString("_")}_$buckets"
+    if (!spark.catalog.tableExists(t)) {
+      // the in-memory catalog forgets managed tables across sessions while
+      // their warehouse directories persist — purge a stale location first
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+      load(spark, dir, name).write
+        .bucketBy(buckets, keys.head, keys.tail: _*)
+        .sortBy(keys.head, keys.tail: _*)
+        .mode("overwrite").saveAsTable(t)
+    }
+    spark.table(t)
+  }
 }

@@ -129,6 +129,54 @@ object Sessions {
           col("l.ts") + expr(s"INTERVAL $withinMinutes MINUTES")))
   }
 
+  /** Left-outer stream-stream interval join: like [[intervalJoin]], but
+    * left events with no match within the interval emit once with a
+    * null-padded right side — after the watermark passes their interval,
+    * which is when "no match" becomes provable in an unbounded stream.
+    * Spark requires exactly this shape (both-side watermarks + a time
+    * bound) for outer stream-stream joins; state stays bounded. */
+  def intervalJoinOuter(left: DataFrame, right: DataFrame, key: String,
+      withinMinutes: Int, watermarkDelay: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermarkDelay).alias("l")
+    val r = right.withWatermark("ts", watermarkDelay).alias("r")
+    val joined = l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col("r.ts").between(
+          col("l.ts") - expr(s"INTERVAL $withinMinutes MINUTES"),
+          col("l.ts") + expr(s"INTERVAL $withinMinutes MINUTES")),
+      "left_outer")
+    // disambiguate the null-padded right side (r_*) so downstream sinks
+    // see unique column names
+    joined.select(
+      left.columns.toSeq.map(c => col(s"l.$c")) ++
+        right.columns.toSeq.map(c => col(s"r.$c").as(s"r_$c")): _*)
+  }
+
+  /** Streaming dedup where the id alone is the identity:
+    * dropDuplicatesWithinWatermark dedups ids whose duplicates arrive
+    * within the watermark delay of each other, without keying state on the
+    * exact event time (the [[dedupStream]] contract). State per id is
+    * evicted once the watermark passes — the right semantics when
+    * duplicates cluster in time (retries, at-least-once sources). */
+  def dedupStreamWithinWatermark(events: DataFrame, idCols: Seq[String],
+      watermarkDelay: String): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(idCols)
+
+  /** Drain-all run: process everything available, then stop —
+    * Trigger.AvailableNow gives batch-job semantics (and batch-job cluster
+    * autoscaling) over the streaming code path, the standard way to run a
+    * streaming pipeline as a scheduled backfill. Blocks until done. */
+  def runAvailableNow(stream: DataFrame, path: String, checkpoint: String): Unit = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", path)
+      .start()
+    q.awaitTermination()
+  }
+
   /** Write-path trigger hook — the Spark-native stand-in for the
     * reference's row triggers (api/Trigger.java, fired at Insert.update,
     * Insert.java:157-161): `onBatch` observes every micro-batch before it

@@ -53,6 +53,37 @@ class BucketingSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS ord_bkt")
   }
 
+  test("Tables.loadBucketed materializes once and joins co-located") {
+    import graft.core.Tables
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_lineitem_l_orderkey_8")
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_orders_o_orderkey_8")
+    val li = Tables.loadBucketed(spark, sf, "lineitem", Seq("l_orderkey"), 8)
+    val ord = Tables.loadBucketed(spark, sf, "orders", Seq("o_orderkey"), 8)
+    // second call reuses the managed table (no rewrite): same files listed
+    val files1 = li.inputFiles.toSeq.sorted
+    val again = Tables.loadBucketed(spark, sf, "lineitem", Seq("l_orderkey"), 8)
+    assert(again.inputFiles.toSeq.sorted == files1)
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+    joined.collect()
+    val p = joined.queryExecution.executedPlan.toString
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+    spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    assert("Exchange hashpartitioning\\((l_orderkey|o_orderkey)".r
+      .findAllIn(p).isEmpty, s"loadBucketed join should be co-located:\n$p")
+    // correctness parity with the plain scans
+    val plain = Tables.load(spark, sf, "lineitem")
+      .join(Tables.load(spark, sf, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(joined.collect().map(_.toString).sorted.toSeq == plain)
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_lineitem_l_orderkey_8")
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_orders_o_orderkey_8")
+  }
+
   test("date-partitioned layout prunes partitions at the scan") {
     // the canonical 100 TB layout: facts partitioned by day → time-range
     // queries read only matching directories (PartitionFilters, zero I/O on

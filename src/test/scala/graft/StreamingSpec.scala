@@ -121,6 +121,65 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits null-padded unmatched rows after watermark") {
+    val dir = Files.createTempDirectory("graft_ssjo").toFile.getAbsolutePath
+    val clicks = mkEvents(Seq(
+      (1L, "2024-01-01 10:00:00", "click", 1.0),
+      (2L, "2024-01-01 11:00:00", "click", 2.0)))
+    val buys = mkEvents(Seq(
+      (1L, "2024-01-01 10:05:00", "purchase", 10.0),  // within 10m of click
+      (2L, "2024-01-01 12:00:00", "purchase", 20.0))) // outside
+    clicks.coalesce(1).write.mode("overwrite").parquet(s"$dir/l")
+    buys.coalesce(1).write.mode("overwrite").parquet(s"$dir/r")
+
+    val sl = spark.readStream.schema(clicks.schema).parquet(s"$dir/l")
+    val sr = spark.readStream.schema(buys.schema).parquet(s"$dir/r")
+    val q = Sessions.intervalJoinOuter(sl, sr, "user_id", 10, "5 minutes")
+      .writeStream.format("memory").queryName("graft_ssjo").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // watermark must pass click2's interval before its no-match row can
+      // emit — advance both sides far past it
+      mkEvents(Seq((99L, "2024-01-02 00:00:00", "click", 0.0)))
+        .coalesce(1).write.mode("append").parquet(s"$dir/l")
+      mkEvents(Seq((99L, "2024-01-02 00:00:00", "purchase", 0.0)))
+        .coalesce(1).write.mode("append").parquet(s"$dir/r")
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val rows = spark.table("graft_ssjo")
+        .filter(col("user_id") =!= 99L)
+        .select(col("user_id"), col("r_value"))
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+        .sortBy(_._1).toSeq
+      // user 1 matched its purchase; user 2's click emitted null-padded
+      assert(rows == Seq((1L, Some(10.0)), (2L, None)))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedups recurring ids without exact-ts identity") {
+    val dir = Files.createTempDirectory("graft_ddww").toFile.getAbsolutePath
+    // same user_id re-sent with a DIFFERENT timestamp — dedupStream (id+ts
+    // identity) would keep both; within-watermark dedup keeps one
+    val first = mkEvents(Seq((1L, "2024-01-01 10:00:00", "view", 1.0)))
+    val retry = mkEvents(Seq((1L, "2024-01-01 10:00:30", "view", 1.0)))
+    first.union(retry).coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(first.schema).parquet(dir)
+    val q = Sessions.dedupStreamWithinWatermark(stream, Seq("user_id"), "1 hour")
+      .writeStream.format("memory").queryName("graft_ddww").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("graft_ddww").count() == 1)
+    } finally q.stop()
+  }
+
+  test("Trigger.AvailableNow drains everything then terminates") {
+    val dir = Files.createTempDirectory("graft_avn").toFile.getAbsolutePath
+    fixture.as[SessionEvent].coalesce(1).write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(fixture.schema).parquet(s"$dir/in")
+    Sessions.runAvailableNow(stream, s"$dir/out", s"$dir/ckpt") // blocks until done
+    assert(spark.read.parquet(s"$dir/out").count() == fixture.count())
+  }
+
   test("foreachBatch write trigger observes every batch (Trigger.java parity)") {
     val dir = Files.createTempDirectory("graft_trig").toFile.getAbsolutePath
     fixture.as[SessionEvent].coalesce(1).write.mode("overwrite").parquet(s"$dir/in")
