@@ -203,6 +203,20 @@ final class Engine(val spark: SparkSession) {
     """(?is)^\s*CREATE\s+SCHEMA\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)(?:\s+AUTHORIZATION\s+\w+)?\s*$""".r
   private val dropSchemaRe =
     """(?is)^\s*DROP\s+SCHEMA\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r
+  // CREATE/ALTER/DROP USER (ddl/CreateUser.java, AlterUser.java,
+  // DropUser.java — AlterUserTest shapes): recorded; a single-user batch
+  // engine authenticates nothing, so passwords are noted as set, not kept
+  private val createUserRe =
+    """(?is)^\s*CREATE\s+USER\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)(?:\s+PASSWORD\s+'[^']*')?(\s+ADMIN)?\s*$""".r
+  private val alterUserRenameRe =
+    """(?is)^\s*ALTER\s+USER\s+(\w+)\s+RENAME\s+TO\s+(\w+)\s*$""".r
+  private val alterUserPasswordRe =
+    """(?is)^\s*ALTER\s+USER\s+(\w+)\s+SET\s+PASSWORD\s+'[^']*'\s*$""".r
+  private val alterUserAdminRe =
+    """(?is)^\s*ALTER\s+USER\s+(\w+)\s+ADMIN\s+(TRUE|FALSE)\s*$""".r
+  private val dropUserRe =
+    """(?is)^\s*DROP\s+USER\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r
+  private val users = mutable.LinkedHashMap("sa" -> true) // name → admin
   private val grantRe =
     """(?is)^\s*GRANT\s+([\w, ]+?)\s+ON\s+(\w+)\s+TO\s+(\w+)\s*$""".r
   private val revokeRe =
@@ -218,6 +232,21 @@ final class Engine(val spark: SparkSession) {
   private val executeRe = """(?is)^\s*EXECUTE\s+(\w+)\s*(?:\((.*)\))?\s*$""".r
   private val deallocateRe = """(?is)^\s*DEALLOCATE\s+(?:PREPARE\s+)?(\w+)\s*$""".r
   private val setModeRe = """(?is)^\s*SET\s+MODE\s+(\w+)\s*$""".r
+  // transaction statements (Parser.java:560-650)
+  private val beginRe =
+    """(?is)^\s*(?:BEGIN(?:\s+WORK|\s+TRANSACTION)?|START\s+TRANSACTION)\s*$""".r
+  private val commitRe = """(?is)^\s*COMMIT(?:\s+WORK)?\s*$""".r
+  private val rollbackToRe =
+    """(?is)^\s*ROLLBACK\s+TO\s+SAVEPOINT\s+(\w+)\s*$""".r
+  private val rollbackRe = """(?is)^\s*ROLLBACK(?:\s+WORK)?\s*$""".r
+  private val savepointStmtRe = """(?is)^\s*SAVEPOINT\s+(\w+)\s*$""".r
+  private val releaseSavepointRe =
+    """(?is)^\s*RELEASE\s+(?:SAVEPOINT\s+)?(\w+)\s*$""".r
+  private val setAutocommitRe =
+    """(?is)^\s*SET\s+AUTOCOMMIT\s+(ON|OFF|TRUE|FALSE|0|1)\s*$""".r
+  // generic SET option (dml/Set.java SetTypes): recorded + surfaced in the
+  // SETTINGS meta view; execution semantics live in Spark session confs
+  private val setGenericRe = """(?is)^\s*SET\s+(\w+)\s+(.+)$""".r
   // SHOW … (Parser.java:884 parseShow — MySQL/PostgreSQL compatibility
   // statements rewritten into INFORMATION_SCHEMA selects)
   private val showRe = """(?is)^\s*SHOW\s+(.*)$""".r
@@ -253,6 +282,60 @@ final class Engine(val spark: SparkSession) {
   // convertInsertNullToZero and SHOW COLUMNS
   private val notNullCols = mutable.HashMap.empty[String, Set[String]]
 
+  // ---- transactions (TransactionStatement, Parser.java:560-650) ----
+  // A transaction is a snapshot of the catalog: every table is an immutable
+  // DataFrame and every mutation re-registers a new one (copy-on-write), so
+  // BEGIN captures the maps and ROLLBACK restores them — real single-session
+  // snapshot semantics, the 1-session degenerate case of the reference's
+  // MVCC read view. Sequences and IDENTITY counters are deliberately NOT
+  // rolled back (H2/reference semantics: Sequence values survive rollback).
+  // DDL is covered by the snapshot too — an extension; the reference
+  // auto-commits around DDL.
+  private case class CatalogSnapshot(
+      tables: Seq[(String, DataFrame)],
+      primaryKeys: Map[String, Seq[String]],
+      identityCols: Map[String, String],
+      indexes: Seq[(String, IndexDef)],
+      foreignKeys: Seq[FkDef],
+      checks: Seq[CheckDef],
+      viewDefs: Seq[(String, String)],
+      constants: Seq[(String, String)],
+      domains: Seq[(String, String)],
+      triggers: Seq[(String, (String, String))],
+      schemas: Seq[String],
+      rights: Seq[(String, String, String)],
+      notNullCols: Map[String, Set[String]])
+  private var txn: Option[CatalogSnapshot] = None
+  private val savepointMap = mutable.LinkedHashMap.empty[String, CatalogSnapshot]
+  private var autocommit = true
+  // recorded session options (dml/Set.java SetTypes) → SETTINGS meta view
+  private val sessionSettings = mutable.LinkedHashMap.empty[String, String]
+
+  private def snapshot(): CatalogSnapshot = CatalogSnapshot(
+    tables.toSeq, primaryKeys.toMap, identityCols.toMap, indexes.toSeq,
+    foreignKeys.toSeq, checks.toSeq, viewDefs.toSeq, constants.toSeq,
+    domains.toSeq, triggers.toSeq, schemas.toSeq, rights.toSeq,
+    notNullCols.toMap)
+
+  private def restore(s: CatalogSnapshot): Unit = {
+    val restored = s.tables.map(_._1).toSet
+    tables.keys.filterNot(restored).toSeq.foreach(spark.catalog.dropTempView)
+    tables.clear(); tables ++= s.tables
+    s.tables.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+    primaryKeys.clear(); primaryKeys ++= s.primaryKeys
+    identityCols.clear(); identityCols ++= s.identityCols
+    indexes.clear(); indexes ++= s.indexes
+    foreignKeys.clear(); foreignKeys ++= s.foreignKeys
+    checks.clear(); checks ++= s.checks
+    viewDefs.clear(); viewDefs ++= s.viewDefs
+    constants.clear(); constants ++= s.constants
+    domains.clear(); domains ++= s.domains
+    triggers.clear(); triggers ++= s.triggers
+    schemas.clear(); schemas ++= s.schemas
+    rights.clear(); rights ++= s.rights
+    notNullCols.clear(); notNullCols ++= s.notNullCols
+  }
+
   private def execOne(stmt0: String): DataFrame = {
     val stmt = stmt0.trim
     stmt match {
@@ -282,6 +365,34 @@ final class Engine(val spark: SparkSession) {
         // compatibility modes MySQL/PostgreSQL/… (db/Mode.java:17): recorded;
         // coercion differences are handled by ANSI-off session conf
         compatibilityMode = mode.toUpperCase; status()
+      case beginRe() =>
+        txn = Some(snapshot()); savepointMap.clear(); status()
+      case commitRe() =>
+        txn = if (autocommit) None else Some(snapshot())
+        savepointMap.clear(); status()
+      case rollbackToRe(name) =>
+        val sp = savepointMap.getOrElse(name.toLowerCase,
+          throw new IllegalArgumentException(s"savepoint $name not found"))
+        restore(sp)
+        // later savepoints die with the rollback (standard semantics)
+        val keys = savepointMap.keys.toSeq
+        keys.drop(keys.indexOf(name.toLowerCase) + 1).foreach(savepointMap.remove)
+        status()
+      case rollbackRe() =>
+        txn.foreach(restore)
+        txn = if (autocommit) None else Some(snapshot())
+        savepointMap.clear(); status()
+      case savepointStmtRe(name) =>
+        savepointMap(name.toLowerCase) = snapshot(); status()
+      case releaseSavepointRe(name) =>
+        savepointMap.remove(name.toLowerCase); status()
+      case setAutocommitRe(v) =>
+        val on = Set("ON", "TRUE", "1")(v.toUpperCase)
+        if (!on && autocommit) { autocommit = false; txn = Some(snapshot()) }
+        else if (on && !autocommit) {
+          autocommit = true; txn = None; savepointMap.clear()
+        }
+        status()
       case prepareRe(name, body) =>
         // PREPARE/EXECUTE/DEALLOCATE procedures (ddl/PrepareProcedure.java,
         // dml/ExecuteProcedure.java): named parameterized saved queries;
@@ -406,6 +517,19 @@ final class Engine(val spark: SparkSession) {
       case dropSchemaRe(name) =>
         require(name.toLowerCase != "public", "cannot drop PUBLIC")
         schemas -= name.toLowerCase; status()
+      case createUserRe(name, admin) =>
+        users(name.toLowerCase) = admin != null; status()
+      case alterUserRenameRe(from, to) =>
+        users.remove(from.toLowerCase).foreach(a => users(to.toLowerCase) = a)
+        status()
+      case alterUserPasswordRe(name) =>
+        require(users.contains(name.toLowerCase), s"user $name not found")
+        status()
+      case alterUserAdminRe(name, admin) =>
+        require(users.contains(name.toLowerCase), s"user $name not found")
+        users(name.toLowerCase) = admin.equalsIgnoreCase("TRUE"); status()
+      case dropUserRe(name) =>
+        users.remove(name.toLowerCase); status()
       case grantRe(privs, obj, grantee) =>
         privs.split(",").map(_.trim.toUpperCase).foreach(p =>
           rights += ((grantee.toLowerCase, p, obj.toLowerCase)))
@@ -521,6 +645,8 @@ final class Engine(val spark: SparkSession) {
         register(name, out); status()
       case showRe(what) => execShow(what.trim)
       case callRe(e) => runSelect(s"SELECT $e")
+      case setGenericRe(opt, value) =>
+        sessionSettings(opt.toUpperCase) = value.trim; status()
       case _ => runSelect(stmt)
     }
   }
@@ -906,7 +1032,8 @@ final class Engine(val spark: SparkSession) {
         sequences.toSeq.map { case (n, s) => (n, s.curr, s.inc) }
           .toDF("sequence_name", "current_value", "increment")
       case "settings" =>
-        spark.conf.getAll.toSeq.sortBy(_._1).map { case (k, v) => (k, v) }
+        (spark.conf.getAll.toSeq.sortBy(_._1) ++
+          sessionSettings.toSeq.map { case (k, v) => (k, v) })
           .toDF("setting_name", "setting_value")
       case "constraints" =>
         (primaryKeys.toSeq.map { case (t, ks) =>
@@ -945,8 +1072,9 @@ final class Engine(val spark: SparkSession) {
         Seq((0L, "SA", spark.sparkContext.applicationId))
           .toDF("id", "user_name", "session_start")
       case "users" =>
-        // MetaTable.java USERS (id 9): the implicit admin
-        Seq(("SA", true)).toDF("name", "admin")
+        // MetaTable.java USERS (id 9): the implicit admin + recorded DDL
+        users.toSeq.map { case (n, a) => (n.toUpperCase, a) }
+          .toDF("name", "admin")
       case "table_types" => // id 3
         Seq("SYSTEM TABLE", "TABLE", "VIEW").toDF("type")
       case "type_info" => // id 4: the types parseType accepts

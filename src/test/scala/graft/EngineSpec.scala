@@ -304,6 +304,83 @@ class EngineSpec extends SparkSpec {
     assert(e.sql("SELECT count(*) FROM un").head().getLong(0) == 4)
   }
 
+  test("transactions: BEGIN/COMMIT/ROLLBACK restore catalog snapshots (TransactionTest)") {
+    val e = freshEngine
+    e.sql("CREATE TABLE tx (f1 int PRIMARY KEY, f2 int, f3 varchar(10))")
+    e.sql("INSERT INTO tx VALUES (100, 10, 'a'), (200, 20, 'b')")
+    // rollback undoes DML since BEGIN
+    e.sql("BEGIN")
+    e.sql("INSERT INTO tx VALUES (300, 30, 'c')")
+    e.sql("DELETE FROM tx WHERE f1 = 100")
+    assert(e.sql("SELECT count(*) FROM tx").head().getLong(0) == 2)
+    e.sql("ROLLBACK")
+    assert(e.sql("SELECT f1 FROM tx ORDER BY f1").collect().map(_.getInt(0)).toSeq
+      == Seq(100, 200))
+    // commit makes it durable: rollback after commit is a no-op
+    e.sql("START TRANSACTION")
+    e.sql("INSERT INTO tx VALUES (300, 30, 'c')")
+    e.sql("COMMIT WORK")
+    e.sql("ROLLBACK")
+    assert(e.sql("SELECT count(*) FROM tx").head().getLong(0) == 3)
+    // DDL is covered by the snapshot (extension beyond the reference)
+    e.sql("BEGIN; CREATE TABLE tx2 (x int); ROLLBACK")
+    assert(!e.tableNames.contains("tx2"))
+  }
+
+  test("SAVEPOINT / ROLLBACK TO SAVEPOINT / SET AUTOCOMMIT (Parser.java:560-650)") {
+    val e = freshEngine
+    e.sql("CREATE TABLE sv (x int)")
+    e.sql("SET AUTOCOMMIT OFF")
+    e.sql("INSERT INTO sv VALUES (1)")
+    e.sql("SAVEPOINT s1")
+    e.sql("INSERT INTO sv VALUES (2)")
+    e.sql("SAVEPOINT s2")
+    e.sql("INSERT INTO sv VALUES (3)")
+    e.sql("ROLLBACK TO SAVEPOINT s1")
+    assert(e.sql("SELECT x FROM sv ORDER BY x").collect().map(_.getInt(0)).toSeq == Seq(1))
+    // s2 died with the rollback; s1 is still usable
+    intercept[IllegalArgumentException] { e.sql("ROLLBACK TO SAVEPOINT s2") }
+    e.sql("INSERT INTO sv VALUES (9)")
+    e.sql("ROLLBACK TO SAVEPOINT s1")
+    assert(e.sql("SELECT count(*) FROM sv").head().getLong(0) == 1)
+    // full rollback returns to BEGIN (= AUTOCOMMIT OFF point)
+    e.sql("ROLLBACK")
+    assert(e.sql("SELECT count(*) FROM sv").head().getLong(0) == 0)
+    e.sql("INSERT INTO sv VALUES (7)")
+    e.sql("SET AUTOCOMMIT ON") // commits
+    e.sql("ROLLBACK")          // no-op outside a transaction
+    assert(e.sql("SELECT count(*) FROM sv").head().getLong(0) == 1)
+    // sequences are not transactional (reference Sequence semantics)
+    e.sql("CREATE SEQUENCE txs START WITH 5")
+    e.sql("BEGIN")
+    e.sql("SELECT NEXTVAL('txs') AS v").collect()
+    e.sql("ROLLBACK")
+    assert(e.sql("SELECT NEXTVAL('txs') AS v").head().getInt(0) == 6)
+    // generic SET options are recorded in the SETTINGS meta view
+    e.sql("SET LOCK_TIMEOUT 5000")
+    assert(e.sql("SELECT setting_value FROM INFORMATION_SCHEMA.SETTINGS " +
+      "WHERE setting_name='LOCK_TIMEOUT'").head().getString(0) == "5000")
+  }
+
+  test("CREATE/ALTER/DROP USER recorded + USERS meta view (AlterUserTest)") {
+    val e = freshEngine
+    e.sql("DROP USER IF EXISTS test1")
+    e.sql("CREATE USER IF NOT EXISTS test1 PASSWORD 'test'")
+    assert(e.sql("SELECT admin FROM INFORMATION_SCHEMA.USERS WHERE name='TEST1'")
+      .head().getBoolean(0) == false)
+    e.sql("ALTER USER test1 RENAME TO test2")
+    val names = e.sql("SELECT name FROM INFORMATION_SCHEMA.USERS ORDER BY name")
+      .collect().map(_.getString(0)).toSeq
+    assert(names == Seq("SA", "TEST2"))
+    e.sql("ALTER USER test2 ADMIN TRUE")
+    assert(e.sql("SELECT admin FROM INFORMATION_SCHEMA.USERS WHERE name='TEST2'")
+      .head().getBoolean(0))
+    e.sql("ALTER USER test2 SET PASSWORD 'x'")
+    intercept[IllegalArgumentException] { e.sql("ALTER USER nouser ADMIN TRUE") }
+    e.sql("DROP USER test2")
+    assert(e.sql("SELECT count(*) FROM INFORMATION_SCHEMA.USERS").head().getLong(0) == 1)
+  }
+
   test("session identity functions: IDENTITY()/SCOPE_IDENTITY()/LASTVAL()") {
     val e = freshEngine
     e.sql("CREATE TABLE sid (id IDENTITY, v varchar(5))")
