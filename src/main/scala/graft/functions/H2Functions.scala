@@ -451,6 +451,33 @@ object H2Functions {
       StandardCharsets.UTF_8)
     catch { case _: java.io.IOException => default }
 
+  /** FORMATDATETIME(ts, fmt[, locale[, tz]]) (Function.java FORMATDATETIME
+    * — SimpleDateFormat semantics, exactly as the reference formats). */
+  def formatDateTime(ts: java.sql.Timestamp, fmt: String, loc: String,
+      tz: String): String = {
+    if (ts == null || fmt == null) null
+    else {
+      val locale = if (loc == null) java.util.Locale.getDefault
+        else java.util.Locale.forLanguageTag(loc)
+      val sdf = new java.text.SimpleDateFormat(fmt, locale)
+      if (tz != null) sdf.setTimeZone(java.util.TimeZone.getTimeZone(tz))
+      sdf.format(ts)
+    }
+  }
+
+  /** PARSEDATETIME(text, fmt[, locale[, tz]]) (Function.java PARSEDATETIME). */
+  def parseDateTime(s: String, fmt: String, loc: String,
+      tz: String): java.sql.Timestamp = {
+    if (s == null || fmt == null) null
+    else {
+      val locale = if (loc == null) java.util.Locale.getDefault
+        else java.util.Locale.forLanguageTag(loc)
+      val sdf = new java.text.SimpleDateFormat(fmt, locale)
+      if (tz != null) sdf.setTimeZone(java.util.TimeZone.getTimeZone(tz))
+      new java.sql.Timestamp(sdf.parse(s).getTime)
+    }
+  }
+
   /** Register every function for SQL + Column use (CREATE ALIAS parity:
     * FunctionAlias.java:44 — spark.udf is the Spark-native twin). */
   def registerAll(spark: SparkSession): Unit = {
@@ -497,6 +524,20 @@ object H2Functions {
       b
     })
     u.register("truncate_value", (d: java.lang.Double, s: Int) => truncateValue(d, s))
+    // FORMATDATETIME/PARSEDATETIME (2-4 args): Spark UDFs are single-arity,
+    // so the Engine renames calls by argument count (renameByArity)
+    u.register("formatdatetime_2",
+      (ts: java.sql.Timestamp, f: String) => formatDateTime(ts, f, null, null))
+    u.register("formatdatetime_3",
+      (ts: java.sql.Timestamp, f: String, l: String) => formatDateTime(ts, f, l, null))
+    u.register("formatdatetime_4",
+      (ts: java.sql.Timestamp, f: String, l: String, z: String) => formatDateTime(ts, f, l, z))
+    u.register("parsedatetime_2",
+      (s: String, f: String) => parseDateTime(s, f, null, null))
+    u.register("parsedatetime_3",
+      (s: String, f: String, l: String) => parseDateTime(s, f, l, null))
+    u.register("parsedatetime_4",
+      (s: String, f: String, l: String, z: String) => parseDateTime(s, f, l, z))
     // System/session functions (Function.java:325-336,354-369): engine
     // constants where meaningful for a batch library; JVM stats where real.
     // capture session constants NOW — udf closures must not capture the

@@ -780,6 +780,11 @@ final class Engine(val spark: SparkSession) {
     // INFORMATION_SCHEMA.X → synthesized meta view (MetaTable.java:68)
     val infoRe = """(?i)INFORMATION_SCHEMA\.(\w+)""".r
     q = rewriteOutside(q, infoRe)(m => metaView(m.group(1).toLowerCase))
+    // SET(@v, expr) inline assignment (Function.java:364 SET): evaluate the
+    // value driver-side, assign the variable, and substitute the value in
+    // place — must run before the @var substitution below so later @v
+    // references in the same statement read the new value
+    q = rewriteSetFunction(q)
     // @var substitution (Variable.java:20; unset vars read as NULL, same
     // as the reference's ValueNull for an unset session variable)
     val varRe = """@(\w+)""".r
@@ -803,11 +808,49 @@ final class Engine(val spark: SparkSession) {
     q = rewriteOutside(q, """(?i)\bRANDOM\s*\(""".r)(_ => "rand(")
     q = rewriteOutside(q, """(?i)\bSYS_GUID\s*\(\s*\)""".r)(_ => "random_uuid()")
     q = rewriteOutside(q, """(?i)\bLEALONE_VERSION\s*\(\s*\)""".r)(_ => "graft_version()")
+    // USER()/CURRENT_USER() = the session user (RightOwner — the implicit
+    // SA admin), not the JVM/OS user Spark's current_user() reports
+    q = rewriteOutside(q, """(?i)\b(?:USER|CURRENT_USER)\s*\(\s*\)""".r)(_ => "'SA'")
     q = rewriteOutside(q,
       """(?i)\b(?:IDENTITY|SCOPE_IDENTITY|LAST_INSERT_ID|IDENTITY_VAL_LOCAL)\s*\(\s*\)""".r)(
       _ => lastIdentity.map(_.toString).getOrElse("NULL"))
     q = rewriteOutside(q, """(?i)\bLASTVAL\s*\(\s*\)""".r)(
       _ => lastSeqVal.map(_.toString).getOrElse("NULL"))
+    // date-part aliases (Function.java DAY_OF_MONTH…WEEK groups)
+    q = rewriteOutside(q, """(?i)\bDAY_OF_MONTH\s*\(""".r)(_ => "dayofmonth(")
+    q = rewriteOutside(q, """(?i)\bDAY_OF_WEEK\s*\(""".r)(_ => "dayofweek(")
+    q = rewriteOutside(q, """(?i)\bDAY_OF_YEAR\s*\(""".r)(_ => "dayofyear(")
+    q = rewriteOutside(q, """(?i)\bWEEK\s*\(""".r)(_ => "weekofyear(")
+    // NOW(precision) → now() (fractional-second precision not kept);
+    // CURTIME/CURRENT_TIME → HH:mm:ss string (Spark has no TIME type —
+    // README divergences); bare paren-less forms are valid H2
+    q = rewriteOutside(q, """(?i)\bNOW\s*\(\s*\d+\s*\)""".r)(_ => "now()")
+    val timeStr = "date_format(now(), 'HH:mm:ss')"
+    q = rewriteOutside(q, """(?i)\bCURTIME\s*\(\s*\)""".r)(_ => timeStr)
+    q = rewriteOutside(q, """(?i)\bCURTIME\b""".r)(_ => timeStr)
+    q = rewriteOutside(q, """(?i)\bCURRENT_TIME(?!STAMP)\s*\(\s*\)""".r)(_ => timeStr)
+    q = rewriteOutside(q, """(?i)\bCURRENT_TIME(?!STAMP)\b""".r)(_ => timeStr)
+    q = rewriteOutside(q, """(?i)\bCURDATE\b(?!\s*\()""".r)(_ => "current_date()")
+    q = rewriteOutside(q, """(?i)\bNOW\b(?!\s*\()""".r)(_ => "now()")
+    // ROWNUM / ROW_NUMBER without a window (Parser.java ROWNUM,
+    // Select.java:877): number rows in scan order
+    val rowNum = "row_number() OVER (ORDER BY monotonically_increasing_id())"
+    q = rewriteOutside(q,
+      """(?i)\bROW_NUMBER\s*\(\s*\)\s*OVER\s*\(\s*\)""".r)(_ => rowNum)
+    q = rewriteOutside(q, """(?i)\bROW_NUMBER\s*\(\s*\)(?!\s*OVER)""".r)(_ => rowNum)
+    q = rewriteOutside(q, """(?i)\bROWNUM\s*\(\s*\)""".r)(_ => rowNum)
+    q = rewriteOutside(q, """(?i)\bROWNUM\b(?!\s*\()""".r)(_ => rowNum)
+    // FORMATDATETIME/PARSEDATETIME: rename by arity to the fixed-arity UDFs
+    q = renameByArity(q, "FORMATDATETIME")(n => s"formatdatetime_$n")
+    q = renameByArity(q, "PARSEDATETIME")(n => s"parsedatetime_$n")
+    // ARRAY_GET/ARRAY_LENGTH/ARRAY_CONTAINS with H2 row-value arrays:
+    // `('a','b')` in first-argument position becomes array('a','b');
+    // ARRAY_GET is 1-based with NULL out of range → try_element_at
+    q = rewriteArrayFn(q, "ARRAY_GET", "try_element_at")
+    q = rewriteArrayFn(q, "ARRAY_LENGTH", "cardinality")
+    q = rewriteArrayFn(q, "ARRAY_CONTAINS", "array_contains")
+    // CASE(w1, r1, w2, r2, …[, else]) function form (Function.java:890)
+    q = rewriteCaseFunction(q)
     // NEXTVAL/CURRVAL + CREATE CONSTANT names
     substSequences(substConstants(q))
   }
@@ -896,6 +939,154 @@ final class Engine(val spark: SparkSession) {
     }
     sb.append(q.substring(last))
     sb.toString
+  }
+
+  /** Find the index just past the matching ')' for a call whose open paren
+    * is at `open` (exclusive end), honoring string literals. Returns -1 if
+    * unbalanced. Also counts top-level commas. */
+  private def matchParen(q: String, open: Int): (Int, Int) = {
+    var depth = 1; var i = open + 1; var commas = 0; var inStr = false
+    while (i < q.length && depth > 0) {
+      q.charAt(i) match {
+        case '\'' => inStr = !inStr
+        case '(' if !inStr => depth += 1
+        case ')' if !inStr => depth -= 1
+        case ',' if !inStr && depth == 1 => commas += 1
+        case _ =>
+      }
+      i += 1
+    }
+    (if (depth == 0) i else -1, commas)
+  }
+
+  /** Rename calls of `name` to an arity-specific target — how variable-
+    * arity H2 functions (FORMATDATETIME 2-4 args) map onto Spark's
+    * fixed-arity UDF registration. */
+  private def renameByArity(q0: String, name: String)(
+      target: Int => String): String = {
+    var q = q0
+    var from = 0
+    val re = ("""(?i)\b""" + name + """\s*\(""").r
+    var continue = true
+    while (continue) {
+      val spans = literalSpans(q)
+      re.findAllMatchIn(q).find(m => m.start >= from &&
+          !spans.exists(sp => m.start >= sp._1 && m.start < sp._2)) match {
+        case None => continue = false
+        case Some(m) =>
+          val (close, commas) = matchParen(q, m.end - 1)
+          if (close < 0) continue = false
+          else {
+            val newName = target(commas + 1)
+            q = q.substring(0, m.start) + newName + "(" + q.substring(m.end)
+            from = m.start + newName.length + 1
+          }
+      }
+    }
+    q
+  }
+
+  /** H2 array functions over row values: `ARRAY_GET(('a','b'), i)` — a
+    * parenthesized list in first-argument position is H2's inline array
+    * (Function.java:905 ARRAY_GET on ValueArray); Spark spells it
+    * array(...). Renames the function and converts that first argument. */
+  private def rewriteArrayFn(q0: String, h2Name: String,
+      sparkName: String): String = {
+    var q = q0
+    var from = 0
+    val re = ("""(?i)\b""" + h2Name + """\s*\(""").r
+    var continue = true
+    while (continue) {
+      val spans = literalSpans(q)
+      re.findAllMatchIn(q).find(m => m.start >= from &&
+          !spans.exists(sp => m.start >= sp._1 && m.start < sp._2)) match {
+        case None => continue = false
+        case Some(m) =>
+          var i = m.end
+          while (i < q.length && q.charAt(i).isWhitespace) i += 1
+          val head = q.substring(0, m.start) + sparkName + "("
+          q = if (i < q.length && q.charAt(i) == '(') {
+            val (close, _) = matchParen(q, i)
+            if (close < 0) return q
+            head + q.substring(m.end, i) + "array" + q.substring(i, close) +
+              q.substring(close)
+          } else head + q.substring(m.end)
+          from = m.start + sparkName.length + 1
+      }
+    }
+    q
+  }
+
+  /** H2 CASE *function* form `CASE(w1, r1, w2, r2[, else])`
+    * (Function.java:890: leading boolean of each pair selects its result;
+    * odd trailing argument is the ELSE) → standard searched CASE. The
+    * expression form `CASE x WHEN …` / `CASE WHEN …` is left alone. */
+  private def rewriteCaseFunction(q0: String): String = {
+    var q = q0
+    var from = 0
+    val re = """(?i)\bCASE\s*\(""".r
+    var continue = true
+    while (continue) {
+      val spans = literalSpans(q)
+      re.findAllMatchIn(q).find(m => m.start >= from &&
+          !spans.exists(sp => m.start >= sp._1 && m.start < sp._2)) match {
+        case None => continue = false
+        case Some(m) =>
+          val (close, _) = matchParen(q, m.end - 1)
+          if (close < 0) return q
+          // `CASE (expr) WHEN …` is the expression form — skip it
+          val tail = q.substring(close).trim
+          if (tail.toUpperCase.startsWith("WHEN")) { from = close }
+          else {
+            val args = splitTop(q.substring(m.end, close - 1)).map(_.trim)
+            val pairs = args.grouped(2).toSeq
+            val sb = new StringBuilder("CASE")
+            pairs.foreach {
+              case Seq(w, r) => sb.append(s" WHEN $w THEN $r")
+              case Seq(e) => sb.append(s" ELSE $e")
+              case _ =>
+            }
+            sb.append(" END")
+            q = q.substring(0, m.start) + sb + q.substring(close)
+            from = m.start + sb.length
+          }
+      }
+    }
+    q
+  }
+
+  /** Inline `SET(@v, expr)` (Function.java:364): evaluate driver-side,
+    * store the variable, substitute the value. Runs before the statement-
+    * level @var substitution, so later @v reads in the same statement see
+    * the assigned value (left-to-right, as the reference evaluates). */
+  private def rewriteSetFunction(q0: String): String = {
+    var q = q0
+    val re = """(?i)\bSET\s*\(\s*@(\w+)\s*,""".r
+    var continue = true
+    while (continue) {
+      val spans = literalSpans(q)
+      re.findAllMatchIn(q).find(m =>
+          !spans.exists(sp => m.start >= sp._1 && m.start < sp._2)) match {
+        case None => continue = false
+        case Some(m) =>
+          val open = q.indexOf('(', m.start)
+          val (close, _) = matchParen(q, open)
+          if (close < 0) return q
+          val inner0 = q.substring(m.end, close - 1)
+          // earlier-assigned vars are visible in the value expression
+          val inner = """@(\w+)""".r.replaceAllIn(inner0, mm =>
+            java.util.regex.Matcher.quoteReplacement(
+              variables.getOrElse(mm.group(1).toLowerCase, "NULL")))
+          val value = spark.sql(
+            s"SELECT ${substSequences(substConstants(inner))}").head().get(0) match {
+            case s: String => s"'${s.replace("'", "''")}'"
+            case v => String.valueOf(v)
+          }
+          variables(m.group(1).toLowerCase) = value
+          q = q.substring(0, m.start) + value + q.substring(close)
+      }
+    }
+    q
   }
 
   /** `TABLE(id INT=ARRAY[1,2], name VARCHAR=('a','b'))` in FROM position →
