@@ -128,7 +128,20 @@ final class Engine(val spark: SparkSession) {
     """(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r
   private val truncateRe = """(?is)^\s*TRUNCATE\s+TABLE\s+(\w+)\s*$""".r
   private val createSeqRe =
-    """(?is)^\s*CREATE\s+SEQUENCE\s+(\w+)(?:\s+START\s+WITH\s+(-?\d+))?(?:\s+INCREMENT\s+BY\s+(-?\d+))?\s*$""".r
+    """(?is)^\s*CREATE\s+SEQUENCE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)(?:\s+START\s+WITH\s+(-?\d+))?(?:\s+INCREMENT\s+BY\s+(-?\d+))?(?:\s+CACHE\s+\d+)?\s*$""".r
+  private val dropSeqRe =
+    """(?is)^\s*DROP\s+SEQUENCE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r
+  // CREATE PRIMARY KEY [HASH] name ON t(cols) (ddl/CreateIndex.java primary
+  // form, used by the reference's index tests)
+  private val createPkRe =
+    """(?is)^\s*CREATE\s+PRIMARY\s+KEY\s+(?:HASH\s+)?(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+ON\s+(\w+)\s*\(([^)]*)\)\s*$""".r
+  // CREATE DATABASE (ddl/CreateDatabase.java — RUN MODE/PARAMETERS are
+  // distributed-deployment attributes, recorded only)
+  private val createDatabaseRe =
+    """(?is)^\s*CREATE\s+DATABASE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)(?:\s+RUN\s+MODE\s+\w+)?(?:\s+PARAMETERS\s*\(.*\))?\s*$""".r
+  private val dropDatabaseRe =
+    """(?is)^\s*DROP\s+DATABASE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r
+  private val databases = mutable.LinkedHashSet("graft")
   // MySQL-mode INSERT … ON DUPLICATE KEY UPDATE (Mode.java
   // onDuplicateKeyUpdate; parsed only when the mode enables it, as the
   // reference's parser does) — must match before the plain VALUES form
@@ -143,29 +156,45 @@ final class Engine(val spark: SparkSession) {
   private val deleteRe =
     """(?is)^\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*?))?(?:\s+LIMIT\s+(\d+))?\s*$""".r
   private val mergeRe =
-    """(?is)^\s*MERGE\s+INTO\s+(\w+)\s*(?:\(([^)]*)\)\s*)?(?:KEY\s*\(([^)]*)\)\s*)?(VALUES\s*.*|SELECT\s+.*|FROM\s+.*)$""".r
+    """(?is)^\s*MERGE\s+INTO\s+(\w+)\s*(?:\(([^)]*)\)\s*)?(?:KEY\s*\(([^)]*)\)\s*)?(VALUES\s*.*|SELECT\s+.*|FROM\s+.*|\(\s*SELECT\s+.*)$""".r
 
   private val createViewRe =
-    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(\w+)\s+AS\s+(.*)$""".r
+    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:FORCE\s+)?VIEW\s+(\w+)\s*(?:\(([^)]*)\)\s*)?AS\s+(.*)$""".r
   private val dropViewRe =
     """(?is)^\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r
   // ALTER TABLE family (ddl/AlterTableAddColumn.java,
   // AlterTableAlterColumn.java, AlterTableRename.java,
   // AlterTableRenameColumn.java, AlterTableAddConstraint.java)
   private val alterRenameTableRe =
-    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+TO\s+(\w+)\s*$""".r
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+TO\s+(\w+)(?:\s+HIDDEN)?\s*$""".r
   private val alterAddConstraintRe =
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+CONSTRAINT\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+(.*)$""".r
+  // multi-column ADD: `ADD (f3 int, f4 int)` / `ADD COLUMN(f5 int, f6 int)`
+  // (AlterTableAddColumn.java list form)
+  private val alterAddMultiRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+(?:COLUMN\s*)?\((.*)\)\s*$""".r
   private val alterAddColRe =
-    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+(?:COLUMN\s+)?(\w+)\s+(.+?)(?:\s+BEFORE\s+(\w+))?\s*$""".r
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+(?:COLUMN\s+)?(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+(.+?)(?:\s+BEFORE\s+(\w+)|\s+AFTER\s+(\w+))?\s*$""".r
+  private val alterDropPkRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+PRIMARY\s+KEY\s*$""".r
+  private val alterDropConstraintRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+CONSTRAINT\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r
   private val alterDropColRe =
-    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+(?:COLUMN\s+)?(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r
+  // ALTER/MODIFY [COLUMN] variants (AlterTableAlterColumnTest shapes:
+  // `ALTER f1 TYPE long`, `MODIFY f1 long`, `MODIFY COLUMN f1 int NOT NULL`)
   private val alterRenameColRe =
-    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ALTER\s+COLUMN\s+(\w+)\s+RENAME\s+TO\s+(\w+)\s*$""".r
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+(?:ALTER|MODIFY)\s+(?:COLUMN\s+)?(\w+)\s+RENAME\s+TO\s+(\w+)\s*$""".r
+  private val alterColSetDefaultRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+(?:ALTER|MODIFY)\s+(?:COLUMN\s+)?(\w+)\s+SET\s+DEFAULT\s+(.+)$""".r
+  private val alterColDropDefaultRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+(?:ALTER|MODIFY)\s+(?:COLUMN\s+)?(\w+)\s+DROP\s+DEFAULT\s*$""".r
   private val alterColNullRe =
-    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ALTER\s+COLUMN\s+(\w+)\s+SET\s+(?:NOT\s+)?NULL\s*$""".r
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+(?:ALTER|MODIFY)\s+(?:COLUMN\s+)?(\w+)\s+(?:SET\s+(?:NOT\s+)?NULL|DROP\s+NOT\s+NULL)\s*$""".r
   private val alterColTypeRe =
-    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ALTER\s+COLUMN\s+(\w+)\s+(?:SET\s+DATA\s+TYPE\s+)?([A-Za-z].*)$""".r
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+(?:ALTER|MODIFY)\s+(?:COLUMN\s+)?(\w+)\s+(?:SET\s+DATA\s+TYPE\s+|TYPE\s+)?([A-Za-z].*)$""".r
+  private val alterSetRefIntRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+SET\s+REFERENTIAL_INTEGRITY\s+(TRUE|FALSE)(?:\s+(?:CHECK|NOCHECK))?\s*$""".r
   // CREATE/DROP INDEX (ddl/CreateIndex.java, ddl/DropIndex.java) — recorded
   // and surfaced via INFORMATION_SCHEMA.INDEXES; execution is a no-op
   // because Spark's scan planning subsumes secondary indexes.
@@ -281,6 +310,13 @@ final class Engine(val spark: SparkSession) {
   // NOT NULL columns per table (Column.java nullable) — drives MySQL-mode
   // convertInsertNullToZero and SHOW COLUMNS
   private val notNullCols = mutable.HashMap.empty[String, Set[String]]
+  // column DEFAULT / computed-AS expressions (Column.java defaultExpression):
+  // applied when an insert omits the column or writes the DEFAULT keyword
+  private val colDefaults =
+    mutable.HashMap.empty[String, mutable.LinkedHashMap[String, String]]
+  // SET REFERENTIAL_INTEGRITY toggle (AlterTableSet.java): FALSE suspends
+  // FK validation (bulk-load pattern), TRUE [CHECK] revalidates
+  private var refIntegrity = true
 
   // ---- transactions (TransactionStatement, Parser.java:560-650) ----
   // A transaction is a snapshot of the catalog: every table is an immutable
@@ -304,7 +340,8 @@ final class Engine(val spark: SparkSession) {
       triggers: Seq[(String, (String, String))],
       schemas: Seq[String],
       rights: Seq[(String, String, String)],
-      notNullCols: Map[String, Set[String]])
+      notNullCols: Map[String, Set[String]],
+      colDefaults: Seq[(String, Seq[(String, String)])])
   private var txn: Option[CatalogSnapshot] = None
   private val savepointMap = mutable.LinkedHashMap.empty[String, CatalogSnapshot]
   private var autocommit = true
@@ -315,7 +352,7 @@ final class Engine(val spark: SparkSession) {
     tables.toSeq, primaryKeys.toMap, identityCols.toMap, indexes.toSeq,
     foreignKeys.toSeq, checks.toSeq, viewDefs.toSeq, constants.toSeq,
     domains.toSeq, triggers.toSeq, schemas.toSeq, rights.toSeq,
-    notNullCols.toMap)
+    notNullCols.toMap, colDefaults.toSeq.map { case (t, m) => (t, m.toSeq) })
 
   private def restore(s: CatalogSnapshot): Unit = {
     val restored = s.tables.map(_._1).toSet
@@ -334,6 +371,10 @@ final class Engine(val spark: SparkSession) {
     schemas.clear(); schemas ++= s.schemas
     rights.clear(); rights ++= s.rights
     notNullCols.clear(); notNullCols ++= s.notNullCols
+    colDefaults.clear()
+    s.colDefaults.foreach { case (t, ds) =>
+      colDefaults(t) = mutable.LinkedHashMap(ds: _*)
+    }
   }
 
   private def execOne(stmt0: String): DataFrame = {
@@ -413,9 +454,13 @@ final class Engine(val spark: SparkSession) {
         execOne(body)
       case deallocateRe(name) =>
         procedures.remove(name.toLowerCase); status()
-      case createViewRe(name, query) =>
+      case createViewRe(name, colList, query) =>
         viewDefs(name.toLowerCase) = query.trim
-        register(name, runSelect(query)); status()
+        val df0 = runSelect(query)
+        // optional view column list renames positionally (TableView.java)
+        val df = Option(colList).map(cl =>
+          df0.toDF(cl.split(",").map(_.trim.toLowerCase).toSeq: _*)).getOrElse(df0)
+        register(name, df); status()
       case dropViewRe(name) =>
         viewDefs.remove(name.toLowerCase)
         tables.remove(name.toLowerCase)
@@ -424,8 +469,29 @@ final class Engine(val spark: SparkSession) {
         renameTable(a.toLowerCase, b.toLowerCase); status()
       case alterAddConstraintRe(tn, cn, body) =>
         addConstraint(tn.toLowerCase, cn.toLowerCase, body.trim); status()
+      case alterSetRefIntRe(tn, v) =>
+        // SET REFERENTIAL_INTEGRITY (AlterTableSet.java): FALSE suspends FK
+        // checks (bulk-load pattern); TRUE revalidates the table's FKs
+        refIntegrity = v.equalsIgnoreCase("TRUE")
+        if (refIntegrity)
+          foreignKeys.filter(_.table == tn.toLowerCase).foreach { fk =>
+            require(Dml.fkViolations(table(fk.table), fk.cols,
+              table(fk.refTable), fk.refCols).isEmpty,
+              s"FK ${fk.name} violated on revalidation")
+          }
+        status()
+      case alterDropPkRe(tn) =>
+        primaryKeys.remove(tn.toLowerCase); status()
+      case alterDropConstraintRe(_, cn) =>
+        val n = cn.toLowerCase
+        foreignKeys.filterInPlace(_.name != n)
+        checks.filterInPlace(_.name != n)
+        indexes.remove(n); status()
       case alterDropColRe(tn, c) =>
-        register(tn, table(tn).drop(c.toLowerCase)); status()
+        if (table(tn).columns.contains(c.toLowerCase))
+          register(tn, table(tn).drop(c.toLowerCase))
+        colDefaults.get(tn.toLowerCase).foreach(_.remove(c.toLowerCase))
+        status()
       case alterRenameColRe(tn, from, to) =>
         register(tn, table(tn).withColumnRenamed(from.toLowerCase, to.toLowerCase))
         primaryKeys.get(tn.toLowerCase).foreach { ks =>
@@ -434,28 +500,33 @@ final class Engine(val spark: SparkSession) {
         }
         if (identityCols.get(tn.toLowerCase).contains(from.toLowerCase))
           identityCols(tn.toLowerCase) = to.toLowerCase
+        colDefaults.get(tn.toLowerCase).foreach { ds =>
+          ds.remove(from.toLowerCase).foreach(d => ds(to.toLowerCase) = d)
+        }
         status()
+      case alterColSetDefaultRe(tn, c, d) =>
+        colDefaults.getOrElseUpdate(tn.toLowerCase,
+          mutable.LinkedHashMap.empty)(c.toLowerCase) = d.trim
+        status()
+      case alterColDropDefaultRe(tn, c) =>
+        colDefaults.get(tn.toLowerCase).foreach(_.remove(c.toLowerCase)); status()
       case alterColNullRe(_, _) =>
         // nullability is advisory in a snapshot engine; accepted for parity
         status()
-      case alterAddColRe(tn, cName, typeSpec, before)
-          if !cName.equalsIgnoreCase("CONSTRAINT") =>
-        val t = table(tn)
-        val newCol = lit(null).cast(parseType(typeSpec)).as(cName.toLowerCase)
-        val cols = t.columns.map(col).toSeq
-        val out = Option(before) match {
-          case Some(b) =>
-            val i = t.columns.indexWhere(_.equalsIgnoreCase(b))
-            require(i >= 0, s"BEFORE column $b not found")
-            t.select((cols.take(i) :+ newCol) ++ cols.drop(i): _*)
-          case None => t.select(cols :+ newCol: _*)
+      case alterAddMultiRe(tn, defs) =>
+        splitTop(defs).map(_.trim).filter(_.nonEmpty).foreach { d =>
+          val parts = d.split("\\s+", 2)
+          addColumn(tn, parts(0), if (parts.length > 1) parts(1) else "STRING",
+            None, None)
         }
-        register(tn, out); status()
+        status()
+      case alterAddColRe(tn, cName, typeSpec, before, after)
+          if !cName.equalsIgnoreCase("CONSTRAINT") =>
+        addColumn(tn, cName, typeSpec, Option(before), Option(after)); status()
       case alterColTypeRe(tn, cName, typeSpec)
-          // SET DEFAULT / SELECTIVITY / RESTART forms are attribute tweaks,
-          // not type changes — accept as recorded no-ops rather than
-          // mis-parsing "SET"/"SELECTIVITY" as a (string) type
-          if !Set("SET", "SELECTIVITY", "RESTART")
+          // SET/SELECTIVITY/RESTART/DROP forms are attribute tweaks, not
+          // type changes — never mis-parse their keywords as a type
+          if !Set("SET", "SELECTIVITY", "RESTART", "DROP", "RENAME")
             .contains(typeSpec.trim.split("\\s+")(0).toUpperCase) =>
         val t = table(tn)
         val c = cName.toLowerCase
@@ -463,6 +534,22 @@ final class Engine(val spark: SparkSession) {
         status()
       case alterColTypeRe(_, _, _) =>
         status() // attribute-only ALTER COLUMN form: advisory in a snapshot engine
+      case createPkRe(name, tn, cols) =>
+        // CREATE PRIMARY KEY [HASH] name ON t(cols) (index-test shapes)
+        val ks = cols.split(",").map(_.trim.toLowerCase).toSeq
+        require(Dml.duplicateKeys(table(tn), ks).isEmpty,
+          s"PRIMARY KEY $name violated by existing rows")
+        primaryKeys(tn.toLowerCase) = ks
+        indexes(name.toLowerCase) =
+          IndexDef(name.toLowerCase, tn.toLowerCase, ks, unique = true)
+        status()
+      case dropSeqRe(name) =>
+        sequences.remove(name.toLowerCase); status()
+      case createDatabaseRe(name) =>
+        databases += name.toLowerCase; status()
+      case dropDatabaseRe(name) =>
+        require(name.toLowerCase != "graft", "cannot drop the current database")
+        databases -= name.toLowerCase; status()
       case createIndexRe(unique, name, tn, cols) =>
         val ks = cols.split(",").map(_.trim.toLowerCase).toSeq
         if (unique != null)
@@ -511,6 +598,7 @@ final class Engine(val spark: SparkSession) {
         identityNext.clear(); sequences.clear(); indexes.clear()
         foreignKeys.clear(); checks.clear(); viewDefs.clear()
         constants.clear(); domains.clear(); triggers.clear(); rights.clear()
+        notNullCols.clear(); colDefaults.clear()
         status()
       case createSchemaRe(name) =>
         schemas += name.toLowerCase; status()
@@ -566,6 +654,16 @@ final class Engine(val spark: SparkSession) {
         }
         if (pks.nonEmpty) { primaryKeys(tn) = pks; notNull ++= pks }
         notNullCols(tn) = notNull.toSet
+        // DEFAULT expr / computed `AS expr` column options (Column.java
+        // defaultExpression) — applied on omitted columns and the DEFAULT
+        // keyword in VALUES
+        val defOptRe = """(?is)^(\w+)\s+.*?\s+(?:DEFAULT|AS)\s+(.+)$""".r
+        splitTop(colDefs).map(_.trim).foreach {
+          case defOptRe(cn, d) if !cn.equalsIgnoreCase("PRIMARY") =>
+            colDefaults.getOrElseUpdate(tn,
+              mutable.LinkedHashMap.empty)(cn.toLowerCase) = d.trim
+          case _ =>
+        }
         inlineIdx.foreach { case (ixName, cols, unique) =>
           indexes(ixName) = IndexDef(ixName, tn, cols, unique)
         }
@@ -596,11 +694,14 @@ final class Engine(val spark: SparkSession) {
       case mergeRe(name, cols, keys, source) =>
         val src = source.trim match {
           case v if v.toUpperCase.startsWith("VALUES") =>
-            parseValueRows(name, v.substring(6))
+            parseValueRows(name, v.substring(6),
+              Option(cols).map(c => splitTop(c).map(_.trim.toLowerCase)))
+          case p if p.startsWith("(") && p.endsWith(")") =>
+            runSelect(p.substring(1, p.length - 1)) // MERGE … KEY(k) (SELECT …)
           case q => runSelect(q)
         }
         val t = table(name)
-        val aligned = alignTo(t, Option(cols).map(splitTop(_).map(_.trim)), src)
+        val aligned = alignTo(name, t, Option(cols).map(splitTop(_).map(_.trim)), src)
         val key = Option(keys).map(_.split(",").map(_.trim.toLowerCase).toSeq)
           .orElse(primaryKeys.get(name.toLowerCase))
           .getOrElse(Seq(t.columns.head))
@@ -1342,7 +1443,7 @@ final class Engine(val spark: SparkSession) {
         Seq.empty[(String, Long, Double)]
           .toDF("sql_statement", "execution_count", "average_execution_time")
       case "databases" => // id 29
-        Seq("graft").toDF("database_name")
+        databases.toSeq.toDF("database_name")
       case other => throw new IllegalArgumentException(
         s"INFORMATION_SCHEMA.$other not supported")
     }
@@ -1411,6 +1512,8 @@ final class Engine(val spark: SparkSession) {
     checks.indices.foreach { i =>
       if (checks(i).table == from) checks(i) = checks(i).copy(table = to)
     }
+    notNullCols.remove(from).foreach(notNullCols(to) = _)
+    colDefaults.remove(from).foreach(colDefaults(to) = _)
     register(to, df)
   }
 
@@ -1418,39 +1521,128 @@ final class Engine(val spark: SparkSession) {
     * existing rows are validated before the constraint is recorded, the
     * same all-rows check the reference runs — here one distributed
     * anti-join/filter/groupBy rather than a per-row index probe. */
-  private def addConstraint(tn: String, cn: String, body: String): Unit = {
-    val fkRe = """(?is)^FOREIGN\s+KEY\s*\(([^)]*)\)\s+REFERENCES\s+(\w+)\s*(?:\(([^)]*)\))?\s*$""".r
-    val ckRe = """(?is)^CHECK\s*\((.*)\)\s*$""".r
-    val uqRe = """(?is)^UNIQUE\s*\(([^)]*)\)\s*$""".r
-    val pkRe = """(?is)^PRIMARY\s+KEY\s*\(([^)]*)\)\s*$""".r
+  /** ADD CONSTRAINT bodies (AlterTableAddConstraint.java +
+    * AlterTableAlterColumnTest shapes): `COMMENT IS '…'` prefixes are
+    * attributes and strip; `HASH` on PRIMARY KEY, `KEY INDEX name` on
+    * UNIQUE, a trailing `INDEX name` on PRIMARY KEY, trailing
+    * `CHECK`/`NOCHECK` (NOCHECK skips the existing-row validation), CHECK
+    * without parentheses, INDEX[ name](cols) constraints, and FOREIGN KEY
+    * REFERENCES without a table (self-reference) are all accepted. */
+  private def addConstraint(tn: String, cn: String, body0: String): Unit = {
+    var body = body0.trim
+    // strip COMMENT IS '…' (constraint attribute, recorded nowhere)
+    body = """(?is)^COMMENT\s+IS\s+'[^']*'\s+""".r.replaceFirstIn(body, "")
+    // trailing CHECK/NOCHECK validation toggle
+    var validate = true
+    val nocheck = """(?is)^(.*?)\s+(CHECK|NOCHECK)\s*$""".r
+    body match {
+      case nocheck(b, tog)
+          // only when it's genuinely a trailing keyword, not CHECK(...)
+          if !b.trim.toUpperCase.endsWith("CHECK") || tog.toUpperCase == "NOCHECK" =>
+        if (tog.equalsIgnoreCase("NOCHECK")) validate = false
+        body = b.trim
+      case _ =>
+    }
+    val fkRe = """(?is)^FOREIGN\s+KEY\s*\(([^)]*)\)\s+REFERENCES\s*(\w+)?\s*(?:\(([^)]*)\))?\s*$""".r
+    val ckParenRe = """(?is)^CHECK\s*(\(.*\))\s*$""".r
+    val ckBareRe = """(?is)^CHECK\s+(.*)$""".r
+    val uqRe = """(?is)^UNIQUE(?:\s+KEY)?(?:\s+INDEX\s+(\w+))?\s*\(([^)]*)\)\s*$""".r
+    val pkRe = """(?is)^PRIMARY\s+KEY(?:\s+HASH)?\s*\(([^)]*)\)(?:\s+INDEX\s+(\w+))?\s*$""".r
+    val ixRe = """(?is)^INDEX(?:\s+(\w+))?\s*\(([^)]*)\)\s*$""".r
     def keys(s: String) = s.split(",").map(_.trim.toLowerCase).toSeq
     body match {
-      case fkRe(cols, ref, refCols) =>
+      case fkRe(cols, ref0, refCols) =>
         val cCols = keys(cols)
+        val ref = Option(ref0).getOrElse(tn) // REFERENCES(f2) = self-table
         val rCols = Option(refCols).map(keys)
           .orElse(primaryKeys.get(ref.toLowerCase))
           .getOrElse(throw new IllegalArgumentException(
             s"no primary key on $ref to reference"))
-        require(Dml.fkViolations(table(tn), cCols, table(ref), rCols).isEmpty,
-          s"FK $cn violated by existing rows")
+        if (validate)
+          require(Dml.fkViolations(table(tn), cCols, table(ref), rCols).isEmpty,
+            s"FK $cn violated by existing rows")
         foreignKeys += FkDef(cn, tn, cCols, ref.toLowerCase, rCols)
-      case ckRe(e) =>
-        require(Dml.checkViolations(table(tn), expr(e)).isEmpty,
-          s"CHECK $cn violated by existing rows")
+      case ckParenRe(e) =>
+        if (validate)
+          require(Dml.checkViolations(table(tn), expr(e)).isEmpty,
+            s"CHECK $cn violated by existing rows")
         checks += CheckDef(cn, tn, e.trim)
-      case uqRe(cols) =>
+      case ckBareRe(e) =>
+        if (validate)
+          require(Dml.checkViolations(table(tn), expr(e)).isEmpty,
+            s"CHECK $cn violated by existing rows")
+        checks += CheckDef(cn, tn, e.trim)
+      case uqRe(ixName, cols) =>
         val ks = keys(cols)
-        require(Dml.duplicateKeys(nonNullKeyed(table(tn), ks), ks).isEmpty,
-          s"UNIQUE $cn violated by existing rows")
-        indexes(cn) = IndexDef(cn, tn, ks, unique = true)
-      case pkRe(cols) =>
+        if (validate)
+          require(Dml.duplicateKeys(nonNullKeyed(table(tn), ks), ks).isEmpty,
+            s"UNIQUE $cn violated by existing rows")
+        indexes(Option(ixName).map(_.toLowerCase).getOrElse(cn)) =
+          IndexDef(Option(ixName).map(_.toLowerCase).getOrElse(cn), tn, ks,
+            unique = true)
+      case pkRe(cols, ixName) =>
         val ks = keys(cols)
-        require(Dml.duplicateKeys(table(tn), ks).isEmpty,
-          s"PRIMARY KEY $cn violated by existing rows")
+        if (validate)
+          require(Dml.duplicateKeys(table(tn), ks).isEmpty,
+            s"PRIMARY KEY $cn violated by existing rows")
         primaryKeys(tn) = ks
+        Option(ixName).foreach(ix => indexes(ix.toLowerCase) =
+          IndexDef(ix.toLowerCase, tn, ks, unique = true))
+      case ixRe(ixName, cols) =>
+        // an INDEX "constraint" is just a secondary index (no-op execution)
+        val n = Option(ixName).map(_.toLowerCase).getOrElse(cn)
+        indexes(n) = IndexDef(n, tn, keys(cols), unique = false)
       case other => throw new IllegalArgumentException(
         s"unsupported constraint: $other")
     }
+  }
+
+  /** ADD COLUMN with the reference's option surface
+    * (AlterTableAddColumn.java): DEFAULT expr fills existing rows (H2
+    * semantics) and is recorded for inserts; `SEQUENCE s` makes the column
+    * sequence-backed (existing rows stay NULL, inserts fill per-row);
+    * IDENTITY/AUTO_INCREMENT registers the identity fill; BEFORE/AFTER
+    * position the column. IF NOT EXISTS = no-op when present. */
+  private def addColumn(tn0: String, cName0: String, typeSpec0: String,
+      before: Option[String], after: Option[String]): Unit = {
+    val tn = tn0.toLowerCase
+    val cName = cName0.toLowerCase
+    val t = table(tn)
+    if (t.columns.contains(cName)) return // IF NOT EXISTS semantics
+    var typeSpec = typeSpec0.trim
+    var default: Option[String] = None
+    val seqOptRe = """(?is)^(.*?)\s+SEQUENCE\s+(\w+)\s*$""".r
+    val defOptRe = """(?is)^(.*?)\s+(?:DEFAULT|AS)\s+(.+)$""".r
+    typeSpec match {
+      case seqOptRe(tp, sq) =>
+        typeSpec = tp; default = Some(s"NEXTVAL('${sq.toLowerCase}')")
+      case defOptRe(tp, d) => typeSpec = tp; default = Some(d.trim)
+      case _ =>
+    }
+    val up = typeSpec.toUpperCase
+    if (up.contains("IDENTITY") || up.contains("AUTO_INCREMENT")) {
+      identityCols(tn) = cName
+      identityNext.getOrElseUpdate(tn, 1L)
+    }
+    default.foreach(d => colDefaults.getOrElseUpdate(tn,
+      mutable.LinkedHashMap.empty)(cName) = d)
+    val newCol = default.filter(!_.toUpperCase.startsWith("NEXTVAL"))
+      .map(d => expr(substConstants(d, Seq(tn))))
+      .getOrElse(lit(null))
+      .cast(parseType(typeSpec)).as(cName)
+    val cols = t.columns.map(col).toSeq
+    val out = (before, after) match {
+      case (Some(b), _) =>
+        val i = t.columns.indexWhere(_.equalsIgnoreCase(b))
+        require(i >= 0, s"BEFORE column $b not found")
+        t.select((cols.take(i) :+ newCol) ++ cols.drop(i): _*)
+      case (_, Some(a)) =>
+        val i = t.columns.indexWhere(_.equalsIgnoreCase(a))
+        require(i >= 0, s"AFTER column $a not found")
+        t.select((cols.take(i + 1) :+ newCol) ++ cols.drop(i + 1): _*)
+      case _ => t.select(cols :+ newCol: _*)
+    }
+    register(tn, out)
   }
 
   /** BACKUP-style snapshot (dml/Backup.java): every table to parquet. */
@@ -1592,12 +1784,25 @@ final class Engine(val spark: SparkSession) {
   }
 
   /** VALUES tuples → DataFrame with the target table's schema. */
-  private def parseValueRows(tableName: String, tuples0: String): DataFrame = {
+  private def parseValueRows(tableName: String, tuples0: String,
+      insertCols: Option[Seq[String]] = None): DataFrame = {
     val t = table(tableName)
+    val posCols: Seq[String] = insertCols.getOrElse(t.columns.toSeq)
+    val defaults = colDefaults.getOrElse(tableName.toLowerCase,
+      mutable.LinkedHashMap.empty[String, String])
     val rows = splitTop(tuples0.trim).map(_.trim).filter(_.nonEmpty).map { tup =>
       require(tup.startsWith("(") && tup.endsWith(")"), s"bad VALUES tuple: $tup")
-      splitTop(tup.substring(1, tup.length - 1))
-        .map(v => substSequences(substConstants(v.trim, Seq(tableName.toLowerCase))))
+      splitTop(tup.substring(1, tup.length - 1)).zipWithIndex.map { case (v0, i) =>
+        val v = v0.trim
+        // DEFAULT keyword → the column default (Column.java default
+        // expression) or NULL; sequence defaults fill later per row
+        val resolved =
+          if (v.equalsIgnoreCase("DEFAULT"))
+            defaults.get(posCols.lift(i).getOrElse(""))
+              .filter(!_.toUpperCase.startsWith("NEXTVAL")).getOrElse("NULL")
+          else v
+        substSequences(substConstants(resolved, Seq(tableName.toLowerCase)))
+      }
     }
     val selects = rows.map(vs => s"SELECT ${vs.mkString(", ")}")
     spark.sql(selects.mkString(" UNION ALL "))
@@ -1605,8 +1810,12 @@ final class Engine(val spark: SparkSession) {
 
   /** Positional align + cast to the target schema (SelectUnion.java:113
     * positional discipline); named-column inserts fill missing cols with
-    * NULL defaults. */
-  private def alignTo(target: DataFrame, cols: Option[Seq[String]], src: DataFrame): DataFrame = {
+    * their recorded DEFAULT expression (Column.java) or NULL. Sequence
+    * defaults stay NULL here and fill per-row afterwards. */
+  private def alignTo(tn: String, target: DataFrame, cols: Option[Seq[String]],
+      src: DataFrame): DataFrame = {
+    val defaults = colDefaults.getOrElse(tn.toLowerCase,
+      mutable.LinkedHashMap.empty[String, String])
     cols match {
       case None =>
         require(src.columns.length == target.columns.length,
@@ -1620,7 +1829,11 @@ final class Engine(val spark: SparkSession) {
         renamed.select(target.schema.fields.map { f =>
           if (lower.contains(f.name.toLowerCase))
             col(f.name.toLowerCase).cast(f.dataType).as(f.name)
-          else lit(null).cast(f.dataType).as(f.name)
+          else defaults.get(f.name)
+            .filter(!_.toUpperCase.startsWith("NEXTVAL"))
+            .map(d => expr(substConstants(d, Seq(tn.toLowerCase)))
+              .cast(f.dataType).as(f.name))
+            .getOrElse(lit(null).cast(f.dataType).as(f.name))
         }.toSeq: _*)
     }
   }
@@ -1639,6 +1852,28 @@ final class Engine(val spark: SparkSession) {
         filled
       case None => df
     }
+
+  /** Per-row fill for sequence-backed columns (`c int SEQUENCE s` —
+    * Column.java sequence default): rows whose column is NULL take
+    * consecutive values from the engine sequence via the same
+    * per-partition-offset pattern as IDENTITY. Supports the INCREMENT BY 1
+    * contract the reference tests use. */
+  private def fillSequenceDefaults(tn: String, df0: DataFrame): DataFrame = {
+    var df = df0
+    val seqRef = """(?i)^NEXTVAL\s*\(\s*'(\w+)'\s*\)$""".r
+    colDefaults.getOrElse(tn, mutable.LinkedHashMap.empty[String, String])
+      .foreach { case (c, d) =>
+        seqRef.findFirstMatchIn(d.trim).foreach { m =>
+          sequences.get(m.group(1)).foreach { sq =>
+            val start = sq.nextVal() // first value; advance covers the rest
+            val (filled, n) = Dml.assignContiguous(df, c, start)
+            if (n > 1) sq.advance(n - 1)
+            df = filled
+          }
+        }
+      }
+    df
+  }
 
   /** MySQL-mode convertInsertNullToZero (Mode.java:42): NULL inserted into
     * a NOT NULL column becomes 0 / '' / the current timestamp instead of
@@ -1664,8 +1899,8 @@ final class Engine(val spark: SparkSession) {
   private def doInsert(name: String, cols: Option[String], src: DataFrame): Unit = {
     val t = table(name)
     val tn = name.toLowerCase
-    val aligned0 = alignTo(t, cols.map(c => splitTop(c).map(_.trim)), src)
-    var aligned = fillIdentity(tn, aligned0)
+    val aligned0 = alignTo(tn, t, cols.map(c => splitTop(c).map(_.trim)), src)
+    var aligned = fillSequenceDefaults(tn, fillIdentity(tn, aligned0))
     if (modeFlags.convertInsertNullToZero)
       aligned = convertNullToZero(tn, t, aligned)
     validateConstraints(tn, aligned)
@@ -1687,7 +1922,8 @@ final class Engine(val spark: SparkSession) {
       .orElse(indexes.values.find(ix => ix.unique && ix.table == tn).map(_.cols))
       .getOrElse(throw new IllegalArgumentException(
         s"ON DUPLICATE KEY UPDATE needs a PRIMARY KEY or unique index on $name"))
-    val src = fillIdentity(tn, alignTo(t, cols.map(c => splitTop(c).map(_.trim)), src0))
+    val src = fillIdentity(tn,
+      alignTo(tn, t, cols.map(c => splitTop(c).map(_.trim)), src0))
     val setPairs = splitTop(sets).map { s =>
       val Array(c, v) = s.split("=", 2)
       // VALUES(col) → the source row's value (MySQL VALUES() function)
@@ -1721,7 +1957,7 @@ final class Engine(val spark: SparkSession) {
     * only the incoming batch — an anti join / filter per declared
     * constraint, not a full-table rescan. */
   private def validateConstraints(tn: String, batch: DataFrame): Unit = {
-    foreignKeys.filter(_.table == tn).foreach { fk =>
+    if (refIntegrity) foreignKeys.filter(_.table == tn).foreach { fk =>
       require(Dml.fkViolations(batch, fk.cols, table(fk.refTable), fk.refCols).isEmpty,
         s"FK ${fk.name} violated: ${fk.table}(${fk.cols.mkString(",")}) → " +
           s"${fk.refTable}(${fk.refCols.mkString(",")})")

@@ -1,0 +1,136 @@
+package graft
+
+import graft.sqlfront.Engine
+
+/** The reference's own ddl/dml/index test shapes
+  * (AlterTableAlterColumnTest, index tests, InsertTest/MergeTest/SelectTest,
+  * ShowStatementTest — exact statements) through the front door, with the
+  * semantic outcomes asserted. */
+class RefDdlProbe extends SparkSpec {
+
+  test("AlterTableAlterColumnTest: add/modify/drop column forms + defaults") {
+    val e = new Engine(spark)
+    e.sql("CREATE TABLE mytable (f1 int, f2 int not null, ch varchar(10))")
+    e.sql("INSERT INTO mytable VALUES (1, 2, 'x')")
+    // multi-column ADD + DEFAULT fills existing rows (H2 semantics)
+    e.sql("ALTER TABLE mytable ADD (f3 int, f4 int)")
+    e.sql("ALTER TABLE mytable ADD (f8 int default f2*2)")
+    assert(e.sql("SELECT f8 FROM mytable").head().getInt(0) == 4)
+    // the recorded default also applies to inserts that omit the column
+    e.sql("INSERT INTO mytable (f1, f2, ch) VALUES (9, 5, 'y')")
+    assert(e.sql("SELECT f8 FROM mytable WHERE f1=9").head().getInt(0) == 10)
+    // BEFORE/AFTER position; IF NOT EXISTS is a no-op on an existing column
+    e.sql("ALTER TABLE mytable ADD COLUMN IF NOT EXISTS f0 int BEFORE f1")
+    e.sql("ALTER TABLE mytable ADD COLUMN IF NOT EXISTS f5 int AFTER f2")
+    e.sql("ALTER TABLE mytable ADD COLUMN IF NOT EXISTS f5 int AFTER f2")
+    assert(e.table("mytable").columns.take(4).toSeq == Seq("f0", "f1", "f2", "f5"))
+    // ALTER/MODIFY type-change spellings
+    e.sql("ALTER TABLE mytable ALTER COLUMN f1 TYPE long")
+    e.sql("ALTER TABLE mytable ALTER f1 TYPE int")
+    e.sql("ALTER TABLE mytable MODIFY f1 long")
+    assert(e.table("mytable").schema("f1").dataType.typeName == "long")
+    // attribute forms change nothing silently (DROP DEFAULT clears default)
+    e.sql("ALTER TABLE mytable ALTER COLUMN f1 SET DEFAULT 100")
+    e.sql("INSERT INTO mytable (f2) VALUES (7)")
+    assert(e.sql("SELECT f1 FROM mytable WHERE f2=7").head().getLong(0) == 100L)
+    e.sql("ALTER TABLE mytable ALTER COLUMN f1 DROP DEFAULT")
+    e.sql("ALTER TABLE mytable ALTER COLUMN f1 DROP NOT NULL")
+    e.sql("ALTER TABLE mytable ALTER COLUMN f2 SELECTIVITY 20")
+    assert(e.table("mytable").schema("f1").dataType.typeName == "long") // untouched
+    // DROP column spellings
+    e.sql("ALTER TABLE mytable DROP f8")
+    e.sql("ALTER TABLE mytable DROP IF EXISTS f4")
+    e.sql("ALTER TABLE mytable DROP IF EXISTS not_there")
+    e.sql("ALTER TABLE mytable DROP COLUMN f3")
+    assert(!e.table("mytable").columns.exists(Set("f3", "f4", "f8")))
+    e.sql("ALTER TABLE mytable RENAME TO mytable2 HIDDEN")
+    assert(e.tableNames.contains("mytable2"))
+  }
+
+  test("ADD CONSTRAINT reference shapes: COMMENT IS / HASH / NOCHECK / bare CHECK") {
+    val e = new Engine(spark)
+    e.sql("CREATE TABLE mytable (f1 int, f2 int)")
+    e.sql("INSERT INTO mytable VALUES (1, 5)")
+    e.sql("ALTER TABLE mytable ADD CONSTRAINT IF NOT EXISTS c2 INDEX(f1,f2)")
+    e.sql("ALTER TABLE mytable ADD CONSTRAINT IF NOT EXISTS c1 COMMENT IS 'haha1' INDEX myindex(f1,f2)")
+    assert(e.sql("SELECT DISTINCT index_name FROM INFORMATION_SCHEMA.INDEXES ORDER BY index_name")
+      .collect().map(_.getString(0)).toSeq == Seq("c2", "myindex"))
+    // bare CHECK with trailing CHECK keyword validates existing rows
+    e.sql("ALTER TABLE mytable ADD CONSTRAINT c3 COMMENT IS 'haha3' CHECK f1>0 and f2<10 CHECK")
+    intercept[IllegalArgumentException] { e.sql("INSERT INTO mytable VALUES (0, 1)") }
+    e.sql("ALTER TABLE mytable DROP CONSTRAINT c3")
+    e.sql("INSERT INTO mytable VALUES (0, 1)") // constraint gone
+    // NOCHECK skips existing-row validation even with a duplicate present
+    e.sql("INSERT INTO mytable VALUES (1, 5)") // duplicate of row 1
+    e.sql("ALTER TABLE mytable ADD CONSTRAINT c4 COMMENT IS 'haha4' UNIQUE KEY INDEX myunique(f1,f2) NOCHECK")
+    // self-referencing FK without a table name (REFERENCES(f1))
+    e.sql("CREATE TABLE selfref (f1 int PRIMARY KEY, f2 int)")
+    e.sql("INSERT INTO selfref VALUES (1, 1), (2, 1)")
+    e.sql("ALTER TABLE selfref ADD CONSTRAINT c5 FOREIGN KEY(f2) REFERENCES(f1)")
+    intercept[IllegalArgumentException] { e.sql("INSERT INTO selfref VALUES (3, 99)") }
+    // PRIMARY KEY HASH(...) INDEX name + DROP PRIMARY KEY
+    e.sql("ALTER TABLE mytable ADD CONSTRAINT c0 PRIMARY KEY HASH(f2) INDEX myidx0 NOCHECK")
+    e.sql("ALTER TABLE mytable DROP PRIMARY KEY")
+    // SET REFERENTIAL_INTEGRITY FALSE suspends FK checks; TRUE revalidates
+    val e2 = new Engine(spark)
+    e2.sql("CREATE TABLE p (id int PRIMARY KEY); CREATE TABLE c (pid int)")
+    e2.sql("INSERT INTO p VALUES (1)")
+    e2.sql("ALTER TABLE c ADD CONSTRAINT cfk FOREIGN KEY(pid) REFERENCES p(id)")
+    e2.sql("ALTER TABLE c SET REFERENTIAL_INTEGRITY FALSE")
+    e2.sql("INSERT INTO c VALUES (42)") // orphan allowed while suspended
+    intercept[IllegalArgumentException] {
+      e2.sql("ALTER TABLE c SET REFERENTIAL_INTEGRITY TRUE CHECK")
+    }
+  }
+
+  test("index-test statements: CREATE PRIMARY KEY / HASH INDEX / sequences with CACHE") {
+    val e = new Engine(spark)
+    e.sql("CREATE TABLE mytable (f1 int, f2 int)")
+    e.sql("CREATE PRIMARY KEY mytableindex1 ON mytable(f2)")
+    assert(e.sql("SELECT column_list FROM INFORMATION_SCHEMA.CONSTRAINTS " +
+      "WHERE constraint_type='PRIMARY KEY'").head().getString(0) == "f2")
+    e.sql("DROP INDEX mytableindex1")
+    e.sql("CREATE HASH INDEX mytableindex2 ON mytable(f2)")
+    e.sql("DROP INDEX mytableindex2")
+    // CREATE SEQUENCE … CACHE n + a sequence-backed column fills per row
+    e.sql("CREATE SEQUENCE IF NOT EXISTS myseq10 START WITH 1000 INCREMENT BY 1 CACHE 20")
+    e.sql("ALTER TABLE mytable ADD COLUMN f10 int SEQUENCE myseq10")
+    e.sql("INSERT INTO mytable (f1, f2) VALUES (1, 1), (2, 2), (3, 3)")
+    assert(e.sql("SELECT f10 FROM mytable ORDER BY f10")
+      .collect().map(_.getInt(0)).toSeq == Seq(1000, 1001, 1002))
+    e.sql("CREATE INDEX mytable_index0 ON mytable(f10)")
+    e.sql("DROP INDEX IF EXISTS mytable_index0")
+    e.sql("DROP SEQUENCE IF EXISTS myseq10")
+  }
+
+  test("InsertTest/MergeTest/SelectTest: DEFAULT keyword, computed AS column, paren MERGE source") {
+    val e = new Engine(spark)
+    e.sql("CREATE TABLE tmpSelectTest(id int, name varchar(500))")
+    e.sql("INSERT INTO tmpSelectTest VALUES(DEFAULT, 'c'),(10, 'a'),(20, 'b')")
+    assert(e.sql("SELECT count(*) FROM tmpSelectTest WHERE id IS NULL").head().getLong(0) == 1)
+    // computed `AS '123'` default fills DEFAULT keyword and omitted columns
+    e.sql("CREATE TABLE MergeTest(id int, name varchar(500) as '123')")
+    e.sql("MERGE INTO MergeTest KEY(id) VALUES(30, DEFAULT),(10, 'a'),(20, 'b')")
+    assert(e.sql("SELECT name FROM MergeTest WHERE id=30").head().getString(0) == "123")
+    // parenthesized MERGE source (MergeTest.java)
+    e.sql("MERGE INTO MergeTest KEY(id) (SELECT * FROM tmpSelectTest WHERE id IS NOT NULL)")
+    assert(e.sql("SELECT count(*) FROM MergeTest").head().getLong(0) == 3)
+    // view with FORCE + column list (SelectTest view shape)
+    e.sql("CREATE OR REPLACE FORCE VIEW mytable_view (v_id) AS SELECT id FROM tmpSelectTest")
+    assert(e.sql("SELECT v_id FROM mytable_view WHERE v_id=10").head().getInt(0) == 10)
+    // NULL_TO_DEFAULT column option parses (InsertTest.java)
+    e.sql("CREATE TABLE InsertTest (f1 int, f2 int NULL_TO_DEFAULT)")
+  }
+
+  test("ShowStatementTest: CREATE DATABASE … RUN MODE listed in SHOW DATABASES") {
+    val e = new Engine(spark)
+    e.sql("CREATE DATABASE IF NOT EXISTS db_client_server RUN MODE client_server")
+    e.sql("CREATE DATABASE IF NOT EXISTS db_replication RUN MODE replication")
+    e.sql("CREATE DATABASE IF NOT EXISTS db_sharding RUN MODE sharding")
+    val dbs = e.sql("SHOW DATABASES").collect().map(_.getString(0)).toSeq
+    assert(dbs == Seq("graft", "db_client_server", "db_replication", "db_sharding"))
+    assert(e.sql("SELECT count(*) FROM information_schema.databases").head().getLong(0) == 4)
+    e.sql("DROP DATABASE db_sharding")
+    assert(e.sql("SHOW DATABASES").count() == 3)
+  }
+}
