@@ -23,7 +23,8 @@ final case class Model private (
     private val havingCond: Option[Column],
     private val sortCols: Seq[Column],
     private val limitN: Option[Int],
-    private val offsetN: Option[Int]) {
+    private val offsetN: Option[Int],
+    private val binding: Option[(graft.sqlfront.Engine, String)]) {
 
   import Model.Frame
 
@@ -146,6 +147,61 @@ final case class Model private (
   def findList(): Array[org.apache.spark.sql.Row] = toDF.collect()
   def findCount(): Long = toDF.count()
   def findOne(): Option[org.apache.spark.sql.Row] = toDF.limit(1).collect().headOption
+
+  // ---- DAO executors (Model.java insert :736, update :644, delete :600 —
+  // the reference Model mutates through its session; here through the
+  // bound Engine's copy-on-write catalog, so the mutation is snapshot-
+  // atomic and participates in the Engine's transactions) ----
+
+  private def bound: (graft.sqlfront.Engine, String) =
+    binding.getOrElse(throw new IllegalStateException(
+      "mutation executors need an Engine-bound model: Model(engine, table)"))
+
+  /** Insert one row of (column → value) pairs; returns rows inserted. */
+  def insert(values: (String, Any)*): Long = {
+    val (engine, tn) = bound
+    val t = engine.table(tn)
+    val cols = values.map(_._1.toLowerCase)
+    val row = values.map { case (_, v) => lit(v) }
+    val src = t.sparkSession.range(1).select(
+      row.zip(cols).map { case (c, n) => c.as(n) }: _*)
+    engine.insertFrom(tn, Some(cols), src)
+    1L
+  }
+
+  /** UPDATE rows matching the built predicate; returns affected count. */
+  def update(sets: (String, Any)*): Long = {
+    require(frames.size == 1, "unbalanced lp()/rp()")
+    val (engine, tn) = bound
+    val t = engine.table(tn)
+    val cond = top.acc.getOrElse(lit(true))
+    val n = t.filter(cond).count()
+    engine.register(tn,
+      graft.operators.Dml.update(t, cond,
+        sets.map { case (c, v) => c.toLowerCase -> lit(v) }.toMap))
+    n
+  }
+
+  /** DELETE rows matching the built predicate; returns affected count. */
+  def delete(): Long = {
+    require(frames.size == 1, "unbalanced lp()/rp()")
+    val (engine, tn) = bound
+    val t = engine.table(tn)
+    val cond = top.acc.getOrElse(lit(true))
+    val n = t.filter(cond).count()
+    engine.register(tn, graft.operators.Dml.delete(t, cond))
+    n
+  }
+
+  // transaction hooks (Model.java beginTransaction :?/commitTransaction) —
+  // delegate to the Engine's catalog-snapshot transactions
+  def beginTransaction(): Unit = { val (e, _) = bound; e.sql("BEGIN") }
+  def commitTransaction(): Unit = { val (e, _) = bound; e.sql("COMMIT") }
+  def rollbackTransaction(): Unit = { val (e, _) = bound; e.sql("ROLLBACK") }
+
+  /** printSQL twin (Model.java printSQL): the composed plan, not SQL text —
+    * the honest equivalent for a Catalyst-building DSL. */
+  def explain(): String = toDF.queryExecution.toString()
 }
 
 object Model {
@@ -155,5 +211,11 @@ object Model {
       negateNext: Boolean = false)
 
   def apply(ds: Dataset[_]): Model =
-    new Model(ds.toDF(), List(Frame()), Nil, Nil, Nil, None, Nil, None, None)
+    new Model(ds.toDF(), List(Frame()), Nil, Nil, Nil, None, Nil, None, None,
+      None)
+
+  /** Engine-bound model over a catalog table: query + mutation executors. */
+  def apply(engine: graft.sqlfront.Engine, tableName: String): Model =
+    new Model(engine.table(tableName), List(Frame()), Nil, Nil, Nil, None,
+      Nil, None, None, Some((engine, tableName.toLowerCase)))
 }

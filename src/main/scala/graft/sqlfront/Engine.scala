@@ -97,6 +97,12 @@ final class Engine(val spark: SparkSession) {
   }
 
   def table(name: String): DataFrame = tables(name.toLowerCase)
+
+  /** Programmatic insert for the ORM DAO executors (Model.insert) — same
+    * path as SQL INSERT: align, identity/sequence fill, constraints. */
+  def insertFrom(tableName: String, cols: Option[Seq[String]],
+      src: DataFrame): Unit =
+    doInsert(tableName, cols.map(_.mkString(",")), src)
   def tableNames: Seq[String] = tables.keys.toSeq
   def mode: String = compatibilityMode
 

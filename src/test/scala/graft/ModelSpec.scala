@@ -81,4 +81,30 @@ class ModelSpec extends SparkSpec {
     assert(Model(people).eq("id", 3).findOne().map(_.getString(1)) == Some("carol"))
     assert(Model(people).findList().length == 4)
   }
+
+  test("DAO executors: insert/update/delete through an Engine binding + transactions") {
+    val e = new graft.sqlfront.Engine(spark)
+    e.sql("CREATE TABLE dao (id int PRIMARY KEY, name varchar(20), age int)")
+    val dao = Model(e, "dao")
+    // insert (Model.java insert :736)
+    assert(dao.insert("id" -> 1, "name" -> "ann", "age" -> 30) == 1L)
+    dao.insert("id" -> 2, "name" -> "bob", "age" -> 40)
+    assert(Model(e, "dao").findCount() == 2)
+    // update returns the affected count (Model.java update :644)
+    assert(Model(e, "dao").where().ge("age", 40).update("name" -> "BOB") == 1L)
+    assert(e.sql("SELECT name FROM dao WHERE id=2").head().getString(0) == "BOB")
+    // delete (Model.java delete :600)
+    assert(Model(e, "dao").eq("id", 1).delete() == 1L)
+    assert(Model(e, "dao").findCount() == 1)
+    // transactions delegate to the Engine's snapshot machinery
+    val m = Model(e, "dao")
+    m.beginTransaction()
+    Model(e, "dao").insert("id" -> 9, "name" -> "tmp", "age" -> 1)
+    m.rollbackTransaction()
+    assert(Model(e, "dao").findCount() == 1)
+    // explain exposes the composed plan (printSQL twin)
+    assert(Model(e, "dao").eq("id", 2).explain().contains("Filter"))
+    // unbound models refuse mutation
+    intercept[IllegalStateException] { Model(people).delete() }
+  }
 }
