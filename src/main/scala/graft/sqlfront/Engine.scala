@@ -1259,7 +1259,48 @@ final class Engine(val spark: SparkSession) {
     q
   }
 
-  private def runSelect(q: String): DataFrame = spark.sql(translate(q))
+  private def runSelect(q: String): DataFrame = {
+    val t = translate(q)
+    try spark.sql(t)
+    catch {
+      // H2 resolves select-list aliases in WHERE (`SELECT pk AS A … WHERE
+      // A='01'`, SelectTest.java); Spark doesn't — on an unresolved-column
+      // failure, retry once with WHERE-clause aliases substituted
+      case e: org.apache.spark.sql.AnalysisException
+          if String.valueOf(e.getMessage).contains("UNRESOLVED_COLUMN") =>
+        substWhereAliases(t).map(spark.sql).getOrElse(throw e)
+    }
+  }
+
+  /** Substitute top-level select-list aliases into the top-level WHERE
+    * clause (Select.java alias resolution). Returns None if nothing to do. */
+  private def substWhereAliases(q: String): Option[String] = {
+    val up = q.toUpperCase
+    if (!up.trim.startsWith("SELECT")) return None
+    val fromIdx = topLevelIndexOf(q, "FROM")
+    val whereIdx = topLevelIndexOf(q, "WHERE")
+    if (fromIdx < 0 || whereIdx < fromIdx) return None
+    val selStart = up.indexOf("SELECT") + 6
+    var selectList = q.substring(selStart, fromIdx)
+    selectList = """(?is)^\s*DISTINCT\s+""".r.replaceFirstIn(selectList, "")
+    val aliasRe = """(?is)^(.*\S)\s+AS\s+(\w+)\s*$""".r
+    val aliases = splitTop(selectList).map(_.trim).collect {
+      case aliasRe(e, a) => a.toLowerCase -> e
+    }.toMap
+    if (aliases.isEmpty) return None
+    val whereEnd0 = earliestTopLevel(q.substring(whereIdx + 5),
+      Seq("GROUP BY", "HAVING", "ORDER BY", "LIMIT", "OFFSET"))
+    val whereEnd = if (whereEnd0 < 0) q.length else whereIdx + 5 + whereEnd0
+    var whereSeg = q.substring(whereIdx + 5, whereEnd)
+    var changed = false
+    aliases.foreach { case (a, e) =>
+      val re = ("""(?i)\b""" + a + """\b""").r
+      val next = rewriteOutside(whereSeg, re)(_ => s"($e)")
+      if (next != whereSeg) { changed = true; whereSeg = next }
+    }
+    if (!changed) None
+    else Some(q.substring(0, whereIdx + 5) + whereSeg + q.substring(whereEnd))
+  }
 
   private val nextvalRe = """(?i)\bNEXTVAL\s*\(\s*'(\w+)'\s*\)""".r
   private val currvalRe = """(?i)\bCURRVAL\s*\(\s*'(\w+)'\s*\)""".r

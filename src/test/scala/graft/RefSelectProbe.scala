@@ -1,0 +1,60 @@
+package graft
+
+import graft.sqlfront.Engine
+
+/** SelectTest/JoinTest/DistinctQueryTest select shapes (exact statements
+  * from the reference's misc/dml tests) through the front door. */
+class RefSelectProbe extends SparkSpec {
+
+  private def fixture: Engine = {
+    val e = new Engine(spark)
+    e.sql("CREATE TABLE SelectTest (pk varchar(5) PRIMARY KEY, f1 varchar(5), f2 varchar(5), f3 int)")
+    e.sql("INSERT INTO SelectTest VALUES ('01','a1','a',51), ('75','a1','j',12), ('76','a2','k',12)")
+    e.sql("CREATE TABLE JoinTest1 (pk int PRIMARY KEY, id int, name varchar(10), b int)")
+    e.sql("CREATE TABLE JoinTest2 (pk int PRIMARY KEY, id2 int, name2 varchar(10))")
+    e.sql("CREATE TABLE JoinTest3 (pk3 int PRIMARY KEY, id3 int)")
+    e.sql("CREATE TABLE JoinTest4 (pk4 int PRIMARY KEY, id int, b int)")
+    e.sql("INSERT INTO JoinTest1 VALUES (1, 10, 'a', 7), (2, 40, 'b', 8)")
+    e.sql("INSERT INTO JoinTest2 VALUES (1, 10, 'x'), (2, 50, 'y')")
+    e.sql("INSERT INTO JoinTest3 VALUES (1, 5)")
+    e.sql("INSERT INTO JoinTest4 VALUES (1, 10, 7)")
+    e
+  }
+
+  test("select-list alias resolves in WHERE/GROUP BY/HAVING (SelectTest)") {
+    val e = fixture
+    assert(e.sql("SELECT pk AS A FROM SelectTest where A='01'").head().getString(0) == "01")
+    val g = e.sql("SELECT f3 AS A, COUNT(*) FROM SelectTest GROUP BY A HAVING A>12").head()
+    assert(g.getInt(0) == 51 && g.getLong(1) == 1)
+    // alias+aggregate over alias group
+    assert(e.sql("SELECT f3 AS A, avg(f3) FROM SelectTest GROUP BY A HAVING A>12")
+      .head().getDouble(1) == 51.0)
+  }
+
+  test("rownum with *, ON-less joins, parenthesized table refs (JoinTest)") {
+    val e = fixture
+    assert(e.sql("SELECT rownum, * FROM JoinTest1").count() == 2)
+    // JOIN without ON = cross (reference JoinTest), WHERE filters
+    assert(e.sql("SELECT count(*) FROM JoinTest1 t1 JOIN JoinTest2 t2 WHERE t1.id = t2.id2")
+      .head().getLong(0) == 1)
+    assert(e.sql("select rownum, * from JoinTest1 JOIN JoinTest2").count() == 4)
+    // parenthesized table refs
+    assert(e.sql("SELECT * FROM (JoinTest1)").count() == 2)
+    assert(e.sql("SELECT * FROM (JoinTest1 LEFT OUTER JOIN (JoinTest2))").count() >= 2)
+    assert(e.sql("SELECT rownum, * FROM (JoinTest1) LEFT OUTER JOIN JoinTest2 ON id>30").count() == 3)
+    // chained ON-less outer joins and NATURAL combinations
+    assert(e.sql("SELECT * FROM JoinTest1 LEFT OUTER JOIN JoinTest2 LEFT OUTER JOIN JoinTest3").count() == 4)
+    assert(e.sql("select rownum, * from JoinTest1 LEFT OUTER JOIN JoinTest3 NATURAL JOIN JoinTest2").count() >= 2)
+    // NATURAL JOIN on shared (id, b) columns
+    assert(e.sql("SELECT t1.id, t1.b FROM JoinTest1 t1 NATURAL JOIN JoinTest4 t2")
+      .head().toSeq == Seq(10, 7))
+  }
+
+  test("distinct variants (DistinctQueryTest)") {
+    val e = fixture
+    assert(e.sql("select count(distinct f1, f2) from SelectTest").head().getLong(0) == 3)
+    assert(e.sql("select distinct f1 from SelectTest").count() == 2)
+    assert(e.sql("select distinct * from SelectTest where f3 > 3").count() == 3)
+    assert(e.sql("SELECT st.f1 FROM SelectTest st").count() == 3)
+  }
+}
