@@ -77,6 +77,32 @@ object FunctionsQ2 {
       },
       Some("""
         SELECT n_name, k FROM (VALUES (0),(1),(2),(3),(4)) w(k)
-        JOIN nation ON n_nationkey = k"""))
+        JOIN nation ON n_nationkey = k""")),
+
+    // ---- Batch twin of the streaming left-outer interval join
+    // (Sessions.intervalJoinOuter; streaming parity in StreamingSpec):
+    // each click pairs with the same user's purchases within ±5 minutes,
+    // or emits once null-padded. Watermarks are no-ops in batch execution,
+    // so the operator itself runs unchanged.
+    Q("q61_interval_join_outer",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        graft.streaming.Sessions.intervalJoinOuter(
+            ev.filter(col("event_type") === "click"),
+            ev.filter(col("event_type") === "purchase"),
+            "user_id", withinMinutes = 5)
+          .select(col("user_id"), col("event_id").as("l_event_id"),
+            unix_millis(col("ts")).as("l_ms"),
+            col("r_event_id"), unix_millis(col("r_ts")).as("r_ms"))
+      },
+      Some("""
+        SELECT l.user_id AS user_id, l.event_id AS l_event_id,
+               epoch_ms(l.ts) AS l_ms, r.event_id AS r_event_id,
+               epoch_ms(r.ts) AS r_ms
+        FROM (SELECT * FROM events WHERE event_type='click') l
+        LEFT JOIN (SELECT * FROM events WHERE event_type='purchase') r
+          ON l.user_id = r.user_id
+         AND r.ts >= l.ts - INTERVAL 5 MINUTE
+         AND r.ts <= l.ts + INTERVAL 5 MINUTE"""))
   )
 }

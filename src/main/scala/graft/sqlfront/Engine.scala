@@ -1535,7 +1535,18 @@ final class Engine(val spark: SparkSession) {
     val doms = domains.toSeq.map { case (n, t) =>
       s"CREATE DOMAIN $n AS ${t.toUpperCase};"
     }
-    ddl ++ seqs ++ ixs ++ cons ++ vws ++ als ++ consts ++ doms
+    val defs = colDefaults.toSeq.flatMap { case (t, ds) =>
+      ds.toSeq.map { case (c, d) =>
+        s"ALTER TABLE $t ALTER COLUMN $c SET DEFAULT $d;"
+      }
+    }
+    val usrs = users.toSeq.filter(_._1 != "sa").map { case (n, a) =>
+      s"CREATE USER $n PASSWORD ''${if (a) " ADMIN" else ""};"
+    }
+    val dbs = databases.toSeq.filter(_ != "graft").map(d =>
+      s"CREATE DATABASE $d;")
+    ddl ++ seqs ++ ixs ++ cons ++ defs ++ vws ++ als ++ consts ++ doms ++
+      usrs ++ dbs
   }
 
   // ---- DDL helpers ----
