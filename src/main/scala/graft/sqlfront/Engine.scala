@@ -261,6 +261,14 @@ final class Engine(val spark: SparkSession) {
   private val explainRe = """(?is)^\s*EXPLAIN\s+(?:PLAN\s+FOR\s+)?(.*)$""".r
   private val setVarRe = """(?is)^\s*SET\s+@(\w+)\s*=\s*(.*)$""".r
   private val scriptRe = """(?is)^\s*SCRIPT\s*$""".r
+  // BACKUP TO 'file' (dml/Backup.java, BackupCommandTest): the engine
+  // snapshots to a parquet directory instead of a zip — same contract
+  // (full restorable copy), cluster-writable format
+  private val backupRe = """(?is)^\s*BACKUP\s+TO\s+'([^']+)'\s*$""".r
+  // SHUTDOWN [IMMEDIATELY|COMPACT|DEFRAG] (admin ShutdownServerTest):
+  // a library engine has no server process — accepted no-op
+  private val shutdownRe =
+    """(?is)^\s*SHUTDOWN(?:\s+(?:IMMEDIATELY|COMPACT|DEFRAG|SCRIPT))?\s*$""".r
   private val runScriptRe = """(?is)^\s*RUNSCRIPT\s+FROM\s+'([^']+)'\s*$""".r
   private val prepareRe =
     """(?is)^\s*PREPARE\s+(\w+)\s+AS\s+(.*)$""".r
@@ -404,6 +412,9 @@ final class Engine(val spark: SparkSession) {
         // SCRIPT (dml/Script.java): DDL re-emission as a result set
         import spark.implicits._
         script().toDF("script")
+      case backupRe(path) =>
+        backup(path.stripSuffix(".zip")); status()
+      case shutdownRe() => status()
       case runScriptRe(path) =>
         // RUNSCRIPT FROM 'file' (dml/RunScript.java)
         sql(new String(java.nio.file.Files.readAllBytes(

@@ -362,6 +362,17 @@ class EngineSpec extends SparkSpec {
       "WHERE setting_name='LOCK_TIMEOUT'").head().getString(0) == "5000")
   }
 
+  test("BACKUP TO statement + SHUTDOWN no-op (BackupCommandTest/ShutdownServerTest)") {
+    val e = freshEngine
+    e.sql("create table IF NOT EXISTS BackupCommandTest(id int, name varchar(500), b boolean)")
+    e.sql("insert into BackupCommandTest(id, name, b) values(1, 'a1', true), (2, 'a2', false)")
+    val dir = java.nio.file.Files.createTempDirectory("graft_backup").toFile.getAbsolutePath
+    e.sql(s"BACKUP TO '$dir/myBackup.zip'")
+    assert(spark.read.parquet(s"$dir/myBackup/backupcommandtest.parquet").count() == 2)
+    assert(e.sql("SHUTDOWN IMMEDIATELY").head().getString(0) == "OK")
+    assert(e.sql("SHUTDOWN COMPACT").head().getString(0) == "OK")
+  }
+
   test("CREATE/ALTER/DROP USER recorded + USERS meta view (AlterUserTest)") {
     val e = freshEngine
     e.sql("DROP USER IF EXISTS test1")
