@@ -155,6 +155,14 @@ final class Engine(val spark: SparkSession) {
     """(?is)^\s*INSERT\s+INTO\s+(\w+)\s*(?:\(([^)]*)\)\s*)?VALUES\s*(.*?)\s+ON\s+DUPLICATE\s+KEY\s+UPDATE\s+(.*)$""".r
   private val insertValuesRe =
     """(?is)^\s*INSERT\s+INTO\s+(\w+)\s*(?:\(([^)]*)\)\s*)?(?:DIRECT\s+)?VALUES\s*(.*)$""".r
+  // MySQL-style INSERT INTO t SET c1=v1, c2=v2 (Parser.java:1053)
+  private val insertSetRe =
+    """(?is)^\s*INSERT\s+INTO\s+(\w+)\s+SET\s+(.*)$""".r
+  // ANALYZE [TABLE t] [SAMPLE_SIZE n] (ddl/Analyze.java): selectivity
+  // statistics — Catalyst keeps its own stats; accepted no-op
+  private val analyzeRe =
+    """(?is)^\s*ANALYZE(?:\s+TABLE\s+\w+)?(?:\s+SAMPLE_SIZE\s+\d+)?\s*$""".r
+  private val explainAnalyzeRe = """(?is)^\s*EXPLAIN\s+ANALYZE\s+(.*)$""".r
   private val insertSelectRe =
     """(?is)^\s*INSERT\s+INTO\s+(\w+)\s*(?:\(([^)]*)\)\s*)?(SELECT\s+.*|FROM\s+.*)$""".r
   private val updateRe =
@@ -394,12 +402,20 @@ final class Engine(val spark: SparkSession) {
   private def execOne(stmt0: String): DataFrame = {
     val stmt = stmt0.trim
     stmt match {
+      case explainAnalyzeRe(q) =>
+        // EXPLAIN ANALYZE (Explain.java setExecuteCommand): execute, then
+        // return the executed physical plan (AQE-final, with codegen ids)
+        import spark.implicits._
+        val df = runSelect(q)
+        df.count()
+        Seq(df.queryExecution.executedPlan.toString).toDF("plan")
       case explainRe(q) =>
         // EXPLAIN [PLAN FOR] … (dml/Explain.java:30, Select.getPlanSQL)
         import spark.implicits._
         val df = runSelect(q)
         Seq(df.queryExecution.explainString(
           org.apache.spark.sql.execution.ExtendedMode)).toDF("plan")
+      case analyzeRe() => status()
       case setVarRe(name, value) =>
         // SET @v = expr (Variable.java:20); substituted at plan time
         variables(name.toLowerCase) =
@@ -704,8 +720,20 @@ final class Engine(val spark: SparkSession) {
         throw new IllegalArgumentException(
           "INSERT … ON DUPLICATE KEY UPDATE requires SET MODE MySQL " +
             "(Mode.java onDuplicateKeyUpdate)")
+      case insertSetRe(name, sets) =>
+        // MySQL INSERT INTO t SET c=v, … (Parser.java:1053)
+        val pairs = splitTop(sets).map { s0 =>
+          val Array(c, v) = s0.split("=", 2); (c.trim.toLowerCase, v.trim)
+        }
+        doInsert(name, Some(pairs.map(_._1).mkString(",")),
+          parseValueRows(name, "(" + pairs.map(_._2).mkString(", ") + ")",
+            Some(pairs.map(_._1))))
+        status()
       case insertValuesRe(name, cols, tuples) =>
-        doInsert(name, Option(cols), parseValueRows(name, tuples)); status()
+        doInsert(name, Option(cols),
+          parseValueRows(name, tuples,
+            Option(cols).map(c => splitTop(c).map(_.trim.toLowerCase))))
+        status()
       case insertSelectRe(name, cols, query) =>
         doInsert(name, Option(cols), selectForInsert(query)); status()
       case mergeRe(name, cols, keys, source) =>

@@ -362,6 +362,20 @@ class EngineSpec extends SparkSpec {
       "WHERE setting_name='LOCK_TIMEOUT'").head().getString(0) == "5000")
   }
 
+  test("INSERT INTO t SET, ANALYZE, EXPLAIN ANALYZE (Parser.java:1053,333,1340)") {
+    val e = freshEngine
+    e.sql("CREATE TABLE ist (id int, name varchar(10) DEFAULT 'dflt', n int)")
+    e.sql("INSERT INTO ist SET id = 1, n = 5")
+    val r = e.sql("SELECT id, name, n FROM ist").head()
+    assert(r.getInt(0) == 1 && r.getString(1) == "dflt" && r.getInt(2) == 5)
+    e.sql("INSERT INTO ist SET id = 2, name = DEFAULT, n = 6")
+    assert(e.sql("SELECT name FROM ist WHERE id=2").head().getString(0) == "dflt")
+    assert(e.sql("ANALYZE").head().getString(0) == "OK")
+    assert(e.sql("ANALYZE TABLE ist SAMPLE_SIZE 100").head().getString(0) == "OK")
+    val plan = e.sql("EXPLAIN ANALYZE SELECT count(*) FROM ist").head().getString(0)
+    assert(plan.contains("Aggregate") || plan.contains("HashAggregate"))
+  }
+
   test("BACKUP TO statement + SHUTDOWN no-op (BackupCommandTest/ShutdownServerTest)") {
     val e = freshEngine
     e.sql("create table IF NOT EXISTS BackupCommandTest(id int, name varchar(500), b boolean)")
