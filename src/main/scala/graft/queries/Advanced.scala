@@ -206,6 +206,26 @@ object Advanced {
         FROM events
         GROUP BY 1, 2""")),
 
+    // ---- Sliding-window aggregation (windowedAgg slide variant): each
+    // event lands in duration/slide = 2 windows on the epoch-aligned
+    // 30-minute grid — the DuckDB twin materializes both via a 2-row
+    // spread join, exactly Spark's window() expansion semantics.
+    Q("q62_events_sliding_window",
+      (s, dir) => graft.streaming.Sessions.windowedAgg(
+          t(s, dir, "events").withColumn("value", dec2(col("value"))),
+          "1 hour", slide = Some("30 minutes"))
+        .select(
+          unix_millis(col("window_start")).as("win_start_ms"),
+          col("event_type"), col("n"),
+          col("total").cast("double").as("total")),
+      Some(s"""
+        SELECT (epoch_ms(ts) // 1800000) * 1800000 - k.k * 1800000 AS win_start_ms,
+               event_type,
+               COUNT(*) AS n,
+               ${dsumSql(dec2Sql("value"))} AS total
+        FROM events, (VALUES (0),(1)) k(k)
+        GROUP BY 1, 2""")),
+
     // ---- Sessionization batch twin (streaming parity in StreamingSpec):
     // classic gap-split via lag + running sum, 30-minute inactivity.
     Q("q47_sessionize",
