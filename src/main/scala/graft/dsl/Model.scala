@@ -120,7 +120,10 @@ final case class Model private (
 
   private def toRelation: DataFrame = {
     require(frames.size == 1, "unbalanced lp()/rp()")
-    var r = df
+    // Engine-bound models read through to the live catalog table, so a
+    // model instance sees its own (and other) mutations — the reference
+    // ORM's behavior; unbound models keep their captured Dataset
+    var r = binding.map { case (e, t) => e.table(t) }.getOrElse(df)
     top.acc.foreach(c => r = r.filter(c))
     r
   }

@@ -295,6 +295,10 @@ final class Engine(val spark: SparkSession) {
     """(?is)^\s*RELEASE\s+(?:SAVEPOINT\s+)?(\w+)\s*$""".r
   private val setAutocommitRe =
     """(?is)^\s*SET\s+AUTOCOMMIT\s+(ON|OFF|TRUE|FALSE|0|1)\s*$""".r
+  // database-level SET REFERENTIAL_INTEGRITY (dml/Set.java) — the standard
+  // bulk-load toggle; the ALTER TABLE form additionally revalidates
+  private val setRefIntRe =
+    """(?is)^\s*SET\s+REFERENTIAL_INTEGRITY\s+(TRUE|FALSE)\s*$""".r
   // generic SET option (dml/Set.java SetTypes): recorded + surfaced in the
   // SETTINGS meta view; execution semantics live in Spark session confs
   private val setGenericRe = """(?is)^\s*SET\s+(\w+)\s+(.+)$""".r
@@ -467,6 +471,8 @@ final class Engine(val spark: SparkSession) {
           autocommit = true; txn = None; savepointMap.clear()
         }
         status()
+      case setRefIntRe(v) =>
+        refIntegrity = v.equalsIgnoreCase("TRUE"); status()
       case prepareRe(name, body) =>
         // PREPARE/EXECUTE/DEALLOCATE procedures (ddl/PrepareProcedure.java,
         // dml/ExecuteProcedure.java): named parameterized saved queries;
@@ -535,6 +541,10 @@ final class Engine(val spark: SparkSession) {
           identityCols(tn.toLowerCase) = to.toLowerCase
         colDefaults.get(tn.toLowerCase).foreach { ds =>
           ds.remove(from.toLowerCase).foreach(d => ds(to.toLowerCase) = d)
+        }
+        notNullCols.get(tn.toLowerCase).foreach { nn =>
+          if (nn(from.toLowerCase))
+            notNullCols(tn.toLowerCase) = nn - from.toLowerCase + to.toLowerCase
         }
         status()
       case alterColSetDefaultRe(tn, c, d) =>
@@ -690,7 +700,10 @@ final class Engine(val spark: SparkSession) {
         // DEFAULT expr / computed `AS expr` column options (Column.java
         // defaultExpression) — applied on omitted columns and the DEFAULT
         // keyword in VALUES
-        val defOptRe = """(?is)^(\w+)\s+.*?\s+(?:DEFAULT|AS)\s+(.+)$""".r
+        // trailing column options (NOT NULL / AUTO_INCREMENT / UNIQUE) are
+        // not part of the default expression
+        val defOptRe =
+          """(?is)^(\w+)\s+.*?\s+(?:DEFAULT|AS)\s+(.+?)(?:\s+NOT\s+NULL|\s+NULL|\s+AUTO_INCREMENT|\s+UNIQUE)?\s*$""".r
         splitTop(colDefs).map(_.trim).foreach {
           case defOptRe(cn, d) if !cn.equalsIgnoreCase("PRIMARY") =>
             colDefaults.getOrElseUpdate(tn,
@@ -715,7 +728,10 @@ final class Engine(val spark: SparkSession) {
         status()
       case insertOnDupRe(name, cols, tuples, sets)
           if modeFlags.onDuplicateKeyUpdate =>
-        doUpsert(name, Option(cols), parseValueRows(name, tuples), sets); status()
+        doUpsert(name, Option(cols),
+          parseValueRows(name, tuples,
+            Option(cols).map(c => splitTop(c).map(_.trim.toLowerCase))), sets)
+        status()
       case insertOnDupRe(_, _, _, _) =>
         throw new IllegalArgumentException(
           "INSERT … ON DUPLICATE KEY UPDATE requires SET MODE MySQL " +
@@ -833,12 +849,14 @@ final class Engine(val spark: SparkSession) {
         val uni = indexes.values.filter(ix => ix.unique && ix.table == t)
           .flatMap(_.cols).toSet
         val nn = notNullCols.getOrElse(t, Set.empty)
+        val defs = colDefaults.getOrElse(t,
+          mutable.LinkedHashMap.empty[String, String])
         table(t).schema.fields.toSeq.map { f =>
           (f.name, f.dataType.catalogString.toUpperCase,
             // PRIMARY KEY implies NOT NULL (Column.java PK nullability)
             if (f.nullable && !pk(f.name) && !nn(f.name)) "YES" else "NO",
             if (pk(f.name)) "PRI" else if (uni(f.name)) "UNI" else "",
-            "NULL")
+            defs.getOrElse(f.name, "NULL"))
         }.toDF("field", "type", "null", "key", "default")
       case other => throw new IllegalArgumentException(s"SHOW $other not supported")
     }
@@ -978,6 +996,13 @@ final class Engine(val spark: SparkSession) {
     q = rewriteOutside(q, """(?i)\bCURRENT_TIME(?!STAMP)\b""".r)(_ => timeStr)
     q = rewriteOutside(q, """(?i)\bCURDATE\b(?!\s*\()""".r)(_ => "current_date()")
     q = rewriteOutside(q, """(?i)\bNOW\b(?!\s*\()""".r)(_ => "now()")
+    // H2 `WHERE ROWNUM <= n` tail form: Spark forbids window functions in
+    // WHERE — the scan-order row cap is a LIMIT (same semantics when no
+    // ORDER BY follows, which is the canonical H2 usage)
+    q = rewriteOutside(q, """(?i)\bWHERE\s+ROWNUM\s*(<=|<)\s*(\d+)\s*$""".r) { m =>
+      val n = if (m.group(1) == "<") m.group(2).toInt - 1 else m.group(2).toInt
+      s"LIMIT $n"
+    }
     // ROWNUM / ROW_NUMBER without a window (Parser.java ROWNUM,
     // Select.java:877): number rows in scan order
     val rowNum = "row_number() OVER (ORDER BY monotonically_increasing_id())"
@@ -1067,18 +1092,8 @@ final class Engine(val spark: SparkSession) {
     var last = 0
     for (m <- re.findAllMatchIn(q)
          if !spans.exists(sp => m.start >= sp._1 && m.start < sp._2)) {
-      var depth = 1; var i = m.end; var commas = 0; var inStr = false
-      while (i < q.length && depth > 0) {
-        q.charAt(i) match {
-          case '\'' => inStr = !inStr
-          case '(' if !inStr => depth += 1
-          case ')' if !inStr => depth -= 1
-          case ',' if !inStr && depth == 1 => commas += 1
-          case _ =>
-        }
-        i += 1
-      }
-      if (depth == 0 && commas == 0 && m.start >= last) {
+      val (close, commas) = matchParen(q, m.end - 1)
+      if (close >= 0 && commas == 0 && m.start >= last) {
         sb.append(q.substring(last, m.start)).append("LOG10(")
         last = m.end
       }
@@ -1709,7 +1724,8 @@ final class Engine(val spark: SparkSession) {
     var typeSpec = typeSpec0.trim
     var default: Option[String] = None
     val seqOptRe = """(?is)^(.*?)\s+SEQUENCE\s+(\w+)\s*$""".r
-    val defOptRe = """(?is)^(.*?)\s+(?:DEFAULT|AS)\s+(.+)$""".r
+    val defOptRe =
+      """(?is)^(.*?)\s+(?:DEFAULT|AS)\s+(.+?)(?:\s+NOT\s+NULL|\s+NULL|\s+AUTO_INCREMENT|\s+UNIQUE)?\s*$""".r
     typeSpec match {
       case seqOptRe(tp, sq) =>
         typeSpec = tp; default = Some(s"NEXTVAL('${sq.toLowerCase}')")
@@ -1892,11 +1908,11 @@ final class Engine(val spark: SparkSession) {
       splitTop(tup.substring(1, tup.length - 1)).zipWithIndex.map { case (v0, i) =>
         val v = v0.trim
         // DEFAULT keyword → the column default (Column.java default
-        // expression) or NULL; sequence defaults fill later per row
+        // expression) or NULL; NEXTVAL defaults evaluate right here, once
+        // per row (substSequences runs per value occurrence)
         val resolved =
           if (v.equalsIgnoreCase("DEFAULT"))
-            defaults.get(posCols.lift(i).getOrElse(""))
-              .filter(!_.toUpperCase.startsWith("NEXTVAL")).getOrElse("NULL")
+            defaults.getOrElse(posCols.lift(i).getOrElse(""), "NULL")
           else v
         substSequences(substConstants(resolved, Seq(tableName.toLowerCase)))
       }
@@ -1953,18 +1969,22 @@ final class Engine(val spark: SparkSession) {
   /** Per-row fill for sequence-backed columns (`c int SEQUENCE s` —
     * Column.java sequence default): rows whose column is NULL take
     * consecutive values from the engine sequence via the same
-    * per-partition-offset pattern as IDENTITY. Supports the INCREMENT BY 1
-    * contract the reference tests use. */
-  private def fillSequenceDefaults(tn: String, df0: DataFrame): DataFrame = {
+    * per-partition-offset pattern as IDENTITY. Only runs for columns the
+    * insert OMITTED (H2 evaluates defaults only for omitted columns — an
+    * explicit NULL stays NULL and the sequence does not advance). Supports
+    * the INCREMENT BY 1 contract the reference tests use. */
+  private def fillSequenceDefaults(tn: String, df0: DataFrame,
+      specified: Option[Set[String]]): DataFrame = {
     var df = df0
     val seqRef = """(?i)^NEXTVAL\s*\(\s*'(\w+)'\s*\)$""".r
     colDefaults.getOrElse(tn, mutable.LinkedHashMap.empty[String, String])
       .foreach { case (c, d) =>
-        seqRef.findFirstMatchIn(d.trim).foreach { m =>
+        val omitted = specified.exists(s => !s.contains(c))
+        if (omitted) seqRef.findFirstMatchIn(d.trim).foreach { m =>
           sequences.get(m.group(1)).foreach { sq =>
-            val start = sq.nextVal() // first value; advance covers the rest
+            val start = sq.next // peek; advance only by what the batch used
             val (filled, n) = Dml.assignContiguous(df, c, start)
-            if (n > 1) sq.advance(n - 1)
+            if (n > 0) { sq.advance(n); lastSeqVal = Some(start + (n - 1) * sq.inc) }
             df = filled
           }
         }
@@ -1997,7 +2017,8 @@ final class Engine(val spark: SparkSession) {
     val t = table(name)
     val tn = name.toLowerCase
     val aligned0 = alignTo(tn, t, cols.map(c => splitTop(c).map(_.trim)), src)
-    var aligned = fillSequenceDefaults(tn, fillIdentity(tn, aligned0))
+    val specified = cols.map(c => splitTop(c).map(_.trim.toLowerCase).toSet)
+    var aligned = fillSequenceDefaults(tn, fillIdentity(tn, aligned0), specified)
     if (modeFlags.convertInsertNullToZero)
       aligned = convertNullToZero(tn, t, aligned)
     validateConstraints(tn, aligned)
@@ -2019,8 +2040,20 @@ final class Engine(val spark: SparkSession) {
       .orElse(indexes.values.find(ix => ix.unique && ix.table == tn).map(_.cols))
       .getOrElse(throw new IllegalArgumentException(
         s"ON DUPLICATE KEY UPDATE needs a PRIMARY KEY or unique index on $name"))
-    val src = fillIdentity(tn,
+    val src1 = fillIdentity(tn,
       alignTo(tn, t, cols.map(c => splitTop(c).map(_.trim)), src0))
+    // MySQL applies duplicate source keys sequentially; a join applies them
+    // simultaneously and would emit one target row per duplicate — keep the
+    // LAST source row per key (the net effect for assignment-style SETs).
+    // VALUES sources are small, so the window is cheap.
+    import org.apache.spark.sql.expressions.Window
+    val keyNonNull = key.map(k => col(k).isNotNull).reduce(_ && _)
+    val src = src1
+      .withColumn("__ord", monotonically_increasing_id())
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(key.map(col): _*).orderBy(col("__ord").desc)))
+      .filter(!keyNonNull || col("__rk") === 1)
+      .drop("__ord", "__rk")
     val setPairs = splitTop(sets).map { s =>
       val Array(c, v) = s.split("=", 2)
       // VALUES(col) → the source row's value (MySQL VALUES() function)

@@ -376,6 +376,57 @@ class EngineSpec extends SparkSpec {
     assert(plan.contains("Aggregate") || plan.contains("HashAggregate"))
   }
 
+  test("review regressions: dup-key upsert, DEFAULT+NOT NULL, sequence advance, ROWNUM WHERE") {
+    val e = freshEngine
+    // ON DUPLICATE KEY UPDATE with duplicate source keys must not multiply
+    // the target row (last source occurrence wins)
+    e.sql("SET MODE MySQL")
+    e.sql("CREATE TABLE du (id int PRIMARY KEY, v varchar(5), n int)")
+    e.sql("INSERT INTO du VALUES (2, 'a', 10)")
+    e.sql("INSERT INTO du VALUES (2,'x',1), (2,'y',2) ON DUPLICATE KEY UPDATE n = VALUES(n), v = VALUES(v)")
+    val r = e.sql("SELECT v, n FROM du").collect()
+    assert(r.length == 1 && r(0).getString(0) == "y" && r(0).getInt(1) == 2)
+    // DEFAULT expr followed by column options parses cleanly
+    val e2 = freshEngine
+    e2.sql("CREATE TABLE dn (c int DEFAULT 5 NOT NULL, v int)")
+    e2.sql("INSERT INTO dn (v) VALUES (1)")
+    assert(e2.sql("SELECT c FROM dn").head().getInt(0) == 5)
+    e2.sql("INSERT INTO dn VALUES (DEFAULT, 2)")
+    assert(e2.sql("SELECT c FROM dn WHERE v=2").head().getInt(0) == 5)
+    // SHOW COLUMNS surfaces the recorded default
+    assert(e2.sql("SHOW COLUMNS FROM dn").collect()
+      .find(_.getString(0) == "c").get.getString(4) == "5")
+    // explicit inserts into a sequence-defaulted column do not advance it
+    e2.sql("CREATE SEQUENCE sq2 START WITH 100")
+    e2.sql("CREATE TABLE st (id int DEFAULT NEXTVAL('sq2'), v int)")
+    e2.sql("INSERT INTO st VALUES (7, 1)") // explicit id — no sequence use
+    e2.sql("INSERT INTO st (v) VALUES (2)") // omitted → 100
+    assert(e2.sql("SELECT id FROM st WHERE v=2").head().getInt(0) == 100)
+    // DEFAULT keyword evaluates the sequence per row
+    e2.sql("INSERT INTO st VALUES (DEFAULT, 3), (DEFAULT, 4)")
+    assert(e2.sql("SELECT id FROM st WHERE v IN (3,4) ORDER BY id")
+      .collect().map(_.getInt(0)).toSeq == Seq(101, 102))
+    // WHERE ROWNUM <= n tail form (canonical H2 row cap)
+    assert(e2.sql("SELECT v FROM st WHERE ROWNUM <= 2").count() == 2)
+    assert(e2.sql("SELECT v FROM st WHERE ROWNUM < 2").count() == 1)
+    // database-level SET REFERENTIAL_INTEGRITY FALSE suspends FK checks
+    val e3 = freshEngine
+    e3.sql("CREATE TABLE p3 (id int PRIMARY KEY); CREATE TABLE c3 (pid int)")
+    e3.sql("INSERT INTO p3 VALUES (1)")
+    e3.sql("ALTER TABLE c3 ADD CONSTRAINT fk3 FOREIGN KEY(pid) REFERENCES p3(id)")
+    e3.sql("SET REFERENTIAL_INTEGRITY FALSE")
+    e3.sql("INSERT INTO c3 VALUES (42)") // orphan allowed
+    e3.sql("SET REFERENTIAL_INTEGRITY TRUE")
+    intercept[IllegalArgumentException] { e3.sql("INSERT INTO c3 VALUES (43)") }
+    // MySQL-mode NOT NULL survives a column rename
+    val e4 = freshEngine
+    e4.sql("SET MODE MySQL")
+    e4.sql("CREATE TABLE rn (v varchar(10) NOT NULL)")
+    e4.sql("ALTER TABLE rn ALTER COLUMN v RENAME TO w")
+    e4.sql("INSERT INTO rn VALUES (NULL)")
+    assert(e4.sql("SELECT w FROM rn").head().getString(0) == "") // null→zero applied
+  }
+
   test("BACKUP TO statement + SHUTDOWN no-op (BackupCommandTest/ShutdownServerTest)") {
     val e = freshEngine
     e.sql("create table IF NOT EXISTS BackupCommandTest(id int, name varchar(500), b boolean)")

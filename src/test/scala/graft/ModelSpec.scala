@@ -104,6 +104,12 @@ class ModelSpec extends SparkSpec {
     assert(Model(e, "dao").findCount() == 1)
     // explain exposes the composed plan (printSQL twin)
     assert(Model(e, "dao").eq("id", 2).explain().contains("Filter"))
+    // a bound model reads through to the live table (sees its own inserts)
+    val live = Model(e, "dao")
+    val before = live.findCount()
+    live.insert("id" -> 11, "name" -> "zed", "age" -> 9)
+    assert(live.findCount() == before + 1)
+    Model(e, "dao").eq("id", 11).delete()
     // unbound models refuse mutation
     intercept[IllegalStateException] { Model(people).delete() }
   }
