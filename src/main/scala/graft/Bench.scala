@@ -5,8 +5,15 @@ import org.apache.spark.sql.SparkSession
 /** Driver benchmark: headline queries over SPARK_GRAFT_SF_DIR, one JSON
   * line on stdout (driver contract). Each query is forced end-to-end with a
   * noop datasource write (full plan execution, no driver collect, no disk
-  * write skew); timing is the median of `runs` after one warm-up of the
-  * whole session (JIT + codegen cache + parquet footer cache).
+  * write skew).
+  *
+  * Timing is the per-query median across `runs` INTERLEAVED passes: the
+  * whole suite runs N times and each query's median is taken across passes,
+  * after one untimed warm-up pass (JIT + codegen cache + parquet footer
+  * cache). Interleaving means a transiently contended minute degrades one
+  * pass of every query — which the cross-pass median rejects — instead of
+  * all consecutive runs of a single query, which a per-query median cannot
+  * reject. Per-pass times go to stderr for auditability.
   *
   * The set covers BASELINE.md B1-B8 plus the beyond-reference pipeline
   * heads (dedup, simhash, ANN, text analysis).
@@ -56,11 +63,25 @@ object Bench {
       }
     }
 
+    // Interleaved timed passes: suite-order run x N, median across passes.
+    val passTimes: Seq[Seq[(String, Double)]] = (1 to runs).map { pass =>
+      headline.flatMap { n =>
+        try {
+          val t = exec(n)
+          System.err.println(f"[bench-pass $pass] $n $t%.3f s")
+          Some(n -> t)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench-pass $pass] $n failed: ${e.getMessage}")
+          None
+        }
+      }
+    }
+    val byQuery = passTimes.flatten.groupBy(_._1)
     val results = headline.flatMap { n =>
-      try {
-        val times = (1 to runs).map(_ => exec(n)).sorted
-        Some(n -> times(times.length / 2))
-      } catch { case _: Throwable => None }
+      byQuery.get(n).map { ts =>
+        val sorted = ts.map(_._2).sorted
+        n -> sorted(sorted.length / 2)
+      }
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

@@ -17,6 +17,14 @@ import org.apache.spark.sql.DataFrame
   *    first use) so callers need no SparkContext plumbing.
   *
   * Select with `spark.conf.set("spark.graft.checkpoint.mode", "reliable")`.
+  * On a multi-node master, reliable mode REQUIRES an explicit
+  * `spark.graft.checkpoint.dir` on shared storage (HDFS/S3): the
+  * java.io.tmpdir fallback is node-local, so executors would write
+  * checkpoint blocks to their own disks and recovery reads would fail —
+  * it only appears to work in local mode. Checkpoint files accumulate per
+  * app run; set `spark.cleaner.referenceTracking.cleanCheckpoints=true`
+  * (or clean the directory between runs) on long-lived sessions.
+  *
   * The reference has no equivalent (single-node MVCC storage is its
   * durability story); this is the Spark-native translation of that
   * guarantee for iterative operators.
@@ -30,10 +38,16 @@ object Checkpoint {
     val spark = df.sparkSession
     spark.conf.get(ModeKey, "local") match {
       case "reliable" =>
-        if (spark.sparkContext.getCheckpointDir.isEmpty)
-          spark.sparkContext.setCheckpointDir(
-            spark.conf.get(DirKey,
-              sys.props("java.io.tmpdir") + "/graft_checkpoints"))
+        if (spark.sparkContext.getCheckpointDir.isEmpty) {
+          val explicit = spark.conf.getOption(DirKey)
+          if (explicit.isEmpty && !spark.sparkContext.isLocal)
+            throw new IllegalStateException(
+              s"$ModeKey=reliable on a non-local master requires $DirKey " +
+                "on shared storage (HDFS/S3): the node-local tmpdir fallback " +
+                "would strand checkpoint blocks on individual executors")
+          spark.sparkContext.setCheckpointDir(explicit.getOrElse(
+            sys.props("java.io.tmpdir") + "/graft_checkpoints"))
+        }
         df.checkpoint(eager = true)
       case _ => df.localCheckpoint(eager = true)
     }

@@ -151,10 +151,29 @@ final class Engine(val spark: SparkSession) {
   // MySQL-mode INSERT … ON DUPLICATE KEY UPDATE (Mode.java
   // onDuplicateKeyUpdate; parsed only when the mode enables it, as the
   // reference's parser does) — must match before the plain VALUES form
-  private val insertOnDupRe =
-    """(?is)^\s*INSERT\s+INTO\s+(\w+)\s*(?:\(([^)]*)\)\s*)?VALUES\s*(.*?)\s+ON\s+DUPLICATE\s+KEY\s+UPDATE\s+(.*)$""".r
   private val insertValuesRe =
     """(?is)^\s*INSERT\s+INTO\s+(\w+)\s*(?:\(([^)]*)\)\s*)?(?:DIRECT\s+)?VALUES\s*(.*)$""".r
+  private val onDupKwRe = """(?i)\bON\s+DUPLICATE\s+KEY\s+UPDATE\b""".r
+  /** Literal-aware dispatch for INSERT … ON DUPLICATE KEY UPDATE: the split
+    * point is the first keyword occurrence OUTSIDE string literals, so a
+    * plain INSERT whose VALUES text merely contains the phrase is not
+    * mis-dispatched, and an upsert whose literal contains it splits at the
+    * real keyword (round-2 advice: dispatch must be literal-aware like the
+    * translate-phase rewrites). */
+  private object InsertOnDup {
+    def unapply(q: String): Option[(String, String, String, String)] = {
+      val spans = literalSpans(q)
+      onDupKwRe.findAllMatchIn(q)
+        .find(m => !spans.exists(sp => m.start >= sp._1 && m.start < sp._2))
+        .flatMap { m =>
+          q.substring(0, m.start) match {
+            case insertValuesRe(name, cols, tuples) =>
+              Some((name, cols, tuples.trim, q.substring(m.end).trim))
+            case _ => None
+          }
+        }
+    }
+  }
   // MySQL-style INSERT INTO t SET c1=v1, c2=v2 (Parser.java:1053)
   private val insertSetRe =
     """(?is)^\s*INSERT\s+INTO\s+(\w+)\s+SET\s+(.*)$""".r
@@ -726,13 +745,13 @@ final class Engine(val spark: SparkSession) {
           Option(start).map(_.toLong).getOrElse(1L),
           Option(inc).map(_.toLong).getOrElse(1L))
         status()
-      case insertOnDupRe(name, cols, tuples, sets)
+      case InsertOnDup(name, cols, tuples, sets)
           if modeFlags.onDuplicateKeyUpdate =>
         doUpsert(name, Option(cols),
           parseValueRows(name, tuples,
             Option(cols).map(c => splitTop(c).map(_.trim.toLowerCase))), sets)
         status()
-      case insertOnDupRe(_, _, _, _) =>
+      case InsertOnDup(_, _, _, _) =>
         throw new IllegalArgumentException(
           "INSERT … ON DUPLICATE KEY UPDATE requires SET MODE MySQL " +
             "(Mode.java onDuplicateKeyUpdate)")
@@ -1338,8 +1357,15 @@ final class Engine(val spark: SparkSession) {
     var selectList = q.substring(selStart, fromIdx)
     selectList = """(?is)^\s*DISTINCT\s+""".r.replaceFirstIn(selectList, "")
     val aliasRe = """(?is)^(.*\S)\s+AS\s+(\w+)\s*$""".r
+    // H2 resolves real columns BEFORE aliases (Select.java) — an alias that
+    // shadows a column of a referenced table must not be substituted, or the
+    // retry silently rewrites a valid column reference (round-2 advice).
+    val fromSeg = q.substring(fromIdx + 4, whereIdx)
+    val realCols: Set[String] = """\b\w+\b""".r.findAllIn(fromSeg)
+      .map(_.toLowerCase).toSet
+      .flatMap((t: String) => tables.get(t).toSeq.flatMap(_.columns.map(_.toLowerCase)))
     val aliases = splitTop(selectList).map(_.trim).collect {
-      case aliasRe(e, a) => a.toLowerCase -> e
+      case aliasRe(e, a) if !realCols(a.toLowerCase) => a.toLowerCase -> e
     }.toMap
     if (aliases.isEmpty) return None
     val whereEnd0 = earliestTopLevel(q.substring(whereIdx + 5),
@@ -1981,7 +2007,7 @@ final class Engine(val spark: SparkSession) {
       .foreach { case (c, d) =>
         val omitted = specified.exists(s => !s.contains(c))
         if (omitted) seqRef.findFirstMatchIn(d.trim).foreach { m =>
-          sequences.get(m.group(1)).foreach { sq =>
+          sequences.get(m.group(1).toLowerCase).foreach { sq =>
             val start = sq.next // peek; advance only by what the batch used
             val (filled, n) = Dml.assignContiguous(df, c, start)
             if (n > 0) { sq.advance(n); lastSeqVal = Some(start + (n - 1) * sq.inc) }
@@ -2064,7 +2090,7 @@ final class Engine(val spark: SparkSession) {
     val srcR = src.select(src.columns.toSeq.map(c => col(c).as(s"__src_$c")) :+
       lit(true).as("__src_match"): _*)
     val keyCond = key.map(k => col(k) === col(s"__src_$k")).reduce(_ && _)
-    val updated = t.join(srcR, keyCond, "left")
+    val updatedFlagged = t.join(srcR, keyCond, "left")
       .select(t.schema.fields.toSeq.map { f =>
         setPairs.get(f.name) match {
           case Some(e) => when(col("__src_match"),
@@ -2072,13 +2098,23 @@ final class Engine(val spark: SparkSession) {
             .otherwise(col(f.name)).as(f.name)
           case None => col(f.name)
         }
-      }: _*)
+      } :+ coalesce(col("__src_match"), lit(false)).as("__src_match"): _*)
+    val updated = updatedFlagged.drop("__src_match")
     val insCond = key.map(k => col(s"__s.$k") === col(s"__t.$k")).reduce(_ && _)
     val inserted = src.alias("__s").join(t.alias("__t"), insCond, "left_anti")
       .select(t.columns.toSeq.map(col): _*)
     val batch = if (modeFlags.convertInsertNullToZero)
       convertNullToZero(tn, t, inserted) else inserted
     validateConstraints(tn, batch)
+    // MySQL also rejects an UPDATE arm that violates CHECK/FK or makes a
+    // non-key unique index collide with another existing row — re-validate
+    // the modified rows, and uniqueness over the post-upsert table (the
+    // SET list can rewrite unique columns, so the batch-vs-existing probe
+    // used for inserts is not sufficient here). The upsert rewrites the
+    // table anyway, so the full-table dup-check adds no extra scan class.
+    val modified = updatedFlagged.filter(col("__src_match")).drop("__src_match")
+    validateRowConstraints(tn, modified)
+    validateUniqueWithin(tn, updated.union(batch))
     register(name, updated.union(batch))
   }
 
@@ -2087,23 +2123,13 @@ final class Engine(val spark: SparkSession) {
     * only the incoming batch — an anti join / filter per declared
     * constraint, not a full-table rescan. */
   private def validateConstraints(tn: String, batch: DataFrame): Unit = {
-    if (refIntegrity) foreignKeys.filter(_.table == tn).foreach { fk =>
-      require(Dml.fkViolations(batch, fk.cols, table(fk.refTable), fk.refCols).isEmpty,
-        s"FK ${fk.name} violated: ${fk.table}(${fk.cols.mkString(",")}) → " +
-          s"${fk.refTable}(${fk.refCols.mkString(",")})")
-    }
-    checks.filter(_.table == tn).foreach { ck =>
-      require(Dml.checkViolations(batch, expr(ck.expr)).isEmpty,
-        s"CHECK ${ck.name} violated: ${ck.expr}")
-    }
+    validateRowConstraints(tn, batch)
     // Unique enforcement on insert (PK + unique indexes — the per-batch
     // twin of the reference's per-row unique-index probe,
     // GlobalUniqueIndex.java:33): a batch-internal duplicate check plus a
     // semi join against existing keys. NULL-keyed rows never conflict
     // (Mode.java:88-99 default).
-    val uniqueKeySets = primaryKeys.get(tn).toSeq ++
-      indexes.values.filter(ix => ix.table == tn && ix.unique).map(_.cols)
-    uniqueKeySets.distinct.foreach { ks =>
+    uniqueKeySets(tn).foreach { ks =>
       if (ks.forall(batch.columns.contains)) {
         val b = nonNullKeyed(batch, ks)
         require(Dml.duplicateKeys(b, ks).isEmpty,
@@ -2113,6 +2139,34 @@ final class Engine(val spark: SparkSession) {
       }
     }
   }
+
+  /** FK + CHECK validation over a row set (no uniqueness — see
+    * validateConstraints / validateUniqueWithin for the two unique shapes). */
+  private def validateRowConstraints(tn: String, rows: DataFrame): Unit = {
+    if (refIntegrity) foreignKeys.filter(_.table == tn).foreach { fk =>
+      require(Dml.fkViolations(rows, fk.cols, table(fk.refTable), fk.refCols).isEmpty,
+        s"FK ${fk.name} violated: ${fk.table}(${fk.cols.mkString(",")}) → " +
+          s"${fk.refTable}(${fk.refCols.mkString(",")})")
+    }
+    checks.filter(_.table == tn).foreach { ck =>
+      require(Dml.checkViolations(rows, expr(ck.expr)).isEmpty,
+        s"CHECK ${ck.name} violated: ${ck.expr}")
+    }
+  }
+
+  /** Whole-table uniqueness (used by upsert, whose UPDATE arm can rewrite
+    * unique columns of existing rows): one groupBy-count per unique key
+    * set over the proposed final table. */
+  private def validateUniqueWithin(tn: String, finalTable: DataFrame): Unit =
+    uniqueKeySets(tn).foreach { ks =>
+      if (ks.forall(finalTable.columns.contains))
+        require(Dml.duplicateKeys(nonNullKeyed(finalTable, ks), ks).isEmpty,
+          s"unique key (${ks.mkString(",")}) violated after upsert on $tn")
+    }
+
+  private def uniqueKeySets(tn: String): Seq[Seq[String]] =
+    (primaryKeys.get(tn).toSeq ++
+      indexes.values.filter(ix => ix.table == tn && ix.unique).map(_.cols)).distinct
 }
 
 /** CREATE ALIAS target resolution (ddl/CreateFunctionAlias.java +

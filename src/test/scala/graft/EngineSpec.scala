@@ -819,4 +819,80 @@ class EngineSpec extends SparkSpec {
       .filter(_.getName.endsWith(".csv")).head.getAbsolutePath
     assert(e.sql(s"SELECT count(*) FROM CSVREAD('$csvFile')").head().getLong(0) == 5)
   }
+
+  test("uppercase sequence name in column DEFAULT fills and advances (r2 advice)") {
+    val e = freshEngine
+    e.sql("CREATE SEQUENCE SEQ_UP")
+    // H2 SQL conventionally writes NEXTVAL('SEQ1') uppercase; the fill must
+    // hit the lowercase-keyed sequence map.
+    e.sql("CREATE TABLE useq (id bigint DEFAULT NEXTVAL('SEQ_UP'), v varchar(5))")
+    e.sql("INSERT INTO useq (v) VALUES ('a'), ('b')")
+    val ids = e.sql("SELECT id FROM useq ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(1L, 2L), s"expected fill from SEQ_UP, got $ids")
+    // and the sequence advanced
+    assert(e.sql("SELECT NEXTVAL('seq_up') AS n").head().getInt(0) == 3)
+  }
+
+  test("upsert UPDATE arm is re-validated: CHECK and non-key unique collisions (r2 advice)") {
+    val e = freshEngine
+    e.sql("SET MODE MySQL")
+    e.sql("CREATE TABLE uv (id int PRIMARY KEY, qty int, tag varchar(10))")
+    e.sql("ALTER TABLE uv ADD CONSTRAINT qty_pos CHECK (qty >= 0)")
+    e.sql("INSERT INTO uv VALUES (1, 5, 'a'), (2, 7, 'b')")
+    // UPDATE arm drives qty below the CHECK → must raise, not corrupt
+    intercept[Exception] {
+      e.sql("INSERT INTO uv VALUES (1, 0, 'x') ON DUPLICATE KEY UPDATE qty = -1")
+    }
+    assert(e.sql("SELECT qty FROM uv WHERE id=1").head().getInt(0) == 5)
+    // UPDATE arm rewrites a unique column into a collision with another row
+    e.sql("CREATE UNIQUE INDEX uv_tag ON uv(tag)")
+    intercept[Exception] {
+      e.sql("INSERT INTO uv VALUES (1, 5, 'z') ON DUPLICATE KEY UPDATE tag = 'b'")
+    }
+    assert(e.sql("SELECT tag FROM uv WHERE id=1").head().getString(0) == "a")
+    // a legal upsert still works
+    e.sql("INSERT INTO uv VALUES (1, 9, 'a') ON DUPLICATE KEY UPDATE qty = 9")
+    assert(e.sql("SELECT qty FROM uv WHERE id=1").head().getInt(0) == 9)
+  }
+
+  test("WHERE alias retry does not rewrite an alias that shadows a real column (r2 advice)") {
+    val e = freshEngine
+    e.sql("CREATE TABLE sh (pk varchar(4) PRIMARY KEY, f3 int)")
+    e.sql("INSERT INTO sh VALUES ('01', 100), ('02', 1)")
+    // `f3` aliases an expression AND is a real column; H2 resolves the real
+    // column in WHERE. A second alias (`big`) is genuinely unresolved and
+    // triggers the retry — which must substitute big but leave f3 alone.
+    val rows = e.sql(
+      "SELECT pk, f3 + 1000 AS f3, f3 > 50 AS big FROM sh WHERE big AND f3 < 50")
+      .collect()
+    assert(rows.isEmpty, // real f3 of the qualifying row is 100, not < 50
+      s"alias f3 must not shadow column f3 in WHERE: ${rows.mkString}")
+    val ok = e.sql(
+      "SELECT pk, f3 + 1000 AS f3, f3 > 50 AS big FROM sh WHERE big AND f3 > 50")
+      .collect().map(_.getString(0)).toSeq
+    assert(ok == Seq("01"))
+  }
+
+  test("ON DUPLICATE KEY UPDATE inside a string literal is a plain insert (r2 advice)") {
+    val e = freshEngine
+    e.sql("SET MODE MySQL")
+    e.sql("CREATE TABLE lit (id int PRIMARY KEY, note varchar(100))")
+    // keyword only inside the literal → plain INSERT, stored verbatim
+    e.sql("INSERT INTO lit VALUES (1, 'use ON DUPLICATE KEY UPDATE here')")
+    assert(e.sql("SELECT note FROM lit WHERE id=1").head().getString(0)
+      == "use ON DUPLICATE KEY UPDATE here")
+    // keyword both inside a literal AND as the real clause → split at the
+    // real (outside-literal) occurrence
+    e.sql("INSERT INTO lit VALUES (1, 'try ON DUPLICATE KEY UPDATE x') " +
+      "ON DUPLICATE KEY UPDATE note = VALUES(note)")
+    assert(e.sql("SELECT note FROM lit WHERE id=1").head().getString(0)
+      == "try ON DUPLICATE KEY UPDATE x")
+    // non-MySQL mode still rejects a REAL upsert clause
+    val e2 = freshEngine
+    e2.sql("CREATE TABLE lit2 (id int PRIMARY KEY)")
+    intercept[IllegalArgumentException] {
+      e2.sql("INSERT INTO lit2 VALUES (1) ON DUPLICATE KEY UPDATE id = 1")
+    }
+  }
 }
