@@ -24,6 +24,19 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     allQ.map(q => q.name -> q.fn).toMap
 
-  def oracleSql: Map[String, String] =
-    allQ.flatMap(q => q.oracle.map(sql => q.name -> sql.trim)).toMap
+  def oracleSql: Map[String, String] = {
+    val spark = SparkSession.getActiveSession.getOrElse(
+      graft.core.GraftSession.configure(
+        SparkSession.builder().master("local[4]")).getOrCreate())
+    oracleSqlFor(spark, sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.01"))
+  }
+
+  /** Oracle map with generated (data-dependent) oracles evaluated against
+    * `dir` — Verify passes its sfDir so generated literals (e.g. trained
+    * IVF centroids) match the data the queries actually ran on. */
+  def oracleSqlFor(spark: SparkSession, dir: String): Map[String, String] =
+    allQ.flatMap(q =>
+      q.oracleGen.map(g => q.name -> g(spark, dir).trim)
+        .orElse(q.oracle.map(sql => q.name -> sql.trim))).toMap
 }

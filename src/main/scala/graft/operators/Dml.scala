@@ -19,12 +19,45 @@ object Dml {
     * Implementation: target ANTI-JOIN source (drop rows being replaced)
     * UNION ALL source. One shuffle on the key; at scale the anti join
     * broadcast-or-shuffles via AQE, and no driver-side state exists.
-    * If the same key occurs multiple times in source, the last-writer
-    * ambiguity of the reference is resolved by requiring callers to
-    * pre-dedup (same discipline the reference enforces via PK violation).
+    *
+    * Duplicate keys in `source` would otherwise multiply target rows
+    * (the join applies them simultaneously where the reference applies them
+    * sequentially, Merge.java:146). `onDupSourceKeys` picks the contract:
+    *  - "last" (default): keep the last source row per key — the net effect
+    *    of the reference's sequential row-at-a-time apply, and the same rule
+    *    the SQL front door's ON DUPLICATE KEY path uses.
+    *  - "error": raise at execution time (lazy, distributed — no driver
+    *    pre-count), mirroring the reference's PK-violation behavior.
+    *  - "unchecked": skip the dedup window entirely; the caller guarantees
+    *    key-unique source (zero-cost fast path for pre-deduped pipelines).
     */
-  def mergeInto(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
-    val src = source.toDF(target.columns.toSeq: _*)
+  def mergeInto(target: DataFrame, source: DataFrame, keys: Seq[String],
+      onDupSourceKeys: String = "last"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val aligned = source.toDF(target.columns.toSeq: _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+    val src = onDupSourceKeys match {
+      case "unchecked" => aligned
+      case "error" =>
+        // assert_true flows through a filter the optimizer cannot prune:
+        // evaluation raises on the first key with multiplicity > 1.
+        aligned
+          .withColumn("__n", count(lit(1)).over(w))
+          .filter(assert_true(col("__n") === 1,
+            lit(s"duplicate source key in MERGE on (${keys.mkString(", ")})"))
+            .isNull)
+          .drop("__n")
+      case "last" =>
+        // monotonically_increasing_id preserves source row order within and
+        // across partitions, so "last" matches sequential-apply order.
+        aligned
+          .withColumn("__ord", monotonically_increasing_id())
+          .withColumn("__rk", row_number().over(w.orderBy(col("__ord").desc)))
+          .filter(col("__rk") === 1)
+          .drop("__ord", "__rk")
+      case other => throw new IllegalArgumentException(
+        s"onDupSourceKeys must be last|error|unchecked, got $other")
+    }
     // Aliases rather than df("col") references: source typically derives from
     // target (upsert-from-select), which would make raw attribute references
     // ambiguous in the self-join.

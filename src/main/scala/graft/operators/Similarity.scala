@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (array<float>) — beyond-
@@ -106,45 +105,60 @@ object Similarity {
       Seq(("cos_sim", true), ("neighbor_id", false)), k)
   }
 
-  /** IVF (inverted-file) approximate top-k: k-means coarse quantizer →
-    * per-centroid posting lists → probe the query's `nProbe` nearest cells →
-    * exact cosine re-rank. The list assignment is one ML transform over the
-    * corpus; the probe join shuffles only candidate cells, so per-query work
-    * is ~nProbe/nCentroids of the corpus — the classic IVF-flat trade.
-    * Centroids are driver-held (nCentroids × dim — tiny) and broadcast.
-    */
-  def ivfTopK(
-      corpus: DataFrame, corpusId: String, corpusVec: String,
-      queries: DataFrame, queryId: String, queryVec: String,
-      k: Int, nCentroids: Int = 16, nProbe: Int = 3, seed: Long = 42L): DataFrame = {
+  /** IVF coarse-quantizer training: k-means centroids as plain driver-held
+    * arrays (nCentroids × dim — tiny). Split from the probe so the trained
+    * state can be inlined as literals — by the probe plan AND by the DuckDB
+    * oracle generator (the same trick that makes the hyperplane LSH paths
+    * hash-verifiable). */
+  def ivfTrain(
+      corpus: DataFrame, corpusVec: String,
+      nCentroids: Int = 16, seed: Long = 42L): Seq[Seq[Double]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val spark = corpus.sparkSession
-    import spark.implicits._
-
-    val train = corpus.select(col(corpusId).as("neighbor_id"),
-      col(corpusVec).as("__cv"),
+    val train = corpus.select(
       array_to_vector(col(corpusVec).cast("array<double>")).as("features"))
     val model = new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(10)
-      .fit(train.select("features"))
-    val assigned = model.transform(train)
-      .select(col("neighbor_id"), col("__cv"), norm(col("__cv")).as("__cn"),
-        col("prediction").as("__cell"))
+      .fit(train)
+    model.clusterCenters.map(_.toArray.toSeq).toSeq
+  }
 
-    // query → nProbe nearest centroids (centroids as a broadcast literal df)
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray) }.toSeq
-      .toDF("__cell", "__centroid")
-    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
-    val qCells = q.crossJoin(broadcast(centroids))
-      .withColumn("__d", aggregate(
-        zip_with(col("__qv"), col("__centroid"),
-          (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
-        lit(0.0), (acc, v) => acc + v))
-      .withColumn("__r", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("__d").asc, col("__cell").asc)))
-      .filter(col("__r") <= nProbe)
-      .select(col("query_id"), col("__qv"), norm(col("__qv")).as("__qn"), col("__cell"))
+  /** Squared L2 distance to a constant centroid, as the exact left-to-right
+    * double fold (0.0 + d₁ + d₂ + …) the DuckDB twin reproduces. */
+  private def sqDistLit(vec: Column, centroid: Seq[Double]): Column =
+    aggregate(
+      zip_with(vec, lit(centroid.toArray),
+        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** IVF-flat probe against trained centroids: assign each corpus vector to
+    * its nearest cell, probe each query's `nProbe` nearest cells, exact
+    * cosine re-rank. Cell assignment is a pure column expression over the
+    * centroid literals (array_min / array_sort over (dist, cell) structs) —
+    * no join, no shuffle, no ML transform on the hot path; the only shuffle
+    * is the candidate equi-join on `__cell`, so per-query work is
+    * ~nProbe/nCentroids of the corpus — the classic IVF-flat trade.
+    * Ties on distance break toward the smaller cell id (deterministic).
+    */
+  def ivfProbe(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, centroids: Seq[Seq[Double]], nProbe: Int = 3): DataFrame = {
+    def cellStructs(vec: Column): Column = array(
+      centroids.zipWithIndex.map { case (c, i) =>
+        struct(sqDistLit(vec, c).as("d"), lit(i).as("cell"))
+      }: _*)
+
+    val assigned = corpus.select(col(corpusId).as("neighbor_id"),
+        col(corpusVec).as("__cv"))
+      .withColumn("__cn", norm(col("__cv")))
+      .withColumn("__cell", array_min(cellStructs(col("__cv"))).getField("cell"))
+
+    val qCells = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
+      .withColumn("__qn", norm(col("__qv")))
+      .withColumn("__cell",
+        explode(slice(array_sort(cellStructs(col("__qv"))), 1, nProbe)
+          .getField("cell")))
+      .select(col("query_id"), col("__qv"), col("__qn"), col("__cell"))
 
     val cand = assigned.join(broadcast(qCells), Seq("__cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -155,6 +169,14 @@ object Similarity {
     graft.plans.TopKPerKey(cand, Seq("query_id"),
       Seq(("cos_sim", true), ("neighbor_id", false)), k)
   }
+
+  /** IVF (inverted-file) approximate top-k: train + probe in one call. */
+  def ivfTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, nCentroids: Int = 16, nProbe: Int = 3, seed: Long = 42L): DataFrame =
+    ivfProbe(corpus, corpusId, corpusVec, queries, queryId, queryVec,
+      k, ivfTrain(corpus, corpusVec, nCentroids, seed), nProbe)
 
   /** Embedding near-duplicate pairs: all (a<b) with cosine ≥ threshold,
     * candidates from shared LSH buckets (any table). */

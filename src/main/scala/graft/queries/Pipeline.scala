@@ -253,6 +253,57 @@ object Pipeline {
           SELECT doc_id, ${tos(s"($bitSum)")} AS simhash FROM tallies)"""
   }
 
+  /** Trained IVF centroids, memoized per (dir, k, seed): the s03 query and
+    * its generated oracle run in the same JVM (Verify runs queries, then
+    * dumps oracle_sql.json), so both sides see the IDENTICAL doubles — the
+    * k-means result never has to be deterministic across JVMs, only shared
+    * within one. */
+  private val ivfCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Long), Seq[Seq[Double]]]
+  private def ivfCentroids(s: SparkSession, dir: String,
+      nCentroids: Int, seed: Long): Seq[Seq[Double]] =
+    ivfCache.getOrElseUpdate((dir, nCentroids, seed),
+      Similarity.ivfTrain(t(s, dir, "embeddings"), "embedding", nCentroids, seed))
+
+  /** DuckDB twin of [[Similarity.ivfProbe]] (s03): trained centroids inline
+    * as double literals (Double.toString round-trips); cell assignment is
+    * the same (dist, cell) struct-min over the same left-to-right double
+    * fold; probe cells via list_sort + slice; exact fold-cosine re-rank. */
+  private def annIvfOracle(s: SparkSession, dir: String,
+      nCentroids: Int, nProbe: Int, seed: Long, k: Int): String = {
+    val cents = ivfCentroids(s, dir, nCentroids, seed)
+    // 0.0-seeded left fold of (x-c)^2, identical to Spark's aggregate(...)
+    def sqDist(v: String, c: Seq[Double]): String = {
+      val lits = c.map(_.toString).mkString("[", ", ", "]")
+      s"list_reduce(list_prepend(0.0, list_transform(list_zip($v, $lits), " +
+        s"z -> (CAST(z[1] AS DOUBLE) - z[2]) * (CAST(z[1] AS DOUBLE) - z[2]))), " +
+        "(a,b) -> a+b)"
+    }
+    def cellStructs(v: String): String = cents.zipWithIndex.map { case (c, i) =>
+      s"{'d': ${sqDist(v, c)}, 'cell': $i}"
+    }.mkString("[", ",\n            ", "]")
+    s"""
+        WITH c AS MATERIALIZED (
+          SELECT vec_id, embedding, ${normSql("embedding")} AS nrm,
+            list_aggregate(${cellStructs("embedding")}, 'min').cell AS cell
+          FROM embeddings),
+        q AS MATERIALIZED (
+          SELECT vec_id, embedding, ${normSql("embedding")} AS nrm,
+            UNNEST(list_transform(
+              list_sort(${cellStructs("embedding")})[1:$nProbe],
+              s -> s.cell)) AS cell
+          FROM embeddings WHERE vec_id < 8),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            ${foldDotSql("c.embedding", "q.embedding")} / (c.nrm * q.nrm) AS cos_sim
+          FROM c JOIN q ON c.cell = q.cell AND c.vec_id <> q.vec_id)
+        SELECT query_id, neighbor_id, cos_sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+        FROM scored
+        QUALIFY rank <= $k"""
+  }
+
   /** DuckDB twin of [[Multimodal.syntheticMedia]] + the stub codec
     * (Multimodal.stubDecode): the payload is the UTF-8 byte encoding of
     * `text`, and the stub derives metadata from the Java fold
@@ -523,15 +574,22 @@ object Pipeline {
       Some(annLshOracle(tables = 8, bits = 5, seed = 42L, k = 10))),
 
     // ---- ANN: IVF-flat (k-means cells + probe; third ANN strategy).
+    // Oracled like s02, one step further: the data-dependent trained
+    // centroids are memoized within the Verify JVM and inlined into the
+    // DuckDB twin as exact double literals, so cell assignment, probe set,
+    // and re-rank all reproduce bit-for-bit — the trained approximation
+    // itself is hash-verified.
     Q("s03_ann_ivf",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        Similarity.ivfTopK(
+        Similarity.ivfProbe(
           emb, "vec_id", "embedding",
           emb.filter(col("vec_id") < 8), "vec_id", "embedding",
-          k = 10, nCentroids = 16, nProbe = 4)
+          k = 10, centroids = ivfCentroids(s, dir, 16, 42L), nProbe = 4)
       },
-      None),
+      None,
+      oracleGen = Some((s, dir) =>
+        annIvfOracle(s, dir, nCentroids = 16, nProbe = 4, seed = 42L, k = 10))),
 
     // ---- Text stats with DuckDB oracle (token counts, char-class ratios,
     // quality flag — the SQL-expressible subset of TextAnalysis.analyze).

@@ -9,11 +9,18 @@ import org.apache.spark.sql.types.DecimalType
   *
   * `oracle == None` → driver records a weaker rows-only check (used for ops
   * not expressible in ANSI SQL, e.g. MinHash dedup).
+  *
+  * `oracleGen` generates the oracle SQL at verify time with access to the
+  * session + SF dir — for oracles that inline DATA-DEPENDENT deterministic
+  * state as literals (e.g. trained IVF centroids, the same way seeded
+  * hyperplanes are already inlined as constants). Takes precedence over
+  * `oracle` when both are set.
   */
 final case class Q(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    oracleGen: Option[(SparkSession, String) => String] = None)
 
 object Q {
 

@@ -14,6 +14,31 @@ class OperatorsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1, "a", 10.0), (2, "B", 99.0), (3, "c", 30.0), (4, "d", 40.0)))
   }
 
+  test("mergeInto duplicate source keys: last wins / error / unchecked") {
+    val target = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    val source = Seq((2, "first"), (3, "x"), (2, "last")).toDF("k", "v")
+
+    // default: sequential-apply net effect — last source row per key wins
+    val out = Dml.mergeInto(target, source, Seq("k"))
+      .orderBy($"k").collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(out.toSeq == Seq((1, "a"), (2, "last"), (3, "x")))
+
+    // error mode mirrors the reference's PK violation (Merge.java:146)
+    val err = intercept[Exception] {
+      Dml.mergeInto(target, source, Seq("k"), onDupSourceKeys = "error").collect()
+    }
+    assert(err.getMessage.contains("duplicate source key"))
+
+    // error mode passes untouched when keys are unique
+    val clean = Seq((2, "B"), (4, "d")).toDF("k", "v")
+    assert(Dml.mergeInto(target, clean, Seq("k"), onDupSourceKeys = "error")
+      .count() == 3)
+
+    // unchecked keeps the zero-cost legacy contract (caller pre-dedups)
+    assert(Dml.mergeInto(target, clean, Seq("k"), onDupSourceKeys = "unchecked")
+      .count() == 3)
+  }
+
   test("update rewrites only matching rows; delete keeps null-condition rows") {
     val t = Seq((1, 5.0), (2, -3.0)).toDF("k", "bal")
     val upd = Dml.update(t, $"bal" < 0, Map("bal" -> lit(0.0)))
