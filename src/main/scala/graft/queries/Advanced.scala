@@ -254,6 +254,21 @@ object Advanced {
                CAST(SUM(v) AS DOUBLE) AS total_value
         FROM y GROUP BY user_id, sid""")),
 
+    // ---- Within-watermark stream dedup, batch twin (q63): deterministic
+    // keep-rule (earliest ts, tie → min event_id) makes the streaming
+    // operator's keep-first-arrival contract oracle-able; streaming ≡ batch
+    // parity is pinned in StreamingSpec.
+    Q("q63_stream_dedup_earliest",
+      (s, dir) => graft.streaming.Sessions.dedupBatchEarliest(
+          t(s, dir, "events"), Seq("user_id", "event_type"))
+        .select(col("user_id"), col("event_type"),
+          unix_millis(col("ts")).as("ts_ms"), col("event_id"), col("value")),
+      Some("""
+        SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id, value
+        FROM events
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+          ORDER BY ts, event_id) = 1""")),
+
     // ---- Global-unique-index parity (GlobalUniqueIndex.java:33): the
     // scatter uniqueness check becomes a groupBy-count validation; also
     // proves the unique case returns empty (lineitem PK).

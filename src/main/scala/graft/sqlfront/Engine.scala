@@ -336,18 +336,21 @@ final class Engine(val spark: SparkSession) {
     * ships exactly three modes — REGULAR, MySQL, PostgreSQL — each enabling
     * a fixed flag set (Mode.java:143-166); unknown names keep REGULAR
     * semantics (plus the MSSQL bracket-identifier extension handled in
-    * translate). aliasColumnName and lowerCaseIdentifiers hold natively:
-    * Spark returns the alias as the column name and this catalog lowercases
-    * identifiers everywhere. */
+    * translate). aliasColumnName holds natively (Spark returns the alias as
+    * the column name); lowerCaseIdentifiers folds result column names in
+    * runSelect (catalog names are lowercased in every mode). */
   private case class ModeFlags(
       convertInsertNullToZero: Boolean = false,
       indexDefinitionInCreateTable: Boolean = false,
       onDuplicateKeyUpdate: Boolean = false,
       logIsLogBase10: Boolean = false,
-      serialColumnIsNotPK: Boolean = false)
+      serialColumnIsNotPK: Boolean = false,
+      nullConcatIsNull: Boolean = true,
+      lowerCaseIdentifiers: Boolean = false)
   private def modeFlags: ModeFlags = compatibilityMode match {
     case "MYSQL" => ModeFlags(convertInsertNullToZero = true,
-      indexDefinitionInCreateTable = true, onDuplicateKeyUpdate = true)
+      indexDefinitionInCreateTable = true, onDuplicateKeyUpdate = true,
+      nullConcatIsNull = false, lowerCaseIdentifiers = true)
     case "POSTGRESQL" => ModeFlags(logIsLogBase10 = true,
       serialColumnIsNotPK = true)
     case _ => ModeFlags(indexDefinitionInCreateTable = true)
@@ -960,6 +963,8 @@ final class Engine(val spark: SparkSession) {
     // PostgreSQL-mode LOG(x) is base 10 (Mode.java logIsLogBase10);
     // two-argument LOG keeps Spark's log(base, expr) meaning
     if (modeFlags.logIsLogBase10) q = rewriteSingleArgLog(q)
+    // MySQL-mode || treats NULL as the other operand (nullConcatIsNull=false)
+    if (!modeFlags.nullConcatIsNull) q = rewriteMySqlConcat(q)
     // INFORMATION_SCHEMA.X → synthesized meta view (MetaTable.java:68)
     val infoRe = """(?i)INFORMATION_SCHEMA\.(\w+)""".r
     q = rewriteOutside(q, infoRe)(m => metaView(m.group(1).toLowerCase))
@@ -1098,6 +1103,136 @@ final class Engine(val spark: SparkSession) {
       java.util.regex.Matcher.quoteReplacement(
         if (spans.exists(sp => m.start >= sp._1 && m.start < sp._2)) m.matched
         else f(m)))
+  }
+
+  /** MySQL-mode `||` (Mode.java:148-153 nullConcatIsNull=false; evaluated at
+    * Operation.java:125-142): a NULL operand yields the OTHER side, so a
+    * chain is NULL only when every operand is NULL. Spark's `||` is
+    * null-propagating, so chains are rewritten to
+    * `CASE WHEN <all null> THEN NULL ELSE CONCAT(COALESCE(CAST(x AS STRING),'')…) END`.
+    * Operands are extracted with balanced-paren, literal-aware scanning
+    * (string literal / parenthesized group / identifier / function call);
+    * a shape the scanner cannot bound (e.g. a bare CASE…END arm) leaves the
+    * chain untouched — a loud parse/semantics divergence, never a silent
+    * mis-split. */
+  private def rewriteMySqlConcat(q0: String): String = {
+    // operand shapes the scanner must not treat as expressions
+    val stopWords = Set("end", "then", "else", "when", "case", "select",
+      "where", "and", "or", "not", "in", "like", "between", "is", "from")
+    var q = q0
+    var guard = 0
+    var changed = true
+    while (changed && guard < 64) {
+      changed = false; guard += 1
+      val spans = literalSpans(q)
+      def inLit(i: Int) = spans.exists(sp => i >= sp._1 && i < sp._2)
+      def identChar(c: Char) =
+        c.isLetterOrDigit || c == '_' || c == '.' || c == '`' || c == '@'
+      def fwdParen(open: Int): Int = {
+        var depth = 0; var k = open; var end = -1
+        while (k < q.length && end < 0) {
+          if (!inLit(k)) {
+            if (q.charAt(k) == '(') depth += 1
+            else if (q.charAt(k) == ')') { depth -= 1; if (depth == 0) end = k + 1 }
+          }
+          k += 1
+        }
+        end
+      }
+      // start index of the operand ending just before opIdx, or -1
+      def leftStart(opIdx: Int): Int = {
+        var j = opIdx - 1
+        while (j >= 0 && q.charAt(j).isWhitespace) j -= 1
+        if (j < 0) return -1
+        q.charAt(j) match {
+          case '\'' => spans.find(_._2 == j + 1).map(_._1).getOrElse(-1)
+          case ')' =>
+            var depth = 0; var k = j; var open = -1
+            while (k >= 0 && open < 0) {
+              if (!inLit(k)) {
+                if (q.charAt(k) == ')') depth += 1
+                else if (q.charAt(k) == '(') {
+                  depth -= 1; if (depth == 0) open = k
+                }
+              }
+              if (open < 0) k -= 1
+            }
+            if (open < 0) -1
+            else { // include a function name directly before the '('
+              var s = open - 1
+              while (s >= 0 &&
+                (q.charAt(s).isLetterOrDigit || q.charAt(s) == '_')) s -= 1
+              s + 1
+            }
+          case c if identChar(c) =>
+            var s = j
+            while (s >= 0 && identChar(q.charAt(s))) s -= 1
+            s + 1
+          case _ => -1
+        }
+      }
+      // end (exclusive) of the operand starting at/after `from`, or -1
+      def rightEnd(from: Int): Int = {
+        var j = from
+        while (j < q.length && q.charAt(j).isWhitespace) j += 1
+        if (j >= q.length) return -1
+        q.charAt(j) match {
+          case '\'' => spans.find(_._1 == j).map(_._2).getOrElse(-1)
+          case '(' => fwdParen(j)
+          case c if identChar(c) =>
+            var e = j
+            while (e < q.length && identChar(q.charAt(e))) e += 1
+            var k = e
+            while (k < q.length && q.charAt(k).isWhitespace) k += 1
+            if (k < q.length && q.charAt(k) == '(') fwdParen(k) else e
+          case _ => -1
+        }
+      }
+      def ok(op: String): Boolean =
+        op.nonEmpty && !stopWords.contains(op.trim.toLowerCase)
+
+      var search = 0
+      while (!changed && { search = q.indexOf("||", search); search >= 0 }) {
+        if (inLit(search)) { search += 2 }
+        else {
+          val ls = leftStart(search)
+          var lj = search - 1
+          while (lj >= 0 && q.charAt(lj).isWhitespace) lj -= 1
+          val firstRight = rightEnd(search + 2)
+          if (ls < 0 || firstRight < 0 || !ok(q.substring(ls, lj + 1))) search += 2
+          else {
+            val operands = mutable.ArrayBuffer(q.substring(ls, lj + 1))
+            var rs = search + 2
+            while (rs < q.length && q.charAt(rs).isWhitespace) rs += 1
+            operands += q.substring(rs, firstRight)
+            var chainEnd = firstRight
+            var more = true
+            while (more) { // extend through `|| operand` repetitions
+              var k = chainEnd
+              while (k < q.length && q.charAt(k).isWhitespace) k += 1
+              if (k + 1 < q.length && q.charAt(k) == '|' && q.charAt(k + 1) == '|') {
+                val e = rightEnd(k + 2)
+                var s2 = k + 2
+                while (s2 < q.length && q.charAt(s2).isWhitespace) s2 += 1
+                if (e > 0 && ok(q.substring(s2, e))) {
+                  operands += q.substring(s2, e); chainEnd = e
+                } else more = false
+              } else more = false
+            }
+            if (operands.forall(ok)) {
+              val allNull = operands.map(o => s"($o) IS NULL").mkString(" AND ")
+              val cc = operands.map(o => s"COALESCE(CAST(($o) AS STRING), '')")
+                .mkString("CONCAT(", ", ", ")")
+              q = q.substring(0, ls) +
+                s"(CASE WHEN $allNull THEN NULL ELSE $cc END)" +
+                q.substring(chainEnd)
+              changed = true
+            } else search = chainEnd max (search + 2)
+          }
+        }
+      }
+    }
+    q
   }
 
   /** PostgreSQL-mode LOG rewrite (Mode.java logIsLogBase10): single-
@@ -1334,15 +1469,21 @@ final class Engine(val spark: SparkSession) {
 
   private def runSelect(q: String): DataFrame = {
     val t = translate(q)
-    try spark.sql(t)
-    catch {
-      // H2 resolves select-list aliases in WHERE (`SELECT pk AS A … WHERE
-      // A='01'`, SelectTest.java); Spark doesn't — on an unresolved-column
-      // failure, retry once with WHERE-clause aliases substituted
-      case e: org.apache.spark.sql.AnalysisException
-          if String.valueOf(e.getMessage).contains("UNRESOLVED_COLUMN") =>
-        substWhereAliases(t).map(spark.sql).getOrElse(throw e)
-    }
+    val df =
+      try spark.sql(t)
+      catch {
+        // H2 resolves select-list aliases in WHERE (`SELECT pk AS A … WHERE
+        // A='01'`, SelectTest.java); Spark doesn't — on an unresolved-column
+        // failure, retry once with WHERE-clause aliases substituted
+        case e: org.apache.spark.sql.AnalysisException
+            if String.valueOf(e.getMessage).contains("UNRESOLVED_COLUMN") =>
+          substWhereAliases(t).map(spark.sql).getOrElse(throw e)
+      }
+    // MySQL-mode lowerCaseIdentifiers (Mode.java:151): result column names
+    // fold to lower case (Spark otherwise preserves as-written case)
+    if (modeFlags.lowerCaseIdentifiers && df.columns.exists(c => c != c.toLowerCase))
+      df.toDF(df.columns.map(_.toLowerCase).toIndexedSeq: _*)
+    else df
   }
 
   /** Substitute top-level select-list aliases into the top-level WHERE

@@ -163,6 +163,29 @@ object Sessions {
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Batch twin of [[dedupStreamWithinWatermark]] with a DETERMINISTIC
+    * keep-rule: per id, keep the earliest event — min `tsCol`, tie broken
+    * by min `tieCol` (the streaming operator keeps the first ARRIVAL; when
+    * the source replays in (ts, tie) order the two coincide, pinned in
+    * StreamingSpec). Implementation is a struct-min aggregation, not a
+    * window: partial (map-side) aggregation applies and the one shuffle
+    * carries a single row per (partition, id) rather than every event —
+    * the shape that survives a 100 TB replay. */
+  def dedupBatchEarliest(events: DataFrame, idCols: Seq[String],
+      tsCol: String = "ts", tieCol: String = "event_id"): DataFrame = {
+    val rest = events.columns.filterNot(idCols.contains).toSeq
+    // (ts, tie) leads the struct so min() picks earliest-then-smallest-tie;
+    // remaining fields ride along and never influence the order because
+    // (ts, tie) is unique per event
+    val ordered = (Seq(tsCol, tieCol) ++ rest.filterNot(c =>
+      c == tsCol || c == tieCol)).map(c => col(c).as(c))
+    val agg = events.groupBy(idCols.map(col): _*)
+      .agg(min(struct(ordered: _*)).as("__e"))
+    agg.select(events.columns.toSeq.map { c =>
+      if (idCols.contains(c)) col(c) else col(s"__e.$c").as(c)
+    }: _*)
+  }
+
   /** Drain-all run: process everything available, then stop —
     * Trigger.AvailableNow gives batch-job semantics (and batch-job cluster
     * autoscaling) over the streaming code path, the standard way to run a

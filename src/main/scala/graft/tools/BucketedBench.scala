@@ -46,9 +46,45 @@ object BucketedBench {
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     import spark.implicits._
 
-    val li = Tables.load(spark, sfDir, "lineitem")
-    val ord = Tables.load(spark, sfDir, "orders")
-    val cust = Tables.load(spark, sfDir, "customer")
+    // SPARK_GRAFT_AMPLIFY=k replicates the fact tables k× with per-copy
+    // key offsets (join cardinalities preserved: every copy of a lineitem
+    // finds exactly its copy of the order, every order its customer), so
+    // sf0.1 × 10 gives an honest SF1-scale (6M-row) join measurement
+    // without new source data. Amplified tables are materialized to
+    // parquet first — both layouts must pay a real scan.
+    val amplify = sys.env.getOrElse("SPARK_GRAFT_AMPLIFY", "1").toInt
+    val (li, ord, cust) = if (amplify <= 1) {
+      (Tables.load(spark, sfDir, "lineitem"),
+        Tables.load(spark, sfDir, "orders"),
+        Tables.load(spark, sfDir, "customer"))
+    } else {
+      val dir = s"/tmp/graft_amplified_${amplify}x_${new java.io.File(sfDir).getName}"
+      if (!new java.io.File(s"$dir/_done").exists()) {
+        val li0 = Tables.load(spark, sfDir, "lineitem")
+        val ord0 = Tables.load(spark, sfDir, "orders")
+        val cust0 = Tables.load(spark, sfDir, "customer")
+        val maxO = ord0.agg(max($"o_orderkey")).head().getLong(0) + 1
+        val maxC = cust0.agg(max($"c_custkey")).head().getLong(0) + 1
+        val copies = explode(array((0 until amplify).map(lit): _*)).as("__copy")
+        li0.select($"*", copies)
+          .withColumn("l_orderkey", $"l_orderkey" + $"__copy" * maxO)
+          .drop("__copy")
+          .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+        ord0.select($"*", copies)
+          .withColumn("o_orderkey", $"o_orderkey" + $"__copy" * maxO)
+          .withColumn("o_custkey", $"o_custkey" + $"__copy" * maxC)
+          .drop("__copy")
+          .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+        cust0.select($"*", copies)
+          .withColumn("c_custkey", $"c_custkey" + $"__copy" * maxC)
+          .drop("__copy")
+          .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+        new java.io.File(s"$dir/_done").createNewFile()
+      }
+      (spark.read.parquet(s"$dir/lineitem.parquet"),
+        spark.read.parquet(s"$dir/orders.parquet"),
+        spark.read.parquet(s"$dir/customer.parquet"))
+    }
     val nat = Tables.load(spark, sfDir, "nation")
     val reg = Tables.load(spark, sfDir, "region")
 
@@ -110,7 +146,7 @@ object BucketedBench {
     val bucketed = run(q03(liB, ordB))
     println(s"""{"metric":"q03_bucketed_vs_plain","plain_sec":$plain,""" +
       s""""bucketed_sec":$bucketed,"bucket_write_sec":$tWrite,""" +
-      s""""buckets":$buckets,"sf":"$sfDir"}""")
+      s""""buckets":$buckets,"amplify":$amplify,"rows":${li.count()},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -255,6 +255,35 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("MySQL mode: || treats NULL as the other operand (Mode.java nullConcatIsNull)") {
+    val e = freshEngine
+    e.sql("CREATE TABLE cc (id int, a varchar(10), b varchar(10))")
+    e.sql("INSERT INTO cc VALUES (1,'x','y'), (2,NULL,'y'), (3,'x',NULL), (4,NULL,NULL)")
+    // REGULAR (nullConcatIsNull=true): NULL propagates, as in Spark
+    val reg = e.sql("SELECT id, a || b AS c FROM cc ORDER BY id").collect()
+      .map(r => if (r.isNullAt(1)) null else r.getString(1)).toSeq
+    assert(reg == Seq("xy", null, null, null))
+    // MySQL (nullConcatIsNull=false, Operation.java:125-142): NULL yields
+    // the other side; all-NULL yields NULL
+    e.sql("SET MODE MySQL")
+    val my = e.sql("SELECT id, a || b AS c FROM cc ORDER BY id").collect()
+      .map(r => if (r.isNullAt(1)) null else r.getString(1)).toSeq
+    assert(my == Seq("xy", "y", "x", null))
+    // chains skip NULLs; function-call + literal + paren operands;
+    // non-string operands stringify (Operation.java getString)
+    val r = e.sql("SELECT a || '-' || UPPER(b) || (id + 1) AS c FROM cc WHERE id=2")
+      .head().getString(0)
+    assert(r == "-Y3")
+    // inside a string literal, || is data — never rewritten
+    assert(e.sql("SELECT '|| not an op' AS s").head().getString(0) == "|| not an op")
+    // lowerCaseIdentifiers (Mode.java:151): unquoted identifiers fold to
+    // lower case — holds natively (the catalog lowercases everywhere)
+    e.sql("CREATE TABLE MixedCase (SomeCol int)")
+    assert(e.sql("SELECT table_name FROM INFORMATION_SCHEMA.TABLES " +
+      "WHERE table_name='mixedcase'").count() == 1)
+    assert(e.sql("SELECT SOMECOL FROM mixedcase").columns.toSeq == Seq("somecol"))
+  }
+
   test("PostgreSQL mode: LOG base 10, SERIAL not PK; REGULAR: SERIAL is identity PK") {
     val e = freshEngine
     // REGULAR: LOG is natural log; SERIAL = auto-increment PK (H2 semantics)

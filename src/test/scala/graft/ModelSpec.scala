@@ -113,4 +113,54 @@ class ModelSpec extends SparkSpec {
     // unbound models refuse mutation
     intercept[IllegalStateException] { Model(people).delete() }
   }
+
+  // Generated-model twin for the typed-property tests: one val per column,
+  // mirroring lealone-test generated/model/User.java (id/name/notes/phone).
+  case class UserM(model: Model, sets: Seq[(String, Any)] = Nil)
+      extends graft.dsl.TypedModel[UserM] {
+    protected def rebuild(m: Model): UserM = copy(model = m)
+    protected def rebuildSets(s: Seq[(String, Any)]): UserM = copy(sets = s)
+    val id = new PLong("id")
+    val name = new PString("name")
+    val notes = new PString("notes")
+    val phone = new PInteger("phone")
+  }
+
+  test("typed properties: generated-model chain shapes (DaoTest/OrmCrudTest)") {
+    val e = new graft.sqlfront.Engine(spark)
+    e.sql("CREATE TABLE user (id bigint PRIMARY KEY, name varchar(20), " +
+      "notes varchar(20), phone int)")
+    def dao = UserM(Model(e, "user"))
+
+    // u.id.set(1000).name.set("Rob1").notes.set("notes1").insert()
+    // (OrmCrudTest.java:83-87)
+    assert(dao.id.set(1000L).name.set("Rob1").notes.set("notes1")
+      .phone.set(7).insert() == 1L)
+    dao.id.set(2000L).name.set("Rob2").notes.set("notes2").phone.set(8).insert()
+
+    // dao.where().id.eq(1000L).findOne() (OrmCrudTest.java:95)
+    val row = dao.where().id.eq(1000L).findOne().get
+    assert(row.getAs[String]("name") == "Rob1")
+
+    // predicate chains with and/or and typed comparisons
+    assert(dao.where().id.ge(1000L).and().name.startsWith("Rob").findCount() == 2)
+    assert(dao.where().name.eq("Rob1").or().phone.gt(7).findCount() == 2)
+    assert(dao.where().phone.between(7, 8).findCount() == 2)
+    assert(dao.where().notes.ilike("NOTES%").findCount() == 2)
+    assert(dao.where().name.in("Rob1", "nope").findCount() == 1)
+    assert(dao.where().notes.isNotNull().findCount() == 2)
+
+    // select/orderBy through typed column handles
+    val names = dao.select(dao.name.column).orderBy(dao.id.desc)
+      .findList().map(_.getString(0)).toSeq
+    assert(names == Seq("Rob2", "Rob1"))
+
+    // dao.where().name.eq(...).update() with staged sets (DaoTest.java:103)
+    assert(dao.where().id.eq(2000L).name.set("zhh").update() == 1L)
+    assert(dao.where().name.eq("zhh").findCount() == 1)
+
+    // dao.where().name.eq("zhh1").delete() (DaoTest.java:48)
+    assert(dao.where().name.eq("zhh").delete() == 1L)
+    assert(dao.findCount() == 1)
+  }
 }

@@ -172,6 +172,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupBatchEarliest = within-watermark dedup replayed in event-time order (q63 twin)") {
+    val dir = Files.createTempDirectory("graft_ddbe").toFile.getAbsolutePath
+    val rows = Seq( // (event_id, user_id, ts, value) — dup user_ids, one ts tie
+      (10L, 1L, "2024-01-01 10:00:00", 1.0),
+      (11L, 1L, "2024-01-01 10:00:00", 2.0), // ts tie → min event_id (10) wins
+      (12L, 1L, "2024-01-01 10:20:00", 3.0),
+      (20L, 2L, "2024-01-01 10:05:00", 5.0),
+      (21L, 2L, "2024-01-01 10:30:00", 6.0))
+    val df = rows.map { case (e, u, ts, v) =>
+      (e, u, java.sql.Timestamp.valueOf(ts), v)
+    }.toDF("event_id", "user_id", "ts", "value")
+
+    val batch = Sessions.dedupBatchEarliest(df, Seq("user_id"),
+        tsCol = "ts", tieCol = "event_id")
+      .select($"event_id", $"user_id", $"value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batch == Set((10L, 1L, 1.0), (20L, 2L, 5.0)))
+
+    // replay in (ts, event_id) order — first arrival = earliest event
+    df.orderBy($"ts", $"event_id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(df.schema).parquet(s"$dir/in")
+    val q = Sessions.dedupStreamWithinWatermark(stream, Seq("user_id"), "1 hour")
+      .writeStream.format("memory").queryName("graft_ddbe").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("graft_ddbe")
+        .select($"event_id", $"user_id", $"value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("Trigger.AvailableNow drains everything then terminates") {
     val dir = Files.createTempDirectory("graft_avn").toFile.getAbsolutePath
     fixture.as[SessionEvent].coalesce(1).write.mode("overwrite").parquet(s"$dir/in")
