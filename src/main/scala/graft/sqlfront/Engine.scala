@@ -73,6 +73,43 @@ final class Engine(val spark: SparkSession) {
   private val constants = mutable.LinkedHashMap.empty[String, String]
   private val domains = mutable.LinkedHashMap.empty[String, String]
   private val triggers = mutable.LinkedHashMap.empty[String, (String, String)]
+  // Registered row-hook implementations — the batch twin of the reference's
+  // api/Trigger.java fire(conn, oldRow, newRow), invoked at the statement
+  // sites where the reference fires per row (Insert.java:130,157-161,
+  // Update.java, Delete.java). The reference binds a Java class by
+  // reflection (CREATE TRIGGER … CALL "cls"); in zero-reflection Spark the
+  // implementation registers programmatically and the recorded DDL binds it
+  // by trigger name. Signature: (event, oldRows, newRows) — row DELTAS as
+  // DataFrames (empty for the missing side), so a hook observes exactly
+  // what the reference's per-row calls would, batched.
+  private val triggerImpls =
+    mutable.HashMap.empty[String, (String, DataFrame, DataFrame) => Unit]
+
+  /** Bind an implementation to a recorded `CREATE TRIGGER` by name. */
+  def registerTriggerImpl(name: String,
+      impl: (String, DataFrame, DataFrame) => Unit): Unit =
+    triggerImpls(name.toLowerCase) = impl
+
+  /** Fire the table's registered triggers for `event` at `phase`
+    * (BEFORE | AFTER). Returns true if an INSTEAD OF trigger fired —
+    * the caller then suppresses the operation, the batch analogue of
+    * fireBeforeRow returning done=true (Insert.java:157-161). */
+  private def fireTriggers(tn: String, event: String, phase: String,
+      oldRows: DataFrame, newRows: DataFrame): Boolean = {
+    var insteadOf = false
+    triggers.foreach { case (n, (tbl, timing)) =>
+      val up = timing.toUpperCase
+      val ph = if (up.startsWith("INSTEAD OF")) "INSTEAD OF"
+        else if (up.startsWith("BEFORE")) "BEFORE" else "AFTER"
+      val phaseHit = ph == phase || (ph == "INSTEAD OF" && phase == "BEFORE")
+      if (tbl == tn && up.contains(event) && phaseHit)
+        triggerImpls.get(n).foreach { impl =>
+          impl(event, oldRows, newRows)
+          if (ph == "INSTEAD OF") insteadOf = true
+        }
+    }
+    insteadOf
+  }
 
   // session last-identity / last-sequence values (IDENTITY()/SCOPE_IDENTITY()
   // and LASTVAL() — Function.java session functions)
@@ -126,33 +163,64 @@ final class Engine(val spark: SparkSession) {
     out.toSeq
   }
 
+  /** A statement plus its literal-masked view: the CONTENTS of every
+    * single-quoted literal are blanked to spaces (quotes kept, length
+    * preserved — offsets map 1:1 onto the raw text). Dispatch decisions run
+    * over `masked`, so a keyword inside a quoted literal can never select
+    * or mis-split a statement — the tokenizer-first front door. */
+  private[sqlfront] final case class Stmt(raw: String) {
+    val masked: String = {
+      val chars = raw.toCharArray
+      literalSpans(raw).foreach { case (s, e) =>
+        var i = s + 1
+        while (i < e - 1) { chars(i) = ' '; i += 1 }
+      }
+      new String(chars)
+    }
+  }
+
+  /** Masked-dispatch extractor: the regex MATCHES against `Stmt.masked`
+    * (literal-blind), then capture groups are extracted from the RAW text
+    * via the match's span positions — dispatch is keyword-safe while the
+    * extracted fragments (VALUES tuples, SELECT bodies, paths) keep their
+    * literal text. Replaces per-statement literal-span guards with one
+    * uniform rule for the whole regex front door. */
+  private[sqlfront] final case class M(re: scala.util.matching.Regex) {
+    def unapplySeq(st: Stmt): Option[Seq[String]] = {
+      val m = re.pattern.matcher(st.masked)
+      if (!m.matches()) None
+      else Some((1 to m.groupCount()).map(i =>
+        if (m.start(i) < 0) null else st.raw.substring(m.start(i), m.end(i))))
+    }
+  }
+
   private val createTableRe =
-    """(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.*)\)\s*$""".r
+    M("""(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.*)\)\s*$""".r)
   private val createTableAsRe =
-    """(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+AS\s+(.*)$""".r
+    M("""(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+AS\s+(.*)$""".r)
   private val dropTableRe =
-    """(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r
-  private val truncateRe = """(?is)^\s*TRUNCATE\s+TABLE\s+(\w+)\s*$""".r
+    M("""(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r)
+  private val truncateRe = M("""(?is)^\s*TRUNCATE\s+TABLE\s+(\w+)\s*$""".r)
   private val createSeqRe =
-    """(?is)^\s*CREATE\s+SEQUENCE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)(?:\s+START\s+WITH\s+(-?\d+))?(?:\s+INCREMENT\s+BY\s+(-?\d+))?(?:\s+CACHE\s+\d+)?\s*$""".r
+    M("""(?is)^\s*CREATE\s+SEQUENCE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)(?:\s+START\s+WITH\s+(-?\d+))?(?:\s+INCREMENT\s+BY\s+(-?\d+))?(?:\s+CACHE\s+\d+)?\s*$""".r)
   private val dropSeqRe =
-    """(?is)^\s*DROP\s+SEQUENCE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r
+    M("""(?is)^\s*DROP\s+SEQUENCE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r)
   // CREATE PRIMARY KEY [HASH] name ON t(cols) (ddl/CreateIndex.java primary
   // form, used by the reference's index tests)
   private val createPkRe =
-    """(?is)^\s*CREATE\s+PRIMARY\s+KEY\s+(?:HASH\s+)?(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+ON\s+(\w+)\s*\(([^)]*)\)\s*$""".r
+    M("""(?is)^\s*CREATE\s+PRIMARY\s+KEY\s+(?:HASH\s+)?(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+ON\s+(\w+)\s*\(([^)]*)\)\s*$""".r)
   // CREATE DATABASE (ddl/CreateDatabase.java — RUN MODE/PARAMETERS are
   // distributed-deployment attributes, recorded only)
   private val createDatabaseRe =
-    """(?is)^\s*CREATE\s+DATABASE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)(?:\s+RUN\s+MODE\s+\w+)?(?:\s+PARAMETERS\s*\(.*\))?\s*$""".r
+    M("""(?is)^\s*CREATE\s+DATABASE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)(?:\s+RUN\s+MODE\s+\w+)?(?:\s+PARAMETERS\s*\(.*\))?\s*$""".r)
   private val dropDatabaseRe =
-    """(?is)^\s*DROP\s+DATABASE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r
+    M("""(?is)^\s*DROP\s+DATABASE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r)
   private val databases = mutable.LinkedHashSet("graft")
   // MySQL-mode INSERT … ON DUPLICATE KEY UPDATE (Mode.java
   // onDuplicateKeyUpdate; parsed only when the mode enables it, as the
   // reference's parser does) — must match before the plain VALUES form
   private val insertValuesRe =
-    """(?is)^\s*INSERT\s+INTO\s+(\w+)\s*(?:\(([^)]*)\)\s*)?(?:DIRECT\s+)?VALUES\s*(.*)$""".r
+    M("""(?is)^\s*INSERT\s+INTO\s+(\w+)\s*(?:\(([^)]*)\)\s*)?(?:DIRECT\s+)?VALUES\s*(.*)$""".r)
   private val onDupKwRe = """(?i)\bON\s+DUPLICATE\s+KEY\s+UPDATE\b""".r
   /** Literal-aware dispatch for INSERT … ON DUPLICATE KEY UPDATE: the split
     * point is the first keyword occurrence OUTSIDE string literals, so a
@@ -161,173 +229,171 @@ final class Engine(val spark: SparkSession) {
     * real keyword (round-2 advice: dispatch must be literal-aware like the
     * translate-phase rewrites). */
   private object InsertOnDup {
-    def unapply(q: String): Option[(String, String, String, String)] = {
-      val spans = literalSpans(q)
-      onDupKwRe.findAllMatchIn(q)
-        .find(m => !spans.exists(sp => m.start >= sp._1 && m.start < sp._2))
-        .flatMap { m =>
-          q.substring(0, m.start) match {
-            case insertValuesRe(name, cols, tuples) =>
-              Some((name, cols, tuples.trim, q.substring(m.end).trim))
-            case _ => None
-          }
+    def unapply(st: Stmt): Option[(String, String, String, String)] = {
+      // keyword search over the masked text = literal-aware by construction
+      onDupKwRe.findFirstMatchIn(st.masked).flatMap { m =>
+        Stmt(st.raw.substring(0, m.start)) match {
+          case insertValuesRe(name, cols, tuples) =>
+            Some((name, cols, tuples.trim, st.raw.substring(m.end).trim))
+          case _ => None
         }
+      }
     }
   }
   // MySQL-style INSERT INTO t SET c1=v1, c2=v2 (Parser.java:1053)
   private val insertSetRe =
-    """(?is)^\s*INSERT\s+INTO\s+(\w+)\s+SET\s+(.*)$""".r
+    M("""(?is)^\s*INSERT\s+INTO\s+(\w+)\s+SET\s+(.*)$""".r)
   // ANALYZE [TABLE t] [SAMPLE_SIZE n] (ddl/Analyze.java): selectivity
   // statistics — Catalyst keeps its own stats; accepted no-op
   private val analyzeRe =
-    """(?is)^\s*ANALYZE(?:\s+TABLE\s+\w+)?(?:\s+SAMPLE_SIZE\s+\d+)?\s*$""".r
-  private val explainAnalyzeRe = """(?is)^\s*EXPLAIN\s+ANALYZE\s+(.*)$""".r
+    M("""(?is)^\s*ANALYZE(?:\s+TABLE\s+\w+)?(?:\s+SAMPLE_SIZE\s+\d+)?\s*$""".r)
+  private val explainAnalyzeRe = M("""(?is)^\s*EXPLAIN\s+ANALYZE\s+(.*)$""".r)
   private val insertSelectRe =
-    """(?is)^\s*INSERT\s+INTO\s+(\w+)\s*(?:\(([^)]*)\)\s*)?(SELECT\s+.*|FROM\s+.*)$""".r
+    M("""(?is)^\s*INSERT\s+INTO\s+(\w+)\s*(?:\(([^)]*)\)\s*)?(SELECT\s+.*|FROM\s+.*)$""".r)
   private val updateRe =
-    """(?is)^\s*UPDATE\s+(\w+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*?))?(?:\s+LIMIT\s+(\d+))?\s*$""".r
+    M("""(?is)^\s*UPDATE\s+(\w+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*?))?(?:\s+LIMIT\s+(\d+))?\s*$""".r)
   private val deleteRe =
-    """(?is)^\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*?))?(?:\s+LIMIT\s+(\d+))?\s*$""".r
+    M("""(?is)^\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*?))?(?:\s+LIMIT\s+(\d+))?\s*$""".r)
   private val mergeRe =
-    """(?is)^\s*MERGE\s+INTO\s+(\w+)\s*(?:\(([^)]*)\)\s*)?(?:KEY\s*\(([^)]*)\)\s*)?(VALUES\s*.*|SELECT\s+.*|FROM\s+.*|\(\s*SELECT\s+.*)$""".r
+    M("""(?is)^\s*MERGE\s+INTO\s+(\w+)\s*(?:\(([^)]*)\)\s*)?(?:KEY\s*\(([^)]*)\)\s*)?(VALUES\s*.*|SELECT\s+.*|FROM\s+.*|\(\s*SELECT\s+.*)$""".r)
 
   private val createViewRe =
-    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:FORCE\s+)?VIEW\s+(\w+)\s*(?:\(([^)]*)\)\s*)?AS\s+(.*)$""".r
+    M("""(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:FORCE\s+)?VIEW\s+(\w+)\s*(?:\(([^)]*)\)\s*)?AS\s+(.*)$""".r)
   private val dropViewRe =
-    """(?is)^\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r
+    M("""(?is)^\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r)
   // ALTER TABLE family (ddl/AlterTableAddColumn.java,
   // AlterTableAlterColumn.java, AlterTableRename.java,
   // AlterTableRenameColumn.java, AlterTableAddConstraint.java)
   private val alterRenameTableRe =
-    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+TO\s+(\w+)(?:\s+HIDDEN)?\s*$""".r
+    M("""(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+TO\s+(\w+)(?:\s+HIDDEN)?\s*$""".r)
   private val alterAddConstraintRe =
-    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+CONSTRAINT\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+(.*)$""".r
+    M("""(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+CONSTRAINT\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+(.*)$""".r)
   // multi-column ADD: `ADD (f3 int, f4 int)` / `ADD COLUMN(f5 int, f6 int)`
   // (AlterTableAddColumn.java list form)
   private val alterAddMultiRe =
-    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+(?:COLUMN\s*)?\((.*)\)\s*$""".r
+    M("""(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+(?:COLUMN\s*)?\((.*)\)\s*$""".r)
   private val alterAddColRe =
-    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+(?:COLUMN\s+)?(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+(.+?)(?:\s+BEFORE\s+(\w+)|\s+AFTER\s+(\w+))?\s*$""".r
+    M("""(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+(?:COLUMN\s+)?(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+(.+?)(?:\s+BEFORE\s+(\w+)|\s+AFTER\s+(\w+))?\s*$""".r)
   private val alterDropPkRe =
-    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+PRIMARY\s+KEY\s*$""".r
+    M("""(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+PRIMARY\s+KEY\s*$""".r)
   private val alterDropConstraintRe =
-    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+CONSTRAINT\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r
+    M("""(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+CONSTRAINT\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r)
   private val alterDropColRe =
-    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+(?:COLUMN\s+)?(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r
+    M("""(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+(?:COLUMN\s+)?(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r)
   // ALTER/MODIFY [COLUMN] variants (AlterTableAlterColumnTest shapes:
   // `ALTER f1 TYPE long`, `MODIFY f1 long`, `MODIFY COLUMN f1 int NOT NULL`)
   private val alterRenameColRe =
-    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+(?:ALTER|MODIFY)\s+(?:COLUMN\s+)?(\w+)\s+RENAME\s+TO\s+(\w+)\s*$""".r
+    M("""(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+(?:ALTER|MODIFY)\s+(?:COLUMN\s+)?(\w+)\s+RENAME\s+TO\s+(\w+)\s*$""".r)
   private val alterColSetDefaultRe =
-    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+(?:ALTER|MODIFY)\s+(?:COLUMN\s+)?(\w+)\s+SET\s+DEFAULT\s+(.+)$""".r
+    M("""(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+(?:ALTER|MODIFY)\s+(?:COLUMN\s+)?(\w+)\s+SET\s+DEFAULT\s+(.+)$""".r)
   private val alterColDropDefaultRe =
-    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+(?:ALTER|MODIFY)\s+(?:COLUMN\s+)?(\w+)\s+DROP\s+DEFAULT\s*$""".r
+    M("""(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+(?:ALTER|MODIFY)\s+(?:COLUMN\s+)?(\w+)\s+DROP\s+DEFAULT\s*$""".r)
   private val alterColNullRe =
-    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+(?:ALTER|MODIFY)\s+(?:COLUMN\s+)?(\w+)\s+(?:SET\s+(?:NOT\s+)?NULL|DROP\s+NOT\s+NULL)\s*$""".r
+    M("""(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+(?:ALTER|MODIFY)\s+(?:COLUMN\s+)?(\w+)\s+(?:SET\s+(?:NOT\s+)?NULL|DROP\s+NOT\s+NULL)\s*$""".r)
   private val alterColTypeRe =
-    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+(?:ALTER|MODIFY)\s+(?:COLUMN\s+)?(\w+)\s+(?:SET\s+DATA\s+TYPE\s+|TYPE\s+)?([A-Za-z].*)$""".r
+    M("""(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+(?:ALTER|MODIFY)\s+(?:COLUMN\s+)?(\w+)\s+(?:SET\s+DATA\s+TYPE\s+|TYPE\s+)?([A-Za-z].*)$""".r)
   private val alterSetRefIntRe =
-    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+SET\s+REFERENTIAL_INTEGRITY\s+(TRUE|FALSE)(?:\s+(?:CHECK|NOCHECK))?\s*$""".r
+    M("""(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+SET\s+REFERENTIAL_INTEGRITY\s+(TRUE|FALSE)(?:\s+(?:CHECK|NOCHECK))?\s*$""".r)
   // CREATE/DROP INDEX (ddl/CreateIndex.java, ddl/DropIndex.java) — recorded
   // and surfaced via INFORMATION_SCHEMA.INDEXES; execution is a no-op
   // because Spark's scan planning subsumes secondary indexes.
   private val createIndexRe =
-    """(?is)^\s*CREATE\s+(UNIQUE\s+)?(?:HASH\s+)?INDEX\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+ON\s+(\w+)\s*\(([^)]*)\)\s*$""".r
+    M("""(?is)^\s*CREATE\s+(UNIQUE\s+)?(?:HASH\s+)?INDEX\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+ON\s+(\w+)\s*\(([^)]*)\)\s*$""".r)
   private val dropIndexRe =
-    """(?is)^\s*DROP\s+INDEX\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r
+    M("""(?is)^\s*DROP\s+INDEX\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r)
   // CSVWRITE('dir','sql') statement form (Function.java:353, Csv.java:123)
   private val csvWriteRe =
-    """(?is)^\s*(?:CALL\s+)?CSVWRITE\s*\(\s*'([^']+)'\s*,\s*'(.*)'\s*\)\s*$""".r
+    M("""(?is)^\s*(?:CALL\s+)?CSVWRITE\s*\(\s*'([^']+)'\s*,\s*'(.*)'\s*\)\s*$""".r)
   // CREATE ALIAS name FOR "class.method" (ddl/CreateFunctionAlias.java —
   // the reference resolves the target by reflection; so do we)
   private val createAliasRe =
-    """(?is)^\s*CREATE\s+ALIAS\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+FOR\s+"([^"]+)"\s*$""".r
+    M("""(?is)^\s*CREATE\s+ALIAS\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+FOR\s+"([^"]+)"\s*$""".r)
   private val dropAliasRe =
-    """(?is)^\s*DROP\s+ALIAS\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r
+    M("""(?is)^\s*DROP\s+ALIAS\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r)
   private val createConstantRe =
-    """(?is)^\s*CREATE\s+CONSTANT\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+VALUE\s+(.*)$""".r
+    M("""(?is)^\s*CREATE\s+CONSTANT\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+VALUE\s+(.*)$""".r)
   private val dropConstantRe =
-    """(?is)^\s*DROP\s+CONSTANT\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r
+    M("""(?is)^\s*DROP\s+CONSTANT\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r)
   private val createDomainRe =
-    """(?is)^\s*CREATE\s+DOMAIN\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+(?:AS\s+)?(.+?)(?:\s+CHECK\s*\(.*\))?\s*$""".r
+    M("""(?is)^\s*CREATE\s+DOMAIN\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+(?:AS\s+)?(.+?)(?:\s+CHECK\s*\(.*\))?\s*$""".r)
   private val dropDomainRe =
-    """(?is)^\s*DROP\s+DOMAIN\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r
+    M("""(?is)^\s*DROP\s+DOMAIN\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r)
   private val createTriggerRe =
-    """(?is)^\s*CREATE\s+TRIGGER\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+((?:BEFORE|AFTER|INSTEAD\s+OF)\s+[\w ,]+?)\s+ON\s+(\w+)\s+.*$""".r
+    M("""(?is)^\s*CREATE\s+TRIGGER\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+((?:BEFORE|AFTER|INSTEAD\s+OF)\s+[\w ,]+?)\s+ON\s+(\w+)\s+.*$""".r)
   private val dropTriggerRe =
-    """(?is)^\s*DROP\s+TRIGGER\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r
+    M("""(?is)^\s*DROP\s+TRIGGER\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r)
   // DROP ALL OBJECTS (ddl/DropDatabase.java), CREATE SCHEMA
   // (ddl/CreateSchema.java), GRANT/REVOKE (ddl/GrantRevoke.java — recorded
   // only; single-user batch engine enforces nothing)
   private val dropAllRe =
-    """(?is)^\s*DROP\s+ALL\s+OBJECTS\s*$""".r
+    M("""(?is)^\s*DROP\s+ALL\s+OBJECTS\s*$""".r)
   private val createSchemaRe =
-    """(?is)^\s*CREATE\s+SCHEMA\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)(?:\s+AUTHORIZATION\s+\w+)?\s*$""".r
+    M("""(?is)^\s*CREATE\s+SCHEMA\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)(?:\s+AUTHORIZATION\s+\w+)?\s*$""".r)
   private val dropSchemaRe =
-    """(?is)^\s*DROP\s+SCHEMA\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r
+    M("""(?is)^\s*DROP\s+SCHEMA\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r)
   // CREATE/ALTER/DROP USER (ddl/CreateUser.java, AlterUser.java,
   // DropUser.java — AlterUserTest shapes): recorded; a single-user batch
   // engine authenticates nothing, so passwords are noted as set, not kept
   private val createUserRe =
-    """(?is)^\s*CREATE\s+USER\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)(?:\s+PASSWORD\s+'[^']*')?(\s+ADMIN)?\s*$""".r
+    M("""(?is)^\s*CREATE\s+USER\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)(?:\s+PASSWORD\s+'[^']*')?(\s+ADMIN)?\s*$""".r)
   private val alterUserRenameRe =
-    """(?is)^\s*ALTER\s+USER\s+(\w+)\s+RENAME\s+TO\s+(\w+)\s*$""".r
+    M("""(?is)^\s*ALTER\s+USER\s+(\w+)\s+RENAME\s+TO\s+(\w+)\s*$""".r)
   private val alterUserPasswordRe =
-    """(?is)^\s*ALTER\s+USER\s+(\w+)\s+SET\s+PASSWORD\s+'[^']*'\s*$""".r
+    M("""(?is)^\s*ALTER\s+USER\s+(\w+)\s+SET\s+PASSWORD\s+'[^']*'\s*$""".r)
   private val alterUserAdminRe =
-    """(?is)^\s*ALTER\s+USER\s+(\w+)\s+ADMIN\s+(TRUE|FALSE)\s*$""".r
+    M("""(?is)^\s*ALTER\s+USER\s+(\w+)\s+ADMIN\s+(TRUE|FALSE)\s*$""".r)
   private val dropUserRe =
-    """(?is)^\s*DROP\s+USER\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r
+    M("""(?is)^\s*DROP\s+USER\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r)
   private val users = mutable.LinkedHashMap("sa" -> true) // name → admin
   private val grantRe =
-    """(?is)^\s*GRANT\s+([\w, ]+?)\s+ON\s+(\w+)\s+TO\s+(\w+)\s*$""".r
+    M("""(?is)^\s*GRANT\s+([\w, ]+?)\s+ON\s+(\w+)\s+TO\s+(\w+)\s*$""".r)
   private val revokeRe =
-    """(?is)^\s*REVOKE\s+([\w, ]+?)\s+ON\s+(\w+)\s+FROM\s+(\w+)\s*$""".r
+    M("""(?is)^\s*REVOKE\s+([\w, ]+?)\s+ON\s+(\w+)\s+FROM\s+(\w+)\s*$""".r)
   private val schemas = mutable.LinkedHashSet("public")
   private val rights = mutable.ArrayBuffer.empty[(String, String, String)]
-  private val explainRe = """(?is)^\s*EXPLAIN\s+(?:PLAN\s+FOR\s+)?(.*)$""".r
-  private val setVarRe = """(?is)^\s*SET\s+@(\w+)\s*=\s*(.*)$""".r
-  private val scriptRe = """(?is)^\s*SCRIPT\s*$""".r
+  private val explainRe = M("""(?is)^\s*EXPLAIN\s+(?:PLAN\s+FOR\s+)?(.*)$""".r)
+  private val setVarRe = M("""(?is)^\s*SET\s+@(\w+)\s*=\s*(.*)$""".r)
+  private val scriptRe = M("""(?is)^\s*SCRIPT\s*$""".r)
   // BACKUP TO 'file' (dml/Backup.java, BackupCommandTest): the engine
   // snapshots to a parquet directory instead of a zip — same contract
   // (full restorable copy), cluster-writable format
-  private val backupRe = """(?is)^\s*BACKUP\s+TO\s+'([^']+)'\s*$""".r
+  private val backupRe = M("""(?is)^\s*BACKUP\s+TO\s+'([^']+)'\s*$""".r)
   // SHUTDOWN [IMMEDIATELY|COMPACT|DEFRAG] (admin ShutdownServerTest):
   // a library engine has no server process — accepted no-op
   private val shutdownRe =
-    """(?is)^\s*SHUTDOWN(?:\s+(?:IMMEDIATELY|COMPACT|DEFRAG|SCRIPT))?\s*$""".r
-  private val runScriptRe = """(?is)^\s*RUNSCRIPT\s+FROM\s+'([^']+)'\s*$""".r
+    M("""(?is)^\s*SHUTDOWN(?:\s+(?:IMMEDIATELY|COMPACT|DEFRAG|SCRIPT))?\s*$""".r)
+  private val runScriptRe = M("""(?is)^\s*RUNSCRIPT\s+FROM\s+'([^']+)'\s*$""".r)
   private val prepareRe =
-    """(?is)^\s*PREPARE\s+(\w+)\s+AS\s+(.*)$""".r
-  private val executeRe = """(?is)^\s*EXECUTE\s+(\w+)\s*(?:\((.*)\))?\s*$""".r
-  private val deallocateRe = """(?is)^\s*DEALLOCATE\s+(?:PREPARE\s+)?(\w+)\s*$""".r
-  private val setModeRe = """(?is)^\s*SET\s+MODE\s+(\w+)\s*$""".r
+    M("""(?is)^\s*PREPARE\s+(\w+)\s+AS\s+(.*)$""".r)
+  private val executeRe = M("""(?is)^\s*EXECUTE\s+(\w+)\s*(?:\((.*)\))?\s*$""".r)
+  private val deallocateRe = M("""(?is)^\s*DEALLOCATE\s+(?:PREPARE\s+)?(\w+)\s*$""".r)
+  private val setModeRe = M("""(?is)^\s*SET\s+MODE\s+(\w+)\s*$""".r)
   // transaction statements (Parser.java:560-650)
   private val beginRe =
-    """(?is)^\s*(?:BEGIN(?:\s+WORK|\s+TRANSACTION)?|START\s+TRANSACTION)\s*$""".r
-  private val commitRe = """(?is)^\s*COMMIT(?:\s+WORK)?\s*$""".r
+    M("""(?is)^\s*(?:BEGIN(?:\s+WORK|\s+TRANSACTION)?|START\s+TRANSACTION)\s*$""".r)
+  private val commitRe = M("""(?is)^\s*COMMIT(?:\s+WORK)?\s*$""".r)
   private val rollbackToRe =
-    """(?is)^\s*ROLLBACK\s+TO\s+SAVEPOINT\s+(\w+)\s*$""".r
-  private val rollbackRe = """(?is)^\s*ROLLBACK(?:\s+WORK)?\s*$""".r
-  private val savepointStmtRe = """(?is)^\s*SAVEPOINT\s+(\w+)\s*$""".r
+    M("""(?is)^\s*ROLLBACK\s+TO\s+SAVEPOINT\s+(\w+)\s*$""".r)
+  private val rollbackRe = M("""(?is)^\s*ROLLBACK(?:\s+WORK)?\s*$""".r)
+  private val savepointStmtRe = M("""(?is)^\s*SAVEPOINT\s+(\w+)\s*$""".r)
   private val releaseSavepointRe =
-    """(?is)^\s*RELEASE\s+(?:SAVEPOINT\s+)?(\w+)\s*$""".r
+    M("""(?is)^\s*RELEASE\s+(?:SAVEPOINT\s+)?(\w+)\s*$""".r)
   private val setAutocommitRe =
-    """(?is)^\s*SET\s+AUTOCOMMIT\s+(ON|OFF|TRUE|FALSE|0|1)\s*$""".r
+    M("""(?is)^\s*SET\s+AUTOCOMMIT\s+(ON|OFF|TRUE|FALSE|0|1)\s*$""".r)
   // database-level SET REFERENTIAL_INTEGRITY (dml/Set.java) — the standard
   // bulk-load toggle; the ALTER TABLE form additionally revalidates
   private val setRefIntRe =
-    """(?is)^\s*SET\s+REFERENTIAL_INTEGRITY\s+(TRUE|FALSE)\s*$""".r
+    M("""(?is)^\s*SET\s+REFERENTIAL_INTEGRITY\s+(TRUE|FALSE)\s*$""".r)
   // generic SET option (dml/Set.java SetTypes): recorded + surfaced in the
   // SETTINGS meta view; execution semantics live in Spark session confs
-  private val setGenericRe = """(?is)^\s*SET\s+(\w+)\s+(.+)$""".r
+  private val setGenericRe = M("""(?is)^\s*SET\s+(\w+)\s+(.+)$""".r)
   // SHOW … (Parser.java:884 parseShow — MySQL/PostgreSQL compatibility
   // statements rewritten into INFORMATION_SCHEMA selects)
-  private val showRe = """(?is)^\s*SHOW\s+(.*)$""".r
+  private val showRe = M("""(?is)^\s*SHOW\s+(.*)$""".r)
   // CALL expr (dml/Call.java): evaluate an expression/function as a
   // one-row result; the JDBC `?= CALL f(…)` out-parameter form strips to
   // the same statement
-  private val callRe = """(?is)^\s*(?:\?\s*=\s*)?CALL\s+(.*)$""".r
+  private val callRe = M("""(?is)^\s*(?:\?\s*=\s*)?CALL\s+(.*)$""".r)
   private val variables = mutable.HashMap.empty[String, String]
   private val procedures = mutable.HashMap.empty[String, String]
   private var compatibilityMode: String = "REGULAR"
@@ -346,13 +412,14 @@ final class Engine(val spark: SparkSession) {
       logIsLogBase10: Boolean = false,
       serialColumnIsNotPK: Boolean = false,
       nullConcatIsNull: Boolean = true,
-      lowerCaseIdentifiers: Boolean = false)
+      lowerCaseIdentifiers: Boolean = false,
+      systemColumns: Boolean = false)
   private def modeFlags: ModeFlags = compatibilityMode match {
     case "MYSQL" => ModeFlags(convertInsertNullToZero = true,
       indexDefinitionInCreateTable = true, onDuplicateKeyUpdate = true,
       nullConcatIsNull = false, lowerCaseIdentifiers = true)
     case "POSTGRESQL" => ModeFlags(logIsLogBase10 = true,
-      serialColumnIsNotPK = true)
+      serialColumnIsNotPK = true, systemColumns = true)
     case _ => ModeFlags(indexDefinitionInCreateTable = true)
   }
   // NOT NULL columns per table (Column.java nullable) — drives MySQL-mode
@@ -427,7 +494,7 @@ final class Engine(val spark: SparkSession) {
 
   private def execOne(stmt0: String): DataFrame = {
     val stmt = stmt0.trim
-    stmt match {
+    Stmt(stmt) match {
       case explainAnalyzeRe(q) =>
         // EXPLAIN ANALYZE (Explain.java setExecuteCommand): execute, then
         // return the executed physical plan (AQE-final, with codegen ids)
@@ -811,7 +878,16 @@ final class Engine(val spark: SparkSession) {
                 col("__vic").isNotNull, setMap)
               .drop("__rid", "__vic")
         }
-        register(name, out); status()
+        // row-hook deltas: old = matching rows, new = those rows with the
+        // SET list applied (Update.java fire sites, batched)
+        val tn = name.toLowerCase
+        val oldRows = t.filter(coalesce(cond0, lit(false)))
+        val newRows = Dml.update(oldRows, lit(true), setMap)
+        if (!fireTriggers(tn, "UPDATE", "BEFORE", oldRows, newRows)) {
+          register(name, out)
+          fireTriggers(tn, "UPDATE", "AFTER", oldRows, newRows)
+        }
+        status()
       case deleteRe(name, where, limit) =>
         val t = table(name)
         val cond0 = Option(where).map(w =>
@@ -826,7 +902,14 @@ final class Engine(val spark: SparkSession) {
             rid.join(broadcast(victims), col("__rid") === col("__vic"), "left_anti")
               .drop("__rid")
         }
-        register(name, out); status()
+        // row-hook deltas: old = deleted rows (Delete.java fire sites)
+        val tn = name.toLowerCase
+        val oldRows = t.filter(coalesce(cond0, lit(false)))
+        if (!fireTriggers(tn, "DELETE", "BEFORE", oldRows, t.limit(0))) {
+          register(name, out)
+          fireTriggers(tn, "DELETE", "AFTER", oldRows, t.limit(0))
+        }
+        status()
       case showRe(what) => execShow(what.trim)
       case callRe(e) => runSelect(s"SELECT $e")
       case setGenericRe(opt, value) =>
@@ -965,6 +1048,13 @@ final class Engine(val spark: SparkSession) {
     if (modeFlags.logIsLogBase10) q = rewriteSingleArgLog(q)
     // MySQL-mode || treats NULL as the other operand (nullConcatIsNull=false)
     if (!modeFlags.nullConcatIsNull) q = rewriteMySqlConcat(q)
+    // PostgreSQL-mode system columns CTID/OID (Mode.java:158 systemColumns):
+    // the reference maps them to the row's storage key (_ROWID_); the Spark
+    // twin is a per-row synthetic id, unique and stable within a statement
+    if (modeFlags.systemColumns) {
+      q = rewriteOutside(q, """(?i)\b(?:CTID|OID)\b(?!\s*\()""".r)(
+        _ => "monotonically_increasing_id()")
+    }
     // INFORMATION_SCHEMA.X → synthesized meta view (MetaTable.java:68)
     val infoRe = """(?i)INFORMATION_SCHEMA\.(\w+)""".r
     q = rewriteOutside(q, infoRe)(m => metaView(m.group(1).toLowerCase))
@@ -2188,8 +2278,12 @@ final class Engine(val spark: SparkSession) {
     var aligned = fillSequenceDefaults(tn, fillIdentity(tn, aligned0), specified)
     if (modeFlags.convertInsertNullToZero)
       aligned = convertNullToZero(tn, t, aligned)
+    // row hooks fire around the statement (Insert.java:130,157-161,178);
+    // an INSTEAD OF trigger replaces the insert (fireBeforeRow done=true)
+    if (fireTriggers(tn, "INSERT", "BEFORE", t.limit(0), aligned)) return
     validateConstraints(tn, aligned)
     register(name, t.union(aligned))
+    fireTriggers(tn, "INSERT", "AFTER", t.limit(0), aligned)
   }
 
   /** MySQL `INSERT … ON DUPLICATE KEY UPDATE` (Mode.java

@@ -255,6 +255,78 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("row triggers fire on insert/update/delete; INSTEAD OF suppresses (Trigger.java)") {
+    val e = freshEngine
+    e.sql("CREATE TABLE trg (id int PRIMARY KEY, v varchar(10))")
+    val log = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    e.sql("CREATE TRIGGER trg_ins AFTER INSERT ON trg FOR EACH ROW CALL \"x\"")
+    e.sql("CREATE TRIGGER trg_upd BEFORE UPDATE ON trg FOR EACH ROW CALL \"x\"")
+    e.sql("CREATE TRIGGER trg_del AFTER DELETE ON trg FOR EACH ROW CALL \"x\"")
+    Seq("trg_ins", "trg_upd", "trg_del").foreach(n =>
+      e.registerTriggerImpl(n, (ev, oldR, newR) =>
+        log += ((ev, oldR.count(), newR.count()))))
+
+    e.sql("INSERT INTO trg VALUES (1,'a'), (2,'b')")
+    assert(log.toSeq == Seq(("INSERT", 0L, 2L)))
+    log.clear()
+    e.sql("UPDATE trg SET v='B' WHERE id=2")
+    assert(log.toSeq == Seq(("UPDATE", 1L, 1L)))
+    log.clear()
+    e.sql("DELETE FROM trg WHERE id=1")
+    assert(log.toSeq == Seq(("DELETE", 1L, 0L)))
+    assert(e.sql("SELECT count(*) AS n FROM trg").head().getLong(0) == 1)
+
+    // INSTEAD OF replaces the operation (fireBeforeRow done=true,
+    // Insert.java:157-161): the hook observes the rows, the table doesn't
+    log.clear()
+    e.sql("CREATE TRIGGER trg_iof INSTEAD OF INSERT ON trg FOR EACH ROW CALL \"x\"")
+    e.registerTriggerImpl("trg_iof", (ev, oldR, newR) =>
+      log += ((ev, oldR.count(), newR.count())))
+    e.sql("INSERT INTO trg VALUES (9,'z')")
+    assert(log.exists(_._1 == "INSERT"))
+    assert(e.sql("SELECT count(*) AS n FROM trg").head().getLong(0) == 1)
+    // a recorded trigger with NO bound impl stays a no-op (DDL-only twin)
+    e.sql("DROP TRIGGER trg_iof")
+    e.sql("INSERT INTO trg VALUES (9,'z')")
+    assert(e.sql("SELECT count(*) AS n FROM trg").head().getLong(0) == 2)
+  }
+
+  test("PostgreSQL mode: CTID/OID system columns (Mode.java systemColumns)") {
+    val e = freshEngine
+    e.sql("CREATE TABLE pgs (id int, v varchar(5))")
+    e.sql("INSERT INTO pgs VALUES (1,'a'), (2,'b'), (3,'c')")
+    // outside PostgreSQL mode the pseudo-column is an unresolved column
+    intercept[Exception] { e.sql("SELECT ctid FROM pgs").collect() }
+    e.sql("SET MODE PostgreSQL")
+    val ids = e.sql("SELECT ctid AS rid FROM pgs").collect().map(_.getLong(0))
+    assert(ids.distinct.length == 3) // unique per row
+    assert(e.sql("SELECT oid AS rid, id FROM pgs WHERE id > 1").count() == 2)
+  }
+
+  test("masked dispatch: keywords inside string literals never steer statements") {
+    val e = freshEngine
+    e.sql("CREATE TABLE md (id int PRIMARY KEY, v varchar(60))")
+    e.sql("INSERT INTO md VALUES (1, 'a'), (2, 'b')")
+    // UPDATE whose SET literal contains ' WHERE ' — the lazy SET/WHERE
+    // split must bind to the real WHERE, not the one inside the literal
+    e.sql("UPDATE md SET v = 'x WHERE y' WHERE id = 1")
+    assert(e.sql("SELECT v FROM md WHERE id=1").head().getString(0) == "x WHERE y")
+    // SET literal containing ' LIMIT 5' must not be parsed as a LIMIT clause
+    e.sql("UPDATE md SET v = 'keep LIMIT 5' WHERE id = 2")
+    assert(e.sql("SELECT v FROM md WHERE id=2").head().getString(0) == "keep LIMIT 5")
+    // plain INSERT whose VALUES text contains the upsert phrase stays a
+    // plain insert (round-2 advice; now uniform for every dispatch regex)
+    e.sql("INSERT INTO md VALUES (3, 'x ON DUPLICATE KEY UPDATE y')")
+    assert(e.sql("SELECT v FROM md WHERE id=3").head().getString(0)
+      == "x ON DUPLICATE KEY UPDATE y")
+    // DELETE with a WHERE literal containing ' WHERE '
+    e.sql("DELETE FROM md WHERE v = 'x WHERE y'")
+    assert(e.sql("SELECT count(*) AS n FROM md").head().getLong(0) == 2)
+    // statement-name keywords inside literals don't reroute dispatch
+    e.sql("INSERT INTO md VALUES (9, 'DROP TABLE md')")
+    assert(e.sql("SELECT count(*) AS n FROM md").head().getLong(0) == 3)
+  }
+
   test("MySQL mode: || treats NULL as the other operand (Mode.java nullConcatIsNull)") {
     val e = freshEngine
     e.sql("CREATE TABLE cc (id int, a varchar(10), b varchar(10))")
