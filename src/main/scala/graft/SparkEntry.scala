@@ -24,6 +24,11 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     allQ.map(q => q.name -> q.fn).toMap
 
+  /** Driver-contract accessor. NOTE: generated oracles inline DATA-DEPENDENT
+    * trained state (s03's IVF centroids) that is memoized per JVM — extract
+    * this map from the SAME process that ran `queries` (Verify does exactly
+    * that, via [[oracleSqlFor]]); a separate JVM would retrain and could
+    * produce different centroid literals than the queries used. */
   def oracleSql: Map[String, String] = {
     val spark = SparkSession.getActiveSession.getOrElse(
       graft.core.GraftSession.configure(

@@ -47,14 +47,7 @@ object Dml {
             lit(s"duplicate source key in MERGE on (${keys.mkString(", ")})"))
             .isNull)
           .drop("__n")
-      case "last" =>
-        // monotonically_increasing_id preserves source row order within and
-        // across partitions, so "last" matches sequential-apply order.
-        aligned
-          .withColumn("__ord", monotonically_increasing_id())
-          .withColumn("__rk", row_number().over(w.orderBy(col("__ord").desc)))
-          .filter(col("__rk") === 1)
-          .drop("__ord", "__rk")
+      case "last" => lastPerKey(aligned, keys)
       case other => throw new IllegalArgumentException(
         s"onDupSourceKeys must be last|error|unchecked, got $other")
     }
@@ -63,6 +56,27 @@ object Dml {
     // ambiguous in the self-join.
     val cond = keys.map(k => col(s"__t.$k") <=> col(s"__s.$k")).reduce(_ && _)
     target.alias("__t").join(src.alias("__s"), cond, "left_anti").union(src)
+  }
+
+  /** Last row per key in source order (monotonically_increasing_id
+    * preserves row order within and across partitions) — the shared
+    * sequential-apply dedup every upsert door uses (MERGE "last" mode and
+    * the SQL front door's ON DUPLICATE KEY path). With `exemptNullKeys`,
+    * rows with any NULL key column pass through undeduped (the MySQL
+    * upsert contract: NULL keys never conflict). */
+  def lastPerKey(df: DataFrame, keys: Seq[String],
+      exemptNullKeys: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*)
+    val ranked = df
+      .withColumn("__ord", monotonically_increasing_id())
+      .withColumn("__rk", row_number().over(w.orderBy(col("__ord").desc)))
+    val keep =
+      if (exemptNullKeys) {
+        val keyNonNull = keys.map(k => col(k).isNotNull).reduce(_ && _)
+        ranked.filter(!keyNonNull || col("__rk") === 1)
+      } else ranked.filter(col("__rk") === 1)
+    keep.drop("__ord", "__rk")
   }
 
   /** UPDATE … SET … WHERE: rewrite matching rows through `sets`, keep the

@@ -855,7 +855,25 @@ final class Engine(val spark: SparkSession) {
         val key = Option(keys).map(_.split(",").map(_.trim.toLowerCase).toSeq)
           .orElse(primaryKeys.get(name.toLowerCase))
           .getOrElse(Seq(t.columns.head))
-        register(name, Dml.mergeInto(t, aligned, key)); status()
+        // row hooks per arm (H2 MERGE fires update-else-insert row
+        // triggers, Merge.java:146): replaced = source rows whose key
+        // exists, inserted = the rest; deltas are lazy
+        val tn = name.toLowerCase
+        val srcAligned = aligned.toDF(t.columns.toSeq: _*)
+        val keyCols = key.map(col)
+        val oldMatched = t.join(
+          srcAligned.select(keyCols: _*).distinct(), key, "left_semi")
+        val replaced = srcAligned.join(
+          t.select(keyCols: _*).distinct(), key, "left_semi")
+        val insertedArm = srcAligned.join(
+          t.select(keyCols: _*).distinct(), key, "left_anti")
+        if (!(fireTriggers(tn, "UPDATE", "BEFORE", oldMatched, replaced) |
+            fireTriggers(tn, "INSERT", "BEFORE", t.limit(0), insertedArm))) {
+          register(name, Dml.mergeInto(t, aligned, key))
+          fireTriggers(tn, "UPDATE", "AFTER", oldMatched, replaced)
+          fireTriggers(tn, "INSERT", "AFTER", t.limit(0), insertedArm)
+        }
+        status()
       case updateRe(name, sets, where, limit) =>
         val t = table(name)
         val cond0 = Option(where).map(w =>
@@ -865,23 +883,27 @@ final class Engine(val spark: SparkSession) {
           val Array(c, v) = s.split("=", 2)
           c.trim -> expr(substSequences(substConstants(v.trim, Seq(name.toLowerCase))))
         }.toMap
-        val out = Option(limit) match {
-          case None => Dml.update(t, cond0, setMap)
+        // (out, oldRows): the rewritten table plus the exact victim set —
+        // LIMIT restricts the row-hook delta to the rows actually updated
+        val (out, oldRows) = Option(limit) match {
+          case None =>
+            (Dml.update(t, cond0, setMap), t.filter(coalesce(cond0, lit(false))))
           case Some(n) => // H2 UPDATE..LIMIT: first n matching rows.
             // orderBy+limit plans as TakeOrderedAndProject (no full sort
             // shuffle), and the ≤n victim ids broadcast back to the scan.
             val rid = t.withColumn("__rid", monotonically_increasing_id())
             val victims = rid.filter(cond0).orderBy(col("__rid")).limit(n.toInt)
               .select(col("__rid").as("__vic"))
-            Dml.update(
+            (Dml.update(
                 rid.join(broadcast(victims), col("__rid") === col("__vic"), "left"),
                 col("__vic").isNotNull, setMap)
-              .drop("__rid", "__vic")
+              .drop("__rid", "__vic"),
+              rid.join(broadcast(victims), col("__rid") === col("__vic"), "left_semi")
+                .drop("__rid"))
         }
-        // row-hook deltas: old = matching rows, new = those rows with the
+        // row-hook deltas: old = updated rows, new = those rows with the
         // SET list applied (Update.java fire sites, batched)
         val tn = name.toLowerCase
-        val oldRows = t.filter(coalesce(cond0, lit(false)))
         val newRows = Dml.update(oldRows, lit(true), setMap)
         if (!fireTriggers(tn, "UPDATE", "BEFORE", oldRows, newRows)) {
           register(name, out)
@@ -893,18 +915,21 @@ final class Engine(val spark: SparkSession) {
         val cond0 = Option(where).map(w =>
           expr(substSequences(substConstants(w, Seq(name.toLowerCase)))))
           .getOrElse(lit(true))
-        val out = Option(limit) match {
-          case None => Dml.delete(t, cond0)
+        // (out, oldRows): LIMIT restricts the row-hook delta to the rows
+        // actually deleted (Delete.java fire sites)
+        val (out, oldRows) = Option(limit) match {
+          case None =>
+            (Dml.delete(t, cond0), t.filter(coalesce(cond0, lit(false))))
           case Some(n) =>
             val rid = t.withColumn("__rid", monotonically_increasing_id())
             val victims = rid.filter(cond0).orderBy(col("__rid")).limit(n.toInt)
               .select(col("__rid").as("__vic"))
-            rid.join(broadcast(victims), col("__rid") === col("__vic"), "left_anti")
-              .drop("__rid")
+            (rid.join(broadcast(victims), col("__rid") === col("__vic"), "left_anti")
+              .drop("__rid"),
+              rid.join(broadcast(victims), col("__rid") === col("__vic"), "left_semi")
+                .drop("__rid"))
         }
-        // row-hook deltas: old = deleted rows (Delete.java fire sites)
         val tn = name.toLowerCase
-        val oldRows = t.filter(coalesce(cond0, lit(false)))
         if (!fireTriggers(tn, "DELETE", "BEFORE", oldRows, t.limit(0))) {
           register(name, out)
           fireTriggers(tn, "DELETE", "AFTER", oldRows, t.limit(0))
@@ -1049,11 +1074,18 @@ final class Engine(val spark: SparkSession) {
     // MySQL-mode || treats NULL as the other operand (nullConcatIsNull=false)
     if (!modeFlags.nullConcatIsNull) q = rewriteMySqlConcat(q)
     // PostgreSQL-mode system columns CTID/OID (Mode.java:158 systemColumns):
-    // the reference maps them to the row's storage key (_ROWID_); the Spark
-    // twin is a per-row synthetic id, unique and stable within a statement
+    // the reference maps them to the row's storage key (_ROWID_). The Spark
+    // twin is a DETERMINISTIC hash of the row's columns — identical in every
+    // occurrence within the statement (filter and projection agree, unlike a
+    // nondeterministic counter), with qualified t.ctid mapping to the
+    // qualified star. Documented divergence: exact duplicate rows share an
+    // id (content hash, not storage position).
     if (modeFlags.systemColumns) {
-      q = rewriteOutside(q, """(?i)\b(?:CTID|OID)\b(?!\s*\()""".r)(
-        _ => "monotonically_increasing_id()")
+      q = rewriteOutside(q, """(?i)\b(?:(\w+)\.)?(?:CTID|OID)\b(?!\s*\()""".r)(m =>
+        Option(m.group(1)) match {
+          case Some(alias) => s"xxhash64($alias.*)"
+          case None => "xxhash64(*)"
+        })
     }
     // INFORMATION_SCHEMA.X → synthesized meta view (MetaTable.java:68)
     val infoRe = """(?i)INFORMATION_SCHEMA\.(\w+)""".r
@@ -1206,9 +1238,13 @@ final class Engine(val spark: SparkSession) {
     * chain untouched — a loud parse/semantics divergence, never a silent
     * mis-split. */
   private def rewriteMySqlConcat(q0: String): String = {
-    // operand shapes the scanner must not treat as expressions
+    // shapes the scanner must never treat as an operand — hitting one means
+    // the chain cannot be bounded (e.g. an unparenthesized CASE…END arm)
     val stopWords = Set("end", "then", "else", "when", "case", "select",
       "where", "and", "or", "not", "in", "like", "between", "is", "from")
+    def bail(op: String): Nothing = throw new IllegalArgumentException(
+      s"MySQL-mode || rewrite cannot bound operand near '$op' — " +
+        "parenthesize the operand (e.g. (CASE … END) || x)")
     var q = q0
     var guard = 0
     var changed = true
@@ -1229,96 +1265,147 @@ final class Engine(val spark: SparkSession) {
         }
         end
       }
-      // start index of the operand ending just before opIdx, or -1
-      def leftStart(opIdx: Int): Int = {
-        var j = opIdx - 1
-        while (j >= 0 && q.charAt(j).isWhitespace) j -= 1
-        if (j < 0) return -1
-        q.charAt(j) match {
-          case '\'' => spans.find(_._2 == j + 1).map(_._1).getOrElse(-1)
-          case ')' =>
-            var depth = 0; var k = j; var open = -1
-            while (k >= 0 && open < 0) {
-              if (!inLit(k)) {
-                if (q.charAt(k) == ')') depth += 1
-                else if (q.charAt(k) == '(') {
-                  depth -= 1; if (depth == 0) open = k
-                }
-              }
-              if (open < 0) k -= 1
+      // start of the PRIMARY (literal / paren group / identifier / call)
+      // ending at j (inclusive), or -1
+      def primaryStart(j: Int): Int = q.charAt(j) match {
+        case '\'' => spans.find(_._2 == j + 1).map(_._1).getOrElse(-1)
+        case ')' =>
+          var depth = 0; var k = j; var open = -1
+          while (k >= 0 && open < 0) {
+            if (!inLit(k)) {
+              if (q.charAt(k) == ')') depth += 1
+              else if (q.charAt(k) == '(') { depth -= 1; if (depth == 0) open = k }
             }
-            if (open < 0) -1
-            else { // include a function name directly before the '('
-              var s = open - 1
-              while (s >= 0 &&
-                (q.charAt(s).isLetterOrDigit || q.charAt(s) == '_')) s -= 1
-              s + 1
-            }
-          case c if identChar(c) =>
-            var s = j
-            while (s >= 0 && identChar(q.charAt(s))) s -= 1
+            if (open < 0) k -= 1
+          }
+          if (open < 0) -1
+          else { // include a function name directly before the '('
+            var s = open - 1
+            while (s >= 0 &&
+              (q.charAt(s).isLetterOrDigit || q.charAt(s) == '_')) s -= 1
             s + 1
-          case _ => -1
-        }
+          }
+        case c if identChar(c) =>
+          var s = j
+          while (s >= 0 && identChar(q.charAt(s))) s -= 1
+          s + 1
+        case _ => -1
       }
-      // end (exclusive) of the operand starting at/after `from`, or -1
+      def lastNonWs(before: Int): Int = {
+        var j = before - 1
+        while (j >= 0 && q.charAt(j).isWhitespace) j -= 1
+        j
+      }
+      def isStop(s: Int, e: Int): Boolean =
+        stopWords.contains(q.substring(s, e).trim.toLowerCase)
+      // start of the full LEFT operand before opIdx: a primary, extended
+      // left across binary + - * / % (same-or-tighter precedence than ||
+      // in H2's summand grammar) and unary signs, so `a + 1 || b` binds as
+      // (a + 1) || b and `-1 || x` keeps its sign inside the operand
+      def leftStart(opIdx: Int): Int = {
+        val j0 = lastNonWs(opIdx)
+        if (j0 < 0) return -1
+        var s = primaryStart(j0)
+        if (s < 0) return -1
+        if (isStop(s, j0 + 1)) bail(q.substring(s, j0 + 1))
+        var continue = true
+        while (continue) {
+          val j = lastNonWs(s)
+          if (j >= 0 && "+-*/%".indexOf(q.charAt(j)) >= 0 && !inLit(j)) {
+            val k = lastNonWs(j)
+            val prevEndsExpr = k >= 0 &&
+              (identChar(q.charAt(k)) || q.charAt(k) == ')' || q.charAt(k) == '\'')
+            val isSign = q.charAt(j) == '-' || q.charAt(j) == '+'
+            if (prevEndsExpr) {
+              val ps = primaryStart(k)
+              if (ps >= 0 && !isStop(ps, k + 1)) s = ps // binary: absorb it
+              else if (isSign) s = j // keyword before the sign → unary
+              else bail(q.substring((ps max 0), k + 1))
+            } else if (isSign) {
+              s = j // unary sign belongs to the operand
+            } else continue = false
+          } else continue = false
+        }
+        s
+      }
+      // end (exclusive) of a primary starting at j, or -1
+      def primaryEnd(j: Int): Int = q.charAt(j) match {
+        case '\'' => spans.find(_._1 == j).map(_._2).getOrElse(-1)
+        case '(' => fwdParen(j)
+        case c if identChar(c) =>
+          var e = j
+          while (e < q.length && identChar(q.charAt(e))) e += 1
+          var k = e
+          while (k < q.length && q.charAt(k).isWhitespace) k += 1
+          if (k < q.length && q.charAt(k) == '(') fwdParen(k) else e
+        case _ => -1
+      }
+      // end of the full RIGHT operand from `from`: optional unary signs,
+      // a primary, extended across * / % (tighter than ||; + - stay outside
+      // because || chains left-associatively at the same level)
       def rightEnd(from: Int): Int = {
         var j = from
         while (j < q.length && q.charAt(j).isWhitespace) j += 1
-        if (j >= q.length) return -1
-        q.charAt(j) match {
-          case '\'' => spans.find(_._1 == j).map(_._2).getOrElse(-1)
-          case '(' => fwdParen(j)
-          case c if identChar(c) =>
-            var e = j
-            while (e < q.length && identChar(q.charAt(e))) e += 1
-            var k = e
-            while (k < q.length && q.charAt(k).isWhitespace) k += 1
-            if (k < q.length && q.charAt(k) == '(') fwdParen(k) else e
-          case _ => -1
+        while (j < q.length && (q.charAt(j) == '-' || q.charAt(j) == '+')) {
+          j += 1
+          while (j < q.length && q.charAt(j).isWhitespace) j += 1
         }
+        if (j >= q.length) return -1
+        var e = primaryEnd(j)
+        if (e < 0) return -1
+        if (isStop(j, e)) bail(q.substring(j, e))
+        var continue = true
+        while (continue) {
+          var k = e
+          while (k < q.length && q.charAt(k).isWhitespace) k += 1
+          if (k < q.length && "*/%".indexOf(q.charAt(k)) >= 0 && !inLit(k)) {
+            var m = k + 1
+            while (m < q.length && q.charAt(m).isWhitespace) m += 1
+            while (m < q.length && (q.charAt(m) == '-' || q.charAt(m) == '+')) {
+              m += 1
+              while (m < q.length && q.charAt(m).isWhitespace) m += 1
+            }
+            val e2 = if (m < q.length) primaryEnd(m) else -1
+            if (e2 < 0) bail(q.substring(k, (k + 8) min q.length))
+            e = e2
+          } else continue = false
+        }
+        e
       }
-      def ok(op: String): Boolean =
-        op.nonEmpty && !stopWords.contains(op.trim.toLowerCase)
 
       var search = 0
       while (!changed && { search = q.indexOf("||", search); search >= 0 }) {
         if (inLit(search)) { search += 2 }
         else {
           val ls = leftStart(search)
-          var lj = search - 1
-          while (lj >= 0 && q.charAt(lj).isWhitespace) lj -= 1
+          val lj = lastNonWs(search)
           val firstRight = rightEnd(search + 2)
-          if (ls < 0 || firstRight < 0 || !ok(q.substring(ls, lj + 1))) search += 2
-          else {
-            val operands = mutable.ArrayBuffer(q.substring(ls, lj + 1))
-            var rs = search + 2
-            while (rs < q.length && q.charAt(rs).isWhitespace) rs += 1
-            operands += q.substring(rs, firstRight)
-            var chainEnd = firstRight
-            var more = true
-            while (more) { // extend through `|| operand` repetitions
-              var k = chainEnd
-              while (k < q.length && q.charAt(k).isWhitespace) k += 1
-              if (k + 1 < q.length && q.charAt(k) == '|' && q.charAt(k + 1) == '|') {
-                val e = rightEnd(k + 2)
-                var s2 = k + 2
-                while (s2 < q.length && q.charAt(s2).isWhitespace) s2 += 1
-                if (e > 0 && ok(q.substring(s2, e))) {
-                  operands += q.substring(s2, e); chainEnd = e
-                } else more = false
-              } else more = false
-            }
-            if (operands.forall(ok)) {
-              val allNull = operands.map(o => s"($o) IS NULL").mkString(" AND ")
-              val cc = operands.map(o => s"COALESCE(CAST(($o) AS STRING), '')")
-                .mkString("CONCAT(", ", ", ")")
-              q = q.substring(0, ls) +
-                s"(CASE WHEN $allNull THEN NULL ELSE $cc END)" +
-                q.substring(chainEnd)
-              changed = true
-            } else search = chainEnd max (search + 2)
+          if (ls < 0 || firstRight < 0)
+            bail(q.substring((search - 8) max 0, (search + 10) min q.length))
+          val operands = mutable.ArrayBuffer(q.substring(ls, lj + 1))
+          var rs = search + 2
+          while (rs < q.length && q.charAt(rs).isWhitespace) rs += 1
+          operands += q.substring(rs, firstRight)
+          var chainEnd = firstRight
+          var more = true
+          while (more) { // extend through `|| operand` repetitions
+            var k = chainEnd
+            while (k < q.length && q.charAt(k).isWhitespace) k += 1
+            if (k + 1 < q.length && q.charAt(k) == '|' && q.charAt(k + 1) == '|') {
+              val e = rightEnd(k + 2)
+              var s2 = k + 2
+              while (s2 < q.length && q.charAt(s2).isWhitespace) s2 += 1
+              if (e > 0) { operands += q.substring(s2, e); chainEnd = e }
+              else more = false
+            } else more = false
           }
+          val allNull = operands.map(o => s"($o) IS NULL").mkString(" AND ")
+          val cc = operands.map(o => s"COALESCE(CAST(($o) AS STRING), '')")
+            .mkString("CONCAT(", ", ", ")")
+          q = q.substring(0, ls) +
+            s"(CASE WHEN $allNull THEN NULL ELSE $cc END)" +
+            q.substring(chainEnd)
+          changed = true
         }
       }
     }
@@ -2305,16 +2392,9 @@ final class Engine(val spark: SparkSession) {
       alignTo(tn, t, cols.map(c => splitTop(c).map(_.trim)), src0))
     // MySQL applies duplicate source keys sequentially; a join applies them
     // simultaneously and would emit one target row per duplicate — keep the
-    // LAST source row per key (the net effect for assignment-style SETs).
-    // VALUES sources are small, so the window is cheap.
-    import org.apache.spark.sql.expressions.Window
-    val keyNonNull = key.map(k => col(k).isNotNull).reduce(_ && _)
-    val src = src1
-      .withColumn("__ord", monotonically_increasing_id())
-      .withColumn("__rk", row_number().over(
-        Window.partitionBy(key.map(col): _*).orderBy(col("__ord").desc)))
-      .filter(!keyNonNull || col("__rk") === 1)
-      .drop("__ord", "__rk")
+    // LAST source row per key (the net effect for assignment-style SETs);
+    // NULL keys never conflict. Shared idiom: Dml.lastPerKey.
+    val src = Dml.lastPerKey(src1, key, exemptNullKeys = true)
     val setPairs = splitTop(sets).map { s =>
       val Array(c, v) = s.split("=", 2)
       // VALUES(col) → the source row's value (MySQL VALUES() function)
@@ -2340,17 +2420,24 @@ final class Engine(val spark: SparkSession) {
       .select(t.columns.toSeq.map(col): _*)
     val batch = if (modeFlags.convertInsertNullToZero)
       convertNullToZero(tn, t, inserted) else inserted
-    validateConstraints(tn, batch)
-    // MySQL also rejects an UPDATE arm that violates CHECK/FK or makes a
-    // non-key unique index collide with another existing row — re-validate
-    // the modified rows, and uniqueness over the post-upsert table (the
-    // SET list can rewrite unique columns, so the batch-vs-existing probe
-    // used for inserts is not sufficient here). The upsert rewrites the
-    // table anyway, so the full-table dup-check adds no extra scan class.
+    // FK/CHECK on both arms; uniqueness ONLY over the post-upsert table
+    // (validateUniqueWithin). Probing the insert arm against the
+    // PRE-update table would falsely reject the MySQL-legal case where the
+    // UPDATE arm frees a unique value the insert arm reuses.
+    validateRowConstraints(tn, batch)
     val modified = updatedFlagged.filter(col("__src_match")).drop("__src_match")
     validateRowConstraints(tn, modified)
-    validateUniqueWithin(tn, updated.union(batch))
-    register(name, updated.union(batch))
+    val finalTable = updated.union(batch)
+    validateUniqueWithin(tn, finalTable)
+    // row hooks (Insert.java/Update.java fire sites — the reference fires
+    // them from MERGE/upsert too); deltas are lazy, so unbound triggers
+    // cost nothing beyond the map lookup
+    val oldMatched = t.alias("__t2").join(srcR, keyCond, "left_semi")
+    if (fireTriggers(tn, "UPDATE", "BEFORE", oldMatched, modified) |
+        fireTriggers(tn, "INSERT", "BEFORE", t.limit(0), batch)) return
+    register(name, finalTable)
+    fireTriggers(tn, "UPDATE", "AFTER", oldMatched, modified)
+    fireTriggers(tn, "INSERT", "AFTER", t.limit(0), batch)
   }
 
   /** Batch twin of the reference's per-row constraint checks on INSERT

@@ -58,7 +58,18 @@ object BucketedBench {
         Tables.load(spark, sfDir, "orders"),
         Tables.load(spark, sfDir, "customer"))
     } else {
-      val dir = s"/tmp/graft_amplified_${amplify}x_${new java.io.File(sfDir).getName}"
+      // cache key = full source path + a fingerprint of the source files
+      // (name/size/mtime), so a different dir with the same basename or a
+      // regenerated dataset can never silently reuse stale amplified data
+      val fingerprint = {
+        val files = Seq("lineitem", "orders", "customer").flatMap { t =>
+          val f = new java.io.File(s"$sfDir/$t.parquet")
+          val all = if (f.isDirectory) f.listFiles().toSeq else Seq(f)
+          all.map(x => (x.getName, x.length, x.lastModified))
+        }
+        math.abs((sfDir, files).hashCode).toString
+      }
+      val dir = s"/tmp/graft_amplified_${amplify}x_$fingerprint"
       if (!new java.io.File(s"$dir/_done").exists()) {
         val li0 = Tables.load(spark, sfDir, "lineitem")
         val ord0 = Tables.load(spark, sfDir, "orders")

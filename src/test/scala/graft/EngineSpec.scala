@@ -301,6 +301,81 @@ class EngineSpec extends SparkSpec {
     val ids = e.sql("SELECT ctid AS rid FROM pgs").collect().map(_.getLong(0))
     assert(ids.distinct.length == 3) // unique per row
     assert(e.sql("SELECT oid AS rid, id FROM pgs WHERE id > 1").count() == 2)
+    // deterministic: filter and projection agree on the same row's id —
+    // selecting BY a previously-read ctid returns that exact row
+    val target = e.sql("SELECT ctid AS rid, id FROM pgs WHERE id = 2").head()
+    val back = e.sql(s"SELECT id FROM pgs WHERE ctid = ${target.getLong(0)}").head()
+    assert(back.getInt(0) == 2)
+    // qualified form resolves (t.ctid → xxhash64(t.*))
+    assert(e.sql("SELECT pgs.ctid AS rid FROM pgs").count() == 3)
+  }
+
+  test("upsert: UPDATE arm freeing a unique value the insert arm reuses is legal (MySQL)") {
+    val e = freshEngine
+    e.sql("SET MODE MySQL")
+    e.sql("CREATE TABLE uv (id int PRIMARY KEY, tag varchar(5))")
+    e.sql("CREATE UNIQUE INDEX uv_tag ON uv(tag)")
+    e.sql("INSERT INTO uv VALUES (1,'a')")
+    // MySQL: row 1's tag moves to 'z', then (3,'a') inserts cleanly
+    e.sql("INSERT INTO uv VALUES (1,'a'), (3,'a') ON DUPLICATE KEY UPDATE tag='z'")
+    val rows = e.sql("SELECT id, tag FROM uv ORDER BY id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(rows == Seq((1, "z"), (3, "a")))
+    // a REAL post-state collision still raises
+    intercept[Exception] {
+      e.sql("INSERT INTO uv VALUES (4,'z') ON DUPLICATE KEY UPDATE tag='q'")
+    }
+  }
+
+  test("triggers fire on upsert and MERGE arms; LIMIT bounds update/delete deltas") {
+    val e = freshEngine
+    e.sql("SET MODE MySQL")
+    e.sql("CREATE TABLE ta (id int PRIMARY KEY, v varchar(10))")
+    val log = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    Seq(("ta_i", "AFTER INSERT"), ("ta_u", "AFTER UPDATE"), ("ta_d", "AFTER DELETE"))
+      .foreach { case (n, timing) =>
+        e.sql(s"CREATE TRIGGER $n $timing ON ta FOR EACH ROW CALL \"x\"")
+        e.registerTriggerImpl(n, (ev, o, nw) => log += ((ev, o.count(), nw.count())))
+      }
+    e.sql("INSERT INTO ta VALUES (1,'a'), (2,'b')")
+    log.clear()
+    // upsert: one updated (id 2), one inserted (id 3) — both arms fire
+    e.sql("INSERT INTO ta VALUES (2,'B'), (3,'c') ON DUPLICATE KEY UPDATE v = VALUES(v)")
+    assert(log.toSet == Set(("UPDATE", 1L, 1L), ("INSERT", 0L, 1L)))
+    log.clear()
+    // MERGE: replaces id 3, inserts id 4
+    e.sql("MERGE INTO ta KEY(id) VALUES (3,'C'), (4,'d')")
+    assert(log.toSet == Set(("UPDATE", 1L, 1L), ("INSERT", 0L, 1L)))
+    log.clear()
+    // UPDATE ... LIMIT 1 with 4 matching rows: delta is the 1 victim row
+    e.sql("UPDATE ta SET v='x' WHERE id > 0 LIMIT 1")
+    assert(log.toSeq == Seq(("UPDATE", 1L, 1L)))
+    log.clear()
+    e.sql("DELETE FROM ta WHERE id > 0 LIMIT 2")
+    assert(log.toSeq == Seq(("DELETE", 2L, 0L)))
+  }
+
+  test("MySQL ||: arithmetic operands keep H2 precedence; unbounded shapes are loud") {
+    val e = freshEngine
+    e.sql("CREATE TABLE mp (id int, a varchar(5), n int)")
+    e.sql("INSERT INTO mp VALUES (1, 'v', 4)")
+    e.sql("SET MODE MySQL")
+    // (n + 1) || a — summand-level left operand absorbed into the concat
+    assert(e.sql("SELECT n + 1 || a AS c FROM mp").head().getString(0) == "5v")
+    // unary minus stays inside the operand: -1 || a
+    assert(e.sql("SELECT -1 || a AS c FROM mp").head().getString(0) == "-1v")
+    // right side: * binds tighter (a || n*2), + does not (a || n then + 1)
+    assert(e.sql("SELECT a || n * 2 AS c FROM mp").head().getString(0) == "v8")
+    // NULL literal operand yields the other side
+    assert(e.sql("SELECT NULL || a AS c FROM mp").head().getString(0) == "v")
+    // unparenthesized CASE…END operand is rejected loudly, never silent
+    val err = intercept[Exception] {
+      e.sql("SELECT CASE WHEN n > 0 THEN a ELSE a END || a AS c FROM mp").collect()
+    }
+    assert(err.getMessage.contains("parenthesize"))
+    // …and the parenthesized form works
+    assert(e.sql("SELECT (CASE WHEN n > 0 THEN a ELSE a END) || a AS c FROM mp")
+      .head().getString(0) == "vv")
   }
 
   test("masked dispatch: keywords inside string literals never steer statements") {
