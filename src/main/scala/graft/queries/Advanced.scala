@@ -254,6 +254,21 @@ object Advanced {
                CAST(SUM(v) AS DOUBLE) AS total_value
         FROM y GROUP BY user_id, sid""")),
 
+    // ---- Skew-salted join (q64): the salted plan (probe-side salt in
+    // [0,8), build side replicated 8x, join on (key, salt)) must reproduce
+    // the plain join bit-for-bit — oracled against the unsalted SQL join.
+    Q("q64_salted_join",
+      (s, dir) => graft.operators.Skew.saltedJoin(
+          t(s, dir, "orders"),
+          t(s, dir, "customer")
+            .select(col("c_custkey").as("o_custkey"), col("c_name")),
+          key = "o_custkey", saltFactor = 8)
+        .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
+          col("o_totalprice")),
+      Some("""
+        SELECT o_orderkey, o_custkey, c_name, o_totalprice
+        FROM orders JOIN customer ON o_custkey = c_custkey""")),
+
     // ---- Within-watermark stream dedup, batch twin (q63): deterministic
     // keep-rule (earliest ts, tie → min event_id) makes the streaming
     // operator's keep-first-arrival contract oracle-able; streaming ≡ batch

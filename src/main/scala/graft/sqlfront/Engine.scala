@@ -1090,6 +1090,14 @@ final class Engine(val spark: SparkSession) {
     // INFORMATION_SCHEMA.X → synthesized meta view (MetaTable.java:68)
     val infoRe = """(?i)INFORMATION_SCHEMA\.(\w+)""".r
     q = rewriteOutside(q, infoRe)(m => metaView(m.group(1).toLowerCase))
+    // LINK_SCHEMA: the reference REGISTERS the function (Function.java:360)
+    // but its evaluation throws unsupported (Function.java:1262-1270) — the
+    // exact-parity behavior is the same loud error, not a JDBC emulation
+    if ("""(?i)\bLINK_SCHEMA\s*\(""".r.findFirstMatchIn(q).exists(m =>
+        !literalSpans(q).exists(sp => m.start >= sp._1 && m.start < sp._2)))
+      throw new UnsupportedOperationException(
+        "LINK_SCHEMA is unsupported (reference parity: Function.java:1270 " +
+          "throws the same; use spark.read.jdbc for external links at deploy)")
     // SET(@v, expr) inline assignment (Function.java:364 SET): evaluate the
     // value driver-side, assign the variable, and substitute the value in
     // place — must run before the @var substitution below so later @v

@@ -378,6 +378,17 @@ class EngineSpec extends SparkSpec {
       .head().getString(0) == "vv")
   }
 
+  test("LINK_SCHEMA raises the reference's unsupported error (Function.java:1270)") {
+    val e = freshEngine
+    val err = intercept[UnsupportedOperationException] {
+      e.sql("CALL LINK_SCHEMA('T','d','url','u','p','s')")
+    }
+    assert(err.getMessage.contains("LINK_SCHEMA"))
+    // inside a string literal the name is data, not a call
+    assert(e.sql("SELECT 'LINK_SCHEMA(x)' AS s").head().getString(0)
+      == "LINK_SCHEMA(x)")
+  }
+
   test("masked dispatch: keywords inside string literals never steer statements") {
     val e = freshEngine
     e.sql("CREATE TABLE md (id int PRIMARY KEY, v varchar(60))")
