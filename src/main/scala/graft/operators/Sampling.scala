@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sampling/splitting — beyond-reference surface for
+  * the training-data pipeline: split assignment must be a PURE FUNCTION of
+  * the record id (stable across runs, partitions, cluster sizes, and
+  * re-ingests), never `rand()` or a sampling job. Hash-mod assignment is
+  * the standard shape: zero state, zero shuffle, trivially auditable, and
+  * the exact same rows land in the same split on 500 rows or 100 TB.
+  */
+object Sampling {
+
+  /** Knuth multiplicative-hash bucket in [0, 1000). */
+  private def permilleBucket(id: Column): Column =
+    pmod(id.cast("long") * lit(2654435761L), lit(1000L))
+
+  /** Train/val/test split column: bucket < train → "train",
+    * < train+val → "val", else "test". */
+  def hashSplit(df: DataFrame, idCol: String,
+      trainPermille: Int = 900, valPermille: Int = 50): DataFrame = {
+    require(trainPermille + valPermille <= 1000,
+      "train + val permille must be <= 1000")
+    val b = permilleBucket(col(idCol))
+    df.withColumn("split",
+      when(b < trainPermille, lit("train"))
+        .when(b < trainPermille + valPermille, lit("val"))
+        .otherwise(lit("test")))
+  }
+
+  /** Deterministic keep-fraction sample: rows whose bucket falls below
+    * `keepPermille`. Repeated runs (and supersets of the data) always
+    * agree on kept rows — the property rand()-sampling lacks. */
+  def deterministicSample(df: DataFrame, idCol: String,
+      keepPermille: Int): DataFrame =
+    df.filter(permilleBucket(col(idCol)) < keepPermille)
+}

@@ -81,6 +81,29 @@ object TextAnalysis {
         .as("quality_keep"))
   }
 
+  /** Within-document repetition signals (the Gopher-style rep filters):
+    * duplicate-token fraction and duplicate word-2-gram fraction. High
+    * values flag boilerplate/spam; pure array built-ins, no UDFs. */
+  def repetitionSignals(text: Column): Seq[Column] = {
+    val toks = tokens(text)
+    val n = size(toks)
+    val dupTok = when(n > 0,
+      lit(1.0) - size(array_distinct(toks)).cast("double") / n)
+      .otherwise(lit(0.0))
+    // word 2-grams: zip each token with its successor
+    val grams = zip_with(
+      slice(toks, lit(1), greatest(n - 1, lit(0))),
+      slice(toks, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    val ng = size(grams)
+    val dupGram = when(ng > 0,
+      lit(1.0) - size(array_distinct(grams)).cast("double") / ng)
+      .otherwise(lit(0.0))
+    Seq(n.cast("long").as("n_tokens"),
+      dupTok.as("dup_token_ratio"),
+      dupGram.as("dup_2gram_ratio"))
+  }
+
   /** Winnowing document fingerprint (Schleimer et al., SIGMOD'03): k-shingle
     * hashes → min hash per sliding window of `w` → distinct set. Two docs
     * share fingerprint hashes iff they share k-length substrings; robust to

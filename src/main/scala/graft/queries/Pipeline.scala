@@ -650,6 +650,87 @@ object Pipeline {
           aggregate(col("__fp"), lit(0L), (a, x) => a + x).as("fp_sum")),
       Some(winnowOracle)),
 
+    // ---- Per-source corpus statistics: the rollup every ingest pipeline
+    // reports (doc counts, token/char budgets, quality-keep rate).
+    Q("t04_corpus_stats",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        d.select(col("source") +: TextAnalysis.qualitySignals(col("text")): _*)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"),
+            sum(col("n_chars_m")).as("total_chars"),
+            sum(col("quality_keep").cast("long")).as("n_keep"))
+          .withColumn("keep_rate",
+            col("n_keep").cast("double") / col("n_docs"))
+      },
+      Some("""
+        WITH q AS (
+          SELECT source,
+                 LENGTH(text) AS nc,
+                 LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z]', '', 'g')) AS alpha,
+                 LENGTH(REGEXP_REPLACE(text, '[^0-9]', '', 'g')) AS digits,
+                 LIST_FILTER(STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')), ' '),
+                             x -> LENGTH(x) > 0) AS toks
+          FROM documents)
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(LEN(toks)) AS BIGINT) AS total_tokens,
+               CAST(SUM(nc) AS BIGINT) AS total_chars,
+               CAST(SUM(CASE WHEN nc >= 20 AND LEN(toks) >= 5
+                 AND CASE WHEN nc > 0 THEN CAST(alpha AS DOUBLE)/nc ELSE 0.0 END > 0.5
+                 AND CASE WHEN nc > 0 THEN CAST(digits AS DOUBLE)/nc ELSE 0.0 END < 0.3
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+               CAST(SUM(CASE WHEN nc >= 20 AND LEN(toks) >= 5
+                 AND CASE WHEN nc > 0 THEN CAST(alpha AS DOUBLE)/nc ELSE 0.0 END > 0.5
+                 AND CASE WHEN nc > 0 THEN CAST(digits AS DOUBLE)/nc ELSE 0.0 END < 0.3
+                 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS keep_rate
+        FROM q GROUP BY source""")),
+
+    // ---- Within-document repetition (Gopher rep filters): duplicate-token
+    // and duplicate-2-gram fractions, pure array built-ins.
+    Q("t05_repetition",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id") +:
+          TextAnalysis.repetitionSignals(col("text")): _*),
+      Some("""
+        WITH tk AS (
+          SELECT doc_id,
+                 LIST_FILTER(STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')), ' '),
+                             x -> LENGTH(x) > 0) AS toks
+          FROM documents),
+        g AS (
+          SELECT doc_id, toks,
+                 CASE WHEN LEN(toks) >= 2
+                      THEN LIST_TRANSFORM(RANGE(1, LEN(toks)),
+                             i -> toks[i] || ' ' || toks[i+1])
+                      ELSE [] END AS grams
+          FROM tk)
+        SELECT doc_id,
+               CAST(LEN(toks) AS BIGINT) AS n_tokens,
+               CASE WHEN LEN(toks) > 0
+                    THEN 1.0 - CAST(LEN(LIST_DISTINCT(toks)) AS DOUBLE) / LEN(toks)
+                    ELSE 0.0 END AS dup_token_ratio,
+               CASE WHEN LEN(grams) > 0
+                    THEN 1.0 - CAST(LEN(LIST_DISTINCT(grams)) AS DOUBLE) / LEN(grams)
+                    ELSE 0.0 END AS dup_2gram_ratio
+        FROM g""")),
+
+    // ---- Deterministic train/val/test split: hash-mod assignment, a pure
+    // function of the id — identical rows land in identical splits on 500
+    // rows or 100 TB, re-runs and re-ingests agree (rand() cannot).
+    Q("u01_hash_split",
+      (s, dir) => graft.operators.Sampling.hashSplit(
+          t(s, dir, "documents"), "doc_id",
+          trainPermille = 900, valPermille = 50)
+        .select(col("doc_id"), col("split")),
+      Some("""
+        SELECT doc_id,
+               CASE WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'train'
+                    WHEN (doc_id * 2654435761) % 1000 < 950 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents""")),
+
     // ---- Multimodal: stub-decode metadata over a binary payload column.
     // The codec is a stub, but a DETERMINISTIC one — so the whole decode
     // path (payload bytes → fold → metadata) is oracled bit-exactly via

@@ -69,4 +69,48 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.columns.toSet.contains("pred_lang"))
     assert(out.columns.toSet.contains("quality_keep"))
   }
+
+  test("repetition signals: constructed duplicate-token and 2-gram cases") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),          // no repetition
+      (2L, "spam spam spam spam"), // all dup tokens AND dup 2-grams
+      (3L, "x"),                // single token: no 2-grams → ratio 0
+      (4L, "")                  // empty → all zeros
+    ).toDF("doc_id", "text")
+    val out = docs.select($"doc_id" +:
+        TextAnalysis.repetitionSignals($"text"): _*)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((4L, 0.0, 0.0)))
+    assert(out(2L)._2 == 0.75)      // 1 distinct of 4 tokens
+    assert(out(2L)._3 > 0.6)        // "spam spam" ×3 → 1 distinct of 3
+    assert(out(3L) == ((1L, 0.0, 0.0)))
+    assert(out(4L) == ((0L, 0.0, 0.0)))
+  }
+
+  test("hash split: deterministic, exhaustive, and subset-stable") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val ids = (0L until 1000L).toDF("id")
+    val s1 = Sampling.hashSplit(ids, "id").groupBy($"split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every row assigned; buckets roughly honor the 900/50/50 contract
+    assert(s1.values.sum == 1000L)
+    assert(s1("train") > 800 && s1.getOrElse("val", 0L) > 0 &&
+      s1.getOrElse("test", 0L) > 0)
+    // pure function of the id: a SUBSET gets identical assignments
+    val sub = Sampling.hashSplit(ids.filter($"id" < 100), "id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val full = Sampling.hashSplit(ids, "id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(sub.forall { case (k, v) => full(k) == v })
+    // deterministic sample is a strict subset rule, repeat-stable
+    val a = Sampling.deterministicSample(ids, "id", 100).collect().map(_.getLong(0)).toSet
+    val b = Sampling.deterministicSample(ids, "id", 100).collect().map(_.getLong(0)).toSet
+    assert(a == b && a.nonEmpty && a.size < 1000)
+    // larger keep-fraction strictly contains the smaller one
+    val bigger = Sampling.deterministicSample(ids, "id", 300).collect().map(_.getLong(0)).toSet
+    assert(a.subsetOf(bigger))
+  }
 }
