@@ -1005,7 +1005,15 @@ final class Engine(val spark: SparkSession) {
     if (q.toUpperCase.startsWith("FROM")) {
       val selIdx = topLevelIndexOf(q, "SELECT")
       if (selIdx > 0) {
-        val fromPart = q.substring(4, selIdx).trim
+        var fromPart = q.substring(4, selIdx).trim
+        // scalar-function source (`FROM USER() SELECT *`, misc tests):
+        // a one-row derived table named after the function
+        val callRe2 = """^(\w+)\s*\(.*\)$""".r
+        fromPart = fromPart match {
+          case callRe2(fn) if !tables.contains(fn.toLowerCase) =>
+            s"(SELECT $fromPart AS ${fn.toLowerCase})"
+          case other => other
+        }
         val rest = q.substring(selIdx + 6).trim
         // WHERE/GROUP/ORDER/... belong after the re-inserted FROM
         val tailIdx = earliestTopLevel(rest,

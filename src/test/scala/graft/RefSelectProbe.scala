@@ -57,4 +57,10 @@ class RefSelectProbe extends SparkSpec {
     assert(e.sql("select distinct * from SelectTest where f3 > 3").count() == 3)
     assert(e.sql("SELECT st.f1 FROM SelectTest st").count() == 3)
   }
+
+  test("FROM USER() SELECT * — scalar-function table source (misc tests)") {
+    val e = fixture
+    val r = e.sql("FROM USER() SELECT *").head()
+    assert(r.getString(0) == "SA") // session user (RightOwner SA)
+  }
 }
