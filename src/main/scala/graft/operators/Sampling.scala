@@ -12,9 +12,23 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Knuth multiplicative-hash bucket in [0, 1000). */
+  /** Knuth multiplicative-hash bucket in [0, 1000). The id is first reduced
+    * mod 10^6 so the multiply NEVER overflows a long (999999 × 2654435761 <
+    * 2^63) — overflow wraparound would be engine-specific and unverifiable
+    * (DuckDB raises where Java wraps); the bucket is therefore a pure,
+    * portable function of `id mod 10^6`, fine for split assignment.
+    * Negative ids land in [0, 10^6) via pmod. */
   private def permilleBucket(id: Column): Column =
-    pmod(id.cast("long") * lit(2654435761L), lit(1000L))
+    pmod(pmod(id.cast("long"), lit(1000000L)) * lit(2654435761L), lit(1000L))
+
+  private def requireIntegralId(df: DataFrame, idCol: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"Sampling id column $idCol must be integral (got $dt): a silent " +
+        "cast-to-NULL would route every row to one split. Hash string ids " +
+        "to a long first (e.g. xxhash64).")
+  }
 
   /** Train/val/test split column: bucket < train → "train",
     * < train+val → "val", else "test". */
@@ -22,6 +36,7 @@ object Sampling {
       trainPermille: Int = 900, valPermille: Int = 50): DataFrame = {
     require(trainPermille + valPermille <= 1000,
       "train + val permille must be <= 1000")
+    requireIntegralId(df, idCol)
     val b = permilleBucket(col(idCol))
     df.withColumn("split",
       when(b < trainPermille, lit("train"))
@@ -33,6 +48,8 @@ object Sampling {
     * `keepPermille`. Repeated runs (and supersets of the data) always
     * agree on kept rows — the property rand()-sampling lacks. */
   def deterministicSample(df: DataFrame, idCol: String,
-      keepPermille: Int): DataFrame =
+      keepPermille: Int): DataFrame = {
+    requireIntegralId(df, idCol)
     df.filter(permilleBucket(col(idCol)) < keepPermille)
+  }
 }

@@ -673,19 +673,18 @@ object Pipeline {
                  LIST_FILTER(STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')), ' '),
                              x -> LENGTH(x) > 0) AS toks
           FROM documents)
-        SELECT source,
-               COUNT(*) AS n_docs,
-               CAST(SUM(LEN(toks)) AS BIGINT) AS total_tokens,
-               CAST(SUM(nc) AS BIGINT) AS total_chars,
-               CAST(SUM(CASE WHEN nc >= 20 AND LEN(toks) >= 5
-                 AND CASE WHEN nc > 0 THEN CAST(alpha AS DOUBLE)/nc ELSE 0.0 END > 0.5
-                 AND CASE WHEN nc > 0 THEN CAST(digits AS DOUBLE)/nc ELSE 0.0 END < 0.3
-                 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
-               CAST(SUM(CASE WHEN nc >= 20 AND LEN(toks) >= 5
-                 AND CASE WHEN nc > 0 THEN CAST(alpha AS DOUBLE)/nc ELSE 0.0 END > 0.5
-                 AND CASE WHEN nc > 0 THEN CAST(digits AS DOUBLE)/nc ELSE 0.0 END < 0.3
-                 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS keep_rate
-        FROM q GROUP BY source""")),
+        SELECT source, n_docs, total_tokens, total_chars, n_keep,
+               CAST(n_keep AS DOUBLE) / n_docs AS keep_rate
+        FROM (
+          SELECT source,
+                 COUNT(*) AS n_docs,
+                 CAST(SUM(LEN(toks)) AS BIGINT) AS total_tokens,
+                 CAST(SUM(nc) AS BIGINT) AS total_chars,
+                 CAST(SUM(CASE WHEN nc >= 20 AND LEN(toks) >= 5
+                   AND CASE WHEN nc > 0 THEN CAST(alpha AS DOUBLE)/nc ELSE 0.0 END > 0.5
+                   AND CASE WHEN nc > 0 THEN CAST(digits AS DOUBLE)/nc ELSE 0.0 END < 0.3
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+          FROM q GROUP BY source)""")),
 
     // ---- Within-document repetition (Gopher rep filters): duplicate-token
     // and duplicate-2-gram fractions, pure array built-ins.
@@ -724,12 +723,19 @@ object Pipeline {
           t(s, dir, "documents"), "doc_id",
           trainPermille = 900, valPermille = 50)
         .select(col("doc_id"), col("split")),
+      // bucket formula mirrors Sampling.permilleBucket exactly: mod 10^6
+      // BEFORE the multiply, so neither engine can overflow and the twin
+      // holds at any id scale (pmod twin: ((x%m)+m)%m for negative ids)
       Some("""
+        WITH b AS (
+          SELECT doc_id,
+            ((((doc_id % 1000000) + 1000000) % 1000000) * 2654435761) % 1000 AS bk
+          FROM documents)
         SELECT doc_id,
-               CASE WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'train'
-                    WHEN (doc_id * 2654435761) % 1000 < 950 THEN 'val'
+               CASE WHEN bk < 900 THEN 'train'
+                    WHEN bk < 950 THEN 'val'
                     ELSE 'test' END AS split
-        FROM documents""")),
+        FROM b""")),
 
     // ---- Multimodal: stub-decode metadata over a binary payload column.
     // The codec is a stub, but a DETERMINISTIC one — so the whole decode

@@ -1007,10 +1007,16 @@ final class Engine(val spark: SparkSession) {
       if (selIdx > 0) {
         var fromPart = q.substring(4, selIdx).trim
         // scalar-function source (`FROM USER() SELECT *`, misc tests):
-        // a one-row derived table named after the function
+        // a one-row derived table named after the function. TABLE functions
+        // (SYSTEM_RANGE/CSVREAD/TABLE…) must NOT be wrapped — their view
+        // rewrites run later and expect FROM position; nor multi-source
+        // lists (top-level comma).
+        val tableFns = Set("system_range", "csvread", "table", "table_distinct")
         val callRe2 = """^(\w+)\s*\(.*\)$""".r
         fromPart = fromPart match {
-          case callRe2(fn) if !tables.contains(fn.toLowerCase) =>
+          case callRe2(fn) if !tables.contains(fn.toLowerCase) &&
+              !tableFns.contains(fn.toLowerCase) &&
+              splitTop(fromPart).size == 1 =>
             s"(SELECT $fromPart AS ${fn.toLowerCase})"
           case other => other
         }

@@ -62,5 +62,8 @@ class RefSelectProbe extends SparkSpec {
     val e = fixture
     val r = e.sql("FROM USER() SELECT *").head()
     assert(r.getString(0) == "SA") // session user (RightOwner SA)
+    // TABLE functions in FROM-first position keep their view rewrites —
+    // the scalar wrap must not capture them (round-3 review regression)
+    assert(e.sql("FROM SYSTEM_RANGE(1, 3) SELECT *").count() == 3)
   }
 }
