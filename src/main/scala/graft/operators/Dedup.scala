@@ -237,6 +237,133 @@ object Dedup {
     df.join(victims, col(idCol) === col("__victim"), "left_anti")
   }
 
+  /** Benchmark decontamination: count, per corpus document, the distinct
+    * word n-grams it shares with ANY document of a (small) benchmark set —
+    * the standard eval-leakage guard before training (n=8..13 in practice).
+    *
+    * Plan shape: the benchmark side collapses to ONE distinct hashed-gram
+    * set (tiny — benchmarks are KBs, corpora are TBs), broadcast to an
+    * equi-join against the exploded corpus grams; per-doc match counts come
+    * from a partial-aggregated groupBy, and a left join restores the
+    * zero-overlap docs. Corpus-linear, one shuffle (the groupBy on doc id),
+    * no pairwise comparison anywhere.
+    *
+    * Returns every non-benchmark row's id with `shared_grams` (distinct
+    * n-grams also present in the benchmark) and `contaminated`. */
+  def decontaminate(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(wordNgramHashSet(col(textCol), n)).as("__g"))
+      .distinct()
+    val hits = corpus
+      .select(col(idCol).as("__id"),
+        explode(wordNgramHashSet(col(textCol), n)).as("__g"))
+      .join(broadcast(benchGrams), Seq("__g"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("__hits")) // grams are distinct per doc already
+    corpus.select(col(idCol).as("__id"))
+      .join(hits, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("__hits"), lit(0L)).as("shared_grams"),
+        (coalesce(col("__hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Incremental (cross-corpus) dedup: drop from `batch` every document
+    * that duplicates the EXISTING `corpus` — the shape every rolling-crawl
+    * ingest runs (new crawl vs. what's already in the lake). The corpus
+    * side is never modified; batch-internal duplicates are NOT touched
+    * (run [[minhashDedup]] on the batch for that).
+    *
+    * Victims = exact normalized-text matches ∪ MinHash near-dups against
+    * the corpus. Candidate generation is the same banded LSH equi-join as
+    * [[minhashCandidates]] but across the two sides, so cost stays
+    * (batch + corpus)-linear plus bucket-local pairing — at 100 TB the
+    * corpus signatures are a precomputed table and only the batch side is
+    * fresh work. Per-side bucket caps guard degenerate buckets (observable
+    * via the `cross_lsh` observation's `dropped_band_rows`). */
+  def crossDedup(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      cfg: MinHashConfig = MinHashConfig(),
+      maxBucket: Int = 1000): DataFrame = {
+    val nearVictims = crossMinhashCandidates(
+        batch, corpus, idCol, textCol, cfg, maxBucket)
+      .select(col("batch_id").as("__victim")).distinct()
+    val exactVictims = batch
+      .select(col(idCol).as("__victim"), normalize(col(textCol)).as("__nrm"))
+      .join(corpus.select(normalize(col(textCol)).as("__nrm")).distinct(),
+        Seq("__nrm"), "left_semi")
+      .select(col("__victim"))
+    batch.join(nearVictims.union(exactVictims).distinct(),
+      col(idCol) === col("__victim"), "left_anti")
+  }
+
+  /** Near-duplicate (batch_id, corpus_id, jaccard) pairs ACROSS two sides:
+    * banded LSH candidates between batch and corpus, signature-estimate
+    * pre-filter, exact Jaccard verify — the two-sided twin of
+    * [[minhashCandidates]] (same signature pipeline per side, same 2σ
+    * margin, same capped buckets). */
+  def crossMinhashCandidates(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      cfg: MinHashConfig = MinHashConfig(),
+      maxBucket: Int = 1000): DataFrame = {
+    def prep(df: DataFrame) = df.select(
+        col(idCol).as("__id"),
+        shingleHashSet(col(textCol), cfg.shingleSize).as("__sh"))
+      .withColumn("__sig", minhashSignature(col("__sh"), cfg.numHashes, cfg.seed))
+      .withColumn("__bands", bandHashes(col("__sig"), cfg.bands, cfg.rowsPerBand))
+      .transform(graft.core.Checkpoint.cut)
+    def banded(base: DataFrame, obs: String) = base
+      .select(col("__id"), posexplode(col("__bands")).as(Seq("__b", "__bh")))
+      .withColumn("__bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__b"), col("__bh"))))
+      .observe(obs,
+        sum(when(col("__bsz") > maxBucket, 1L).otherwise(0L))
+          .as("dropped_band_rows"))
+      .filter(col("__bsz") <= maxBucket)
+      .drop("__bsz")
+
+    val bBase = prep(batch)
+    val cBase = prep(corpus)
+    val pairs = banded(bBase, "cross_lsh_batch")
+      .select(col("__b"), col("__bh"), col("__id").as("batch_id"))
+      .join(banded(cBase, "cross_lsh_corpus")
+          .select(col("__b").as("__b2"), col("__bh").as("__bh2"),
+            col("__id").as("corpus_id")),
+        col("__b") === col("__b2") && col("__bh") === col("__bh2"))
+      .select(col("batch_id"), col("corpus_id")).distinct()
+
+    val margin = 2.0 / math.sqrt(cfg.numHashes.toDouble)
+    val estimated = pairs
+      .join(bBase.select(col("__id").as("batch_id"), col("__sig").as("__ga")),
+        Seq("batch_id"))
+      .join(cBase.select(col("__id").as("corpus_id"), col("__sig").as("__gb")),
+        Seq("corpus_id"))
+      .withColumn("__est",
+        graft.functions.TextHashExprs.matchingFraction(col("__ga"), col("__gb")))
+      .filter(col("__est") >= cfg.threshold - margin)
+      .select(col("batch_id"), col("corpus_id"))
+
+    estimated
+      .join(bBase.select(col("__id").as("batch_id"), col("__sh").as("__sa")),
+        Seq("batch_id"))
+      .join(cBase.select(col("__id").as("corpus_id"), col("__sh").as("__sb")),
+        Seq("corpus_id"))
+      .withColumn("jaccard",
+        graft.functions.TextHashExprs.jaccardSorted(col("__sa"), col("__sb")))
+      .filter(col("jaccard") >= cfg.threshold)
+      .select(col("batch_id"), col("corpus_id"), col("jaccard"))
+  }
+
   /** Exact word n-gram Jaccard similarity for candidate pairs: MinHash LSH
     * proposes, exact n-gram sets dispose. */
   def ngramJaccardPairs(

@@ -52,4 +52,23 @@ object Sampling {
     requireIntegralId(df, idCol)
     df.filter(permilleBucket(col(idCol)) < keepPermille)
   }
+
+  /** Stratified deterministic sample: a per-stratum keep rate (permille),
+    * still a pure function of the id — the standard corpus-mixing shape
+    * (downsample over-represented languages/sources, keep the long tail
+    * whole). The rate lookup is a literal CASE chain (broadcast-free,
+    * codegen'd); strata absent from the map fall back to
+    * `defaultPermille`. A NULL stratum uses the default too. */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      permilleByStratum: Map[String, Int],
+      defaultPermille: Int = 1000): DataFrame = {
+    require((defaultPermille +: permilleByStratum.values.toSeq)
+      .forall(p => p >= 0 && p <= 1000), "permille rates must be in [0,1000]")
+    requireIntegralId(df, idCol)
+    val rate = permilleByStratum.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultPermille)) { case (acc, (k, p)) =>
+        when(col(strataCol) === k, lit(p)).otherwise(acc)
+      }
+    df.filter(permilleBucket(col(idCol)) < rate)
+  }
 }

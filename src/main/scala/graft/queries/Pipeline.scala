@@ -518,6 +518,38 @@ object Pipeline {
         FROM s a JOIN s b ON a.doc_id < b.doc_id
         WHERE ngram_jaccard >= 0.1""")),
 
+    // ---- Incremental (cross-corpus) dedup: the rolling-crawl shape — drop
+    // from a new batch (doc_id%5=4, a deterministic 20% at any SF) whatever
+    // duplicates the existing corpus (the other 80%), exact OR near. Batch-
+    // internal dups survive by design. Oracle: all-pairs exact cross-side
+    // Jaccard + normalized-text equality (same hashed-shingle ≡ raw-shingle
+    // equivalence as d02/d03).
+    Q("d08_cross_dedup",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        Dedup.crossDedup(
+            d.filter(col("doc_id") % 5 === 4), d.filter(col("doc_id") % 5 =!= 4),
+            "doc_id", "text",
+            Dedup.MinHashConfig(numHashes = 64, bands = 16, threshold = 0.35))
+          .select(col("doc_id"), col("lang"), col("source"))
+      },
+      Some("""
+        WITH s AS (
+          SELECT doc_id, nrm,
+            list_distinct(list_transform(range(1, greatest(len(nrm)-3, 1)),
+              i -> nrm[i:i+4])) AS sh
+          FROM (SELECT doc_id,
+                  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nrm
+                FROM documents)),
+        victims AS (
+          SELECT b.doc_id
+          FROM s b JOIN s c ON b.doc_id % 5 = 4 AND c.doc_id % 5 <> 4
+          WHERE b.nrm = c.nrm
+             OR CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE) /
+                (len(b.sh) + len(c.sh) - len(list_intersect(b.sh, c.sh))) >= 0.35)
+        SELECT doc_id, lang, source FROM documents
+        WHERE doc_id % 5 = 4 AND doc_id NOT IN (SELECT doc_id FROM victims)""")),
+
     // ---- Embedding near-dup pairs via hyperplane LSH + cosine verify.
     // The LSH path is approximate vs ground truth but DETERMINISTIC: the
     // seeded hyperplanes are constants, so the oracle inlines their exact
@@ -714,6 +746,58 @@ object Pipeline {
                     THEN 1.0 - CAST(LEN(LIST_DISTINCT(grams)) AS DOUBLE) / LEN(grams)
                     ELSE 0.0 END AS dup_2gram_ratio
         FROM g""")),
+
+    // ---- Benchmark decontamination: distinct word-8-grams shared with a
+    // benchmark set (doc_id%7=0 — deterministic at any SF). The near-dups
+    // the corpus contains make the hit set non-trivial. Oracle: string-gram
+    // list_intersect against the flattened benchmark gram set (hashed ≡ raw
+    // gram equivalence as d05).
+    Q("t06_decontaminate",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        Dedup.decontaminate(
+          d.filter(col("doc_id") % 7 =!= 0),
+          d.filter(col("doc_id") % 7 === 0),
+          "doc_id", "text", n = 8)
+      },
+      Some("""
+        WITH g AS (
+          SELECT doc_id,
+            CASE WHEN len(toks) < 8 THEN [list_aggregate(toks, 'string_agg', ' ')]
+                 ELSE list_distinct(list_transform(range(1, len(toks)-6),
+                        i -> toks[i] || toks[i+1] || toks[i+2] || toks[i+3] ||
+                             toks[i+4] || toks[i+5] || toks[i+6] || toks[i+7]))
+            END AS grams
+          FROM (SELECT doc_id,
+                  list_filter(string_split(
+                    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                    x -> len(x) > 0) AS toks
+                FROM documents)),
+        bench AS (
+          SELECT list_distinct(flatten(list(grams))) AS bg
+          FROM g WHERE doc_id % 7 = 0)
+        SELECT g.doc_id,
+               CAST(len(list_intersect(g.grams, bench.bg)) AS BIGINT) AS shared_grams,
+               len(list_intersect(g.grams, bench.bg)) > 0 AS contaminated
+        FROM g, bench
+        WHERE g.doc_id % 7 <> 0""")),
+
+    // ---- Stratified deterministic sample: per-language keep rates (the
+    // corpus-mixing shape: downsample the over-represented language, keep
+    // the tail whole), still a pure function of the id.
+    Q("u02_stratified_sample",
+      (s, dir) => graft.operators.Sampling.stratifiedSample(
+          t(s, dir, "documents"), "doc_id", "lang",
+          Map("en" -> 200, "es" -> 500, "zh" -> 800), defaultPermille = 1000)
+        .select(col("doc_id"), col("lang"), col("source")),
+      Some("""
+        WITH b AS (
+          SELECT doc_id, lang, source,
+            ((((doc_id % 1000000) + 1000000) % 1000000) * 2654435761) % 1000 AS bk
+          FROM documents)
+        SELECT doc_id, lang, source FROM b
+        WHERE bk < CASE lang WHEN 'en' THEN 200 WHEN 'es' THEN 500
+                             WHEN 'zh' THEN 800 ELSE 1000 END""")),
 
     // ---- Deterministic train/val/test split: hash-mod assignment, a pure
     // function of the id — identical rows land in identical splits on 500

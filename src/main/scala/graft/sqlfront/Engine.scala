@@ -413,11 +413,13 @@ final class Engine(val spark: SparkSession) {
       serialColumnIsNotPK: Boolean = false,
       nullConcatIsNull: Boolean = true,
       lowerCaseIdentifiers: Boolean = false,
-      systemColumns: Boolean = false)
+      systemColumns: Boolean = false,
+      zeroDateToNull: Boolean = false)
   private def modeFlags: ModeFlags = compatibilityMode match {
     case "MYSQL" => ModeFlags(convertInsertNullToZero = true,
       indexDefinitionInCreateTable = true, onDuplicateKeyUpdate = true,
-      nullConcatIsNull = false, lowerCaseIdentifiers = true)
+      nullConcatIsNull = false, lowerCaseIdentifiers = true,
+      zeroDateToNull = true)
     case "POSTGRESQL" => ModeFlags(logIsLogBase10 = true,
       serialColumnIsNotPK = true, systemColumns = true)
     case _ => ModeFlags(indexDefinitionInCreateTable = true)
@@ -1087,6 +1089,14 @@ final class Engine(val spark: SparkSession) {
     if (modeFlags.logIsLogBase10) q = rewriteSingleArgLog(q)
     // MySQL-mode || treats NULL as the other operand (nullConcatIsNull=false)
     if (!modeFlags.nullConcatIsNull) q = rewriteMySqlConcat(q)
+    // MySQL-mode zero dates: MySQL stores '0000-00-00' where the JVM date
+    // types have no representable value; the standard connector coercion
+    // (zeroDateTimeBehavior=convertToNull) maps them to NULL. Typed
+    // literals rewrite here; BARE '0000-00-00' strings already cast to
+    // NULL on the non-ANSI insert-alignment cast, and a NOT NULL target
+    // column then takes the current-date/timestamp coercion via
+    // convertInsertNullToZero — Mode.java:42's documented rule.
+    if (modeFlags.zeroDateToNull) q = rewriteZeroDates(q)
     // PostgreSQL-mode system columns CTID/OID (Mode.java:158 systemColumns):
     // the reference maps them to the row's storage key (_ROWID_). The Spark
     // twin is a DETERMINISTIC hash of the row's columns — identical in every
@@ -2262,6 +2272,16 @@ final class Engine(val spark: SparkSession) {
     -1
   }
 
+  /** MySQL-mode zero-date typed literals → typed NULL (see translate). */
+  private def rewriteZeroDates(q0: String): String = {
+    var q = rewriteOutside(q0,
+      """(?i)\bDATE\s+'0000-00-00'""".r)(_ => "CAST(NULL AS DATE)")
+    q = rewriteOutside(q,
+      """(?i)\bTIMESTAMP\s+'0000-00-00[ T]00:00:00(?:\.0+)?'""".r)(
+      _ => "CAST(NULL AS TIMESTAMP)")
+    q
+  }
+
   /** VALUES tuples → DataFrame with the target table's schema. */
   private def parseValueRows(tableName: String, tuples0: String,
       insertCols: Option[Seq[String]] = None): DataFrame = {
@@ -2280,7 +2300,9 @@ final class Engine(val spark: SparkSession) {
           if (v.equalsIgnoreCase("DEFAULT"))
             defaults.getOrElse(posCols.lift(i).getOrElse(""), "NULL")
           else v
-        substSequences(substConstants(resolved, Seq(tableName.toLowerCase)))
+        val z = if (modeFlags.zeroDateToNull) rewriteZeroDates(resolved)
+          else resolved
+        substSequences(substConstants(z, Seq(tableName.toLowerCase)))
       }
     }
     val selects = rows.map(vs => s"SELECT ${vs.mkString(", ")}")

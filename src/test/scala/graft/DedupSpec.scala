@@ -91,6 +91,45 @@ class DedupSpec extends SparkSpec {
     assert(!surv.contains(2L) && !surv.contains(3L))
   }
 
+  test("cross dedup drops batch docs duplicating the corpus, keeps the rest") {
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+      (101L, "completely different content about spark dataframes and catalyst")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (200L, "the quick brown fox jumps over the lazy dog and runs far away home"), // exact
+      (201L, "the quick brown fox jumps over the lazy cat and runs far away home"), // near
+      (202L, "fresh unrelated material never seen in the corpus until right now"),
+      (203L, "fresh unrelated material never seen in the corpus until right now") // batch-internal dup: KEPT
+    ).toDF("doc_id", "text")
+    val cfg = Dedup.MinHashConfig(numHashes = 64, bands = 16, threshold = 0.6)
+    val survivors = Dedup.crossDedup(batch, corpus, "doc_id", "text", cfg)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(202L, 203L))
+    // pair set is cross-side only, never corpus×corpus or batch×batch
+    val pairs = Dedup.crossMinhashCandidates(batch, corpus, "doc_id", "text", cfg)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.forall { case (b, c) => b >= 200L && c < 200L })
+    assert(pairs.contains((200L, 100L)) && pairs.contains((201L, 100L)))
+  }
+
+  test("decontaminate counts shared word-8-grams against the benchmark") {
+    val bench = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      // contains the bench 8-gram window "beta..iota" inside other text
+      (10L, "prefix words beta gamma delta epsilon zeta eta theta iota suffix"),
+      (11L, "no overlap with anything in the benchmark set at all here today"),
+      (12L, "alpha beta gamma delta epsilon zeta eta theta iota kappa") // full copy
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(corpus, bench, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out(10L) == ((1L, true)))   // exactly the one shared 8-gram
+    assert(out(11L) == ((0L, false)))  // zero-hit doc still present
+    assert(out(12L)._1 == 3L && out(12L)._2) // 3 windows, all shared
+  }
+
   test("dedup is deterministic across runs") {
     val cfg = Dedup.MinHashConfig(numHashes = 64, bands = 16, threshold = 0.6)
     val a = Dedup.minhashCandidates(docs, "doc_id", "text", cfg).collect().toSet

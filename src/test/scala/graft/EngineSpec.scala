@@ -255,6 +255,30 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("MySQL mode: zero-date literals coerce to NULL (convertToNull twin)") {
+    val e = freshEngine
+    e.sql("SET MODE MySQL")
+    e.sql("CREATE TABLE zd (id int PRIMARY KEY, d date, t timestamp, dn date NOT NULL)")
+    e.sql("INSERT INTO zd VALUES (1, DATE '0000-00-00', " +
+      "TIMESTAMP '0000-00-00 00:00:00', DATE '0000-00-00')")
+    e.sql("INSERT INTO zd VALUES (2, '0000-00-00', '0000-00-00 00:00:00', '0000-00-00')")
+    val rows = e.sql("SELECT id, d, t, dn FROM zd ORDER BY id").collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(1) && r.isNullAt(2)) // nullable columns: NULL
+      assert(!r.isNullAt(3)) // NOT NULL date: current-date coercion (Mode.java:42)
+    }
+    // a zero-date VARCHAR comparison is untouched (rewrite is typed-literal only)
+    e.sql("CREATE TABLE zs (id int PRIMARY KEY, s varchar(20))")
+    e.sql("INSERT INTO zs VALUES (1, '0000-00-00')")
+    assert(e.sql("SELECT count(*) FROM zs WHERE s = '0000-00-00'").head().getLong(0) == 1L)
+    // REGULAR mode: typed zero-date literal stays a (NULL-casting) literal
+    // only in MySQL mode; regular mode leaves the statement alone
+    val e2 = freshEngine
+    e2.sql("CREATE TABLE zd2 (id int PRIMARY KEY, d date)")
+    e2.sql("INSERT INTO zd2 VALUES (1, '0000-00-00')") // non-ANSI cast → NULL
+    assert(e2.sql("SELECT d FROM zd2").head().isNullAt(0))
+  }
+
   test("row triggers fire on insert/update/delete; INSTEAD OF suppresses (Trigger.java)") {
     val e = freshEngine
     e.sql("CREATE TABLE trg (id int PRIMARY KEY, v varchar(10))")

@@ -113,4 +113,25 @@ class TextAnalysisSpec extends SparkSpec {
     val bigger = Sampling.deterministicSample(ids, "id", 300).collect().map(_.getLong(0)).toSet
     assert(a.subsetOf(bigger))
   }
+
+  test("stratified sample: per-stratum rates, default for unmapped/null strata") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val rows = (0L until 900L).map(i =>
+      (i, Seq("en", "de", null).apply((i % 3L).toInt))).toDF("id", "lang")
+    val kept = Sampling.stratifiedSample(rows, "id", "lang",
+        Map("en" -> 100, "de" -> 1000), defaultPermille = 0)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byLang = kept.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    // de: rate 1000 keeps every row of the stratum
+    assert(byLang("de").size == 300)
+    // null stratum: default 0 keeps nothing
+    assert(!byLang.contains(null))
+    // en: keep set == the unconditional deterministic sample at the same
+    // rate restricted to the stratum (same bucket function)
+    val enIds = rows.filter($"lang" === "en")
+    val expected = Sampling.deterministicSample(enIds, "id", 100)
+      .select("id").as[Long].collect().toSet
+    assert(byLang.getOrElse("en", Set.empty) == expected)
+  }
 }
