@@ -194,6 +194,23 @@ final class Engine(val spark: SparkSession) {
     }
   }
 
+  /** Fragment-level twin of [[M]] for sub-statement pieces (column defs,
+    * type specs): match `re` against the literal-masked view of `frag`,
+    * extract capture groups from the RAW fragment by span — so keyword
+    * scans (NOT NULL / DEFAULT / IDENTITY …) can never bind to text inside
+    * a string literal such as `DEFAULT 'x NOT NULL'`. */
+  private def matchMasked(re: scala.util.matching.Regex, frag: String)
+      : Option[IndexedSeq[String]] = {
+    val m = re.pattern.matcher(Stmt(frag).masked)
+    if (!m.matches()) None
+    else Some((1 to m.groupCount()).map(i =>
+      if (m.start(i) < 0) null else frag.substring(m.start(i), m.end(i))))
+  }
+
+  /** Literal-masked upper-cased view of a fragment, for keyword
+    * `contains`/`startsWith` scans. */
+  private def maskedUpper(frag: String): String = Stmt(frag).masked.toUpperCase
+
   private val createTableRe =
     M("""(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.*)\)\s*$""".r)
   private val createTableAsRe =
@@ -774,7 +791,7 @@ final class Engine(val spark: SparkSession) {
         // engine-assigned ids. SERIAL/BIGSERIAL is auto-increment PK except
         // under PostgreSQL mode (Mode.java serialColumnIsNotPK).
         splitTop(colDefs).map(_.trim).foreach { d =>
-          val up = d.toUpperCase
+          val up = maskedUpper(d) // literal-blind: DEFAULT 'NOT NULL' is data
           val cn = d.split("\\s+")(0).toLowerCase
           val typeTok = up.split("\\s+").drop(1).headOption.getOrElse("")
           val serial = typeTok.startsWith("SERIAL") || typeTok.startsWith("BIGSERIAL")
@@ -795,11 +812,15 @@ final class Engine(val spark: SparkSession) {
         // not part of the default expression
         val defOptRe =
           """(?is)^(\w+)\s+.*?\s+(?:DEFAULT|AS)\s+(.+?)(?:\s+NOT\s+NULL|\s+NULL|\s+AUTO_INCREMENT|\s+UNIQUE)?\s*$""".r
-        splitTop(colDefs).map(_.trim).foreach {
-          case defOptRe(cn, d) if !cn.equalsIgnoreCase("PRIMARY") =>
-            colDefaults.getOrElseUpdate(tn,
-              mutable.LinkedHashMap.empty)(cn.toLowerCase) = d.trim
-          case _ =>
+        // masked match: DEFAULT keyword + trailing-option stripping must
+        // never bind inside a default literal (DEFAULT 'x NOT NULL')
+        splitTop(colDefs).map(_.trim).foreach { d0 =>
+          matchMasked(defOptRe, d0) match {
+            case Some(gs) if !gs(0).equalsIgnoreCase("PRIMARY") =>
+              colDefaults.getOrElseUpdate(tn,
+                mutable.LinkedHashMap.empty)(gs(0).toLowerCase) = gs(1).trim
+            case _ =>
+          }
         }
         inlineIdx.foreach { case (ixName, cols, unique) =>
           indexes(ixName) = IndexDef(ixName, tn, cols, unique)
@@ -2102,13 +2123,16 @@ final class Engine(val spark: SparkSession) {
     val seqOptRe = """(?is)^(.*?)\s+SEQUENCE\s+(\w+)\s*$""".r
     val defOptRe =
       """(?is)^(.*?)\s+(?:DEFAULT|AS)\s+(.+?)(?:\s+NOT\s+NULL|\s+NULL|\s+AUTO_INCREMENT|\s+UNIQUE)?\s*$""".r
-    typeSpec match {
-      case seqOptRe(tp, sq) =>
-        typeSpec = tp; default = Some(s"NEXTVAL('${sq.toLowerCase}')")
-      case defOptRe(tp, d) => typeSpec = tp; default = Some(d.trim)
-      case _ =>
+    // masked matches: keywords inside a DEFAULT string literal are data
+    matchMasked(seqOptRe, typeSpec) match {
+      case Some(gs) =>
+        typeSpec = gs(0); default = Some(s"NEXTVAL('${gs(1).toLowerCase}')")
+      case None => matchMasked(defOptRe, typeSpec) match {
+        case Some(gs) => typeSpec = gs(0); default = Some(gs(1).trim)
+        case None =>
+      }
     }
-    val up = typeSpec.toUpperCase
+    val up = maskedUpper(typeSpec)
     if (up.contains("IDENTITY") || up.contains("AUTO_INCREMENT")) {
       identityCols(tn) = cName
       identityNext.getOrElseUpdate(tn, 1L)
@@ -2161,7 +2185,7 @@ final class Engine(val spark: SparkSession) {
       """(?is)^(UNIQUE\s+)?(?:KEY|INDEX)\s+(\w+)\s*\(([^)]*)\)$""".r
     val fields = splitTop(defs).flatMap { d0 =>
       val d = d0.trim
-      val up = d.toUpperCase
+      val up = maskedUpper(d) // literal-blind keyword scan
       if (up.startsWith("PRIMARY KEY")) {
         pks ++= d.substring(d.indexOf('(') + 1, d.lastIndexOf(')'))
           .split(",").map(_.trim.toLowerCase)
@@ -2176,7 +2200,7 @@ final class Engine(val spark: SparkSession) {
           val parts = d.split("\\s+", 2)
           val name = parts(0).toLowerCase
           val rest = if (parts.length > 1) parts(1) else "STRING"
-          if (rest.toUpperCase.contains("PRIMARY KEY")) pks += name
+          if (maskedUpper(rest).contains("PRIMARY KEY")) pks += name
           Some(StructField(name, parseType(rest), nullable = true))
       }
     }

@@ -255,6 +255,28 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("column-def keyword scans are literal-blind (DEFAULT 'x NOT NULL' is data)") {
+    val e = freshEngine
+    // keywords inside the DEFAULT literal must not mark the column NOT
+    // NULL / IDENTITY / PK, and the default value must survive intact
+    e.sql("CREATE TABLE lb (id int PRIMARY KEY, " +
+      "v varchar(40) DEFAULT 'x NOT NULL', " +
+      "w varchar(40) DEFAULT 'use IDENTITY here', " +
+      "x varchar(40) DEFAULT 'a PRIMARY KEY b')")
+    e.sql("INSERT INTO lb (id) VALUES (1)")
+    val r = e.sql("SELECT v, w, x FROM lb").head()
+    assert(r.getString(0) == "x NOT NULL")
+    assert(r.getString(1) == "use IDENTITY here")
+    assert(r.getString(2) == "a PRIMARY KEY b")
+    // NULL insert into v succeeds: the literal never made it NOT NULL
+    e.sql("INSERT INTO lb (id, v) VALUES (2, NULL)")
+    assert(e.sql("SELECT v FROM lb WHERE id=2").head().isNullAt(0))
+    // same discipline on the ALTER ADD COLUMN path
+    e.sql("ALTER TABLE lb ADD COLUMN y varchar(40) DEFAULT 'y NOT NULL'")
+    e.sql("INSERT INTO lb (id) VALUES (3)")
+    assert(e.sql("SELECT y FROM lb WHERE id=3").head().getString(0) == "y NOT NULL")
+  }
+
   test("MySQL mode: zero-date literals coerce to NULL (convertToNull twin)") {
     val e = freshEngine
     e.sql("SET MODE MySQL")
