@@ -103,6 +103,36 @@ object Aggregators {
     def outputEncoder: Encoder[Int] = Encoders.scalaInt
   }
 
+  /** Output of [[CollectCapped]]: true element count + at most `cap` ids. */
+  final case class CappedIds(n: Long, ids: Seq[Long])
+
+  /** Size-capped id collector for LSH bucket aggregation: counts every
+    * element but stores at most `cap` — buffer memory is bounded BY
+    * CONSTRUCTION, so a degenerate bucket (boilerplate/empty-text floods,
+    * the exact case the cap guards) can never OOM the reducer the way an
+    * uncapped collect_list can. Buckets with n ≤ cap are never truncated
+    * (partial merges sum to n ≤ cap); over-cap buckets keep their true n
+    * for the caller's observable-drop metric and are dropped anyway. */
+  class CollectCapped(cap: Int)
+      extends Aggregator[java.lang.Long, mutable.ArrayBuffer[Long], CappedIds] {
+    def zero: mutable.ArrayBuffer[Long] = mutable.ArrayBuffer(0L) // slot 0 = n
+    def reduce(b: mutable.ArrayBuffer[Long], a: java.lang.Long) = {
+      b(0) += 1
+      if (b.size <= cap) b += a
+      b
+    }
+    def merge(b1: mutable.ArrayBuffer[Long], b2: mutable.ArrayBuffer[Long]) = {
+      b1(0) += b2(0)
+      b1 ++= b2.view.slice(1, math.max(1, cap + 2 - b1.size))
+      b1
+    }
+    def finish(b: mutable.ArrayBuffer[Long]): CappedIds =
+      CappedIds(b(0), b.drop(1).toSeq)
+    def bufferEncoder: Encoder[mutable.ArrayBuffer[Long]] =
+      Encoders.kryo[mutable.ArrayBuffer[Long]]
+    def outputEncoder: Encoder[CappedIds] = Encoders.product[CappedIds]
+  }
+
   /** Register SQL-callable forms (CREATE AGGREGATE parity,
     * ddl/CreateAggregate.java). */
   def registerAll(spark: SparkSession): Unit = {

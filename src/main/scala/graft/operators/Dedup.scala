@@ -101,28 +101,28 @@ object Dedup {
     val banded = base.select(col("__id"),
       posexplode(col("__bands")).as(Seq("__b", "__bh")))
 
-    // Bucket-size cap: a window count per (band, hash) — shuffle-local.
-    // Both pair-join sides recompute this subtree from the materialized
-    // `base`; that is DELIBERATE — the exploded band table is `bands`×
-    // larger than base, so materializing it costs more than re-running the
-    // cheap explode+window from the checkpoint (measured +10% on d03 when
-    // cut here).
-    val sized = banded
-      .withColumn("__bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("__b"), col("__bh"))))
+    // Bucket aggregation: ONE shuffle of the bands×-exploded table into
+    // per-bucket id lists; the aggregator doubles as the size cap
+    // (over-cap buckets = boilerplate floods drop, observably — and with
+    // BOUNDED buffer memory, so a degenerate bucket can't OOM a reducer)
+    // and pairs explode list-locally — no self-join. The previous shape
+    // (window count + self-join) shuffled the exploded table TWICE
+    // because the join's broadcast side defeats ReusedExchange; this
+    // halves the dominant shuffle (~15% on d02 at sf0.1).
+    val cappedIds = udaf(
+      new graft.functions.Aggregators.CollectCapped(maxBucket),
+      org.apache.spark.sql.Encoders.LONG)
+    val pairs = banded
+      .groupBy(col("__b"), col("__bh"))
+      .agg(cappedIds(col("__id")).as("__bk"))
       .observe("minhash_lsh",
-        sum(when(col("__bsz") > maxBucket, 1L).otherwise(0L))
+        sum(when(col("__bk.n") > maxBucket, col("__bk.n")).otherwise(0L))
           .as("dropped_band_rows"))
-      .filter(col("__bsz") <= maxBucket)
-      .drop("__bsz")
-
-    val l = sized.select(col("__b"), col("__bh"), col("__id").as("id_a"))
-    val r = sized.select(col("__b").as("__b2"), col("__bh").as("__bh2"),
-      col("__id").as("id_b"))
-    val pairs = l.join(r,
-        col("__b") === col("__b2") && col("__bh") === col("__bh2") &&
-          col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+      .filter(col("__bk.n").between(2, maxBucket))
+      .select(explode(col("__bk.ids")).as("id_a"), col("__bk.ids").as("__ids"))
+      .select(col("id_a"), explode(col("__ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
 
     // Stage A: cheap signature-estimate filter — the MinHash signature IS an
     // unbiased Jaccard estimator (matching-lane fraction), and at 8 bytes ×
@@ -322,25 +322,30 @@ object Dedup {
       .withColumn("__sig", minhashSignature(col("__sh"), cfg.numHashes, cfg.seed))
       .withColumn("__bands", bandHashes(col("__sig"), cfg.bands, cfg.rowsPerBand))
       .transform(graft.core.Checkpoint.cut)
-    def banded(base: DataFrame, obs: String) = base
+    // Per-side capped bucket lists (same discipline as minhashCandidates:
+    // one shuffle per side, bounded reducer memory, observable drops);
+    // both aggregations hash-partition on (band, hash) so the bucket join
+    // is co-partitioned — no third exchange.
+    val cappedIds = udaf(
+      new graft.functions.Aggregators.CollectCapped(maxBucket),
+      org.apache.spark.sql.Encoders.LONG)
+    def bucketIds(base: DataFrame, obs: String, out: String) = base
       .select(col("__id"), posexplode(col("__bands")).as(Seq("__b", "__bh")))
-      .withColumn("__bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("__b"), col("__bh"))))
+      .groupBy(col("__b"), col("__bh"))
+      .agg(cappedIds(col("__id")).as("__bk"))
       .observe(obs,
-        sum(when(col("__bsz") > maxBucket, 1L).otherwise(0L))
+        sum(when(col("__bk.n") > maxBucket, col("__bk.n")).otherwise(0L))
           .as("dropped_band_rows"))
-      .filter(col("__bsz") <= maxBucket)
-      .drop("__bsz")
+      .filter(col("__bk.n") <= maxBucket)
+      .select(col("__b"), col("__bh"), col("__bk.ids").as(out))
 
     val bBase = prep(batch)
     val cBase = prep(corpus)
-    val pairs = banded(bBase, "cross_lsh_batch")
-      .select(col("__b"), col("__bh"), col("__id").as("batch_id"))
-      .join(banded(cBase, "cross_lsh_corpus")
-          .select(col("__b").as("__b2"), col("__bh").as("__bh2"),
-            col("__id").as("corpus_id")),
-        col("__b") === col("__b2") && col("__bh") === col("__bh2"))
-      .select(col("batch_id"), col("corpus_id")).distinct()
+    val pairs = bucketIds(bBase, "cross_lsh_batch", "__bids")
+      .join(bucketIds(cBase, "cross_lsh_corpus", "__cids"), Seq("__b", "__bh"))
+      .select(explode(col("__bids")).as("batch_id"), col("__cids"))
+      .select(col("batch_id"), explode(col("__cids")).as("corpus_id"))
+      .distinct()
 
     val margin = 2.0 / math.sqrt(cfg.numHashes.toDouble)
     val estimated = pairs
