@@ -390,4 +390,48 @@ object Dedup {
       .filter(col("ngram_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("ngram_jaccard"))
   }
+
+  /** Segment-level cross-corpus dedup (the CCNet shape: drop boilerplate
+    * lines repeated across documents — here fixed-size word segments, since
+    * segmentation is a parameter, not the algorithm): split each doc into
+    * `segWords`-token segments, drop every segment whose corpus document
+    * frequency exceeds `maxDocFreq`, reassemble survivors in order.
+    *
+    * Scale: one shuffle to count segment doc-frequency (partial-agg'd),
+    * one anti-join against the frequent-segment set — which is the SMALL
+    * side by construction (only segments repeated in > maxDocFreq docs),
+    * so AQE broadcasts it at any corpus size — one shuffle to reassemble.
+    * Docs whose every segment is dropped survive with empty `clean_text`.
+    */
+  def segmentDedup(df: DataFrame, idCol: String, textCol: String,
+      segWords: Int = 10, maxDocFreq: Int = 1): DataFrame = {
+    require(segWords > 0, "segWords must be positive")
+    require(maxDocFreq >= 1, "maxDocFreq must be >= 1")
+    val toks = graft.operators.TextAnalysis.tokens(col(textCol))
+    val w = lit(segWords)
+    val base = df.select(col(idCol).as("__doc"),
+      when(size(toks) > 0,
+        transform(sequence(lit(1), size(toks), w),
+          i => concat_ws(" ", slice(toks, i, w))))
+        .otherwise(array().cast("array<string>")).as("__segs"))
+    val segs = base.select(col("__doc"),
+      posexplode(col("__segs")).as(Seq("__idx", "__seg")))
+    val frequent = segs.groupBy("__seg")
+      .agg(countDistinct(col("__doc")).as("__df"))
+      .filter(col("__df") > maxDocFreq)
+      .select("__seg")
+    val rebuilt = segs.join(frequent, Seq("__seg"), "left_anti")
+      .groupBy("__doc")
+      .agg(
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("__idx"), col("__seg")))),
+            s => s.getField("__seg"))).as("clean_text"),
+        count(lit(1)).as("segs_kept"))
+    base.select(col("__doc"), size(col("__segs")).cast("long").as("segs_total"))
+      .join(rebuilt, Seq("__doc"), "left")
+      .select(col("__doc").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("segs_kept"), lit(0L)).as("segs_kept"),
+        col("segs_total"))
+  }
 }

@@ -71,4 +71,73 @@ object Sampling {
       }
     df.filter(permilleBucket(col(idCol)) < rate)
   }
+
+  /** Deterministic uniform in (0, 1]: Knuth bucket over [0, 10^6) shifted
+    * to [1, 10^6], divided in double. Every step (long→double, /10^6) is a
+    * single correctly-rounded IEEE op, so the value is bit-identical in any
+    * engine — the property that lets a weighted sample be hash-verified. */
+  private def hashUniform(id: Column): Column =
+    (pmod(pmod(id.cast("long"), lit(1000000L)) * lit(2654435761L),
+      lit(1000000L)) + 1).cast("double") / lit(1000000.0)
+
+  /** Priority sampling (Duffield, Lund & Thorup, JACM'07): a deterministic
+    * weight-sensitive sample of k rows. Each row gets priority = weight/u
+    * with u a pure hash-uniform of the id; the k largest priorities win
+    * (ties → smaller id). Heavier rows are proportionally likelier to make
+    * the cut, re-runs and re-ingests agree exactly, and the plan is one
+    * scan + TakeOrderedAndProject (per-partition heaps, no global sort). */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    requireIntegralId(df, idCol)
+    df.withColumn("priority",
+        col(weightCol).cast("double") / hashUniform(col(idCol)))
+      .orderBy(col("priority").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Concat-then-chunk sequence packing (the standard pretraining batch
+    * shape: concatenate all docs in id order, slice the stream into
+    * `budgetTokens`-sized chunks; a doc's bin is where its first token
+    * lands). Emits `tok_offset` (exclusive prefix sum of `tokensCol` in
+    * `idCol` order) and `bin` = tok_offset / budget.
+    *
+    * Scale: NO single-partition global window — a range repartition on the
+    * id gives a globally ordered partitioning, one lightweight job collects
+    * per-partition token totals (a Long per partition, not data), then
+    * every partition fills its offset range in parallel (the same
+    * two-phase pattern as [[Dml.assignContiguous]]). Requires a
+    * deterministic input plan (both jobs must see the same rows); NULL
+    * token counts pack as 0. */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
+      budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val ordered = df.repartitionByRange(col(idCol))
+      .sortWithinPartitions(col(idCol))
+    val schema = ordered.schema
+    val tokIdx = schema.fieldIndex(tokensCol)
+    def tok(r: Row): Long =
+      if (r.isNullAt(tokIdx)) 0L
+      else r.get(tokIdx).asInstanceOf[Number].longValue
+    val rdd = ordered.rdd
+    val sums = rdd
+      .mapPartitionsWithIndex((i, it) =>
+        Iterator((i, it.foldLeft(0L)((a, r) => a + tok(r)))))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = sums.scanLeft(0L)(_ + _)
+    val packed = rdd.mapPartitionsWithIndex { (i, it) =>
+      var acc = offsets(i)
+      it.map { r =>
+        val row = Row.fromSeq(r.toSeq ++ Seq(acc, acc / budgetTokens))
+        acc += tok(r)
+        row
+      }
+    }
+    val outSchema = schema
+      .add("tok_offset", LongType, nullable = false)
+      .add("bin", LongType, nullable = false)
+    df.sparkSession.createDataFrame(packed, outSchema)
+  }
 }

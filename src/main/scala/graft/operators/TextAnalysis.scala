@@ -111,6 +111,44 @@ object TextAnalysis {
   def fingerprint(text: Column, k: Int = 8, w: Int = 4): Column =
     graft.functions.TextHashExprs.winnowFingerprint(normalize(text), k, w)
 
+  /** PII patterns, in the regex subset Java (`java.util.regex`) and RE2
+    * share (no backreferences, no lookaround) so the DuckDB twin matches
+    * the exact same spans. Order matters: emails are redacted first (an
+    * address contains digit runs a later pattern could otherwise nibble).
+    * (name, pattern, replacement). */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+    ("phone", "\\+[0-9]{1,3}[ -][0-9]{3}[ -]?[0-9]{3,4}\\b", "<PHONE>"))
+
+  /** Per-category PII match counts plus a composite flag — the detect side
+    * of the standard pre-training privacy pass. Pure codegen'd
+    * `regexp_count`s, one scan, no UDFs. */
+  def piiSignals(text: Column): Seq[Column] =
+    piiPatterns.map { case (n, p, _) =>
+      regexp_count(text, lit(p)).cast("long").as(s"n_$n")
+    } :+ piiPatterns.map { case (_, p, _) => regexp_count(text, lit(p)) > 0 }
+      .reduce(_ || _).as("has_pii")
+
+  /** Redacted text: every PII span replaced by its category token, applied
+    * in [[piiPatterns]] order (replacement tokens contain no digits or `@`,
+    * so later patterns cannot re-match earlier redactions). */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (acc, (_, p, tok)) =>
+      regexp_replace(acc, p, tok)
+    }
+
+  /** Corpus vocabulary: top-k tokens by total frequency (ties →
+    * lexicographic token order), with document frequency. Partial
+    * aggregation map-side, then a TakeOrderedAndProject merge — no global
+    * sort materializes at any corpus size. */
+  def topTokens(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(col(idCol).as("__doc"), explode(tokens(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("freq"), countDistinct(col("__doc")).as("doc_freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(k)
+
   /** One row per document with every text-analysis signal. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(

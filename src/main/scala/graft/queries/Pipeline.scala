@@ -869,6 +869,190 @@ object Pipeline {
                CAST(trunc(width * scale) AS INT) AS out_width,
                CAST(trunc(height * scale) AS INT) AS out_height,
                16 AS feat_dim
-        FROM resized"""))
+        FROM resized""")),
+
+    // ---- PII detect + redact (the pre-training privacy pass). The corpus
+    // text is digit-free word soup, so the query enriches it with
+    // DETERMINISTIC synthetic PII derived from doc_id (the stub-media
+    // trick): the regex engines then face real addresses/IPs/phones, and
+    // counts + redacted spans hash-verify exactly — the patterns live in
+    // the Java∩RE2 subset (no backrefs/lookaround), so both engines agree.
+    Q("t07_pii_redact",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val enriched = d.withColumn("text2", concat(col("text"),
+          when(col("doc_id") % 2 === 0, concat(lit(" reach me at user"),
+            col("doc_id").cast("string"), lit("@mail.example.org")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 3 === 0, concat(lit(" from 10."),
+            (col("doc_id") % 256).cast("string"), lit(".0."),
+            (col("doc_id") % 97).cast("string"))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, concat(lit(" call +1 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit(""))))
+        enriched.select(
+          (col("doc_id") +: TextAnalysis.piiSignals(col("text2")) :+
+            TextAnalysis.redactPii(col("text2")).as("redacted")): _*)
+      },
+      Some {
+        val Seq(em, ip, ph) = TextAnalysis.piiPatterns.map(_._2)
+        s"""
+        WITH e AS (
+          SELECT doc_id,
+            text
+            || CASE WHEN doc_id % 2 = 0 THEN ' reach me at user'
+                 || CAST(doc_id AS VARCHAR) || '@mail.example.org' ELSE '' END
+            || CASE WHEN doc_id % 3 = 0 THEN ' from 10.'
+                 || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+                 || CAST(doc_id % 97 AS VARCHAR) ELSE '' END
+            || CASE WHEN doc_id % 5 = 0 THEN ' call +1 555-'
+                 || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+            AS text2
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(text2, '$em')) AS BIGINT) AS n_email,
+          CAST(len(regexp_extract_all(text2, '$ip')) AS BIGINT) AS n_ipv4,
+          CAST(len(regexp_extract_all(text2, '$ph')) AS BIGINT) AS n_phone,
+          (len(regexp_extract_all(text2, '$em')) > 0
+            OR len(regexp_extract_all(text2, '$ip')) > 0
+            OR len(regexp_extract_all(text2, '$ph')) > 0) AS has_pii,
+          regexp_replace(regexp_replace(regexp_replace(text2,
+            '$em', '<EMAIL>', 'g'),
+            '$ip', '<IP>', 'g'),
+            '$ph', '<PHONE>', 'g') AS redacted
+        FROM e"""
+      }),
+
+    // ---- Corpus vocabulary: top-k tokens by total frequency with document
+    // frequency — partial agg map-side, TakeOrderedAndProject merge (no
+    // global sort at any corpus size); ties break lexicographically.
+    Q("t08_vocab_topk",
+      (s, dir) => TextAnalysis.topTokens(
+        t(s, dir, "documents"), "doc_id", "text", k = 15),
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, unnest(list_filter(string_split(
+            trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+            x -> len(x) > 0)) AS token
+          FROM documents)
+        SELECT token, COUNT(*) AS freq, COUNT(DISTINCT doc_id) AS doc_freq
+        FROM tok GROUP BY token
+        ORDER BY freq DESC, token LIMIT 15""")),
+
+    // ---- Segment-level cross-corpus dedup (CCNet shape): 3-word segments,
+    // drop those appearing in >1 document, reassemble survivors in order.
+    // The frequent-segment set is the SMALL join side by construction →
+    // broadcast anti-join at any scale.
+    Q("d09_segment_dedup",
+      (s, dir) => graft.operators.Dedup.segmentDedup(
+        t(s, dir, "documents"), "doc_id", "text",
+        segWords = 3, maxDocFreq = 1),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, list_filter(string_split(
+            trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+            x -> len(x) > 0) AS tk
+          FROM documents),
+        base AS (
+          SELECT doc_id, CASE WHEN len(tk) > 0
+            THEN list_transform(range(1, len(tk)+1, 3),
+                   i -> {'idx': i, 'seg': array_to_string(tk[i:i+2], ' ')})
+            ELSE [] END AS segs
+          FROM toks),
+        flat0 AS (SELECT doc_id, unnest(segs) AS s FROM base),
+        flat AS (SELECT doc_id, s.idx AS idx, s.seg AS seg FROM flat0),
+        freq AS (SELECT seg, COUNT(DISTINCT doc_id) AS df FROM flat GROUP BY seg),
+        kept AS (SELECT flat.* FROM flat JOIN freq USING (seg) WHERE freq.df <= 1),
+        reb AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY idx) AS clean_text,
+                       COUNT(*) AS segs_kept
+                FROM kept GROUP BY doc_id)
+        SELECT b.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+               COALESCE(r.segs_kept, 0) AS segs_kept,
+               CAST(len(b.segs) AS BIGINT) AS segs_total
+        FROM base b LEFT JOIN reb r USING (doc_id)""")),
+
+    // ---- Priority sampling (Duffield/Lund/Thorup): deterministic
+    // weight-sensitive top-k — priority = weight / hash-uniform(id); every
+    // arithmetic step is one correctly-rounded IEEE op, so the sample
+    // hash-verifies exactly.
+    Q("u03_priority_sample",
+      (s, dir) => graft.operators.Sampling.prioritySample(
+          t(s, dir, "documents"), "doc_id", "n_chars", k = 100)
+        .select(col("doc_id"), col("n_chars"), col("priority")),
+      Some("""
+        WITH b AS (
+          SELECT doc_id, n_chars,
+            CAST(n_chars AS DOUBLE) /
+              (CAST(((((doc_id % 1000000) + 1000000) % 1000000)
+                 * 2654435761) % 1000000 + 1 AS DOUBLE) / 1000000.0)
+              AS priority
+          FROM documents)
+        SELECT doc_id, n_chars, priority
+        FROM b ORDER BY priority DESC, doc_id LIMIT 100""")),
+
+    // ---- Concat-then-chunk sequence packing: exclusive token prefix sum
+    // in doc_id order → bin = offset / budget. No single-partition window:
+    // range repartition + per-partition offsets (a Long per partition
+    // collected, partitions fill in parallel — Dml.assignContiguous's
+    // two-phase pattern).
+    Q("u04_pack_sequences",
+      (s, dir) => {
+        val withTok = t(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tok"))
+        graft.operators.Sampling.packSequences(
+          withTok, "doc_id", "n_tok", budgetTokens = 64L)
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, CAST(len(list_filter(string_split(
+            trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+            x -> len(x) > 0)) AS BIGINT) AS n_tok
+          FROM documents),
+        c AS (
+          SELECT doc_id, n_tok,
+            CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS tok_offset
+          FROM t)
+        SELECT doc_id, n_tok, tok_offset, tok_offset // 64 AS bin FROM c""")),
+
+    // ---- ANN over int8 scalar-quantized codes (4× lighter vectors, integer
+    // inner loop). floor(x·scale + 0.5) round-half-up is engine-portable,
+    // so the quantization itself — and therefore the "approximate"
+    // neighbor ranking — hash-verifies bit-for-bit like s01/s02/s03.
+    Q("s04_ann_quantized",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.quantizedTopK(
+          emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 10)
+      },
+      Some("""
+        WITH sc AS (
+          SELECT vec_id, embedding,
+            list_aggregate(list_transform(embedding,
+              x -> abs(CAST(x AS DOUBLE))), 'max') AS mx
+          FROM embeddings),
+        qz AS (
+          SELECT vec_id, list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) *
+              (CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END) + 0.5) AS INT)) AS q
+          FROM sc),
+        n AS (
+          SELECT vec_id, q,
+            sqrt(CAST(list_reduce(list_transform(list_zip(q, q),
+              z -> CAST(z[1] AS BIGINT) * z[2]), (a,b) -> a+b) AS DOUBLE)) AS nrm
+          FROM qz),
+        scored AS (
+          SELECT qr.vec_id AS query_id, n.vec_id AS neighbor_id,
+            CAST(list_reduce(list_transform(list_zip(n.q, qr.q),
+              z -> CAST(z[1] AS BIGINT) * z[2]), (a,b) -> a+b) AS DOUBLE)
+              / (n.nrm * qr.nrm) AS qcos_sim
+          FROM n qr JOIN n ON qr.vec_id < 8 AND n.vec_id <> qr.vec_id
+            AND n.nrm > 0 AND qr.nrm > 0)
+        SELECT query_id, neighbor_id, qcos_sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY qcos_sim DESC, neighbor_id ASC) AS INT) AS rank
+        FROM scored QUALIFY rank <= 10"""))
   )
 }

@@ -136,4 +136,39 @@ class DedupSpec extends SparkSpec {
     val b = Dedup.minhashCandidates(docs, "doc_id", "text", cfg).collect().toSet
     assert(a == b)
   }
+
+  test("segmentDedup drops cross-doc repeated segments, keeps order") {
+    import spark.implicits._
+    // 2-word segments: "own words" unique per doc; "the boiler plate"
+    // produces segments ("the boiler", "plate …") shared across docs 1-3
+    val corpus = Seq(
+      (1L, "the boiler plate one own words here"),
+      (2L, "the boiler plate two other text"),
+      (3L, "the boiler plate three more stuff"),
+      (4L, "fully unique document body")).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(corpus, "doc_id", "text",
+        segWords = 2, maxDocFreq = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // segment 1 "the boiler" appears in 3 docs → dropped everywhere;
+    // remaining segments differ ("plate one" vs "plate two"…) → kept,
+    // reassembled in original order
+    assert(out(1L) == (("plate one own words here", 3L, 4L)))
+    assert(out(2L) == (("plate two other text", 2L, 3L)))
+    assert(out(3L) == (("plate three more stuff", 2L, 3L)))
+    assert(out(4L) == (("fully unique document body", 2L, 2L)))
+  }
+
+  test("segmentDedup keeps fully-dropped and empty docs with empty text") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "same same"), (2L, "same same"), (3L, "  ")).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(corpus, "doc_id", "text",
+        segWords = 2, maxDocFreq = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("", 0L, 1L)))
+    assert(out(2L) == (("", 0L, 1L)))
+    assert(out(3L) == (("", 0L, 0L)))
+  }
 }

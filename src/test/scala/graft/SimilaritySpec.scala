@@ -67,4 +67,30 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.contains((0L, 5L)))
     assert(!pairs.contains((0L, 3L)))
   }
+
+  test("int8 quantization: round-half-up codes, zero vector stays zero") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, Seq(1.0f, -1.0f, 0.5f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val q = df.select(col("vec_id"),
+        Similarity.quantizeInt8(col("embedding")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // scale = 127/1.0; 0.5*127+0.5 = 64.0 → floor 64; -127+0.5 → floor -126.5 = -127
+    assert(q(1L) == Seq(127, -127, 64, 0))
+    assert(q(2L) == Seq(0, 0, 0, 0))
+  }
+
+  test("quantized ANN ranking ≈ exact ranking on well-separated clusters") {
+    // clusters far apart: int8 rounding can't reorder them
+    val q0 = vecs.filter($"vec_id" === 0L)
+    val qt = Similarity.quantizedTopK(vecs, "vec_id", "embedding",
+        q0, "vec_id", "embedding", k = 2)
+      .orderBy($"rank").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val exact = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+        q0, "vec_id", "embedding", k = 2)
+      .orderBy($"rank").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(qt.toSeq == exact.toSeq)
+  }
 }

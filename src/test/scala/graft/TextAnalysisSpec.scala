@@ -134,4 +134,65 @@ class TextAnalysisSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(byLang.getOrElse("en", Set.empty) == expected)
   }
+
+  test("priority sample: weight-sensitive, deterministic, exactly k rows") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // one row carries ~all the weight — it must always be sampled
+    val rows = (0L until 500L).map(i =>
+      (i, if (i == 123L) 1000000L else 10L)).toDF("id", "w")
+    val a = Sampling.prioritySample(rows, "id", "w", k = 50)
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.prioritySample(rows, "id", "w", k = 50)
+      .select("id").as[Long].collect().toSet
+    assert(a == b && a.size == 50 && a.contains(123L))
+  }
+
+  test("packSequences: exclusive prefix sum in id order, bin boundaries") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val rows = Seq((3L, 30L), (1L, 50L), (2L, 40L), (4L, 10L))
+      .toDF("id", "n_tok").repartition(3) // scrambled input partitioning
+    val out = Sampling.packSequences(rows, "id", "n_tok", budgetTokens = 100L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // id order 1,2,3,4 → offsets 0,50,90,120 → bins 0,0,0,1
+    assert(out(1L) == ((0L, 0L)))
+    assert(out(2L) == ((50L, 0L)))
+    assert(out(3L) == ((90L, 0L)))
+    assert(out(4L) == ((120L, 1L)))
+  }
+
+  test("PII: per-category counts, composite flag, redaction order") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "mail me at jo.doe+x@sub.example.org or admin@example.com now"),
+      (2L, "server 192.168.0.1 and 10.0.0.255 up"),
+      (3L, "call +44 555-123 or +1 555 9876 today"),
+      (4L, "no pii here at all"),
+      (5L, "mix a@b.io on 8.8.8.8 tel +1 555-0000")).toDF("id", "text")
+    val out = docs.select(
+      ($"id" +: TextAnalysis.piiSignals($"text") :+
+        TextAnalysis.redactPii($"text").as("red")): _*)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4), r.getString(5)))
+      .toMap
+    assert(out(1L) == ((2L, 0L, 0L, true,
+      "mail me at <EMAIL> or <EMAIL> now")))
+    assert(out(2L) == ((0L, 2L, 0L, true, "server <IP> and <IP> up")))
+    assert(out(3L) == ((0L, 0L, 2L, true, "call <PHONE> or <PHONE> today")))
+    assert(out(4L) == ((0L, 0L, 0L, false, "no pii here at all")))
+    assert(out(5L) == ((1L, 1L, 1L, true, "mix <EMAIL> on <IP> tel <PHONE>")))
+  }
+
+  test("topTokens: frequency order, lexicographic ties, doc frequency") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "b b a c"), (2L, "b a  c"), (3L, "zz c")).toDF("id", "text")
+    val top = TextAnalysis.topTokens(docs, "id", "text", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // b: freq 3 in 2 docs; c: freq 3 in 3 docs — tie breaks to 'b' first
+    assert(top.toSeq == Seq(("b", 3L, 2L), ("c", 3L, 3L), ("a", 2L, 2L)))
+  }
 }
