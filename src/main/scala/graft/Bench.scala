@@ -35,7 +35,12 @@ object Bench {
     "d03_minhash_dedup",         // pipeline: LSH dedup
     "d04_simhash_pairs",         // pipeline: simhash candidates
     "s01_ann_bruteforce",        // pipeline: exact ANN baseline
-    "t01_text_stats")            // pipeline: text analysis
+    "t01_text_stats",            // pipeline: text analysis
+    "d09_segment_dedup",         // pipeline: segment-level corpus dedup
+    "s04_ann_quantized",         // pipeline: int8-quantized ANN
+    "t07_pii_redact",            // pipeline: regex PII redaction
+    "t08_vocab_topk",            // pipeline: corpus vocabulary top-k
+    "u04_pack_sequences")        // pipeline: sequence packing
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

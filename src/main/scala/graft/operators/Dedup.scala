@@ -414,6 +414,10 @@ object Dedup {
         transform(sequence(lit(1), size(toks), w),
           i => concat_ws(" ", slice(toks, i, w))))
         .otherwise(array().cast("array<string>")).as("__segs"))
+      // segment construction (interpreted higher-order lambdas) feeds three
+      // plan branches (doc-frequency, survivor anti-join, totals) — cut the
+      // lineage so it computes once, not per branch
+      .transform(graft.core.Checkpoint.cut)
     val segs = base.select(col("__doc"),
       posexplode(col("__segs")).as(Seq("__idx", "__seg")))
     val frequent = segs.groupBy("__seg")

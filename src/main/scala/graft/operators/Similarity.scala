@@ -184,11 +184,8 @@ object Similarity {
     * single correctly-rounded IEEE op on exact inputs, so the quantized
     * codes are bit-identical across engines and the "lossy" path is still
     * hash-verifiable. All-zero vectors quantize to all-zero codes. */
-  def quantizeInt8(vec: Column): Column = {
-    val mx = array_max(transform(vec, x => abs(x.cast("double"))))
-    val scale = when(mx > 0, lit(127.0) / mx).otherwise(lit(0.0))
-    transform(vec, x => floor(x.cast("double") * scale + lit(0.5)).cast("int"))
-  }
+  def quantizeInt8(vec: Column): Column =
+    graft.functions.VecExprs.quantizeCodes(vec).cast("array<int>")
 
   /** Integer dot product of two int8 code vectors, accumulated in long —
     * exact, order-independent, overflow-free (|q| ≤ 127, so even 2^47
@@ -206,18 +203,28 @@ object Similarity {
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int): DataFrame = {
+    // codes held as array<double> so the per-pair inner loop runs through
+    // the codegen'd DotProduct kernel (the interpreted zip_with+aggregate
+    // twin is ~25× slower); int8 values are exact in double and the fold
+    // sum stays < 2^53, so the result equals the integer dot bit-for-bit
+    // and the DuckDB twin (integer dot CAST to DOUBLE) still hash-matches.
+    // cut after code+norm construction: quantization must run once per
+    // VECTOR — without the cut, projection collapse inlines it into the
+    // join and re-quantizes per PAIR
+    val codes = graft.functions.VecExprs.quantizeCodes _
     val c = corpus.select(col(corpusId).as("neighbor_id"),
-        quantizeInt8(col(corpusVec)).as("__cq"))
-      .withColumn("__cn", sqrt(dotInt(col("__cq"), col("__cq")).cast("double")))
+        codes(col(corpusVec)).as("__cq"))
+      .withColumn("__cn", sqrt(dot(col("__cq"), col("__cq"))))
+      .transform(graft.core.Checkpoint.cut)
     val q = queries.select(col(queryId).as("query_id"),
-        quantizeInt8(col(queryVec)).as("__qq"))
-      .withColumn("__qn", sqrt(dotInt(col("__qq"), col("__qq")).cast("double")))
+        codes(col(queryVec)).as("__qq"))
+      .withColumn("__qn", sqrt(dot(col("__qq"), col("__qq"))))
+      .transform(graft.core.Checkpoint.cut)
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id") &&
         col("__cn") > 0 && col("__qn") > 0)
       .withColumn("qcos_sim",
-        dotInt(col("__cq"), col("__qq")).cast("double") /
-          (col("__cn") * col("__qn")))
+        dot(col("__cq"), col("__qq")) / (col("__cn") * col("__qn")))
       .select(col("query_id"), col("neighbor_id"), col("qcos_sim"))
     graft.plans.TopKPerKey(scored, Seq("query_id"),
       Seq(("qcos_sim", true), ("neighbor_id", false)), k)

@@ -47,6 +47,25 @@ class CodegenSpec extends SparkSpec {
     assert(generated.size == 5)
   }
 
+  test("vector expressions (dot_product, quantize_int8) under forced codegen") {
+    import graft.functions.VecExprs
+    val vecs = Seq(
+      (1L, Array(1.0f, -2.0f, 0.5f)),
+      (2L, Array(0.0f, 0.0f, 0.0f)),
+      (3L, Array(0.1f, 0.2f, 0.3f))).toDF("id", "v")
+    def all() = vecs.select($"id",
+        VecExprs.dotProduct($"v", $"v").as("d"),
+        VecExprs.quantizeCodes($"v").as("q"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        r.getSeq[Double](2).toList)).toSet
+    val generated = forced(all())
+    assert(generated == all())
+    assert(generated.exists { case (id, _, q) =>
+      id == 1L && q == List(64.0, -127.0, 32.0) })
+    assert(generated.exists { case (id, _, q) =>
+      id == 2L && q == List(0.0, 0.0, 0.0) })
+  }
+
   test("jaccard/matching-fraction binary expressions under forced codegen") {
     def pairs() = Dedup.minhashCandidates(docs, "doc_id", "text",
         Dedup.MinHashConfig(numHashes = 64, bands = 16, threshold = 0.6))
