@@ -34,6 +34,24 @@ object ScaleStress {
       Dedup.simhashCandidates(big, "doc_id", "text", maxHamming = 3).count()
     }
     println("[stress] simhash pairs=" + sim)
+    // worst case for segment dedup: EVERY segment is cross-doc frequent
+    // (10 copies), so the "frequent set is small" broadcast assumption is
+    // deliberately violated — the plan must degrade to a shuffle anti-join
+    // via AQE, not OOM the driver
+    val segSurv = time("segment-dedup-50k-all-frequent") {
+      Dedup.segmentDedup(big, "doc_id", "text",
+        segWords = 3, maxDocFreq = 1).count()
+    }
+    println("[stress] segment-dedup rows=" + segSurv)
+    val packedMax = time("pack-sequences-50k") {
+      graft.operators.Sampling.packSequences(
+        big.select(col("doc_id"),
+          graft.operators.TextAnalysis.tokenCount(col("text")).as("n_tok")),
+        "doc_id", "n_tok", budgetTokens = 2048L)
+        .agg(max(col("bin"))).collect()(0).getLong(0)
+    }
+    println("[stress] pack bins=" + (packedMax + 1))
+
     val emb = graft.core.Tables.load(spark, dir, "embeddings")
     val bigEmb = (0 until 10).map(i =>
         emb.select((col("vec_id") * 10 + i).as("vec_id"), col("embedding")))
@@ -45,6 +63,12 @@ object ScaleStress {
         k = 10, dim = 64, bitsPerTable = 8, tables = 8).count()
     }
     println("[stress] ann rows=" + ann)
+    val qann = time("ann-quantized-50k-corpus-100-queries") {
+      Similarity.quantizedTopK(bigEmb, "vec_id", "embedding",
+        bigEmb.filter(col("vec_id") < 100), "vec_id", "embedding",
+        k = 10).count()
+    }
+    println("[stress] quantized ann rows=" + qann)
 
     // 10x lineitem (6M rows ≈ SF1): relational headliners, noop sink
     val li = graft.core.Tables.load(spark, dir, "lineitem")
