@@ -39,6 +39,10 @@ object VecKernels {
     var mx = 0.0
     var i = 0
     while (i < n) {
+      // a null slot would silently unbox to 0.0 and break the cross-engine
+      // hash-verify contract (the composed twin propagates NULL) — fail loud
+      if (a.isNullAt(i)) throw new IllegalArgumentException(
+        "quantize_int8: null array element — filter or coalesce elements first")
       val x = math.abs(if (aFloat) a.getFloat(i).toDouble else a.getDouble(i))
       if (x > mx) mx = x
       i += 1

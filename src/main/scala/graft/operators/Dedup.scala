@@ -16,9 +16,13 @@ import graft.functions.SimHash64.simhash64
   */
 object Dedup {
 
-  /** Canonical text normalization: lowercase, collapse whitespace, trim. */
+  /** Canonical text normalization: lowercase, collapse whitespace, trim.
+    * Whitespace is the EXPLICIT class [ \t\n\x0B\f\r] rather than `\s`:
+    * Java's \s includes vertical tab (\x0B) where RE2's (DuckDB's) does
+    * not, so a `\s` here would silently diverge from every tokenizer
+    * oracle twin on any input containing \x0B. */
   def normalize(text: Column): Column =
-    trim(regexp_replace(lower(text), "\\s+", " "))
+    trim(regexp_replace(lower(text), "[ \\t\\n\\x0B\\f\\r]+", " "))
 
   /** Distinct hashed character k-shingles of the normalized text.
     * Hash-first keeps the set representation at 8 bytes/shingle regardless

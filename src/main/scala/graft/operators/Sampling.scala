@@ -89,6 +89,9 @@ object Sampling {
   def prioritySample(df: DataFrame, idCol: String, weightCol: String,
       k: Int): DataFrame = {
     require(k > 0, "k must be positive")
+    require(!df.columns.contains("priority"),
+      "input already has a 'priority' column (the operator's output column) " +
+        "— rename it first, or it would be silently overwritten")
     requireIntegralId(df, idCol)
     df.withColumn("priority",
         col(weightCol).cast("double") / hashUniform(col(idCol)))
@@ -106,9 +109,10 @@ object Sampling {
     * id gives a globally ordered partitioning, one lightweight job collects
     * per-partition token totals (a Long per partition, not data), then
     * every partition fills its offset range in parallel (the same
-    * two-phase pattern as [[Dml.assignContiguous]]). Requires a
-    * deterministic input plan (both jobs must see the same rows); NULL
-    * token counts pack as 0. */
+    * two-phase pattern as [[Dml.assignContiguous]]). The sorted input is
+    * lineage-cut before the two jobs, so the shuffle+sort runs once and
+    * both jobs read the SAME materialized rows — determinism holds even
+    * over a nondeterministic source. NULL token counts pack as 0. */
   def packSequences(df: DataFrame, idCol: String, tokensCol: String,
       budgetTokens: Long): DataFrame = {
     require(budgetTokens > 0, "budgetTokens must be positive")
@@ -116,6 +120,7 @@ object Sampling {
     import org.apache.spark.sql.types._
     val ordered = df.repartitionByRange(col(idCol))
       .sortWithinPartitions(col(idCol))
+      .transform(graft.core.Checkpoint.cut)
     val schema = ordered.schema
     val tokIdx = schema.fieldIndex(tokensCol)
     def tok(r: Row): Long =

@@ -189,16 +189,23 @@ object Similarity {
 
   /** Integer dot product of two int8 code vectors, accumulated in long —
     * exact, order-independent, overflow-free (|q| ≤ 127, so even 2^47
-    * dimensions fit a long). */
+    * dimensions fit a long). This is the REFERENCE semantics of the
+    * quantized inner product; [[quantizedTopK]]'s hot path computes the
+    * same value through the codegen'd double-fold kernel (parity asserted
+    * in SimilaritySpec). */
   def dotInt(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
-  /** Approximate top-k cosine over int8-quantized codes: 4× less memory
-    * bandwidth per vector than float32 and an integer (SIMD-friendly)
-    * inner loop — the classic scalar-quantization ANN trade. Same
-    * broadcast-query / corpus-linear shape as [[bruteForceTopK]]; zero-norm
-    * codes are excluded (cosine undefined). Ranks tie toward the smaller
-    * neighbor id. */
+  /** Approximate top-k cosine over int8-quantized codes — the ranking
+    * semantics of scalar-quantization ANN (256-level codes, integer-exact
+    * dot products). The codes are storable as int8 (4× smaller than
+    * float32 at rest); THIS compute path deliberately holds them as
+    * array<double> so the inner loop runs through the codegen'd
+    * [[graft.functions.DotProduct]] kernel — exact small integers in
+    * double, bit-identical to the integer dot. Same broadcast-query /
+    * corpus-linear shape as [[bruteForceTopK]]; zero-norm codes are
+    * excluded (cosine undefined). Ranks tie toward the smaller neighbor
+    * id. */
   def quantizedTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,

@@ -122,13 +122,20 @@ object TextAnalysis {
     ("phone", "\\+[0-9]{1,3}[ -][0-9]{3}[ -]?[0-9]{3,4}\\b", "<PHONE>"))
 
   /** Per-category PII match counts plus a composite flag — the detect side
-    * of the standard pre-training privacy pass. Pure codegen'd
-    * `regexp_count`s, one scan, no UDFs. */
-  def piiSignals(text: Column): Seq[Column] =
-    piiPatterns.map { case (n, p, _) =>
-      regexp_count(text, lit(p)).cast("long").as(s"n_$n")
-    } :+ piiPatterns.map { case (_, p, _) => regexp_count(text, lit(p)) > 0 }
-      .reduce(_ || _).as("has_pii")
+    * of the standard pre-training privacy pass. Each pattern counts on the
+    * text AFTER the earlier patterns' redactions (the same sequential basis
+    * [[redactPii]] uses), so counts always equal the number of tokens the
+    * redaction emits — an IP inside an email is counted as email only,
+    * never double-reported. Pure codegen'd `regexp_count`s, no UDFs. */
+  def piiSignals(text: Column): Seq[Column] = {
+    val staged = piiPatterns.scanLeft(text) { case (acc, (_, p, tok)) =>
+      regexp_replace(acc, p, tok)
+    }
+    val counts = piiPatterns.zip(staged).map { case ((n, p, _), basis) =>
+      regexp_count(basis, lit(p)).cast("long").as(s"n_$n")
+    }
+    counts :+ counts.map(_ > 0).reduce(_ || _).as("has_pii")
+  }
 
   /** Redacted text: every PII span replaced by its category token, applied
     * in [[piiPatterns]] order (replacement tokens contain no digits or `@`,

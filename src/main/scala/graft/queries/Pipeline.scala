@@ -61,7 +61,7 @@ object Pipeline {
             list_transform(range(1, length(nrm)+1),
               i -> CAST(unicode(nrm[i:i]) AS HUGEINT)) AS c
           FROM (SELECT doc_id,
-                  trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS nrm
+                  trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ') AS nrm
                 FROM documents)),
         hs AS (
           SELECT doc_id,
@@ -215,7 +215,7 @@ object Pipeline {
     s"""
         toks AS (
           SELECT doc_id, UNNEST(list_filter(string_split(
-            trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '), ' '),
+            trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' '), ' '),
             x -> len(x) > 0)) AS tok
           FROM documents),
         t0 AS (
@@ -367,7 +367,7 @@ object Pipeline {
         WITH t AS (
           SELECT doc_id,
             list_distinct(list_filter(string_split(
-              trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+              trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), ' '),
               x -> len(x) > 0)) AS toks
           FROM documents),
         s AS (
@@ -408,7 +408,7 @@ object Pipeline {
             list_distinct(list_transform(range(1, greatest(len(nrm)-3, 1)),
               i -> nrm[i:i+4])) AS sh
           FROM (SELECT doc_id,
-                  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nrm
+                  trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS nrm
                 FROM documents))
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
@@ -430,7 +430,7 @@ object Pipeline {
             list_distinct(list_transform(range(1, greatest(len(nrm)-3, 1)),
               i -> nrm[i:i+4])) AS sh
           FROM (SELECT doc_id,
-                  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nrm
+                  trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS nrm
                 FROM documents)),
         pairs AS (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -456,7 +456,7 @@ object Pipeline {
               list_distinct(list_transform(range(1, greatest(len(nrm)-3, 1)),
                 i -> nrm[i:i+4])) AS sh
             FROM (SELECT doc_id,
-                    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nrm
+                    trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS nrm
                   FROM documents))
           SELECT a.doc_id AS id_a, b.doc_id AS id_b
           FROM s a JOIN s b ON a.doc_id < b.doc_id
@@ -509,7 +509,7 @@ object Pipeline {
             END AS g
           FROM (SELECT doc_id,
                   list_filter(string_split(
-                    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                    trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')), ' '),
                     x -> len(x) > 0) AS toks
                 FROM documents))
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -539,7 +539,7 @@ object Pipeline {
             list_distinct(list_transform(range(1, greatest(len(nrm)-3, 1)),
               i -> nrm[i:i+4])) AS sh
           FROM (SELECT doc_id,
-                  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nrm
+                  trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS nrm
                 FROM documents)),
         victims AS (
           SELECT b.doc_id
@@ -640,7 +640,7 @@ object Pipeline {
                  LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z]', '', 'g')) AS alpha,
                  LENGTH(REGEXP_REPLACE(text, '[^0-9]', '', 'g')) AS digits,
                  LENGTH(REGEXP_REPLACE(text, '[^ ]', '', 'g')) AS spaces,
-                 LIST_FILTER(STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')), ' '),
+                 LIST_FILTER(STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '[ \t\n\x0b\f\r]+', ' ', 'g')), ' '),
                              x -> LENGTH(x) > 0) AS toks
           FROM documents)
         SELECT doc_id,
@@ -702,7 +702,7 @@ object Pipeline {
                  LENGTH(text) AS nc,
                  LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z]', '', 'g')) AS alpha,
                  LENGTH(REGEXP_REPLACE(text, '[^0-9]', '', 'g')) AS digits,
-                 LIST_FILTER(STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')), ' '),
+                 LIST_FILTER(STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '[ \t\n\x0b\f\r]+', ' ', 'g')), ' '),
                              x -> LENGTH(x) > 0) AS toks
           FROM documents)
         SELECT source, n_docs, total_tokens, total_chars, n_keep,
@@ -727,7 +727,7 @@ object Pipeline {
       Some("""
         WITH tk AS (
           SELECT doc_id,
-                 LIST_FILTER(STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')), ' '),
+                 LIST_FILTER(STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '[ \t\n\x0b\f\r]+', ' ', 'g')), ' '),
                              x -> LENGTH(x) > 0) AS toks
           FROM documents),
         g AS (
@@ -770,7 +770,7 @@ object Pipeline {
             END AS grams
           FROM (SELECT doc_id,
                   list_filter(string_split(
-                    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                    trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')), ' '),
                     x -> len(x) > 0) AS toks
                 FROM documents)),
         bench AS (
@@ -908,19 +908,22 @@ object Pipeline {
             || CASE WHEN doc_id % 5 = 0 THEN ' call +1 555-'
                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
             AS text2
-          FROM documents)
+          FROM documents),
+        r AS (
+          SELECT doc_id, text2,
+            regexp_replace(text2, '$em', '<EMAIL>', 'g') AS t1,
+            regexp_replace(regexp_replace(text2,
+              '$em', '<EMAIL>', 'g'), '$ip', '<IP>', 'g') AS t2
+          FROM e)
         SELECT doc_id,
           CAST(len(regexp_extract_all(text2, '$em')) AS BIGINT) AS n_email,
-          CAST(len(regexp_extract_all(text2, '$ip')) AS BIGINT) AS n_ipv4,
-          CAST(len(regexp_extract_all(text2, '$ph')) AS BIGINT) AS n_phone,
+          CAST(len(regexp_extract_all(t1, '$ip')) AS BIGINT) AS n_ipv4,
+          CAST(len(regexp_extract_all(t2, '$ph')) AS BIGINT) AS n_phone,
           (len(regexp_extract_all(text2, '$em')) > 0
-            OR len(regexp_extract_all(text2, '$ip')) > 0
-            OR len(regexp_extract_all(text2, '$ph')) > 0) AS has_pii,
-          regexp_replace(regexp_replace(regexp_replace(text2,
-            '$em', '<EMAIL>', 'g'),
-            '$ip', '<IP>', 'g'),
-            '$ph', '<PHONE>', 'g') AS redacted
-        FROM e"""
+            OR len(regexp_extract_all(t1, '$ip')) > 0
+            OR len(regexp_extract_all(t2, '$ph')) > 0) AS has_pii,
+          regexp_replace(t2, '$ph', '<PHONE>', 'g') AS redacted
+        FROM r"""
       }),
 
     // ---- Corpus vocabulary: top-k tokens by total frequency with document
@@ -932,7 +935,7 @@ object Pipeline {
       Some("""
         WITH tok AS (
           SELECT doc_id, unnest(list_filter(string_split(
-            trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+            trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')), ' '),
             x -> len(x) > 0)) AS token
           FROM documents)
         SELECT token, COUNT(*) AS freq, COUNT(DISTINCT doc_id) AS doc_freq
@@ -950,7 +953,7 @@ object Pipeline {
       Some("""
         WITH toks AS (
           SELECT doc_id, list_filter(string_split(
-            trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+            trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')), ' '),
             x -> len(x) > 0) AS tk
           FROM documents),
         base AS (
@@ -1005,7 +1008,7 @@ object Pipeline {
       Some("""
         WITH t AS (
           SELECT doc_id, CAST(len(list_filter(string_split(
-            trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+            trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')), ' '),
             x -> len(x) > 0)) AS BIGINT) AS n_tok
           FROM documents),
         c AS (

@@ -82,6 +82,22 @@ class SimilaritySpec extends SparkSpec {
     assert(q(2L) == Seq(0, 0, 0, 0))
   }
 
+  test("integer dot (reference semantics) ≡ codegen double-fold on codes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, Seq(0.3f, -0.7f, 0.05f, 1.0f),
+                      Seq(-0.9f, 0.2f, 0.8f, -0.1f))).toDF("id", "a", "b")
+    val (viaInt, viaFold) = df.select(
+        Similarity.dotInt(
+          Similarity.quantizeInt8(col("a")), Similarity.quantizeInt8(col("b")))
+          .cast("double"),
+        Similarity.dot(
+          graft.functions.VecExprs.quantizeCodes(col("a")),
+          graft.functions.VecExprs.quantizeCodes(col("b"))))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).head
+    assert(viaInt == viaFold)
+  }
+
   test("quantized ANN ranking ≈ exact ranking on well-separated clusters") {
     // clusters far apart: int8 rounding can't reorder them
     val q0 = vecs.filter($"vec_id" === 0L)

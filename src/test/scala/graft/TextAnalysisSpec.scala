@@ -185,6 +185,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(5L) == ((1L, 1L, 1L, true, "mix <EMAIL> on <IP> tel <PHONE>")))
   }
 
+  test("PII: counts and redaction agree on overlapping spans") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // the IP-shaped span lives INSIDE the email match: counted as email
+    // only, because counts run on the same sequential basis as redaction
+    val doc = Seq((1L, "ping user@1.2.3.4.com now")).toDF("id", "text")
+    val r = doc.select(
+      (lit(1) +: TextAnalysis.piiSignals($"text") :+
+        TextAnalysis.redactPii($"text").as("red")): _*).head()
+    assert(r.getLong(1) == 1L && r.getLong(2) == 0L) // 1 email, 0 IPs
+    assert(r.getString(5) == "ping <EMAIL> now")
+  }
+
   test("topTokens: frequency order, lexicographic ties, doc frequency") {
     import spark.implicits._
     import graft.operators.TextAnalysis
