@@ -269,6 +269,32 @@ object Advanced {
         SELECT o_orderkey, o_custkey, c_name, o_totalprice
         FROM orders JOIN customer ON o_custkey = c_custkey""")),
 
+    // ---- Backward as-of join (q65): most recent purchase at-or-before
+    // each event, per user — the time-series operator Spark lacks natively,
+    // implemented as union + per-key carry-forward window (one shuffle on
+    // the key, no range explosion); oracled against DuckDB's native
+    // ASOF LEFT JOIN.
+    Q("q65_asof_join",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val left = ev.filter(col("event_type") =!= "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val right = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value").as("purchase_value"))
+        graft.operators.AsofJoin.asofJoin(left, right, Seq("user_id"),
+            "ts", "ts", Seq("purchase_value"))
+          .select(col("event_id"), col("user_id"),
+            unix_millis(col("ts")).as("ts_ms"),
+            unix_millis(col("__asof_time")).as("purchase_ts_ms"),
+            col("purchase_value"))
+      },
+      Some("""
+        SELECT l.event_id, l.user_id, epoch_ms(l.ts) AS ts_ms,
+               epoch_ms(r.ts) AS purchase_ts_ms, r.value AS purchase_value
+        FROM (SELECT * FROM events WHERE event_type <> 'purchase') l
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+          ON l.user_id = r.user_id AND l.ts >= r.ts""")),
+
     // ---- Within-watermark stream dedup, batch twin (q63): deterministic
     // keep-rule (earliest ts, tie → min event_id) makes the streaming
     // operator's keep-first-arrival contract oracle-able; streaming ≡ batch

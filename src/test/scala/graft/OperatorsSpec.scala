@@ -110,4 +110,40 @@ class OperatorsSpec extends SparkSpec {
     val v = (1L to 100L).map(i => i % 10).toDF("x").agg(sel($"x")).as[Int].head()
     assert(v == 10)
   }
+
+  test("asofJoin: backward match, equal-time tie, strict mode, no-match null") {
+    import graft.operators.AsofJoin
+    val left = Seq(
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 5L), (4L, "b", 50L))
+      .toDF("id", "k", "t")
+    val right = Seq(
+      ("a", 10L, "r10"), ("a", 15L, "r15"), ("c", 1L, "rc"))
+      .toDF("k", "rt", "payload")
+
+    val out = AsofJoin.asofJoin(left, right, Seq("k"), "t", "rt",
+        Seq("payload"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(3)).map(_.toString.toLong), Option(r.getString(4))))).toMap
+    assert(out(1L) == ((Some(10L), Some("r10"))))  // equal time matches (<=)
+    assert(out(2L) == ((Some(15L), Some("r15"))))  // latest earlier row
+    assert(out(3L) == ((None, None)))              // nothing at-or-before
+    assert(out(4L) == ((None, None)))              // key with no right rows
+
+    val strict = AsofJoin.asofJoin(left, right, Seq("k"), "t", "rt",
+        Seq("payload"), strict = true)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(4))).toMap
+    assert(strict(1L).isEmpty)            // equal time excluded under <
+    assert(strict(2L) == Some("r15"))
+  }
+
+  test("asofJoin: NULL payload on the matched row stays NULL") {
+    import graft.operators.AsofJoin
+    val left = Seq((1L, "a", 30L)).toDF("id", "k", "t")
+    val right = Seq(("a", 10L, Some("old")), ("a", 20L, None))
+      .toDF("k", "rt", "payload")
+    val r = AsofJoin.asofJoin(left, right, Seq("k"), "t", "rt",
+      Seq("payload")).head()
+    // matched row is t=20 (its null payload must NOT fall through to t=10)
+    assert(r.getLong(3) == 20L && r.isNullAt(4))
+  }
 }
