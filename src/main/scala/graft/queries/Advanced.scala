@@ -295,6 +295,39 @@ object Advanced {
         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
           ON l.user_id = r.user_id AND l.ts >= r.ts""")),
 
+    // ---- Bucketed range join (q66): per user, every event in the hour
+    // BEFORE each purchase. Time joins as part of the equi-join key
+    // (width-sized buckets, left explodes into ≤2), so the plan is a plain
+    // hash join + exact filter — never |key group|² nested loops.
+    Q("q66_range_join",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("ts").as("purchase_ts"))
+        val others = ev.filter(col("event_type") =!= "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("event_type"))
+        graft.operators.RangeJoin.bucketedRangeJoin(
+            purchases, others, Seq("user_id"),
+            "purchase_ts", "ts", lowerMs = -3600000L, upperMs = 0L)
+          .select(col("purchase_id"), col("user_id"), col("event_id"),
+            col("event_type"),
+            unix_millis(col("purchase_ts")).as("purchase_ts_ms"),
+            unix_millis(col("ts")).as("ts_ms"))
+      },
+      Some("""
+        SELECT p.event_id AS purchase_id, p.user_id, e.event_id,
+               e.event_type,
+               epoch_ms(p.ts) AS purchase_ts_ms, epoch_ms(e.ts) AS ts_ms
+        FROM events p JOIN events e
+          ON p.user_id = e.user_id
+         -- compare at epoch-ms granularity exactly like the operator
+         -- (raw ts comparison would see sub-millisecond differences)
+         AND epoch_ms(e.ts) >= epoch_ms(p.ts) - 3600000
+         AND epoch_ms(e.ts) < epoch_ms(p.ts)
+        WHERE p.event_type = 'purchase' AND e.event_type <> 'purchase'""")),
+
     // ---- Within-watermark stream dedup, batch twin (q63): deterministic
     // keep-rule (earliest ts, tie → min event_id) makes the streaming
     // operator's keep-first-arrival contract oracle-able; streaming ≡ batch

@@ -136,6 +136,25 @@ class OperatorsSpec extends SparkSpec {
     assert(strict(2L) == Some("r15"))
   }
 
+  test("bucketedRangeJoin ≡ naive range join, boundaries exact") {
+    import graft.operators.RangeJoin
+    val left = Seq((1L, "a", 1000L), (2L, "a", 5000L), (3L, "b", 1000L))
+      .toDF("lid", "k", "lt")
+    val right = (0L until 40L).map(i => (100L + i, "a", i * 250L))
+      .toDF("rid", "k", "rt")
+    val got = RangeJoin.bucketedRangeJoin(left, right, Seq("k"),
+        "lt", "rt", lowerMs = -1000L, upperMs = 500L)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = left.join(right, Seq("k"))
+      .filter($"rt" >= $"lt" - 1000L && $"rt" < $"lt" + 500L)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive && got.nonEmpty)
+    // window [0, 1500) for lid=1: rt 0,250,...,1250 → 6 matches incl. both
+    // boundaries behaving half-open
+    assert(got.count(_._1 == 1L) == 6)
+    assert(got.count(_._1 == 3L) == 0) // key isolation
+  }
+
   test("asofJoin: NULL payload on the matched row stays NULL") {
     import graft.operators.AsofJoin
     val left = Seq((1L, "a", 30L)).toDF("id", "k", "t")
