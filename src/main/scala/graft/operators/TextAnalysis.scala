@@ -145,6 +145,20 @@ object TextAnalysis {
       regexp_replace(acc, p, tok)
     }
 
+  /** Blocklist filter signals (the C4-style bad-words pass): per-document
+    * count and fraction of tokens on the list, plus a keep flag. Pure
+    * array built-ins, one scan; the list is a broadcast-free literal. */
+  def blocklistSignals(text: Column, words: Seq[String],
+      maxRatio: Double = 0.0): Seq[Column] = {
+    val toks = tokens(text)
+    val n = size(toks).cast("long")
+    val flagged = size(filter(toks,
+      t => array_contains(lit(words.toArray), t))).cast("long")
+    val ratio = when(n > 0, flagged.cast("double") / n).otherwise(lit(0.0))
+    Seq(n.as("n_tokens"), flagged.as("n_flagged"),
+      ratio.as("flagged_ratio"), (ratio <= maxRatio).as("blocklist_keep"))
+  }
+
   /** Corpus vocabulary: top-k tokens by total frequency (ties →
     * lexicographic token order), with document frequency. Partial
     * aggregation map-side, then a TakeOrderedAndProject merge — no global

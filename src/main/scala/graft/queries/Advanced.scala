@@ -328,6 +328,34 @@ object Advanced {
          AND epoch_ms(e.ts) < epoch_ms(p.ts)
         WHERE p.event_type = 'purchase' AND e.event_type <> 'purchase'""")),
 
+    // ---- Rolling per-key window features (q67): trailing 4-event count /
+    // sum / max per user — the feature-engineering shape. Partitioned
+    // window only (no global sort); decimal-exact sums. Both engines order
+    // by the SAME microsecond timestamps (Spark's parquet read truncates
+    // ns→µs; the twin orders by epoch_us) with event_id tiebreak.
+    Q("q67_rolling_features",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-3, Window.currentRow)
+        t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            dec2(col("value")).as("v"))
+          .select(col("event_id"), col("user_id"),
+            unix_millis(col("ts")).as("ts_ms"),
+            count(lit(1)).over(w).as("n_win"),
+            sum(col("v")).over(w).cast("double").as("sum_win"),
+            max(col("v")).over(w).cast("double").as("max_win"))
+      },
+      Some("""
+        SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+          COUNT(*) OVER w AS n_win,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_win,
+          CAST(MAX(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS max_win
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""")),
+
     // ---- Within-watermark stream dedup, batch twin (q63): deterministic
     // keep-rule (earliest ts, tie → min event_id) makes the streaming
     // operator's keep-first-arrival contract oracle-able; streaming ≡ batch

@@ -926,6 +926,37 @@ object Pipeline {
         FROM r"""
       }),
 
+    // ---- Blocklist (bad-words) filter, C4-style: token-level hit count,
+    // fraction, and keep flag against a literal list.
+    Q("t09_blocklist_filter",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        d.select((col("doc_id") +: TextAnalysis.blocklistSignals(
+          col("text"), Seq("dup", "spam", "error"), maxRatio = 0.05)): _*)
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, list_filter(string_split(
+            trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')), ' '),
+            x -> len(x) > 0) AS toks
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(toks) AS BIGINT) AS n_tokens,
+          CAST(len(list_filter(toks,
+            t -> list_contains(['dup', 'spam', 'error'], t))) AS BIGINT)
+            AS n_flagged,
+          CASE WHEN len(toks) > 0
+               THEN CAST(len(list_filter(toks,
+                 t -> list_contains(['dup', 'spam', 'error'], t))) AS DOUBLE)
+                 / len(toks)
+               ELSE 0.0 END AS flagged_ratio,
+          (CASE WHEN len(toks) > 0
+                THEN CAST(len(list_filter(toks,
+                  t -> list_contains(['dup', 'spam', 'error'], t))) AS DOUBLE)
+                  / len(toks)
+                ELSE 0.0 END) <= 0.05 AS blocklist_keep
+        FROM tok""")),
+
     // ---- Corpus vocabulary: top-k tokens by total frequency with document
     // frequency — partial agg map-side, TakeOrderedAndProject merge (no
     // global sort at any corpus size); ties break lexicographically.

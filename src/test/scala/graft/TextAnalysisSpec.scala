@@ -198,6 +198,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getString(5) == "ping <EMAIL> now")
   }
 
+  test("blocklist filter: counts, ratio, keep threshold, empty doc") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "good words spam more spam"),   // 2/5 flagged
+      (2L, "all clean text here"),
+      (3L, " ")).toDF("id", "text")
+    val out = docs.select(
+      ($"id" +: TextAnalysis.blocklistSignals($"text", Seq("spam", "bad"),
+        maxRatio = 0.2)): _*)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out(1L) == ((5L, 2L, 0.4, false)))
+    assert(out(2L) == ((4L, 0L, 0.0, true)))
+    assert(out(3L) == ((0L, 0L, 0.0, true)))
+  }
+
   test("topTokens: frequency order, lexicographic ties, doc frequency") {
     import spark.implicits._
     import graft.operators.TextAnalysis
