@@ -40,7 +40,11 @@ object Bench {
     "s04_ann_quantized",         // pipeline: int8-quantized ANN
     "t07_pii_redact",            // pipeline: regex PII redaction
     "t08_vocab_topk",            // pipeline: corpus vocabulary top-k
-    "u04_pack_sequences")        // pipeline: sequence packing
+    "u04_pack_sequences",        // pipeline: sequence packing
+    "q65_asof_join",             // time-series: backward as-of join
+    "q66_range_join",            // time-series: bucketed range join
+    "q67_rolling_features",      // time-series: rolling window features
+    "t09_blocklist_filter")      // pipeline: blocklist filter
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
