@@ -57,4 +57,30 @@ class PlanSpec extends SparkSpec {
     val p = plan("q16_distinct_multi")
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)
   }
+
+  test("q66 range join plans as an equi-join on (key, bucket), never nested loops") {
+    val p = plan("q66_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p) // the degeneracy the bucketing exists to avoid
+    assert(p.contains("__bkt"), p) // time bucket is part of the join key
+  }
+
+  test("q65 as-of join: per-key window only, no global sort or nested loops") {
+    val p = plan("q65_asof_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("Window"), p)
+    // every sort is partition-local under a hash partitioning on user_id,
+    // never a rangepartitioning(=global) sort
+    assert(!p.contains("rangepartitioning"), p)
+  }
+
+  test("t08 vocab top-k plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("t08_vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("t07 PII scan has no exchange at all") {
+    val p = plan("t07_pii_redact")
+    assert(!p.contains("Exchange"), p)
+  }
 }
