@@ -328,6 +328,44 @@ object Advanced {
          AND epoch_ms(e.ts) < epoch_ms(p.ts)
         WHERE p.event_type = 'purchase' AND e.event_type <> 'purchase'""")),
 
+    // ---- ROLLUP hierarchy totals (q68, beyond-reference OLAP surface):
+    // subtotals per (status, priority), per status, and grand total in one
+    // pass — Spark expands grouping sets before the partial aggregate, so
+    // it stays one shuffle. Decimal-exact sums.
+    Q("q68_rollup",
+      (s, dir) => t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          dsum(dec2(col("o_totalprice"))).as("total")),
+      Some(s"""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               ${dsumSql(dec2Sql("o_totalprice"))} AS total
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""")),
+
+    // ---- PIVOT to wide per-user event counts (q69): explicit value list
+    // (the distributed contract — no driver-side distinct scan), absent
+    // combinations coalesced to 0 to match conditional-aggregation
+    // semantics.
+    Q("q69_pivot",
+      (s, dir) => {
+        val types = Seq("click", "view", "purchase", "error", "signup")
+        val wide = t(s, dir, "events")
+          .groupBy(col("user_id"))
+          .pivot("event_type", types)
+          .agg(count(lit(1)))
+        wide.select(col("user_id") +:
+          types.map(tp => coalesce(col(tp), lit(0L)).as(s"n_$tp")): _*)
+      },
+      Some("""
+        SELECT user_id,
+               COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+               COUNT(*) FILTER (WHERE event_type = 'view') AS n_view,
+               COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+               COUNT(*) FILTER (WHERE event_type = 'error') AS n_error,
+               COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup
+        FROM events GROUP BY user_id""")),
+
     // ---- Rolling per-key window features (q67): trailing 4-event count /
     // sum / max per user — the feature-engineering shape. Partitioned
     // window only (no global sort); decimal-exact sums. Both engines order
