@@ -72,13 +72,18 @@ object Sampling {
     df.filter(permilleBucket(col(idCol)) < rate)
   }
 
+  /** Knuth multiplicative bucket in [0, 10^6) — same overflow-safe shape
+    * as [[permilleBucket]], finer range (shuffle keys, uniforms). */
+  private def bucket1M(id: Column): Column =
+    pmod(pmod(id.cast("long"), lit(1000000L)) * lit(2654435761L),
+      lit(1000000L))
+
   /** Deterministic uniform in (0, 1]: Knuth bucket over [0, 10^6) shifted
     * to [1, 10^6], divided in double. Every step (long→double, /10^6) is a
     * single correctly-rounded IEEE op, so the value is bit-identical in any
     * engine — the property that lets a weighted sample be hash-verified. */
   private def hashUniform(id: Column): Column =
-    (pmod(pmod(id.cast("long"), lit(1000000L)) * lit(2654435761L),
-      lit(1000000L)) + 1).cast("double") / lit(1000000.0)
+    (bucket1M(id) + 1).cast("double") / lit(1000000.0)
 
   /** Priority sampling (Duffield, Lund & Thorup, JACM'07): a deterministic
     * weight-sensitive sample of k rows. Each row gets priority = weight/u
@@ -97,6 +102,38 @@ object Sampling {
         col(weightCol).cast("double") / hashUniform(col(idCol)))
       .orderBy(col("priority").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Deterministic corpus shuffle (the pretraining epoch permutation):
+    * every row gets a stable `shuffle_pos` = its rank under
+    * (hash(id), id) order — re-runs, re-ingests, and different cluster
+    * sizes all agree, unlike orderBy(rand()). The sort is a range
+    * partition (scales like any distributed sort); the numbering is the
+    * two-phase per-partition-offset fill — no single-partition window at
+    * any corpus size. */
+  def shuffleDeterministic(df: DataFrame, idCol: String): DataFrame = {
+    requireIntegralId(df, idCol)
+    require(!df.columns.contains("shuffle_pos"),
+      "input already has a 'shuffle_pos' column (the operator's output)")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val sorted = df.withColumn("__bk", bucket1M(col(idCol)))
+      .repartitionByRange(col("__bk"), col(idCol))
+      .sortWithinPartitions(col("__bk"), col(idCol))
+      .drop("__bk")
+      .transform(graft.core.Checkpoint.cut)
+    val schema = sorted.schema
+    val rdd = sorted.rdd
+    val sizes = rdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = sizes.scanLeft(0L)(_ + _)
+    val numbered = rdd.mapPartitionsWithIndex { (i, it) =>
+      var pos = offsets(i)
+      it.map { r => val row = Row.fromSeq(r.toSeq :+ pos); pos += 1; row }
+    }
+    df.sparkSession.createDataFrame(numbered,
+      schema.add("shuffle_pos", LongType, nullable = false))
   }
 
   /** Concat-then-chunk sequence packing (the standard pretraining batch

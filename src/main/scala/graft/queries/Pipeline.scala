@@ -1024,6 +1024,20 @@ object Pipeline {
         SELECT doc_id, n_chars, priority
         FROM b ORDER BY priority DESC, doc_id LIMIT 100""")),
 
+    // ---- Deterministic corpus shuffle (u05): the pretraining epoch
+    // permutation as a pure function of the id — rank under (knuth-hash,
+    // id) order, numbered by per-partition offsets (no global window).
+    Q("u05_corpus_shuffle",
+      (s, dir) => graft.operators.Sampling.shuffleDeterministic(
+          t(s, dir, "documents"), "doc_id")
+        .select(col("doc_id"), col("shuffle_pos")),
+      Some("""
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY
+                 ((((doc_id % 1000000) + 1000000) % 1000000) * 2654435761)
+                   % 1000000, doc_id) - 1 AS shuffle_pos
+        FROM documents""")),
+
     // ---- Concat-then-chunk sequence packing: exclusive token prefix sum
     // in doc_id order → bin = offset / budget. No single-partition window:
     // range repartition + per-partition offsets (a Long per partition

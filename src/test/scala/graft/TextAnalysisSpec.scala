@@ -148,6 +148,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a == b && a.size == 50 && a.contains(123L))
   }
 
+  test("shuffleDeterministic: a stable permutation, partition-count invariant") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val a = Sampling.shuffleDeterministic(
+        (0L until 300L).toDF("id").repartition(7), "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b = Sampling.shuffleDeterministic(
+        (0L until 300L).toDF("id").repartition(2), "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a == b)                                   // cluster-size invariant
+    assert(a.values.toSeq.sorted == (0L until 300L)) // a true permutation
+    assert(a.toSeq.sortBy(_._2).map(_._1) != (0L until 300L).toSeq) // shuffled
+  }
+
   test("packSequences: exclusive prefix sum in id order, bin boundaries") {
     import spark.implicits._
     import graft.operators.Sampling
