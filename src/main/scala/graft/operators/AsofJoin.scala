@@ -36,15 +36,28 @@ object AsofJoin {
     require(clash.isEmpty,
       s"right payload columns ${clash.mkString(", ")} already exist on the " +
         "left side — alias them before joining")
+    val reserved = Set("__t", "__side", "__m", "__asof_time") ++
+      payloadCols.map(c => s"__p_$c")
+    val taken = (left.columns ++ right.columns).filter(reserved).distinct
+    require(taken.isEmpty,
+      s"input columns ${taken.mkString(", ")} collide with the operator's " +
+        "internal/output names — rename them first")
 
     // right rows sort before left at equal time (<=); after it when strict
     val rightSide = if (strict) 2 else 0
     val l = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
-    val r = right.select(
-      (keyCols.map(col) :+ col(rightTime).as("__t")) ++
-        payloadCols.map(c => col(c).as(s"__p_$c")): _*)
+    // SQL as-of semantics: a NULL right time satisfies no inequality, so
+    // those rows can never match — drop them (they would otherwise sort
+    // nulls-first and be carried forward as phantom matches). A NULL LEFT
+    // time also sorts first, sees no surviving right row, and correctly
+    // yields a NULL match.
+    val r = right
+      .filter(col(rightTime).isNotNull)
+      .select(
+        (keyCols.map(col) :+ col(rightTime).as("__t")) ++
+          payloadCols.map(c => col(c).as(s"__p_$c")): _*)
       .withColumn("__side", lit(rightSide))
 
     val unioned = l.unionByName(r, allowMissingColumns = true)

@@ -149,7 +149,10 @@ object Dml {
     }
     val rdd = df.rdd
     val sizes = rdd
-      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+      // count in Long (Iterator.size is an Int and would wrap on a
+      // >2^31-row partition)
+      .mapPartitionsWithIndex((i, it) =>
+        Iterator((i, it.foldLeft(0L)((n, _) => n + 1))))
       .collect().sortBy(_._1).map(_._2)
     val offsets = sizes.scanLeft(0L)(_ + _)
     val filled = rdd.mapPartitionsWithIndex { (i, it) =>

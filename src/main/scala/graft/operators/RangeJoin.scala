@@ -29,6 +29,11 @@ object RangeJoin {
     require(overlap.isEmpty,
       s"non-key columns ${overlap.mkString(", ")} exist on both sides — " +
         "alias one side first (the equi-join would silently merge them)")
+    val reserved = Set("__lt", "__rt", "__bkt", "__lo", "__hi")
+    val taken = (left.columns ++ right.columns).filter(reserved).distinct
+    require(taken.isEmpty,
+      s"input columns ${taken.mkString(", ")} collide with the operator's " +
+        "internal names — rename them first")
     val width = upperMs - lowerMs
 
     // timestamp columns convert to epoch millis; numeric columns are
@@ -44,19 +49,22 @@ object RangeJoin {
     // exact integer floorDiv — (a - pmod(a, w)) / w — keeps negative epochs
     // and bucket boundaries exact; the left window [lt+lower, lt+upper)
     // spans at most 2 width-sized buckets
-    // Spark's `/` is true division (double) — the numerator is an exact
-    // multiple of width and epoch-ms magnitudes sit far below 2^53, so the
-    // quotient is an exact integer; cast restores the long type
-    def bkt(a: Column): Column =
-      ((a - pmod(a, lit(width))) / lit(width)).cast("long")
-    val loBkt = bkt(lt + lit(lowerMs))
-    val hiBkt = bkt(lt + lit(upperMs) - 1)
+    // pure long arithmetic end to end: (a - pmod(a,w)) is the floor
+    // multiple, and SQL `div` divides it exactly in integer space — no
+    // double round-trip, so caller-unit times beyond 2^53 (e.g. epoch
+    // nanos) still bucket correctly
+    def bkt(c: String): Column =
+      expr(s"($c - pmod($c, ${width}L)) div ${width}L")
     val l = left
       .withColumn("__lt", lt)
-      .withColumn("__bkt", explode(array_distinct(array(loBkt, hiBkt))))
+      .withColumn("__lo", col("__lt") + lit(lowerMs))
+      .withColumn("__hi", col("__lt") + lit(upperMs) - 1)
+      .withColumn("__bkt",
+        explode(array_distinct(array(bkt("__lo"), bkt("__hi")))))
+      .drop("__lo", "__hi")
     val r = right
       .withColumn("__rt", rt)
-      .withColumn("__bkt", bkt(rt))
+      .withColumn("__bkt", bkt("__rt"))
 
     l.join(r, keyCols :+ "__bkt")
       .filter(col("__rt") >= col("__lt") + lit(lowerMs) &&

@@ -113,8 +113,10 @@ object Sampling {
     * any corpus size. */
   def shuffleDeterministic(df: DataFrame, idCol: String): DataFrame = {
     requireIntegralId(df, idCol)
-    require(!df.columns.contains("shuffle_pos"),
-      "input already has a 'shuffle_pos' column (the operator's output)")
+    val taken = df.columns.filter(Set("shuffle_pos", "__bk")).distinct
+    require(taken.isEmpty,
+      s"input columns ${taken.mkString(", ")} collide with the operator's " +
+        "internal/output names — rename them first")
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val sorted = df.withColumn("__bk", bucket1M(col(idCol)))
@@ -123,14 +125,10 @@ object Sampling {
       .drop("__bk")
       .transform(graft.core.Checkpoint.cut)
     val schema = sorted.schema
-    val rdd = sorted.rdd
-    val sizes = rdd
-      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
-      .collect().sortBy(_._1).map(_._2)
-    val offsets = sizes.scanLeft(0L)(_ + _)
-    val numbered = rdd.mapPartitionsWithIndex { (i, it) =>
-      var pos = offsets(i)
-      it.map { r => val row = Row.fromSeq(r.toSeq :+ pos); pos += 1; row }
+    // zipWithIndex IS the two-phase count-then-offset fill (and counts in
+    // Long, so >2^31-row partitions number correctly)
+    val numbered = sorted.rdd.zipWithIndex().map { case (r, pos) =>
+      Row.fromSeq(r.toSeq :+ pos)
     }
     df.sparkSession.createDataFrame(numbered,
       schema.add("shuffle_pos", LongType, nullable = false))
@@ -153,6 +151,10 @@ object Sampling {
   def packSequences(df: DataFrame, idCol: String, tokensCol: String,
       budgetTokens: Long): DataFrame = {
     require(budgetTokens > 0, "budgetTokens must be positive")
+    val taken = df.columns.filter(Set("tok_offset", "bin")).distinct
+    require(taken.isEmpty,
+      s"input columns ${taken.mkString(", ")} collide with the operator's " +
+        "output names — rename them first")
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val ordered = df.repartitionByRange(col(idCol))

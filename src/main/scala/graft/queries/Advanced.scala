@@ -293,7 +293,10 @@ object Advanced {
                epoch_ms(r.ts) AS purchase_ts_ms, r.value AS purchase_value
         FROM (SELECT * FROM events WHERE event_type <> 'purchase') l
         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
-          ON l.user_id = r.user_id AND l.ts >= r.ts""")),
+          -- compare at the microsecond granularity Spark reads parquet ns
+          -- timestamps at (same class of fix as q66/q67): raw ns would
+          -- order same-microsecond events differently than the operator
+          ON l.user_id = r.user_id AND epoch_us(l.ts) >= epoch_us(r.ts)""")),
 
     // ---- Bucketed range join (q66): per user, every event in the hour
     // BEFORE each purchase. Time joins as part of the equi-join key

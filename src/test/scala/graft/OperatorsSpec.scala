@@ -165,4 +165,30 @@ class OperatorsSpec extends SparkSpec {
     // matched row is t=20 (its null payload must NOT fall through to t=10)
     assert(r.getLong(3) == 20L && r.isNullAt(4))
   }
+
+  test("asofJoin: NULL times never match (SQL inequality semantics)") {
+    import graft.operators.AsofJoin
+    val left = Seq((1L, "a", Some(30L)), (2L, "a", None)).toDF("id", "k", "t")
+    val right = Seq(("a", None: Option[Long], "phantom"), ("a", Some(20L), "real"))
+      .toDF("k", "rt", "payload")
+    val out = AsofJoin.asofJoin(left, right, Seq("k"), "t", "rt",
+        Seq("payload"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(4))).toMap
+    assert(out(1L) == Some("real")) // NULL-time right row is invisible
+    assert(out(2L).isEmpty)         // NULL-time left row matches nothing
+  }
+
+  test("bucketedRangeJoin: exact buckets beyond 2^53 (epoch-nanos units)") {
+    import graft.operators.RangeJoin
+    val base = 1704067200000000000L // epoch ns, > 2^53
+    val left = Seq((1L, "a", base)).toDF("lid", "k", "lt")
+    val right = Seq((10L, "a", base - 999L), (11L, "a", base - 1000L),
+        (12L, "a", base + 1L))
+      .toDF("rid", "k", "rt")
+    val got = RangeJoin.bucketedRangeJoin(left, right, Seq("k"),
+        "lt", "rt", lowerMs = -1000L, upperMs = 1L) // caller units: ns
+      .select("rid").collect().map(_.getLong(0)).toSet
+    // [base-1000, base+1): rid 10 and 11 in, 12 out (half-open upper)
+    assert(got == Set(10L, 11L))
+  }
 }
