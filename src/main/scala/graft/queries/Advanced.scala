@@ -346,6 +346,22 @@ object Advanced {
         FROM orders
         GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""")),
 
+    // ---- CUBE with GROUPING() disambiguation (q70): all four grouping
+    // sets in one pass; grouping() flags distinguish rolled-up NULLs from
+    // data NULLs — the piece ROLLUP output alone can't express.
+    Q("q70_cube",
+      (s, dir) => t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          grouping(col("o_orderstatus")).as("g_status"),
+          grouping(col("o_orderpriority")).as("g_priority")),
+      Some("""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               CAST(GROUPING(o_orderstatus) AS TINYINT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS TINYINT) AS g_priority
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)""")),
+
     // ---- PIVOT to wide per-user event counts (q69): explicit value list
     // (the distributed contract — no driver-side distinct scan), absent
     // combinations coalesced to 0 to match conditional-aggregation

@@ -70,6 +70,34 @@ object ScaleStress {
     }
     println("[stress] quantized ann rows=" + qann)
 
+    // 10x events: the time-series joins (1M rows) — as-of carry-forward
+    // and bucketed range join — under dense per-user histories
+    val ev = graft.core.Tables.load(spark, dir, "events")
+    val bigEv = (0 until 10).map(i =>
+        ev.select((col("event_id") * 10 + i).as("event_id"), col("ts"),
+          col("user_id"), col("event_type"), col("value")))
+      .reduce(_ union _).localCheckpoint(true)
+    println("[stress] events=" + bigEv.count())
+    val asof = time("asof-join-1M") {
+      graft.operators.AsofJoin.asofJoin(
+        bigEv.filter(col("event_type") =!= "purchase")
+          .select(col("event_id"), col("user_id"), col("ts")),
+        bigEv.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("pts"), col("value").as("pv")),
+        Seq("user_id"), "ts", "pts", Seq("pv")).count()
+    }
+    println("[stress] asof rows=" + asof)
+    val rng = time("range-join-1M") {
+      graft.operators.RangeJoin.bucketedRangeJoin(
+        bigEv.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("pid"), col("user_id"),
+            col("ts").as("pts")),
+        bigEv.filter(col("event_type") =!= "purchase")
+          .select(col("event_id"), col("user_id"), col("ts")),
+        Seq("user_id"), "pts", "ts", -3600000L, 0L).count()
+    }
+    println("[stress] range rows=" + rng)
+
     // 10x lineitem (6M rows ≈ SF1): relational headliners, noop sink
     val li = graft.core.Tables.load(spark, dir, "lineitem")
     val bigLi = (0 until 10).map(i =>
