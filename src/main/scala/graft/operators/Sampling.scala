@@ -104,6 +104,26 @@ object Sampling {
       .limit(k)
   }
 
+  /** Per-stratum priority sample: the k weighted winners of EACH stratum
+    * (balanced per-language/source samples — the corpus-audit shape),
+    * same deterministic priority = weight / hash-uniform(id) as
+    * [[prioritySample]]. Runs through the custom bounded-heap
+    * [[graft.plans.TopKPerKey]] operator (strata are bounded-cardinality
+    * keys — its contract), so no per-stratum full sort materializes. */
+  def stratifiedPrioritySample(df: DataFrame, idCol: String,
+      weightCol: String, strataCol: String, kPerStratum: Int): DataFrame = {
+    require(kPerStratum > 0, "kPerStratum must be positive")
+    requireIntegralId(df, idCol)
+    val taken = df.columns.filter(Set("priority", "rank")).distinct
+    require(taken.isEmpty,
+      s"input columns ${taken.mkString(", ")} collide with the operator's " +
+        "output names — rename them first")
+    val scored = df.withColumn("priority",
+      col(weightCol).cast("double") / hashUniform(col(idCol)))
+    graft.plans.TopKPerKey(scored, Seq(strataCol),
+      Seq(("priority", true), (idCol, false)), kPerStratum)
+  }
+
   /** Deterministic corpus shuffle (the pretraining epoch permutation):
     * every row gets a stable `shuffle_pos` = its rank under
     * (hash(id), id) order — re-runs, re-ingests, and different cluster

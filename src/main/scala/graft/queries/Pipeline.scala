@@ -1024,6 +1024,27 @@ object Pipeline {
         SELECT doc_id, n_chars, priority
         FROM b ORDER BY priority DESC, doc_id LIMIT 100""")),
 
+    // ---- Per-stratum priority sample (u06): k weighted winners per
+    // language, via the custom bounded-heap TopKPerKeyExec (no per-stratum
+    // full sort).
+    Q("u06_stratified_priority_sample",
+      (s, dir) => graft.operators.Sampling.stratifiedPrioritySample(
+          t(s, dir, "documents")
+            .select(col("doc_id"), col("lang"), col("n_chars")),
+          "doc_id", "n_chars", "lang", kPerStratum = 30),
+      Some("""
+        WITH b AS (
+          SELECT doc_id, lang, n_chars,
+            CAST(n_chars AS DOUBLE) /
+              (CAST(((((doc_id % 1000000) + 1000000) % 1000000)
+                 * 2654435761) % 1000000 + 1 AS DOUBLE) / 1000000.0)
+              AS priority
+          FROM documents)
+        SELECT doc_id, lang, n_chars, priority,
+               CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                 ORDER BY priority DESC, doc_id) AS INT) AS rank
+        FROM b QUALIFY rank <= 30""")),
+
     // ---- Deterministic corpus shuffle (u05): the pretraining epoch
     // permutation as a pure function of the id — rank under (knuth-hash,
     // id) order, numbered by per-partition offsets (no global window).

@@ -148,6 +148,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a == b && a.size == 50 && a.contains(123L))
   }
 
+  test("stratified priority sample: k winners per stratum, heavy row kept") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val rows = (0L until 300L).map(i =>
+      (i, Seq("en", "de", "fr")((i % 3).toInt),
+        if (i == 42L) 100000L else 10L)).toDF("id", "lang", "w")
+    val out = Sampling.stratifiedPrioritySample(rows, "id", "w", "lang", 5)
+      .collect().map(r => (r.getString(1), r.getLong(0))).groupBy(_._1)
+    assert(out.keySet == Set("en", "de", "fr"))
+    assert(out.values.forall(_.length == 5)) // exactly k per stratum
+    // the overwhelming-weight row (id 42, lang "en") always sampled
+    assert(out("en").exists(_._2 == 42L))
+    val again = Sampling.stratifiedPrioritySample(rows, "id", "w", "lang", 5)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(again == out.values.flatten.toSet) // deterministic
+  }
+
   test("shuffleDeterministic: a stable permutation, partition-count invariant") {
     import spark.implicits._
     import graft.operators.Sampling
