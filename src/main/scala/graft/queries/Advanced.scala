@@ -362,6 +362,26 @@ object Advanced {
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)""")),
 
+    // ---- Explicit GROUPING SETS (q71): an asymmetric set list —
+    // {(status, priority), (priority), ()} — the form neither ROLLUP nor
+    // CUBE can express; still one expand + one shuffle.
+    Q("q71_grouping_sets",
+      (s, dir) => t(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderpriority")), Seq.empty[org.apache.spark.sql.Column]),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          grouping(col("o_orderstatus")).as("g_status"),
+          grouping(col("o_orderpriority")).as("g_priority")),
+      Some("""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               CAST(GROUPING(o_orderstatus) AS TINYINT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS TINYINT) AS g_priority
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderpriority), ())""")),
+
     // ---- PIVOT to wide per-user event counts (q69): explicit value list
     // (the distributed contract — no driver-side distinct scan), absent
     // combinations coalesced to 0 to match conditional-aggregation
