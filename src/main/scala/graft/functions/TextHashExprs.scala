@@ -65,6 +65,31 @@ object TextHashKernels {
     new GenericArrayData(arr)
   }
 
+  /** Fixed-size word segments of normalized (single-spaced, trimmed) text:
+    * one scan, segments as substrings between word boundaries; a trailing
+    * partial segment is emitted (slice semantics). Empty text → empty. */
+  def wordSegments(input: UTF8String, w: Int): ArrayData = {
+    val s = input.toString
+    val n = s.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val out = new scala.collection.mutable.ArrayBuffer[AnyRef](16)
+    var segStart = 0
+    var words = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || s.charAt(i) == ' ') {
+        words += 1
+        if (words == w || i == n) {
+          out += UTF8String.fromString(s.substring(segStart, i))
+          words = 0
+          segStart = i + 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray[AnyRef].asInstanceOf[Array[Any]])
+  }
+
   /** Fraction of positions where two equal-length long arrays agree. */
   def matchingFraction(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
@@ -254,6 +279,27 @@ case class MinHashSig(child: Expression, numHashes: Int, seed: Long)
     copy(child = newChild)
 }
 
+/** Fixed-size word segments of NORMALIZED text (single-spaced, trimmed):
+  * every run of `w` words, as the exact substring between word boundaries
+  * — equal to concat_ws(" ", slice(tokens, i, w)) but one scan of the
+  * string instead of a token array + interpreted per-segment lambdas. */
+case class WordSegments(child: Expression, w: Int) extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "word_segments"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashKernels.wordSegments(input.asInstanceOf[UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashKernels.wordSegments($c, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordSegments =
+    copy(child = newChild)
+}
+
 /** Winnowing fingerprint: k-shingle rolling-hash stream → min per sliding
   * window of w (classic monotone-deque, O(n)) → distinct set. */
 case class WinnowFingerprint(child: Expression, k: Int, w: Int)
@@ -280,6 +326,8 @@ object TextHashExprs {
     GraftColumnBridge.column(MinHashSig(GraftColumnBridge.expression(c), numHashes, seed))
   def winnowFingerprint(c: Column, k: Int, w: Int): Column =
     GraftColumnBridge.column(WinnowFingerprint(GraftColumnBridge.expression(c), k, w))
+  def wordSegments(c: Column, w: Int): Column =
+    GraftColumnBridge.column(WordSegments(GraftColumnBridge.expression(c), w))
   def jaccardSorted(a: Column, b: Column): Column =
     GraftColumnBridge.column(JaccardSorted(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))

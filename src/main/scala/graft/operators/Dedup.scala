@@ -411,16 +411,13 @@ object Dedup {
       segWords: Int = 10, maxDocFreq: Int = 1): DataFrame = {
     require(segWords > 0, "segWords must be positive")
     require(maxDocFreq >= 1, "maxDocFreq must be >= 1")
-    val toks = graft.operators.TextAnalysis.tokens(col(textCol))
-    val w = lit(segWords)
+    // codegen'd one-scan segmenter (on normalized text, segments are plain
+    // substrings between word boundaries — no token array, no interpreted
+    // per-segment lambdas); the cut still matters: the arrays feed three
+    // plan branches (doc-frequency, survivor anti-join, totals)
     val base = df.select(col(idCol).as("__doc"),
-      when(size(toks) > 0,
-        transform(sequence(lit(1), size(toks), w),
-          i => concat_ws(" ", slice(toks, i, w))))
-        .otherwise(array().cast("array<string>")).as("__segs"))
-      // segment construction (interpreted higher-order lambdas) feeds three
-      // plan branches (doc-frequency, survivor anti-join, totals) — cut the
-      // lineage so it computes once, not per branch
+      graft.functions.TextHashExprs.wordSegments(
+        normalize(col(textCol)), segWords).as("__segs"))
       .transform(graft.core.Checkpoint.cut)
     val segs = base.select(col("__doc"),
       posexplode(col("__segs")).as(Seq("__idx", "__seg")))

@@ -47,6 +47,21 @@ class CodegenSpec extends SparkSpec {
     assert(generated.size == 5)
   }
 
+  test("word_segments under forced codegen ≡ token-slice composition") {
+    import graft.functions.TextHashExprs
+    val texts = Seq((1L, "a b c d e f g"), (2L, "one two"), (3L, " "),
+      (4L, "x")).toDF("id", "text")
+    def segs() = texts.select($"id",
+        TextHashExprs.wordSegments(Dedup.normalize($"text"), 3).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    val generated = forced(segs())
+    assert(generated == segs())
+    assert(generated(1L) == List("a b c", "d e f", "g")) // trailing partial
+    assert(generated(2L) == List("one two"))
+    assert(generated(3L) == Nil) // whitespace-only normalizes to empty
+    assert(generated(4L) == List("x"))
+  }
+
   test("vector expressions (dot_product, quantize_int8) under forced codegen") {
     import graft.functions.VecExprs
     val vecs = Seq(
