@@ -124,6 +124,47 @@ object Sampling {
       Seq(("priority", true), (idCol, false)), kPerStratum)
   }
 
+  /** Temperature-based domain rebalancing (the multilingual-mixture shape:
+    * per-domain quota ∝ count^(1/T) with T=2, i.e. √count — flattens the
+    * head, keeps the tail; √ because `sqrt` is a correctly-rounded IEEE op
+    * everywhere, unlike `pow`). Emits the `budget`-sized sample: each
+    * stratum's `quota = floor(budget · √n_s / Σ√n)` deterministic winners
+    * by hash-uniform priority (ties → smaller id).
+    *
+    * Determinism discipline: the only cross-stratum float reduction (Σ√n)
+    * folds left-to-right over the SORTED weights (strata are
+    * bounded-cardinality, so the collect_list is a few doubles) — an
+    * unordered SUM() could differ in the last bit between engines. The
+    * per-stratum top-quota runs through the bounded-heap
+    * [[graft.plans.TopKPerKey]] at k = budget (quota ≤ budget always),
+    * then filters rank ≤ quota — no per-stratum full sort. */
+  def temperatureRebalance(df: DataFrame, idCol: String, strataCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0 && budget <= Int.MaxValue,
+      "budget must be in (0, Int.MaxValue] (it bounds the per-stratum heap)")
+    requireIntegralId(df, idCol)
+    val taken = df.columns.filter(Set("rank", "quota", "n_docs", "__u"))
+    require(taken.isEmpty,
+      s"input columns ${taken.mkString(", ")} collide with the operator's " +
+        "internal/output names — rename them first")
+    val counts = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("__w", sqrt(col("n_docs").cast("double")))
+    val total = counts.agg(
+      aggregate(array_sort(collect_list(col("__w"))), lit(0.0),
+        (a, x) => a + x).as("__wtot"))
+    val plan = counts.crossJoin(total)
+      .select(col(strataCol), col("n_docs"),
+        floor(lit(budget.toDouble) * col("__w") / col("__wtot"))
+          .cast("long").as("quota"))
+    val ranked = graft.plans.TopKPerKey(
+      df.withColumn("__u", hashUniform(col(idCol))),
+      Seq(strataCol), Seq(("__u", false), (idCol, false)), budget.toInt)
+    ranked.join(broadcast(plan), Seq(strataCol))
+      .filter(col("rank") <= col("quota"))
+      .drop("__u")
+  }
+
   /** Deterministic corpus shuffle (the pretraining epoch permutation):
     * every row gets a stable `shuffle_pos` = its rank under
     * (hash(id), id) order — re-runs, re-ingests, and different cluster

@@ -237,6 +237,45 @@ object Similarity {
       Seq(("qcos_sim", true), ("neighbor_id", false)), k)
   }
 
+  /** k-NN graph over the whole corpus: each vector's top-k approximate
+    * cosine neighbors (the backbone of embedding-cluster dedup, corpus
+    * visualization, and graph-based semdedup passes). Candidates = pairs
+    * sharing an LSH bucket in ≥1 table (the same multi-table hyperplane
+    * scheme as [[lshTopK]], but SELF-join: no broadcast side — both sides
+    * are the corpus, so the join is a shuffle equi-join on (table, bucket)
+    * and per-node work scales with bucket occupancy, not corpus size).
+    * Exact cosine re-ranks candidates; per-node top-k runs through the
+    * bounded-heap [[graft.plans.TopKPerKey]] (no per-node full sort).
+    * Output: (node_id, neighbor_id, cos_sim, rank), ties → smaller id.
+    */
+  def knnGraph(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int, dim: Int = 64, bitsPerTable: Int = 6, tables: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val planesPerTable = (0 until tables).map(t =>
+      hyperplanes(dim, bitsPerTable, seed + 200 + t))
+    val b = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      norm(col(vecCol)).as("__n"), // norm once per vector
+      posexplode(array(planesPerTable.map(p => lshBucket(col(vecCol), p)): _*))
+        .as(Seq("__tbl", "__bkt")))
+      .transform(graft.core.Checkpoint.cut) // reused by both join sides
+    val l = b.select(col("__tbl"), col("__bkt"), col("__id").as("node_id"),
+      col("__v").as("__va"), col("__n").as("__na"))
+    val r = b.select(col("__tbl").as("__t2"), col("__bkt").as("__b2"),
+      col("__id").as("neighbor_id"), col("__v").as("__vb"), col("__n").as("__nb"))
+    val cand = l.join(r,
+        col("__tbl") === col("__t2") && col("__bkt") === col("__b2") &&
+          col("node_id") =!= col("neighbor_id"))
+      .select(col("node_id"), col("neighbor_id"), col("__va"), col("__vb"),
+        col("__na"), col("__nb"))
+      .distinct() // a pair may share buckets in several tables
+      .withColumn("cos_sim",
+        dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+      .select(col("node_id"), col("neighbor_id"), col("cos_sim"))
+    graft.plans.TopKPerKey(cand, Seq("node_id"),
+      Seq(("cos_sim", true), ("neighbor_id", false)), k)
+  }
+
   /** Embedding near-duplicate pairs: all (a<b) with cosine ≥ threshold,
     * candidates from shared LSH buckets (any table). */
   def embeddingNearDupPairs(

@@ -159,6 +159,77 @@ object TextAnalysis {
       ratio.as("flagged_ratio"), (ratio <= maxRatio).as("blocklist_keep"))
   }
 
+  /** Character trigrams of the normalized text (overlapping, order kept).
+    * Pure array expression — one `sequence` + `transform` per row, no UDFs.
+    * Texts shorter than 3 normalized chars yield an empty array (guarded:
+    * `sequence(1, 0)` would DESCEND in Spark, not return empty). */
+  def charTrigrams(text: Column): Column = {
+    val nrm = normalize(text)
+    val n = length(nrm)
+    when(n >= 3,
+      transform(sequence(lit(1), n - 2), i => nrm.substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Corpus character-trigram model: total occurrence count per trigram
+    * (the CCNet/KenLM-style LM signal, reduced to exact integer counts so
+    * the score is cross-engine hash-verifiable — corpus-frequency mean
+    * rather than log-prob, same ranking intent: gibberish has rare
+    * trigrams). One explode + hash aggregation; map-side partial combine
+    * keeps the shuffle at |vocab|, not |corpus|. */
+  def trigramModel(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(charTrigrams(col(textCol))).as("trigram"))
+      .groupBy("trigram").agg(count(lit(1)).as("freq"))
+
+  /** Per-document trigram quality score against a corpus model: mean and
+    * rare-fraction of the corpus frequency of each trigram OCCURRENCE.
+    * All-integer sums + one exact double division → bit-identical across
+    * engines. Docs with no trigrams score NULL mean and 0 rare count.
+    *
+    * Scale: the model is |vocab|-sized (bounded by ~alphabet³, typically
+    * ≪ corpus) — Spark's AQE broadcasts it when small; the per-occurrence
+    * join is an equi-join on the trigram key either way, never all-pairs. */
+  def trigramQuality(df: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, rareMaxFreq: Long = 5L): DataFrame = {
+    val occ = df.select(col(idCol).as("doc_id"),
+      explode(charTrigrams(col(textCol))).as("trigram"))
+    val scored = occ.join(model, Seq("trigram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(col("freq")).as("freq_sum"),
+        sum((col("freq") <= rareMaxFreq).cast("long")).as("n_rare"))
+    df.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("freq_sum"), lit(0L)).as("freq_sum"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare"),
+        (col("freq_sum").cast("double") / col("n_trigrams")).as("avg_freq"),
+        (coalesce(col("n_rare"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_trigrams"), lit(0L)), lit(1L)))
+          .as("rare_ratio"))
+  }
+
+  /** Readability signals (Flesch reading-ease family): sentence count
+    * (terminator runs, min 1), word count, syllable estimate (vowel-group
+    * runs per token, min 1 per word). Scores are the classic linear
+    * formulas — every arithmetic step is one correctly-rounded IEEE op on
+    * exact integer ratios, so the doubles hash-verify across engines. */
+  def readabilitySignals(text: Column): Seq[Column] = {
+    val toks = tokens(text)
+    val nWords = size(toks).cast("long")
+    val nSents = greatest(regexp_count(text, lit("[.!?]+")), lit(1)).cast("long")
+    val nSyll = aggregate(toks, lit(0L),
+      (acc, t) => acc + greatest(regexp_count(t, lit("[aeiouy]+")), lit(1)))
+    val wps = nWords.cast("double") / nSents
+    val spw = nSyll.cast("double") / greatest(nWords, lit(1L))
+    Seq(nWords.as("n_words"), nSents.as("n_sentences"),
+      nSyll.as("n_syllables"),
+      (lit(206.835) - lit(1.015) * wps - lit(84.6) * spw)
+        .as("flesch_reading_ease"),
+      (lit(0.39) * wps + lit(11.8) * spw - lit(15.59))
+        .as("fk_grade_level"))
+  }
+
   /** Corpus vocabulary: top-k tokens by total frequency (ties →
     * lexicographic token order), with document frequency. Partial
     * aggregation map-side, then a TakeOrderedAndProject merge — no global

@@ -136,6 +136,39 @@ object Pipeline {
         QUALIFY rank <= $k"""
   }
 
+  /** DuckDB twin of [[Similarity.knnGraph]] (s05): same inlined-hyperplane
+    * buckets (seed offset +200), candidate pairs from any shared (table,
+    * bucket) in BOTH directions, exact fold-cosine re-rank, top-k per node. */
+  private def knnGraphOracle(tables: Int, bits: Int, seed: Long, k: Int): String = {
+    val bks = (0 until tables)
+      .map(t => lshBucketSql("embedding",
+        graft.operators.Similarity.hyperplanes(64, bits, seed + 200 + t)))
+      .mkString("[", ",\n            ", "]")
+    s"""
+        WITH c AS MATERIALIZED (
+          SELECT vec_id, embedding, ${normSql("embedding")} AS nrm,
+            $bks AS bks
+          FROM embeddings),
+        e AS MATERIALIZED (
+          SELECT vec_id, tbl.range AS tbl, bks[tbl.range] AS bkt
+          FROM c, range(1, ${tables + 1}) tbl),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS node_id, b.vec_id AS neighbor_id
+          FROM e a JOIN e b ON a.tbl = b.tbl AND a.bkt = b.bkt
+          WHERE a.vec_id <> b.vec_id),
+        scored AS (
+          SELECT cand.node_id, cand.neighbor_id,
+            ${foldDotSql("ca.embedding", "cb.embedding")} / (ca.nrm * cb.nrm) AS cos_sim
+          FROM cand
+          JOIN c ca ON ca.vec_id = cand.node_id
+          JOIN c cb ON cb.vec_id = cand.neighbor_id)
+        SELECT node_id, neighbor_id, cos_sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY node_id
+                 ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+        FROM scored
+        QUALIFY rank <= $k"""
+  }
+
   /** DuckDB twin of [[Similarity.embeddingNearDupPairs]] (d06). */
   private def embNearDupOracle(tables: Int, bits: Int, seed: Long,
       threshold: Double): String = {
@@ -623,6 +656,18 @@ object Pipeline {
       oracleGen = Some((s, dir) =>
         annIvfOracle(s, dir, nCentroids = 16, nProbe = 4, seed = 42L, k = 10))),
 
+    // ---- k-NN graph over the corpus embeddings: every node's top-k LSH
+    // neighbors (the semdedup/cluster backbone). Self-join on (table,
+    // bucket) — no broadcast side — then exact cosine re-rank through the
+    // bounded-heap TopKPerKey. Oracled like s02: the seeded hyperplanes
+    // inline as exact double literals, so the approximation itself is
+    // hash-checked.
+    Q("s05_knn_graph",
+      (s, dir) => Similarity.knnGraph(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 5, dim = 64, bitsPerTable = 6, tables = 4, seed = 42L),
+      Some(knnGraphOracle(tables = 4, bits = 6, seed = 42L, k = 5))),
+
     // ---- Text stats with DuckDB oracle (token counts, char-class ratios,
     // quality flag — the SQL-expressible subset of TextAnalysis.analyze).
     Q("t01_text_stats",
@@ -781,6 +826,77 @@ object Pipeline {
                len(list_intersect(g.grams, bench.bg)) > 0 AS contaminated
         FROM g, bench
         WHERE g.doc_id % 7 <> 0""")),
+
+    // ---- Corpus trigram LM quality score (the CCNet/KenLM shape reduced
+    // to exact integers): char-trigram corpus model, then per-doc mean +
+    // rare-fraction of each occurrence's corpus frequency — gibberish has
+    // rare trigrams. Integer sums + one exact double division, so even the
+    // model-dependent score hash-verifies.
+    Q("t10_trigram_quality",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        TextAnalysis.trigramQuality(d, "doc_id", "text",
+          TextAnalysis.trigramModel(d, "text"), rareMaxFreq = 5L)
+      },
+      Some("""
+        WITH nrm AS (
+          SELECT doc_id,
+            trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS t
+          FROM documents),
+        tg AS (
+          SELECT doc_id,
+            unnest(list_transform(range(1, length(t) - 1),
+              i -> substring(t, CAST(i AS INT), 3))) AS trigram
+          FROM nrm WHERE length(t) >= 3),
+        model AS (SELECT trigram, COUNT(*) AS freq FROM tg GROUP BY trigram),
+        sc AS (
+          SELECT tg.doc_id,
+            CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+            CAST(SUM(model.freq) AS BIGINT) AS freq_sum,
+            CAST(SUM(CASE WHEN model.freq <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_rare
+          FROM tg JOIN model USING (trigram) GROUP BY tg.doc_id)
+        SELECT d.doc_id,
+          COALESCE(sc.n_trigrams, 0) AS n_trigrams,
+          COALESCE(sc.freq_sum, 0) AS freq_sum,
+          COALESCE(sc.n_rare, 0) AS n_rare,
+          CAST(sc.freq_sum AS DOUBLE) / sc.n_trigrams AS avg_freq,
+          CAST(COALESCE(sc.n_rare, 0) AS DOUBLE)
+            / GREATEST(COALESCE(sc.n_trigrams, 0), 1) AS rare_ratio
+        FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""")),
+
+    // ---- Readability scoring (Flesch family): sentence/word/vowel-group
+    // counts → the classic linear formulas; every float step is one
+    // correctly-rounded IEEE op on exact integer ratios.
+    Q("t11_readability",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id") +:
+          TextAnalysis.readabilitySignals(col("text")): _*),
+      Some("""
+        WITH tk AS (
+          SELECT doc_id, text,
+            list_filter(string_split(
+              trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')), ' '),
+              x -> len(x) > 0) AS toks
+          FROM documents),
+        c AS (
+          SELECT doc_id,
+            CAST(len(toks) AS BIGINT) AS n_words,
+            CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+              AS n_sentences,
+            CAST(COALESCE(list_sum(list_transform(toks,
+              t -> GREATEST(len(regexp_extract_all(t, '[aeiouy]+')), 1))), 0)
+              AS BIGINT) AS n_syllables
+          FROM tk)
+        SELECT doc_id, n_words, n_sentences, n_syllables,
+          206.835::DOUBLE - 1.015::DOUBLE *
+            (CAST(n_words AS DOUBLE) / n_sentences) - 84.6::DOUBLE *
+            (CAST(n_syllables AS DOUBLE) / GREATEST(n_words, 1))
+            AS flesch_reading_ease,
+          0.39::DOUBLE * (CAST(n_words AS DOUBLE) / n_sentences)
+            + 11.8::DOUBLE * (CAST(n_syllables AS DOUBLE) / GREATEST(n_words, 1))
+            - 15.59::DOUBLE AS fk_grade_level
+        FROM c""")),
 
     // ---- Stratified deterministic sample: per-language keep rates (the
     // corpus-mixing shape: downsample the over-represented language, keep
@@ -1044,6 +1160,42 @@ object Pipeline {
                CAST(ROW_NUMBER() OVER (PARTITION BY lang
                  ORDER BY priority DESC, doc_id) AS INT) AS rank
         FROM b QUALIFY rank <= 30""")),
+
+    // ---- Temperature (T=2) domain rebalancing: per-language quota ∝
+    // √count — flatten the head, keep the tail (the multilingual-mixture
+    // shape) — then each stratum's quota deterministic hash-priority
+    // winners. The one cross-stratum float reduction (Σ√n) folds over
+    // SORTED weights so both engines sum in the same order.
+    Q("u07_temperature_rebalance",
+      (s, dir) => graft.operators.Sampling.temperatureRebalance(
+          t(s, dir, "documents").select(col("doc_id"), col("lang")),
+          "doc_id", "lang", budget = 200L)
+        .select(col("doc_id"), col("lang"), col("rank"),
+          col("quota"), col("n_docs")),
+      Some("""
+        WITH c AS (
+          SELECT lang, COUNT(*) AS n_docs,
+            sqrt(CAST(COUNT(*) AS DOUBLE)) AS w
+          FROM documents GROUP BY lang),
+        tot AS (
+          SELECT list_reduce(list_sort(list(w)), (a, b) -> a + b) AS wtot
+          FROM c),
+        plan AS (
+          SELECT lang, n_docs,
+            CAST(floor(200.0::DOUBLE * w / wtot) AS BIGINT) AS quota
+          FROM c, tot),
+        pri AS (
+          SELECT doc_id, lang,
+            CAST(((((doc_id % 1000000) + 1000000) % 1000000)
+              * 2654435761) % 1000000 + 1 AS DOUBLE) / 1000000.0 AS u
+          FROM documents),
+        r AS (
+          SELECT doc_id, lang,
+            CAST(ROW_NUMBER() OVER (PARTITION BY lang
+              ORDER BY u, doc_id) AS INT) AS rank
+          FROM pri)
+        SELECT r.doc_id, r.lang, r.rank, plan.quota, plan.n_docs
+        FROM r JOIN plan USING (lang) WHERE r.rank <= plan.quota""")),
 
     // ---- Deterministic corpus shuffle (u05): the pretraining epoch
     // permutation as a pure function of the id — rank under (knuth-hash,

@@ -49,6 +49,26 @@ class SimilaritySpec extends SparkSpec {
     assert(top.head.getLong(1) == 5L && top.head.getDouble(2) == 1.0)
   }
 
+  test("knn graph: duplicate pair are each other's rank-1, ranks contiguous") {
+    val g = Similarity.knnGraph(vecs, "vec_id", "embedding",
+      k = 3, dim = 4, bitsPerTable = 2, tables = 4)
+    val rows = g.collect()
+    val top1 = rows.filter(_.getInt(3) == 1)
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 0 and 5 are identical vectors: each must be the other's best neighbor
+    assert(top1(0L) == 5L && top1(5L) == 0L)
+    assert(rows.head.schema.fieldNames.toSeq ==
+      Seq("node_id", "neighbor_id", "cos_sim", "rank"))
+    // per-node ranks are 1..n without gaps and capped at k
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val ranks = rs.map(_.getInt(3)).sorted.toSeq
+      assert(ranks == (1 to ranks.size) && ranks.size <= 3)
+    }
+    // the duplicate edge carries exact cosine 1.0
+    val e05 = rows.find(r => r.getLong(0) == 0L && r.getLong(1) == 5L).get
+    assert(e05.getDouble(2) == 1.0)
+  }
+
   test("salted join equals plain join (Skew.saltedJoin)") {
     import graft.operators.Skew
     val big = Seq((1, "x"), (1, "y"), (1, "z"), (2, "w")).toDF("k", "v")

@@ -246,6 +246,71 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) == ((0L, 0L, 0.0, true)))
   }
 
+  test("charTrigrams: overlapping windows, normalization, short-text guard") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq((1L, "AB  cd"), (2L, "ab"), (3L, "")).toDF("id", "text")
+    val out = docs.select($"id", TextAnalysis.charTrigrams($"text").as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L) == Seq("ab ", "b c", " cd")) // lowercased, ws collapsed
+    assert(out(2L) == Seq.empty) // len<3 → empty, NOT a descending sequence
+    assert(out(3L) == Seq.empty)
+  }
+
+  test("trigramQuality: corpus-frequency mean and rare fraction, exact") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // corpus: "aaaa" (trigrams aaa×2), "aaab" (aaa, aab), "xyz" (xyz)
+    val docs = Seq((1L, "aaaa"), (2L, "aaab"), (3L, "xyz")).toDF("id", "text")
+    val model = TextAnalysis.trigramModel(docs, "text") // aaa→3, aab→1, xyz→1
+    val out = TextAnalysis.trigramQuality(docs, "id", "text", model,
+        rareMaxFreq = 1L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(out(1L) == ((2L, 6L, 0L, 3.0, 0.0)))   // aaa,aaa → mean 3, no rare
+    assert(out(2L) == ((2L, 4L, 1L, 2.0, 0.5)))   // aaa(3) + aab(1)
+    assert(out(3L) == ((1L, 1L, 1L, 1.0, 1.0)))   // xyz unique → all rare
+  }
+
+  test("readability: hand-computed Flesch scores, sentence/syllable floors") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "the cat sat. it ran!"),     // 5 words, 2 sentences, 5 syllables
+      (2L, "zzz brr")                   // no vowels → 1 syllable per word
+    ).toDF("id", "text")
+    val out = docs.select($"id" +: TextAnalysis.readabilitySignals($"text"): _*)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val (w1, s1, y1, fre1) = out(1L)
+    assert((w1, s1, y1) == ((5L, 2L, 5L)))
+    assert(fre1 == 206.835 - 1.015 * (5.0 / 2.0) - 84.6 * (5.0 / 5.0))
+    val (w2, s2, y2, _) = out(2L)
+    assert((w2, s2, y2) == ((2L, 1L, 2L))) // floors: ≥1 sentence, ≥1 syll/word
+  }
+
+  test("temperatureRebalance: √count quotas, deterministic winners") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // strata: a=400 docs, b=100, c=25 → weights 20, 10, 5 → Σ=35
+    val rows = (0L until 525L).map(i =>
+      (i, if (i < 400) "a" else if (i < 500) "b" else "c")).toDF("id", "lang")
+    val out = Sampling.temperatureRebalance(rows, "id", "lang", budget = 70L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+        r.getLong(4), r.getLong(3))) // lang, id, rank, quota, n_docs
+    val byLang = out.groupBy(_._1)
+    // quotas: floor(70·20/35)=40, floor(70·10/35)=20, floor(70·5/35)=10
+    assert(byLang("a").length == 40 && byLang("b").length == 20 &&
+      byLang("c").length == 10)
+    // temperature flattening: a has 16× c's docs but only 4× the quota
+    assert(out.forall { case (_, _, rank, quota, _) => rank <= quota })
+    // deterministic: re-run agrees exactly
+    val again = Sampling.temperatureRebalance(rows, "id", "lang", budget = 70L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(again == out.map(t => (t._1, t._2)).toSet)
+  }
+
   test("topTokens: frequency order, lexicographic ties, doc frequency") {
     import spark.implicits._
     import graft.operators.TextAnalysis
