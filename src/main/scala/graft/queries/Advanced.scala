@@ -516,6 +516,103 @@ object Advanced {
                CAST(l_quantity >= 25 AS INTEGER) AS bool_int
         FROM lineitem WHERE l_orderkey < 500""")),
 
+    // ---- UNPIVOT wide→long (q72, beyond-reference relational surface):
+    // per-flag metric columns melted into (metric, value) rows — the
+    // inverse of q69's PIVOT. Zero extra shuffle: unpivot is a generator
+    // over the aggregated rows.
+    Q("q72_unpivot",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(dsum(dec2(col("l_quantity"))).as("sum_qty"),
+          dsum(dec2(col("l_extendedprice"))).as("sum_price"),
+          count(lit(1)).cast("double").as("n_items"))
+        .unpivot(
+          Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("n_items")),
+          "metric", "value"),
+      Some(s"""
+        WITH agg AS (
+          SELECT l_returnflag,
+                 ${dsumSql(dec2Sql("l_quantity"))} AS sum_qty,
+                 ${dsumSql(dec2Sql("l_extendedprice"))} AS sum_price,
+                 CAST(COUNT(*) AS DOUBLE) AS n_items
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, metric, value
+        FROM agg UNPIVOT (value FOR metric IN (sum_qty, sum_price, n_items))""")),
+
+    // ---- LATERAL correlated subquery join (q73): top-2 customers by
+    // account balance PER nation — the canonical per-group-top-n a plain
+    // join can't express. Catalyst decorrelates the LIMIT subquery into a
+    // partitioned window — no per-row re-execution (the reference would
+    // re-run correlated subqueries per row: Select.java:510-567).
+    Q("q73_lateral",
+      (s, dir) => {
+        val n = t(s, dir, "nation")
+        val c = t(s, dir, "customer")
+        n.lateralJoin(
+            c.filter(col("c_nationkey") === col("n_nationkey").outer())
+              .orderBy(col("c_acctbal").desc, col("c_name"))
+              .limit(2)
+              .select(col("c_name"), col("c_acctbal")))
+          .select(col("n_name"), col("c_name"), col("c_acctbal"))
+      },
+      Some("""
+        SELECT n.n_name, c.c_name, c.c_acctbal
+        FROM nation n, LATERAL (
+          SELECT c_name, c_acctbal FROM customer
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name LIMIT 2) c""")),
+
+    // ---- Exact percentiles + median (q74): linear-interpolated quantiles
+    // per group. Restricted to quarter percentiles over integral-valued
+    // doubles, every interpolation step is exact binary arithmetic — both
+    // engines' (mathematically equal) formulas return the same bits.
+    Q("q74_percentiles",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(percentile(col("l_quantity"), lit(0.25)).as("p25"),
+          median(col("l_quantity")).as("p50"),
+          percentile(col("l_quantity"), lit(0.75)).as("p75"),
+          count(lit(1)).as("n")),
+      Some("""
+        SELECT l_returnflag,
+               quantile_cont(l_quantity, 0.25) AS p25,
+               quantile_cont(l_quantity, 0.5) AS p50,
+               quantile_cont(l_quantity, 0.75) AS p75,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag""")),
+
+    // ---- Higher-order array functions (q75): transform / filter / exists
+    // / forall / zip_with / aggregate over per-row sequences — all
+    // codegen'd array expressions, integer-exact.
+    Q("q75_higher_order",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 200)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          sequence(lit(1), col("l_linenumber")).as("seq"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          aggregate(col("seq"), lit(0L), (a, x) => a + x * x).as("sum_sq"),
+          size(filter(col("seq"), x => x % 2 === 0)).as("n_even"),
+          exists(col("seq"), x => x % 3 === 0).as("has_mult3"),
+          forall(col("seq"), x => x <= lit(4)).as("all_small"),
+          aggregate(
+            zip_with(col("seq"), reverse(col("seq")), (a, b) => a + b),
+            lit(0L), (a, x) => a + x).as("palin_sum")),
+      Some("""
+        WITH b AS (
+          SELECT l_orderkey, l_linenumber,
+                 range(1, l_linenumber + 1) AS seq
+          FROM lineitem WHERE l_orderkey < 200)
+        SELECT l_orderkey, l_linenumber,
+          CAST(list_reduce(list_prepend(0, list_transform(seq, x -> x * x)),
+            (a, b) -> a + b) AS BIGINT) AS sum_sq,
+          CAST(len(list_filter(seq, x -> x % 2 = 0)) AS INT) AS n_even,
+          len(list_filter(seq, x -> x % 3 = 0)) > 0 AS has_mult3,
+          len(list_filter(seq, x -> NOT (x <= 4))) = 0 AS all_small,
+          CAST(list_reduce(list_transform(list_zip(seq, list_reverse(seq)),
+            z -> z[1] + z[2]), (a, b) -> a + b) AS BIGINT) AS palin_sum
+        FROM b""")),
+
     // ---- CSVWRITE → CSVREAD round trip (Function.java:352-353,
     // db/Csv.java:46): written distributed (no driver collect), read back
     // with explicit schema.
