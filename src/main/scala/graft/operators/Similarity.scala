@@ -301,4 +301,21 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos_sim"))
   }
+
+  /** SemDeDup (semantic dedup in embedding space, Abbas et al. 2023 shape):
+    * drop all but one representative (min id) of every TRANSITIVE cluster
+    * of cosine-near-duplicate embeddings. Composition of two scale-safe
+    * primitives: [[embeddingNearDupPairs]] (LSH bucket equi-join candidates,
+    * exact cosine verify) feeding
+    * [[ConnectedComponents.labelPropagation]] (min-label propagation, one
+    * shuffle per round, checkpointed frontier). Returns the surviving rows
+    * of `df` unchanged. */
+  def semDedup(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, dim: Int = 64,
+      bitsPerTable: Int = 10, tables: Int = 6, seed: Long = 42L): DataFrame = {
+    val pairs = embeddingNearDupPairs(df, idCol, vecCol, threshold, dim,
+      bitsPerTable, tables, seed)
+    ConnectedComponents.transitiveSurvivors(df, idCol, pairs)
+  }
 }

@@ -169,15 +169,16 @@ object Pipeline {
         QUALIFY rank <= $k"""
   }
 
-  /** DuckDB twin of [[Similarity.embeddingNearDupPairs]] (d06). */
-  private def embNearDupOracle(tables: Int, bits: Int, seed: Long,
+  /** Shared CTE block for the [[Similarity.embeddingNearDupPairs]] twins
+    * (d06, d10): inlined-hyperplane buckets → candidate pairs → exact
+    * fold-cosine verified `pairs(id_a, id_b, cos_sim)`. */
+  private def embNearDupCtes(tables: Int, bits: Int, seed: Long,
       threshold: Double): String = {
     val bks = (0 until tables)
       .map(t => lshBucketSql("embedding",
         graft.operators.Similarity.hyperplanes(64, bits, seed + 100 + t)))
       .mkString("[", ",\n            ", "]")
-    s"""
-        WITH c AS MATERIALIZED (
+    s"""c AS MATERIALIZED (
           SELECT vec_id, embedding, ${normSql("embedding")} AS nrm,
             $bks AS bks
           FROM embeddings),
@@ -187,15 +188,46 @@ object Pipeline {
         cand AS (
           SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
           FROM e a JOIN e b ON a.tbl = b.tbl AND a.bkt = b.bkt
-          WHERE a.vec_id < b.vec_id)
-        SELECT cand.id_a, cand.id_b,
-          ${foldDotSql("ca.embedding", "cb.embedding")} / (ca.nrm * cb.nrm) AS cos_sim
-        FROM cand
-        JOIN c ca ON ca.vec_id = cand.id_a
-        JOIN c cb ON cb.vec_id = cand.id_b
-        WHERE ${foldDotSql("ca.embedding", "cb.embedding")} / (ca.nrm * cb.nrm)
-          >= $threshold"""
+          WHERE a.vec_id < b.vec_id),
+        pairs AS (
+          SELECT cand.id_a, cand.id_b,
+            ${foldDotSql("ca.embedding", "cb.embedding")} / (ca.nrm * cb.nrm)
+              AS cos_sim
+          FROM cand
+          JOIN c ca ON ca.vec_id = cand.id_a
+          JOIN c cb ON cb.vec_id = cand.id_b
+          WHERE ${foldDotSql("ca.embedding", "cb.embedding")} / (ca.nrm * cb.nrm)
+            >= $threshold)"""
   }
+
+  /** DuckDB twin of [[Similarity.embeddingNearDupPairs]] (d06). */
+  private def embNearDupOracle(tables: Int, bits: Int, seed: Long,
+      threshold: Double): String =
+    s"""
+        WITH ${embNearDupCtes(tables, bits, seed, threshold)}
+        SELECT id_a, id_b, cos_sim FROM pairs"""
+
+  /** DuckDB twin of [[Similarity.semDedup]] (d10): the d06 pair CTEs, then
+    * the same recursive transitive closure the d07 oracle uses — a victim
+    * is any node that can reach a smaller id through the near-dup graph. */
+  private def semDedupOracle(tables: Int, bits: Int, seed: Long,
+      threshold: Double): String =
+    s"""
+        WITH ${embNearDupCtes(tables, bits, seed, threshold)},
+        edges AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        reach AS (
+          WITH RECURSIVE r(src, dst) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.src, e.b FROM r JOIN edges e ON r.dst = e.a
+            WHERE e.b <> r.src)
+          SELECT * FROM r),
+        victims AS (
+          SELECT src AS node FROM reach GROUP BY src HAVING min(dst) < src)
+        SELECT vec_id, label FROM embeddings
+        WHERE vec_id NOT IN (SELECT node FROM victims)"""
 
   /** DuckDB twin of [[Dedup.simhashColumn]]: XXH64(seed=42) of each
     * token's UTF-8 bytes (Spark's `xxhash64`), then the 64-lane SimHash
@@ -593,6 +625,19 @@ object Pipeline {
         t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.35, dim = 64, bitsPerTable = 6, tables = 8),
       Some(embNearDupOracle(tables = 8, bits = 6, seed = 42L, threshold = 0.35))),
+
+    // ---- SemDeDup: transitive semantic dedup in embedding space — the
+    // d06 near-dup graph fed through connected components (min-label
+    // propagation), one min-id representative kept per cluster. Oracle:
+    // the d06 pair CTEs + d07's recursive-closure victim rule.
+    Q("d10_semdedup",
+      (s, dir) => Similarity.semDedup(
+          t(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.35, dim = 64, bitsPerTable = 6, tables = 8,
+          seed = 42L)
+        .select(col("vec_id"), col("label")),
+      Some(semDedupOracle(tables = 8, bits = 6, seed = 42L,
+        threshold = 0.35))),
 
     // ---- ANN: exact brute-force cosine top-k (baseline; corpus-linear).
     // Oracle reproduces the cosine bit-for-bit: the same float→double cast,

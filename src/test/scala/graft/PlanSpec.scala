@@ -83,4 +83,34 @@ class PlanSpec extends SparkSpec {
     val p = plan("t07_pii_redact")
     assert(!p.contains("Exchange"), p)
   }
+
+  test("s05 knn graph: bucket equi-join + bounded-heap top-k, no nested loops") {
+    val p = plan("s05_knn_graph")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p) // candidates come from the (table, bucket) equi-join, never all-pairs
+    assert(p.contains("TopKPerKey"), p) // custom bounded-heap operator
+  }
+
+  test("q73 lateral top-n decorrelates into a window, no per-row re-execution") {
+    val p = plan("q73_lateral")
+    // Catalyst rewrites the correlated LIMIT subquery into a partitioned
+    // window + filter — the reference would re-run it per row
+    // (Select.java:510-567 setEvaluatableRecursive)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("t10 trigram quality: equi-joins only, partial+final model aggregate") {
+    val p = plan("t10_trigram_quality")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // the corpus model aggregates map-side before its shuffle
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("q72 unpivot stays a generator over aggregated rows (one shuffle)") {
+    // AQE toString appends the pre-adaptive plan — count the final section only
+    val p = finalPlan("q72_unpivot").split("== Initial Plan ==")(0)
+    assert("Exchange".r.findAllIn(p).length <= 1, p)
+    assert(p.contains("Expand"), p) // unpivot = generator, not a join/union
+  }
 }

@@ -69,6 +69,22 @@ class SimilaritySpec extends SparkSpec {
     assert(e05.getDouble(2) == 1.0)
   }
 
+  test("semDedup: transitive clusters keep the min-id representative") {
+    import spark.implicits._
+    // chain: 10 ~ 11 ~ 12 (adjacent cos > 0.999, ends further apart) — all
+    // three must collapse to the single representative 10 TRANSITIVELY
+    val chain = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (11L, Array(1.0f, 0.03f, 0.0f, 0.0f)),
+      (12L, Array(1.0f, 0.06f, 0.0f, 0.0f)),
+      (20L, Array(0.0f, 0.0f, 1.0f, 0.0f))  // isolated: always survives
+    ).toDF("vec_id", "embedding")
+    val kept = Similarity.semDedup(chain, "vec_id", "embedding",
+        threshold = 0.999, dim = 4, bitsPerTable = 2, tables = 6)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(10L, 20L))
+  }
+
   test("salted join equals plain join (Skew.saltedJoin)") {
     import graft.operators.Skew
     val big = Seq((1, "x"), (1, "y"), (1, "z"), (2, "w")).toDF("k", "v")
