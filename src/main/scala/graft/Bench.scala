@@ -44,7 +44,9 @@ object Bench {
     "q65_asof_join",             // time-series: backward as-of join
     "q66_range_join",            // time-series: bucketed range join
     "q67_rolling_features",      // time-series: rolling window features
-    "t09_blocklist_filter")      // pipeline: blocklist filter
+    "t09_blocklist_filter",      // pipeline: blocklist filter
+    "s05_knn_graph",             // pipeline: corpus kNN graph (LSH self-join)
+    "t10_trigram_quality")       // pipeline: trigram LM quality score
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -159,17 +159,13 @@ object TextAnalysis {
       ratio.as("flagged_ratio"), (ratio <= maxRatio).as("blocklist_keep"))
   }
 
-  /** Character trigrams of the normalized text (overlapping, order kept).
-    * Pure array expression — one `sequence` + `transform` per row, no UDFs.
-    * Texts shorter than 3 normalized chars yield an empty array (guarded:
-    * `sequence(1, 0)` would DESCEND in Spark, not return empty). */
-  def charTrigrams(text: Column): Column = {
-    val nrm = normalize(text)
-    val n = length(nrm)
-    when(n >= 3,
-      transform(sequence(lit(1), n - 2), i => nrm.substr(i, lit(3))))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Character trigrams of the normalized text (overlapping, order kept;
+    * texts shorter than 3 normalized chars yield an empty array). Custom
+    * codegen'd one-scan expression: the composed transform(sequence(...),
+    * i -> substr(nrm, i, 3)) re-evaluates the normalize() regex per
+    * ELEMENT (interpreted lambda + projection collapse) — O(len²) per doc. */
+  def charTrigrams(text: Column): Column =
+    graft.functions.TextHashExprs.charGrams(normalize(text), 3)
 
   /** Corpus character-trigram model: total occurrence count per trigram
     * (the CCNet/KenLM-style LM signal, reduced to exact integer counts so

@@ -62,6 +62,19 @@ class CodegenSpec extends SparkSpec {
     assert(generated(4L) == List("x"))
   }
 
+  test("char_grams under forced codegen ≡ per-position substring") {
+    import graft.functions.TextHashExprs
+    val texts = Seq((1L, "abcde"), (2L, "ab"), (3L, "")).toDF("id", "text")
+    def grams() = texts.select($"id",
+        TextHashExprs.charGrams($"text", 3).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    val generated = forced(grams())
+    assert(generated == grams())
+    assert(generated(1L) == List("abc", "bcd", "cde"))
+    assert(generated(2L) == Nil) // shorter than k → empty
+    assert(generated(3L) == Nil)
+  }
+
   test("vector expressions (dot_product, quantize_int8) under forced codegen") {
     import graft.functions.VecExprs
     val vecs = Seq(
