@@ -254,25 +254,33 @@ object Similarity {
       seed: Long = 42L): DataFrame = {
     val planesPerTable = (0 until tables).map(t =>
       hyperplanes(dim, bitsPerTable, seed + 200 + t))
-    val b = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
-      norm(col(vecCol)).as("__n"), // norm once per vector
-      posexplode(array(planesPerTable.map(p => lshBucket(col(vecCol), p)): _*))
+    // candidate DEDUP runs on bare id pairs: a dense bucket emits the same
+    // pair once per shared table, and carrying two 64-float vectors through
+    // that distinct shuffles ~30× more bytes than the ids (measured 37s →
+    // 3.4s on the 20k dense-clone stress). Vectors re-attach afterwards by
+    // two id equi-joins against the once-materialized (id, vec, norm) side.
+    val vecs = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+        norm(col(vecCol)).as("__n")) // norm once per vector
+      .transform(graft.core.Checkpoint.cut) // shared: buckets + both rejoins
+    val b = vecs.select(col("__id"),
+      posexplode(array(planesPerTable.map(p => lshBucket(col("__v"), p)): _*))
         .as(Seq("__tbl", "__bkt")))
-      .transform(graft.core.Checkpoint.cut) // reused by both join sides
-    val l = b.select(col("__tbl"), col("__bkt"), col("__id").as("node_id"),
-      col("__v").as("__va"), col("__n").as("__na"))
-    val r = b.select(col("__tbl").as("__t2"), col("__bkt").as("__b2"),
-      col("__id").as("neighbor_id"), col("__v").as("__vb"), col("__n").as("__nb"))
-    val cand = l.join(r,
+    val cand = b.select(col("__tbl"), col("__bkt"), col("__id").as("node_id"))
+      .join(b.select(col("__tbl").as("__t2"), col("__bkt").as("__b2"),
+          col("__id").as("neighbor_id")),
         col("__tbl") === col("__t2") && col("__bkt") === col("__b2") &&
           col("node_id") =!= col("neighbor_id"))
-      .select(col("node_id"), col("neighbor_id"), col("__va"), col("__vb"),
-        col("__na"), col("__nb"))
+      .select(col("node_id"), col("neighbor_id"))
       .distinct() // a pair may share buckets in several tables
+    val scored = cand
+      .join(vecs.select(col("__id").as("node_id"), col("__v").as("__va"),
+        col("__n").as("__na")), Seq("node_id"))
+      .join(vecs.select(col("__id").as("neighbor_id"), col("__v").as("__vb"),
+        col("__n").as("__nb")), Seq("neighbor_id"))
       .withColumn("cos_sim",
         dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
       .select(col("node_id"), col("neighbor_id"), col("cos_sim"))
-    graft.plans.TopKPerKey(cand, Seq("node_id"),
+    graft.plans.TopKPerKey(scored, Seq("node_id"),
       Seq(("cos_sim", true), ("neighbor_id", false)), k)
   }
 

@@ -433,6 +433,72 @@ object Advanced {
         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""")),
 
+    // ---- Analytic window functions (q76, beyond-reference §2.5 breadth):
+    // lag/lead/ntile/percent_rank/cume_dist/first_value over one
+    // partitioned window. The (price, key) order is a total order, so the
+    // rank-based doubles are exact integer ratios — engine-identical.
+    Q("q76_window_analytics",
+      (s, dir) => {
+        val w = Window.partitionBy("o_orderstatus")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        t(s, dir, "orders").filter(col("o_orderkey") < 20000)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+            lead(col("o_orderkey"), 1).over(w).as("next_key"),
+            ntile(4).over(w).as("quartile"),
+            percent_rank().over(w).as("pct_rank"),
+            cume_dist().over(w).as("cume"),
+            first(col("o_orderkey")).over(w).as("cheapest_key"))
+      },
+      Some("""
+        SELECT o_orderkey, o_orderstatus,
+               LAG(o_orderkey, 1) OVER w AS prev_key,
+               LEAD(o_orderkey, 1) OVER w AS next_key,
+               CAST(NTILE(4) OVER w AS INT) AS quartile,
+               PERCENT_RANK() OVER w AS pct_rank,
+               CUME_DIST() OVER w AS cume,
+               FIRST_VALUE(o_orderkey) OVER w AS cheapest_key
+        FROM orders WHERE o_orderkey < 20000
+        WINDOW w AS (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice, o_orderkey)""")),
+
+    // ---- Selector aggregates (q77): max_by/min_by with a composite
+    // (value, key) ordering struct — the tiebreak makes the selection
+    // deterministic even when the maximum value itself ties — plus
+    // count_if. Struct comparison is field-lexicographic in both engines.
+    Q("q77_selector_aggregates",
+      (s, dir) => t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          max_by(col("o_orderkey"),
+            struct(col("o_totalprice"), col("o_orderkey"))).as("priciest_key"),
+          min_by(col("o_orderkey"),
+            struct(col("o_totalprice"), col("o_orderkey"))).as("cheapest_key"),
+          count_if(col("o_totalprice") > 200000.0).as("n_big"),
+          count(lit(1)).as("n")),
+      // DuckDB's arg_max rejects a STRUCT ordering value — the twin spells
+      // the same (value, key)-lexicographic selection as window row_numbers
+      Some("""
+        WITH r AS (
+          SELECT o_orderstatus, o_orderkey,
+            ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+              ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+            ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+              ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin
+          FROM orders),
+        agg AS (
+          SELECT o_orderstatus,
+                 CAST(count_if(o_totalprice > 200000.0) AS BIGINT) AS n_big,
+                 COUNT(*) AS n
+          FROM orders GROUP BY o_orderstatus)
+        SELECT agg.o_orderstatus, mx.o_orderkey AS priciest_key,
+               mn.o_orderkey AS cheapest_key, agg.n_big, agg.n
+        FROM agg
+        JOIN (SELECT o_orderstatus, o_orderkey FROM r WHERE rmax = 1) mx
+          USING (o_orderstatus)
+        JOIN (SELECT o_orderstatus, o_orderkey FROM r WHERE rmin = 1) mn
+          USING (o_orderstatus)""")),
+
     // ---- Within-watermark stream dedup, batch twin (q63): deterministic
     // keep-rule (earliest ts, tie → min event_id) makes the streaming
     // operator's keep-first-arrival contract oracle-able; streaming ≡ batch

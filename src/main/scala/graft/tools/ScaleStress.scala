@@ -98,6 +98,30 @@ object ScaleStress {
     }
     println("[stress] range rows=" + rng)
 
+    // round-4 ops under the same 10x worst cases: kNN graph on 20k vectors
+    // (dense exact-duplicate clusters → every node's candidate list holds
+    // its 9 clones), SemDeDup on the same (2000 size-10 components — the
+    // dense-component worst case for label propagation), trigram quality on
+    // 50k docs (model vocab unchanged, occurrence volume 10x)
+    val knn = time("knn-graph-20k") {
+      Similarity.knnGraph(bigEmb, "vec_id", "embedding",
+        k = 5, dim = 64, bitsPerTable = 8, tables = 4).count()
+    }
+    println("[stress] knn edges=" + knn)
+    val sem = time("semdedup-20k-dense-clusters") {
+      Similarity.semDedup(bigEmb, "vec_id", "embedding",
+        threshold = 0.9999, dim = 64, bitsPerTable = 8, tables = 4).count()
+    }
+    println("[stress] semdedup survivors=" + sem + " (expect 2000: one per clone cluster)")
+    // agg over a computed column — a bare count() lets Catalyst ELIMINATE
+    // the unique-key left join and skip the trigram work entirely
+    val tri = time("trigram-quality-50k") {
+      graft.operators.TextAnalysis.trigramQuality(big, "doc_id", "text",
+          graft.operators.TextAnalysis.trigramModel(big, "text"))
+        .agg(sum(col("freq_sum"))).collect()(0).getLong(0)
+    }
+    println("[stress] trigram total-freq=" + tri)
+
     // 10x lineitem (6M rows ≈ SF1): relational headliners, noop sink
     val li = graft.core.Tables.load(spark, dir, "lineitem")
     val bigLi = (0 until 10).map(i =>
