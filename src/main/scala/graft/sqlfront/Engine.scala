@@ -1618,10 +1618,11 @@ final class Engine(val spark: SparkSession) {
           val (close, _) = matchParen(q, open)
           if (close < 0) return q
           val inner0 = q.substring(m.end, close - 1)
-          // earlier-assigned vars are visible in the value expression
-          val inner = """@(\w+)""".r.replaceAllIn(inner0, mm =>
-            java.util.regex.Matcher.quoteReplacement(
-              variables.getOrElse(mm.group(1).toLowerCase, "NULL")))
+          // earlier-assigned vars are visible in the value expression;
+          // literal-aware so '@' inside a string (an email address, say)
+          // is never substituted
+          val inner = rewriteOutside(inner0, """@(\w+)""".r)(mm =>
+            variables.getOrElse(mm.group(1).toLowerCase, "NULL"))
           val value = spark.sql(
             s"SELECT ${substSequences(substConstants(inner))}").head().get(0) match {
             case s: String => s"'${s.replace("'", "''")}'"
@@ -1731,7 +1732,9 @@ final class Engine(val spark: SparkSession) {
     // H2 resolves real columns BEFORE aliases (Select.java) — an alias that
     // shadows a column of a referenced table must not be substituted, or the
     // retry silently rewrites a valid column reference (round-2 advice).
-    val fromSeg = q.substring(fromIdx + 4, whereIdx)
+    // masked: a table-name-shaped word inside a string literal in a join
+    // condition must not pull that table's columns into the shadow set
+    val fromSeg = Stmt(q.substring(fromIdx + 4, whereIdx)).masked
     val realCols: Set[String] = """\b\w+\b""".r.findAllIn(fromSeg)
       .map(_.toLowerCase).toSet
       .flatMap((t: String) => tables.get(t).toSeq.flatMap(_.columns.map(_.toLowerCase)))

@@ -130,6 +130,12 @@ class EngineSpec extends SparkSpec {
     // SET @v / @v substitution
     e.sql("SET @threshold = 1 + 1")
     assert(e.sql("SELECT count(*) FROM meta_t WHERE a >= @threshold").head().getLong(0) == 2)
+    // '@' inside a string literal is NOT a variable reference — neither in
+    // the statement body nor inside a SET(@v, expr) value expression
+    assert(e.sql("SELECT 'user@threshold.org' AS s").head().getString(0)
+      == "user@threshold.org")
+    e.sql("SELECT SET(@addr, 'a@b.io') AS x")
+    assert(e.sql("SELECT @addr AS a").head().getString(0) == "a@b.io")
     // INFORMATION_SCHEMA.TABLES / COLUMNS (MetaTable parity)
     val tnames = e.sql(
       "SELECT table_name FROM INFORMATION_SCHEMA.TABLES ORDER BY table_name")
