@@ -59,4 +59,16 @@ object ConnectedComponents {
       .select(col("node").as("__victim"))
     df.join(victims, col(idCol) === col("__victim"), "left_anti")
   }
+
+  /** Cluster ASSIGNMENT (the auditable form of [[transitiveSurvivors]]):
+    * every row of `df` labeled with its duplicate-cluster id — the min id
+    * reachable through the pair graph; rows with no duplicate edge label
+    * themselves. `cluster == id` ⇔ the row is its cluster's survivor. */
+  def clusterAssignments(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val comps = labelPropagation(pairs.select(col("id_a"), col("id_b")))
+      .withColumnRenamed("node", "__node")
+    df.join(comps, col(idCol) === col("__node"), "left")
+      .withColumn("cluster", coalesce(col("component"), col(idCol)))
+      .drop("__node", "component")
+  }
 }

@@ -177,6 +177,18 @@ object Dedup {
     ConnectedComponents.transitiveSurvivors(df, idCol,
       minhashCandidates(df, idCol, textCol, cfg))
 
+  /** Duplicate-cluster assignment: every doc labeled with its transitive
+    * near-dup cluster id (min id in the component; singletons label
+    * themselves) — the auditable output behind [[minhashDedupTransitive]]:
+    * who got dropped, and to whom each was attributed. */
+  def minhashClusters(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      cfg: MinHashConfig = MinHashConfig()): DataFrame =
+    ConnectedComponents.clusterAssignments(df, idCol,
+      minhashCandidates(df, idCol, textCol, cfg))
+
   /** 64-bit SimHash over word-token hashes. */
   def simhashColumn(text: Column): Column = {
     val toks = filter(split(normalize(text), " "), t => length(t) > 0)

@@ -226,6 +226,68 @@ object TextAnalysis {
         .as("fk_grade_level"))
   }
 
+  /** Overlapping fixed-token chunking (the RAG/embedding-prep shape):
+    * chunk i covers tokens [i·stride, i·stride + chunkTokens), stride =
+    * chunkTokens − overlap; a doc yields 1 + ⌈max(n − chunkTokens, 0) /
+    * stride⌉ chunks (an empty doc yields none). Emits (doc_id, chunk_idx,
+    * chunk_text, chunk_tokens).
+    *
+    * The token array is materialized (lineage cut) BEFORE the per-chunk
+    * slices: the slicing lambda runs per chunk, and without the cut
+    * projection collapse would inline the tokenizer into it — quadratic
+    * in document length (the t10/s04 lesson). */
+  def chunkText(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlap: Int): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      "need chunkTokens > 0 and 0 <= overlap < chunkTokens")
+    val stride = chunkTokens - overlap
+    val toked = df.select(col(idCol).as("doc_id"),
+        tokens(col(textCol)).as("__toks"))
+      .transform(graft.core.Checkpoint.cut)
+    val n = size(col("__toks")).cast("long")
+    // integer ceil-div via exact double floor (token counts ≪ 2^53)
+    val nChunks = lit(1L) +
+      floor((greatest(n - chunkTokens, lit(0L)) + (stride - 1)) /
+        lit(stride.toDouble)).cast("long")
+    toked
+      .select(col("doc_id"), col("__toks"),
+        // n=0 → empty array (explode drops the doc); a bare
+        // sequence(0, -1) would DESCEND, emitting phantom chunks
+        explode(when(n > 0, sequence(lit(0L), nChunks - 1))
+          .otherwise(array().cast("array<bigint>"))).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        concat_ws(" ", slice(col("__toks"),
+          (col("chunk_idx") * stride + 1).cast("int"), lit(chunkTokens)))
+          .as("chunk_text"),
+        size(slice(col("__toks"),
+          (col("chunk_idx") * stride + 1).cast("int"), lit(chunkTokens)))
+          .cast("long").as("chunk_tokens"))
+  }
+
+  /** Per-document top-k distinctive terms by tf·(N/df) — TF-IDF with the
+    * UNLOGGED inverse document frequency, so every score is one exact
+    * integer product and one IEEE division (ln() is not correctly-rounded
+    * and differs across engines; the log-free variant keeps the signal
+    * hash-verifiable). Ties → lexicographically first term. Shape: two
+    * hash aggregations + an equi-join on the term key + bounded-heap
+    * top-k — no all-pairs, no global sort. */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val tf = df.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(countDistinct(col(idCol)).as("n_docs"))
+    val scored = tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        col("tf").cast("double") * col("n_docs") / col("df"))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"))
+    graft.plans.TopKPerKey(scored, Seq("doc_id"),
+      Seq(("tfidf", true), ("term", false)), k)
+  }
+
   /** Corpus vocabulary: top-k tokens by total frequency (ties →
     * lexicographic token order), with document frequency. Partial
     * aggregation map-side, then a TakeOrderedAndProject merge — no global

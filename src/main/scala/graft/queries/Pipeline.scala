@@ -542,6 +542,44 @@ object Pipeline {
         SELECT doc_id, lang, source FROM documents
         WHERE doc_id NOT IN (SELECT node FROM victims)""")),
 
+    // ---- Duplicate-cluster assignment (d11): every doc labeled with its
+    // transitive near-dup cluster id — the auditable form of d07 (who was
+    // dropped, attributed to whom). Oracle: the d07 closure with
+    // min-reachable-id as the label, singletons labeling themselves.
+    Q("d11_dedup_clusters",
+      (s, dir) => Dedup.minhashClusters(
+          t(s, dir, "documents"), "doc_id", "text",
+          Dedup.MinHashConfig(numHashes = 64, bands = 16, threshold = 0.35))
+        .select(col("doc_id"), col("cluster")),
+      Some("""
+        WITH pairs AS (
+          WITH s AS (
+            SELECT doc_id,
+              list_distinct(list_transform(range(1, greatest(len(nrm)-3, 1)),
+                i -> nrm[i:i+4])) AS sh
+            FROM (SELECT doc_id,
+                    trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS nrm
+                  FROM documents))
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM s a JOIN s b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.35),
+        edges AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        reach AS (
+          WITH RECURSIVE r(src, dst) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.src, e.b FROM r JOIN edges e ON r.dst = e.a
+            WHERE e.b <> r.src)
+          SELECT * FROM r),
+        comp AS (
+          SELECT src AS node, LEAST(src, MIN(dst)) AS cluster
+          FROM reach GROUP BY src)
+        SELECT d.doc_id, COALESCE(comp.cluster, d.doc_id) AS cluster
+        FROM documents d LEFT JOIN comp ON comp.node = d.doc_id""")),
+
     // ---- SimHash near-dup pairs (custom Catalyst expression + banding).
     // maxHamming=3 → 4 derived 16-bit bands with an EXACT pigeonhole recall
     // guarantee (round-1 ran hamming≤16 over 4 bands, which silently missed
@@ -942,6 +980,64 @@ object Pipeline {
             + 11.8::DOUBLE * (CAST(n_syllables AS DOUBLE) / GREATEST(n_words, 1))
             - 15.59::DOUBLE AS fk_grade_level
         FROM c""")),
+
+    // ---- Overlapping fixed-token chunking (t12, the RAG/embedding-prep
+    // shape): chunk i covers tokens [i·stride, i·stride+32), stride 24.
+    // Both engines slice the SAME materialized token array, so chunk text
+    // and counts hash-verify exactly.
+    Q("t12_chunk_text",
+      (s, dir) => TextAnalysis.chunkText(
+        t(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 32, overlap = 8),
+      Some("""
+        WITH tk AS (
+          SELECT doc_id, list_filter(string_split(
+            trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')), ' '),
+            x -> len(x) > 0) AS toks
+          FROM documents),
+        c AS (
+          SELECT doc_id, toks,
+            CASE WHEN len(toks) = 0 THEN 0
+                 ELSE 1 + (GREATEST(len(toks) - 32, 0) + 23) // 24 END AS nch
+          FROM tk),
+        ch AS (
+          SELECT doc_id, toks, CAST(u.i AS BIGINT) AS chunk_idx
+          FROM c, UNNEST(range(0, nch)) u(i))
+        SELECT doc_id, chunk_idx,
+          array_to_string(toks[chunk_idx*24 + 1 : chunk_idx*24 + 32], ' ')
+            AS chunk_text,
+          CAST(len(toks[chunk_idx*24 + 1 : chunk_idx*24 + 32]) AS BIGINT)
+            AS chunk_tokens
+        FROM ch""")),
+
+    // ---- Per-doc distinctive terms (t13): TF-IDF with UNLOGGED inverse
+    // document frequency (tf·N/df — ln() is not correctly-rounded and
+    // differs across engines; the log-free variant keeps the score one
+    // exact integer product + one IEEE division, hash-verifiable).
+    Q("t13_tfidf_topk",
+      (s, dir) => TextAnalysis.tfidfTopTerms(
+        t(s, dir, "documents"), "doc_id", "text", k = 3),
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, unnest(list_filter(string_split(
+            trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')), ' '),
+            x -> len(x) > 0)) AS term
+          FROM documents),
+        tf AS (
+          SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM tok GROUP BY doc_id, term),
+        dfq AS (
+          SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+              FROM documents),
+        sc AS (
+          SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+                 CAST(tf.tf AS DOUBLE) * n.n_docs / dfq.df AS tfidf
+          FROM tf JOIN dfq USING (term), n)
+        SELECT doc_id, term, tf, df, tfidf,
+               CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY tfidf DESC, term ASC) AS INT) AS rank
+        FROM sc QUALIFY rank <= 3""")),
 
     // ---- Stratified deterministic sample: per-language keep rates (the
     // corpus-mixing shape: downsample the over-represented language, keep

@@ -76,6 +76,17 @@ class DedupSpec extends SparkSpec {
     assert(surv == Set(1L, 5L, 7L))
   }
 
+  test("cluster assignments: chain shares one label, singleton labels itself") {
+    import graft.operators.ConnectedComponents
+    val docs = Seq(1L, 2L, 3L, 5L, 6L, 7L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val cl = ConnectedComponents.clusterAssignments(docs, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
+    // survivor rule is expressible from the assignment: cluster == id
+    assert(cl.filter { case (id, c) => id == c }.keySet == Set(1L, 5L, 7L))
+  }
+
   test("transitive minhash dedup collapses chains keep-earliest cannot") {
     // a~b and b~c strongly similar, a vs c less so: chain of 3
     val chain = Seq(

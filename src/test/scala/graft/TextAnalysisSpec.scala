@@ -311,6 +311,46 @@ class TextAnalysisSpec extends SparkSpec {
     assert(again == out.map(t => (t._1, t._2)).toSet)
   }
 
+  test("chunkText: overlap windows, short docs, empty docs") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"), // 10 tokens
+      (2L, "x y"),                 // shorter than one chunk
+      (3L, " ")                    // empty after normalize
+    ).toDF("id", "text")
+    val out = TextAnalysis.chunkText(docs, "id", "text",
+        chunkTokens = 4, overlap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // stride 2: starts 0,2,4,6 → 1+ceil((10-4)/2) = 4 chunks
+    assert(d1.map(c => (c._3, c._4)).toSeq == Seq(
+      ("a b c d", 4L), ("c d e f", 4L), ("e f g h", 4L), ("g h i j", 4L)))
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, "x y", 2L)))
+    assert(!out.exists(_._1 == 3L)) // empty doc yields no chunks
+  }
+
+  test("tfidfTopTerms: rare term outranks frequent common term") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "common common common zebra"),
+      (2L, "common other words here"),
+      (3L, "common more stuff there")).toDF("id", "text")
+    val top = TextAnalysis.tfidfTopTerms(docs, "id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getInt(5)))
+    val d1 = top.filter(_._1 == 1L).sortBy(_._6)
+    // zebra: tf 1, df 1 → 1·3/1 = 3.0 beats common: tf 3, df 3 → 3·3/3 = 3.0
+    // — equal scores, tie → lexicographically first term ("common")
+    assert(d1.map(t => (t._2, t._5)).toSeq ==
+      Seq(("common", 3.0), ("zebra", 3.0)))
+    // doc 2's uniques (df 1): score 3.0 each, common drops to 1·3/3 = 1.0
+    val d2 = top.filter(_._1 == 2L)
+    assert(d2.forall(t => t._2 != "common"))
+  }
+
   test("topTokens: frequency order, lexicographic ties, doc frequency") {
     import spark.implicits._
     import graft.operators.TextAnalysis
