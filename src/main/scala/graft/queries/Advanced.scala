@@ -679,6 +679,22 @@ object Advanced {
             z -> z[1] + z[2]), (a, b) -> a + b) AS BIGINT) AS palin_sum
         FROM b""")),
 
+    // ---- JSON-lines sink → source round trip (q78, beyond-reference
+    // source format): written distributed, read back with explicit schema
+    // (schema inference is a second full scan — never on at scale).
+    Q("q78_json_roundtrip",
+      (s, dir) => {
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_json_rt"
+        t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+            col("s_acctbal"))
+          .write.mode("overwrite").json(out)
+        s.read.schema(
+            "s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE")
+          .json(out)
+      },
+      Some("SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier")),
+
     // ---- CSVWRITE → CSVREAD round trip (Function.java:352-353,
     // db/Csv.java:46): written distributed (no driver collect), read back
     // with explicit schema.
