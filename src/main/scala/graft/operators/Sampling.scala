@@ -137,7 +137,11 @@ object Sampling {
     * unordered SUM() could differ in the last bit between engines. The
     * per-stratum top-quota runs through the bounded-heap
     * [[graft.plans.TopKPerKey]] at k = budget (quota ≤ budget always),
-    * then filters rank ≤ quota — no per-stratum full sort. */
+    * then filters rank ≤ quota — no per-stratum full sort.
+    *
+    * Rows with a NULL stratum are excluded (the plan join is null-rejecting,
+    * as in SQL GROUP BY + JOIN USING); a stratum too small for one slot
+    * (floor → quota 0) contributes no rows. */
   def temperatureRebalance(df: DataFrame, idCol: String, strataCol: String,
       budget: Long): DataFrame = {
     require(budget > 0 && budget <= Int.MaxValue,

@@ -182,6 +182,11 @@ object TextAnalysis {
     * All-integer sums + one exact double division → bit-identical across
     * engines. Docs with no trigrams score NULL mean and 0 rare count.
     *
+    * The model may come from a DIFFERENT corpus (the CCNet shape: score a
+    * crawl against a clean reference model) — trigrams absent from the
+    * model count with frequency 0, i.e. maximally rare; an inner join
+    * would silently drop exactly the strongest gibberish evidence.
+    *
     * Scale: the model is |vocab|-sized (bounded by ~alphabet³, typically
     * ≪ corpus) — Spark's AQE broadcasts it when small; the per-occurrence
     * join is an equi-join on the trigram key either way, never all-pairs. */
@@ -189,7 +194,8 @@ object TextAnalysis {
       model: DataFrame, rareMaxFreq: Long = 5L): DataFrame = {
     val occ = df.select(col(idCol).as("doc_id"),
       explode(charTrigrams(col(textCol))).as("trigram"))
-    val scored = occ.join(model, Seq("trigram"))
+    val scored = occ.join(model, Seq("trigram"), "left")
+      .withColumn("freq", coalesce(col("freq"), lit(0L)))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_trigrams"),
         sum(col("freq")).as("freq_sum"),
@@ -287,6 +293,23 @@ object TextAnalysis {
     graft.plans.TopKPerKey(scored, Seq("doc_id"),
       Seq(("tfidf", true), ("term", false)), k)
   }
+
+  /** BPE pair statistics (the first tokenizer-training iteration): the
+    * top-k adjacent character pairs by corpus occurrence count, each word
+    * weighted by its frequency. Two hash aggregations — (word → count)
+    * then (pair → Σ count·multiplicity) — so the pair explode runs over
+    * the VOCABULARY (≪ corpus), plus a TakeOrderedAndProject merge.
+    * Pairs come from the codegen'd one-scan [[graft.functions.CharGrams]]
+    * kernel; ties → lexicographically first pair. */
+  def bpePairStats(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("__wc"))
+      .select(col("__wc"),
+        explode(graft.functions.TextHashExprs.charGrams(col("word"), 2))
+          .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("__wc")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("pair"))
+      .limit(k)
 
   /** Corpus vocabulary: top-k tokens by total frequency (ties →
     * lexicographic token order), with document frequency. Partial

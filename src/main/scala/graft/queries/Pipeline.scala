@@ -935,10 +935,10 @@ object Pipeline {
         sc AS (
           SELECT tg.doc_id,
             CAST(COUNT(*) AS BIGINT) AS n_trigrams,
-            CAST(SUM(model.freq) AS BIGINT) AS freq_sum,
-            CAST(SUM(CASE WHEN model.freq <= 5 THEN 1 ELSE 0 END) AS BIGINT)
-              AS n_rare
-          FROM tg JOIN model USING (trigram) GROUP BY tg.doc_id)
+            CAST(SUM(COALESCE(model.freq, 0)) AS BIGINT) AS freq_sum,
+            CAST(SUM(CASE WHEN COALESCE(model.freq, 0) <= 5 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_rare
+          FROM tg LEFT JOIN model USING (trigram) GROUP BY tg.doc_id)
         SELECT d.doc_id,
           COALESCE(sc.n_trigrams, 0) AS n_trigrams,
           COALESCE(sc.freq_sum, 0) AS freq_sum,
@@ -1213,6 +1213,27 @@ object Pipeline {
                   / len(toks)
                 ELSE 0.0 END) <= 0.05 AS blocklist_keep
         FROM tok""")),
+
+    // ---- BPE pair statistics (t14): top-k adjacent char pairs weighted by
+    // word frequency — the first tokenizer-training merge iteration. The
+    // pair explode runs over the VOCABULARY, not the corpus.
+    Q("t14_bpe_pairs",
+      (s, dir) => TextAnalysis.bpePairStats(
+        t(s, dir, "documents"), "text", k = 20),
+      Some("""
+        WITH w AS (
+          SELECT word, CAST(COUNT(*) AS BIGINT) AS wc
+          FROM (SELECT unnest(list_filter(string_split(
+                  trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')), ' '),
+                  x -> len(x) > 0)) AS word
+                FROM documents)
+          GROUP BY word),
+        p AS (
+          SELECT substring(word, CAST(i AS INT), 2) AS pair, wc
+          FROM w, UNNEST(range(1, length(word))) u(i))
+        SELECT pair, CAST(SUM(wc) AS BIGINT) AS pair_count
+        FROM p GROUP BY pair
+        ORDER BY pair_count DESC, pair LIMIT 20""")),
 
     // ---- Corpus vocabulary: top-k tokens by total frequency with document
     // frequency — partial agg map-side, TakeOrderedAndProject merge (no

@@ -273,6 +273,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) == ((1L, 1L, 1L, 1.0, 1.0)))   // xyz unique → all rare
   }
 
+  test("trigramQuality: cross-corpus model counts unseen trigrams as rare") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val reference = Seq((1L, "aaaa")).toDF("id", "text") // model: aaa→2
+    val crawl = Seq((10L, "aaaxyz")).toDF("id", "text")  // aaa,aax,axy,xyz
+    val out = TextAnalysis.trigramQuality(crawl, "id", "text",
+        TextAnalysis.trigramModel(reference, "text"), rareMaxFreq = 1L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(5)))).toMap
+    // 4 trigrams: aaa seen (freq 2), the other 3 UNSEEN → freq 0, rare
+    assert(out(10L) == ((4L, 2L, 3L, 0.75)))
+  }
+
   test("readability: hand-computed Flesch scores, sentence/syllable floors") {
     import spark.implicits._
     import graft.operators.TextAnalysis
@@ -349,6 +362,16 @@ class TextAnalysisSpec extends SparkSpec {
     // doc 2's uniques (df 1): score 3.0 each, common drops to 1·3/3 = 1.0
     val d2 = top.filter(_._1 == 2L)
     assert(d2.forall(t => t._2 != "common"))
+  }
+
+  test("bpePairStats: word-frequency-weighted pair counts, single chars drop") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // "ab" ×3 (2 docs), "abc" ×1, "x" ×1 → ab: 3+1=4, bc: 1; "x" no pairs
+    val docs = Seq((1L, "ab ab abc"), (2L, "ab x")).toDF("id", "text")
+    val top = TextAnalysis.bpePairStats(docs, "text", k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(top.toSeq == Seq(("ab", 4L), ("bc", 1L)))
   }
 
   test("topTokens: frequency order, lexicographic ties, doc frequency") {
