@@ -695,6 +695,19 @@ object Advanced {
       },
       Some("SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier")),
 
+    // ---- ORC sink → source round trip (q79, beyond-reference columnar
+    // format #2): same discipline as q78 — distributed write, explicit
+    // schema on read.
+    Q("q79_orc_roundtrip",
+      (s, dir) => {
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_orc_rt"
+        t(s, dir, "region")
+          .select(col("r_regionkey"), col("r_name"))
+          .write.mode("overwrite").orc(out)
+        s.read.schema("r_regionkey INT, r_name STRING").orc(out)
+      },
+      Some("SELECT r_regionkey, r_name FROM region")),
+
     // ---- CSVWRITE → CSVREAD round trip (Function.java:352-353,
     // db/Csv.java:46): written distributed (no driver collect), read back
     // with explicit schema.

