@@ -189,6 +189,31 @@ object Dedup {
     ConnectedComponents.clusterAssignments(df, idCol,
       minhashCandidates(df, idCol, textCol, cfg))
 
+  /** Per-cluster duplicate statistics — the corpus-audit rollup over
+    * [[minhashClusters]]: how big each near-dup cluster is, how much text
+    * it holds, and how much a dedup pass would drop (`cluster_size - 1`
+    * docs; every char beyond the representative's). Integer-exact
+    * (counts + char sums only) so it stays hash-verifiable cross-engine.
+    * The representative IS the cluster id (min reachable id), so no extra
+    * column is needed. One extra shuffle beyond the assignment (groupBy
+    * cluster); partial aggregation keeps it map-side-combined at scale. */
+  def clusterStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      cfg: MinHashConfig = MinHashConfig()): DataFrame =
+    minhashClusters(df, idCol, textCol, cfg)
+      .groupBy(col("cluster"))
+      .agg(
+        count(lit(1)).as("cluster_size"),
+        sum(length(col(textCol))).as("total_chars"),
+        max(length(col(textCol))).as("max_chars"),
+        // the survivor of a dedup pass is the min-id member == cluster id,
+        // so what a pass drops is everything beyond THAT member's text
+        (sum(length(col(textCol))) -
+          max(when(col(idCol) === col("cluster"), length(col(textCol)))))
+          .as("dropped_chars"))
+
   /** 64-bit SimHash over word-token hashes. */
   def simhashColumn(text: Column): Column = {
     val toks = filter(split(normalize(text), " "), t => length(t) > 0)

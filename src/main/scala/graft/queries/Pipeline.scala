@@ -580,6 +580,53 @@ object Pipeline {
         SELECT d.doc_id, COALESCE(comp.cluster, d.doc_id) AS cluster
         FROM documents d LEFT JOIN comp ON comp.node = d.doc_id""")),
 
+    // ---- Per-cluster duplicate statistics (d12): the audit rollup over
+    // d11 — cluster sizes and the char budget a dedup pass keeps vs drops
+    // (survivor = min-id member = the cluster id itself). Integer-exact
+    // counts/sums only. Oracle: the d11 closure twin + GROUP BY cluster.
+    Q("d12_cluster_stats",
+      (s, dir) => Dedup.clusterStats(
+          t(s, dir, "documents"), "doc_id", "text",
+          Dedup.MinHashConfig(numHashes = 64, bands = 16, threshold = 0.35)),
+      Some("""
+        WITH pairs AS (
+          WITH s AS (
+            SELECT doc_id,
+              list_distinct(list_transform(range(1, greatest(len(nrm)-3, 1)),
+                i -> nrm[i:i+4])) AS sh
+            FROM (SELECT doc_id,
+                    trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS nrm
+                  FROM documents))
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM s a JOIN s b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.35),
+        edges AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        reach AS (
+          WITH RECURSIVE r(src, dst) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.src, e.b FROM r JOIN edges e ON r.dst = e.a
+            WHERE e.b <> r.src)
+          SELECT * FROM r),
+        comp AS (
+          SELECT src AS node, LEAST(src, MIN(dst)) AS cluster
+          FROM reach GROUP BY src),
+        labeled AS (
+          SELECT d.doc_id, COALESCE(comp.cluster, d.doc_id) AS cluster,
+                 length(d.text) AS chars
+          FROM documents d LEFT JOIN comp ON comp.node = d.doc_id)
+        SELECT cluster,
+               CAST(count(*) AS BIGINT) AS cluster_size,
+               CAST(sum(chars) AS BIGINT) AS total_chars,
+               CAST(max(chars) AS BIGINT) AS max_chars,
+               CAST(sum(chars) -
+                    max(CASE WHEN doc_id = cluster THEN chars END) AS BIGINT)
+                 AS dropped_chars
+        FROM labeled GROUP BY cluster""")),
+
     // ---- SimHash near-dup pairs (custom Catalyst expression + banding).
     // maxHamming=3 → 4 derived 16-bit bands with an EXACT pigeonhole recall
     // guarantee (round-1 ran hamming≤16 over 4 bands, which silently missed

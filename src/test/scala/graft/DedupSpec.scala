@@ -87,6 +87,26 @@ class DedupSpec extends SparkSpec {
     assert(cl.filter { case (id, c) => id == c }.keySet == Set(1L, 5L, 7L))
   }
 
+  test("cluster stats: sizes sum to corpus, dropped chars exclude the survivor") {
+    val chain = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta mu lambda"),
+      (4L, "completely different text about something else entirely here")
+    ).toDF("doc_id", "text")
+    val cfg = Dedup.MinHashConfig(numHashes = 64, bands = 32, threshold = 0.5)
+    val stats = Dedup.clusterStats(chain, "doc_id", "text", cfg)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getAs[Number](3).longValue(),
+         r.getLong(4))).toMap
+    assert(stats.keySet == Set(1L, 4L))
+    assert(stats.values.map(_._1).sum == 4) // sizes partition the corpus
+    val (sz, total, mx, dropped) = stats(1L)
+    assert(sz == 3 && total == 56L + 57L + 55L && mx == 57)
+    assert(dropped == total - 56) // survivor is doc 1 (56 chars), not max
+    assert(stats(4L) == ((1L, 60L, 60L, 0L))) // singleton drops nothing
+  }
+
   test("transitive minhash dedup collapses chains keep-earliest cannot") {
     // a~b and b~c strongly similar, a vs c less so: chain of 3
     val chain = Seq(
