@@ -46,7 +46,8 @@ object Bench {
     "q67_rolling_features",      // time-series: rolling window features
     "t09_blocklist_filter",      // pipeline: blocklist filter
     "s05_knn_graph",             // pipeline: corpus kNN graph (LSH self-join)
-    "t10_trigram_quality")       // pipeline: trigram LM quality score
+    "t10_trigram_quality",       // pipeline: trigram LM quality score
+    "d13_duplicate_spans")       // pipeline: exact duplicate-span detection
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -214,6 +214,103 @@ object Dedup {
           max(when(col(idCol) === col("cluster"), length(col(textCol)))))
           .as("dropped_chars"))
 
+  /** Exact duplicate-SPAN detection — the substring-level dedup shape
+    * (suffix-array ExactSubstr, re-expressed Spark-first as fixed-k word
+    * grams): a token position is duplicated when its k-gram occurs at more
+    * than one (doc, pos) site corpus-wide; overlapping duplicated grams
+    * merge into maximal spans per doc (gaps-and-islands over start
+    * positions). Fixed k ≥ the dedup threshold is what makes this
+    * shuffle-bounded — one exchange keyed by gram (the window's partition
+    * key), one by doc — where a true suffix array needs global order.
+    * Everything is integer-exact: positions, counts, string equality.
+    *
+    * Returns (idCol, span_start, span_end, n_dup_grams) with token indices
+    * inclusive. Scale path: key the gram exchange by xxhash64(gram) to cap
+    * shuffle bytes at 8B/gram (collision-tolerant: a collision only
+    * over-marks a span); kept as the raw string here so the oracle twin is
+    * plain SQL string equality. */
+  def duplicateSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dpos = duplicatedStarts(df, idCol, textCol, k)
+    val wd = Window.partitionBy(idCol).orderBy("pos")
+    // islands: a start extends the current span iff it overlaps the
+    // previous gram's coverage [prev, prev+k-1]
+    val newIsland =
+      when(col("pos") <= lag("pos", 1).over(wd) + (k - 1), 0).otherwise(1)
+    dpos.withColumn("__isl", sum(newIsland).over(wd))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(
+        min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(k - 1)).as("span_end"),
+        count(lit(1)).as("n_dup_grams"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        col("n_dup_grams"))
+  }
+
+  /** Remove every duplicated span (the aggressive ExactSubstr variant:
+    * all copies go, not all-but-one — deterministic with no global
+    * tie-break state). Tokens covered by any duplicated k-gram are cut;
+    * the rest re-join in order. Returns (idCol, clean_text,
+    * n_removed_tokens); fully-duplicated docs keep an empty string. */
+  def removeDuplicateSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8): DataFrame = {
+    val toks = filter(split(normalize(col(textCol)), " "), t => length(t) > 0)
+    val base = df.select(col(idCol), posexplode(toks).as(Seq("pos", "tok")))
+    val covered = duplicatedStarts(df, idCol, textCol, k)
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("pos"))
+      .distinct()
+    base.join(covered, Seq(idCol, "pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        sort_array(collect_list(struct(col("pos"), col("tok"))))
+          .as("__ordered"),
+        // counted in the aggregate, NOT size() over the joined array:
+        // size(NULL) is -1 under non-ANSI legacy semantics, which would
+        // silently over-count removals for fully-covered docs
+        count(lit(1)).as("__kept"))
+      .select(col(idCol),
+        array_join(transform(col("__ordered"), _.getField("tok")), " ")
+          .as("clean_text"),
+        col("__kept"))
+      .join(df.select(col(idCol), size(filter(split(normalize(col(textCol)),
+          " "), t => length(t) > 0)).as("__total")), Seq(idCol), "right")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("__total") - coalesce(col("__kept"), lit(0)))
+          .as("n_removed_tokens"))
+  }
+
+  /** Start positions whose word k-gram occurs at >1 (doc, pos) site
+    * corpus-wide. Grams build with per-doc lead() windows (k tokens wide),
+    * NOT a transform() lambda — higher-order lambdas evaluate interpreted
+    * and inline their children per element (round-4 constraint #1). The
+    * duplicate test is a count window partitioned by the gram itself:
+    * one exchange, no second aggregate-join pass. */
+  private def duplicatedStarts(
+      df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = filter(split(normalize(col(textCol)), " "), t => length(t) > 0)
+    val base = df.select(col(idCol), posexplode(toks).as(Seq("pos", "tok")))
+    val wDoc = Window.partitionBy(idCol).orderBy("pos")
+    val parts = (0 until k).map(j =>
+      if (j == 0) col("tok") else lead(col("tok"), j).over(wDoc))
+    val grams = base.select(col(idCol), col("pos"),
+        concat_ws(" ", parts: _*).as("gram"), parts.last.as("__tail"))
+      .filter(col("__tail").isNotNull) // whole grams only (concat_ws skips nulls)
+    grams.withColumn("__n",
+        count(lit(1)).over(Window.partitionBy("gram")))
+      .filter(col("__n") > 1)
+      .select(col(idCol), col("pos"))
+  }
+
   /** 64-bit SimHash over word-token hashes. */
   def simhashColumn(text: Column): Column = {
     val toks = filter(split(normalize(text), " "), t => length(t) > 0)

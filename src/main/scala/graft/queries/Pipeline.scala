@@ -25,6 +25,38 @@ object Pipeline {
     * through signed BIGINT. Window minima compare SIGNED longs, exactly as
     * the JVM kernel does. Verified bit-exact on all 500 sf0.01 docs.
     * Assumes every normalized doc has ≥ 8 chars (corpus min is 44). */
+  /** Shared CTE block for the d13/d14 duplicate-span oracles: word
+    * tokenization, positioned 8-grams (list slice, DuckDB ranges are
+    * end-exclusive and 1-based), duplicated start positions (count window
+    * over the gram), and the gaps-and-islands grouping key (a new island
+    * starts when a start does not overlap the previous gram's [pos,pos+7]
+    * coverage). Integer-exact throughout. */
+  private def dupSpanCtes: String = """
+        toks AS (
+          SELECT doc_id, list_filter(string_split(
+              trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')),
+              ' '), x -> len(x) > 0) AS t
+          FROM documents),
+        grams AS (
+          SELECT doc_id, u.i - 1 AS pos,
+                 array_to_string(t[u.i:u.i+7], ' ') AS gram
+          FROM toks, unnest(range(1, greatest(len(t) - 6, 1))) AS u(i)),
+        dpos AS (
+          SELECT doc_id, pos FROM (
+            SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS n
+            FROM grams)
+          WHERE n > 1),
+        marked AS (
+          SELECT doc_id, pos,
+            CASE WHEN pos <= lag(pos)
+                   OVER (PARTITION BY doc_id ORDER BY pos) + 7
+                 THEN 0 ELSE 1 END AS ni
+          FROM dpos),
+        isl AS (
+          SELECT doc_id, pos,
+            SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+          FROM marked)"""
+
   private def winnowOracle: String = {
     val N = "18446744073709551616::HUGEINT"
     val HALF = "9223372036854775808::HUGEINT"
@@ -626,6 +658,51 @@ object Pipeline {
                     max(CASE WHEN doc_id = cluster THEN chars END) AS BIGINT)
                  AS dropped_chars
         FROM labeled GROUP BY cluster""")),
+
+    // ---- Exact duplicate-span detection (d13): the ExactSubstr shape at
+    // fixed k=8 word grams — a position is duplicated when its 8-gram
+    // occurs at >1 (doc,pos) site corpus-wide; overlapping grams merge
+    // into maximal spans. Oracle: the same integer-exact definition in
+    // plain SQL (unnest-built grams, count window, gaps-and-islands).
+    Q("d13_duplicate_spans",
+      (s, dir) => Dedup.duplicateSpans(
+        t(s, dir, "documents"), "doc_id", "text", k = 8),
+      Some(s"""
+        WITH $dupSpanCtes
+        SELECT doc_id,
+               CAST(min(pos) AS BIGINT) AS span_start,
+               CAST(max(pos) + 7 AS BIGINT) AS span_end,
+               CAST(count(*) AS BIGINT) AS n_dup_grams
+        FROM isl GROUP BY doc_id, g""")),
+
+    // ---- Duplicate-span removal (d14): cut every token covered by a
+    // duplicated 8-gram (aggressive all-copies variant — deterministic,
+    // no global tie-break state); remaining tokens re-join in order.
+    Q("d14_remove_dup_spans",
+      (s, dir) => Dedup.removeDuplicateSpans(
+        t(s, dir, "documents"), "doc_id", "text", k = 8),
+      Some(s"""
+        WITH $dupSpanCtes,
+        covered AS (
+          SELECT DISTINCT dpos.doc_id, c.p AS pos
+          FROM dpos, unnest(range(dpos.pos, dpos.pos + 8)) AS c(p)),
+        kept AS (
+          SELECT tk.doc_id, tk.pos, tk.tok
+          FROM (SELECT doc_id, u.i - 1 AS pos, t[u.i] AS tok
+                FROM toks, unnest(range(1, len(t) + 1)) AS u(i)) tk
+          WHERE NOT EXISTS (SELECT 1 FROM covered c
+                            WHERE c.doc_id = tk.doc_id AND c.pos = tk.pos)),
+        clean AS (
+          SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+                 count(*) AS kept
+          FROM kept GROUP BY doc_id)
+        SELECT d.doc_id,
+               COALESCE(c.clean_text, '') AS clean_text,
+               CAST(len(tt.t) - COALESCE(c.kept, 0) AS BIGINT)
+                 AS n_removed_tokens
+        FROM documents d
+        JOIN toks tt ON tt.doc_id = d.doc_id
+        LEFT JOIN clean c ON c.doc_id = d.doc_id""")),
 
     // ---- SimHash near-dup pairs (custom Catalyst expression + banding).
     // maxHamming=3 → 4 derived 16-bit bands with an EXACT pigeonhole recall

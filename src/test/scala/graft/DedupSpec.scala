@@ -107,6 +107,41 @@ class DedupSpec extends SparkSpec {
     assert(stats(4L) == ((1L, 60L, 60L, 0L))) // singleton drops nothing
   }
 
+  test("duplicate spans: overlapping grams merge, unique text untouched") {
+    // docs 1 and 2 share a 10-token run -> 3 overlapping 8-grams merge into
+    // ONE span [2,11] in doc 1 and [0,9] in doc 2; doc 3 is all-unique
+    val shared = "one two three four five six seven eight nine ten"
+    val docs = Seq(
+      (1L, s"pre pad $shared tail1a tail1b"),
+      (2L, s"$shared post1 post2"),
+      (3L, "totally unique words which repeat nowhere in this corpus at all")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, "doc_id", "text", k = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    assert(spans == Set((1L, 2, 11, 3L), (2L, 0, 9, 3L)))
+    val cleaned = Dedup.removeDuplicateSpans(docs, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(cleaned(1L) == ("pre pad tail1a tail1b", 10L))
+    assert(cleaned(2L) == ("post1 post2", 10L))
+    assert(cleaned(3L)._2 == 0L)
+  }
+
+  test("duplicate spans: within-doc repetition counts as duplication") {
+    val phrase = "a1 a2 a3 a4 a5 a6 a7 a8"
+    val docs = Seq(
+      (1L, s"$phrase mid1 mid2 mid3 $phrase"),
+      (2L, "x1 x2 x3 x4 x5 x6 x7 x8 x9")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, "doc_id", "text", k = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(spans == Set((1L, 0, 7), (1L, 11, 18))) // both copies, not merged
+    val c = Dedup.removeDuplicateSpans(docs, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(c(1L) == "mid1 mid2 mid3")
+    assert(c(2L) == "x1 x2 x3 x4 x5 x6 x7 x8 x9")
+  }
+
   test("transitive minhash dedup collapses chains keep-earliest cannot") {
     // a~b and b~c strongly similar, a vs c less so: chain of 3
     val chain = Seq(
