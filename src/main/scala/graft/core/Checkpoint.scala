@@ -35,6 +35,13 @@ object Checkpoint {
   val DirKey = "spark.graft.checkpoint.dir"
 
   def cut(df: DataFrame): DataFrame = {
+    // Streaming frames cannot checkpoint mid-plan (and don't need the
+    // plan-compilation cut: a microbatch plan is built fresh per trigger).
+    // Passing through keeps batch operators that use cut() as a
+    // materialization barrier (e.g. chunkText) usable on streams —
+    // with the documented cost that whatever the cut would have
+    // materialized is recomputed per consumer within the microbatch.
+    if (df.isStreaming) return df
     val spark = df.sparkSession
     spark.conf.get(ModeKey, "local") match {
       case "reliable" =>

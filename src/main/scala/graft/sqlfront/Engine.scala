@@ -52,6 +52,15 @@ final class Engine(val spark: SparkSession) {
   private val identityNext = mutable.HashMap.empty[String, Long]
   private val sequences = mutable.HashMap.empty[String, Sequence]
   private var rangeViewId = 0
+  // _ROWID_ pseudo-column (StandardPrimaryIndex.java storage key;
+  // PseudoColumnTest): tables with a single integral PRIMARY KEY map
+  // _rowid_ onto that key (rowidPk); tables without one carry a REAL
+  // hidden _rowid_ column (rowidTables) — engine-assigned max+1 values,
+  // explicitly insertable, dropped from the registered view so star
+  // expansion and positional INSERT never see it.
+  private val rowidPk = mutable.HashMap.empty[String, String]
+  private val rowidTables = mutable.HashSet.empty[String]
+  private val rowidNext = mutable.HashMap.empty[String, Long]
 
   // DDL surface recorded for INFORMATION_SCHEMA + validation
   // (ddl/CreateIndex.java, db/constraint/ConstraintReferential.java,
@@ -129,8 +138,14 @@ final class Engine(val spark: SparkSession) {
   graft.functions.Aggregators.registerAll(spark)
 
   def register(name: String, df: DataFrame): Unit = {
-    tables(name.toLowerCase) = df
-    df.createOrReplaceTempView(name.toLowerCase)
+    val n = name.toLowerCase
+    tables(n) = df
+    // hidden _rowid_ never reaches the public view: star expansion and
+    // positional INSERT see the declared columns only (runSelect swaps the
+    // full frame in for statements that reference _rowid_ explicitly)
+    val v = if (rowidTables.contains(n) && df.columns.contains("_rowid_"))
+      df.drop("_rowid_") else df
+    v.createOrReplaceTempView(n)
   }
 
   def table(name: String): DataFrame = tables(name.toLowerCase)
@@ -368,6 +383,48 @@ final class Engine(val spark: SparkSession) {
     M("""(?is)^\s*REVOKE\s+([\w, ]+?)\s+ON\s+(\w+)\s+FROM\s+(\w+)\s*$""".r)
   private val schemas = mutable.LinkedHashSet("public")
   private val rights = mutable.ArrayBuffer.empty[(String, String, String)]
+  // Roles + role grants (db/auth/Role.java, ddl/GrantRevoke.java; RoleTest/
+  // RightTest): PUBLIC is the built-in role every user implicitly holds.
+  // roleGrants edges are (role, grantee) — "grantee HAS role".
+  private val roles = mutable.LinkedHashSet("public")
+  private val roleGrants = mutable.ArrayBuffer.empty[(String, String)]
+  private val createRoleRe =
+    M("""(?is)^\s*CREATE\s+ROLE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s*$""".r)
+  private val dropRoleRe =
+    M("""(?is)^\s*DROP\s+ROLE\s+(IF\s+EXISTS\s+)?(\w+)\s*$""".r)
+  // GRANT/REVOKE without ON: role grants, or object-less system rights
+  // (GRANT ALTER ANY SCHEMA TO u — Right.java ALTER_ANY_SCHEMA)
+  private val grantRoleRe =
+    M("""(?is)^\s*GRANT\s+([\w, ]+?)\s+TO\s+(\w+)\s*$""".r)
+  private val revokeRoleRe =
+    M("""(?is)^\s*REVOKE\s+([\w, ]+?)\s+FROM\s+(\w+)\s*$""".r)
+  // COMMENT ON <type> <name> IS 'text'|NULL (ddl/SetComment.java,
+  // CommentTest). Keyed by (TYPE, unqualified tail) — COLUMN keeps
+  // table.column, everything else the bare object name.
+  private val commentRe = M(("""(?is)^\s*COMMENT\s+ON\s+""" +
+    """(TABLE|COLUMN|ROLE|USER|VIEW|INDEX|SEQUENCE|CONSTANT|DOMAIN|""" +
+    """TRIGGER|ALIAS|SCHEMA)\s+([\w.]+)\s+IS\s+(NULL|'(?:[^']|'')*')\s*$""").r)
+  private val comments = mutable.LinkedHashMap.empty[(String, String), String]
+  /** Transitive closure of roles `grantee` possesses (Role.isRoleGranted
+    * recursion) — tiny in-memory BFS over the grant edges. */
+  private def hasRole(grantee: String): Set[String] = {
+    var acc = Set.empty[String]
+    var frontier = Set(grantee)
+    while (frontier.nonEmpty) {
+      val next = roleGrants.collect {
+        case (r, g) if frontier.contains(g) && !acc.contains(r) => r
+      }.toSet
+      acc ++= next; frontier = next
+    }
+    acc
+  }
+
+  /** Recorded COMMENT ON text for (type, name) — CommentTest's
+    * findComment surface. Type is e.g. "ROLE"/"TABLE"; COLUMN names are
+    * "table.column". */
+  def commentText(typ: String, name: String): Option[String] =
+    comments.get((typ.toUpperCase, name.toLowerCase))
+
   private val explainRe = M("""(?is)^\s*EXPLAIN\s+(?:PLAN\s+FOR\s+)?(.*)$""".r)
   private val setVarRe = M("""(?is)^\s*SET\s+@(\w+)\s*=\s*(.*)$""".r)
   private val scriptRe = M("""(?is)^\s*SCRIPT\s*$""".r)
@@ -492,7 +549,7 @@ final class Engine(val spark: SparkSession) {
     val restored = s.tables.map(_._1).toSet
     tables.keys.filterNot(restored).toSeq.foreach(spark.catalog.dropTempView)
     tables.clear(); tables ++= s.tables
-    s.tables.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+    s.tables.foreach { case (n, df) => register(n, df) } // keeps _rowid_ hidden
     primaryKeys.clear(); primaryKeys ++= s.primaryKeys
     identityCols.clear(); identityCols ++= s.identityCols
     indexes.clear(); indexes ++= s.indexes
@@ -750,6 +807,9 @@ final class Engine(val spark: SparkSession) {
         foreignKeys.clear(); checks.clear(); viewDefs.clear()
         constants.clear(); domains.clear(); triggers.clear(); rights.clear()
         notNullCols.clear(); colDefaults.clear()
+        roles.clear(); roles += "public"; roleGrants.clear()
+        comments.clear(); rowidPk.clear(); rowidTables.clear()
+        rowidNext.clear()
         status()
       case createSchemaRe(name) =>
         schemas += name.toLowerCase; status()
@@ -770,6 +830,11 @@ final class Engine(val spark: SparkSession) {
       case dropUserRe(name) =>
         users.remove(name.toLowerCase); status()
       case grantRe(privs, obj, grantee) =>
+        // a role name inside an ON-form right list is the reference's
+        // ROLES_AND_RIGHT_CANNOT_BE_MIXED error (GrantRevoke.java)
+        if (privs.split(",").map(_.trim.toLowerCase).exists(roles.contains))
+          throw new IllegalArgumentException(
+            "roles and rights cannot be mixed")
         privs.split(",").map(_.trim.toUpperCase).foreach(p =>
           rights += ((grantee.toLowerCase, p, obj.toLowerCase)))
         status()
@@ -778,6 +843,69 @@ final class Engine(val spark: SparkSession) {
         rights.filterInPlace { case (g, p, o) =>
           !(g == grantee.toLowerCase && o == obj.toLowerCase && revoked(p))
         }
+        status()
+      case createRoleRe(ifNot, name) =>
+        val n = name.toLowerCase
+        if (users.contains(n)) // USER_ALREADY_EXISTS_1, even under IF NOT EXISTS
+          throw new IllegalArgumentException(s"user $name already exists")
+        if (roles.contains(n)) {
+          if (ifNot == null)
+            throw new IllegalArgumentException(s"role $name already exists")
+        } else roles += n
+        status()
+      case dropRoleRe(ifEx, name) =>
+        val n = name.toLowerCase
+        if (n == "public") // DbObjectTestBase: the system role is undroppable
+          throw new IllegalArgumentException("role PUBLIC cannot be dropped")
+        if (!roles.remove(n) && ifEx == null)
+          throw new IllegalArgumentException(s"role $name not found")
+        roleGrants.filterInPlace { case (r, g) => r != n && g != n }
+        comments.remove(("ROLE", n))
+        status()
+      case grantRoleRe(items0, grantee) =>
+        val items = items0.split(",").map(_.trim)
+        val (rs, nonRoles) = items.partition(i => roles.contains(i.toLowerCase))
+        if (rs.nonEmpty && nonRoles.nonEmpty)
+          throw new IllegalArgumentException("roles and rights cannot be mixed")
+        val g = grantee.toLowerCase
+        if (rs.isEmpty)
+          // object-less system right (GRANT ALTER ANY SCHEMA TO u)
+          items.map(_.toUpperCase).foreach(p => rights += ((g, p, "*")))
+        else rs.foreach { r =>
+          val rn = r.toLowerCase
+          // duplicate (incl. transitive) or cycle → ROLE_ALREADY_GRANTED_1
+          if (rn == g || hasRole(g).contains(rn) || hasRole(rn).contains(g))
+            throw new IllegalArgumentException(s"role $r already granted")
+          roleGrants += ((rn, g))
+        }
+        status()
+      case revokeRoleRe(items0, grantee) =>
+        val g = grantee.toLowerCase
+        val items = items0.split(",").map(_.trim.toLowerCase).toSet
+        roleGrants.filterInPlace { case (r, gr) =>
+          !(gr == g && items.contains(r)) }
+        rights.filterInPlace { case (gr, p, o) =>
+          !(gr == g && o == "*" && items.contains(p.toLowerCase)) }
+        status()
+      case commentRe(typ, qname, text) =>
+        val t = typ.toUpperCase
+        val tail = qname.toLowerCase.split("\\.")
+          .takeRight(if (t == "COLUMN") 2 else 1).mkString(".")
+        t match {
+          case "TABLE" => require(tables.contains(tail),
+            s"table $qname not found")
+          case "COLUMN" =>
+            val Array(tn, cn) = tail.split("\\.")
+            require(tables.get(tn).exists(
+              _.columns.map(_.toLowerCase).contains(cn)),
+              s"column $qname not found")
+          case "ROLE" => require(roles.contains(tail), s"role $qname not found")
+          case "USER" => require(users.contains(tail), s"user $qname not found")
+          case _ =>
+        }
+        if (text.equalsIgnoreCase("NULL")) comments.remove((t, tail))
+        else comments((t, tail)) =
+          text.stripPrefix("'").stripSuffix("'").replace("''", "'")
         status()
       case createTableAsRe(name, query) =>
         register(name, runSelect(query)); status()
@@ -825,11 +953,35 @@ final class Engine(val spark: SparkSession) {
         inlineIdx.foreach { case (ixName, cols, unique) =>
           indexes(ixName) = IndexDef(ixName, tn, cols, unique)
         }
+        // _ROWID_ pseudo-column wiring (PseudoColumnTest): a single
+        // integral PRIMARY KEY IS the row id (StandardPrimaryIndex
+        // clustered key); otherwise a hidden engine-assigned column —
+        // unless the user declared _rowid_ as an ordinary column.
+        import org.apache.spark.sql.types._
+        val intPk = pks match {
+          case Seq(pk) => schema.fields
+            .find(_.name.equalsIgnoreCase(pk))
+            .filter(f => Seq(ByteType, ShortType, IntegerType, LongType)
+              .contains(f.dataType))
+            .map(_ => pk.toLowerCase)
+          case _ => None
+        }
+        val declaredRowid =
+          schema.fieldNames.exists(_.equalsIgnoreCase("_rowid_"))
+        val finalSchema = intPk match {
+          case Some(pk) => rowidPk(tn) = pk; schema
+          case None if !declaredRowid =>
+            rowidTables += tn; rowidNext(tn) = 1L
+            schema.add("_rowid_", LongType)
+          case None => schema
+        }
         register(name, spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], finalSchema))
         status()
       case dropTableRe(name) =>
         tables.remove(name.toLowerCase)
+        rowidPk.remove(name.toLowerCase); rowidTables.remove(name.toLowerCase)
+        rowidNext.remove(name.toLowerCase)
         spark.catalog.dropTempView(name.toLowerCase); status()
       case truncateRe(name) =>
         register(name, Dml.truncate(table(name))); status()
@@ -874,7 +1026,14 @@ final class Engine(val spark: SparkSession) {
           case q => runSelect(q)
         }
         val t = table(name)
-        val aligned = alignTo(name, t, Option(cols).map(splitTop(_).map(_.trim)), src)
+        val aligned0m = alignForWrite(name.toLowerCase,
+          Option(cols).map(splitTop(_).map(_.trim)), src)
+        // hidden-rowid tables: merged rows take fresh ids (storage keys are
+        // not stable across H2 updates either)
+        val aligned = if (rowidTables.contains(name.toLowerCase))
+          fillRowid(name.toLowerCase, aligned0m, Option(cols).exists(
+            splitTop(_).exists(_.trim.equalsIgnoreCase("_rowid_"))))
+        else aligned0m
         val key = Option(keys).map(_.split(",").map(_.trim.toLowerCase).toSeq)
           .orElse(primaryKeys.get(name.toLowerCase))
           .getOrElse(Seq(t.columns.head))
@@ -1759,7 +1918,36 @@ final class Engine(val spark: SparkSession) {
     q
   }
 
-  private def runSelect(q: String): DataFrame = {
+  private def runSelect(q0: String): DataFrame = {
+    var q = q0
+    // _ROWID_ pseudo-column (PseudoColumnTest): integral-PK tables get the
+    // token substituted with the key column; hidden-rowid tables get the
+    // FULL frame swapped in as the view for this statement only.
+    // Known divergence: `SELECT *` in such a statement shows _rowid_.
+    val restoreHidden = mutable.Buffer.empty[String]
+    if (referencedOutsideLiterals(q, "_ROWID_")) {
+      def refed(tn: String) = referencedOutsideLiterals(q, tn)
+      val hid = rowidTables.toSeq.filter(refed)
+      val pkT = rowidPk.toSeq.filter { case (tn, _) => refed(tn) }
+      if (hid.isEmpty && pkT.size == 1)
+        q = rewriteOutside(q, """(?i)\b_ROWID_\b""".r)(_ => pkT.head._2)
+      hid.foreach { tn =>
+        tables(tn).createOrReplaceTempView(tn); restoreHidden += tn }
+    }
+    try runSelectTranslated(q)
+    finally restoreHidden.foreach(tn =>
+      tables(tn).drop("_rowid_").createOrReplaceTempView(tn))
+  }
+
+  /** Word-boundary occurrence of `word` outside string literals. */
+  private def referencedOutsideLiterals(q: String, word: String): Boolean = {
+    val spans = literalSpans(q)
+    ("""(?i)\b""" + java.util.regex.Pattern.quote(word) + """\b""").r
+      .findAllMatchIn(q)
+      .exists(m => !spans.exists(sp => m.start >= sp._1 && m.start < sp._2))
+  }
+
+  private def runSelectTranslated(q: String): DataFrame = {
     val t = translate(q)
     val df =
       try spark.sql(t)
@@ -1876,10 +2064,12 @@ final class Engine(val spark: SparkSession) {
             "storage_type")
       case "columns" =>
         tables.toSeq.flatMap { case (t, df0) =>
-          df0.schema.fields.zipWithIndex.map { case (f, i) =>
-            (t, f.name, i + 1, f.dataType.catalogString.toUpperCase,
-              if (f.nullable) "YES" else "NO")
-          }
+          df0.schema.fields
+            .filterNot(f => rowidTables.contains(t) && f.name == "_rowid_")
+            .zipWithIndex.map { case (f, i) =>
+              (t, f.name, i + 1, f.dataType.catalogString.toUpperCase,
+                if (f.nullable) "YES" else "NO")
+            }
         }.toDF("table_name", "column_name", "ordinal_position", "data_type",
           "is_nullable")
       case "sequences" =>
@@ -1946,10 +2136,17 @@ final class Engine(val spark: SparkSession) {
       case "help" => // id 7: reference ships help.csv; no embedded docs here
         Seq.empty[(Int, String, String, String)]
           .toDF("id", "section", "topic", "syntax")
-      case "roles" => // id 10
-        Seq(("PUBLIC", "system role")).toDF("name", "remarks")
+      case "roles" => // id 10: created roles + COMMENT ON remarks
+        roles.toSeq.map(r => (r.toUpperCase,
+            comments.get(("ROLE", r))
+              .getOrElse(if (r == "public") "system role" else null)))
+          .toDF("name", "remarks")
       case "rights" => // id 11: recorded grants (enforcement out of scope)
-        rights.toSeq.map { case (g, p, o) => (g, "USER", p, o) }
+        (rights.toSeq.map { case (g, p, o) =>
+            (g, if (roles.contains(g)) "ROLE" else "USER", p, o) } ++
+          roleGrants.toSeq.map { case (r, g) =>
+            (g, if (roles.contains(g)) "ROLE" else "USER",
+              s"ROLE ${r.toUpperCase}", "") })
           .toDF("grantee", "granteetype", "rights", "table_name")
       case "schemata" => // id 13
         schemas.toSeq.map(s => ("graft", s, "SA", "OFF")).toDF(
@@ -2018,10 +2215,12 @@ final class Engine(val spark: SparkSession) {
     * parquet via `backup`. */
   def script(): Seq[String] = {
     val ddl = tables.toSeq.map { case (name, df) =>
-      val cols = df.schema.fields.map { f =>
-        val pk = primaryKeys.get(name).exists(_.contains(f.name.toLowerCase))
-        s"${f.name} ${f.dataType.sql}${if (pk) " PRIMARY KEY" else ""}"
-      }
+      val cols = df.schema.fields
+        .filterNot(f => rowidTables.contains(name) && f.name == "_rowid_")
+        .map { f =>
+          val pk = primaryKeys.get(name).exists(_.contains(f.name.toLowerCase))
+          s"${f.name} ${f.dataType.sql}${if (pk) " PRIMARY KEY" else ""}"
+        }
       s"CREATE TABLE $name (${cols.mkString(", ")});"
     }
     val seqs = sequences.toSeq.map { case (n, s) =>
@@ -2058,10 +2257,14 @@ final class Engine(val spark: SparkSession) {
     val usrs = users.toSeq.filter(_._1 != "sa").map { case (n, a) =>
       s"CREATE USER $n PASSWORD ''${if (a) " ADMIN" else ""};"
     }
+    val rls = roles.toSeq.filter(_ != "public").map(r => s"CREATE ROLE $r;")
+    val rgs = roleGrants.toSeq.map { case (r, g) => s"GRANT $r TO $g;" }
+    val cmts = comments.toSeq.map { case ((t, n), c) =>
+      s"COMMENT ON $t $n IS '${c.replace("'", "''")}';" }
     val dbs = databases.toSeq.filter(_ != "graft").map(d =>
       s"CREATE DATABASE $d;")
     ddl ++ seqs ++ ixs ++ cons ++ defs ++ vws ++ als ++ consts ++ doms ++
-      usrs ++ dbs
+      usrs ++ rls ++ rgs ++ cmts ++ dbs
   }
 
   // ---- DDL helpers ----
@@ -2431,6 +2634,43 @@ final class Engine(val spark: SparkSession) {
     * engine-assigned ids via per-partition offsets (Dml.assignContiguous)
     * — parallel, no single-partition window, and the same one-pass size
     * job doubles as the counter advance (no extra count() action). */
+  /** Align a write batch to the table, transparently handling the hidden
+    * _rowid_ column: positional sources align against the DECLARED columns
+    * (then take a NULL _rowid_ to fill); named lists align against the full
+    * frame and may set _rowid_ explicitly (PseudoColumnTest2). */
+  private def alignForWrite(tn: String, colsSeq: Option[Seq[String]],
+      src: DataFrame): DataFrame = {
+    val t = table(tn)
+    val hidden = rowidTables.contains(tn)
+    val tAlign = if (hidden && colsSeq.isEmpty) t.drop("_rowid_") else t
+    val a = alignTo(tn, tAlign, colsSeq, src)
+    if (hidden && colsSeq.isEmpty) a.withColumn("_rowid_", lit(null).cast("long"))
+    else a
+  }
+
+  /** Assign hidden _rowid_ values: explicit (named-list) values keep, NULL
+    * rows take engine-contiguous ids from the per-table counter, and the
+    * counter advances past any explicit maximum — PseudoColumnTest2's
+    * "manual 2, next auto row gets 3" contract. */
+  private def fillRowid(tn: String, df: DataFrame,
+      mayHaveExplicit: Boolean): DataFrame = {
+    val start = rowidNext(tn)
+    if (!mayHaveExplicit) {
+      val (filled, n) = Dml.assignContiguous(df, "_rowid_", start)
+      rowidNext(tn) = start + n
+      filled
+    } else {
+      val explicit = df.filter(col("_rowid_").isNotNull)
+      val (filled, n) =
+        Dml.assignContiguous(df.filter(col("_rowid_").isNull), "_rowid_", start)
+      var next = start + n
+      val mx = explicit.agg(max(col("_rowid_"))).head()
+      if (!mx.isNullAt(0)) next = math.max(next, mx.getLong(0) + 1L)
+      rowidNext(tn) = next
+      explicit.union(filled)
+    }
+  }
+
   private def fillIdentity(tn: String, df: DataFrame): DataFrame =
     identityCols.get(tn) match {
       case Some(idCol) =>
@@ -2492,9 +2732,12 @@ final class Engine(val spark: SparkSession) {
   private def doInsert(name: String, cols: Option[String], src: DataFrame): Unit = {
     val t = table(name)
     val tn = name.toLowerCase
-    val aligned0 = alignTo(tn, t, cols.map(c => splitTop(c).map(_.trim)), src)
+    val colsSeq = cols.map(c => splitTop(c).map(_.trim))
+    val aligned0 = alignForWrite(tn, colsSeq, src)
     val specified = cols.map(c => splitTop(c).map(_.trim.toLowerCase).toSet)
     var aligned = fillSequenceDefaults(tn, fillIdentity(tn, aligned0), specified)
+    if (rowidTables.contains(tn)) aligned = fillRowid(tn, aligned,
+      colsSeq.exists(_.exists(_.equalsIgnoreCase("_rowid_"))))
     if (modeFlags.convertInsertNullToZero)
       aligned = convertNullToZero(tn, t, aligned)
     // row hooks fire around the statement (Insert.java:130,157-161,178);
@@ -2520,8 +2763,12 @@ final class Engine(val spark: SparkSession) {
       .orElse(indexes.values.find(ix => ix.unique && ix.table == tn).map(_.cols))
       .getOrElse(throw new IllegalArgumentException(
         s"ON DUPLICATE KEY UPDATE needs a PRIMARY KEY or unique index on $name"))
-    val src1 = fillIdentity(tn,
-      alignTo(tn, t, cols.map(c => splitTop(c).map(_.trim)), src0))
+    val src1a = fillIdentity(tn,
+      alignForWrite(tn, cols.map(c => splitTop(c).map(_.trim)), src0))
+    val src1 = if (rowidTables.contains(tn))
+      fillRowid(tn, src1a, cols.exists(
+        splitTop(_).exists(_.trim.equalsIgnoreCase("_rowid_"))))
+    else src1a
     // MySQL applies duplicate source keys sequentially; a join applies them
     // simultaneously and would emit one target row per duplicate — keep the
     // LAST source row per key (the net effect for assignment-style SETs);

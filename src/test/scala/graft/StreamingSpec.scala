@@ -22,6 +22,55 @@ class StreamingSpec extends SparkSpec {
     (2L, "2024-01-01 10:05:00", "view", 5.0),    // user 2, one session
     (2L, "2024-01-01 10:20:00", "purchase", 7.0)))
 
+  private lazy val docFixture = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "ok"),                                       // too short -> dropped
+    (3L, "1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16"),   // digit-heavy -> dropped
+    (4L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+    (5L, "")
+  ).toDF("doc_id", "text")
+
+  test("streaming quality filter equals the batch operator (stateless parity)") {
+    import graft.streaming.TextPipeline
+    val dir = Files.createTempDirectory("graft_qstream").toFile.getAbsolutePath
+    docFixture.coalesce(1).write.mode("overwrite").parquet(dir)
+    val q = TextPipeline.qualityFilterStream(
+        spark.readStream.schema(docFixture.schema).parquet(dir), "text")
+      .writeStream.format("memory").queryName("graft_qf")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val streamed = spark.table("graft_qf")
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getDouble(4)))
+      .sortBy(_._1).toSeq
+    val batch = TextPipeline.qualityFilterStream(docFixture, "text")
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getDouble(4)))
+      .sortBy(_._1).toSeq
+    assert(streamed == batch)
+    assert(streamed.map(_._1) == Seq(1L, 4L)) // the gate actually fired
+  }
+
+  test("streaming chunking equals the batch operator (stateless parity)") {
+    import graft.streaming.TextPipeline
+    val dir = Files.createTempDirectory("graft_cstream").toFile.getAbsolutePath
+    docFixture.coalesce(1).write.mode("overwrite").parquet(dir)
+    val q = TextPipeline.chunkStream(
+        spark.readStream.schema(docFixture.schema).parquet(dir),
+        "doc_id", "text", chunkTokens = 5, overlap = 2)
+      .writeStream.format("memory").queryName("graft_ck")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    val streamed = canon(spark.table("graft_ck"))
+    val batch = canon(graft.operators.TextAnalysis.chunkText(
+      docFixture, "doc_id", "text", chunkTokens = 5, overlap = 2))
+    assert(streamed == batch)
+    // overlap shape: doc 1 has 13 tokens -> chunks at strides of 3
+    assert(streamed.filter(_._1 == 1L).map(_._2) == Seq(0L, 1L, 2L, 3L))
+    assert(streamed.count(_._1 == 5L) == 0) // empty doc yields no chunks
+  }
+
   test("batch sessionization splits on inactivity gaps") {
     val sessions = Sessions.sessionizeBatch(fixture, gapMinutes = 30)
       .orderBy($"user_id", $"start_ms").collect()
