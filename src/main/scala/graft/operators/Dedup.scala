@@ -288,6 +288,41 @@ object Dedup {
           .as("n_removed_tokens"))
   }
 
+  /** Per-document duplication profile — the filter-score view of
+    * [[duplicateSpans]]: how many of a doc's k-gram starts are duplicated
+    * corpus-wide, how many tokens any duplicated gram covers, and the
+    * covered-token ratio (one exact IEEE division; everything else
+    * integer). The standard "drop docs that are mostly boilerplate"
+    * signal at corpus scale. Returns (idCol, n_tokens, n_grams,
+    * n_dup_grams, n_dup_tokens, dup_ratio). */
+  def duplicationProfile(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8): DataFrame = {
+    val dpos = duplicatedStarts(df, idCol, textCol, k)
+    val dupGrams = dpos.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_dup_grams"))
+    val dupTokens = dpos
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("pos"))
+      .distinct()
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_dup_tokens"))
+    val nToks = size(filter(split(normalize(col(textCol)), " "),
+      t => length(t) > 0)).cast("long")
+    df.select(col(idCol), nToks.as("n_tokens"))
+      .withColumn("n_grams", greatest(col("n_tokens") - (k - 1), lit(0L)))
+      .join(dupGrams, Seq(idCol), "left")
+      .join(dupTokens, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"), col("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        when(col("n_tokens") > 0,
+          coalesce(col("n_dup_tokens"), lit(0L)).cast("double") /
+            col("n_tokens"))
+          .otherwise(lit(0.0)).as("dup_ratio"))
+  }
+
   /** Start positions whose word k-gram occurs at >1 (doc, pos) site
     * corpus-wide. Grams build with per-doc lead() windows (k tokens wide),
     * NOT a transform() lambda — higher-order lambdas evaluate interpreted

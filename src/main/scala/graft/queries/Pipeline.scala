@@ -675,6 +675,36 @@ object Pipeline {
                CAST(count(*) AS BIGINT) AS n_dup_grams
         FROM isl GROUP BY doc_id, g""")),
 
+    // ---- Per-doc duplication profile (d15): the filter-score view of
+    // d13 — duplicated-gram counts, covered tokens, and the covered
+    // ratio per document (integer counts + one exact IEEE division).
+    Q("d15_duplication_profile",
+      (s, dir) => Dedup.duplicationProfile(
+        t(s, dir, "documents"), "doc_id", "text", k = 8),
+      Some(s"""
+        WITH $dupSpanCtes,
+        dg AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams
+          FROM dpos GROUP BY doc_id),
+        dt AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_tokens FROM (
+            SELECT DISTINCT dpos.doc_id, c.p
+            FROM dpos, unnest(range(dpos.pos, dpos.pos + 8)) AS c(p))
+          GROUP BY doc_id),
+        base AS (
+          SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+                 CAST(greatest(len(t) - 7, 0) AS BIGINT) AS n_grams
+          FROM toks)
+        SELECT b.doc_id, b.n_tokens, b.n_grams,
+               COALESCE(dg.n_dup_grams, 0) AS n_dup_grams,
+               COALESCE(dt.n_dup_tokens, 0) AS n_dup_tokens,
+               CASE WHEN b.n_tokens > 0
+                    THEN CAST(COALESCE(dt.n_dup_tokens, 0) AS DOUBLE) / b.n_tokens
+                    ELSE 0.0 END AS dup_ratio
+        FROM base b
+        LEFT JOIN dg ON dg.doc_id = b.doc_id
+        LEFT JOIN dt ON dt.doc_id = b.doc_id""")),
+
     // ---- Duplicate-span removal (d14): cut every token covered by a
     // duplicated 8-gram (aggressive all-copies variant — deterministic,
     // no global tie-break state); remaining tokens re-join in order.

@@ -161,8 +161,37 @@ final class Engine(val spark: SparkSession) {
   /** Execute one or more ';'-separated statements; returns the DataFrame of
     * the last query (or an empty status frame for DDL/DML). */
   def sql(text: String): DataFrame =
-    splitStatements(text).map(execOne).lastOption
+    splitStatements(text).map(execTimed).lastOption
       .getOrElse(spark.emptyDataFrame)
+
+  // ---- SET QUERY_STATISTICS (dml/Set.java; QueryStatisticsTest):
+  // per-statement wall-time accounting into the QUERY_STATISTICS meta
+  // view while enabled. Entry count is bounded by
+  // QUERY_STATISTICS_MAX_ENTRIES (new statements beyond the cap are not
+  // tracked); disabling clears collected data, as the reference does.
+  // (count, min ms, max ms, cumulative ms)
+  private val queryStats =
+    mutable.LinkedHashMap.empty[String, (Long, Double, Double, Double)]
+  private def statsEnabled = sessionSettings.get("QUERY_STATISTICS")
+    .exists(v => v == "1" || v.equalsIgnoreCase("TRUE"))
+  private def execTimed(stmt: String): DataFrame = {
+    if (!statsEnabled) return execOne(stmt)
+    val t0 = System.nanoTime()
+    try execOne(stmt)
+    finally if (statsEnabled) { // the disabling SET must not re-record itself
+      val ms = (System.nanoTime() - t0) / 1e6
+      val key = stmt.trim
+      val cap = sessionSettings.get("QUERY_STATISTICS_MAX_ENTRIES")
+        .flatMap(_.toIntOption).getOrElse(100)
+      queryStats.get(key) match {
+        case Some((n, mn, mx, cum)) =>
+          queryStats(key) = (n + 1, math.min(mn, ms), math.max(mx, ms), cum + ms)
+        case None if queryStats.size < cap =>
+          queryStats(key) = (1L, ms, ms, ms)
+        case None =>
+      }
+    }
+  }
 
   // ------------------------------------------------------------------
   private def splitStatements(text: String): Seq[String] = {
@@ -346,10 +375,16 @@ final class Engine(val spark: SparkSession) {
     M("""(?is)^\s*CREATE\s+CONSTANT\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+VALUE\s+(.*)$""".r)
   private val dropConstantRe =
     M("""(?is)^\s*DROP\s+CONSTANT\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r)
+  // DOMAIN/TYPE/DATATYPE are one statement family (UserDataTypeTest:
+  // "CREATE DOMAIN/TYPE/DATATYPE都是一样的"); the optional CHECK constrains
+  // every column of the domain, with VALUE as the placeholder column.
   private val createDomainRe =
-    M("""(?is)^\s*CREATE\s+DOMAIN\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+(?:AS\s+)?(.+?)(?:\s+CHECK\s*\(.*\))?\s*$""".r)
+    M(("""(?is)^\s*CREATE\s+(?:DOMAIN|TYPE|DATATYPE)\s+""" +
+      """(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+(?:AS\s+)?(.+?)""" +
+      """(?:\s+CHECK\s*\((.*)\))?\s*$""").r)
   private val dropDomainRe =
-    M("""(?is)^\s*DROP\s+DOMAIN\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r)
+    M("""(?is)^\s*DROP\s+(?:DOMAIN|TYPE|DATATYPE)\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r)
+  private val domainChecks = mutable.HashMap.empty[String, String]
   private val createTriggerRe =
     M("""(?is)^\s*CREATE\s+TRIGGER\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+((?:BEFORE|AFTER|INSTEAD\s+OF)\s+[\w ,]+?)\s+ON\s+(\w+)\s+.*$""".r)
   private val dropTriggerRe =
@@ -363,6 +398,9 @@ final class Engine(val spark: SparkSession) {
     M("""(?is)^\s*CREATE\s+SCHEMA\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)(?:\s+AUTHORIZATION\s+\w+)?\s*$""".r)
   private val dropSchemaRe =
     M("""(?is)^\s*DROP\s+SCHEMA\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r)
+  // ALTER SCHEMA … RENAME TO (SchemaTest): system schemas are immutable
+  private val alterSchemaRenameRe =
+    M("""(?is)^\s*ALTER\s+SCHEMA\s+(\w+)\s+RENAME\s+TO\s+(\w+)\s*$""".r)
   // CREATE/ALTER/DROP USER (ddl/CreateUser.java, AlterUser.java,
   // DropUser.java — AlterUserTest shapes): recorded; a single-user batch
   // engine authenticates nothing, so passwords are noted as set, not kept
@@ -788,12 +826,15 @@ final class Engine(val spark: SparkSession) {
         constants(name.toLowerCase) = value.trim; status()
       case dropConstantRe(name) =>
         constants.remove(name.toLowerCase); status()
-      case createDomainRe(name, baseType) =>
+      case createDomainRe(name, baseType, check) =>
         // resolves through parseType, so the domain is usable in CREATE
         // TABLE column definitions (CreateUserDataType.java)
-        domains(name.toLowerCase) = baseType.trim; status()
+        domains(name.toLowerCase) = baseType.trim
+        Option(check).foreach(c => domainChecks(name.toLowerCase) = c.trim)
+        status()
       case dropDomainRe(name) =>
-        domains.remove(name.toLowerCase); status()
+        domains.remove(name.toLowerCase)
+        domainChecks.remove(name.toLowerCase); status()
       case createTriggerRe(name, timing, tableName) =>
         triggers(name.toLowerCase) =
           (tableName.toLowerCase, timing.trim.toUpperCase.replaceAll("\\s+", " "))
@@ -816,6 +857,12 @@ final class Engine(val spark: SparkSession) {
       case dropSchemaRe(name) =>
         require(name.toLowerCase != "public", "cannot drop PUBLIC")
         schemas -= name.toLowerCase; status()
+      case alterSchemaRenameRe(from, to) =>
+        val f = from.toLowerCase
+        require(f != "information_schema" && f != "public",
+          s"schema $from can not be renamed") // SCHEMA_CAN_NOT_BE_DROPPED
+        require(schemas.remove(f), s"schema $from not found")
+        schemas += to.toLowerCase; status()
       case createUserRe(name, admin) =>
         users(name.toLowerCase) = admin != null; status()
       case alterUserRenameRe(from, to) =>
@@ -933,6 +980,20 @@ final class Engine(val spark: SparkSession) {
         }
         if (pks.nonEmpty) { primaryKeys(tn) = pks; notNull ++= pks }
         notNullCols(tn) = notNull.toSet
+        // domain CHECKs attach to every column declared with the domain
+        // type (UserDataType column constraint): VALUE → the column name,
+        // enforced by the same per-batch validator as table CHECKs
+        splitTop(colDefs).map(_.trim).foreach { d =>
+          val toks = d.split("\\s+")
+          if (toks.length >= 2) {
+            val cn = toks(0).toLowerCase
+            val base = toks(1).takeWhile(c => c.isLetter || c == '_').toLowerCase
+            domainChecks.get(base).foreach { chk =>
+              checks += CheckDef(s"${tn}_${cn}_domain", tn,
+                chk.replaceAll("(?i)\\bVALUE\\b", cn))
+            }
+          }
+        }
         // DEFAULT expr / computed `AS expr` column options (Column.java
         // defaultExpression) — applied on omitted columns and the DEFAULT
         // keyword in VALUES
@@ -1120,7 +1181,13 @@ final class Engine(val spark: SparkSession) {
       case showRe(what) => execShow(what.trim)
       case callRe(e) => runSelect(s"SELECT $e")
       case setGenericRe(opt, value) =>
-        sessionSettings(opt.toUpperCase) = value.trim; status()
+        sessionSettings(opt.toUpperCase) = value.trim
+        // turning statistics off discards collected data (reference
+        // QueryStatisticsData lifecycle)
+        if (opt.equalsIgnoreCase("QUERY_STATISTICS") &&
+            (value.trim == "0" || value.trim.equalsIgnoreCase("FALSE")))
+          queryStats.clear()
+        status()
       case _ => runSelect(stmt)
     }
   }
@@ -2198,9 +2265,12 @@ final class Engine(val spark: SparkSession) {
         (variables.toSeq.map { case (k, v) => (s"@$k", s"SET @$k = $v") } ++
          procedures.toSeq.map { case (k, v) => (k, s"PREPARE $k AS $v") })
           .toDF("key", "sql")
-      case "query_statistics" => // id 28: populated only under SET QUERY_STATISTICS
-        Seq.empty[(String, Long, Double)]
-          .toDF("sql_statement", "execution_count", "average_execution_time")
+      case "query_statistics" => // id 28: live under SET QUERY_STATISTICS 1
+        queryStats.toSeq.map { case (s, (n, mn, mx, cum)) =>
+          (s, n, mn, mx, cum, cum / n) }
+          .toDF("sql_statement", "execution_count", "min_execution_time",
+            "max_execution_time", "cumulative_execution_time",
+            "average_execution_time")
       case "databases" => // id 29
         databases.toSeq.toDF("database_name")
       case other => throw new IllegalArgumentException(

@@ -142,6 +142,22 @@ class DedupSpec extends SparkSpec {
     assert(c(2L) == "x1 x2 x3 x4 x5 x6 x7 x8 x9")
   }
 
+  test("duplication profile: counts, covered tokens, exact ratio") {
+    val shared = "one two three four five six seven eight nine ten"
+    val docs = Seq(
+      (1L, s"pre pad $shared tail1a tail1b"),   // 14 toks, span [2,11]
+      (2L, s"$shared post1 post2"),             // 12 toks, span [0,9]
+      (3L, "all unique words here that repeat nowhere else at all")
+    ).toDF("doc_id", "text")
+    val p = Dedup.duplicationProfile(docs, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    assert(p(1L) == ((14L, 7L, 3L, 10L, 10.0 / 14)))
+    assert(p(2L) == ((12L, 5L, 3L, 10L, 10.0 / 12)))
+    assert(p(3L) == ((10L, 3L, 0L, 0L, 0.0)))
+  }
+
   test("transitive minhash dedup collapses chains keep-earliest cannot") {
     // a~b and b~c strongly similar, a vs c less so: chain of 3
     val chain = Seq(

@@ -88,6 +88,60 @@ class RefAuthProbe extends SparkSpec {
     e.sql("DROP TABLE IF EXISTS CommentTest")
   }
 
+  test("UserDataTypeTest: DOMAIN/TYPE/DATATYPE spellings and the VALUE check") {
+    val e = new Engine(spark)
+    e.sql("CREATE DOMAIN IF NOT EXISTS EMAIL AS VARCHAR(255) CHECK (POSITION('@', VALUE) > 1)")
+    e.sql("DROP DOMAIN EMAIL")
+    e.sql("CREATE TYPE IF NOT EXISTS EMAIL AS VARCHAR(255) CHECK (POSITION('@', VALUE) > 1)")
+    e.sql("DROP TYPE EMAIL")
+    e.sql("CREATE DATATYPE IF NOT EXISTS EMAIL AS VARCHAR(255) CHECK (POSITION('@', VALUE) > 1)")
+    // the domain check ENFORCES on columns declared with the type
+    e.sql("CREATE TABLE udt_t (id int, addr EMAIL)")
+    e.sql("INSERT INTO udt_t VALUES (1, 'a@b.com')")
+    intercept[Exception] { e.sql("INSERT INTO udt_t VALUES (2, 'nope')") }
+    assert(e.sql("SELECT count(*) FROM udt_t").head().getLong(0) == 1)
+    e.sql("DROP DATATYPE EMAIL")
+    e.sql("DROP TABLE udt_t")
+  }
+
+  test("QueryStatisticsTest: SET QUERY_STATISTICS populates the meta view") {
+    val e = new Engine(spark)
+    e.sql("set QUERY_STATISTICS 1")
+    e.sql("set QUERY_STATISTICS_MAX_ENTRIES 200")
+    e.sql("drop table IF EXISTS QueryStatisticsTest")
+    e.sql("create table IF NOT EXISTS QueryStatisticsTest(f1 int, f2 int, f3 int)")
+    Seq(1, 5, 3, 8).foreach(v =>
+      e.sql(s"insert into QueryStatisticsTest(f1, f2, f3) values($v,2,3)"))
+    e.sql("select distinct f1 from QueryStatisticsTest").collect()
+    e.sql("select distinct f1 from QueryStatisticsTest").collect()
+    val stats = e.sql("select * from INFORMATION_SCHEMA.QUERY_STATISTICS")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stats("select distinct f1 from QueryStatisticsTest") == 2)
+    assert(stats.keys.exists(_.startsWith("insert into")))
+    // same-statement inserts aggregate into one entry with count 4
+    assert(stats("insert into QueryStatisticsTest(f1, f2, f3) values(1,2,3)") == 1)
+    // disabling clears
+    e.sql("set QUERY_STATISTICS 0")
+    assert(e.sql("select count(*) from INFORMATION_SCHEMA.QUERY_STATISTICS")
+      .head().getLong(0) == 0)
+  }
+
+  test("SchemaTest: CREATE SCHEMA AUTHORIZATION, rename guards") {
+    val e = new Engine(spark)
+    e.sql("CREATE USER IF NOT EXISTS SchemaTest_u1 PASSWORD 'abc' ADMIN")
+    e.sql("CREATE SCHEMA IF NOT EXISTS SchemaTest_s1 AUTHORIZATION SchemaTest_u1")
+    e.sql("CREATE SCHEMA IF NOT EXISTS SchemaTest_s1 AUTHORIZATION SchemaTest_u1")
+    intercept[Exception] { // system schema is immutable
+      e.sql("ALTER SCHEMA INFORMATION_SCHEMA RENAME TO SchemaTest_u1") }
+    e.sql("ALTER SCHEMA SchemaTest_s1 RENAME TO SchemaTest_s2")
+    assert(e.sql("SELECT schema_name FROM INFORMATION_SCHEMA.SCHEMATA")
+      .collect().map(_.getString(0)).contains("schematest_s2"))
+    intercept[Exception] { // renamed away
+      e.sql("ALTER SCHEMA SchemaTest_s1 RENAME TO SchemaTest_s3") }
+    e.sql("DROP SCHEMA IF EXISTS SchemaTest_s2")
+    e.sql("DROP USER IF EXISTS SchemaTest_u1")
+  }
+
   test("PseudoColumnTest: _rowid_ is the integral primary key") {
     val e = new Engine(spark)
     e.sql("create table IF NOT EXISTS PseudoColumnTest(f1 int primary key, f2 int, f3 int)")
