@@ -169,6 +169,38 @@ object Sampling {
       .drop("__u")
   }
 
+  /** Token-budget data selection (the "best docs until the budget runs
+    * out" pass every pretraining mix does): per stratum, rank docs by
+    * (quality DESC, id ASC) and keep the prefix whose CUMULATIVE token
+    * count stays within `budgetTokens` — greedy, deterministic, exact
+    * (token counts are integers; the quality key is whatever exact
+    * column the caller provides). The crossing doc is excluded: kept
+    * docs always fit the budget.
+    *
+    * Shape: one per-stratum window (rank + running sum in a single sort
+    * exchange keyed by the stratum). A pathologically large stratum is
+    * one sort partition — the classic skew caveat; salt the stratum or
+    * pre-filter with [[temperatureRebalance]]-style quotas if profiling
+    * an extreme mix says so. Returns the kept rows + (rank, cum_tokens).
+    */
+  def budgetSelect(df: DataFrame, idCol: String, strataCol: String,
+      qualityCol: String, tokensCol: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    requireIntegralId(df, idCol)
+    val taken = df.columns.filter(Set("rank", "cum_tokens"))
+    require(taken.isEmpty,
+      s"input columns ${taken.mkString(", ")} collide with the operator's " +
+        "internal/output names — rename them first")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col(qualityCol).desc, col(idCol).asc)
+    df.withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_tokens",
+        sum(col(tokensCol).cast("long")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum_tokens") <= budgetTokens)
+  }
+
   /** Deterministic corpus shuffle (the pretraining epoch permutation):
     * every row gets a stable `shuffle_pos` = its rank under
     * (hash(id), id) order — re-runs, re-ingests, and different cluster

@@ -1513,6 +1513,47 @@ object Pipeline {
         SELECT r.doc_id, r.lang, r.rank, plan.quota, plan.n_docs
         FROM r JOIN plan USING (lang) WHERE r.rank <= plan.quota""")),
 
+    // ---- Token-budget data selection (u08): per source, best docs by
+    // (alpha_ratio DESC, id) until the cumulative token count would
+    // exceed the budget — the greedy selection pass of a pretraining
+    // mix. Integer token sums + exact-IEEE quality ratio keep it
+    // hash-verifiable.
+    Q("u08_token_budget_select",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(
+          col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).as("n_toks"),
+          when(length(col("text")) > 0,
+            length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+              .cast("double") / length(col("text")))
+            .otherwise(lit(0.0)).as("alpha_ratio"))
+        graft.operators.Sampling.budgetSelect(
+          docs, "doc_id", "source", "alpha_ratio", "n_toks",
+          budgetTokens = 1500L)
+      },
+      Some("""
+        WITH q AS (
+          SELECT doc_id, source,
+            CAST(len(list_filter(string_split(
+                trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')),
+                ' '), x -> len(x) > 0)) AS BIGINT) AS n_toks,
+            CASE WHEN length(text) > 0
+                 THEN CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                        AS DOUBLE) / length(text)
+                 ELSE 0.0 END AS alpha_ratio
+          FROM documents),
+        r AS (
+          SELECT doc_id, source, n_toks, alpha_ratio,
+            CAST(ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY alpha_ratio DESC, doc_id) AS BIGINT) AS rank,
+            CAST(SUM(n_toks) OVER (PARTITION BY source
+              ORDER BY alpha_ratio DESC, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_tokens
+          FROM q)
+        SELECT doc_id, source, n_toks, alpha_ratio, rank, cum_tokens
+        FROM r WHERE cum_tokens <= 1500""")),
+
     // ---- Deterministic corpus shuffle (u05): the pretraining epoch
     // permutation as a pure function of the id — rank under (knuth-hash,
     // id) order, numbered by per-partition offsets (no global window).

@@ -193,6 +193,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4L) == ((120L, 1L)))
   }
 
+  test("budgetSelect: greedy prefix within budget, crossing doc excluded") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val rows = Seq(
+      // (id, stratum, quality, tokens)
+      (1L, "a", 0.9, 40L), (2L, "a", 0.8, 40L), (3L, "a", 0.7, 40L),
+      (4L, "a", 0.6, 5L), // crossing doc 3 excluded; 4 does NOT backfill
+      (5L, "b", 0.5, 200L), // first doc alone exceeds budget -> empty stratum
+      (6L, "c", 0.4, 100L)  // exactly the budget -> kept
+    ).toDF("id", "src", "q", "n_tok").repartition(3)
+    val out = Sampling.budgetSelect(rows, "id", "src", "q", "n_tok", 100L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(4), r.getLong(5))).toMap
+    // greedy is PREFIX selection: once doc 3 crosses, later docs are out
+    // too even if they would fit (deterministic, one pass, no knapsack)
+    assert(out.keySet == Set(1L, 2L, 6L))
+    assert(out(1L) == ((1L, 40L)) && out(2L) == ((2L, 80L)))
+    assert(out(6L) == ((1L, 100L)))
+  }
+
   test("PII: per-category counts, composite flag, redaction order") {
     import spark.implicits._
     import graft.operators.TextAnalysis
