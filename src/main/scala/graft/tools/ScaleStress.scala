@@ -43,6 +43,17 @@ object ScaleStress {
         segWords = 3, maxDocFreq = 1).count()
     }
     println("[stress] segment-dedup rows=" + segSurv)
+    // worst case for duplicate-span detection: EVERY 8-gram occurs 10x, so
+    // every position is duplicated and spans cover whole documents — the
+    // gram-partition count window carries the full token stream. The
+    // aggregate is over a COMPUTED column so join/window elimination can't
+    // hollow the measurement out (round-4 constraint #3).
+    val spanTok = time("duplicate-spans-50k-all-dup") {
+      Dedup.duplicateSpans(big, "doc_id", "text", k = 8)
+        .agg(sum(col("span_end") - col("span_start") + lit(1))).head().getLong(0)
+    }
+    println("[stress] dup-span covered tokens=" + spanTok +
+      " (expect ≈ corpus token count: one whole-doc span per doc)")
     val packedMax = time("pack-sequences-50k") {
       graft.operators.Sampling.packSequences(
         big.select(col("doc_id"),
