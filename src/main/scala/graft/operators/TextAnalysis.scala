@@ -211,6 +211,46 @@ object TextAnalysis {
           .as("rare_ratio"))
   }
 
+  /** Per-key trigram language model (the CCNet per-LANGUAGE shape:
+    * one model per lang/source rather than one global model). Same
+    * integer-count contract as [[trigramModel]], keyed by `model_key`. */
+  def trigramModelPerKey(df: DataFrame, textCol: String,
+      keyCol: String): DataFrame =
+    df.select(col(keyCol).as("model_key"),
+        explode(charTrigrams(col(textCol))).as("trigram"))
+      .groupBy("model_key", "trigram").agg(count(lit(1)).as("freq"))
+
+  /** Per-document trigram quality against the model OF ITS OWN KEY —
+    * a zh doc scores against the zh model, never the en one (scoring a
+    * minority language against the majority model misreads it as
+    * gibberish, the exact failure CCNet's per-language models fix).
+    * Same left-join + integer-sum discipline as [[trigramQuality]]; a
+    * NULL key (or a key with no model rows) scores all-rare. The join
+    * stays an equi-join on (key, trigram); the model remains
+    * vocab-per-key sized, broadcastable by AQE. */
+  def trigramQualityPerKey(df: DataFrame, idCol: String, textCol: String,
+      keyCol: String, model: DataFrame, rareMaxFreq: Long = 5L): DataFrame = {
+    val occ = df.select(col(idCol).as("doc_id"),
+      col(keyCol).as("model_key"),
+      explode(charTrigrams(col(textCol))).as("trigram"))
+    val scored = occ.join(model, Seq("model_key", "trigram"), "left")
+      .withColumn("freq", coalesce(col("freq"), lit(0L)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(col("freq")).as("freq_sum"),
+        sum((col("freq") <= rareMaxFreq).cast("long")).as("n_rare"))
+    df.select(col(idCol).as("doc_id"), col(keyCol).as("model_key"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("model_key"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("freq_sum"), lit(0L)).as("freq_sum"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare"),
+        (col("freq_sum").cast("double") / col("n_trigrams")).as("avg_freq"),
+        (coalesce(col("n_rare"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_trigrams"), lit(0L)), lit(1L)))
+          .as("rare_ratio"))
+  }
+
   /** Readability signals (Flesch reading-ease family): sentence count
     * (terminator runs, min 1), word count, syllable estimate (vowel-group
     * runs per token, min 1 per word). Scores are the classic linear

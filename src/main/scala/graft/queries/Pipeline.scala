@@ -1102,6 +1102,44 @@ object Pipeline {
             / GREATEST(COALESCE(sc.n_trigrams, 0), 1) AS rare_ratio
         FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""")),
 
+    // ---- Per-language trigram quality (t15): each doc scores against
+    // ITS OWN language's model — the CCNet per-language discipline (a zh
+    // doc against the en model reads as gibberish). Same integer-exact
+    // contract as t10, model keyed by lang.
+    Q("t15_trigram_quality_lang",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        TextAnalysis.trigramQualityPerKey(d, "doc_id", "text", "lang",
+          TextAnalysis.trigramModelPerKey(d, "text", "lang"), rareMaxFreq = 5L)
+      },
+      Some("""
+        WITH nrm AS (
+          SELECT doc_id, lang,
+            trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS t
+          FROM documents),
+        tg AS (
+          SELECT doc_id, lang,
+            unnest(list_transform(range(1, length(t) - 1),
+              i -> substring(t, CAST(i AS INT), 3))) AS trigram
+          FROM nrm WHERE length(t) >= 3),
+        model AS (
+          SELECT lang, trigram, COUNT(*) AS freq FROM tg GROUP BY lang, trigram),
+        sc AS (
+          SELECT tg.doc_id,
+            CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+            CAST(SUM(COALESCE(model.freq, 0)) AS BIGINT) AS freq_sum,
+            CAST(SUM(CASE WHEN COALESCE(model.freq, 0) <= 5 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_rare
+          FROM tg LEFT JOIN model USING (lang, trigram) GROUP BY tg.doc_id)
+        SELECT d.doc_id, d.lang AS model_key,
+          COALESCE(sc.n_trigrams, 0) AS n_trigrams,
+          COALESCE(sc.freq_sum, 0) AS freq_sum,
+          COALESCE(sc.n_rare, 0) AS n_rare,
+          CAST(sc.freq_sum AS DOUBLE) / sc.n_trigrams AS avg_freq,
+          CAST(COALESCE(sc.n_rare, 0) AS DOUBLE)
+            / GREATEST(COALESCE(sc.n_trigrams, 0), 1) AS rare_ratio
+        FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""")),
+
     // ---- Readability scoring (Flesch family): sentence/word/vowel-group
     // counts → the classic linear formulas; every float step is one
     // correctly-rounded IEEE op on exact integer ratios.

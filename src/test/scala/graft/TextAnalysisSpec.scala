@@ -193,6 +193,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4L) == ((120L, 1L)))
   }
 
+  test("trigramQualityPerKey: each doc scores against its own language model") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "en", "the quick brown fox the quick brown fox"),
+      (2L, "en", "the quick brown fox jumps high"),
+      (3L, "zh", "汉字文本一样 汉字文本一样 汉字文本一样")
+    ).toDF("doc_id", "lang", "text")
+    val model = TextAnalysis.trigramModelPerKey(docs, "text", "lang")
+    val out = TextAnalysis.trigramQualityPerKey(
+        docs, "doc_id", "text", "lang", model, rareMaxFreq = 1L)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(4))).toMap
+    // the zh doc's trigrams repeat within ITS model -> freq >= 2 -> zero
+    // rare; under a global model pooled with en it would score identically
+    // here, but under the WRONG model (en) every zh trigram would be rare
+    assert(out(3L)._1 == "zh" && out(3L)._2 == 0L)
+    val wrongModel = model.filter($"model_key" === "en")
+    val cross = TextAnalysis.trigramQualityPerKey(
+        docs, "doc_id", "text", "lang", wrongModel, rareMaxFreq = 1L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(4))).toMap
+    assert(cross(3L)._1 == cross(3L)._2) // no zh model -> ALL trigrams rare
+  }
+
   test("budgetSelect: greedy prefix within budget, crossing doc excluded") {
     import spark.implicits._
     import graft.operators.Sampling
