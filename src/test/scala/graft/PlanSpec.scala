@@ -107,6 +107,21 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)
   }
 
+  test("d13 duplicate spans: 3 keyed exchanges, windows only, no joins") {
+    val p = finalPlan("d13_duplicate_spans").split("== Initial Plan ==")(0)
+    // gram build (doc), dup-count (gram), islands (doc) — nothing else
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 3, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    assert(!p.contains("Join"), p) // dup test is a count window, not a join
+  }
+
+  test("u08 budget select: one per-stratum sort exchange does rank AND sum") {
+    val p = finalPlan("u08_token_budget_select").split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    assert("Window".r.findAllIn(p).length <= 2, p) // same window spec reused
+    assert(!p.contains("Join"), p)
+  }
+
   test("q72 unpivot stays a generator over aggregated rows (one shuffle)") {
     // AQE toString appends the pre-adaptive plan — count the final section only
     val p = finalPlan("q72_unpivot").split("== Initial Plan ==")(0)
