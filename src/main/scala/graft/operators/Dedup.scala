@@ -288,6 +288,29 @@ object Dedup {
           .as("n_removed_tokens"))
   }
 
+  /** Quality-aware duplicate-cluster representatives: like
+    * [[minhashClusters]], but the SURVIVOR of each cluster is its
+    * highest-quality member ((qualityCol DESC, id ASC) — the id tiebreak
+    * keeps ties deterministic and the whole output oracle-able) instead
+    * of the min id. The standard refinement once a dedup pass feeds
+    * training: keep the best copy, not the earliest. One extra
+    * per-cluster window beyond the assignment; `rep_id` is attached to
+    * every member so the drop is auditable (`keep` ⇔ id == rep_id). */
+  def qualityRepresentatives(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      qualityCol: String,
+      cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col(qualityCol).desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    minhashClusters(df, idCol, textCol, cfg)
+      .withColumn("rep_id", first(col(idCol)).over(w))
+      .withColumn("keep", col(idCol) === col("rep_id"))
+  }
+
   /** Per-document duplication profile — the filter-score view of
     * [[duplicateSpans]]: how many of a doc's k-gram starts are duplicated
     * corpus-wide, how many tokens any duplicated gram covers, and the

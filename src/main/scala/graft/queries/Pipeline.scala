@@ -659,6 +659,68 @@ object Pipeline {
                  AS dropped_chars
         FROM labeled GROUP BY cluster""")),
 
+    // ---- Quality-aware cluster representatives (d16): the d11 clusters
+    // with the survivor chosen by (alpha_ratio DESC, id) — keep the BEST
+    // copy, not the earliest. Exact-IEEE quality + id tiebreak keeps the
+    // choice hash-verifiable. Oracle: the closure twin + first_value.
+    Q("d16_quality_reps",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(
+          col("doc_id"), col("text"),
+          when(length(col("text")) > 0,
+            length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+              .cast("double") / length(col("text")))
+            .otherwise(lit(0.0)).as("alpha_ratio"))
+        Dedup.qualityRepresentatives(docs, "doc_id", "text", "alpha_ratio",
+            Dedup.MinHashConfig(numHashes = 64, bands = 16, threshold = 0.35))
+          .select(col("doc_id"), col("cluster"), col("rep_id"), col("keep"),
+            col("alpha_ratio"))
+      },
+      Some("""
+        WITH pairs AS (
+          WITH s AS (
+            SELECT doc_id,
+              list_distinct(list_transform(range(1, greatest(len(nrm)-3, 1)),
+                i -> nrm[i:i+4])) AS sh
+            FROM (SELECT doc_id,
+                    trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS nrm
+                  FROM documents))
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM s a JOIN s b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.35),
+        edges AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        reach AS (
+          WITH RECURSIVE r(src, dst) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.src, e.b FROM r JOIN edges e ON r.dst = e.a
+            WHERE e.b <> r.src)
+          SELECT * FROM r),
+        comp AS (
+          SELECT src AS node, LEAST(src, MIN(dst)) AS cluster
+          FROM reach GROUP BY src),
+        labeled AS (
+          SELECT d.doc_id, COALESCE(comp.cluster, d.doc_id) AS cluster,
+                 CASE WHEN length(d.text) > 0
+                      THEN CAST(length(regexp_replace(d.text, '[^a-zA-Z]', '', 'g'))
+                             AS DOUBLE) / length(d.text)
+                      ELSE 0.0 END AS alpha_ratio
+          FROM documents d LEFT JOIN comp ON comp.node = d.doc_id)
+        SELECT doc_id, cluster,
+               first_value(doc_id) OVER (PARTITION BY cluster
+                 ORDER BY alpha_ratio DESC, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                 AS rep_id,
+               doc_id = first_value(doc_id) OVER (PARTITION BY cluster
+                 ORDER BY alpha_ratio DESC, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                 AS keep,
+               alpha_ratio
+        FROM labeled""")),
+
     // ---- Exact duplicate-span detection (d13): the ExactSubstr shape at
     // fixed k=8 word grams — a position is duplicated when its 8-gram
     // occurs at >1 (doc,pos) site corpus-wide; overlapping grams merge

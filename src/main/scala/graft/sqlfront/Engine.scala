@@ -942,10 +942,14 @@ final class Engine(val spark: SparkSession) {
           case "TABLE" => require(tables.contains(tail),
             s"table $qname not found")
           case "COLUMN" =>
-            val Array(tn, cn) = tail.split("\\.")
-            require(tables.get(tn).exists(
-              _.columns.map(_.toLowerCase).contains(cn)),
-              s"column $qname not found")
+            tail.split("\\.") match {
+              case Array(tn, cn) =>
+                require(tables.get(tn).exists(
+                  _.columns.map(_.toLowerCase).contains(cn)),
+                  s"column $qname not found")
+              case _ => throw new IllegalArgumentException(
+                s"COMMENT ON COLUMN needs table.column, got $qname")
+            }
           case "ROLE" => require(roles.contains(tail), s"role $qname not found")
           case "USER" => require(users.contains(tail), s"user $qname not found")
           case _ =>

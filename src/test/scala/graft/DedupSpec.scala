@@ -142,6 +142,28 @@ class DedupSpec extends SparkSpec {
     assert(c(2L) == "x1 x2 x3 x4 x5 x6 x7 x8 x9")
   }
 
+  test("quality representatives: best member survives, not the min id") {
+    val chain = Seq(
+      // doc 2 has the highest alpha ratio in the near-dup chain 1~2~3
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa 111"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa 22"),
+      (4L, "completely different text about something else entirely here")
+    ).toDF("doc_id", "text")
+      .withColumn("alpha_ratio",
+        length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+          .cast("double") / length(col("text")))
+    val cfg = Dedup.MinHashConfig(numHashes = 64, bands = 32, threshold = 0.5)
+    val out = Dedup.qualityRepresentatives(chain, "doc_id", "text",
+        "alpha_ratio", cfg)
+      .collect().map(r => r.getLong(0) -> (r.getLong(4), r.getBoolean(5)))
+      .toMap
+    assert(out(1L) == ((2L, false))) // min-id member is NOT the rep
+    assert(out(2L) == ((2L, true)))  // highest quality wins
+    assert(out(3L) == ((2L, false)))
+    assert(out(4L) == ((4L, true)))  // singleton reps itself
+  }
+
   test("duplication profile: counts, covered tokens, exact ratio") {
     val shared = "one two three four five six seven eight nine ten"
     val docs = Seq(

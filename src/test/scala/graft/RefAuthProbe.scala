@@ -79,6 +79,8 @@ class RefAuthProbe extends SparkSpec {
     e.sql("COMMENT ON ROLE myrole IS NULL")
     assert(e.commentText("ROLE", "myrole").isEmpty)
     intercept[Exception] { e.sql("COMMENT ON TABLE missing IS 'x'") }
+    intercept[Exception] { // unqualified COLUMN is a loud error, not a crash
+      e.sql("COMMENT ON COLUMN f1 IS 'x'") }
     // SCRIPT round-trips roles and comments
     e.sql("COMMENT ON TABLE CommentTest IS 'it''s a table'")
     val script = e.script()
