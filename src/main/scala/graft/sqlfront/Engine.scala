@@ -502,6 +502,15 @@ final class Engine(val spark: SparkSession) {
   // SHOW … (Parser.java:884 parseShow — MySQL/PostgreSQL compatibility
   // statements rewritten into INFORMATION_SCHEMA selects)
   private val showRe = M("""(?is)^\s*SHOW\s+(.*)$""".r)
+  // HELP [word...] → SELECT over INFORMATION_SCHEMA.HELP with one
+  // UPPER(TOPIC) LIKE filter per word (Parser.parseHelp:865-882)
+  private val helpRe = M("""(?is)^\s*HELP\b\s*(.*)$""".r)
+  // USE [=] schema → SET SCHEMA (Parser.parseUse:5063)
+  private val useRe = M("""(?is)^\s*USE\s+(?:=\s*)?(\w+)\s*$""".r)
+  // CHECKPOINT [SYNC] (TransactionStatement CHECKPOINT/CHECKPOINT_SYNC):
+  // flushing a WAL has no Spark analogue — accepted no-op, same contract
+  // as SHUTDOWN; durability here is Checkpoint.cut + the parquet sinks
+  private val checkpointStmtRe = M("""(?is)^\s*CHECKPOINT(?:\s+SYNC)?\s*$""".r)
   // CALL expr (dml/Call.java): evaluate an expression/function as a
   // one-row result; the JDBC `?= CALL f(…)` out-parameter form strips to
   // the same statement
@@ -1182,6 +1191,18 @@ final class Engine(val spark: SparkSession) {
           fireTriggers(tn, "DELETE", "AFTER", oldRows, t.limit(0))
         }
         status()
+      case helpRe(topic) =>
+        val words = topic.trim.split("\\s+").filter(_.nonEmpty)
+        val where = if (words.isEmpty) ""
+          else words.map(w => s"UPPER(topic) LIKE '%${
+            w.toUpperCase.replace("'", "''")}%'").mkString(" WHERE ", " AND ", "")
+        runSelect(s"SELECT * FROM INFORMATION_SCHEMA.HELP$where")
+      case useRe(schema) =>
+        require(schemas.contains(schema.toLowerCase) ||
+          schema.equalsIgnoreCase("information_schema"),
+          s"schema $schema not found")
+        sessionSettings("SCHEMA") = schema.toLowerCase; status()
+      case checkpointStmtRe() => status()
       case showRe(what) => execShow(what.trim)
       case callRe(e) => runSelect(s"SELECT $e")
       case setGenericRe(opt, value) =>

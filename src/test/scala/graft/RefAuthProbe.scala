@@ -144,6 +144,25 @@ class RefAuthProbe extends SparkSpec {
     e.sql("DROP USER IF EXISTS SchemaTest_u1")
   }
 
+  test("HELP / USE / CHECKPOINT statement family (Parser.java surface)") {
+    val e = new Engine(spark)
+    // HELP → a HELP meta-view select with per-word topic filters
+    assert(e.sql("HELP").columns.toSeq ==
+      Seq("id", "section", "topic", "syntax"))
+    assert(e.sql("HELP select join").count() == 0) // empty help corpus
+    // USE [=] schema = SET SCHEMA; unknown schema is a loud error
+    e.sql("CREATE SCHEMA IF NOT EXISTS use_s1")
+    e.sql("USE use_s1")
+    e.sql("USE = public")
+    intercept[Exception] { e.sql("USE missing_schema") }
+    assert(e.sql("SELECT setting_value FROM INFORMATION_SCHEMA.SETTINGS" +
+      " WHERE setting_name='SCHEMA'").head().getString(0) == "public")
+    // CHECKPOINT [SYNC] accepted (WAL flush has no Spark analogue)
+    e.sql("CHECKPOINT")
+    e.sql("CHECKPOINT SYNC")
+    e.sql("DROP SCHEMA IF EXISTS use_s1")
+  }
+
   test("PseudoColumnTest: _rowid_ is the integral primary key") {
     val e = new Engine(spark)
     e.sql("create table IF NOT EXISTS PseudoColumnTest(f1 int primary key, f2 int, f3 int)")
