@@ -351,6 +351,66 @@ object TextAnalysis {
       .orderBy(col("pair_count").desc, col("pair"))
       .limit(k)
 
+  /** Full BPE tokenizer training (the iterated form of [[bpePairStats]]):
+    * `numMerges` rounds of (count adjacent symbol pairs weighted by word
+    * frequency → merge the most frequent pair, ties to the
+    * lexicographically first (a, b)). Returns the learned merge table
+    * (rank, sym_a, sym_b, pair_freq) — the tokenizer artifact.
+    *
+    * The scalable shape: ONE corpus pass aggregates the (word, freq)
+    * table; every merge round then touches only that vocabulary-sized
+    * frame (the classic trick real BPE trainers use — corpus size stops
+    * mattering after the first aggregation). Each round is one small
+    * aggregate + a driver argmax of a single row; the merge rewrite is a
+    * leftmost-first scan per word — a Scala function over vocab rows
+    * (vocab-sized, NOT corpus-sized, so the non-codegen cost is bounded).
+    * Lineage cuts every round keep the 20-round plan compilable.
+    * Determinism end to end: integer frequencies, lexicographic
+    * tiebreaks, no sampling. */
+  def bpeTrain(df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val mergeUdf = udf((syms: Seq[String], a: String, b: String) => {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2 // leftmost-first, skip past the merge
+        } else { out += syms(i); i += 1 }
+      }
+      out.toSeq
+    })
+    var vocab = df.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("freq"), split(col("w"), "").as("syms"))
+      .transform(graft.core.Checkpoint.cut)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 0
+    var continue = true
+    while (rank < numMerges && continue) {
+      val best = vocab
+        .select(col("freq"), explode(arrays_zip(
+          slice(col("syms"), lit(1), greatest(size(col("syms")) - 1, lit(0))),
+          slice(col("syms"), lit(2), greatest(size(col("syms")) - 1, lit(0)))))
+          .as("p"))
+        .select(col("p")("0").as("a"), col("p")("1").as("b"), col("freq"))
+        .groupBy(col("a"), col("b")).agg(sum(col("freq")).as("pf"))
+        .orderBy(col("pf").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.isEmpty) continue = false
+      else {
+        val r = best.head
+        val (a, b, pf) = (r.getString(0), r.getString(1), r.getLong(2))
+        merges += ((rank, a, b, pf))
+        vocab = vocab.select(col("freq"),
+            mergeUdf(col("syms"), lit(a), lit(b)).as("syms"))
+          .transform(graft.core.Checkpoint.cut)
+        rank += 1
+      }
+    }
+    merges.result().toDF("merge_rank", "sym_a", "sym_b", "pair_freq")
+  }
+
   /** Corpus vocabulary: top-k tokens by total frequency (ties →
     * lexicographic token order), with document frequency. Partial
     * aggregation map-side, then a TakeOrderedAndProject merge — no global

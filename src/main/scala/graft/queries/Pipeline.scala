@@ -57,6 +57,66 @@ object Pipeline {
             SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS g
           FROM marked)"""
 
+  /** Pure-Scala BPE twin for t16's GENERATED oracle: identical
+    * tokenization (lower → whitespace-class collapse → trim → split),
+    * identical per-position pair counting, identical (freq DESC, a, b)
+    * tiebreak, identical leftmost-first merge — run single-node on the
+    * collected corpus, emitted as literal VALUES. The driver's compare
+    * then checks the DISTRIBUTED trainer against this independent
+    * single-node replay (the s03 trained-state pattern). */
+  private def bpeOracle(s: SparkSession, dir: String, numMerges: Int): String = {
+    val freq = scala.collection.mutable.HashMap.empty[String, Long]
+    Tables.load(s, dir, "documents").select("text").collect().foreach { r =>
+      Option(r.getString(0)).getOrElse("").toLowerCase
+        .replaceAll("[ \\t\\n\\x0B\\f\\r]+", " ").trim
+        .split(" ").filter(_.nonEmpty)
+        .foreach(w => freq(w) = freq.getOrElse(w, 0L) + 1L)
+    }
+    var vocab: Seq[(Vector[String], Long)] =
+      freq.toSeq.map { case (w, f) => (w.map(_.toString).toVector, f) }
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 0
+    var go = true
+    while (rank < numMerges && go) {
+      val pf = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val k = (syms(i), syms(i + 1))
+          pf(k) = pf.getOrElse(k, 0L) + f
+          i += 1
+        }
+      }
+      if (pf.isEmpty) go = false
+      else {
+        val ((a, b), f) =
+          pf.toSeq.sortBy { case ((x, y), n) => (-n, x, y) }.head
+        merges += ((rank, a, b, f))
+        vocab = vocab.map { case (syms, fr) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.result(), fr)
+        }
+        rank += 1
+      }
+    }
+    val rows = merges.result()
+    if (rows.isEmpty)
+      "SELECT 0 AS merge_rank, '' AS sym_a, '' AS sym_b, " +
+        "CAST(0 AS BIGINT) AS pair_freq WHERE false"
+    else {
+      def q(x: String) = "'" + x.replace("'", "''") + "'"
+      rows.map { case (r, a, b, f) => s"($r, ${q(a)}, ${q(b)}, $f)" }
+        .mkString("SELECT * FROM (VALUES ", ", ",
+          ") AS t(merge_rank, sym_a, sym_b, pair_freq)")
+    }
+  }
+
   private def winnowOracle: String = {
     val N = "18446744073709551616::HUGEINT"
     val HALF = "9223372036854775808::HUGEINT"
@@ -1488,6 +1548,18 @@ object Pipeline {
         SELECT pair, CAST(SUM(wc) AS BIGINT) AS pair_count
         FROM p GROUP BY pair
         ORDER BY pair_count DESC, pair LIMIT 20""")),
+
+    // ---- Full BPE tokenizer training (t16): 20 merge rounds over the
+    // word-frequency table (corpus read ONCE; every round is vocab-sized).
+    // Oracle: GENERATED — an independent single-node Scala replay of the
+    // same deterministic algorithm, inlined as literal VALUES (the s03
+    // trained-state pattern), so the distributed trainer's entire merge
+    // sequence is hash-checked.
+    Q("t16_bpe_train",
+      (s, dir) => TextAnalysis.bpeTrain(
+        t(s, dir, "documents"), "text", numMerges = 20),
+      None,
+      oracleGen = Some((s, dir) => bpeOracle(s, dir, numMerges = 20))),
 
     // ---- Corpus vocabulary: top-k tokens by total frequency with document
     // frequency — partial agg map-side, TakeOrderedAndProject merge (no

@@ -216,6 +216,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(cross(3L)._1 == cross(3L)._2) // no zh model -> ALL trigrams rare
   }
 
+  test("bpeTrain: exact merge sequence, leftmost-first, stops when dry") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq((1L, "aaab aaab ab"), (2L, "aaab ab")).toDF("doc_id", "text")
+    val m = TextAnalysis.bpeTrain(docs, "text", numMerges = 10)
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      .sortBy(_._1)
+    // aaab×3, ab×2: (a,a) counts 2 per aaab (overlapping positions) = 6;
+    // leftmost-first merge gives [aa,a,b]; then (a,b)=3+2; then (aa,ab)=3;
+    // then every word is one symbol -> training stops at 3 merges, not 10
+    assert(m == Seq((0, "a", "a", 6L), (1, "a", "b", 5L), (2, "aa", "ab", 3L)))
+  }
+
   test("budgetSelect: greedy prefix within budget, crossing doc excluded") {
     import spark.implicits._
     import graft.operators.Sampling
