@@ -411,6 +411,45 @@ object TextAnalysis {
     merges.result().toDF("merge_rank", "sym_a", "sym_b", "pair_freq")
   }
 
+  /** BPE corpus encoding with a learned merge table — the companion of
+    * [[bpeTrain]]: apply the merges in rank order to every word and
+    * report per-doc token/subword budgets (what a tokenizer pass feeds
+    * the packer). The encode closure runs once per DISTINCT word (the
+    * dictionary), never per occurrence — the corpus-sized side is one
+    * equi-join on the word plus a hash aggregate. Returns
+    * (doc_id, n_tokens, n_subwords); empty docs report zeros. */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val ms = merges.toIndexedSeq
+    val nSubUdf = udf((w: String) => {
+      var syms: Vector[String] = w.map(_.toString).toVector
+      ms.foreach { case (a, b) =>
+        if (syms.length > 1) {
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          syms = out.result()
+        }
+      }
+      syms.length
+    })
+    val words = df.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("word"))
+    val dict = words.select(col("word")).distinct()
+      .withColumn("n_sub", nSubUdf(col("word")).cast("long"))
+    val agg = words.join(dict, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("n_sub")).as("n_subwords"))
+    df.select(col(idCol).as("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_subwords"), lit(0L)).as("n_subwords"))
+  }
+
   /** Corpus vocabulary: top-k tokens by total frequency (ties →
     * lexicographic token order), with document frequency. Partial
     * aggregation map-side, then a TakeOrderedAndProject merge — no global

@@ -64,48 +64,114 @@ object Pipeline {
     * collected corpus, emitted as literal VALUES. The driver's compare
     * then checks the DISTRIBUTED trainer against this independent
     * single-node replay (the s03 trained-state pattern). */
-  private def bpeOracle(s: SparkSession, dir: String, numMerges: Int): String = {
-    val freq = scala.collection.mutable.HashMap.empty[String, Long]
+  private def mergeLeftmost(syms: Vector[String], a: String,
+      b: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Single-node BPE replay (memoized per (dir, numMerges)): word
+    * frequencies from the collected corpus with tokenization identical to
+    * TextAnalysis.tokens, then the same deterministic merge loop as the
+    * distributed trainer. Returns (rank, a, b, pairFreq) rows. */
+  private val bpeReplayCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Int), Seq[(Int, String, String, Long)]]
+  private def bpeReplay(s: SparkSession, dir: String,
+      numMerges: Int): Seq[(Int, String, String, Long)] =
+    bpeReplayCache.getOrElseUpdate((dir, numMerges), {
+      val freq = scala.collection.mutable.HashMap.empty[String, Long]
+      Tables.load(s, dir, "documents").select("text").collect().foreach { r =>
+        Option(r.getString(0)).getOrElse("").toLowerCase
+          .replaceAll("[ \\t\\n\\x0B\\f\\r]+", " ").trim
+          .split(" ").filter(_.nonEmpty)
+          .foreach(w => freq(w) = freq.getOrElse(w, 0L) + 1L)
+      }
+      var vocab: Seq[(Vector[String], Long)] =
+        freq.toSeq.map { case (w, f) => (w.map(_.toString).toVector, f) }
+      val merges = Seq.newBuilder[(Int, String, String, Long)]
+      var rank = 0
+      var go = true
+      while (rank < numMerges && go) {
+        val pf = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        vocab.foreach { case (syms, f) =>
+          var i = 0
+          while (i + 1 < syms.length) {
+            val k = (syms(i), syms(i + 1))
+            pf(k) = pf.getOrElse(k, 0L) + f
+            i += 1
+          }
+        }
+        if (pf.isEmpty) go = false
+        else {
+          val ((a, b), f) =
+            pf.toSeq.sortBy { case ((x, y), n) => (-n, x, y) }.head
+          merges += ((rank, a, b, f))
+          vocab = vocab.map { case (syms, fr) => (mergeLeftmost(syms, a, b), fr) }
+          rank += 1
+        }
+      }
+      merges.result()
+    })
+
+  /** Memoized DISTRIBUTED training run (t16's operator) — shared by t17's
+    * query so Verify trains once per JVM; the oracle side deliberately
+    * uses [[bpeReplay]] instead, keeping the cross-check independent. */
+  private val bpeTrainCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Int), Seq[(String, String)]]
+  private def bpeTrainedMerges(s: SparkSession, dir: String,
+      numMerges: Int): Seq[(String, String)] =
+    bpeTrainCache.getOrElseUpdate((dir, numMerges),
+      graft.operators.TextAnalysis.bpeTrain(
+          t(s, dir, "documents"), "text", numMerges)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq)
+
+  /** t17 oracle: the replay's merges applied (same leftmost-first rule)
+    * to every distinct corpus word → a literal word → subword-count map,
+    * joined to the exploded tokens and summed per doc. */
+  private def bpeEncodeOracle(s: SparkSession, dir: String,
+      numMerges: Int): String = {
+    val merges = bpeReplay(s, dir, numMerges).map(m => (m._2, m._3))
+    val words = scala.collection.mutable.LinkedHashSet.empty[String]
     Tables.load(s, dir, "documents").select("text").collect().foreach { r =>
       Option(r.getString(0)).getOrElse("").toLowerCase
         .replaceAll("[ \\t\\n\\x0B\\f\\r]+", " ").trim
-        .split(" ").filter(_.nonEmpty)
-        .foreach(w => freq(w) = freq.getOrElse(w, 0L) + 1L)
+        .split(" ").filter(_.nonEmpty).foreach(words += _)
     }
-    var vocab: Seq[(Vector[String], Long)] =
-      freq.toSeq.map { case (w, f) => (w.map(_.toString).toVector, f) }
-    val merges = Seq.newBuilder[(Int, String, String, Long)]
-    var rank = 0
-    var go = true
-    while (rank < numMerges && go) {
-      val pf = scala.collection.mutable.HashMap.empty[(String, String), Long]
-      vocab.foreach { case (syms, f) =>
-        var i = 0
-        while (i + 1 < syms.length) {
-          val k = (syms(i), syms(i + 1))
-          pf(k) = pf.getOrElse(k, 0L) + f
-          i += 1
-        }
-      }
-      if (pf.isEmpty) go = false
-      else {
-        val ((a, b), f) =
-          pf.toSeq.sortBy { case ((x, y), n) => (-n, x, y) }.head
-        merges += ((rank, a, b, f))
-        vocab = vocab.map { case (syms, fr) =>
-          val out = Vector.newBuilder[String]
-          var i = 0
-          while (i < syms.length) {
-            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
-              out += (a + b); i += 2
-            } else { out += syms(i); i += 1 }
-          }
-          (out.result(), fr)
-        }
-        rank += 1
-      }
+    def enc(w: String): Int = {
+      var syms = w.map(_.toString).toVector
+      merges.foreach { case (a, b) =>
+        if (syms.length > 1) syms = mergeLeftmost(syms, a, b) }
+      syms.length
     }
-    val rows = merges.result()
+    def q(x: String) = "'" + x.replace("'", "''") + "'"
+    val mapRows = words.toSeq.sorted
+      .map(w => s"(${q(w)}, ${enc(w)})").mkString(", ")
+    raw"""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_filter(string_split(
+              trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')),
+              ' '), x -> len(x) > 0)) AS word
+          FROM documents),
+        map(word, n_sub) AS (VALUES $mapRows),
+        agg AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(n_sub) AS BIGINT) AS n_subwords
+          FROM toks JOIN map USING (word) GROUP BY doc_id)
+        SELECT d.doc_id,
+               COALESCE(agg.n_tokens, 0) AS n_tokens,
+               COALESCE(agg.n_subwords, 0) AS n_subwords
+        FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id"""
+  }
+
+  private def bpeOracle(s: SparkSession, dir: String, numMerges: Int): String = {
+    val rows = bpeReplay(s, dir, numMerges)
     if (rows.isEmpty)
       "SELECT 0 AS merge_rank, '' AS sym_a, '' AS sym_b, " +
         "CAST(0 AS BIGINT) AS pair_freq WHERE false"
@@ -1560,6 +1626,18 @@ object Pipeline {
         t(s, dir, "documents"), "text", numMerges = 20),
       None,
       oracleGen = Some((s, dir) => bpeOracle(s, dir, numMerges = 20))),
+
+    // ---- BPE corpus encoding (t17): apply t16's learned merges and
+    // report per-doc token/subword budgets. The query encodes with the
+    // DISTRIBUTED trainer's merges (memoized per JVM); the oracle's
+    // word → subword map comes from the INDEPENDENT single-node replay —
+    // so train and encode cross-check each other end to end.
+    Q("t17_bpe_encode",
+      (s, dir) => TextAnalysis.bpeEncode(
+        t(s, dir, "documents"), "doc_id", "text",
+        bpeTrainedMerges(s, dir, numMerges = 20)),
+      None,
+      oracleGen = Some((s, dir) => bpeEncodeOracle(s, dir, numMerges = 20))),
 
     // ---- Corpus vocabulary: top-k tokens by total frequency with document
     // frequency — partial agg map-side, TakeOrderedAndProject merge (no

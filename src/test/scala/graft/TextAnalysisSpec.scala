@@ -230,6 +230,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m == Seq((0, "a", "a", 6L), (1, "a", "b", 5L), (2, "aa", "ab", 3L)))
   }
 
+  test("bpeEncode: learned merges compress known words, partial elsewhere") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val corpus = Seq((1L, "aaab aaab ab"), (2L, "aaab ab")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(corpus, "text", numMerges = 10)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val enc = Seq((1L, "aaab aaab ab"), (2L, "aab"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bpeEncode(enc, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == ((3L, 3L))) // every trained word -> one symbol
+    // unseen "aab": (a,a) applies -> [aa, b]; later merges don't
+    assert(out(2L) == ((1L, 2L)))
+    assert(out(3L) == ((0L, 0L))) // empty doc reports zeros
+  }
+
   test("budgetSelect: greedy prefix within budget, crossing doc excluded") {
     import spark.implicits._
     import graft.operators.Sampling
