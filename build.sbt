@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output passes through UNTAGGED (child stdout inherits sbt's
+// stdout, stderr stays stderr) instead of being rerouted through sbt's
+// logger, which prefixes every stdout line with "[info] " and every stderr
+// line with "[error] " — that tagging is what broke the driver's parse of
+// Bench's one-line JSON contract (BENCH_r04 "parsed": null). With this,
+// `sbt "runMain graft.Bench" 2>/dev/null` yields the bare JSON line on
+// stdout; Spark log noise keeps to stderr.
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
+// ...and no trailing "[success] Total time" line after the run, so the
+// JSON really is the LAST stdout line.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

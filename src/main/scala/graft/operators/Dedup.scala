@@ -220,15 +220,14 @@ object Dedup {
     * than one (doc, pos) site corpus-wide; overlapping duplicated grams
     * merge into maximal spans per doc (gaps-and-islands over start
     * positions). Fixed k ≥ the dedup threshold is what makes this
-    * shuffle-bounded — one exchange keyed by gram (the window's partition
-    * key), one by doc — where a true suffix array needs global order.
-    * Everything is integer-exact: positions, counts, string equality.
+    * shuffle-bounded — one exchange keyed by xxhash64(gram), one by doc —
+    * where a true suffix array needs global order. Everything is
+    * integer-exact: positions, counts, hash equality (collision-tolerant:
+    * a 64-bit collision only over-marks; the string-equality oracle twin
+    * still hash-matches because collisions are ~n²/2⁶⁵).
     *
     * Returns (idCol, span_start, span_end, n_dup_grams) with token indices
-    * inclusive. Scale path: key the gram exchange by xxhash64(gram) to cap
-    * shuffle bytes at 8B/gram (collision-tolerant: a collision only
-    * over-marks a span); kept as the raw string here so the oracle twin is
-    * plain SQL string equality. */
+    * inclusive. */
   def duplicateSpans(
       df: DataFrame,
       idCol: String,
@@ -284,7 +283,10 @@ object Dedup {
           " "), t => length(t) > 0)).as("__total")), Seq(idCol), "right")
       .select(col(idCol),
         coalesce(col("clean_text"), lit("")).as("clean_text"),
-        (col("__total") - coalesce(col("__kept"), lit(0)))
+        // greatest(,0): size(NULL) is -1 under legacy sizeOfNull, so a
+        // NULL-text row would otherwise report n_removed_tokens = -1 —
+        // the same pitfall the __kept aggregate above avoids
+        (greatest(col("__total"), lit(0)) - coalesce(col("__kept"), lit(0)))
           .as("n_removed_tokens"))
   }
 
@@ -349,9 +351,19 @@ object Dedup {
   /** Start positions whose word k-gram occurs at >1 (doc, pos) site
     * corpus-wide. Grams build with per-doc lead() windows (k tokens wide),
     * NOT a transform() lambda — higher-order lambdas evaluate interpreted
-    * and inline their children per element (round-4 constraint #1). The
-    * duplicate test is a count window partitioned by the gram itself:
-    * one exchange, no second aggregate-join pass. */
+    * and inline their children per element (round-4 constraint #1).
+    *
+    * The duplicate test is deliberately NOT a count window partitioned by
+    * the gram: a window has no partial aggregation, so every occurrence of
+    * a hot boilerplate gram (cookie banners, license headers — 10⁸+ sites
+    * at corpus scale) physically lands in ONE task's window partition, an
+    * unsplittable straggler AQE cannot break up (skew handling does not
+    * split window partitions). Instead: key by xxhash64(gram) — 8 bytes on
+    * the wire instead of the ~50+-byte raw string — groupBy-count (map-side
+    * combine collapses a hot gram to one row per input partition), filter
+    * n>1, and semi-join the duplicated-hash set back (AQE-splittable, and
+    * broadcast when the duplicated set is small). Collision-tolerant: a
+    * 64-bit collision only over-marks a position as duplicated. */
   private def duplicatedStarts(
       df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -361,11 +373,17 @@ object Dedup {
     val parts = (0 until k).map(j =>
       if (j == 0) col("tok") else lead(col("tok"), j).over(wDoc))
     val grams = base.select(col(idCol), col("pos"),
-        concat_ws(" ", parts: _*).as("gram"), parts.last.as("__tail"))
-      .filter(col("__tail").isNotNull) // whole grams only (concat_ws skips nulls)
-    grams.withColumn("__n",
-        count(lit(1)).over(Window.partitionBy("gram")))
+        xxhash64(concat_ws(" ", parts: _*)).as("__gh"),
+        parts.last.isNotNull.as("__whole")) // whole grams only (concat_ws skips nulls)
+      .filter(col("__whole")).drop("__whole")
+      // the gram build (a per-doc window over the exploded token stream)
+      // feeds BOTH the count branch and the join-back — cut so it runs once
+      .transform(graft.core.Checkpoint.cut)
+    val dup = grams.groupBy(col("__gh"))
+      .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > 1)
+      .select(col("__gh"))
+    grams.join(dup, Seq("__gh"), "left_semi")
       .select(col(idCol), col("pos"))
   }
 
@@ -385,13 +403,20 @@ object Dedup {
     * hamming in [bands, maxHamming] invisibly). An explicit `bands` must
     * satisfy `bands > maxHamming`. Chunks may be uneven (64 need not divide
     * evenly); larger maxHamming ⇒ more, narrower bands ⇒ coarser buckets —
-    * the honest cost of exact recall; keep maxHamming modest at scale. */
+    * the honest cost of exact recall; keep maxHamming modest at scale.
+    *
+    * Buckets larger than `maxBucket` are dropped with the same capped-list
+    * discipline as [[minhashCandidates]] (bounded reducer memory, drops
+    * observable via the `simhash_lsh` observation's `dropped_band_rows`) —
+    * a degenerate band value (e.g. the all-zero chunk every near-empty doc
+    * produces) would otherwise go quadratic silently. */
   def simhashCandidates(
       df: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
-      bands: Int = 0): DataFrame = {
+      bands: Int = 0,
+      maxBucket: Int = 1000): DataFrame = {
     val nb = if (bands > 0) bands else maxHamming + 1
     require(nb > maxHamming,
       s"bands=$nb cannot guarantee recall at maxHamming=$maxHamming (need bands > maxHamming)")
@@ -408,20 +433,33 @@ object Dedup {
       val off = b * baseW + math.min(b, rem)
       (off, w)
     }
-    val banded = base.select(col("__id"), col("__sh"),
+    val banded = base.select(col("__id"),
       posexplode(array(chunks.map { case (off, w) =>
         val mask = if (w == 64) -1L else (1L << w) - 1
         shiftrightunsigned(col("__sh"), off).bitwiseAND(lit(mask))
       }: _*)).as(Seq("__b", "__bv")))
-    val l = banded.select(col("__b"), col("__bv"), col("__id").as("id_a"),
-      col("__sh").as("__ha"))
-    val r = banded.select(col("__b").as("__b2"), col("__bv").as("__bv2"),
-      col("__id").as("id_b"), col("__sh").as("__hb"))
-    l.join(r, col("__b") === col("__b2") && col("__bv") === col("__bv2") &&
-        col("id_a") < col("id_b"))
+    // Capped bucket lists (one shuffle, bounded buffer, observable drops),
+    // pairs explode list-locally — same shape as minhashCandidates; the
+    // hamming verify joins the (id, hash) side back on the deduped pairs.
+    val cappedIds = udaf(
+      new graft.functions.Aggregators.CollectCapped(maxBucket),
+      org.apache.spark.sql.Encoders.LONG)
+    val pairs = banded
+      .groupBy(col("__b"), col("__bv"))
+      .agg(cappedIds(col("__id")).as("__bk"))
+      .observe("simhash_lsh",
+        sum(when(col("__bk.n") > maxBucket, col("__bk.n")).otherwise(0L))
+          .as("dropped_band_rows"))
+      .filter(col("__bk.n").between(2, maxBucket))
+      .select(explode(col("__bk.ids")).as("id_a"), col("__bk.ids").as("__ids"))
+      .select(col("id_a"), explode(col("__ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+    pairs
+      .join(base.select(col("__id").as("id_a"), col("__sh").as("__ha")), Seq("id_a"))
+      .join(base.select(col("__id").as("id_b"), col("__sh").as("__hb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("__ha").bitwiseXOR(col("__hb"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
   }
 

@@ -54,6 +54,18 @@ object ScaleStress {
     }
     println("[stress] dup-span covered tokens=" + spanTok +
       " (expect ≈ corpus token count: one whole-doc span per doc)")
+    // hot-boilerplate straggler case: ONE 8-gram replicated 1M× across 1M
+    // docs (each doc = the shared gram + a unique tail token). A
+    // gram-partitioned count window would sort all 1M occurrences in a
+    // single unsplittable task; the hashed-gram groupBy map-side-combines
+    // them to one row per input partition and broadcasts the dup set back.
+    val hot = spark.range(1000000L).select(col("id").as("doc_id"),
+      concat(lit("common cookie banner text appears on every site token"),
+        col("id")).as("text"))
+    val hotSpans = time("duplicate-spans-hot-gram-1M") {
+      Dedup.duplicateSpans(hot, "doc_id", "text", k = 8).count()
+    }
+    println("[stress] hot-gram spans=" + hotSpans + " (expect 1000000: one per doc)")
     val packedMax = time("pack-sequences-50k") {
       graft.operators.Sampling.packSequences(
         big.select(col("doc_id"),

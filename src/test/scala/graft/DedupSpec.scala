@@ -48,6 +48,23 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("simhash degenerate band bucket is capped with observable drops") {
+    // 2000 near-empty docs all simhash to 0 → every band value identical →
+    // ONE bucket per band; uncapped this is a 2000² self-join. The cap must
+    // drop the flood (observably) while real dup pairs outside it survive.
+    val flood = spark.range(2000).select(($"id" + 1000L).as("doc_id"),
+      lit("").as("text"))
+    val pairs = Dedup.simhashCandidates(docs.union(flood), "doc_id", "text",
+      maxHamming = 8, maxBucket = 100)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)))
+    assert(!got.exists { case (a, b) => a >= 1000L && b >= 1000L })
+    val dropped = pairs.queryExecution.observedMetrics("simhash_lsh")
+      .getAs[Long]("dropped_band_rows")
+    // 9 bands (maxHamming+1), each with the 2000-doc flood bucket over cap
+    assert(dropped >= 2000L * 9, s"dropped_band_rows=$dropped")
+  }
+
   test("word n-gram jaccard: exact dup = 1.0, near dup high, distinct low") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
         threshold = 0.0, Dedup.MinHashConfig(numHashes = 64, bands = 32, threshold = 0.0))

@@ -107,12 +107,27 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)
   }
 
-  test("d13 duplicate spans: 3 keyed exchanges, windows only, no joins") {
+  test("d13 duplicate spans: hashed-gram partial agg + semi join, no straggler window") {
     val p = finalPlan("d13_duplicate_spans").split("== Initial Plan ==")(0)
-    // gram build (doc), dup-count (gram), islands (doc) — nothing else
+    // dup-count (hashed gram) + islands (doc) — the gram build sits behind
+    // the checkpoint cut; nothing else shuffles
     assert("Exchange hashpartitioning".r.findAllIn(p).length <= 3, p)
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
-    assert(!p.contains("Join"), p) // dup test is a count window, not a join
+    // the dup test MUST be a partial-aggregated groupBy feeding a semi join
+    // (map-side combine collapses hot boilerplate grams; AQE can split or
+    // broadcast a join where a count window is one unsplittable partition)
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("partial_count"), p)
+    // and the only windows left are the per-DOC island windows, never a
+    // gram-partitioned one
+    assert(!p.contains("windowspecdefinition(gram"), p)
+  }
+
+  test("d04 simhash buckets are capped with observable drops") {
+    val p = finalPlan("d04_simhash_pairs").split("== Initial Plan ==")(0)
+    assert(p.contains("collectcapped"), p)      // bounded-memory bucket lists
+    assert(p.contains("simhash_lsh"), p)        // dropped_band_rows observation
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
   }
 
   test("u08 budget select: one per-stratum sort exchange does rank AND sum") {
