@@ -387,6 +387,152 @@ object Dedup {
       .select(col(idCol), col("pos"))
   }
 
+  /** Per-document LONGEST duplicated span length — the ExactSubstr
+    * capability the fixed-k gram family (d13-d15) cannot express: the
+    * largest L such that some L-token gram of the doc occurs at more than
+    * one (doc, pos) site corpus-wide (0 = no token of the doc repeats
+    * anywhere). Exact for L < 2^maxPow; longer repeats report the refined
+    * in-bracket value as a lower bound (raise maxPow for longer docs).
+    *
+    * Spark-first prefix doubling (Manber-Myers rank doubling re-expressed
+    * on hashed fingerprints — no global suffix sort needed because we only
+    * need DUPLICATION, not order):
+    *
+    *  1. Ladder: level-j fingerprints h_j(p) of the 2^j-gram at every
+    *     position, h_{j+1}(p) = xxhash64(h_j(p), h_j(p+2^j)) — one per-DOC
+    *     lead() window per level (never a hot-key partition), log2(maxLen)
+    *     levels.
+    *  2. Level dup test: groupBy h_j count>1 — the same partial-agg +
+    *     semi-join shape as [[duplicateSpans]] (map-side combine absorbs
+    *     boilerplate floods). Per doc: jmax = largest level with any dup ⇒
+    *     longest ∈ [2^jmax, 2^(jmax+1)) (an L-gram's 2^floor(log2 L)-prefix
+    *     is duplicated whenever the L-gram is).
+    *  3. Refine: binary search on L inside the bracket with the standard
+    *     two-overlapping-blocks equality — grams of length L ∈ (2^j, 2^(j+1))
+    *     are equal iff their leading AND trailing 2^j-block fingerprints
+    *     are — keyed (L, h_j(p), h_j(p+L-2^j)). The refinement universe is
+    *     ONLY the level-j duplicated starts: any partner of a length-L
+    *     repeat is itself a level-j dup start, so the search never touches
+    *     the non-duplicated bulk of the corpus. maxPow rounds, each one
+    *     keyed exchange over that small set.
+    *
+    * Collision-tolerant like the whole family: a 64-bit collision can only
+    * over-report a length. Returns (idCol, longest_repeat). */
+  def longestRepeat(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxPow: Int = 9): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val toks = filter(split(normalize(col(textCol)), " "), t => length(t) > 0)
+    val base0 = df.select(col(idCol).as("__id"), posexplode(toks).as(Seq("pos", "tok")))
+      .select(col("__id"), col("pos"), xxhash64(col("tok")).as("h0"))
+      .transform(graft.core.Checkpoint.cut)
+    val wDoc = Window.partitionBy("__id").orderBy("pos")
+    val maxLen = base0.groupBy(col("__id")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    val levels = math.min(maxPow,
+      math.max(0, 63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, maxLen))))
+
+    // ladder: h_j columns (null once the 2^j-gram would cross the doc end)
+    var lad = base0
+    var j = 0
+    while (j < levels) {
+      val nxt = lead(col(s"h$j"), 1 << j).over(wDoc)
+      lad = lad.withColumn(s"h${j + 1}",
+        when(nxt.isNotNull, xxhash64(col(s"h$j"), nxt)))
+      j += 1
+    }
+    lad = lad.transform(graft.core.Checkpoint.cut)
+
+    // level dup starts (cut once per level — reused by bracket and refine)
+    val dupStarts: IndexedSeq[DataFrame] = (0 to levels).map { jj =>
+      val hs = lad.filter(col(s"h$jj").isNotNull)
+        .select(col("__id"), col("pos"), col(s"h$jj").as("__h"))
+      val dups = hs.groupBy(col("__h")).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > 1).select(col("__h"))
+      hs.join(dups, Seq("__h"), "left_semi")
+        .select(col("__id"), col("pos"), col("__h"))
+        .transform(graft.core.Checkpoint.cut)
+    }
+
+    // per-doc bracket: jmax and its binary-search state [lo, hi]
+    val nTok = base0.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
+    val jmax = dupStarts.zipWithIndex.map { case (d, jj) =>
+        d.select(col("__id")).distinct().withColumn("__j", lit(jj)) }
+      .reduce(_ union _)
+      .groupBy(col("__id")).agg(max(col("__j")).as("__j"))
+    var state = jmax.join(nTok, Seq("__id"))
+      .selectExpr("__id", "__j",
+        "CAST(shiftleft(1, __j) AS BIGINT) AS lo",
+        "least(CAST(shiftleft(1, __j + 1) AS BIGINT) - 1, __n) AS hi")
+      .transform(graft.core.Checkpoint.cut)
+
+    val dupStartsAll = dupStarts.zipWithIndex.map { case (d, jj) =>
+        d.withColumn("__j", lit(jj)) }
+      .reduce(_ union _)
+      .transform(graft.core.Checkpoint.cut)
+    val tailRanks = lad.select(
+      Seq(col("__id"), col("pos").as("__q")) ++
+        (0 to levels).map(jj => col(s"h$jj").as(s"t$jj")): _*)
+
+    // refine: ≤ maxPow rounds of shared binary search — all docs advance
+    // one probe per round; each round is one keyed exchange over the
+    // dup-start subset, never the full corpus
+    var r = 0
+    var done = false
+    while (r < maxPow && !done) {
+      val withMid = state.withColumn("__mid", expr("(lo + hi + 1) div 2"))
+      val lens = withMid.filter(col("lo") < col("hi"))
+        .select(col("__j"), col("__mid").as("__L")).distinct()
+      if (lens.isEmpty) done = true
+      else {
+        // candidate keys: EVERY level-j dup start × every length under
+        // test at that level (partner docs included regardless of state)
+        val keyed = dupStartsAll
+          .join(lens, Seq("__j"))
+          .withColumn("__q",
+            col("pos") + col("__L") - expr("CAST(shiftleft(1, __j) AS BIGINT)"))
+          .join(tailRanks, Seq("__id", "__q"))
+        // h_j at the trailing block, picked by level (null past doc end)
+        val tailCol = (0 to levels).map(jj =>
+          when(col("__j") === jj, col(s"t$jj"))).reduce((a, b) => coalesce(a, b))
+        val probes = keyed.withColumn("__t", tailCol)
+          .filter(col("__t").isNotNull)
+          .select(col("__id"), col("__j"), col("__L"), col("__h"), col("__t"))
+          .transform(graft.core.Checkpoint.cut)
+        val dupKeys = probes
+          .groupBy(col("__j"), col("__L"), col("__h"), col("__t"))
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > 1)
+          .select(col("__j"), col("__L"), col("__h"), col("__t"))
+        val hitDocs = probes
+          .join(dupKeys, Seq("__j", "__L", "__h", "__t"), "left_semi")
+          .select(col("__id"), col("__L")).distinct()
+          .withColumn("__hit", lit(true))
+        state = withMid
+          .join(hitDocs,
+            withMid("__id") === hitDocs("__id") &&
+              withMid("__mid") === hitDocs("__L"), "left")
+          .select(withMid("__id"), withMid("__j"),
+            when(col("lo") < col("hi"),
+                when(col("__hit").isNotNull, col("__mid")).otherwise(col("lo")))
+              .otherwise(col("lo")).as("lo"),
+            when(col("lo") < col("hi"),
+                when(col("__hit").isNotNull, col("hi"))
+                  .otherwise(col("__mid") - 1))
+              .otherwise(col("hi")).as("hi"))
+          .transform(graft.core.Checkpoint.cut)
+      }
+      r += 1
+    }
+
+    df.select(col(idCol))
+      .join(state.select(col("__id").as(idCol), col("lo")), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("lo"), lit(0L)).as("longest_repeat"))
+  }
+
   /** 64-bit SimHash over word-token hashes. */
   def simhashColumn(text: Column): Column = {
     val toks = filter(split(normalize(text), " "), t => length(t) > 0)

@@ -361,24 +361,53 @@ object TextAnalysis {
     * table; every merge round then touches only that vocabulary-sized
     * frame (the classic trick real BPE trainers use — corpus size stops
     * mattering after the first aggregation). Each round is one small
-    * aggregate + a driver argmax of a single row; the merge rewrite is a
-    * leftmost-first scan per word — a Scala function over vocab rows
-    * (vocab-sized, NOT corpus-sized, so the non-codegen cost is bounded).
-    * Lineage cuts every round keep the 20-round plan compilable.
-    * Determinism end to end: integer frequencies, lexicographic
-    * tiebreaks, no sampling. */
-  def bpeTrain(df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    * aggregate + a driver argmax; the merge rewrite is a leftmost-first
+    * scan per word — a Scala function over vocab rows (vocab-sized, NOT
+    * corpus-sized, so the non-codegen cost is bounded). Lineage cuts every
+    * ROUND keep the plan compilable. Determinism end to end: integer
+    * frequencies, lexicographic tiebreaks, no sampling.
+    *
+    * `batch` > 1 amortizes the per-round driver round-trip + lineage cut
+    * toward a production-sized vocab (30-50k merges): each round takes the
+    * top-`batch` pairs and applies the longest PREFIX whose pairs are
+    * mutually non-conflicting — no symbol of a later pair appears among an
+    * earlier pair's operands or its merged output — in rank order in ONE
+    * rewrite pass. Under that disjointness the later pairs' pre-round
+    * counts and rewrites are invariant under the earlier merges, so a
+    * batched round equals `batch` sequential rounds whenever the
+    * sequential argmaxes would have picked the same pairs (the common
+    * case away from ties; see BpeBatchSpec); the first conflicting pair
+    * ends the round so its count is always re-measured. `batch = 1` (the
+    * default, and the oracle path) is exactly the classic sequential
+    * trainer.
+    *
+    * Symbols are CODE POINTS (split(w, "") never separates a surrogate
+    * pair), matching [[bpeEncode]] — astral-plane characters stay whole
+    * symbols on both sides. */
+  def bpeTrain(df: DataFrame, textCol: String, numMerges: Int,
+      batch: Int = 1): DataFrame = {
+    require(batch >= 1, "batch must be >= 1")
     val spark = df.sparkSession
     import spark.implicits._
-    val mergeUdf = udf((syms: Seq[String], a: String, b: String) => {
-      val out = scala.collection.mutable.ArrayBuffer.empty[String]
-      var i = 0
-      while (i < syms.length) {
-        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
-          out += (a + b); i += 2 // leftmost-first, skip past the merge
-        } else { out += syms(i); i += 1 }
+    // applies a round's selected merges in rank order, leftmost-first each
+    val mergeBatchUdf = udf((syms: Seq[String], as: Seq[String], bs: Seq[String]) => {
+      var cur = syms
+      var j = 0
+      while (j < as.length) {
+        if (cur.length > 1) {
+          val a = as(j); val b = bs(j)
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < cur.length) {
+            if (i + 1 < cur.length && cur(i) == a && cur(i + 1) == b) {
+              out += (a + b); i += 2 // leftmost-first, skip past the merge
+            } else { out += cur(i); i += 1 }
+          }
+          cur = out.toSeq
+        }
+        j += 1
       }
-      out.toSeq
+      cur
     })
     var vocab = df.select(explode(tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
@@ -388,7 +417,8 @@ object TextAnalysis {
     var rank = 0
     var continue = true
     while (rank < numMerges && continue) {
-      val best = vocab
+      val m = math.min(batch, numMerges - rank)
+      val top = vocab
         .select(col("freq"), explode(arrays_zip(
           slice(col("syms"), lit(1), greatest(size(col("syms")) - 1, lit(0))),
           slice(col("syms"), lit(2), greatest(size(col("syms")) - 1, lit(0)))))
@@ -396,19 +426,53 @@ object TextAnalysis {
         .select(col("p")("0").as("a"), col("p")("1").as("b"), col("freq"))
         .groupBy(col("a"), col("b")).agg(sum(col("freq")).as("pf"))
         .orderBy(col("pf").desc, col("a"), col("b"))
-        .limit(1).collect()
-      if (best.isEmpty) continue = false
+        .limit(m).collect()
+      if (top.isEmpty) continue = false
       else {
-        val r = best.head
-        val (a, b, pf) = (r.getString(0), r.getString(1), r.getLong(2))
-        merges += ((rank, a, b, pf))
+        // longest non-conflicting prefix: stop at the first pair touching
+        // any symbol (operand or merged output) of an earlier selection —
+        // its post-merge count could differ, so it must be re-measured
+        val touched = scala.collection.mutable.Set.empty[String]
+        val sel = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var stop = false
+        top.foreach { r =>
+          if (!stop) {
+            val (a, b) = (r.getString(0), r.getString(1))
+            if (sel.isEmpty ||
+                (!touched(a) && !touched(b) && !touched(a + b))) {
+              sel += ((a, b, r.getLong(2)))
+              touched ++= Seq(a, b, a + b)
+            } else stop = true
+          }
+        }
+        sel.foreach { case (a, b, pf) =>
+          merges += ((rank, a, b, pf)); rank += 1
+        }
         vocab = vocab.select(col("freq"),
-            mergeUdf(col("syms"), lit(a), lit(b)).as("syms"))
+            mergeBatchUdf(col("syms"),
+              typedLit(sel.map(_._1).toSeq), typedLit(sel.map(_._2).toSeq))
+              .as("syms"))
           .transform(graft.core.Checkpoint.cut)
-        rank += 1
       }
     }
     merges.result().toDF("merge_rank", "sym_a", "sym_b", "pair_freq")
+  }
+
+  /** Code-point split — the single-node twin of the trainer's
+    * `split(w, "")` (Java-regex zero-width splits never separate a
+    * surrogate pair), so [[bpeEncode]] and every oracle replay see the
+    * SAME symbols as the distributed trainer for astral-plane characters.
+    * A UTF-16 `w.map(_.toString)` would shatter them into lone
+    * surrogates and silently diverge. */
+  private[graft] def codePointSplit(w: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.result()
   }
 
   /** BPE corpus encoding with a learned merge table — the companion of
@@ -422,7 +486,7 @@ object TextAnalysis {
       merges: Seq[(String, String)]): DataFrame = {
     val ms = merges.toIndexedSeq
     val nSubUdf = udf((w: String) => {
-      var syms: Vector[String] = w.map(_.toString).toVector
+      var syms: Vector[String] = codePointSplit(w)
       ms.foreach { case (a, b) =>
         if (syms.length > 1) {
           val out = Vector.newBuilder[String]

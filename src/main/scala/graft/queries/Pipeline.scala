@@ -93,7 +93,8 @@ object Pipeline {
           .foreach(w => freq(w) = freq.getOrElse(w, 0L) + 1L)
       }
       var vocab: Seq[(Vector[String], Long)] =
-        freq.toSeq.map { case (w, f) => (w.map(_.toString).toVector, f) }
+        freq.toSeq.map { case (w, f) => // code-point split = trainer's split(w,"")
+          (graft.operators.TextAnalysis.codePointSplit(w), f) }
       val merges = Seq.newBuilder[(Int, String, String, Long)]
       var rank = 0
       var go = true
@@ -118,6 +119,56 @@ object Pipeline {
       }
       merges.result()
     })
+
+  /** d17 oracle: single-node exact longest-repeat replay — ascending-L
+    * sweep with monotonic pruning (a doc with no duplicated L-gram cannot
+    * have one at L+1, and a pruned doc can never be another doc's partner:
+    * sharing an L-gram would have kept both active). Plain string grams —
+    * no hashes — so the distributed doubling/binary-search path is checked
+    * against an independent algorithm AND collision-free arithmetic. */
+  private def longestRepeatOracle(s: SparkSession, dir: String): String = {
+    val toks = Tables.load(s, dir, "documents").select("doc_id", "text")
+      .collect().map { r =>
+        r.getLong(0) -> Option(r.getString(1)).getOrElse("")
+          .toLowerCase.replaceAll("[ \\t\\n\\x0B\\f\\r]+", " ").trim
+          .split(" ").filter(_.nonEmpty).toVector
+      }
+    val best = scala.collection.mutable.HashMap.empty[Long, Long]
+    var active = toks.toSeq
+    var L = 1
+    while (active.nonEmpty) {
+      val counts = scala.collection.mutable.HashMap.empty[String, Int]
+      active.foreach { case (_, t) =>
+        var i = 0
+        while (i + L <= t.length) {
+          val g = t.slice(i, i + L).mkString(" ")
+          counts(g) = counts.getOrElse(g, 0) + 1
+          i += 1
+        }
+      }
+      active = active.filter { case (id, t) =>
+        var hit = false
+        var i = 0
+        while (!hit && i + L <= t.length) {
+          if (counts(t.slice(i, i + L).mkString(" ")) > 1) hit = true
+          i += 1
+        }
+        if (hit) best(id) = L.toLong
+        hit
+      }
+      L += 1
+    }
+    if (best.isEmpty)
+      "SELECT doc_id, CAST(0 AS BIGINT) AS longest_repeat FROM documents"
+    else {
+      val vals = best.toSeq.sorted.map { case (id, lr) => s"($id, $lr)" }
+        .mkString(", ")
+      s"""
+        SELECT d.doc_id, CAST(COALESCE(v.lr, 0) AS BIGINT) AS longest_repeat
+        FROM documents d LEFT JOIN (VALUES $vals) v(doc_id, lr)
+          ON v.doc_id = d.doc_id"""
+    }
+  }
 
   /** Memoized DISTRIBUTED training run (t16's operator) — shared by t17's
     * query so Verify trains once per JVM; the oracle side deliberately
@@ -145,7 +196,7 @@ object Pipeline {
         .split(" ").filter(_.nonEmpty).foreach(words += _)
     }
     def enc(w: String): Int = {
-      var syms = w.map(_.toString).toVector
+      var syms = graft.operators.TextAnalysis.codePointSplit(w)
       merges.foreach { case (a, b) =>
         if (syms.length > 1) syms = mergeLeftmost(syms, a, b) }
       syms.length
@@ -1187,6 +1238,55 @@ object Pipeline {
                    AND CASE WHEN nc > 0 THEN CAST(digits AS DOUBLE)/nc ELSE 0.0 END < 0.3
                    THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
           FROM q GROUP BY source)""")),
+
+    // ---- Longest duplicated span (d17): per-doc max L with an L-token
+    // gram repeated anywhere corpus-wide — the true-ExactSubstr statistic
+    // the fixed-k family can't express. Distributed prefix doubling +
+    // in-bracket binary search (Dedup.longestRepeat); oracle = GENERATED
+    // independent single-node ascending-L replay on plain strings.
+    Q("d17_longest_repeat",
+      (s, dir) => Dedup.longestRepeat(t(s, dir, "documents"), "doc_id", "text"),
+      None,
+      oracleGen = Some((s, dir) => longestRepeatOracle(s, dir))),
+
+    // ---- Rolling per-source corpus statistics (t18): the STREAMING
+    // operator (TextPipeline.rollingCorpusStats — tumbling event-time
+    // window + per-source budgets) run on a batch frame; StreamingSpec
+    // proves streaming ≡ batch on the same rows. Arrival times are
+    // synthesized deterministically (doc_id minutes past an hour-aligned
+    // epoch) so the window grid is oracle-able; the operator itself is
+    // generic over any timestamped document stream.
+    Q("t18_rolling_corpus_stats",
+      (s, dir) => graft.streaming.TextPipeline.rollingCorpusStats(
+          t(s, dir, "documents").withColumn("ts",
+            timestamp_millis(lit(1704067200000L) + col("doc_id") * 60000L)),
+          "ts", "source", "text", "1 hour")
+        .select(unix_millis(col("window_start")).as("win_start_ms"),
+          col("source"), col("n_docs"), col("total_tokens"),
+          col("total_chars"), col("n_keep"), col("keep_rate")),
+      Some("""
+        WITH q AS (
+          SELECT ((1704067200000 + doc_id * 60000) // 3600000) * 3600000
+                   AS win_start_ms,
+                 source,
+                 LENGTH(text) AS nc,
+                 LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z]', '', 'g')) AS alpha,
+                 LENGTH(REGEXP_REPLACE(text, '[^0-9]', '', 'g')) AS digits,
+                 LIST_FILTER(STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '[ \t\n\x0b\f\r]+', ' ', 'g')), ' '),
+                             x -> LENGTH(x) > 0) AS toks
+          FROM documents)
+        SELECT win_start_ms, source, n_docs, total_tokens, total_chars, n_keep,
+               CAST(n_keep AS DOUBLE) / n_docs AS keep_rate
+        FROM (
+          SELECT win_start_ms, source,
+                 COUNT(*) AS n_docs,
+                 CAST(SUM(LEN(toks)) AS BIGINT) AS total_tokens,
+                 CAST(SUM(nc) AS BIGINT) AS total_chars,
+                 CAST(SUM(CASE WHEN nc >= 20 AND LEN(toks) >= 5
+                   AND CASE WHEN nc > 0 THEN CAST(alpha AS DOUBLE)/nc ELSE 0.0 END > 0.5
+                   AND CASE WHEN nc > 0 THEN CAST(digits AS DOUBLE)/nc ELSE 0.0 END < 0.3
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+          FROM q GROUP BY win_start_ms, source)""")),
 
     // ---- Within-document repetition (Gopher rep filters): duplicate-token
     // and duplicate-2-gram fractions, pure array built-ins.

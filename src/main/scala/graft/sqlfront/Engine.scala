@@ -1056,6 +1056,12 @@ final class Engine(val spark: SparkSession) {
         tables.remove(name.toLowerCase)
         rowidPk.remove(name.toLowerCase); rowidTables.remove(name.toLowerCase)
         rowidNext.remove(name.toLowerCase)
+        // comments die with the object (as DROP ROLE already does and the
+        // reference does for every schema object) — otherwise a re-created
+        // table of the same name inherits the stale remark via script()
+        comments.remove(("TABLE", name.toLowerCase))
+        comments.filterInPlace { case ((t, n), _) =>
+          !(t == "COLUMN" && n.startsWith(name.toLowerCase + ".")) }
         spark.catalog.dropTempView(name.toLowerCase); status()
       case truncateRe(name) =>
         register(name, Dml.truncate(table(name))); status()
@@ -1275,24 +1281,34 @@ final class Engine(val spark: SparkSession) {
 
   private[sqlfront] def translate(q0: String): String = {
     var q = q0.trim
-    // FROM-first: FROM <from...> SELECT <rest>  (Parser.java:1397)
-    if (q.toUpperCase.startsWith("FROM")) {
+    // FROM-first: FROM <from...> SELECT <rest>  (Parser.java:1397) —
+    // tokenizer-dispatched: the leading keyword is a TOKEN test (a table
+    // named `fromage` can never steer here the way startsWith("FROM") could)
+    val qToks = Lex.tokens(q)
+    if (qToks.nonEmpty && qToks.head.is(q, "FROM")) {
       val selIdx = topLevelIndexOf(q, "SELECT")
       if (selIdx > 0) {
-        var fromPart = q.substring(4, selIdx).trim
+        var fromPart = q.substring(qToks.head.end, selIdx).trim
         // scalar-function source (`FROM USER() SELECT *`, misc tests):
         // a one-row derived table named after the function. TABLE functions
         // (SYSTEM_RANGE/CSVREAD/TABLE…) must NOT be wrapped — their view
         // rewrites run later and expect FROM position; nor multi-source
         // lists (top-level comma).
         val tableFns = Set("system_range", "csvread", "table", "table_distinct")
-        val callRe2 = """^(\w+)\s*\(.*\)$""".r
-        fromPart = fromPart match {
-          case callRe2(fn) if !tables.contains(fn.toLowerCase) &&
+        // token shape of a bare call: WORD '(' … ')' with the final paren
+        // closing the first (depth back to 0 only at the end)
+        val fToks = Lex.tokens(fromPart)
+        val isCall = fToks.length >= 3 &&
+          fToks.head.kind == Lex.Word && !fromPart.startsWith("\"") &&
+          fToks(1).kind == Lex.Sym && fromPart.charAt(fToks(1).start) == '(' &&
+          fToks.last.kind == Lex.Sym &&
+          fromPart.charAt(fToks.last.start) == ')' && fToks.last.depth == 0
+        if (isCall) {
+          val fn = fToks.head.text(fromPart)
+          if (!tables.contains(fn.toLowerCase) &&
               !tableFns.contains(fn.toLowerCase) &&
-              splitTop(fromPart).size == 1 =>
-            s"(SELECT $fromPart AS ${fn.toLowerCase})"
-          case other => other
+              splitTop(fromPart).size == 1)
+            fromPart = s"(SELECT $fromPart AS ${fn.toLowerCase})"
         }
         val rest = q.substring(selIdx + 6).trim
         // WHERE/GROUP/ORDER/... belong after the re-inserted FROM
@@ -1334,11 +1350,13 @@ final class Engine(val spark: SparkSession) {
     // ORDER BY =n → ORDER BY n (Parser.java:1493)
     q = rewriteOutside(q, """(?i)(ORDER\s+BY\s+)=\s*(\d+)""".r)(m =>
       m.group(1) + m.group(2))
-    // H2/MSSQL `SELECT TOP n …` → LIMIT n appended
-    val topRe = """(?is)^(\s*SELECT\s+)TOP\s+(\d+)\s+(.*)$""".r
-    q = q match {
-      case topRe(sel, n, rest) => s"$sel$rest LIMIT $n"
-      case other => other
+    // H2/MSSQL `SELECT TOP n …` → LIMIT n appended (token-dispatched:
+    // SELECT TOP <num> as the first three tokens)
+    locally {
+      val ts = Lex.tokens(q)
+      if (ts.length >= 4 && ts(0).is(q, "SELECT") && ts(1).is(q, "TOP") &&
+          ts(2).kind == Lex.Num)
+        q = s"SELECT ${q.substring(ts(3).start)} LIMIT ${ts(2).text(q)}"
     }
     // MySQL `LIMIT offset, count` → LIMIT count OFFSET offset
     q = rewriteOutside(q, """(?i)\bLIMIT\s+(\d+)\s*,\s*(\d+)""".r)(m =>
@@ -1748,13 +1766,24 @@ final class Engine(val spark: SparkSession) {
     * parsed at Parser.java readCondition) onto Spark-supported forms:
     * ordering ops become scalar MIN/MAX subqueries, `= ANY` → IN,
     * `<> ALL` → NOT IN (exactly the standard equivalence, NULLs included),
-    * `= ALL` → min=x AND max=x, `<> ANY` → x≠min OR x≠max. For the
-    * ordering lowerings, non-NULL operands reproduce the reference's
-    * results; an empty subquery yields UNKNOWN where the reference returns
-    * its vacuous value (TRUE for ALL) — equivalent under WHERE for ANY
-    * (both drop), divergent for empty-set ALL (documented; the reference's
-    * own tests never exercise it). The LHS must be a column/qualified
-    * name or literal token; matches inside string literals are skipped. */
+    * `= ALL` → min=x AND max=x, `<> ANY` → x≠min OR x≠max.
+    *
+    * MIN/MAX silently ignore NULL elements, which would collapse SQL
+    * three-valued logic (`x = ALL(S)` with S={x, NULL} must be UNKNOWN,
+    * not TRUE; negated ordering forms would flip UNKNOWN to TRUE), so the
+    * MIN/MAX lowerings carry a 3VL repair: for ALL, FALSE is definite but
+    * TRUE additionally requires a NULL-free subquery; for ANY, TRUE is
+    * definite but FALSE requires one. The NULL probe is one UNCORRELATED
+    * scalar COUNT subquery — Catalyst evaluates it once, not per row.
+    * Remaining divergence: an empty subquery yields UNKNOWN where the
+    * reference returns its vacuous value (TRUE for ALL) — equivalent
+    * under WHERE for ANY (both drop), divergent for empty-set ALL
+    * (documented; the reference's own tests never exercise it).
+    *
+    * The LHS must be a SINGLE column/qualified-name or literal token;
+    * a compound left operand (`a + b > ALL (…)`) would bind only its
+    * trailing token — a silent partial rewrite — so it is rejected with
+    * an explicit error. Matches inside string literals are skipped. */
   private def rewriteQuantified(q0: String): String = {
     var q = q0
     val kw =
@@ -1772,27 +1801,46 @@ final class Engine(val spark: SparkSession) {
           val (close, _) = matchParen(q, open)
           if (close < 0) continue = false
           else {
+            // compound LHS (`a + b > ALL …`): the token regex binds only
+            // `b`, so rewriting would silently produce `a + (b > (SELECT…))`
+            val prevCh = q.substring(0, m.start)
+              .reverse.dropWhile(_.isWhitespace).headOption
+            if (prevCh.exists(c => "+-*/%^&|".contains(c)))
+              throw new IllegalArgumentException(
+                "unsupported LHS for quantified comparison near '" +
+                  q.substring(math.max(0, m.start - 16), m.end) +
+                  "(': only a single column or literal is supported " +
+                  "(wrap the expression in a derived column first)")
             val lhs = m.group(1)
             val op = if (m.group(2) == "!=") "<>" else m.group(2)
             val quant = m.group(3).toUpperCase
             val sub = q.substring(open + 1, close - 1)
             def scalar(agg: String) =
               s"(SELECT $agg(__qv) FROM ($sub) __qt(__qv))"
+            // 3VL repair (see scaladoc): one uncorrelated NULL probe
+            def hasNull =
+              s"((SELECT COUNT(1) FROM ($sub) __qn(__qv) WHERE __qv IS NULL) > 0)"
+            def allG(l: String) =
+              s"(CASE WHEN NOT $l THEN FALSE WHEN $hasNull THEN " +
+                s"CAST(NULL AS BOOLEAN) ELSE $l END)"
+            def anyG(l: String) =
+              s"(CASE WHEN $l THEN TRUE WHEN $hasNull THEN " +
+                s"CAST(NULL AS BOOLEAN) ELSE $l END)"
             val lowered = (quant, op) match {
-              case ("ALL", "<")  => s"($lhs < ${scalar("MIN")})"
-              case ("ALL", "<=") => s"($lhs <= ${scalar("MIN")})"
-              case ("ALL", ">")  => s"($lhs > ${scalar("MAX")})"
-              case ("ALL", ">=") => s"($lhs >= ${scalar("MAX")})"
+              case ("ALL", "<")  => allG(s"($lhs < ${scalar("MIN")})")
+              case ("ALL", "<=") => allG(s"($lhs <= ${scalar("MIN")})")
+              case ("ALL", ">")  => allG(s"($lhs > ${scalar("MAX")})")
+              case ("ALL", ">=") => allG(s"($lhs >= ${scalar("MAX")})")
               case ("ALL", "=")  =>
-                s"($lhs = ${scalar("MIN")} AND $lhs = ${scalar("MAX")})"
+                allG(s"($lhs = ${scalar("MIN")} AND $lhs = ${scalar("MAX")})")
               case ("ALL", _)    => s"($lhs NOT IN ($sub))"
-              case (_, "<")      => s"($lhs < ${scalar("MAX")})"
-              case (_, "<=")     => s"($lhs <= ${scalar("MAX")})"
-              case (_, ">")      => s"($lhs > ${scalar("MIN")})"
-              case (_, ">=")     => s"($lhs >= ${scalar("MIN")})"
+              case (_, "<")      => anyG(s"($lhs < ${scalar("MAX")})")
+              case (_, "<=")     => anyG(s"($lhs <= ${scalar("MAX")})")
+              case (_, ">")      => anyG(s"($lhs > ${scalar("MIN")})")
+              case (_, ">=")     => anyG(s"($lhs >= ${scalar("MIN")})")
               case (_, "=")      => s"($lhs IN ($sub))"
               case (_, _)        =>
-                s"($lhs <> ${scalar("MIN")} OR $lhs <> ${scalar("MAX")})"
+                anyG(s"($lhs <> ${scalar("MIN")} OR $lhs <> ${scalar("MAX")})")
             }
             q = q.substring(0, m.start) + lowered + q.substring(close)
           }
@@ -2612,51 +2660,19 @@ final class Engine(val spark: SparkSession) {
     out.toSeq
   }
 
-  /** Split on top-level commas (ignoring parens and quoted strings). */
-  private def splitTop(s: String): Seq[String] = {
-    val out = mutable.ArrayBuffer.empty[String]
-    val sb = new StringBuilder
-    var depth = 0
-    var inStr = false
-    s.foreach {
-      case '\'' => inStr = !inStr; sb += '\''
-      case '(' if !inStr => depth += 1; sb += '('
-      case ')' if !inStr => depth -= 1; sb += ')'
-      case ',' if !inStr && depth == 0 =>
-        out += sb.toString; sb.clear()
-      case c => sb += c
-    }
-    if (sb.nonEmpty) out += sb.toString
-    out.toSeq
-  }
+  /** Split on top-level commas (ignoring parens and quoted strings) —
+    * tokenizer-backed ([[Lex.splitTop]]), byte-compatible with the old
+    * char loop. */
+  private def splitTop(s: String): Seq[String] = Lex.splitTop(s)
 
   private def topLevelIndexOf(s: String, kw: String): Int =
     earliestTopLevel(s, Seq(kw))
 
-  private def earliestTopLevel(s: String, kws: Seq[String]): Int = {
-    val up = s.toUpperCase
-    var depth = 0
-    var inStr = false
-    var i = 0
-    while (i < s.length) {
-      s.charAt(i) match {
-        case '\'' => inStr = !inStr
-        case '(' if !inStr => depth += 1
-        case ')' if !inStr => depth -= 1
-        case _ =>
-      }
-      if (!inStr && depth == 0) {
-        kws.foreach { kw =>
-          if (up.startsWith(kw, i) &&
-            (i == 0 || !up.charAt(i - 1).isLetterOrDigit) &&
-            (i + kw.length >= up.length || !up.charAt(i + kw.length).isLetterOrDigit))
-            return i
-        }
-      }
-      i += 1
-    }
-    -1
-  }
+  /** Tokenizer-backed ([[Lex.earliestTopLevel]]): depth-0 keyword search
+    * that can neither bind inside string literals nor inside double-quoted
+    * identifiers, and matches multi-word clauses across any whitespace. */
+  private def earliestTopLevel(s: String, kws: Seq[String]): Int =
+    Lex.earliestTopLevel(s, kws)
 
   /** MySQL-mode zero-date typed literals → typed NULL (see translate). */
   private def rewriteZeroDates(q0: String): String = {

@@ -1,0 +1,117 @@
+package graft.sqlfront
+
+import scala.collection.mutable
+
+/** One-pass SQL lexer — the tokenizer-first foundation the regex front
+  * door migrates onto, SELECT-dispatch family first (clause boundaries,
+  * top-level splits, FROM-first/TOP restructuring).
+  *
+  * Tokens carry exact source spans — consumers re-slice the ORIGINAL
+  * statement text, never re-synthesize it — plus the paren depth at the
+  * token, so "top-level" structure questions become token scans instead
+  * of per-call char loops. Literal handling matches the engine's
+  * `literalSpans` exactly (single-quoted strings with '' escapes are ONE
+  * token); double-quoted identifiers are single WORD tokens, which also
+  * stops clause keywords from binding inside quoted identifiers (the one
+  * deliberate improvement over the char-loop predecessors).
+  */
+private[sqlfront] object Lex {
+
+  final val Word = 0 // bare identifier/keyword or "quoted identifier"
+  final val Lit = 1  // 'string literal' ('' escapes included)
+  final val Num = 2  // numeric literal (digits, incl. 1.5e3-ish tails)
+  final val Sym = 3  // any other single char; parens adjust depth
+
+  /** `depth` is the paren nesting at the token: '(' carries the depth
+    * BEFORE its increment and ')' the depth AFTER its decrement, so a
+    * depth-0 token is exactly "top-level" in the old char-loop sense. */
+  final case class Token(kind: Int, start: Int, end: Int, depth: Int) {
+    def text(src: String): String = src.substring(start, end)
+    def is(src: String, word: String): Boolean =
+      kind == Word && end - start == word.length &&
+        src.regionMatches(true, start, word, 0, word.length)
+  }
+
+  def tokens(s: String): IndexedSeq[Token] = {
+    val out = mutable.ArrayBuffer.empty[Token]
+    var i = 0
+    var depth = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '\'') {
+        val start = i
+        i += 1
+        var done = false
+        while (i < s.length && !done) {
+          if (s.charAt(i) == '\'') {
+            if (i + 1 < s.length && s.charAt(i + 1) == '\'') i += 2
+            else { done = true; i += 1 }
+          } else i += 1
+        }
+        out += Token(Lit, start, i, depth)
+      } else if (c == '"') {
+        val start = i
+        i += 1
+        while (i < s.length && s.charAt(i) != '"') i += 1
+        if (i < s.length) i += 1
+        out += Token(Word, start, i, depth)
+      } else if (c.isLetter || c == '_') {
+        val start = i
+        while (i < s.length &&
+          (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
+        out += Token(Word, start, i, depth)
+      } else if (c.isDigit) {
+        val start = i
+        while (i < s.length &&
+          (s.charAt(i).isLetterOrDigit || s.charAt(i) == '.')) i += 1
+        out += Token(Num, start, i, depth)
+      } else {
+        if (c == '(') { out += Token(Sym, i, i + 1, depth); depth += 1 }
+        else if (c == ')') { depth -= 1; out += Token(Sym, i, i + 1, depth) }
+        else out += Token(Sym, i, i + 1, depth)
+        i += 1
+      }
+    }
+    out.toIndexedSeq
+  }
+
+  /** Char index of the earliest depth-0 occurrence of any keyword —
+    * multi-word keywords ("GROUP BY") match as consecutive WORD tokens,
+    * robust to arbitrary whitespace between the words. -1 if absent. */
+  def earliestTopLevel(s: String, kws: Seq[String]): Int = {
+    val ts = tokens(s)
+    val parts = kws.map(_.split(' ').toIndexedSeq)
+    var i = 0
+    while (i < ts.length) {
+      if (ts(i).kind == Word && ts(i).depth == 0) {
+        var k = 0
+        while (k < parts.length) {
+          val p = parts(k)
+          var j = 0
+          while (j < p.length && i + j < ts.length &&
+            ts(i + j).is(s, p(j))) j += 1
+          if (j == p.length) return ts(i).start
+          k += 1
+        }
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Split on depth-0 commas (literal- and paren-aware): every pre-comma
+    * segment is emitted (empties included), the post-last-comma tail only
+    * when non-empty — byte-compatible with the char-loop splitTop. */
+  def splitTop(s: String): Seq[String] = {
+    val cuts = tokens(s).iterator
+      .filter(t => t.kind == Sym && t.depth == 0 && s.charAt(t.start) == ',')
+      .map(_.start).toSeq
+    val out = mutable.ArrayBuffer.empty[String]
+    var last = 0
+    cuts.foreach { c => out += s.substring(last, c); last = c + 1 }
+    val tail = s.substring(last)
+    if (tail.nonEmpty) out += tail
+    out.toSeq
+  }
+}

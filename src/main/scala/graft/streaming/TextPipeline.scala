@@ -39,4 +39,40 @@ object TextPipeline {
   def chunkStream(docs: DataFrame, idCol: String, textCol: String,
       chunkTokens: Int, overlap: Int): DataFrame =
     TextAnalysis.chunkText(docs, idCol, textCol, chunkTokens, overlap)
+
+  /** Rolling per-source corpus statistics over a timestamped document
+    * stream — the windowed twin of the batch per-source rollup
+    * (t04_corpus_stats): per (event-time window, source) doc counts,
+    * token/char budgets, and the quality-keep rate. This is the ingest
+    * dashboard every rolling crawl runs: "how much usable text did each
+    * source deliver this hour".
+    *
+    * Stateful only through the tumbling-window aggregate: with a
+    * watermark on `tsCol` the state store holds one row per open
+    * (window, source) and append mode emits each row exactly once when
+    * the watermark passes window end. On a batch frame the same code is
+    * a plain partial+final hash aggregate — batch ≡ streaming on the
+    * same rows (StreamingSpec parity). Scale shape: the quality signals
+    * are per-row codegen expressions, the aggregate is map-side
+    * combined, and cardinality is bounded by windows × sources — never
+    * by document count. */
+  def rollingCorpusStats(
+      docs: DataFrame,
+      tsCol: String,
+      sourceCol: String,
+      textCol: String,
+      windowDur: String,
+      watermark: Option[String] = None): DataFrame = {
+    val in = watermark.fold(docs)(w => docs.withWatermark(tsCol, w))
+    in.select(col(tsCol) +: col(sourceCol) +:
+        TextAnalysis.qualitySignals(col(textCol)): _*)
+      .groupBy(window(col(tsCol), windowDur), col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_chars_m")).as("total_chars"),
+        sum(col("quality_keep").cast("long")).as("n_keep"))
+      .select(col("window.start").as("window_start"), col(sourceCol),
+        col("n_docs"), col("total_tokens"), col("total_chars"), col("n_keep"),
+        (col("n_keep").cast("double") / col("n_docs")).as("keep_rate"))
+  }
 }

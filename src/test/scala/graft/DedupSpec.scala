@@ -124,6 +124,18 @@ class DedupSpec extends SparkSpec {
     assert(stats(4L) == ((1L, 60L, 60L, 0L))) // singleton drops nothing
   }
 
+  test("longestRepeat: exact cross-doc and within-doc longest duplicated span") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),   // shares "c d e f g" with doc 2
+      (2L, "x y c d e f g z w v"),
+      (3L, "m n o p q r"),           // fully unique -> 0
+      (4L, "k1 k2 k1 k2 k1")         // within-doc: "k1 k2 k1" at pos 0 and 2
+    ).toDF("doc_id", "text")
+    val out = Dedup.longestRepeat(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 5L, 2L -> 5L, 3L -> 0L, 4L -> 3L))
+  }
+
   test("duplicate spans: overlapping grams merge, unique text untouched") {
     // docs 1 and 2 share a 10-token run -> 3 overlapping 8-grams merge into
     // ONE span [2,11] in doc 1 and [0,9] in doc 2; doc 3 is all-unique

@@ -92,6 +92,29 @@ class RefSelectProbe extends SparkSpec {
       " f2 = ALL(SELECT f2 FROM SubqueryTest WHERE pk='02')") == 1) // just 50
     assert(n("SELECT count(*) FROM SubqueryTest WHERE" +
       " f2 <> ANY(SELECT f2 FROM SubqueryTest WHERE pk<='02')") == 6)
+
+    // NULL-element 3VL (beyond the reference test): MIN/MAX silently drop
+    // NULLs, so the lowerings carry a repair — TRUE under ALL and FALSE
+    // under ANY must degrade to UNKNOWN when the subquery holds a NULL
+    e.sql("INSERT INTO SubqueryTest(pk, f1, f2) VALUES('07', 'a7', NULL)")
+    // = ALL over {50, NULL}: UNKNOWN for f2=50 (a naive min=max lowering
+    // says TRUE and keeps the row)
+    assert(n("SELECT count(*) FROM SubqueryTest WHERE" +
+      " f2 = ALL(SELECT f2 FROM SubqueryTest WHERE pk='02' OR pk='07')") == 0)
+    // NOT (f2 > ANY over {10, NULL})): for f2=10 the inner is UNKNOWN, so
+    // NOT keeps it UNKNOWN — a naive lowering flips it to TRUE
+    assert(n("SELECT count(*) FROM SubqueryTest WHERE" +
+      " NOT (f2 > ANY(SELECT f2 FROM SubqueryTest WHERE pk='01' OR pk='07'))") == 0)
+    // TRUE stays definite under ANY with a NULL present
+    assert(n("SELECT count(*) FROM SubqueryTest WHERE" +
+      " f2 > ANY(SELECT f2 FROM SubqueryTest WHERE pk='01' OR pk='07')") == 5)
+
+    // compound LHS: explicit unsupported error, never a partial rewrite
+    val ex = intercept[IllegalArgumentException] {
+      e.sql("SELECT count(*) FROM SubqueryTest WHERE" +
+        " f2 + 1 > ALL(SELECT f2 FROM SubqueryTest)")
+    }
+    assert(ex.getMessage.contains("quantified"), ex.getMessage)
   }
 
   test("FROM USER() SELECT * — scalar-function table source (misc tests)") {

@@ -71,6 +71,52 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count(_._1 == 5L) == 0) // empty doc yields no chunks
   }
 
+  test("rolling corpus stats: streaming with watermark equals batch (t18 twin)") {
+    import graft.streaming.TextPipeline
+    // timestamped doc stream across two windows and two sources
+    val docs = Seq(
+      (1L, "src_a", "2024-01-01 10:05:00",
+        "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "src_a", "2024-01-01 10:40:00", "ok"), // quality-dropped
+      (3L, "src_b", "2024-01-01 10:15:00",
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (4L, "src_a", "2024-01-01 11:10:00",
+        "another useful document with plenty of alphabetic words in this hour")
+    ).map { case (id, src, ts, tx) =>
+      (id, src, java.sql.Timestamp.valueOf(ts), tx)
+    }.toDF("doc_id", "source", "ts", "text")
+    val dir = Files.createTempDirectory("graft_rcs").toFile.getAbsolutePath
+    docs.coalesce(1).write.mode("overwrite").parquet(dir)
+    val q = TextPipeline.rollingCorpusStats(
+        spark.readStream.schema(docs.schema).parquet(dir),
+        "ts", "source", "text", "1 hour", watermark = Some("10 minutes"))
+      .writeStream.format("memory").queryName("graft_rcs")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))
+      .filter(_._2 != "zz_sentinel").sortBy(t => (t._1, t._2)).toSeq
+    val streamed = try {
+      q.processAllAvailable()
+      // push the watermark past every window end → append mode flushes all
+      Seq((99L, "zz_sentinel",
+          java.sql.Timestamp.valueOf("2024-01-02 12:00:00"), "late marker"))
+        .toDF("doc_id", "source", "ts", "text")
+        .coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      q.processAllAvailable()
+      canon(spark.table("graft_rcs"))
+    } finally q.stop()
+    val batch = canon(TextPipeline.rollingCorpusStats(
+      docs, "ts", "source", "text", "1 hour"))
+    assert(streamed == batch)
+    // and the windows actually aggregated: 10:00 src_a has 2 docs, 1 kept
+    val h10a = batch.find(t =>
+      t._1 == java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime &&
+        t._2 == "src_a").get
+    assert(h10a._3 == 2L && h10a._6 == 1L && h10a._7 == 0.5)
+  }
+
   test("batch sessionization splits on inactivity gaps") {
     val sessions = Sessions.sessionizeBatch(fixture, gapMinutes = 30)
       .orderBy($"user_id", $"start_ms").collect()

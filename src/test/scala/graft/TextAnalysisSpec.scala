@@ -247,6 +247,52 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) == ((0L, 0L))) // empty doc reports zeros
   }
 
+  test("bpeTrain batch>1 equals sequential when top pairs are disjoint") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // top pairs (a,b) > (c,d) > (e,f) are symbol-disjoint whole words, so
+    // merging one cannot change another's count or create a hotter pair —
+    // the exact regime where one batched round ≡ `batch` sequential rounds
+    val docs = Seq((1L, ("ab " * 5) + ("cd " * 4) + ("ef " * 3)))
+      .toDF("doc_id", "text")
+    def train(batch: Int) = TextAnalysis.bpeTrain(docs, "text", 3, batch)
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+    val seq1 = train(1)
+    assert(seq1 == Seq((0, "a", "b", 5L), (1, "c", "d", 4L), (2, "e", "f", 3L)))
+    assert(train(3) == seq1)
+  }
+
+  test("bpeTrain batch: a conflicting pair ends the round, counts re-measured") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // (a,b)=3 then (b,c)=2 share symbol b: the round must stop after
+    // (a,b) and re-count (b,c) next round — result identical to m=1
+    val docs = Seq((1L, ("ab " * 3) + ("bc " * 2))).toDF("doc_id", "text")
+    def train(batch: Int) = TextAnalysis.bpeTrain(docs, "text", 2, batch)
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+    val seq1 = train(1)
+    assert(seq1 == Seq((0, "a", "b", 3L), (1, "b", "c", 2L)))
+    assert(train(2) == seq1)
+  }
+
+  test("bpe symbols are code points on both train and encode sides (astral-safe)") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // U+1D54F is a surrogate pair in UTF-16; a code-unit split on either
+    // side would shatter it and the learned merge could never apply
+    val docs = Seq((1L, "𝕏y 𝕏y")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, "text", numMerges = 1)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges == Seq(("𝕏", "y")))
+    val out = TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).head
+    assert(out == ((2L, 2L))) // two tokens, each one merged symbol
+  }
+
   test("budgetSelect: greedy prefix within budget, crossing doc excluded") {
     import spark.implicits._
     import graft.operators.Sampling
