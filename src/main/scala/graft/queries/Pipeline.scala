@@ -31,12 +31,16 @@ object Pipeline {
     * over the gram), and the gaps-and-islands grouping key (a new island
     * starts when a start does not overlap the previous gram's [pos,pos+7]
     * coverage). Integer-exact throughout. */
-  private def dupSpanCtes: String = """
+  private def dupSpanCtes: String = dupSpanCtesFrom("documents")
+
+  /** Same CTE block over an arbitrary source relation (composed pipeline
+    * oracles dedup a SUBSET, e.g. p01's quality representatives). */
+  private def dupSpanCtesFrom(src: String): String = s"""
         toks AS (
           SELECT doc_id, list_filter(string_split(
-              trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')),
+              trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')),
               ' '), x -> len(x) > 0) AS t
-          FROM documents),
+          FROM $src),
         grams AS (
           SELECT doc_id, u.i - 1 AS pos,
                  array_to_string(t[u.i:u.i+7], ' ') AS gram
@@ -1238,6 +1242,131 @@ object Pipeline {
                    AND CASE WHEN nc > 0 THEN CAST(digits AS DOUBLE)/nc ELSE 0.0 END < 0.3
                    THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
           FROM q GROUP BY source)""")),
+
+    // ---- Composed corpus-prep pipeline (p01): the end-to-end shape a
+    // real training-data user ships, as ONE query — quality-aware dedup
+    // representatives (d16) → duplicate-span removal among the survivors
+    // (d14) → blocklist gate on the CLEANED text (t09) → per-source token
+    // budget selection on cleaned quality (u08). Every stage is the
+    // already-oracled operator; the oracle composes the four stage twins
+    // as one CTE chain, so the hash checks the INTERFACES between stages,
+    // not just each stage alone.
+    Q("p01_corpus_prep",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        def alphaOf(c: org.apache.spark.sql.Column) = when(length(c) > 0,
+          length(regexp_replace(c, "[^a-zA-Z]", "")).cast("double") / length(c))
+          .otherwise(lit(0.0))
+        val reps = Dedup.qualityRepresentatives(
+            docs.select(col("doc_id"), col("text"),
+              alphaOf(col("text")).as("alpha_ratio")),
+            "doc_id", "text", "alpha_ratio",
+            Dedup.MinHashConfig(numHashes = 64, bands = 16, threshold = 0.35))
+          .filter(col("keep")).select(col("doc_id"), col("text"))
+        val cleaned = Dedup.removeDuplicateSpans(reps, "doc_id", "text", k = 8)
+          .select(col("doc_id"), col("clean_text"))
+        val gated = cleaned.select(col("doc_id") +: col("clean_text") +:
+            TextAnalysis.blocklistSignals(col("clean_text"),
+              Seq("dup", "spam", "error"), maxRatio = 0.05): _*)
+          .filter(col("blocklist_keep"))
+        val scored = gated
+          .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+          .select(col("doc_id"), col("source"),
+            TextAnalysis.tokenCount(col("clean_text")).as("n_toks"),
+            alphaOf(col("clean_text")).as("alpha_ratio"))
+        graft.operators.Sampling.budgetSelect(scored, "doc_id", "source",
+          "alpha_ratio", "n_toks", budgetTokens = 1500L)
+      },
+      Some(s"""
+        WITH nrm0 AS (
+          SELECT doc_id, text, source,
+            trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS nrm,
+            CASE WHEN length(text) > 0
+                 THEN CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                        AS DOUBLE) / length(text)
+                 ELSE 0.0 END AS alpha_ratio
+          FROM documents),
+        shs AS (
+          SELECT doc_id, list_distinct(list_transform(
+            range(1, greatest(len(nrm)-3, 1)), i -> nrm[i:i+4])) AS sh
+          FROM nrm0),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM shs a JOIN shs b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.35),
+        edges AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        reach AS (
+          WITH RECURSIVE r(src, dst) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.src, e.b FROM r JOIN edges e ON r.dst = e.a
+            WHERE e.b <> r.src)
+          SELECT * FROM r),
+        comp AS (
+          SELECT src AS node, LEAST(src, MIN(dst)) AS cluster
+          FROM reach GROUP BY src),
+        labeled AS (
+          SELECT n.doc_id, COALESCE(comp.cluster, n.doc_id) AS cluster,
+                 n.alpha_ratio, n.text
+          FROM nrm0 n LEFT JOIN comp ON comp.node = n.doc_id),
+        surv AS (
+          SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+              doc_id = first_value(doc_id) OVER (PARTITION BY cluster
+                ORDER BY alpha_ratio DESC, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                AS keep
+            FROM labeled) WHERE keep),
+        ${dupSpanCtesFrom("surv")},
+        covered AS (
+          SELECT DISTINCT dpos.doc_id, c.p AS pos
+          FROM dpos, unnest(range(dpos.pos, dpos.pos + 8)) AS c(p)),
+        kept AS (
+          SELECT tk.doc_id, tk.pos, tk.tok
+          FROM (SELECT doc_id, u.i - 1 AS pos, t[u.i] AS tok
+                FROM toks, unnest(range(1, len(t) + 1)) AS u(i)) tk
+          WHERE NOT EXISTS (SELECT 1 FROM covered c
+                            WHERE c.doc_id = tk.doc_id AND c.pos = tk.pos)),
+        clean AS (
+          SELECT s2.doc_id, COALESCE(c.clean_text, '') AS clean_text
+          FROM surv s2 LEFT JOIN (
+            SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+                   count(*) AS kept_n
+            FROM kept GROUP BY doc_id) c ON c.doc_id = s2.doc_id),
+        ctoks AS (
+          SELECT doc_id, clean_text, list_filter(string_split(
+              trim(regexp_replace(lower(clean_text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')),
+              ' '), x -> len(x) > 0) AS toks2
+          FROM clean),
+        gated AS (
+          SELECT doc_id, clean_text, toks2 FROM ctoks
+          WHERE (CASE WHEN len(toks2) > 0
+                 THEN CAST(len(list_filter(toks2,
+                   t2 -> list_contains(['dup', 'spam', 'error'], t2))) AS DOUBLE)
+                   / len(toks2)
+                 ELSE 0.0 END) <= 0.05),
+        q AS (
+          SELECT g.doc_id, d.source,
+            CAST(len(g.toks2) AS BIGINT) AS n_toks,
+            CASE WHEN length(g.clean_text) > 0
+                 THEN CAST(length(regexp_replace(g.clean_text, '[^a-zA-Z]', '', 'g'))
+                        AS DOUBLE) / length(g.clean_text)
+                 ELSE 0.0 END AS alpha_ratio
+          FROM gated g JOIN documents d ON d.doc_id = g.doc_id),
+        rr AS (
+          SELECT doc_id, source, n_toks, alpha_ratio,
+            CAST(ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY alpha_ratio DESC, doc_id) AS BIGINT) AS rank,
+            CAST(SUM(n_toks) OVER (PARTITION BY source
+              ORDER BY alpha_ratio DESC, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_tokens
+          FROM q)
+        SELECT doc_id, source, n_toks, alpha_ratio, rank, cum_tokens
+        FROM rr WHERE cum_tokens <= 1500""")),
 
     // ---- Longest duplicated span (d17): per-doc max L with an L-token
     // gram repeated anywhere corpus-wide — the true-ExactSubstr statistic

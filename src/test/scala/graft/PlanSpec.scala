@@ -137,6 +137,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("p01 composed corpus-prep: one keyed exchange per stage, no joins gone quadratic") {
+    val p = finalPlan("p01_corpus_prep").split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    // pinned stage boundaries (keys audited from the final plan): component
+    // label (__node), cluster rep window + survivor join-back (cluster ×2),
+    // span-removal gram/rebuild (doc_id ×3), budget window (source) —
+    // every exchange is a stage interface, nothing redundant in between
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 7, p)
+  }
+
   test("q72 unpivot stays a generator over aggregated rows (one shuffle)") {
     // AQE toString appends the pre-adaptive plan — count the final section only
     val p = finalPlan("q72_unpivot").split("== Initial Plan ==")(0)
