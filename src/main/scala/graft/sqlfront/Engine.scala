@@ -277,47 +277,205 @@ final class Engine(val spark: SparkSession) {
   private val dropDatabaseRe =
     M("""(?is)^\s*DROP\s+DATABASE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r)
   private val databases = mutable.LinkedHashSet("graft")
-  // MySQL-mode INSERT … ON DUPLICATE KEY UPDATE (Mode.java
-  // onDuplicateKeyUpdate; parsed only when the mode enables it, as the
-  // reference's parser does) — must match before the plain VALUES form
-  private val insertValuesRe =
-    M("""(?is)^\s*INSERT\s+INTO\s+(\w+)\s*(?:\(([^)]*)\)\s*)?(?:DIRECT\s+)?VALUES\s*(.*)$""".r)
-  private val onDupKwRe = """(?i)\bON\s+DUPLICATE\s+KEY\s+UPDATE\b""".r
-  /** Literal-aware dispatch for INSERT … ON DUPLICATE KEY UPDATE: the split
-    * point is the first keyword occurrence OUTSIDE string literals, so a
-    * plain INSERT whose VALUES text merely contains the phrase is not
-    * mis-dispatched, and an upsert whose literal contains it splits at the
-    * real keyword (round-2 advice: dispatch must be literal-aware like the
-    * translate-phase rewrites). */
-  private object InsertOnDup {
-    def unapply(st: Stmt): Option[(String, String, String, String)] = {
-      // keyword search over the masked text = literal-aware by construction
-      onDupKwRe.findFirstMatchIn(st.masked).flatMap { m =>
-        Stmt(st.raw.substring(0, m.start)) match {
-          case insertValuesRe(name, cols, tuples) =>
-            Some((name, cols, tuples.trim, st.raw.substring(m.end).trim))
-          case _ => None
+  // ── tokenizer-first INSERT family (Parser.java:1014 parseInsert) ──
+  // One token scan classifies every INSERT body form — SET assignments
+  // (Parser.java:1052), [DIRECT] VALUES with an optional depth-0
+  // ON DUPLICATE KEY UPDATE tail (Mode.java onDuplicateKeyUpdate),
+  // SELECT/FROM query, DEFAULT VALUES (Parser.java:1033), and the
+  // paren-wrapped query `INSERT INTO t (SELECT …)` (Parser.java:1022) —
+  // replacing three ordered regexes plus a masked keyword search.
+  // Literal safety is structural (literals and quoted identifiers are
+  // single tokens), and the ON DUPLICATE split is depth-0, so the phrase
+  // inside a nested subquery can no longer split the statement.
+  private sealed trait InsBody
+  private final case class InsSet(assigns: String) extends InsBody
+  private final case class InsValues(tuples: String, onDup: Option[String])
+    extends InsBody
+  private final case class InsSelect(query: String) extends InsBody
+  private case object InsDefaults extends InsBody
+
+  private def isSym(s: String, t: Lex.Token, c: Char): Boolean =
+    t.kind == Lex.Sym && s.charAt(t.start) == c
+
+  private object InsertStmt {
+    /** (table, colsOrNull, body) — colsOrNull mirrors the regex capture
+      * contract this replaces (null = no column list given). */
+    def unapply(st: Stmt): Option[(String, String, InsBody)] = {
+      val s = st.raw
+      val ts = Lex.tokens(s)
+      if (ts.length < 4 || !ts(0).is(s, "INSERT") || !ts(1).is(s, "INTO"))
+        return None
+      // bare identifiers only, as the regexes required (\w+)
+      val nameTok = ts(2)
+      if (nameTok.kind != Lex.Word || s.charAt(nameTok.start) == '"')
+        return None
+      val name = nameTok.text(s)
+      var i = 3
+      var cols: String = null
+      if (i < ts.length && isSym(s, ts(i), '(')) {
+        // matching close = first ')' back at the open's depth
+        var close = i + 1
+        while (close < ts.length &&
+          !(isSym(s, ts(close), ')') && ts(close).depth == ts(i).depth))
+          close += 1
+        if (close >= ts.length) return None // unbalanced → not ours
+        if (close == ts.length - 1 && i + 1 < close &&
+            (ts(i + 1).is(s, "SELECT") || ts(i + 1).is(s, "FROM")))
+          // INSERT INTO t (SELECT …) — whole tail is one wrapped query
+          return Some((name, null,
+            InsSelect(s.substring(ts(i).end, ts(close).start))))
+        // column list: flat, as `\(([^)]*)\)` required — nested parens
+        // fall through to the old no-match path
+        var j = i + 1
+        while (j < close) {
+          if (isSym(s, ts(j), '(')) return None
+          j += 1
         }
+        cols = s.substring(ts(i).end, ts(close).start)
+        i = close + 1
       }
+      if (cols == null && i + 1 < ts.length && ts(i).is(s, "DEFAULT") &&
+          ts(i + 1).is(s, "VALUES") && i + 2 == ts.length)
+        return Some((name, null, InsDefaults))
+      if (i + 1 < ts.length && ts(i).is(s, "DIRECT") && ts(i + 1).is(s, "VALUES"))
+        i += 1
+      if (i < ts.length && ts(i).is(s, "VALUES")) {
+        val bodyStart = ts(i).end
+        var k = i + 1
+        var cut = -1
+        while (k + 3 < ts.length && cut < 0) {
+          if (ts(k).depth == 0 && ts(k).is(s, "ON") &&
+              ts(k + 1).is(s, "DUPLICATE") && ts(k + 2).is(s, "KEY") &&
+              ts(k + 3).is(s, "UPDATE")) cut = k
+          k += 1
+        }
+        val body =
+          if (cut < 0) InsValues(s.substring(bodyStart).stripLeading(), None)
+          else InsValues(s.substring(bodyStart, ts(cut).start).trim,
+            Some(s.substring(ts(cut + 3).end).trim))
+        return Some((name, cols, body))
+      }
+      if (cols == null && i < ts.length && ts(i).is(s, "SET"))
+        // MySQL INSERT INTO t SET c1=v1, … (Parser.java:1052; cols and SET
+        // are mutually exclusive there too)
+        return Some((name, null, InsSet(s.substring(ts(i).end))))
+      if (i + 1 < ts.length && (ts(i).is(s, "SELECT") || ts(i).is(s, "FROM")))
+        return Some((name, cols, InsSelect(s.substring(ts(i).start))))
+      None
     }
   }
-  // MySQL-style INSERT INTO t SET c1=v1, c2=v2 (Parser.java:1053)
-  private val insertSetRe =
-    M("""(?is)^\s*INSERT\s+INTO\s+(\w+)\s+SET\s+(.*)$""".r)
+
+  /** Depth-0 tail split shared by UPDATE and DELETE (Parser.java:1106
+    * parseUpdate / Parser.java:1163 parseDelete): optional top-level WHERE,
+    * optional trailing top-level LIMIT <n>. Token scan, so a WHERE inside
+    * a parenthesized subquery — `SET v = (SELECT … WHERE …)` — can no
+    * longer split the statement (the lazy regexes this replaces bound to
+    * the FIRST occurrence at any depth). Returns (head, whereOrNull,
+    * limitOrNull) with head = the text before WHERE/LIMIT. */
+  private def whereLimitTail(s: String, ts: IndexedSeq[Lex.Token],
+      from: Int): (String, String, String) = {
+    val n = ts.length
+    // trailing LIMIT <digits> at depth 0, as `LIMIT\s+(\d+)\s*$` required
+    val limIdx =
+      if (n - from >= 2 && ts(n - 2).depth == 0 && ts(n - 2).is(s, "LIMIT") &&
+          ts(n - 1).kind == Lex.Num && ts(n - 1).depth == 0 &&
+          !ts(n - 1).text(s).exists(c => !c.isDigit)) n - 2 else n
+    var w = from
+    while (w < limIdx && !(ts(w).depth == 0 && ts(w).is(s, "WHERE"))) w += 1
+    val headEnd = if (w < limIdx) ts(w).start
+      else if (limIdx < n) ts(limIdx).start else s.length
+    val head = s.substring(if (from < n) ts(from).start else s.length,
+      headEnd)
+    val where =
+      if (w < limIdx)
+        s.substring(ts(w).end,
+          if (limIdx < n) ts(limIdx).start else s.length).trim
+      else null
+    val limit = if (limIdx < n) ts(n - 1).text(s) else null
+    (head, where, limit)
+  }
+
+  /** Tokenizer-first UPDATE (Parser.java:1106): UPDATE t SET assigns
+    * [WHERE cond] [LIMIT n], with the WHERE/LIMIT binding depth-0 only. */
+  private object UpdateStmt {
+    def unapply(st: Stmt): Option[(String, String, String, String)] = {
+      val s = st.raw
+      val ts = Lex.tokens(s)
+      if (ts.length < 4 || !ts(0).is(s, "UPDATE")) return None
+      val nameTok = ts(1)
+      if (nameTok.kind != Lex.Word || s.charAt(nameTok.start) == '"') return None
+      if (!ts(2).is(s, "SET")) return None
+      val (sets, where, limit) = whereLimitTail(s, ts, 3)
+      if (sets.trim.isEmpty) return None
+      Some((nameTok.text(s), sets, where, limit))
+    }
+  }
+
+  /** Tokenizer-first MERGE (Parser.java:1073 parseMerge): MERGE INTO t
+    * [(cols)] [KEY(keys)] VALUES …|SELECT …|FROM …|(SELECT …). The source
+    * capture keeps its leading keyword, as the regex this replaces did —
+    * the dispatch arm switches on that prefix. */
+  private object MergeStmt {
+    def unapply(st: Stmt): Option[(String, String, String, String)] = {
+      val s = st.raw
+      val ts = Lex.tokens(s)
+      if (ts.length < 4 || !ts(0).is(s, "MERGE") || !ts(1).is(s, "INTO"))
+        return None
+      val nameTok = ts(2)
+      if (nameTok.kind != Lex.Word || s.charAt(nameTok.start) == '"') return None
+      var i = 3
+      // flat paren group (old `\(([^)]*)\)` contract): None on nesting
+      def flatGroup(): Option[String] = {
+        var close = i + 1
+        while (close < ts.length &&
+          !(isSym(s, ts(close), ')') && ts(close).depth == ts(i).depth)) {
+          if (isSym(s, ts(close), '(')) return None
+          close += 1
+        }
+        if (close >= ts.length) return None
+        val g = s.substring(ts(i).end, ts(close).start)
+        i = close + 1
+        Some(g)
+      }
+      var cols: String = null
+      if (i < ts.length && isSym(s, ts(i), '(') &&
+          !(i + 1 < ts.length && ts(i + 1).is(s, "SELECT"))) {
+        cols = flatGroup().getOrElse(return None)
+      }
+      var keys: String = null
+      if (i + 1 < ts.length && ts(i).is(s, "KEY") && isSym(s, ts(i + 1), '(')) {
+        i += 1
+        keys = flatGroup().getOrElse(return None)
+      }
+      if (i >= ts.length) return None
+      val t = ts(i)
+      val srcOk = t.is(s, "VALUES") || t.is(s, "SELECT") || t.is(s, "FROM") ||
+        (isSym(s, t, '(') && i + 1 < ts.length && ts(i + 1).is(s, "SELECT"))
+      if (!srcOk) return None
+      Some((nameTok.text(s), cols, keys, s.substring(t.start)))
+    }
+  }
+
+  /** Tokenizer-first DELETE (Parser.java:1163): DELETE FROM t
+    * [WHERE cond] [LIMIT n], depth-0 clause binding. */
+  private object DeleteStmt {
+    def unapply(st: Stmt): Option[(String, String, String)] = {
+      val s = st.raw
+      val ts = Lex.tokens(s)
+      if (ts.length < 3 || !ts(0).is(s, "DELETE") || !ts(1).is(s, "FROM"))
+        return None
+      val nameTok = ts(2)
+      if (nameTok.kind != Lex.Word || s.charAt(nameTok.start) == '"') return None
+      val (head, where, limit) = whereLimitTail(s, ts, 3)
+      if (head.trim.nonEmpty) return None // junk between table and clauses
+      Some((nameTok.text(s), where, limit))
+    }
+  }
   // ANALYZE [TABLE t] [SAMPLE_SIZE n] (ddl/Analyze.java): selectivity
   // statistics — Catalyst keeps its own stats; accepted no-op
   private val analyzeRe =
     M("""(?is)^\s*ANALYZE(?:\s+TABLE\s+\w+)?(?:\s+SAMPLE_SIZE\s+\d+)?\s*$""".r)
   private val explainAnalyzeRe = M("""(?is)^\s*EXPLAIN\s+ANALYZE\s+(.*)$""".r)
-  private val insertSelectRe =
-    M("""(?is)^\s*INSERT\s+INTO\s+(\w+)\s*(?:\(([^)]*)\)\s*)?(SELECT\s+.*|FROM\s+.*)$""".r)
-  private val updateRe =
-    M("""(?is)^\s*UPDATE\s+(\w+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*?))?(?:\s+LIMIT\s+(\d+))?\s*$""".r)
-  private val deleteRe =
-    M("""(?is)^\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*?))?(?:\s+LIMIT\s+(\d+))?\s*$""".r)
-  private val mergeRe =
-    M("""(?is)^\s*MERGE\s+INTO\s+(\w+)\s*(?:\(([^)]*)\)\s*)?(?:KEY\s*\(([^)]*)\)\s*)?(VALUES\s*.*|SELECT\s+.*|FROM\s+.*|\(\s*SELECT\s+.*)$""".r)
-
   private val createViewRe =
     M("""(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:FORCE\s+)?VIEW\s+(\w+)\s*(?:\(([^)]*)\)\s*)?AS\s+(.*)$""".r)
   private val dropViewRe =
@@ -1070,33 +1228,42 @@ final class Engine(val spark: SparkSession) {
           Option(start).map(_.toLong).getOrElse(1L),
           Option(inc).map(_.toLong).getOrElse(1L))
         status()
-      case InsertOnDup(name, cols, tuples, sets)
-          if modeFlags.onDuplicateKeyUpdate =>
-        doUpsert(name, Option(cols),
-          parseValueRows(name, tuples,
-            Option(cols).map(c => splitTop(c).map(_.trim.toLowerCase))), sets)
-        status()
-      case InsertOnDup(_, _, _, _) =>
-        throw new IllegalArgumentException(
-          "INSERT … ON DUPLICATE KEY UPDATE requires SET MODE MySQL " +
-            "(Mode.java onDuplicateKeyUpdate)")
-      case insertSetRe(name, sets) =>
-        // MySQL INSERT INTO t SET c=v, … (Parser.java:1053)
-        val pairs = splitTop(sets).map { s0 =>
-          val Array(c, v) = s0.split("=", 2); (c.trim.toLowerCase, v.trim)
+      case InsertStmt(name, cols, body) =>
+        body match {
+          case InsValues(tuples, Some(sets)) if modeFlags.onDuplicateKeyUpdate =>
+            doUpsert(name, Option(cols),
+              parseValueRows(name, tuples,
+                Option(cols).map(c => splitTop(c).map(_.trim.toLowerCase))), sets)
+          case InsValues(_, Some(_)) =>
+            throw new IllegalArgumentException(
+              "INSERT … ON DUPLICATE KEY UPDATE requires SET MODE MySQL " +
+                "(Mode.java onDuplicateKeyUpdate)")
+          case InsSet(sets) =>
+            // MySQL INSERT INTO t SET c=v, … (Parser.java:1052)
+            val pairs = splitTop(sets).map { s0 =>
+              val Array(c, v) = s0.split("=", 2); (c.trim.toLowerCase, v.trim)
+            }
+            doInsert(name, Some(pairs.map(_._1).mkString(",")),
+              parseValueRows(name, "(" + pairs.map(_._2).mkString(", ") + ")",
+                Some(pairs.map(_._1))))
+          case InsValues(tuples, None) =>
+            doInsert(name, Option(cols),
+              parseValueRows(name, tuples,
+                Option(cols).map(c => splitTop(c).map(_.trim.toLowerCase))))
+          case InsDefaults =>
+            // INSERT INTO t DEFAULT VALUES (Parser.java:1033): one row,
+            // every declared column at its DEFAULT (hidden _rowid_ and
+            // IDENTITY columns fill themselves downstream)
+            val tn = name.toLowerCase
+            val n = table(name).columns
+              .count(c => !(rowidTables.contains(tn) && c == "_rowid_"))
+            doInsert(name, None,
+              parseValueRows(name, "(" + Seq.fill(n)("DEFAULT").mkString(", ") + ")"))
+          case InsSelect(query) =>
+            doInsert(name, Option(cols), selectForInsert(query))
         }
-        doInsert(name, Some(pairs.map(_._1).mkString(",")),
-          parseValueRows(name, "(" + pairs.map(_._2).mkString(", ") + ")",
-            Some(pairs.map(_._1))))
         status()
-      case insertValuesRe(name, cols, tuples) =>
-        doInsert(name, Option(cols),
-          parseValueRows(name, tuples,
-            Option(cols).map(c => splitTop(c).map(_.trim.toLowerCase))))
-        status()
-      case insertSelectRe(name, cols, query) =>
-        doInsert(name, Option(cols), selectForInsert(query)); status()
-      case mergeRe(name, cols, keys, source) =>
+      case MergeStmt(name, cols, keys, source) =>
         val src = source.trim match {
           case v if v.toUpperCase.startsWith("VALUES") =>
             parseValueRows(name, v.substring(6),
@@ -1136,7 +1303,7 @@ final class Engine(val spark: SparkSession) {
           fireTriggers(tn, "INSERT", "AFTER", t.limit(0), insertedArm)
         }
         status()
-      case updateRe(name, sets, where, limit) =>
+      case UpdateStmt(name, sets, where, limit) =>
         val t = table(name)
         val cond0 = Option(where).map(w =>
           expr(substSequences(substConstants(w, Seq(name.toLowerCase)))))
@@ -1172,7 +1339,7 @@ final class Engine(val spark: SparkSession) {
           fireTriggers(tn, "UPDATE", "AFTER", oldRows, newRows)
         }
         status()
-      case deleteRe(name, where, limit) =>
+      case DeleteStmt(name, where, limit) =>
         val t = table(name)
         val cond0 = Option(where).map(w =>
           expr(substSequences(substConstants(w, Seq(name.toLowerCase)))))

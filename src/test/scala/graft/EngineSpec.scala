@@ -84,6 +84,21 @@ class EngineSpec extends SparkSpec {
     assert(e.sql("SELECT v FROM sq WHERE k = 1").head().getInt(0) == 30)
     e.sql("DELETE FROM sq WHERE v < (SELECT avg(v) FROM sq)")
     assert(e.sql("SELECT count(*) FROM sq").head().getLong(0) == 2)
+    // a WHERE *inside* the SET subquery must not split the statement —
+    // the depth-0 token scan binds only the top-level WHERE (the lazy
+    // regex predecessor bound to the first occurrence at any depth)
+    e.sql("CREATE TABLE sq2 (k int PRIMARY KEY, v int)")
+    e.sql("INSERT INTO sq2 VALUES (1, 100), (2, 200)")
+    e.sql("UPDATE sq SET v = (SELECT v FROM sq2 WHERE k = 2) WHERE k = 3")
+    assert(e.sql("SELECT v FROM sq WHERE k = 3").head().getInt(0) == 200)
+    // subquery WHERE with no top-level WHERE at all (every row updated)
+    e.sql("UPDATE sq2 SET v = (SELECT min(v) FROM sq WHERE v IS NOT NULL)")
+    assert(e.sql("SELECT DISTINCT v FROM sq2").collect().map(_.getInt(0)).toSeq
+      == Seq(30))
+    // DELETE whose only WHERE-containing text is the subquery cond
+    // (sq keys are {1,3} here; sq2 keys {1,2} — the semi join hits k=1)
+    e.sql("DELETE FROM sq2 WHERE k IN (SELECT k FROM sq WHERE v >= 30)")
+    assert(e.sql("SELECT count(*) FROM sq2").head().getLong(0) == 1)
   }
 
   test("SYSTEM_RANGE, FROM-first, ORDER BY =n, SAMPLE_SIZE") {
@@ -463,6 +478,28 @@ class EngineSpec extends SparkSpec {
     // statement-name keywords inside literals don't reroute dispatch
     e.sql("INSERT INTO md VALUES (9, 'DROP TABLE md')")
     assert(e.sql("SELECT count(*) AS n FROM md").head().getLong(0) == 3)
+  }
+
+  test("tokenizer-first INSERT: DEFAULT VALUES, paren-wrapped query, cols+SELECT") {
+    val e = freshEngine
+    e.sql("CREATE TABLE ti (id int DEFAULT 7, v varchar(20) DEFAULT 'dv', n int)")
+    // INSERT INTO t DEFAULT VALUES (Parser.java:1033): one all-default row
+    e.sql("INSERT INTO ti DEFAULT VALUES")
+    val r0 = e.sql("SELECT id, v, n FROM ti").head()
+    assert(r0.getInt(0) == 7 && r0.getString(1) == "dv" && r0.isNullAt(2))
+    // paren-wrapped query form (Parser.java:1022 isSelect after '(')
+    e.sql("INSERT INTO ti (SELECT 1, 'q', 10)")
+    assert(e.sql("SELECT v FROM ti WHERE id=1").head().getString(0) == "q")
+    // column list + SELECT still routes through the query arm
+    e.sql("INSERT INTO ti (id, n) SELECT 2, 20")
+    val r2 = e.sql("SELECT id, v, n FROM ti WHERE id=2").head()
+    assert(r2.getString(1) == "dv" && r2.getInt(2) == 20) // v takes DEFAULT
+    assert(e.sql("SELECT count(*) AS c FROM ti").head().getLong(0) == 3)
+    // hidden-rowid table (no PK): DEFAULT VALUES fills _rowid_ itself
+    e.sql("CREATE TABLE tr (a int DEFAULT 3, b varchar(5))")
+    e.sql("INSERT INTO tr DEFAULT VALUES")
+    val rr = e.sql("SELECT a, b, _ROWID_ FROM tr").head()
+    assert(rr.getInt(0) == 3 && rr.isNullAt(1) && rr.getLong(2) == 1L)
   }
 
   test("MySQL mode: || treats NULL as the other operand (Mode.java nullConcatIsNull)") {
