@@ -19,8 +19,9 @@ object GraftSession {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
-    // events.parquet carries TIMESTAMP(NANOS) — Spark has no nanos type;
-    // read as long and convert in Tables.load (micros truncation).
+    // Older corpus generations carried TIMESTAMP(NANOS) — Spark has no nanos
+    // type; read those as long and convert in Tables.load (micros truncation).
+    // Harmless for micros-generated corpora, which arrive as TIMESTAMP_NTZ.
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
     .config("spark.ui.enabled", "false")

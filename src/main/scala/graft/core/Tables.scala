@@ -19,14 +19,24 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS): Spark has no nanosecond
-    // timestamp type, so the session reads it as nanos-since-epoch long
-    // (spark.sql.legacy.parquet.nanosAsLong) and we surface micros.
+    // events.ts normalizes to session-zone TIMESTAMP regardless of how the
+    // corpus was generated: TIMESTAMP(NANOS) parquet arrives as a long
+    // (spark.sql.legacy.parquet.nanosAsLong) and is truncated to micros;
+    // TIMESTAMP(MICROS, isAdjustedToUTC=false) arrives as TIMESTAMP_NTZ and
+    // is reinterpreted as UTC (the session zone — same instants DuckDB sees).
     if (name == "events")
-      df.withColumn("ts",
-        // integer div, not `/` — double division loses precision at 1e18 ns
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts",
+            // integer div, not `/` — double division loses precision at 1e18 ns
+            org.apache.spark.sql.functions.timestamp_micros(
+              org.apache.spark.sql.functions.expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // cast under the UTC session zone: wall-clock == instant
+          df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
+        case _ => df
+      }
     else df
   }
 

@@ -231,6 +231,41 @@ object Sampling {
       schema.add("shuffle_pos", LongType, nullable = false))
   }
 
+  /** Domain-mixture selection: draw a corpus whose per-stratum (source/
+    * language/domain) composition matches `targetShares`, deterministically.
+    * Each stratum's quota = floor(budget × share); its winners are the
+    * quota lowest (hash(id), id) rows — a stable pseudo-random draw, so
+    * re-runs, re-ingests and supersets agree on every kept row (the same
+    * pure-function-of-id discipline as [[hashSplit]]). Strata absent from
+    * the map get quota 0; a stratum with fewer rows than its quota
+    * contributes everything it has (the caller audits the realized mix via
+    * the returned `mix_rank` ≤ quota rows).
+    *
+    * Shape: one per-stratum window (rank in a single sort exchange keyed by
+    * the stratum) — the [[budgetSelect]] scale caveat applies: strata are
+    * bounded-cardinality keys; a pathologically hot stratum is one sort
+    * partition. Returns kept rows + `mix_rank` (1-based within stratum). */
+  def domainMix(df: DataFrame, idCol: String, strataCol: String,
+      targetShares: Map[String, Double], budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(targetShares.values.forall(s => s >= 0.0 && s <= 1.0),
+      "target shares must be in [0,1]")
+    requireIntegralId(df, idCol)
+    require(!df.columns.contains("mix_rank"),
+      "input already has a 'mix_rank' column (the operator's output " +
+        "column) — rename it first")
+    // literal CASE chain (codegen'd, broadcast-free), like stratifiedSample
+    val quota = targetShares.toSeq.sortBy(_._1)
+      .foldLeft(lit(0L)) { case (acc, (k, s)) =>
+        when(col(strataCol) === k, lit((budget * s).toLong)).otherwise(acc)
+      }
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(bucket1M(col(idCol)).asc, col(idCol).asc)
+    df.withColumn("mix_rank", row_number().over(w).cast("long"))
+      .filter(col("mix_rank") <= quota)
+  }
+
   /** Concat-then-chunk sequence packing (the standard pretraining batch
     * shape: concatenate all docs in id order, slice the stream into
     * `budgetTokens`-sized chunks; a doc's bin is where its first token

@@ -130,6 +130,18 @@ object Similarity {
         (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
       lit(0.0), (acc, v) => acc + v)
 
+  /** (sq-dist, cell) structs against every centroid literal — `array_min`
+    * of this array IS nearest-centroid assignment (lexicographic struct
+    * compare: distance first, ties toward the smaller cell id). Pure
+    * column expression over literals: no join, no shuffle, no ML
+    * transformer on the hot path. Shared by [[ivfProbe]], [[kmeansAssign]]
+    * and [[semDedupKMeans]], and mirrored literal-for-literal by their
+    * DuckDB oracle generators. */
+  private def cellDistStructs(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(sqDistLit(vec, c).as("d"), lit(i).as("cell"))
+    }: _*)
+
   /** IVF-flat probe against trained centroids: assign each corpus vector to
     * its nearest cell, probe each query's `nProbe` nearest cells, exact
     * cosine re-rank. Cell assignment is a pure column expression over the
@@ -143,10 +155,7 @@ object Similarity {
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int, centroids: Seq[Seq[Double]], nProbe: Int = 3): DataFrame = {
-    def cellStructs(vec: Column): Column = array(
-      centroids.zipWithIndex.map { case (c, i) =>
-        struct(sqDistLit(vec, c).as("d"), lit(i).as("cell"))
-      }: _*)
+    def cellStructs(vec: Column): Column = cellDistStructs(vec, centroids)
 
     val assigned = corpus.select(col(corpusId).as("neighbor_id"),
         col(corpusVec).as("__cv"))
@@ -325,5 +334,54 @@ object Similarity {
     val pairs = embeddingNearDupPairs(df, idCol, vecCol, threshold, dim,
       bitsPerTable, tables, seed)
     ConnectedComponents.transitiveSurvivors(df, idCol, pairs)
+  }
+
+  /** Nearest-centroid assignment of every vector against trained k-means
+    * centroids (reference partition-pruning analogue in embedding space:
+    * the cluster id becomes a corpus partition key for any downstream
+    * within-cluster work). Output: (id, cluster, sq_dist) — per-row exact
+    * left-to-right double folds, hash-verifiable against a literal-inlined
+    * oracle (the s03 trained-state pattern). Zero shuffles: one scan, all
+    * codegen'd column expressions over centroid literals. */
+  def kmeansAssign(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]]): DataFrame =
+    corpus
+      .withColumn("__c", array_min(cellDistStructs(col(vecCol), centroids)))
+      .select(col(idCol), col("__c.cell").as("cluster"),
+        col("__c.d").as("sq_dist"))
+
+  /** SemDeDup as published (Abbas et al. 2023, arXiv:2303.09540 §3): k-means
+    * partition first, exact pairwise cosine ONLY within each cluster, drop
+    * every vector that has a near-duplicate (cos ≥ threshold) with a
+    * smaller id in its cluster — the same greedy keep-earliest rule as
+    * [[graft.operators.Dedup.minhashDedup]]. Complements [[semDedup]]
+    * (the LSH-graph variant): here the quadratic term is bounded by the
+    * CLUSTER size, and the number of centroids is the knob that holds
+    * per-cluster populations flat as the corpus grows (the paper trains
+    * ~n/1000 centroids at 100 TB scale; the within-cluster join is then a
+    * cluster-keyed equi-join of ~constant-width buckets, never all-pairs).
+    * Returns surviving rows of `df` with their cluster id. */
+  def semDedupKMeans(
+      df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]], threshold: Double): DataFrame = {
+    // assignment is re-read by both sides of the pair join → materialize once
+    val assigned = df
+      .withColumn("__cl",
+        array_min(cellDistStructs(col(vecCol), centroids)).getField("cell"))
+      .withColumn("__n", norm(col(vecCol)))
+      .transform(graft.core.Checkpoint.cut)
+    val a = assigned.select(col("__cl"), col(idCol).as("id_a"),
+      col(vecCol).as("__va"), col("__n").as("__na"))
+    val b = assigned.select(col("__cl"), col(idCol).as("id_b"),
+      col(vecCol).as("__vb"), col("__n").as("__nb"))
+    val dups = a.join(b, Seq("__cl"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))
+        >= threshold)
+      .select(col("id_b").as("__victim")).distinct()
+    assigned
+      .join(dups, col(idCol) === col("__victim"), "left_anti")
+      .select((df.columns.map(col) :+ col("__cl").as("cluster")): _*)
   }
 }

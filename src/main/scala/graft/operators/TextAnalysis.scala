@@ -525,6 +525,20 @@ object TextAnalysis {
       .orderBy(col("freq").desc, col("token"))
       .limit(k)
 
+  /** Token frequency-of-frequency spectrum (the Zipf/Good-Turing corpus
+    * profile: how many distinct tokens occur exactly f times, and how much
+    * token mass that bin carries). The classic corpus-health readout —
+    * singleton share flags OCR noise / boilerplate floods before training.
+    * Integer-exact end to end. Shape: token groupBy (partial agg map-side)
+    * → re-agg on the tiny f domain — the second exchange carries one row
+    * per DISTINCT frequency, negligible at any corpus size. */
+  def freqSpectrum(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("__f"))
+      .groupBy("__f").agg(count(lit(1)).as("n_tokens"))
+      .select(col("__f").as("f"), col("n_tokens"),
+        (col("__f") * col("n_tokens")).as("mass"))
+
   /** One row per document with every text-analysis signal. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(

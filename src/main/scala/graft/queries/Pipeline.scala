@@ -296,6 +296,16 @@ object Pipeline {
         FROM fp"""
   }
 
+  /** Exact DOUBLE literal list: plain decimal literals parse as DECIMAL in
+    * DuckDB, and a list's common DECIMAL type quantizes any element whose
+    * shortest double repr needs more fractional digits than the common
+    * scale (~1e-18 perturbations — argmin-only oracles tolerate them, a
+    * value-emitting oracle like s06 does not). The string→DOUBLE cast is
+    * strtod: correctly rounded, so each literal is the EXACT double the
+    * Spark plan inlined. */
+  private def dlistSql(xs: Seq[Double]): String =
+    xs.map(x => s"CAST('$x' AS DOUBLE)").mkString("[", ", ", "]")
+
   /** The exact left-to-right double fold both engines share (Spark
     * DotProduct kernel ≡ DuckDB list_reduce). */
   private def foldDotSql(a: String, b: String): String =
@@ -312,8 +322,8 @@ object Pipeline {
     * hash-verifiable: the oracle reproduces the same approximation. */
   private def lshBucketSql(vecExpr: String, planes: Seq[Seq[Double]]): String =
     planes.zipWithIndex.map { case (p, i) =>
-      val lits = p.map(_.toString).mkString("[", ", ", "]")
-      s"(CASE WHEN ${foldDotSql(vecExpr, lits)} >= 0 THEN ${1L << i} ELSE 0 END)"
+      s"(CASE WHEN ${foldDotSql(vecExpr, dlistSql(p))} >= 0 " +
+        s"THEN ${1L << i} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
   /** DuckDB twin of [[Similarity.lshTopK]] (s02): bucket codes from the
@@ -552,7 +562,7 @@ object Pipeline {
     val cents = ivfCentroids(s, dir, nCentroids, seed)
     // 0.0-seeded left fold of (x-c)^2, identical to Spark's aggregate(...)
     def sqDist(v: String, c: Seq[Double]): String = {
-      val lits = c.map(_.toString).mkString("[", ", ", "]")
+      val lits = dlistSql(c)
       s"list_reduce(list_prepend(0.0, list_transform(list_zip($v, $lits), " +
         s"z -> (CAST(z[1] AS DOUBLE) - z[2]) * (CAST(z[1] AS DOUBLE) - z[2]))), " +
         "(a,b) -> a+b)"
@@ -580,6 +590,57 @@ object Pipeline {
                  ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
         FROM scored
         QUALIFY rank <= $k"""
+  }
+
+  /** Shared by the k-means oracles: the same 0.0-seeded left fold of
+    * (x-c)² and (d, cell) struct list the s03 twin builds — `list_aggregate
+    * (…, 'min')` over it IS nearest-centroid assignment (lexicographic
+    * struct compare, ties toward the smaller cell), mirroring Spark's
+    * `array_min` over [[Similarity.kmeansAssign]]'s struct array. */
+  private def kmCellStructsSql(v: String, cents: Seq[Seq[Double]]): String = {
+    def sqDist(c: Seq[Double]): String = {
+      val lits = dlistSql(c)
+      s"list_reduce(list_prepend(0.0, list_transform(list_zip($v, $lits), " +
+        s"z -> (CAST(z[1] AS DOUBLE) - z[2]) * (CAST(z[1] AS DOUBLE) - z[2]))), " +
+        "(a,b) -> a+b)"
+    }
+    cents.zipWithIndex.map { case (c, i) =>
+      s"{'d': ${sqDist(c)}, 'cell': $i}"
+    }.mkString("[", ",\n            ", "]")
+  }
+
+  /** DuckDB twin of [[Similarity.kmeansAssign]] (s06): trained centroids
+    * inline as exact double literals; assignment + distance both read off
+    * the same struct-min. */
+  private def kmeansAssignOracle(s: SparkSession, dir: String,
+      nCentroids: Int, seed: Long): String = {
+    val cs = kmCellStructsSql("embedding", ivfCentroids(s, dir, nCentroids, seed))
+    s"""
+        SELECT vec_id,
+               list_aggregate($cs, 'min').cell AS cluster,
+               list_aggregate($cs, 'min').d AS sq_dist
+        FROM embeddings"""
+  }
+
+  /** DuckDB twin of [[Similarity.semDedupKMeans]] (d19): within-cluster
+    * pairs only (the paper's quadratic bound), exact fold-cosine with the
+    * a-side = smaller id (operand order matches the Spark plan), greedy
+    * keep-earliest victims via NOT IN. */
+  private def semDedupKMeansOracle(s: SparkSession, dir: String,
+      nCentroids: Int, seed: Long, threshold: Double): String = {
+    s"""
+        WITH asn AS MATERIALIZED (
+          SELECT vec_id, label, embedding, ${normSql("embedding")} AS nrm,
+            list_aggregate(${kmCellStructsSql("embedding",
+              ivfCentroids(s, dir, nCentroids, seed))}, 'min').cell AS cl
+          FROM embeddings),
+        victims AS (
+          SELECT DISTINCT y.vec_id AS victim
+          FROM asn AS x JOIN asn AS y ON x.cl = y.cl AND x.vec_id < y.vec_id
+          WHERE ${foldDotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm)
+                  >= $threshold)
+        SELECT vec_id, label, cl AS cluster FROM asn
+        WHERE vec_id NOT IN (SELECT victim FROM victims)"""
   }
 
   /** DuckDB twin of [[Multimodal.syntheticMedia]] + the stub codec
@@ -1147,6 +1208,37 @@ object Pipeline {
         t(s, dir, "embeddings"), "vec_id", "embedding",
         k = 5, dim = 64, bitsPerTable = 6, tables = 4, seed = 42L),
       Some(knnGraphOracle(tables = 4, bits = 6, seed = 42L, k = 5))),
+
+    // ---- k-means corpus clustering (s06): nearest-centroid assignment of
+    // every embedding — the partition key for within-cluster pipeline work
+    // (d19 builds on it). Trained centroids memoized in the Verify JVM and
+    // inlined into the DuckDB twin as exact double literals (s03 pattern),
+    // so the trained clustering itself is hash-verified.
+    Q("s06_kmeans_assign",
+      (s, dir) => Similarity.kmeansAssign(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        ivfCentroids(s, dir, 8, 7L)),
+      None,
+      oracleGen = Some((s, dir) =>
+        kmeansAssignOracle(s, dir, nCentroids = 8, seed = 7L))),
+
+    // ---- SemDeDup, k-means-partitioned (d19; Abbas et al. 2023 §3 as
+    // published): exact pairwise cosine ONLY within each k-means cluster,
+    // greedy keep-earliest survivor rule. Complements d10 (the LSH-graph
+    // variant) — here centroid COUNT is the knob that bounds the quadratic
+    // term as the corpus grows. Fully oracled: inlined trained centroids +
+    // exact fold-cosine make the approximate clustering hash-checked.
+    Q("d19_semdedup_kmeans",
+      (s, dir) => Similarity.semDedupKMeans(
+          t(s, dir, "embeddings").select(col("vec_id"), col("label"),
+            col("embedding")),
+          "vec_id", "embedding", ivfCentroids(s, dir, 8, 7L),
+          threshold = 0.35)
+        .select(col("vec_id"), col("label"), col("cluster")),
+      None,
+      oracleGen = Some((s, dir) =>
+        semDedupKMeansOracle(s, dir, nCentroids = 8, seed = 7L,
+          threshold = 0.35))),
 
     // ---- Text stats with DuckDB oracle (token counts, char-class ratios,
     // quality flag — the SQL-expressible subset of TextAnalysis.analyze).
@@ -1884,6 +1976,23 @@ object Pipeline {
         FROM tok GROUP BY token
         ORDER BY freq DESC, token LIMIT 15""")),
 
+    // ---- Token frequency-of-frequency spectrum (t19): the Zipf/Good-
+    // Turing corpus profile — n distinct tokens per exact frequency f and
+    // the token mass each bin carries. Integer-exact; the second exchange
+    // is one row per DISTINCT frequency (negligible at any scale).
+    Q("t19_freq_spectrum",
+      (s, dir) => TextAnalysis.freqSpectrum(t(s, dir, "documents"), "text"),
+      Some("""
+        WITH tok AS (
+          SELECT unnest(list_filter(string_split(
+            trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')), ' '),
+            x -> len(x) > 0)) AS token
+          FROM documents),
+        tf AS (
+          SELECT token, COUNT(*) AS f FROM tok GROUP BY token)
+        SELECT f, COUNT(*) AS n_tokens, f * COUNT(*) AS mass
+        FROM tf GROUP BY f""")),
+
     // ---- Segment-level cross-corpus dedup (CCNet shape): 3-word segments,
     // drop those appearing in >1 document, reassemble survivors in order.
     // The frequent-segment set is the SMALL join side by construction →
@@ -2032,6 +2141,36 @@ object Pipeline {
           FROM q)
         SELECT doc_id, source, n_toks, alpha_ratio, rank, cum_tokens
         FROM r WHERE cum_tokens <= 1500""")),
+
+    // ---- Domain-mixture selection (u09): hit literal target shares per
+    // source under a 200-doc budget — quota = floor(budget × share), the
+    // quota lowest (knuth-hash, id) rows win; sources outside the target
+    // map get nothing, under-populated sources contribute what they have.
+    // Quotas are computed ONCE in Scala and inlined as integer literals in
+    // both plans.
+    Q("u09_domain_mix", {
+      val targets = Map("src0" -> 0.25, "src1" -> 0.25, "src2" -> 0.2,
+        "src3" -> 0.2, "src4" -> 0.1)
+      (s, dir) => graft.operators.Sampling.domainMix(
+          t(s, dir, "documents"), "doc_id", "source", targets, budget = 200L)
+        .select(col("doc_id"), col("source"), col("mix_rank"))
+    },
+      Some {
+        val targets = Seq("src0" -> 0.25, "src1" -> 0.25, "src2" -> 0.2,
+          "src3" -> 0.2, "src4" -> 0.1)
+        val cases = targets.map { case (k, sh) =>
+          s"WHEN '$k' THEN ${(200L * sh).toLong}"
+        }.mkString(" ")
+        s"""
+        WITH r AS (
+          SELECT doc_id, source,
+            CAST(ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY ((((doc_id % 1000000) + 1000000) % 1000000)
+                        * 2654435761) % 1000000, doc_id) AS BIGINT) AS mix_rank
+          FROM documents)
+        SELECT doc_id, source, mix_rank FROM r
+        WHERE mix_rank <= CASE source $cases ELSE 0 END"""
+      }),
 
     // ---- Deterministic corpus shuffle (u05): the pretraining epoch
     // permutation as a pure function of the id — rank under (knuth-hash,

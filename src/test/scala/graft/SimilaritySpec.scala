@@ -145,4 +145,39 @@ class SimilaritySpec extends SparkSpec {
       .orderBy($"rank").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(qt.toSeq == exact.toSeq)
   }
+
+  test("kmeansAssign: nearest centroid wins, distance ties to smaller cell") {
+    import org.apache.spark.sql.functions.col
+    val cents = Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0))
+    val out = Similarity.kmeansAssign(vecs, "vec_id", "embedding", cents)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    assert(out(0L) == ((0, 0.0)))          // exactly centroid 0
+    assert(out(1L)._1 == 0 && out(3L)._1 == 1)
+    assert(out(5L) == ((0, 0.0)))
+    // (0.5, 0.5): equidistant from both centroids → smaller cell id
+    assert(out(2L)._1 == 0)
+    // (−1,0,0,0): 4.0 from c0, 2.0 from c1 → cell 1, exact distance 2.0
+    assert(out(4L) == ((1, 2.0)))
+  }
+
+  test("semDedupKMeans: within-cluster dups drop keep-earliest; " +
+      "cross-cluster near-dups survive (the paper's recall trade)") {
+    import org.apache.spark.sql.functions.col
+    val cents = Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0))
+    // vecs: 0,1,5 land in cell 0 (0≈1≈5 near-dups); 3 in cell 1; 4 → cell
+    // whose distance is smaller: (−1,0,0,0) is 4.0 from c0, 2.0 from c1 → 1
+    val out = Similarity.semDedupKMeans(vecs, "vec_id", "embedding",
+        cents, threshold = 0.95)
+      .select(col("vec_id"), col("cluster"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // 1 and 5 are cos≥0.95 to 0 within cell 0 → dropped, 0 kept
+    assert(!out.contains(1L) && !out.contains(5L) && out(0L) == 0)
+    // 2 (cos .707 to everything) and the cell-1 residents survive
+    assert(out.contains(2L) && out(3L) == 1 && out(4L) == 1)
+    // determinism: survivors are a pure function of (data, centroids)
+    val again = Similarity.semDedupKMeans(vecs, "vec_id", "embedding",
+        cents, threshold = 0.95)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(again == out.keySet)
+  }
 }

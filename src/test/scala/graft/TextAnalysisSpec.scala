@@ -503,4 +503,44 @@ class TextAnalysisSpec extends SparkSpec {
     // b: freq 3 in 2 docs; c: freq 3 in 3 docs — tie breaks to 'b' first
     assert(top.toSeq == Seq(("b", 3L, 2L), ("c", 3L, 3L), ("a", 2L, 2L)))
   }
+
+  test("freqSpectrum: bins partition the vocabulary, mass sums to corpus") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // a×3, b×2, c×2, d×1, e×1, f×1 → f=3:1 tok, f=2:2, f=1:3
+    val docs = Seq((1L, "a a b c d"), (2L, "a b c e f"), (3L, null: String))
+      .toDF("id", "text")
+    val sp = TextAnalysis.freqSpectrum(docs, "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(sp == Map(3L -> ((1L, 3L)), 2L -> ((2L, 4L)), 1L -> ((3L, 3L))))
+    // invariants: Σ n_tokens = |vocab|, Σ mass = total token count
+    assert(sp.values.map(_._1).sum == 6L && sp.values.map(_._2).sum == 10L)
+  }
+
+  test("domainMix: literal quotas, under-populated strata cap, " +
+      "unmapped strata excluded, subset-stable") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val rows = (0L until 300L).map(i =>
+      (i, Seq("web", "code", "books").apply((i % 3L).toInt)))
+      .toDF("id", "src")
+    val out = Sampling.domainMix(rows, "id", "src",
+        Map("web" -> 0.5, "code" -> 0.05), budget = 100L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySrc = out.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    // quotas: web floor(100×.5)=50 of 100 available; code 5; books absent
+    assert(bySrc("web").size == 50 && bySrc("code").size == 5 &&
+      !bySrc.contains("books"))
+    // a SUPERSET draw keeps every previously kept web row (stable ranks:
+    // adding rows of OTHER strata can't displace web winners)
+    val bigger = Sampling.domainMix(rows, "id", "src",
+        Map("web" -> 0.6, "code" -> 0.05), budget = 100L)
+      .collect().filter(_.getString(1) == "web").map(_.getLong(0)).toSet
+    assert(bySrc("web").subsetOf(bigger))
+    // under-populated stratum: quota above availability takes everything
+    val tiny = Sampling.domainMix(rows.filter($"id" < 9), "id", "src",
+        Map("web" -> 1.0), budget = 100L)
+      .collect().map(_.getLong(0)).toSet
+    assert(tiny == Set(0L, 3L, 6L))
+  }
 }
