@@ -47,7 +47,11 @@ object Bench {
     "t09_blocklist_filter",      // pipeline: blocklist filter
     "s05_knn_graph",             // pipeline: corpus kNN graph (LSH self-join)
     "t10_trigram_quality",       // pipeline: trigram LM quality score
-    "d13_duplicate_spans")       // pipeline: exact duplicate-span detection
+    "d13_duplicate_spans",       // pipeline: exact duplicate-span detection
+    "s06_kmeans_assign",         // pipeline: k-means corpus clustering
+    "d19_semdedup_kmeans",       // pipeline: SemDeDup (k-means-partitioned)
+    "u09_domain_mix",            // pipeline: domain-mixture selection
+    "t19_freq_spectrum")         // pipeline: Zipf frequency spectrum
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

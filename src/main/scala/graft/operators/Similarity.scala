@@ -361,19 +361,32 @@ object Similarity {
     * per-cluster populations flat as the corpus grows (the paper trains
     * ~n/1000 centroids at 100 TB scale; the within-cluster join is then a
     * cluster-keyed equi-join of ~constant-width buckets, never all-pairs).
-    * Returns surviving rows of `df` with their cluster id. */
+    * Returns surviving rows of `df` with their cluster id.
+    *
+    * `maxCluster` is the same capped-bucket hygiene as
+    * [[graft.operators.Dedup.minhashCandidates]]: a degenerate cluster
+    * (mis-sized k, or a corpus flood of identical embeddings) would go
+    * quadratic in the pair join, so clusters beyond the cap SKIP dedup —
+    * their rows pass through un-deduped, and the skip is observable, not
+    * silent: the `semdedup_kmeans` observation emits
+    * `skipped_cluster_rows`. Cluster count = centroid count (bounded
+    * small), so the ok-cluster set broadcasts. */
   def semDedupKMeans(
       df: DataFrame, idCol: String, vecCol: String,
-      centroids: Seq[Seq[Double]], threshold: Double): DataFrame = {
+      centroids: Seq[Seq[Double]], threshold: Double,
+      maxCluster: Int = 100000): DataFrame = {
     // assignment is re-read by both sides of the pair join → materialize once
     val assigned = df
       .withColumn("__cl",
         array_min(cellDistStructs(col(vecCol), centroids)).getField("cell"))
       .withColumn("__n", norm(col(vecCol)))
       .transform(graft.core.Checkpoint.cut)
-    val a = assigned.select(col("__cl"), col(idCol).as("id_a"),
+    val sizes = assigned.groupBy(col("__cl")).agg(count(lit(1)).as("__cn"))
+    val okClusters = sizes.filter(col("__cn") <= maxCluster).select(col("__cl"))
+    val joinable = assigned.join(broadcast(okClusters), Seq("__cl"))
+    val a = joinable.select(col("__cl"), col(idCol).as("id_a"),
       col(vecCol).as("__va"), col("__n").as("__na"))
-    val b = assigned.select(col("__cl"), col(idCol).as("id_b"),
+    val b = joinable.select(col("__cl"), col(idCol).as("id_b"),
       col(vecCol).as("__vb"), col("__n").as("__nb"))
     val dups = a.join(b, Seq("__cl"))
       .filter(col("id_a") < col("id_b"))
@@ -382,6 +395,13 @@ object Similarity {
       .select(col("id_b").as("__victim")).distinct()
     assigned
       .join(dups, col(idCol) === col("__victim"), "left_anti")
+      // skip metric rides the MAINLINE output (a broadcast subtree's
+      // observations don't surface): every row of an over-cap cluster
+      // survives, so counting over-cap survivors counts all skipped rows
+      .join(broadcast(sizes), Seq("__cl"))
+      .observe("semdedup_kmeans",
+        sum(when(col("__cn") > maxCluster, 1L).otherwise(0L))
+          .as("skipped_cluster_rows"))
       .select((df.columns.map(col) :+ col("__cl").as("cluster")): _*)
   }
 }

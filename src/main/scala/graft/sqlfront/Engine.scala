@@ -194,17 +194,19 @@ final class Engine(val spark: SparkSession) {
   }
 
   // ------------------------------------------------------------------
+  /** Statement split on `;` — tokenizer-first (Lex): a semicolon inside a
+    * 'string literal' (with '' escapes) OR a "quoted identifier" never
+    * splits; the char-loop predecessor was literal-aware but identifier-
+    * blind. Segments re-slice the raw text, preserving every byte. */
   private def splitStatements(text: String): Seq[String] = {
+    val cuts = Lex.tokens(text).iterator
+      .filter(t => t.kind == Lex.Sym && text.charAt(t.start) == ';')
+      .map(_.start).toSeq
     val out = mutable.ArrayBuffer.empty[String]
-    val sb = new StringBuilder
-    var inStr = false
-    text.foreach {
-      case '\'' => inStr = !inStr; sb += '\''
-      case ';' if !inStr => if (sb.toString.trim.nonEmpty) out += sb.toString; sb.clear()
-      case c => sb += c
-    }
-    if (sb.toString.trim.nonEmpty) out += sb.toString
-    out.toSeq
+    var last = 0
+    cuts.foreach { c => out += text.substring(last, c); last = c + 1 }
+    out += text.substring(last)
+    out.filter(_.trim.nonEmpty).toSeq
   }
 
   /** A statement plus its literal-masked view: the CONTENTS of every

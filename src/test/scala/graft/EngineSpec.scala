@@ -1171,4 +1171,18 @@ class EngineSpec extends SparkSpec {
       e2.sql("INSERT INTO lit2 VALUES (1) ON DUPLICATE KEY UPDATE id = 1")
     }
   }
+
+  test("statement split: semicolons in literals and quoted identifiers") {
+    val e = freshEngine
+    // ';' inside a string literal (with '' escape) never splits
+    e.sql("CREATE TABLE semi (id int, note varchar); " +
+      "INSERT INTO semi VALUES (1, 'a;b'); INSERT INTO semi VALUES (2, 'it''s; fine')")
+    assert(e.sql("SELECT note FROM semi WHERE id=1").head().getString(0) == "a;b")
+    assert(e.sql("SELECT note FROM semi WHERE id=2").head().getString(0) == "it's; fine")
+    // ';' inside a double-quoted identifier never splits (tokenizer-first
+    // improvement over the identifier-blind char loop)
+    e.sql("""CREATE TABLE semi2 ("a;b" int)""")
+    e.sql("""INSERT INTO semi2 ("a;b") VALUES (7); INSERT INTO semi2 ("a;b") VALUES (8)""")
+    assert(e.sql("""SELECT count(*) FROM semi2""").head().getLong(0) == 2L)
+  }
 }

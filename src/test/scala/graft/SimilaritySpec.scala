@@ -180,4 +180,29 @@ class SimilaritySpec extends SparkSpec {
       .select(col("vec_id")).collect().map(_.getLong(0)).toSet
     assert(again == out.keySet)
   }
+
+  test("semDedupKMeans: over-cap clusters skip dedup observably, " +
+      "never go quadratic silently") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // a degenerate corpus: 50 identical vectors → ONE cluster, all mutual
+    // near-dups. Under the cap they'd collapse to one survivor; OVER the
+    // cap the cluster skips dedup and every row passes through, with the
+    // skip count emitted on the semdedup_kmeans observation.
+    val clones = (0L until 50L).map(i => (i, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val capped = Similarity.semDedupKMeans(clones, "vec_id", "embedding",
+      cents, threshold = 0.95, maxCluster = 10)
+    // the action must run THIS df's QueryExecution (count() plans its own)
+    assert(capped.collect().length == 50)
+    val metric = capped.queryExecution.observedMetrics("semdedup_kmeans")
+    assert(metric.getAs[Long]("skipped_cluster_rows") == 50L)
+    // same corpus under a generous cap: one survivor, zero skips
+    val full = Similarity.semDedupKMeans(clones, "vec_id", "embedding",
+      cents, threshold = 0.95)
+    assert(full.collect().map(_.getLong(0)).toSeq == Seq(0L))
+    assert(full.queryExecution.observedMetrics("semdedup_kmeans")
+      .getAs[Long]("skipped_cluster_rows") == 0L)
+  }
 }
