@@ -51,7 +51,8 @@ object Bench {
     "s06_kmeans_assign",         // pipeline: k-means corpus clustering
     "d19_semdedup_kmeans",       // pipeline: SemDeDup (k-means-partitioned)
     "u09_domain_mix",            // pipeline: domain-mixture selection
-    "t19_freq_spectrum")         // pipeline: Zipf frequency spectrum
+    "t19_freq_spectrum",         // pipeline: Zipf frequency spectrum
+    "t20_kmv_distinct")          // pipeline: KMV distinct-count sketch
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

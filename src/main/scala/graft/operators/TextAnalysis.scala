@@ -539,6 +539,49 @@ object TextAnalysis {
       .select(col("__f").as("f"), col("n_tokens"),
         (col("__f") * col("n_tokens")).as("mass"))
 
+  /** KMV (k-minimum-values) distinct-token sketch per stratum — the
+    * bounded-memory cardinality estimator (Bar-Yossef et al. 2002): keep
+    * the k smallest distinct xxhash64 values per stratum; the kth smallest,
+    * normalized into (0,1], estimates distinct = (k-1)/u_k. Unlike exact
+    * `countDistinct`, state per stratum is k longs — mergeable, and the
+    * same sketch at 500 rows or 100 TB. Deterministic end to end (a pure
+    * function of the hash set), so the sketch itself is hash-verifiable
+    * against an engine-portable XXH64 twin.
+    *
+    * Shape: explode → (stratum, hash) distinct (partial-agg dedup
+    * map-side) → bounded-heap k-min per stratum ([[graft.plans.TopKPerKey]]
+    * on the unsigned order) → one row per stratum. Output:
+    * (stratum, n_sketch, kth_hash, est_distinct); strata with fewer than k
+    * distinct hashes report their exact count. */
+  def kmvDistinctTokens(df: DataFrame, strataCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val hashed = df
+      .select(col(strataCol).as("stratum"),
+        explode(tokens(col(textCol))).as("__tok"))
+      .select(col("stratum"), xxhash64(col("__tok")).as("__h"))
+      .distinct()
+      // flip the sign bit: signed order over __hu == unsigned order over __h
+      .withColumn("__hu", col("__h").bitwiseXOR(lit(Long.MinValue)))
+    val kept = graft.plans.TopKPerKey(
+      hashed, Seq("stratum"), Seq(("__hu", false)), k)
+    // kth smallest unsigned = max kept; back to the signed hash for output
+    val agg = kept.groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_sketch"),
+        max(col("__hu")).as("__kthu"))
+      .withColumn("kth_hash", col("__kthu").bitwiseXOR(lit(Long.MinValue)))
+    // u_k in (0,1]: __kthu (signed) = U - 2^63 exactly, so
+    // u = (U+1)/2^64 = (__kthu + 2^63 + 1)/2^64 — every step a single
+    // correctly-rounded IEEE op on the same inputs in any engine
+    // (long→double, + 2^63, + 1, / exact 2^64)
+    val u = (col("__kthu").cast("double") + lit(9.223372036854776e18)
+      + lit(1.0)) / lit(1.8446744073709552e19)
+    agg.select(col("stratum").as(strataCol), col("n_sketch"),
+      col("kth_hash"),
+      when(col("n_sketch") < k, col("n_sketch").cast("double"))
+        .otherwise(lit((k - 1).toDouble) / u).as("est_distinct"))
+  }
+
   /** One row per document with every text-analysis signal. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(

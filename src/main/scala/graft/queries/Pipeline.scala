@@ -452,15 +452,15 @@ object Pipeline {
         SELECT vec_id, label FROM embeddings
         WHERE vec_id NOT IN (SELECT node FROM victims)"""
 
-  /** DuckDB twin of [[Dedup.simhashColumn]]: XXH64(seed=42) of each
-    * token's UTF-8 bytes (Spark's `xxhash64`), then the 64-lane SimHash
-    * tally — all in HUGEINT mod-2^64 SQL. The XXH64 tail path is unrolled
-    * for inputs < 32 bytes (3×8-byte, one 4-byte, 3×1-byte conditional
-    * steps; corpus max token is 8 bytes); rotations become shift-add on
-    * disjoint bit ranges, variable×constant multiplies split the constant
-    * into 32-bit halves to stay inside INT128. Verified bit-exact against
-    * the JVM on every sf0.01 document before adoption. */
-  private def simhashOracle: String = {
+  /** XXH64(seed=42) of a token's UTF-8 bytes in DuckDB HUGEINT mod-2^64
+    * SQL — the engine-portable twin of Spark's `xxhash64`. The tail path is
+    * unrolled for inputs < 32 bytes (3×8-byte, one 4-byte, 3×1-byte
+    * conditional steps; corpus max token is 8 bytes); rotations become
+    * shift-add on disjoint bit ranges, variable×constant multiplies split
+    * the constant into 32-bit halves to stay inside INT128. Verified
+    * bit-exact against the JVM on every sf0.01 document before adoption.
+    * Shared by the simhash (d04) and KMV-sketch (t20) oracles. */
+  private object XxhSql {
     val N = "18446744073709551616::HUGEINT"
     val HALF = "9223372036854775808::HUGEINT"
     val P1 = BigInt("11400714785074694791")
@@ -495,6 +495,41 @@ object Pipeline {
       s"((${mulmod(rotl(xor64(h, mulmod(b4, P1)), 23) + s" % $N", P2)} + $P3::HUGEINT) % $N)"
     def stepB(h: String, b1: String) =
       mulmod(rotl(xor64(h, mulmod(b1, P5)), 11) + s" % $N", P1)
+
+    /** CTE chain t0…th mapping an upstream `toks($key, tok)` relation to
+      * `th($key, hu)` — hu = unsigned XXH64(tok, seed=42) as HUGEINT. */
+    def chain(key: String): String = s"""
+        t0 AS (
+          SELECT $key, hex(encode(tok)) AS hx, octet_length(encode(tok)) AS n
+          FROM toks),
+        t1 AS (SELECT $key, hx, n,
+          ((42 + $P5::HUGEINT + n) % $N) AS h0, n // 8 AS c8 FROM t0),
+        t2 AS (SELECT $key, hx, n, c8,
+          CASE WHEN c8 >= 1 THEN ${step8("h0", rd("1", 8))} ELSE h0 END AS h1 FROM t1),
+        t3 AS (SELECT $key, hx, n, c8,
+          CASE WHEN c8 >= 2 THEN ${step8("h1", rd("9", 8))} ELSE h1 END AS h2 FROM t2),
+        t4 AS (SELECT $key, hx, n, c8,
+          CASE WHEN c8 >= 3 THEN ${step8("h2", rd("17", 8))} ELSE h2 END AS h3 FROM t3),
+        t5 AS (SELECT $key, hx, n, 8*c8 AS o4, (n - 8*c8) >= 4 AS has4,
+          CASE WHEN (n - 8*c8) >= 4 THEN ${step4("h3", rd("8*c8+1", 4))} ELSE h3 END AS h4 FROM t4),
+        t6 AS (SELECT $key, hx, n, o4 + (CASE WHEN has4 THEN 4 ELSE 0 END) AS ob, h4 FROM t5),
+        t7 AS (SELECT $key, hx, n, ob,
+          CASE WHEN n > ob THEN ${stepB("h4", s"CAST(${hexByte("ob+1")} AS HUGEINT)")} ELSE h4 END AS h5 FROM t6),
+        t8 AS (SELECT $key, hx, n, ob,
+          CASE WHEN n > ob+1 THEN ${stepB("h5", s"CAST(${hexByte("ob+2")} AS HUGEINT)")} ELSE h5 END AS h6 FROM t7),
+        t9 AS (SELECT $key, hx, n, ob,
+          CASE WHEN n > ob+2 THEN ${stepB("h6", s"CAST(${hexByte("ob+3")} AS HUGEINT)")} ELSE h6 END AS h7 FROM t8),
+        a1 AS (SELECT $key, ${xor64("h7", shr("h7", 33))} AS v1 FROM t9),
+        a2 AS (SELECT $key, ${mulmod("v1", P2)} AS v2 FROM a1),
+        a3 AS (SELECT $key, ${xor64("v2", shr("v2", 29))} AS v3 FROM a2),
+        a4 AS (SELECT $key, ${mulmod("v3", P3)} AS v4 FROM a3),
+        th AS (SELECT $key, ${xor64("v4", shr("v4", 32))} AS hu FROM a4)"""
+  }
+
+  /** DuckDB twin of [[Dedup.simhashColumn]]: the [[XxhSql]] XXH64 chain per
+    * (doc, token), then the 64-lane SimHash tally. */
+  private def simhashOracle: String = {
+    import XxhSql.{N, tos}
     val bits = (0 until 64).map(b =>
       s"CASE WHEN SUM(CASE WHEN (hu // ${BigInt(1) << b}::HUGEINT) % 2 = 1" +
         s" THEN 1 ELSE -1 END) > 0 THEN ${BigInt(1) << b}::HUGEINT" +
@@ -506,31 +541,7 @@ object Pipeline {
             trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' '), ' '),
             x -> len(x) > 0)) AS tok
           FROM documents),
-        t0 AS (
-          SELECT doc_id, hex(encode(tok)) AS hx, octet_length(encode(tok)) AS n
-          FROM toks),
-        t1 AS (SELECT doc_id, hx, n,
-          ((42 + $P5::HUGEINT + n) % $N) AS h0, n // 8 AS c8 FROM t0),
-        t2 AS (SELECT doc_id, hx, n, c8,
-          CASE WHEN c8 >= 1 THEN ${step8("h0", rd("1", 8))} ELSE h0 END AS h1 FROM t1),
-        t3 AS (SELECT doc_id, hx, n, c8,
-          CASE WHEN c8 >= 2 THEN ${step8("h1", rd("9", 8))} ELSE h1 END AS h2 FROM t2),
-        t4 AS (SELECT doc_id, hx, n, c8,
-          CASE WHEN c8 >= 3 THEN ${step8("h2", rd("17", 8))} ELSE h2 END AS h3 FROM t3),
-        t5 AS (SELECT doc_id, hx, n, 8*c8 AS o4, (n - 8*c8) >= 4 AS has4,
-          CASE WHEN (n - 8*c8) >= 4 THEN ${step4("h3", rd("8*c8+1", 4))} ELSE h3 END AS h4 FROM t4),
-        t6 AS (SELECT doc_id, hx, n, o4 + (CASE WHEN has4 THEN 4 ELSE 0 END) AS ob, h4 FROM t5),
-        t7 AS (SELECT doc_id, hx, n, ob,
-          CASE WHEN n > ob THEN ${stepB("h4", s"CAST(${hexByte("ob+1")} AS HUGEINT)")} ELSE h4 END AS h5 FROM t6),
-        t8 AS (SELECT doc_id, hx, n, ob,
-          CASE WHEN n > ob+1 THEN ${stepB("h5", s"CAST(${hexByte("ob+2")} AS HUGEINT)")} ELSE h5 END AS h6 FROM t7),
-        t9 AS (SELECT doc_id, hx, n, ob,
-          CASE WHEN n > ob+2 THEN ${stepB("h6", s"CAST(${hexByte("ob+3")} AS HUGEINT)")} ELSE h6 END AS h7 FROM t8),
-        a1 AS (SELECT doc_id, ${xor64("h7", shr("h7", 33))} AS v1 FROM t9),
-        a2 AS (SELECT doc_id, ${mulmod("v1", P2)} AS v2 FROM a1),
-        a3 AS (SELECT doc_id, ${xor64("v2", shr("v2", 29))} AS v3 FROM a2),
-        a4 AS (SELECT doc_id, ${mulmod("v3", P3)} AS v4 FROM a3),
-        th AS (SELECT doc_id, ${xor64("v4", shr("v4", 32))} AS hu FROM a4),
+        ${XxhSql.chain("doc_id")},
         tallies AS (
           SELECT doc_id,
             $bits
@@ -608,6 +619,37 @@ object Pipeline {
       s"{'d': ${sqDist(c)}, 'cell': $i}"
     }.mkString("[", ",\n            ", "]")
   }
+
+  /** DuckDB twin of [[TextAnalysis.kmvDistinctTokens]] (t20): distinct
+    * (source, token) through the [[XxhSql]] XXH64 chain, per-source k
+    * smallest by UNSIGNED hu (HUGEINT order), kth back to signed BIGINT,
+    * and the identical (hd + 2^63 + 1.0) / 2^64 double normalization. */
+  private def kmvOracle(k: Int): String = s"""
+        WITH toks0 AS (
+          SELECT source, UNNEST(list_filter(string_split(
+            trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), ' '),
+            x -> len(x) > 0)) AS tok
+          FROM documents),
+        toks AS (SELECT DISTINCT source, tok FROM toks0),
+        ${XxhSql.chain("source")},
+        dh AS (SELECT DISTINCT source, hu FROM th),
+        kmin AS (
+          SELECT source, hu,
+            ROW_NUMBER() OVER (PARTITION BY source ORDER BY hu ASC) AS rnk
+          FROM dh),
+        sk AS (
+          SELECT source, COUNT(*) AS n, MAX(hu) AS kthu
+          FROM kmin WHERE rnk <= $k GROUP BY source)
+        SELECT source, CAST(n AS BIGINT) AS n_sketch,
+               ${XxhSql.tos("kthu")} AS kth_hash,
+               -- (kthu - 2^63) is the engine's sign-flipped sort value;
+               -- the double chain mirrors its IEEE op order exactly
+               CASE WHEN n < $k THEN CAST(n AS DOUBLE)
+                    ELSE CAST(${k - 1} AS DOUBLE) /
+                         ((CAST(CAST(kthu - ${XxhSql.HALF} AS BIGINT) AS DOUBLE)
+                            + 9.223372036854776e18 + 1.0)
+                          / 1.8446744073709552e19) END AS est_distinct
+        FROM sk"""
 
   /** DuckDB twin of [[Similarity.kmeansAssign]] (s06): trained centroids
     * inline as exact double literals; assignment + distance both read off
@@ -1975,6 +2017,16 @@ object Pipeline {
         SELECT token, COUNT(*) AS freq, COUNT(DISTINCT doc_id) AS doc_freq
         FROM tok GROUP BY token
         ORDER BY freq DESC, token LIMIT 15""")),
+
+    // ---- KMV distinct-token sketch per source (t20): the bounded-memory
+    // cardinality estimator — k smallest distinct token hashes per source,
+    // (k-1)/u_k estimate. The oracle replays the full XXH64 chain in
+    // HUGEINT mod-2^64 SQL and the same IEEE double normalization, so the
+    // sketch (and its estimate) hash-verify bit-for-bit.
+    Q("t20_kmv_distinct",
+      (s, dir) => TextAnalysis.kmvDistinctTokens(
+        t(s, dir, "documents"), "source", "text", k = 128),
+      Some(kmvOracle(k = 128))),
 
     // ---- Token frequency-of-frequency spectrum (t19): the Zipf/Good-
     // Turing corpus profile — n distinct tokens per exact frequency f and

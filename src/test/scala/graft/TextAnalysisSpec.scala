@@ -517,6 +517,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(sp.values.map(_._1).sum == 6L && sp.values.map(_._2).sum == 10L)
   }
 
+  test("kmvDistinctTokens: exact below k, estimate near truth above k, " +
+      "deterministic") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // stratum "small": 5 distinct tokens (< k) → exact count
+    // stratum "big": 1000 distinct tokens (>> k) → KMV estimate
+    val small = Seq(("small", "a b c d e"))
+    val big = (0 until 1000).grouped(50).map(g =>
+      ("big", g.map(i => s"tok$i").mkString(" "))).toSeq
+    val docs = (small ++ big).toDF("src", "text")
+    val out = TextAnalysis.kmvDistinctTokens(docs, "src", "text", k = 64)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("small")._1 == 5L && out("small")._3 == 5.0)
+    assert(out("big")._1 == 64L)
+    // KMV stderr ≈ n/√k ≈ 125 here; 3σ bound keeps the test deterministic
+    // in spirit (the hash set is fixed, this documents estimator quality)
+    assert(math.abs(out("big")._3 - 1000.0) < 375.0, s"est=${out("big")._3}")
+    // pure function of the data: re-run bit-identical
+    val again = TextAnalysis.kmvDistinctTokens(docs, "src", "text", k = 64)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(again("big") == out("big")._3)
+  }
+
   test("domainMix: literal quotas, under-populated strata cap, " +
       "unmapped strata excluded, subset-stable") {
     import spark.implicits._
