@@ -147,6 +147,40 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).length <= 7, p)
   }
 
+  test("s06 kmeans assignment is zero-shuffle (pure centroid-literal expression)") {
+    val p = finalPlan("s06_kmeans_assign").split("== Initial Plan ==")(0)
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+    // column pruning: label is never read for the assignment
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!rs.contains("label"), rs)
+  }
+
+  test("d19 semdedup-kmeans: cluster-keyed pair join, broadcast size gate, " +
+      "no all-pairs") {
+    val p = finalPlan("d19_semdedup_kmeans").split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    // ok-cluster and size lookups broadcast (cluster count = centroid count)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("semdedup_kmeans"), p) // skipped_cluster_rows observation
+  }
+
+  test("t20 kmv sketch: partial-agg distinct + bounded-heap k-min, " +
+      "no per-stratum full sort") {
+    val p = finalPlan("t20_kmv_distinct").split("== Initial Plan ==")(0)
+    // hash dedup aggregates map-side before its shuffle
+    assert(p.contains("HashAggregate"), p)
+    // the k-min runs through the custom bounded-heap operator, not a window
+    assert(p.contains("TopKPerKey"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("u09 domain mix: one per-stratum sort exchange, quota is a literal CASE") {
+    val p = finalPlan("u09_domain_mix").split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("q72 unpivot stays a generator over aggregated rows (one shuffle)") {
     // AQE toString appends the pre-adaptive plan — count the final section only
     val p = finalPlan("q72_unpivot").split("== Initial Plan ==")(0)
