@@ -52,7 +52,8 @@ object Bench {
     "d19_semdedup_kmeans",       // pipeline: SemDeDup (k-means-partitioned)
     "u09_domain_mix",            // pipeline: domain-mixture selection
     "t19_freq_spectrum",         // pipeline: Zipf frequency spectrum
-    "t20_kmv_distinct")          // pipeline: KMV distinct-count sketch
+    "t20_kmv_distinct",          // pipeline: KMV distinct-count sketch
+    "s07_ann_pq")                // pipeline: PQ-ADC compressed-domain ANN
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -133,6 +133,45 @@ object Aggregators {
     def outputEncoder: Encoder[CappedIds] = Encoders.product[CappedIds]
   }
 
+  /** Output of [[KmvSketch]]: kept distinct-hash count + the kth smallest
+    * (unsigned order) hash, signed. kth is only meaningful at n == k. */
+  final case class KmvState(n_sketch: Long, kth_hash: Long)
+
+  /** Mergeable KMV (k-minimum-values) distinct-count sketch over xxhash64
+    * values: the buffer is the ≤ k smallest DISTINCT hashes in unsigned
+    * order — bounded by construction (k longs), associative and
+    * commutative, so it runs as a batch groupBy aggregate AND as a
+    * streaming stateful aggregate with identical results
+    * (StreamingSpec parity). The buffer stores sign-FLIPPED values
+    * (h ^ Long.MinValue), kept sorted ascending = unsigned ascending;
+    * insert/merge dedup via binary search. */
+  class KmvSketch(k: Int)
+      extends Aggregator[java.lang.Long, mutable.ArrayBuffer[Long], KmvState] {
+    require(k >= 2, "k must be >= 2")
+    def zero: mutable.ArrayBuffer[Long] = mutable.ArrayBuffer.empty[Long]
+    private def insert(b: mutable.ArrayBuffer[Long], flipped: Long): Unit = {
+      if (b.size >= k && flipped >= b.last) return
+      val i = b.search(flipped)(Ordering.Long) match {
+        case scala.collection.Searching.Found(_) => return // distinct only
+        case scala.collection.Searching.InsertionPoint(p) => p
+      }
+      b.insert(i, flipped)
+      if (b.size > k) b.remove(b.size - 1)
+    }
+    def reduce(b: mutable.ArrayBuffer[Long], a: java.lang.Long) = {
+      insert(b, a.longValue ^ Long.MinValue); b
+    }
+    def merge(b1: mutable.ArrayBuffer[Long], b2: mutable.ArrayBuffer[Long]) = {
+      b2.foreach(insert(b1, _)); b1
+    }
+    def finish(b: mutable.ArrayBuffer[Long]): KmvState =
+      KmvState(b.size.toLong,
+        if (b.isEmpty) 0L else b.last ^ Long.MinValue)
+    def bufferEncoder: Encoder[mutable.ArrayBuffer[Long]] =
+      Encoders.kryo[mutable.ArrayBuffer[Long]]
+    def outputEncoder: Encoder[KmvState] = Encoders.product[KmvState]
+  }
+
   /** Register SQL-callable forms (CREATE AGGREGATE parity,
     * ddl/CreateAggregate.java). */
   def registerAll(spark: SparkSession): Unit = {

@@ -59,6 +59,77 @@ object VecKernels {
   }
 }
 
+/** Nearest-centroid kernel — see [[NearestCentroid]]. */
+object CentroidKernels {
+  /** argmin over centroids of the 0.0-seeded left fold Σ(xᵢ-cᵢ)², ties to
+    * the smaller index — bit-identical to
+    * `array_min(array(struct(sqDistFold, i)...))` over the same literals
+    * (lexicographic struct compare: distance first, then cell). */
+  def nearest(a: ArrayData, aFloat: Boolean,
+      cents: Array[Array[Double]]): org.apache.spark.sql.catalyst.InternalRow = {
+    var best = -1
+    var bestD = 0.0
+    var i = 0
+    while (i < cents.length) {
+      val c = cents(i)
+      var acc = 0.0
+      var t = 0
+      while (t < c.length) {
+        val x = if (aFloat) a.getFloat(t).toDouble else a.getDouble(t)
+        val d0 = x - c(t)
+        acc += d0 * d0
+        t += 1
+      }
+      if (best < 0 || acc < bestD) { best = i; bestD = acc }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(bestD, best)
+  }
+}
+
+/** Nearest k-means centroid of an array<float|double> vector against a
+  * CONSTANT centroid matrix → struct(d: double, cell: int). One codegen
+  * loop per row replacing kc interpreted fold lambdas — the same
+  * interpreted-lambda trap [[DotProduct]] fixed for the dot products
+  * (SURVEY §4.3), hit by every nearest-centroid assignment (s03 corpus
+  * side, s06, d19, s07's per-subspace encode). Numeric contract identical
+  * to the composed form, so the literal-inlined DuckDB twins still hold. */
+case class NearestCentroid(child: Expression, centroids: Seq[Seq[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private def elemFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  @transient private lazy val centArray: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"nearest_centroid needs array<float|double>, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("d", DoubleType, nullable = false),
+    StructField("cell", IntegerType, nullable = false)))
+  override def prettyName: String = "nearest_centroid"
+
+  override def nullSafeEval(a: Any): Any =
+    CentroidKernels.nearest(a.asInstanceOf[ArrayData], elemFloat, centArray)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cents = ctx.addReferenceObj("centroids", centArray,
+      "double[][]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.CentroidKernels.nearest($a, $elemFloat, $cents);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
 /** dot(a, b) over array<float|double> columns → double. */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -133,4 +204,9 @@ object VecExprs {
   /** Quantization codes as array<double> — see [[QuantizeInt8]]. */
   def quantizeCodes(a: Column): Column =
     GraftColumnBridge.column(QuantizeInt8(GraftColumnBridge.expression(a)))
+
+  /** struct(d, cell) of the nearest centroid — see [[NearestCentroid]]. */
+  def nearestCentroid(a: Column, centroids: Seq[Seq[Double]]): Column =
+    GraftColumnBridge.column(NearestCentroid(
+      GraftColumnBridge.expression(a), centroids))
 }

@@ -160,7 +160,9 @@ object Similarity {
     val assigned = corpus.select(col(corpusId).as("neighbor_id"),
         col(corpusVec).as("__cv"))
       .withColumn("__cn", norm(col("__cv")))
-      .withColumn("__cell", array_min(cellStructs(col("__cv"))).getField("cell"))
+      .withColumn("__cell",
+        graft.functions.VecExprs.nearestCentroid(col("__cv"), centroids)
+          .getField("cell"))
 
     val qCells = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
       .withColumn("__qn", norm(col("__qv")))
@@ -336,6 +338,88 @@ object Similarity {
     ConnectedComponents.transitiveSurvivors(df, idCol, pairs)
   }
 
+  /** Product-quantization codebooks: the vector splits into `m` contiguous
+    * subspaces of dim/m dims; each gets its own kc-centroid k-means
+    * (seeded per subspace). Total state m × kc × dim/m doubles — tiny,
+    * driver-held, inlinable as literals (the s03 trained-state pattern). */
+  def pqTrain(
+      corpus: DataFrame, vecCol: String, dim: Int,
+      m: Int = 8, kc: Int = 16, seed: Long = 42L): Seq[Seq[Seq[Double]]] = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    (0 until m).map { j =>
+      val subCorpus = corpus.select(
+        slice(col(vecCol), j * sub + 1, sub).as("__sub"))
+      ivfTrain(subCorpus, "__sub", kc, seed + j)
+    }
+  }
+
+  /** dot(vec, centroid-literal) as the exact 0.0-seeded left fold — the
+    * PQ twin of [[sqDistLit]]; mirrored by the DuckDB oracle. */
+  private def dotLit(vec: Column, c: Seq[Double]): Column =
+    aggregate(
+      zip_with(vec, lit(c.toArray), (x, cc) => x.cast("double") * cc),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** PQ-ADC approximate top-k cosine (Jégou et al. 2011, the FAISS-default
+    * compressed-domain path): the corpus is encoded ONCE as m byte-sized
+    * centroid codes (32× smaller than float32 at dim=64/m=8 — the rest
+    * representation a 100 TB vector store actually ships); each query
+    * builds m per-subspace dot-product TABLES against the codebook
+    * literals, and a pair's approximate dot is m table lookups + a fixed
+    * left-to-right sum — no float vector ever crosses the join.
+    * Approximate cosine divides by the CODE's reconstruction norm
+    * (√Σ‖c_code‖², from literal norm tables) and the query's exact norm.
+    * Every step is a deterministic fold/lookup over literals, so ranking
+    * (and score) hash-verify like the other ANN paths. Broadcast-query /
+    * corpus-linear; ties → smaller neighbor id. */
+  def pqTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, codebooks: Seq[Seq[Seq[Double]]], dim: Int): DataFrame = {
+    val m = codebooks.length
+    val sub = dim / m
+    // per-subspace ‖centroid‖² literals, computed once driver-side and
+    // shared verbatim with the oracle generator
+    val norm2: Seq[Seq[Double]] = pqNorm2(codebooks)
+    val codeCols = codebooks.zipWithIndex.map { case (cb, j) =>
+      graft.functions.VecExprs
+        .nearestCentroid(slice(col("__cv"), j * sub + 1, sub), cb)
+        .getField("cell").as(s"__k$j")
+    }
+    // reconstruction norm² = Σ_j norm2_j[code_j], fixed j order
+    def recNorm2: Column = (0 until m).map(j =>
+      element_at(lit(norm2(j).toArray), col(s"__k$j") + 1)).reduceLeft(_ + _)
+    val c = corpus
+      .select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"))
+      .select(col("neighbor_id") +: codeCols: _*)
+      .withColumn("__an", sqrt(recNorm2))
+      .transform(graft.core.Checkpoint.cut) // encode once per VECTOR
+    val tableCols = codebooks.zipWithIndex.map { case (cb, j) =>
+      array(cb.map(cent =>
+        dotLit(slice(col("__qv"), j * sub + 1, sub), cent)): _*).as(s"__t$j")
+    }
+    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
+      .withColumn("__qn", norm(col("__qv")))
+      .select(col("query_id") +: col("__qn") +: tableCols: _*)
+      .transform(graft.core.Checkpoint.cut)
+    def adc: Column = (0 until m).map(j =>
+      element_at(col(s"__t$j"), col(s"__k$j") + 1)).reduceLeft(_ + _)
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id") &&
+        col("__an") > 0 && col("__qn") > 0)
+      .withColumn("pq_cos", adc / (col("__an") * col("__qn")))
+      .select(col("query_id"), col("neighbor_id"), col("pq_cos"))
+    graft.plans.TopKPerKey(scored, Seq("query_id"),
+      Seq(("pq_cos", true), ("neighbor_id", false)), k)
+  }
+
+  /** ‖centroid‖² per (subspace, code) — exact left folds, computed once on
+    * the driver; `private[graft]` so the oracle generator inlines the SAME
+    * doubles. */
+  private[graft] def pqNorm2(codebooks: Seq[Seq[Seq[Double]]]): Seq[Seq[Double]] =
+    codebooks.map(_.map(c => c.foldLeft(0.0)((a, x) => a + x * x)))
+
   /** Nearest-centroid assignment of every vector against trained k-means
     * centroids (reference partition-pruning analogue in embedding space:
     * the cluster id becomes a corpus partition key for any downstream
@@ -347,7 +431,8 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[Seq[Double]]): DataFrame =
     corpus
-      .withColumn("__c", array_min(cellDistStructs(col(vecCol), centroids)))
+      .withColumn("__c",
+        graft.functions.VecExprs.nearestCentroid(col(vecCol), centroids))
       .select(col(idCol), col("__c.cell").as("cluster"),
         col("__c.d").as("sq_dist"))
 
@@ -378,7 +463,8 @@ object Similarity {
     // assignment is re-read by both sides of the pair join → materialize once
     val assigned = df
       .withColumn("__cl",
-        array_min(cellDistStructs(col(vecCol), centroids)).getField("cell"))
+        graft.functions.VecExprs.nearestCentroid(col(vecCol), centroids)
+          .getField("cell"))
       .withColumn("__n", norm(col(vecCol)))
       .transform(graft.core.Checkpoint.cut)
     val sizes = assigned.groupBy(col("__cl")).agg(count(lit(1)).as("__cn"))

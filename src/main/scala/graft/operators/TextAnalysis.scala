@@ -570,16 +570,22 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_sketch"),
         max(col("__hu")).as("__kthu"))
       .withColumn("kth_hash", col("__kthu").bitwiseXOR(lit(Long.MinValue)))
-    // u_k in (0,1]: __kthu (signed) = U - 2^63 exactly, so
-    // u = (U+1)/2^64 = (__kthu + 2^63 + 1)/2^64 — every step a single
-    // correctly-rounded IEEE op on the same inputs in any engine
-    // (long→double, + 2^63, + 1, / exact 2^64)
-    val u = (col("__kthu").cast("double") + lit(9.223372036854776e18)
-      + lit(1.0)) / lit(1.8446744073709552e19)
     agg.select(col("stratum").as(strataCol), col("n_sketch"),
       col("kth_hash"),
-      when(col("n_sketch") < k, col("n_sketch").cast("double"))
-        .otherwise(lit((k - 1).toDouble) / u).as("est_distinct"))
+      kmvEstimate(col("n_sketch"), col("kth_hash"), k).as("est_distinct"))
+  }
+
+  /** KMV estimate from a finished sketch (n_sketch, kth_hash): exact below
+    * k, else (k-1)/u_k with u_k = (U+1)/2^64 computed from the sign-flipped
+    * kth = U - 2^63 — every step a single correctly-rounded IEEE op on the
+    * same inputs in any engine (long→double, + 2^63, + 1, / exact 2^64),
+    * which is what lets the estimate hash-verify. Shared by the batch
+    * bounded-heap path and the [[graft.functions.Aggregators.KmvSketch]]
+    * aggregator (streaming) path. */
+  private[graft] def kmvEstimate(n: Column, kthHash: Column, k: Int): Column = {
+    val u = (kthHash.bitwiseXOR(lit(Long.MinValue)).cast("double")
+      + lit(9.223372036854776e18) + lit(1.0)) / lit(1.8446744073709552e19)
+    when(n < k, n.cast("double")).otherwise(lit((k - 1).toDouble) / u)
   }
 
   /** One row per document with every text-analysis signal. */

@@ -603,6 +603,69 @@ object Pipeline {
         QUALIFY rank <= $k"""
   }
 
+  /** Trained PQ codebooks, memoized per (dir, m, kc, seed) — the s03
+    * trained-state pattern: query and generated oracle share the JVM. */
+  private val pqCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Int, Int, Long), Seq[Seq[Seq[Double]]]]
+  private def pqCodebooks(s: SparkSession, dir: String,
+      m: Int, kc: Int, seed: Long): Seq[Seq[Seq[Double]]] =
+    pqCache.getOrElseUpdate((dir, m, kc, seed),
+      Similarity.pqTrain(t(s, dir, "embeddings"), "embedding", dim = 64,
+        m = m, kc = kc, seed = seed))
+
+  /** DuckDB twin of [[Similarity.pqTopK]] (s07): codebooks + ‖centroid‖²
+    * tables inline as exact-double literals; per-subspace code = the same
+    * (d, cell) struct-min over the vector SLICE; the query's dot tables,
+    * the m lookups, and the fixed-j-order sum mirror the Spark plan's
+    * fold orders exactly. */
+  private def annPqOracle(s: SparkSession, dir: String,
+      m: Int, kc: Int, seed: Long, k: Int): String = {
+    val cbs = pqCodebooks(s, dir, m, kc, seed)
+    val norm2 = Similarity.pqNorm2(cbs)
+    val sub = 64 / m
+    def sliceOf(v: String, j: Int) = s"$v[${j * sub + 1}:${(j + 1) * sub}]"
+    // 0.0-seeded left folds, matching aggregate(..., 0.0, +) in the plan
+    def dot0(v: String, c: Seq[Double]): String =
+      s"list_reduce(list_prepend(0.0, list_transform(list_zip($v, ${dlistSql(c)}), " +
+        s"z -> CAST(z[1] AS DOUBLE) * z[2])), (a,b) -> a+b)"
+    def sqd(v: String, c: Seq[Double]): String =
+      s"list_reduce(list_prepend(0.0, list_transform(list_zip($v, ${dlistSql(c)}), " +
+        s"z -> (CAST(z[1] AS DOUBLE) - z[2]) * (CAST(z[1] AS DOUBLE) - z[2]))), " +
+        "(a,b) -> a+b)"
+    def codeOf(j: Int): String = "list_aggregate(" + cbs(j).zipWithIndex.map {
+      case (c, i) => s"{'d': ${sqd(sliceOf("embedding", j), c)}, 'cell': $i}"
+    }.mkString("[", ",\n            ", "]") + ", 'min').cell"
+    val codeCols = (0 until m).map(j => s"${codeOf(j)} AS k$j").mkString(",\n            ")
+    val recNorm2 = (0 until m).map(j =>
+      s"${dlistSql(norm2(j))}[k$j + 1]").mkString("(", " + ", ")")
+    val tableCols = (0 until m).map(j => "[" + cbs(j).map(c =>
+      dot0(sliceOf("embedding", j), c)).mkString(",\n              ") +
+      s"] AS t$j").mkString(",\n            ")
+    val adc = (0 until m).map(j => s"t$j[k$j + 1]").mkString("(", " + ", ")")
+    s"""
+        WITH c0 AS MATERIALIZED (
+          SELECT vec_id,
+            $codeCols
+          FROM embeddings),
+        c AS MATERIALIZED (
+          SELECT vec_id, sqrt($recNorm2) AS an, ${(0 until m).map(j => s"k$j").mkString(", ")}
+          FROM c0),
+        q AS MATERIALIZED (
+          SELECT vec_id, ${normSql("embedding")} AS qn,
+            $tableCols
+          FROM embeddings WHERE vec_id < 8),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            $adc / (c.an * q.qn) AS pq_cos
+          FROM c CROSS JOIN q
+          WHERE c.vec_id <> q.vec_id AND c.an > 0 AND q.qn > 0)
+        SELECT query_id, neighbor_id, pq_cos,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY pq_cos DESC, neighbor_id ASC) AS INT) AS rank
+        FROM scored
+        QUALIFY rank <= $k"""
+  }
+
   /** Shared by the k-means oracles: the same 0.0-seeded left fold of
     * (x-c)² and (d, cell) struct list the s03 twin builds — `list_aggregate
     * (…, 'min')` over it IS nearest-centroid assignment (lexicographic
@@ -620,35 +683,58 @@ object Pipeline {
     }.mkString("[", ",\n            ", "]")
   }
 
-  /** DuckDB twin of [[TextAnalysis.kmvDistinctTokens]] (t20): distinct
-    * (source, token) through the [[XxhSql]] XXH64 chain, per-source k
-    * smallest by UNSIGNED hu (HUGEINT order), kth back to signed BIGINT,
-    * and the identical (hd + 2^63 + 1.0) / 2^64 double normalization. */
+  /** Shared KMV oracle tail: expects an upstream `toks0($keys, tok)` CTE;
+    * distinct keyed tokens through the [[XxhSql]] chain, per-key k smallest
+    * by UNSIGNED hu (HUGEINT order) → `sk($keys, n, kthu)`. `keys` may be a
+    * comma-separated column list (it splices into every SELECT/PARTITION). */
+  private def kmvSketchCtes(keys: String, k: Int): String = s"""
+        toks AS (SELECT DISTINCT $keys, tok FROM toks0),
+        ${XxhSql.chain(keys)},
+        dh AS (SELECT DISTINCT $keys, hu FROM th),
+        kmin AS (
+          SELECT $keys, hu,
+            ROW_NUMBER() OVER (PARTITION BY $keys ORDER BY hu ASC) AS rnk
+          FROM dh),
+        sk AS (
+          SELECT $keys, COUNT(*) AS n, MAX(hu) AS kthu
+          FROM kmin WHERE rnk <= $k GROUP BY ALL)"""
+
+  /** KMV output columns from `sk` — kth back to signed BIGINT; the
+    * estimate mirrors the engine's IEEE op order exactly ((kthu - 2^63) is
+    * the sign-flipped sort value: long→double, + 2^63, + 1, / 2^64). */
+  private def kmvSelectSql(k: Int): String = s"""
+               CAST(n AS BIGINT) AS n_sketch,
+               ${XxhSql.tos("kthu")} AS kth_hash,
+               CASE WHEN n < $k THEN CAST(n AS DOUBLE)
+                    ELSE CAST(${k - 1} AS DOUBLE) /
+                         ((CAST(CAST(kthu - ${XxhSql.HALF} AS BIGINT) AS DOUBLE)
+                            + 9.223372036854776e18 + 1.0)
+                          / 1.8446744073709552e19) END AS est_distinct"""
+
+  /** DuckDB twin of [[TextAnalysis.kmvDistinctTokens]] (t20). */
   private def kmvOracle(k: Int): String = s"""
         WITH toks0 AS (
           SELECT source, UNNEST(list_filter(string_split(
             trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), ' '),
             x -> len(x) > 0)) AS tok
           FROM documents),
-        toks AS (SELECT DISTINCT source, tok FROM toks0),
-        ${XxhSql.chain("source")},
-        dh AS (SELECT DISTINCT source, hu FROM th),
-        kmin AS (
-          SELECT source, hu,
-            ROW_NUMBER() OVER (PARTITION BY source ORDER BY hu ASC) AS rnk
-          FROM dh),
-        sk AS (
-          SELECT source, COUNT(*) AS n, MAX(hu) AS kthu
-          FROM kmin WHERE rnk <= $k GROUP BY source)
-        SELECT source, CAST(n AS BIGINT) AS n_sketch,
-               ${XxhSql.tos("kthu")} AS kth_hash,
-               -- (kthu - 2^63) is the engine's sign-flipped sort value;
-               -- the double chain mirrors its IEEE op order exactly
-               CASE WHEN n < $k THEN CAST(n AS DOUBLE)
-                    ELSE CAST(${k - 1} AS DOUBLE) /
-                         ((CAST(CAST(kthu - ${XxhSql.HALF} AS BIGINT) AS DOUBLE)
-                            + 9.223372036854776e18 + 1.0)
-                          / 1.8446744073709552e19) END AS est_distinct
+        ${kmvSketchCtes("source", k)}
+        SELECT source, ${kmvSelectSql(k)}
+        FROM sk"""
+
+  /** DuckDB twin of [[graft.streaming.TextPipeline.rollingDistinctTokens]]
+    * (t21): the t18 deterministic doc_id-minutes time grid, keyed by
+    * (hour window, source). */
+  private def kmvWindowedOracle(k: Int): String = s"""
+        WITH toks0 AS (
+          SELECT ((1704067200000 + doc_id * 60000) // 3600000) * 3600000
+                   AS win_start_ms,
+                 source, UNNEST(list_filter(string_split(
+            trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), ' '),
+            x -> len(x) > 0)) AS tok
+          FROM documents WHERE doc_id < 180),
+        ${kmvSketchCtes("win_start_ms, source", k)}
+        SELECT win_start_ms, source, ${kmvSelectSql(k)}
         FROM sk"""
 
   /** DuckDB twin of [[Similarity.kmeansAssign]] (s06): trained centroids
@@ -1263,6 +1349,26 @@ object Pipeline {
       None,
       oracleGen = Some((s, dir) =>
         kmeansAssignOracle(s, dir, nCentroids = 8, seed = 7L))),
+
+    // ---- ANN: product quantization / ADC (s07; Jégou et al. 2011 —
+    // the FAISS-default compressed-domain ranking, completing the ANN
+    // family: brute / LSH / IVF / int8 / PQ). The corpus crosses the join
+    // as m byte codes, never as floats; scores are m table lookups. The
+    // trained codebooks inline into the DuckDB twin as exact-double
+    // literals, so the compressed-domain ranking hash-verifies like every
+    // other ANN path.
+    Q("s07_ann_pq",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.pqTopK(
+          emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+          k = 10, codebooks = pqCodebooks(s, dir, m = 8, kc = 16, seed = 7L),
+          dim = 64)
+      },
+      None,
+      oracleGen = Some((s, dir) =>
+        annPqOracle(s, dir, m = 8, kc = 16, seed = 7L, k = 10))),
 
     // ---- SemDeDup, k-means-partitioned (d19; Abbas et al. 2023 §3 as
     // published): exact pairwise cosine ONLY within each k-means cluster,
@@ -2027,6 +2133,25 @@ object Pipeline {
       (s, dir) => TextAnalysis.kmvDistinctTokens(
         t(s, dir, "documents"), "source", "text", k = 128),
       Some(kmvOracle(k = 128))),
+
+    // ---- Rolling distinct-token cardinality (t21): the streaming KMV twin
+    // on the t18 time grid — per (hour window, source) vocabulary inflow,
+    // via the mergeable KmvSketch AGGREGATOR (the streaming-state form;
+    // StreamingSpec proves streaming ≡ batch ≡ the t20 bounded-heap path).
+    // doc_id < 180 = three full hour windows: the oracle's XXH64 chain runs
+    // per distinct (window, source, token) — the subset keeps it at the
+    // proven d04-chain scale (the full-corpus twin runs but sits near
+    // DuckDB's memory ceiling under load; the OPERATOR is corpus-size-free)
+    Q("t21_rolling_distinct",
+      (s, dir) => graft.streaming.TextPipeline.rollingDistinctTokens(
+          t(s, dir, "documents").filter(col("doc_id") < 180)
+            .withColumn("ts",
+              timestamp_millis(lit(1704067200000L) + col("doc_id") * 60000L)),
+          "ts", "source", "text", "1 hour", k = 32)
+        .select(unix_millis(col("window_start")).as("win_start_ms"),
+          col("source"), col("n_sketch"), col("kth_hash"),
+          col("est_distinct")),
+      Some(kmvWindowedOracle(k = 32))),
 
     // ---- Token frequency-of-frequency spectrum (t19): the Zipf/Good-
     // Turing corpus profile — n distinct tokens per exact frequency f and

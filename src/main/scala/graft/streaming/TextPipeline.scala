@@ -75,4 +75,36 @@ object TextPipeline {
         col("n_docs"), col("total_tokens"), col("total_chars"), col("n_keep"),
         (col("n_keep").cast("double") / col("n_docs")).as("keep_rate"))
   }
+
+  /** Rolling distinct-token cardinality per (event-time window, source) —
+    * the streaming form of the KMV sketch (t20): "how much NEW vocabulary
+    * did each source deliver this hour". The
+    * [[graft.functions.Aggregators.KmvSketch]] aggregator is associative,
+    * commutative and bounded (≤ k longs per open (window, source) state
+    * row), so Structured Streaming merges partial sketches across
+    * microbatches exactly as a batch shuffle merges partial aggregates —
+    * streaming ≡ batch on the same rows (StreamingSpec parity), and the
+    * estimate uses the identical IEEE expression as the batch path. */
+  def rollingDistinctTokens(
+      docs: DataFrame,
+      tsCol: String,
+      sourceCol: String,
+      textCol: String,
+      windowDur: String,
+      k: Int,
+      watermark: Option[String] = None): DataFrame = {
+    val in = watermark.fold(docs)(w => docs.withWatermark(tsCol, w))
+    val kmv = udaf(new graft.functions.Aggregators.KmvSketch(k),
+      org.apache.spark.sql.Encoders.LONG)
+    in.select(col(tsCol), col(sourceCol),
+        explode(TextAnalysis.tokens(col(textCol))).as("__tok"))
+      .select(col(tsCol), col(sourceCol), xxhash64(col("__tok")).as("__h"))
+      .groupBy(window(col(tsCol), windowDur), col(sourceCol))
+      .agg(kmv(col("__h")).as("__sk"))
+      .select(col("window.start").as("window_start"), col(sourceCol),
+        col("__sk.n_sketch").as("n_sketch"),
+        col("__sk.kth_hash").as("kth_hash"),
+        TextAnalysis.kmvEstimate(col("__sk.n_sketch"), col("__sk.kth_hash"), k)
+          .as("est_distinct"))
+  }
 }

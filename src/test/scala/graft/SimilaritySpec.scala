@@ -146,6 +146,32 @@ class SimilaritySpec extends SparkSpec {
     assert(qt.toSeq == exact.toSeq)
   }
 
+  test("pqTopK: lossless codebooks reproduce exact ranking; codes quantize") {
+    import org.apache.spark.sql.functions.col
+    // codebook 0 holds every sub0 present → reconstruction exact → the
+    // ADC ranking must equal brute force on the same fixture
+    val cb0 = Seq(Seq(1.0, 0.0), Seq(0.9, 0.1), Seq(0.5, 0.5),
+      Seq(0.0, 1.0), Seq(-1.0, 0.0))
+    val cb1 = Seq(Seq(0.0, 0.0))
+    val q0 = vecs.filter($"vec_id" === 0L)
+    val pq = Similarity.pqTopK(vecs, "vec_id", "embedding",
+        q0, "vec_id", "embedding", k = 3, Seq(cb0, cb1), dim = 4)
+      .orderBy($"rank").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val exact = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+        q0, "vec_id", "embedding", k = 3)
+      .orderBy($"rank").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pq.toSeq == exact.toSeq)
+    // lossy codebook: (0.5,0.5) snaps to its nearest code, score follows
+    // the RECONSTRUCTION — vec 2 ranked by cos(code), not cos(original)
+    val lossy = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val pq2 = Similarity.pqTopK(vecs, "vec_id", "embedding",
+        q0, "vec_id", "embedding", k = 5, Seq(lossy, cb1), dim = 4)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    // vec 2 = (.5,.5,0,0) → code (1,0,0,0) → pq_cos = dot/( ‖code‖·‖q‖ )
+    // = 1/(1·1) against q=(1,0,0,0)
+    assert(math.abs(pq2(2L) - 1.0) < 1e-12)
+  }
+
   test("kmeansAssign: nearest centroid wins, distance ties to smaller cell") {
     import org.apache.spark.sql.functions.col
     val cents = Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0))

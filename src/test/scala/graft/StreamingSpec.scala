@@ -117,6 +117,69 @@ class StreamingSpec extends SparkSpec {
     assert(h10a._3 == 2L && h10a._6 == 1L && h10a._7 == 0.5)
   }
 
+  test("rolling distinct sketch: streaming with watermark equals batch, " +
+      "equals the t20 bounded-heap path (t21 twin)") {
+    import graft.streaming.TextPipeline
+    // two windows × two sources; src_a's 10:00 window crosses k=4 so the
+    // ESTIMATE path runs; multi-batch arrival exercises the sketch MERGE
+    val docs = Seq(
+      (1L, "src_a", "2024-01-01 10:05:00", "apple banana cherry date egg"),
+      (2L, "src_a", "2024-01-01 10:40:00", "apple fig grape hazelnut"),
+      (3L, "src_b", "2024-01-01 10:15:00", "alpha beta"),
+      (4L, "src_a", "2024-01-01 11:10:00", "iris jasmine")
+    ).map { case (id, src, ts, tx) =>
+      (id, src, java.sql.Timestamp.valueOf(ts), tx)
+    }.toDF("doc_id", "source", "ts", "text")
+    val dir = Files.createTempDirectory("graft_rkmv").toFile.getAbsolutePath
+    docs.filter($"doc_id" <= 2).coalesce(1).write.mode("overwrite").parquet(dir)
+    val q = TextPipeline.rollingDistinctTokens(
+        spark.readStream.schema(docs.schema).parquet(dir),
+        "ts", "source", "text", "1 hour", k = 4,
+        watermark = Some("10 minutes"))
+      .writeStream.format("memory").queryName("graft_rkmv")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+      .filter(_._2 != "zz_sentinel").sortBy(t => (t._1, t._2)).toSeq
+    val streamed = try {
+      q.processAllAvailable()
+      // later docs in a SECOND file → a second microbatch merges sketches
+      docs.filter($"doc_id" > 2).union(
+        Seq((99L, "zz_sentinel",
+          java.sql.Timestamp.valueOf("2024-01-02 12:00:00"), "late marker"))
+          .toDF("doc_id", "source", "ts", "text"))
+        .coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      q.processAllAvailable()
+      canon(spark.table("graft_rkmv"))
+    } finally q.stop()
+    val batch = canon(TextPipeline.rollingDistinctTokens(
+      docs, "ts", "source", "text", "1 hour", k = 4))
+    assert(streamed == batch)
+    // src_a 10:00 holds 8 distinct tokens > k=4 → estimate path (n == k)
+    val h10a = batch.find(t =>
+      t._1 == java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime &&
+        t._2 == "src_a").get
+    assert(h10a._3 == 4L && h10a._5 != 4.0)
+    // src_b 10:00: 2 distinct < k → exact
+    val h10b = batch.find(t =>
+      t._1 == java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime &&
+        t._2 == "src_b").get
+    assert(h10b._3 == 2L && h10b._5 == 2.0)
+    // aggregator path ≡ the t20 bounded-heap path on the same grouping
+    import graft.operators.TextAnalysis
+    val viaHeap = TextAnalysis.kmvDistinctTokens(
+        docs.filter($"ts" < java.sql.Timestamp.valueOf("2024-01-01 11:00:00")),
+        "source", "text", k = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1).toSeq
+    val viaAgg = batch.filter(_._1 ==
+        java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime)
+      .map(t => (t._2, t._3, t._4, t._5)).sortBy(_._1)
+    assert(viaHeap == viaAgg)
+  }
+
   test("batch sessionization splits on inactivity gaps") {
     val sessions = Sessions.sessionizeBatch(fixture, gapMinutes = 30)
       .orderBy($"user_id", $"start_ms").collect()
