@@ -175,6 +175,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("s07 pq: codes-only join side, broadcast query tables, codegen encode") {
+    val p = finalPlan("s07_ann_pq").split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // tiny query side broadcast
+    // the float vector never crosses the join: both checkpoint scans carry
+    // codes/tables + norms only — no embedding column survives the cut
+    assert(!p.contains("embedding") && !p.contains("__cv") &&
+      !p.contains("__qv"), p)
+    assert(p.contains("__k0") && p.contains("__t0"), p)
+    // the encode itself (behind the cut) runs the codegen kernel: assert on
+    // an uncut assignment plan
+    val enc = graft.operators.Similarity.kmeansAssign(
+        spark.read.parquet(s"$sf/embeddings.parquet"), "vec_id", "embedding",
+        Seq(Seq.fill(64)(0.0), Seq.fill(64)(1.0)))
+      .queryExecution.executedPlan.toString
+    assert(enc.contains("nearest_centroid"), enc)
+    assert(!enc.contains("lambdafunction"), enc)
+  }
+
   test("u09 domain mix: one per-stratum sort exchange, quota is a literal CASE") {
     val p = finalPlan("u09_domain_mix").split("== Initial Plan ==")(0)
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
