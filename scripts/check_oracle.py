@@ -35,6 +35,10 @@ def eq(a, b) -> bool:
 
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
+    # modest cap: no oracle needs more, and the default (80% of RAM) turns
+    # co-running Spark JVMs into spurious malloc failures that poison every
+    # later query in the connection
+    con.execute("SET memory_limit='16GB'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")

@@ -53,7 +53,8 @@ object Bench {
     "u09_domain_mix",            // pipeline: domain-mixture selection
     "t19_freq_spectrum",         // pipeline: Zipf frequency spectrum
     "t20_kmv_distinct",          // pipeline: KMV distinct-count sketch
-    "s07_ann_pq")                // pipeline: PQ-ADC compressed-domain ANN
+    "s07_ann_pq",                // pipeline: PQ-ADC compressed-domain ANN
+    "s08_ann_ivfpq")             // pipeline: IVF-PQ cell-pruned ANN
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

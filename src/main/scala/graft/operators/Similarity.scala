@@ -414,6 +414,61 @@ object Similarity {
       Seq(("pq_cos", true), ("neighbor_id", false)), k)
   }
 
+  /** IVF-PQ (coarse cells + in-cell ADC, FAISS's billion-scale default;
+    * `by_residual=false` variant — codes quantize the raw vector, which is
+    * what keeps the code/table machinery shared verbatim with [[pqTopK]]
+    * and the oracle exactly reproducible): the corpus partitions into
+    * coarse k-means cells and carries only (cell, m byte codes, ‖x̂‖);
+    * each query probes its `nProbe` nearest cells, so the join is a CELL
+    * EQUI-JOIN — per-query work is ~nProbe/nCells of the corpus, and every
+    * score is m table lookups. The 100 TB shape: no broadcast-nested-loop
+    * over the corpus, no float vectors across the shuffle, candidate count
+    * bounded by cell occupancy. Ties → smaller neighbor id. */
+  def ivfPqTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, coarse: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
+      dim: Int, nProbe: Int = 3): DataFrame = {
+    val m = codebooks.length
+    val sub = dim / m
+    val norm2 = pqNorm2(codebooks)
+    val codeCols = codebooks.zipWithIndex.map { case (cb, j) =>
+      graft.functions.VecExprs
+        .nearestCentroid(slice(col("__cv"), j * sub + 1, sub), cb)
+        .getField("cell").as(s"__k$j")
+    }
+    def recNorm2: Column = (0 until m).map(j =>
+      element_at(lit(norm2(j).toArray), col(s"__k$j") + 1)).reduceLeft(_ + _)
+    val c = corpus
+      .select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"))
+      .select(col("neighbor_id") +:
+        graft.functions.VecExprs.nearestCentroid(col("__cv"), coarse)
+          .getField("cell").as("__cell") +: codeCols: _*)
+      .withColumn("__an", sqrt(recNorm2))
+      .transform(graft.core.Checkpoint.cut) // encode once per VECTOR
+    val tableCols = codebooks.zipWithIndex.map { case (cb, j) =>
+      array(cb.map(cent =>
+        dotLit(slice(col("__qv"), j * sub + 1, sub), cent)): _*).as(s"__t$j")
+    }
+    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
+      .withColumn("__qn", norm(col("__qv")))
+      .withColumn("__cell",
+        explode(slice(array_sort(cellDistStructs(col("__qv"), coarse)),
+          1, nProbe).getField("cell")))
+      .select(col("query_id") +: col("__qn") +: col("__cell") +: tableCols: _*)
+      .transform(graft.core.Checkpoint.cut)
+    def adc: Column = (0 until m).map(j =>
+      element_at(col(s"__t$j"), col(s"__k$j") + 1)).reduceLeft(_ + _)
+    val scored = c.join(broadcast(q), Seq("__cell"))
+      .filter(col("neighbor_id") =!= col("query_id") &&
+        col("__an") > 0 && col("__qn") > 0)
+      .withColumn("ivfpq_cos", adc / (col("__an") * col("__qn")))
+      .select(col("query_id"), col("neighbor_id"), col("ivfpq_cos"))
+      // no dedup needed: each neighbor lives in exactly one cell
+    graft.plans.TopKPerKey(scored, Seq("query_id"),
+      Seq(("ivfpq_cos", true), ("neighbor_id", false)), k)
+  }
+
   /** ‖centroid‖² per (subspace, code) — exact left folds, computed once on
     * the driver; `private[graft]` so the oracle generator inlines the SAME
     * doubles. */

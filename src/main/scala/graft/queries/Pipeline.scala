@@ -666,6 +666,69 @@ object Pipeline {
         QUALIFY rank <= $k"""
   }
 
+  /** DuckDB twin of [[Similarity.ivfPqTopK]] (s08): the s03 coarse-cell
+    * CTEs composed with the s07 code/table machinery — coarse centroids,
+    * codebooks and norm tables all inline as exact-double literals; the
+    * candidate set is the same cell equi-join, scores the same m lookups
+    * + fixed-order sum. */
+  private def annIvfPqOracle(s: SparkSession, dir: String,
+      nCoarse: Int, coarseSeed: Long, m: Int, kc: Int, pqSeed: Long,
+      nProbe: Int, k: Int): String = {
+    val coarse = ivfCentroids(s, dir, nCoarse, coarseSeed)
+    val cbs = pqCodebooks(s, dir, m, kc, pqSeed)
+    val norm2 = Similarity.pqNorm2(cbs)
+    val sub = 64 / m
+    def sliceOf(v: String, j: Int) = s"$v[${j * sub + 1}:${(j + 1) * sub}]"
+    def dot0(v: String, c: Seq[Double]): String =
+      s"list_reduce(list_prepend(0.0, list_transform(list_zip($v, ${dlistSql(c)}), " +
+        s"z -> CAST(z[1] AS DOUBLE) * z[2])), (a,b) -> a+b)"
+    def sqd(v: String, c: Seq[Double]): String =
+      s"list_reduce(list_prepend(0.0, list_transform(list_zip($v, ${dlistSql(c)}), " +
+        s"z -> (CAST(z[1] AS DOUBLE) - z[2]) * (CAST(z[1] AS DOUBLE) - z[2]))), " +
+        "(a,b) -> a+b)"
+    def structsOver(v: String, cents: Seq[Seq[Double]]): String =
+      cents.zipWithIndex.map { case (c, i) =>
+        s"{'d': ${sqd(v, c)}, 'cell': $i}"
+      }.mkString("[", ",\n            ", "]")
+    def codeOf(j: Int): String =
+      s"list_aggregate(${structsOver(sliceOf("embedding", j), cbs(j))}, 'min').cell"
+    val codeCols = (0 until m).map(j => s"${codeOf(j)} AS k$j")
+      .mkString(",\n            ")
+    val recNorm2 = (0 until m).map(j =>
+      s"${dlistSql(norm2(j))}[k$j + 1]").mkString("(", " + ", ")")
+    val tableCols = (0 until m).map(j => "[" + cbs(j).map(c =>
+      dot0(sliceOf("embedding", j), c)).mkString(",\n              ") +
+      s"] AS t$j").mkString(",\n            ")
+    val adc = (0 until m).map(j => s"t$j[k$j + 1]").mkString("(", " + ", ")")
+    s"""
+        WITH c0 AS MATERIALIZED (
+          SELECT vec_id,
+            list_aggregate(${structsOver("embedding", coarse)}, 'min').cell AS cell,
+            $codeCols
+          FROM embeddings),
+        c AS MATERIALIZED (
+          SELECT vec_id, cell, sqrt($recNorm2) AS an,
+                 ${(0 until m).map(j => s"k$j").mkString(", ")}
+          FROM c0),
+        q AS MATERIALIZED (
+          SELECT vec_id, ${normSql("embedding")} AS qn,
+            UNNEST(list_transform(
+              list_sort(${structsOver("embedding", coarse)})[1:$nProbe],
+              s -> s.cell)) AS cell,
+            $tableCols
+          FROM embeddings WHERE vec_id < 8),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            $adc / (c.an * q.qn) AS ivfpq_cos
+          FROM c JOIN q ON c.cell = q.cell AND c.vec_id <> q.vec_id
+          WHERE c.an > 0 AND q.qn > 0)
+        SELECT query_id, neighbor_id, ivfpq_cos,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY ivfpq_cos DESC, neighbor_id ASC) AS INT) AS rank
+        FROM scored
+        QUALIFY rank <= $k"""
+  }
+
   /** Shared by the k-means oracles: the same 0.0-seeded left fold of
     * (x-c)² and (d, cell) struct list the s03 twin builds — `list_aggregate
     * (…, 'min')` over it IS nearest-centroid assignment (lexicographic
@@ -1369,6 +1432,27 @@ object Pipeline {
       None,
       oracleGen = Some((s, dir) =>
         annPqOracle(s, dir, m = 8, kc = 16, seed = 7L, k = 10))),
+
+    // ---- ANN: IVF-PQ (s08) — coarse cells + in-cell ADC, the standard
+    // billion-scale index shape (per-query work ~nProbe/nCells of the
+    // corpus AND every score a table lookup; no float vectors cross the
+    // join). Composes s03's trained coarse quantizer with s07's codebooks;
+    // both literal-inline into the twin, so the composed approximation is
+    // hash-verified end to end.
+    Q("s08_ann_ivfpq",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.ivfPqTopK(
+          emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+          k = 10, coarse = ivfCentroids(s, dir, 16, 42L),
+          codebooks = pqCodebooks(s, dir, m = 8, kc = 16, seed = 7L),
+          dim = 64, nProbe = 4)
+      },
+      None,
+      oracleGen = Some((s, dir) =>
+        annIvfPqOracle(s, dir, nCoarse = 16, coarseSeed = 42L,
+          m = 8, kc = 16, pqSeed = 7L, nProbe = 4, k = 10))),
 
     // ---- SemDeDup, k-means-partitioned (d19; Abbas et al. 2023 §3 as
     // published): exact pairwise cosine ONLY within each k-means cluster,

@@ -172,6 +172,33 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(pq2(2L) - 1.0) < 1e-12)
   }
 
+  test("ivfPqTopK: single-cell + lossless codebooks ≡ brute force; " +
+      "probing restricts candidates to probed cells") {
+    import org.apache.spark.sql.functions.col
+    val cb0 = Seq(Seq(1.0, 0.0), Seq(0.9, 0.1), Seq(0.5, 0.5),
+      Seq(0.0, 1.0), Seq(-1.0, 0.0))
+    val cb1 = Seq(Seq(0.0, 0.0))
+    val q0 = vecs.filter($"vec_id" === 0L)
+    // one coarse cell = no pruning; lossless codes = exact scores
+    val one = Similarity.ivfPqTopK(vecs, "vec_id", "embedding",
+        q0, "vec_id", "embedding", k = 3,
+        coarse = Seq(Seq(0.0, 0.0, 0.0, 0.0)), codebooks = Seq(cb0, cb1),
+        dim = 4, nProbe = 1)
+      .orderBy($"rank").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val exact = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+        q0, "vec_id", "embedding", k = 3)
+      .orderBy($"rank").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(one.toSeq == exact.toSeq)
+    // two coarse cells around ±x, nProbe=1: query (1,0,0,0) probes its own
+    // cell — vec 4 = (−1,0,0,0) lives in the other cell, never a candidate
+    val probed = Similarity.ivfPqTopK(vecs, "vec_id", "embedding",
+        q0, "vec_id", "embedding", k = 5,
+        coarse = Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(-1.0, 0.0, 0.0, 0.0)),
+        codebooks = Seq(cb0, cb1), dim = 4, nProbe = 1)
+      .collect().map(_.getLong(1)).toSet
+    assert(!probed.contains(4L) && probed.contains(1L))
+  }
+
   test("kmeansAssign: nearest centroid wins, distance ties to smaller cell") {
     import org.apache.spark.sql.functions.col
     val cents = Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0))
