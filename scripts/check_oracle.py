@@ -33,15 +33,18 @@ def eq(a, b) -> bool:
     return str(a) == str(b)
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def fresh_con(sf_dir: str):
+    # a FRESH connection per query: 140 megabyte-scale oracle texts through
+    # one connection accumulate allocator state until a chain query hits a
+    # spurious malloc failure that then poisons every later query
     con = duckdb.connect()
-    # modest cap: no oracle needs more, and the default (80% of RAM) turns
-    # co-running Spark JVMs into spurious malloc failures that poison every
-    # later query in the connection
-    con.execute("SET memory_limit='16GB'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def main(sf_dir: str, out_dir: str) -> int:
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_fail = 0
     for name in sorted(oracle):
@@ -52,7 +55,9 @@ def main(sf_dir: str, out_dir: str) -> int:
             continue
         got = canon(pd.concat([pd.read_parquet(f) for f in files]))
         try:
+            con = fresh_con(sf_dir)
             exp = canon(con.execute(oracle[name]).fetchdf())
+            con.close()
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}")
             n_fail += 1

@@ -497,21 +497,34 @@ object Pipeline {
       mulmod(rotl(xor64(h, mulmod(b1, P5)), 11) + s" % $N", P1)
 
     /** CTE chain t0…th mapping an upstream `toks($key, tok)` relation to
-      * `th($key, hu)` — hu = unsigned XXH64(tok, seed=42) as HUGEINT. */
-    def chain(key: String): String = s"""
+      * `th($key, hu)` — hu = unsigned XXH64(tok, seed=42) as HUGEINT.
+      *
+      * `maxBytes` bounds the supported token byte length: each 8-byte
+      * step8 stage expands to ~100 KB of HUGEINT SQL, and the stacked
+      * megabyte texts are what pushes a many-query DuckDB session into
+      * allocation failure — so dead stages are not emitted. The corpus
+      * max token is 8 bytes (asserted by the hash-match itself: a longer
+      * token would hash through a missing stage and mismatch LOUDLY). */
+    def chain(key: String, maxBytes: Int = 15): String = {
+      val n8 = maxBytes / 8 // step8 stages that can ever run
+      val sb = new StringBuilder
+      sb.append(s"""
         t0 AS (
           SELECT $key, hex(encode(tok)) AS hx, octet_length(encode(tok)) AS n
           FROM toks),
         t1 AS (SELECT $key, hx, n,
-          ((42 + $P5::HUGEINT + n) % $N) AS h0, n // 8 AS c8 FROM t0),
-        t2 AS (SELECT $key, hx, n, c8,
-          CASE WHEN c8 >= 1 THEN ${step8("h0", rd("1", 8))} ELSE h0 END AS h1 FROM t1),
-        t3 AS (SELECT $key, hx, n, c8,
-          CASE WHEN c8 >= 2 THEN ${step8("h1", rd("9", 8))} ELSE h1 END AS h2 FROM t2),
-        t4 AS (SELECT $key, hx, n, c8,
-          CASE WHEN c8 >= 3 THEN ${step8("h2", rd("17", 8))} ELSE h2 END AS h3 FROM t3),
+          ((42 + $P5::HUGEINT + n) % $N) AS h0, n // 8 AS c8 FROM t0),""")
+      var h = "h0"
+      var t = "t1"
+      (1 to n8).foreach { i =>
+        sb.append(s"""
+        t1$i AS (SELECT $key, hx, n, c8,
+          CASE WHEN c8 >= $i THEN ${step8(h, rd(s"${8 * (i - 1) + 1}", 8))} ELSE $h END AS h1$i FROM $t),""")
+        h = s"h1$i"; t = s"t1$i"
+      }
+      sb.append(s"""
         t5 AS (SELECT $key, hx, n, 8*c8 AS o4, (n - 8*c8) >= 4 AS has4,
-          CASE WHEN (n - 8*c8) >= 4 THEN ${step4("h3", rd("8*c8+1", 4))} ELSE h3 END AS h4 FROM t4),
+          CASE WHEN (n - 8*c8) >= 4 THEN ${step4(h, rd("8*c8+1", 4))} ELSE $h END AS h4 FROM $t),
         t6 AS (SELECT $key, hx, n, o4 + (CASE WHEN has4 THEN 4 ELSE 0 END) AS ob, h4 FROM t5),
         t7 AS (SELECT $key, hx, n, ob,
           CASE WHEN n > ob THEN ${stepB("h4", s"CAST(${hexByte("ob+1")} AS HUGEINT)")} ELSE h4 END AS h5 FROM t6),
@@ -523,7 +536,9 @@ object Pipeline {
         a2 AS (SELECT $key, ${mulmod("v1", P2)} AS v2 FROM a1),
         a3 AS (SELECT $key, ${xor64("v2", shr("v2", 29))} AS v3 FROM a2),
         a4 AS (SELECT $key, ${mulmod("v3", P3)} AS v4 FROM a3),
-        th AS (SELECT $key, ${xor64("v4", shr("v4", 32))} AS hu FROM a4)"""
+        th AS (SELECT $key, ${xor64("v4", shr("v4", 32))} AS hu FROM a4)""")
+      sb.toString
+    }
   }
 
   /** DuckDB twin of [[Dedup.simhashColumn]]: the [[XxhSql]] XXH64 chain per
@@ -673,7 +688,21 @@ object Pipeline {
     * + fixed-order sum. */
   private def annIvfPqOracle(s: SparkSession, dir: String,
       nCoarse: Int, coarseSeed: Long, m: Int, kc: Int, pqSeed: Long,
-      nProbe: Int, k: Int): String = {
+      nProbe: Int, k: Int): String =
+    ivfPqOracleImpl(s, dir, nCoarse, coarseSeed, m, kc, pqSeed, nProbe, k,
+      semDedupThreshold = None)
+
+  /** p02: the s08 twin with the corpus restricted to d19-rule SemDeDup
+    * survivors (within-COARSE-cell keep-earliest at `threshold`). */
+  private def embeddingPrepOracle(s: SparkSession, dir: String,
+      nCoarse: Int, coarseSeed: Long, m: Int, kc: Int, pqSeed: Long,
+      threshold: Double, nProbe: Int, k: Int): String =
+    ivfPqOracleImpl(s, dir, nCoarse, coarseSeed, m, kc, pqSeed, nProbe, k,
+      semDedupThreshold = Some(threshold))
+
+  private def ivfPqOracleImpl(s: SparkSession, dir: String,
+      nCoarse: Int, coarseSeed: Long, m: Int, kc: Int, pqSeed: Long,
+      nProbe: Int, k: Int, semDedupThreshold: Option[Double]): String = {
     val coarse = ivfCentroids(s, dir, nCoarse, coarseSeed)
     val cbs = pqCodebooks(s, dir, m, kc, pqSeed)
     val norm2 = Similarity.pqNorm2(cbs)
@@ -705,11 +734,21 @@ object Pipeline {
           SELECT vec_id,
             list_aggregate(${structsOver("embedding", coarse)}, 'min').cell AS cell,
             $codeCols
+          FROM embeddings),${semDedupThreshold.map(thr => s"""
+        asn AS MATERIALIZED (
+          SELECT vec_id, embedding, ${normSql("embedding")} AS nrm,
+            list_aggregate(${structsOver("embedding", coarse)}, 'min').cell AS cl
           FROM embeddings),
+        vict AS (
+          SELECT DISTINCT y.vec_id AS victim
+          FROM asn AS x JOIN asn AS y ON x.cl = y.cl AND x.vec_id < y.vec_id
+          WHERE ${foldDotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm)
+                  >= $thr),""").getOrElse("")}
         c AS MATERIALIZED (
           SELECT vec_id, cell, sqrt($recNorm2) AS an,
                  ${(0 until m).map(j => s"k$j").mkString(", ")}
-          FROM c0),
+          FROM c0${semDedupThreshold.map(_ =>
+            " WHERE vec_id NOT IN (SELECT victim FROM vict)").getOrElse("")}),
         q AS MATERIALIZED (
           SELECT vec_id, ${normSql("embedding")} AS qn,
             UNNEST(list_transform(
@@ -1566,6 +1605,35 @@ object Pipeline {
                    AND CASE WHEN nc > 0 THEN CAST(digits AS DOUBLE)/nc ELSE 0.0 END < 0.3
                    THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
           FROM q GROUP BY source)""")),
+
+    // ---- Composed embedding-prep pipeline (p02): dedup-then-index — the
+    // embedding-side twin of p01, as ONE query. SemDeDup survivors (d19's
+    // within-cluster keep-earliest rule) become the IVF-PQ corpus (s08's
+    // coarse cells + in-cell ADC), so queries never retrieve a dropped
+    // near-duplicate. Both stages reuse the SAME trained coarse quantizer
+    // and codebooks; the oracle composes the d19 victims CTE with the s08
+    // scoring CTEs restricted to survivors — the hash checks the interface
+    // (who survived INTO the index), not just each stage alone.
+    Q("p02_embedding_prep",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val coarse = ivfCentroids(s, dir, 16, 42L)
+        val survivors = Similarity.semDedupKMeans(
+            emb.select(col("vec_id"), col("embedding")),
+            "vec_id", "embedding", coarse, threshold = 0.35)
+          .select(col("vec_id"), col("embedding"))
+        Similarity.ivfPqTopK(
+          survivors, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+          k = 10, coarse = coarse,
+          codebooks = pqCodebooks(s, dir, m = 8, kc = 16, seed = 7L),
+          dim = 64, nProbe = 4)
+      },
+      None,
+      oracleGen = Some((s, dir) =>
+        embeddingPrepOracle(s, dir, nCoarse = 16, coarseSeed = 42L,
+          m = 8, kc = 16, pqSeed = 7L, threshold = 0.35, nProbe = 4,
+          k = 10))),
 
     // ---- Composed corpus-prep pipeline (p01): the end-to-end shape a
     // real training-data user ships, as ONE query — quality-aware dedup

@@ -193,6 +193,15 @@ class PlanSpec extends SparkSpec {
     assert(!enc.contains("lambdafunction"), enc)
   }
 
+  test("p02 embedding prep: dedup-then-index composes without quadratic joins") {
+    val p = finalPlan("p02_embedding_prep").split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"), p)
+    // final stage = the s08 cell equi-join against broadcast query tables,
+    // then the bounded-heap top-k; candidate work is cell-bounded
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TopKPerKey"), p)
+  }
+
   test("u09 domain mix: one per-stratum sort exchange, quota is a literal CASE") {
     val p = finalPlan("u09_domain_mix").split("== Initial Plan ==")(0)
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
