@@ -2281,10 +2281,13 @@ object Pipeline {
     // (k-1)/u_k estimate. The oracle replays the full XXH64 chain in
     // HUGEINT mod-2^64 SQL and the same IEEE double normalization, so the
     // sketch (and its estimate) hash-verify bit-for-bit.
+    // k=16 < the ~31 distinct tokens per source in the synthetic corpus,
+    // so the ESTIMATE branch (not just the exact-below-k path) is what the
+    // hash verifies
     Q("t20_kmv_distinct",
       (s, dir) => TextAnalysis.kmvDistinctTokens(
-        t(s, dir, "documents"), "source", "text", k = 128),
-      Some(kmvOracle(k = 128))),
+        t(s, dir, "documents"), "source", "text", k = 16),
+      Some(kmvOracle(k = 16))),
 
     // ---- Rolling distinct-token cardinality (t21): the streaming KMV twin
     // on the t18 time grid — per (hour window, source) vocabulary inflow,
@@ -2299,11 +2302,11 @@ object Pipeline {
           t(s, dir, "documents").filter(col("doc_id") < 180)
             .withColumn("ts",
               timestamp_millis(lit(1704067200000L) + col("doc_id") * 60000L)),
-          "ts", "source", "text", "1 hour", k = 32)
+          "ts", "source", "text", "1 hour", k = 8)
         .select(unix_millis(col("window_start")).as("win_start_ms"),
           col("source"), col("n_sketch"), col("kth_hash"),
           col("est_distinct")),
-      Some(kmvWindowedOracle(k = 32))),
+      Some(kmvWindowedOracle(k = 8))),
 
     // ---- Token frequency-of-frequency spectrum (t19): the Zipf/Good-
     // Turing corpus profile — n distinct tokens per exact frequency f and

@@ -136,6 +136,38 @@ object ScaleStress {
         threshold = 0.9999, dim = 64, bitsPerTable = 8, tables = 4).count()
     }
     println("[stress] semdedup survivors=" + sem + " (expect 2000: one per clone cluster)")
+    // round-5 ops under the same dense-clone corpus: k-means-partitioned
+    // semdedup (clones share a coarse cell by construction → the within-
+    // cell pair join carries every clone pair), IVF-PQ top-k (cell
+    // equi-join + ADC lookups), and the KMV sketch over the 50k-doc corpus
+    val coarse16 = Similarity.ivfTrain(bigEmb, "embedding",
+      nCentroids = 16, seed = 42L)
+    val semK = time("semdedup-kmeans-dense-clusters") {
+      Similarity.semDedupKMeans(bigEmb, "vec_id", "embedding",
+        coarse16, threshold = 0.9999).count()
+    }
+    println("[stress] semdedup-kmeans survivors=" + semK +
+      " (expect 2000: clones are cell-local exact dups)")
+    val cbs = Similarity.pqTrain(bigEmb, "embedding", dim = 64,
+      m = 8, kc = 16, seed = 7L)
+    val ivfpq = time("ivfpq-topk-dense") {
+      Similarity.ivfPqTopK(bigEmb, "vec_id", "embedding",
+        bigEmb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 10, coarse16, cbs, dim = 64, nProbe = 4).count()
+    }
+    println("[stress] ivfpq rows=" + ivfpq)
+    val docsFull = graft.core.Tables.load(spark, dir, "documents")
+    val bigSrc = (0 until 10).map(i =>
+        docsFull.select((col("doc_id") * 10 + i).as("doc_id"),
+          col("source"), col("text")))
+      .reduce(_ union _)
+    // agg over the estimate so the sketch work can't be eliminated
+    val kmv = time("kmv-sketch-50k-docs") {
+      graft.operators.TextAnalysis.kmvDistinctTokens(
+          bigSrc, "source", "text", k = 128)
+        .agg(sum(col("est_distinct"))).head().getDouble(0)
+    }
+    println(f"[stress] kmv total est=$kmv%.0f (10x clones add no distinct tokens)")
     // agg over a computed column — a bare count() lets Catalyst ELIMINATE
     // the unique-key left join and skip the trigram work entirely
     val tri = time("trigram-quality-50k") {
