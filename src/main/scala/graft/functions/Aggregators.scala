@@ -114,22 +114,40 @@ object Aggregators {
     * (partial merges sum to n ≤ cap); over-cap buckets keep their true n
     * for the caller's observable-drop metric and are dropped anyway. */
   class CollectCapped(cap: Int)
-      extends Aggregator[java.lang.Long, mutable.ArrayBuffer[Long], CappedIds] {
-    def zero: mutable.ArrayBuffer[Long] = mutable.ArrayBuffer(0L) // slot 0 = n
-    def reduce(b: mutable.ArrayBuffer[Long], a: java.lang.Long) = {
-      b(0) += 1
-      if (b.size <= cap) b += a
-      b
+      extends Aggregator[java.lang.Long, Array[Long], CappedIds] {
+    // buffer layout: [n, used, id0, id1, …] — a flat long array (doubling
+    // growth) instead of a kryo'd ArrayBuffer: the buffer serializes as a
+    // native unsafe long array on every partial-merge hop, which is the
+    // dominant cost of the bucket aggregation on the dedup hot paths
+    def zero: Array[Long] = Array(0L, 0L)
+    private def append(b: Array[Long], a: Long): Array[Long] = {
+      val used = b(1).toInt
+      val out = if (b.length < used + 3)
+        java.util.Arrays.copyOf(b, math.max(used + 3, b.length * 2))
+      else b
+      out(2 + used) = a
+      out(1) = used + 1
+      out
     }
-    def merge(b1: mutable.ArrayBuffer[Long], b2: mutable.ArrayBuffer[Long]) = {
-      b1(0) += b2(0)
-      b1 ++= b2.view.slice(1, math.max(1, cap + 2 - b1.size))
-      b1
+    def reduce(b: Array[Long], a: java.lang.Long): Array[Long] = {
+      val out = if (b(1) < cap) append(b, a.longValue) else b
+      out(0) += 1
+      out
     }
-    def finish(b: mutable.ArrayBuffer[Long]): CappedIds =
-      CappedIds(b(0), b.drop(1).toSeq)
-    def bufferEncoder: Encoder[mutable.ArrayBuffer[Long]] =
-      Encoders.kryo[mutable.ArrayBuffer[Long]]
+    def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+      val total = b1(0) + b2(0)
+      var out = b1
+      var i = 0
+      while (i < b2(1).toInt && out(1) < cap) {
+        out = append(out, b2(2 + i)); i += 1
+      }
+      out(0) = total
+      out
+    }
+    def finish(b: Array[Long]): CappedIds =
+      CappedIds(b(0), b.slice(2, 2 + b(1).toInt).toSeq)
+    def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
     def outputEncoder: Encoder[CappedIds] = Encoders.product[CappedIds]
   }
 
