@@ -164,29 +164,45 @@ object Aggregators {
     * (h ^ Long.MinValue), kept sorted ascending = unsigned ascending;
     * insert/merge dedup via binary search. */
   class KmvSketch(k: Int)
-      extends Aggregator[java.lang.Long, mutable.ArrayBuffer[Long], KmvState] {
+      extends Aggregator[java.lang.Long, Array[Long], KmvState] {
     require(k >= 2, "k must be >= 2")
-    def zero: mutable.ArrayBuffer[Long] = mutable.ArrayBuffer.empty[Long]
-    private def insert(b: mutable.ArrayBuffer[Long], flipped: Long): Unit = {
-      if (b.size >= k && flipped >= b.last) return
-      val i = b.search(flipped)(Ordering.Long) match {
-        case scala.collection.Searching.Found(_) => return // distinct only
-        case scala.collection.Searching.InsertionPoint(p) => p
+    // buffer layout: [used, v1 ≤ v2 ≤ … ≤ v_used] — sign-flipped hashes,
+    // sorted ascending (= unsigned ascending), flat long array for native
+    // unsafe-array encoding on partial-merge hops (like [[CollectCapped]])
+    def zero: Array[Long] = Array(0L)
+    private def insert(b0: Array[Long], v: Long): Array[Long] = {
+      val used = b0(0).toInt
+      if (used >= k && v >= b0(used)) return b0
+      // first index in [1, used] holding a value >= v
+      var lo = 1
+      var hi = used + 1
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (b0(mid) < v) lo = mid + 1 else hi = mid
       }
-      b.insert(i, flipped)
-      if (b.size > k) b.remove(b.size - 1)
+      if (lo <= used && b0(lo) == v) return b0 // distinct only
+      val b = if (b0.length < used + 2)
+        java.util.Arrays.copyOf(b0, math.max(used + 2, b0.length * 2))
+      else b0
+      System.arraycopy(b, lo, b, lo + 1, used - lo + 1)
+      b(lo) = v
+      b(0) = math.min(used + 1, k) // a shifted-out (k+1)-th value is ignored
+      b
     }
-    def reduce(b: mutable.ArrayBuffer[Long], a: java.lang.Long) = {
-      insert(b, a.longValue ^ Long.MinValue); b
+    def reduce(b: Array[Long], a: java.lang.Long): Array[Long] =
+      insert(b, a.longValue ^ Long.MinValue)
+    def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+      var out = b1
+      var i = 1
+      while (i <= b2(0).toInt) { out = insert(out, b2(i)); i += 1 }
+      out
     }
-    def merge(b1: mutable.ArrayBuffer[Long], b2: mutable.ArrayBuffer[Long]) = {
-      b2.foreach(insert(b1, _)); b1
+    def finish(b: Array[Long]): KmvState = {
+      val used = b(0).toInt
+      KmvState(used.toLong, if (used == 0) 0L else b(used) ^ Long.MinValue)
     }
-    def finish(b: mutable.ArrayBuffer[Long]): KmvState =
-      KmvState(b.size.toLong,
-        if (b.isEmpty) 0L else b.last ^ Long.MinValue)
-    def bufferEncoder: Encoder[mutable.ArrayBuffer[Long]] =
-      Encoders.kryo[mutable.ArrayBuffer[Long]]
+    def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
     def outputEncoder: Encoder[KmvState] = Encoders.product[KmvState]
   }
 
