@@ -54,14 +54,19 @@ def main(sf_dir: str, out_dir: str) -> int:
             n_fail += 1
             continue
         got = canon(pd.concat([pd.read_parquet(f) for f in files]))
+        con = None
         try:
             con = fresh_con(sf_dir)
             exp = canon(con.execute(oracle[name]).fetchdf())
-            con.close()
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}")
             n_fail += 1
             continue
+        finally:
+            # close on the failure path too — a leaked connection keeps the
+            # very allocator state this per-query isolation exists to shed
+            if con is not None:
+                con.close()
         if list(got.columns) != list(exp.columns):
             print(f"FAIL {name}: cols {list(got.columns)} vs {list(exp.columns)}")
             n_fail += 1

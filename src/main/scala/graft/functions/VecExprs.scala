@@ -64,7 +64,9 @@ object CentroidKernels {
   /** argmin over centroids of the 0.0-seeded left fold Σ(xᵢ-cᵢ)², ties to
     * the smaller index — bit-identical to
     * `array_min(array(struct(sqDistFold, i)...))` over the same literals
-    * (lexicographic struct compare: distance first, then cell). */
+    * (lexicographic struct compare: distance first, then cell; NaN ordered
+    * GREATEST per Spark's total order, so a NaN distance never wins over a
+    * finite one and an all-NaN row picks the smallest index). */
   def nearest(a: ArrayData, aFloat: Boolean,
       cents: Array[Array[Double]]): org.apache.spark.sql.catalyst.InternalRow = {
     var best = -1
@@ -80,7 +82,11 @@ object CentroidKernels {
         acc += d0 * d0
         t += 1
       }
-      if (best < 0 || acc < bestD) { best = i; bestD = acc }
+      // NaN-aware: acc beats bestD when strictly smaller OR bestD is NaN and
+      // acc is not (Spark orders NaN greatest; NaN==NaN ties keep first index)
+      if (best < 0 || acc < bestD || (bestD != bestD && acc == acc)) {
+        best = i; bestD = acc
+      }
       i += 1
     }
     org.apache.spark.sql.catalyst.InternalRow(bestD, best)

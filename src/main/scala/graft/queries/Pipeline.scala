@@ -556,7 +556,7 @@ object Pipeline {
             trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' '), ' '),
             x -> len(x) > 0)) AS tok
           FROM documents),
-        ${XxhSql.chain("doc_id")},
+        ${XxhSql.chain("doc_id", maxBytes = 15)},
         tallies AS (
           SELECT doc_id,
             $bits
@@ -1274,6 +1274,10 @@ object Pipeline {
     // pairs with hamming 4..16; radius 3 is the classic near-dup setting —
     // larger radii need proportionally more, narrower bands and go
     // quadratic on coarse buckets).
+    // Oracle supports tokens up to 15 bytes (explicit maxBytes at the
+    // XxhSql.chain call in simhashOracle; corpus max is 8). A longer token
+    // hashes through a missing stage and FAILS the hash-verify loudly —
+    // raise maxBytes there if the corpus ever grows longer tokens.
     Q("d04_simhash_pairs",
       (s, dir) => Dedup.simhashCandidates(
         t(s, dir, "documents"), "doc_id", "text", maxHamming = 3),

@@ -161,7 +161,7 @@ final class Engine(val spark: SparkSession) {
   /** Execute one or more ';'-separated statements; returns the DataFrame of
     * the last query (or an empty status frame for DDL/DML). */
   def sql(text: String): DataFrame =
-    splitStatements(text).map(execTimed).lastOption
+    splitStatements(Lex.stripComments(text)).map(execTimed).lastOption
       .getOrElse(spark.emptyDataFrame)
 
   // ---- SET QUERY_STATISTICS (dml/Set.java; QueryStatisticsTest):
@@ -195,9 +195,10 @@ final class Engine(val spark: SparkSession) {
 
   // ------------------------------------------------------------------
   /** Statement split on `;` — tokenizer-first (Lex): a semicolon inside a
-    * 'string literal' (with '' escapes) OR a "quoted identifier" never
-    * splits; the char-loop predecessor was literal-aware but identifier-
-    * blind. Segments re-slice the raw text, preserving every byte. */
+    * 'string literal' (with '' escapes), a "quoted identifier", or a
+    * comment (line or block — Lex skips both) never splits; the char-loop
+    * predecessor was literal-aware but identifier- and comment-blind.
+    * Segments re-slice the raw text, preserving every byte. */
   private def splitStatements(text: String): Seq[String] = {
     val cuts = Lex.tokens(text).iterator
       .filter(t => t.kind == Lex.Sym && text.charAt(t.start) == ';')

@@ -13,7 +13,10 @@ import scala.collection.mutable
   * `literalSpans` exactly (single-quoted strings with '' escapes are ONE
   * token); double-quoted identifiers are single WORD tokens, which also
   * stops clause keywords from binding inside quoted identifiers (the one
-  * deliberate improvement over the char-loop predecessors).
+  * deliberate improvement over the char-loop predecessors). `--` line
+  * comments and nested block comments (slash-star ... star-slash) are
+  * skipped without emitting tokens, so a ';' or keyword inside a comment
+  * is invisible to token-based dispatch.
   */
 private[sqlfront] object Lex {
 
@@ -39,7 +42,22 @@ private[sqlfront] object Lex {
     while (i < s.length) {
       val c = s.charAt(i)
       if (c.isWhitespace) i += 1
-      else if (c == '\'') {
+      else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
+        // line comment: skip to end of line (no token emitted), so a ';'
+        // or keyword inside a comment can never split or dispatch
+        while (i < s.length && s.charAt(i) != '\n') i += 1
+      } else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
+        // block comment, NESTED as in the H2 family's lexer
+        var lvl = 1
+        i += 2
+        while (i < s.length && lvl > 0) {
+          if (i + 1 < s.length && s.charAt(i) == '/' && s.charAt(i + 1) == '*') {
+            lvl += 1; i += 2
+          } else if (i + 1 < s.length && s.charAt(i) == '*' && s.charAt(i + 1) == '/') {
+            lvl -= 1; i += 2
+          } else i += 1
+        }
+      } else if (c == '\'') {
         val start = i
         i += 1
         var done = false
@@ -98,6 +116,53 @@ private[sqlfront] object Lex {
       i += 1
     }
     -1
+  }
+
+  /** Remove `--` line and nested block comments, literal- and identifier-
+    * aware (a comment marker inside a 'literal' or "identifier" is text,
+    * not a comment). Each comment is replaced by ONE space so adjacent
+    * tokens stay separated; all non-comment bytes pass through verbatim.
+    * Applied once at the front door (Engine.sql) so downstream fragment
+    * slicing — VALUES tuples, SELECT bodies — never sees comment text. */
+  def stripComments(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
+        while (i < s.length && s.charAt(i) != '\n') i += 1
+        sb.append(' ')
+      } else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
+        var lvl = 1
+        i += 2
+        while (i < s.length && lvl > 0) {
+          if (i + 1 < s.length && s.charAt(i) == '/' && s.charAt(i + 1) == '*') {
+            lvl += 1; i += 2
+          } else if (i + 1 < s.length && s.charAt(i) == '*' && s.charAt(i + 1) == '/') {
+            lvl -= 1; i += 2
+          } else i += 1
+        }
+        sb.append(' ')
+      } else if (c == '\'') {
+        val start = i
+        i += 1
+        var done = false
+        while (i < s.length && !done) {
+          if (s.charAt(i) == '\'') {
+            if (i + 1 < s.length && s.charAt(i + 1) == '\'') i += 2
+            else { done = true; i += 1 }
+          } else i += 1
+        }
+        sb.append(s, start, i)
+      } else if (c == '"') {
+        val start = i
+        i += 1
+        while (i < s.length && s.charAt(i) != '"') i += 1
+        if (i < s.length) i += 1
+        sb.append(s, start, i)
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   /** Split on depth-0 commas (literal- and paren-aware): every pre-comma

@@ -1185,4 +1185,19 @@ class EngineSpec extends SparkSpec {
     e.sql("""INSERT INTO semi2 ("a;b") VALUES (7); INSERT INTO semi2 ("a;b") VALUES (8)""")
     assert(e.sql("""SELECT count(*) FROM semi2""").head().getLong(0) == 2L)
   }
+
+  test("statement split: semicolons inside comments never split") {
+    val e = freshEngine
+    // ';' in a -- line comment is invisible to the split
+    e.sql("CREATE TABLE cmt (id int); -- trailing; not a statement\n" +
+      "INSERT INTO cmt VALUES (1); INSERT INTO cmt VALUES (2)")
+    assert(e.sql("SELECT count(*) FROM cmt").head().getLong(0) == 2L)
+    // ';' in a block comment (including nested, H2-family lexing)
+    e.sql("INSERT INTO cmt VALUES (3) /* c; /* nested; */ still; comment */;" +
+      " INSERT INTO cmt VALUES (4)")
+    assert(e.sql("SELECT count(*) FROM cmt").head().getLong(0) == 4L)
+    // a comment does NOT swallow following real statements
+    val n = e.sql("-- leading comment; with semicolon\nSELECT count(*) FROM cmt")
+    assert(n.head().getLong(0) == 4L)
+  }
 }
