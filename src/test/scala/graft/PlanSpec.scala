@@ -193,6 +193,24 @@ class PlanSpec extends SparkSpec {
     assert(!enc.contains("lambdafunction"), enc)
   }
 
+  test("s08 ivf-pq: cell EQUI-join (never BNLJ), codes-only sides, " +
+      "bounded-heap top-k") {
+    val p = finalPlan("s08_ann_ivfpq").split("== Initial Plan ==")(0)
+    // the billion-scale shape: per-query candidate work = its nProbe cells,
+    // joined by cell id — a hash join, never a nested loop over the corpus
+    assert(p.contains("BroadcastHashJoin") && p.contains("__cell"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    // no float vector crosses the join — both checkpoint scans carry
+    // cell + codes + ADC tables + norms only
+    assert(!p.contains("embedding") && !p.contains("__cv") &&
+      !p.contains("__qv"), p)
+    assert(p.contains("__k0") && p.contains("__t0"), p)
+    // top-k via the bounded-heap operator, not a global sort
+    assert(p.contains("TopKPerKey"), p)
+    assert(!p.contains("rangepartitioning"), p)
+  }
+
   test("p02 embedding prep: dedup-then-index composes without quadratic joins") {
     val p = finalPlan("p02_embedding_prep").split("== Initial Plan ==")(0)
     assert(!p.contains("CartesianProduct"), p)
