@@ -24,21 +24,44 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 object Aggregators {
 
-  /** GROUP_CONCAT(v ORDER BY k SEPARATOR sep): input = (sort key, value). */
+  /** GROUP_CONCAT(v ORDER BY k SEPARATOR sep): input = (sort key, value).
+    *
+    * Buffer = (used slots, flat interleaved [k0, v0, k1, v1, …]) with
+    * doubling growth — the same flat-buffer discipline as [[CollectCapped]]
+    * / [[KmvSketch]]: a product-encoded native string array instead of a
+    * kryo'd ArrayBuffer, so partial-merge hops serialize as unsafe array
+    * data (the measured dominant cost of object-buffer aggregation on the
+    * dedup hot paths; latent here because GROUP_CONCAT groups are usually
+    * small, but the shape is now uniformly bounded-cost). */
   class GroupConcat(sep: String, desc: Boolean = false)
-      extends Aggregator[(String, String), mutable.ArrayBuffer[(String, String)], String] {
-    def zero: mutable.ArrayBuffer[(String, String)] = mutable.ArrayBuffer.empty
-    def reduce(b: mutable.ArrayBuffer[(String, String)], a: (String, String)) = {
-      if (a._2 != null) b += a; b
+      extends Aggregator[(String, String), (Int, Array[String]), String] {
+    def zero: (Int, Array[String]) = (0, new Array[String](8))
+    def reduce(b: (Int, Array[String]), a: (String, String)): (Int, Array[String]) = {
+      if (a._2 == null) b
+      else {
+        val arr = if (b._2.length < b._1 + 2)
+          java.util.Arrays.copyOf(b._2, math.max(b._1 + 2, b._2.length * 2))
+        else b._2
+        arr(b._1) = a._1
+        arr(b._1 + 1) = a._2
+        (b._1 + 2, arr)
+      }
     }
-    def merge(b1: mutable.ArrayBuffer[(String, String)],
-        b2: mutable.ArrayBuffer[(String, String)]) = { b1 ++= b2; b1 }
-    def finish(b: mutable.ArrayBuffer[(String, String)]): String = {
-      val sorted = b.sortBy(_._1)
+    def merge(b1: (Int, Array[String]), b2: (Int, Array[String])): (Int, Array[String]) = {
+      val need = b1._1 + b2._1
+      val arr = if (b1._2.length < need)
+        java.util.Arrays.copyOf(b1._2, math.max(need, b1._2.length * 2))
+      else b1._2
+      System.arraycopy(b2._2, 0, arr, b1._1, b2._1)
+      (need, arr)
+    }
+    def finish(b: (Int, Array[String])): String = {
+      val pairs = (0 until b._1 by 2).map(i => (b._2(i), b._2(i + 1)))
+      val sorted = pairs.sortBy(_._1) // stable: equal keys keep arrival order
       (if (desc) sorted.reverse else sorted).map(_._2).mkString(sep)
     }
-    def bufferEncoder: Encoder[mutable.ArrayBuffer[(String, String)]] =
-      Encoders.kryo[mutable.ArrayBuffer[(String, String)]]
+    def bufferEncoder: Encoder[(Int, Array[String])] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Int, Array[String])]()
     def outputEncoder: Encoder[String] = Encoders.STRING
   }
 
