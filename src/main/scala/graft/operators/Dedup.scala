@@ -391,8 +391,15 @@ object Dedup {
     * capability the fixed-k gram family (d13-d15) cannot express: the
     * largest L such that some L-token gram of the doc occurs at more than
     * one (doc, pos) site corpus-wide (0 = no token of the doc repeats
-    * anywhere). Exact for L < 2^maxPow; longer repeats report the refined
-    * in-bracket value as a lower bound (raise maxPow for longer docs).
+    * anywhere).
+    *
+    * `maxPow <= 0` (the default) derives the ladder height from the CORPUS:
+    * floor(log2(max doc token count)), which makes the answer EXACT for
+    * every possible repeat length at a cost that grows only logarithmically
+    * with doc length (one lead() window + one dup-test level per power of
+    * two — a 100k-token book adds 8 levels over a 500-token doc). An
+    * explicit `maxPow` bounds the work instead: exact for L < 2^maxPow,
+    * longer repeats report the refined in-bracket value as a lower bound.
     *
     * Spark-first prefix doubling (Manber-Myers rank doubling re-expressed
     * on hashed fingerprints — no global suffix sort needed because we only
@@ -422,7 +429,7 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxPow: Int = 9): DataFrame = {
+      maxPow: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
     val toks = filter(split(normalize(col(textCol)), " "), t => length(t) > 0)
@@ -432,8 +439,10 @@ object Dedup {
     val wDoc = Window.partitionBy("__id").orderBy("pos")
     val maxLen = base0.groupBy(col("__id")).count()
       .agg(max(col("count"))).head().getLong(0)
-    val levels = math.min(maxPow,
-      math.max(0, 63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, maxLen))))
+    val corpusPow =
+      math.max(0, 63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, maxLen)))
+    val effPow = if (maxPow > 0) maxPow else corpusPow
+    val levels = math.min(effPow, corpusPow)
 
     // ladder: h_j columns (null once the 2^j-gram would cross the doc end)
     var lad = base0
@@ -477,12 +486,12 @@ object Dedup {
       Seq(col("__id"), col("pos").as("__q")) ++
         (0 to levels).map(jj => col(s"h$jj").as(s"t$jj")): _*)
 
-    // refine: ≤ maxPow rounds of shared binary search — all docs advance
+    // refine: ≤ effPow rounds of shared binary search — all docs advance
     // one probe per round; each round is one keyed exchange over the
     // dup-start subset, never the full corpus
     var r = 0
     var done = false
-    while (r < maxPow && !done) {
+    while (r < effPow && !done) {
       val withMid = state.withColumn("__mid", expr("(lo + hi + 1) div 2"))
       val lens = withMid.filter(col("lo") < col("hi"))
         .select(col("__j"), col("__mid").as("__L")).distinct()

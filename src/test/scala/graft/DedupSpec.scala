@@ -136,6 +136,29 @@ class DedupSpec extends SparkSpec {
     assert(out == Map(1L -> 5L, 2L -> 5L, 3L -> 0L, 4L -> 3L))
   }
 
+  test("longestRepeat: book-length repeat (>511 tokens) reported exactly " +
+      "under the corpus-derived ladder height") {
+    // a 700-token block shared by two long docs: the old fixed maxPow=9
+    // ladder bracketed this at [512, 1023] but with jmax capped at 9 the
+    // within-bracket refinement could only certify up to the bracket; the
+    // corpus-derived default (floor(log2(max doc tokens)) = 10 here) makes
+    // 700 exact. Doc 3 keeps a small repeat to pin levels 0-1 behavior in
+    // the same corpus.
+    val shared = (0 until 700).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$shared tail1 tail2 tail3"),
+      (2L, s"head1 head2 $shared"),
+      (3L, "r1 r2 r1 r2 r1 unique6") // "r1 r2 r1" at pos 0 and 2 -> 3
+    ).toDF("doc_id", "text")
+    val auto = Dedup.longestRepeat(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(auto == Map(1L -> 700L, 2L -> 700L, 3L -> 3L))
+    // explicit low maxPow still reports the documented lower bound
+    val capped = Dedup.longestRepeat(docs, "doc_id", "text", maxPow = 9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped(1L) >= 512L && capped(1L) <= 700L && capped(3L) == 3L)
+  }
+
   test("duplicate spans: overlapping grams merge, unique text untouched") {
     // docs 1 and 2 share a 10-token run -> 3 overlapping 8-grams merge into
     // ONE span [2,11] in doc 1 and [0,9] in doc 2; doc 3 is all-unique
