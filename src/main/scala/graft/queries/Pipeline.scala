@@ -174,6 +174,90 @@ object Pipeline {
     }
   }
 
+  /** Deterministic literal centroids for p03's media-feature cluster stage
+    * — seeded constants (no training), shared verbatim by the plan and the
+    * oracle generator, the same discipline as the seeded LSH hyperplanes. */
+  private def mediaCentroids(k: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(k)(Seq.fill(dim)(rnd.nextDouble()))
+  }
+
+  /** p03 oracle: independent single-node replay of the whole media-prep
+    * pipeline — stub features (the same seeded JVM floats the operator
+    * produces; the feature VALUES are not SQL-expressible, so the replay
+    * recomputes them and inlines the final answer), naive all-pairs
+    * within-cluster cosine (vs the distributed capped pair join), greedy
+    * per-kind byte-budget selection. Fold orders match the codegen kernels
+    * exactly (float widened to double, strict left-to-right), so the
+    * compare is bit-exact. */
+  private def mediaPrepOracle(s: SparkSession, dir: String, k: Int,
+      threshold: Double, budgetBytes: Long): String = {
+    val cents = mediaCentroids(k, 16, 11L).map(_.toArray)
+    val rows = Tables.load(s, dir, "documents").select("doc_id", "text")
+      .collect().map { r =>
+        val id = r.getLong(0)
+        val text = if (r.isNullAt(1)) null else r.getString(1)
+        val payload = if (text == null) null else text.getBytes("UTF-8")
+        val kind = Seq("image", "audio", "video")((id % 3).toInt)
+        val nBytes = if (payload == null) 0L else payload.length.toLong
+        val seed = if (payload == null) id else id * 31 + payload.length
+        val rnd = new scala.util.Random(seed)
+        (id, kind, nBytes, Array.fill(16)(rnd.nextFloat()))
+      }
+    def dotf(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def cluster(f: Array[Float]): Int = { // CentroidKernels.nearest twin
+      var best = -1; var bestD = 0.0; var i = 0
+      while (i < cents.length) {
+        var acc = 0.0; var t0 = 0
+        while (t0 < cents(i).length) {
+          val d0 = f(t0).toDouble - cents(i)(t0); acc += d0 * d0; t0 += 1
+        }
+        if (best < 0 || acc < bestD || (bestD != bestD && acc == acc)) {
+          best = i; bestD = acc
+        }
+        i += 1
+      }
+      best
+    }
+    val victims = scala.collection.mutable.HashSet.empty[Long]
+    rows.groupBy(r => cluster(r._4)).values.foreach { g =>
+      val sorted = g.sortBy(_._1)
+      for (i <- sorted.indices; j <- (i + 1) until sorted.length) {
+        val a = sorted(i); val b = sorted(j)
+        val na = math.sqrt(dotf(a._4, a._4)); val nb = math.sqrt(dotf(b._4, b._4))
+        if (dotf(a._4, b._4) / (na * nb) >= threshold) victims += b._1
+      }
+    }
+    val vals = rows.filter(r => !victims.contains(r._1))
+      .groupBy(_._2).toSeq.flatMap { case (kind, g) =>
+        val ord = g.sortBy(r => (-r._4(0).toDouble, r._1))
+        var cum = 0L
+        ord.zipWithIndex.flatMap { case ((id, _, nb, f), idx) =>
+          cum += nb
+          if (cum <= budgetBytes)
+            Some(s"($id, '$kind', $nb, CAST('${f(0).toDouble}' AS DOUBLE), " +
+              s"${idx + 1}, $cum)")
+          else None
+        }
+      }
+    if (vals.isEmpty)
+      """SELECT CAST(doc_id AS BIGINT) AS media_id, '' AS kind,
+           CAST(0 AS BIGINT) AS n_bytes, CAST(0 AS DOUBLE) AS feat_score,
+           CAST(0 AS BIGINT) AS rank, CAST(0 AS BIGINT) AS cum_bytes
+         FROM documents WHERE FALSE"""
+    else
+      s"""
+        SELECT CAST(media_id AS BIGINT) AS media_id, kind,
+               CAST(n_bytes AS BIGINT) AS n_bytes, feat_score,
+               CAST(rank AS BIGINT) AS rank, CAST(cum_bytes AS BIGINT) AS cum_bytes
+        FROM (VALUES ${vals.mkString(",\n          ")})
+          v(media_id, kind, n_bytes, feat_score, rank, cum_bytes)"""
+  }
+
   /** Memoized DISTRIBUTED training run (t16's operator) — shared by t17's
     * query so Verify trains once per JVM; the oracle side deliberately
     * uses [[bpeReplay]] instead, keeping the cross-check independent. */
@@ -1638,6 +1722,35 @@ object Pipeline {
         embeddingPrepOracle(s, dir, nCoarse = 16, coarseSeed = 42L,
           m = 8, kc = 16, pqSeed = 7L, threshold = 0.35, nProbe = 4,
           k = 10))),
+
+    // ---- Composed media-prep pipeline (p03): the multimodal pillar end to
+    // end as ONE query — stub feature extraction over the binary payload
+    // column (m03's plumbing) → SemDeDup-style near-dup drop on the feature
+    // vectors (d19's within-cluster keep-earliest rule, seeded literal
+    // centroids) → per-kind byte-budget selection of the survivors (u08's
+    // greedy rule with n_bytes as the cost). The oracle is an independent
+    // single-node replay (see [[mediaPrepOracle]]), so the hash checks the
+    // stage INTERFACES: who survived dedup INTO the budget pass.
+    Q("p03_media_prep",
+      (s, dir) => {
+        val media = Multimodal.syntheticMedia(t(s, dir, "documents"))
+        val feats = Multimodal.extractFeatures(media, dim = 16)
+        val meta = Multimodal.decodeMeta(media)
+          .select(col("media_id"), col("kind"), col("n_bytes"))
+        val survivors = Similarity.semDedupKMeans(feats, "media_id", "feature",
+            mediaCentroids(4, 16, 11L), threshold = 0.95)
+          .select(col("media_id"),
+            element_at(col("feature"), 1).cast("double").as("feat_score"))
+        graft.operators.Sampling.budgetSelect(
+            meta.join(survivors, Seq("media_id")),
+            "media_id", "kind", "feat_score", "n_bytes",
+            budgetTokens = 20000L)
+          .withColumnRenamed("cum_tokens", "cum_bytes")
+      },
+      None,
+      oracleGen = Some((s, dir) =>
+        mediaPrepOracle(s, dir, k = 4, threshold = 0.95,
+          budgetBytes = 20000L))),
 
     // ---- Composed corpus-prep pipeline (p01): the end-to-end shape a
     // real training-data user ships, as ONE query — quality-aware dedup

@@ -220,6 +220,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TopKPerKey"), p)
   }
 
+  test("p03 media prep: cluster-keyed pair join, fused budget windows, " +
+      "no quadratic joins") {
+    val p = finalPlan("p03_media_prep").split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // near-dup candidates come from the __cl equi-join, never all-pairs
+    assert(p.contains("__cl"), p)
+    // both budget windows (rank + running sum) share ONE per-kind sort
+    // exchange — same spec, fused by Catalyst
+    assert("Exchange hashpartitioning\\(kind".r.findAllIn(p).length == 1, p)
+    // stage boundaries only: media_id join, victim anti-join, cluster
+    // pair join sides, kind window — nothing redundant in between
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 6, p)
+  }
+
   test("u09 domain mix: one per-stratum sort exchange, quota is a literal CASE") {
     val p = finalPlan("u09_domain_mix").split("== Initial Plan ==")(0)
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
