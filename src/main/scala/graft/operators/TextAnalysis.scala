@@ -369,17 +369,21 @@ object TextAnalysis {
     *
     * `batch` > 1 amortizes the per-round driver round-trip + lineage cut
     * toward a production-sized vocab (30-50k merges): each round takes the
-    * top-`batch` pairs and applies the longest PREFIX whose pairs are
-    * mutually non-conflicting — no symbol of a later pair appears among an
-    * earlier pair's operands or its merged output — in rank order in ONE
-    * rewrite pass. Under that disjointness the later pairs' pre-round
-    * counts and rewrites are invariant under the earlier merges, so a
-    * batched round equals `batch` sequential rounds whenever the
-    * sequential argmaxes would have picked the same pairs (the common
-    * case away from ties; see BpeBatchSpec); the first conflicting pair
-    * ends the round so its count is always re-measured. `batch = 1` (the
-    * default, and the oracle path) is exactly the classic sequential
-    * trainer.
+    * top-`batch` pairs and applies the MAXIMAL RANK-ORDERED INDEPENDENT
+    * SUBSET — scanning in rank order, a pair is selected unless it
+    * conflicts with an already-SELECTED pair (shares a symbol with its
+    * operands or merged output); conflicting pairs are skipped this round
+    * and re-measured next round (the symbol-partitioned conflict rule —
+    * hot symbols like 'e' no longer end the round at the first clash, so
+    * a round lands a large fraction of its batch). Under that mutual
+    * disjointness every selected pair's pre-round count and rewrite are
+    * invariant under the other selected merges, so a batched round equals
+    * the sequential rounds whenever the sequential argmaxes would have
+    * picked the same pairs; when a skipped pair separates two independent
+    * picks the batched table can permute adjacent ranks relative to the
+    * sequential table (disjoint merges commute — the trained tokenizer
+    * encodes identically; see the batch specs). `batch = 1` (the default,
+    * and the oracle path) is exactly the classic sequential trainer.
     *
     * Symbols are CODE POINTS (split(w, "") never separates a surrogate
     * pair), matching [[bpeEncode]] — astral-plane characters stay whole
@@ -429,20 +433,19 @@ object TextAnalysis {
         .limit(m).collect()
       if (top.isEmpty) continue = false
       else {
-        // longest non-conflicting prefix: stop at the first pair touching
-        // any symbol (operand or merged output) of an earlier selection —
-        // its post-merge count could differ, so it must be re-measured
+        // maximal rank-ordered independent subset: a pair conflicting with
+        // an already-selected one (shared operand or merged-output symbol)
+        // is SKIPPED — its post-merge count could differ, so it is
+        // re-measured next round; independent pairs further down the list
+        // still land this round
         val touched = scala.collection.mutable.Set.empty[String]
         val sel = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-        var stop = false
         top.foreach { r =>
-          if (!stop) {
-            val (a, b) = (r.getString(0), r.getString(1))
-            if (sel.isEmpty ||
-                (!touched(a) && !touched(b) && !touched(a + b))) {
-              sel += ((a, b, r.getLong(2)))
-              touched ++= Seq(a, b, a + b)
-            } else stop = true
+          val (a, b) = (r.getString(0), r.getString(1))
+          if (sel.isEmpty ||
+              (!touched(a) && !touched(b) && !touched(a + b))) {
+            sel += ((a, b, r.getLong(2)))
+            touched ++= Seq(a, b, a + b)
           }
         }
         sel.foreach { case (a, b, pf) =>

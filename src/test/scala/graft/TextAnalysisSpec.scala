@@ -264,11 +264,11 @@ class TextAnalysisSpec extends SparkSpec {
     assert(train(3) == seq1)
   }
 
-  test("bpeTrain batch: a conflicting pair ends the round, counts re-measured") {
+  test("bpeTrain batch: a conflicting pair is skipped and re-measured") {
     import spark.implicits._
     import graft.operators.TextAnalysis
-    // (a,b)=3 then (b,c)=2 share symbol b: the round must stop after
-    // (a,b) and re-count (b,c) next round — result identical to m=1
+    // (a,b)=3 then (b,c)=2 share symbol b: the round selects (a,b) only,
+    // (b,c) is re-counted and lands next round — result identical to m=1
     val docs = Seq((1L, ("ab " * 3) + ("bc " * 2))).toDF("doc_id", "text")
     def train(batch: Int) = TextAnalysis.bpeTrain(docs, "text", 2, batch)
       .collect().map(r =>
@@ -277,6 +277,27 @@ class TextAnalysisSpec extends SparkSpec {
     val seq1 = train(1)
     assert(seq1 == Seq((0, "a", "b", 3L), (1, "b", "c", 2L)))
     assert(train(2) == seq1)
+  }
+
+  test("bpeTrain batch: independent pairs past a skipped conflict still " +
+      "land in the round (documented rank permutation vs sequential)") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // counts: (a,b)=5 > (b,c)=4 > (d,e)=3. batch=3 selects (a,b), skips
+    // (b,c) on the shared 'b', and still lands (d,e) the same round;
+    // (b,c) re-measures next round. The merge SET equals sequential; the
+    // rank order of the independent picks permutes — disjoint merges
+    // commute, so the trained tokenizer encodes identically.
+    val docs = Seq((1L, ("ab " * 5) + ("bc " * 4) + ("de " * 3)))
+      .toDF("doc_id", "text")
+    def train(batch: Int) = TextAnalysis.bpeTrain(docs, "text", 3, batch)
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+    assert(train(1) ==
+      Seq((0, "a", "b", 5L), (1, "b", "c", 4L), (2, "d", "e", 3L)))
+    assert(train(3) ==
+      Seq((0, "a", "b", 5L), (1, "d", "e", 3L), (2, "b", "c", 4L)))
   }
 
   test("bpe symbols are code points on both train and encode sides (astral-safe)") {
