@@ -210,21 +210,12 @@ final class Engine(val spark: SparkSession) {
     out.filter(_.trim.nonEmpty).toSeq
   }
 
-  /** A statement plus its literal-masked view: the CONTENTS of every
-    * single-quoted literal are blanked to spaces (quotes kept, length
-    * preserved — offsets map 1:1 onto the raw text). Dispatch decisions run
-    * over `masked`, so a keyword inside a quoted literal can never select
-    * or mis-split a statement — the tokenizer-first front door. */
-  private[sqlfront] final case class Stmt(raw: String) {
-    val masked: String = {
-      val chars = raw.toCharArray
-      literalSpans(raw).foreach { case (s, e) =>
-        var i = s + 1
-        while (i < e - 1) { chars(i) = ' '; i += 1 }
-      }
-      new String(chars)
-    }
-  }
+  // Stmt (the literal-masked statement view) lives in Pat.scala with the
+  // token-pattern extractors; `Pat.P` patterns below replace the DDL
+  // regexes of the historical `M` front door.
+  import Pat.{P, Kw, Opt, OptCap, AltKw, AltCap, OptG, Ident, Quoted, IntCap,
+    SkipWord, SkipNum, SkipLit, Paren, SkipParen, Rest, RestNonEmpty,
+    RestTyped, CapUntil, Peek, SkipRest, Eos, SpecBeforeAfter, DomainTail}
 
   /** Masked-dispatch extractor: the regex MATCHES against `Stmt.masked`
     * (literal-blind), then capture groups are extracted from the RAW text
@@ -259,26 +250,30 @@ final class Engine(val spark: SparkSession) {
   private def maskedUpper(frag: String): String = Stmt(frag).masked.toUpperCase
 
   private val createTableRe =
-    M("""(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.*)\)\s*$""".r)
+    P(Kw("CREATE", "TABLE"), Opt("IF", "NOT", "EXISTS"), Ident, Paren, Eos)
   private val createTableAsRe =
-    M("""(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+AS\s+(.*)$""".r)
+    P(Kw("CREATE", "TABLE"), Opt("IF", "NOT", "EXISTS"), Ident, Kw("AS"), Rest)
   private val dropTableRe =
-    M("""(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r)
-  private val truncateRe = M("""(?is)^\s*TRUNCATE\s+TABLE\s+(\w+)\s*$""".r)
+    P(Kw("DROP", "TABLE"), Opt("IF", "EXISTS"), Ident, Eos)
+  private val truncateRe = P(Kw("TRUNCATE", "TABLE"), Ident, Eos)
   private val createSeqRe =
-    M("""(?is)^\s*CREATE\s+SEQUENCE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)(?:\s+START\s+WITH\s+(-?\d+))?(?:\s+INCREMENT\s+BY\s+(-?\d+))?(?:\s+CACHE\s+\d+)?\s*$""".r)
+    P(Kw("CREATE", "SEQUENCE"), Opt("IF", "NOT", "EXISTS"), Ident,
+      OptG(Kw("START", "WITH"), IntCap), OptG(Kw("INCREMENT", "BY"), IntCap),
+      OptG(Kw("CACHE"), SkipNum), Eos)
   private val dropSeqRe =
-    M("""(?is)^\s*DROP\s+SEQUENCE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r)
+    P(Kw("DROP", "SEQUENCE"), Opt("IF", "EXISTS"), Ident, Eos)
   // CREATE PRIMARY KEY [HASH] name ON t(cols) (ddl/CreateIndex.java primary
   // form, used by the reference's index tests)
   private val createPkRe =
-    M("""(?is)^\s*CREATE\s+PRIMARY\s+KEY\s+(?:HASH\s+)?(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+ON\s+(\w+)\s*\(([^)]*)\)\s*$""".r)
+    P(Kw("CREATE", "PRIMARY", "KEY"), Opt("HASH"), Opt("IF", "NOT", "EXISTS"),
+      Ident, Kw("ON"), Ident, Paren, Eos)
   // CREATE DATABASE (ddl/CreateDatabase.java — RUN MODE/PARAMETERS are
   // distributed-deployment attributes, recorded only)
   private val createDatabaseRe =
-    M("""(?is)^\s*CREATE\s+DATABASE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)(?:\s+RUN\s+MODE\s+\w+)?(?:\s+PARAMETERS\s*\(.*\))?\s*$""".r)
+    P(Kw("CREATE", "DATABASE"), Opt("IF", "NOT", "EXISTS"), Ident,
+      OptG(Kw("RUN", "MODE"), SkipWord), OptG(Kw("PARAMETERS"), SkipParen), Eos)
   private val dropDatabaseRe =
-    M("""(?is)^\s*DROP\s+DATABASE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r)
+    P(Kw("DROP", "DATABASE"), Opt("IF", "EXISTS"), Ident, Eos)
   private val databases = mutable.LinkedHashSet("graft")
   // ── tokenizer-first INSERT family (Parser.java:1014 parseInsert) ──
   // One token scan classifies every INSERT body form — SET assignments
@@ -480,101 +475,122 @@ final class Engine(val spark: SparkSession) {
     M("""(?is)^\s*ANALYZE(?:\s+TABLE\s+\w+)?(?:\s+SAMPLE_SIZE\s+\d+)?\s*$""".r)
   private val explainAnalyzeRe = M("""(?is)^\s*EXPLAIN\s+ANALYZE\s+(.*)$""".r)
   private val createViewRe =
-    M("""(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:FORCE\s+)?VIEW\s+(\w+)\s*(?:\(([^)]*)\)\s*)?AS\s+(.*)$""".r)
+    P(Kw("CREATE"), Opt("OR", "REPLACE"), Opt("FORCE"), Kw("VIEW"), Ident,
+      OptG(Paren), Kw("AS"), Rest)
   private val dropViewRe =
-    M("""(?is)^\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r)
+    P(Kw("DROP", "VIEW"), Opt("IF", "EXISTS"), Ident, Eos)
   // ALTER TABLE family (ddl/AlterTableAddColumn.java,
   // AlterTableAlterColumn.java, AlterTableRename.java,
   // AlterTableRenameColumn.java, AlterTableAddConstraint.java)
   private val alterRenameTableRe =
-    M("""(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+TO\s+(\w+)(?:\s+HIDDEN)?\s*$""".r)
+    P(Kw("ALTER", "TABLE"), Ident, Kw("RENAME", "TO"), Ident, Opt("HIDDEN"), Eos)
   private val alterAddConstraintRe =
-    M("""(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+CONSTRAINT\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+(.*)$""".r)
+    P(Kw("ALTER", "TABLE"), Ident, Kw("ADD", "CONSTRAINT"),
+      Opt("IF", "NOT", "EXISTS"), Ident, RestNonEmpty)
   // multi-column ADD: `ADD (f3 int, f4 int)` / `ADD COLUMN(f5 int, f6 int)`
   // (AlterTableAddColumn.java list form)
   private val alterAddMultiRe =
-    M("""(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+(?:COLUMN\s*)?\((.*)\)\s*$""".r)
+    P(Kw("ALTER", "TABLE"), Ident, Kw("ADD"), Opt("COLUMN"), Paren, Eos)
   private val alterAddColRe =
-    M("""(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+(?:COLUMN\s+)?(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+(.+?)(?:\s+BEFORE\s+(\w+)|\s+AFTER\s+(\w+))?\s*$""".r)
+    P(Kw("ALTER", "TABLE"), Ident, Kw("ADD"), Opt("COLUMN"),
+      Opt("IF", "NOT", "EXISTS"), Ident, SpecBeforeAfter)
   private val alterDropPkRe =
-    M("""(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+PRIMARY\s+KEY\s*$""".r)
+    P(Kw("ALTER", "TABLE"), Ident, Kw("DROP", "PRIMARY", "KEY"), Eos)
   private val alterDropConstraintRe =
-    M("""(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+CONSTRAINT\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r)
+    P(Kw("ALTER", "TABLE"), Ident, Kw("DROP", "CONSTRAINT"),
+      Opt("IF", "EXISTS"), Ident, Eos)
   private val alterDropColRe =
-    M("""(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+(?:COLUMN\s+)?(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r)
+    P(Kw("ALTER", "TABLE"), Ident, Kw("DROP"), Opt("COLUMN"),
+      Opt("IF", "EXISTS"), Ident, Eos)
   // ALTER/MODIFY [COLUMN] variants (AlterTableAlterColumnTest shapes:
   // `ALTER f1 TYPE long`, `MODIFY f1 long`, `MODIFY COLUMN f1 int NOT NULL`)
   private val alterRenameColRe =
-    M("""(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+(?:ALTER|MODIFY)\s+(?:COLUMN\s+)?(\w+)\s+RENAME\s+TO\s+(\w+)\s*$""".r)
+    P(Kw("ALTER", "TABLE"), Ident, AltKw(Seq("ALTER"), Seq("MODIFY")),
+      Opt("COLUMN"), Ident, Kw("RENAME", "TO"), Ident, Eos)
   private val alterColSetDefaultRe =
-    M("""(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+(?:ALTER|MODIFY)\s+(?:COLUMN\s+)?(\w+)\s+SET\s+DEFAULT\s+(.+)$""".r)
+    P(Kw("ALTER", "TABLE"), Ident, AltKw(Seq("ALTER"), Seq("MODIFY")),
+      Opt("COLUMN"), Ident, Kw("SET", "DEFAULT"), RestNonEmpty)
   private val alterColDropDefaultRe =
-    M("""(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+(?:ALTER|MODIFY)\s+(?:COLUMN\s+)?(\w+)\s+DROP\s+DEFAULT\s*$""".r)
+    P(Kw("ALTER", "TABLE"), Ident, AltKw(Seq("ALTER"), Seq("MODIFY")),
+      Opt("COLUMN"), Ident, Kw("DROP", "DEFAULT"), Eos)
   private val alterColNullRe =
-    M("""(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+(?:ALTER|MODIFY)\s+(?:COLUMN\s+)?(\w+)\s+(?:SET\s+(?:NOT\s+)?NULL|DROP\s+NOT\s+NULL)\s*$""".r)
+    P(Kw("ALTER", "TABLE"), Ident, AltKw(Seq("ALTER"), Seq("MODIFY")),
+      Opt("COLUMN"), Ident,
+      AltKw(Seq("SET", "NOT", "NULL"), Seq("SET", "NULL"),
+        Seq("DROP", "NOT", "NULL")), Eos)
   private val alterColTypeRe =
-    M("""(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+(?:ALTER|MODIFY)\s+(?:COLUMN\s+)?(\w+)\s+(?:SET\s+DATA\s+TYPE\s+|TYPE\s+)?([A-Za-z].*)$""".r)
+    P(Kw("ALTER", "TABLE"), Ident, AltKw(Seq("ALTER"), Seq("MODIFY")),
+      Opt("COLUMN"), Ident,
+      OptG(AltKw(Seq("SET", "DATA", "TYPE"), Seq("TYPE"))), RestTyped)
   private val alterSetRefIntRe =
-    M("""(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+SET\s+REFERENTIAL_INTEGRITY\s+(TRUE|FALSE)(?:\s+(?:CHECK|NOCHECK))?\s*$""".r)
+    P(Kw("ALTER", "TABLE"), Ident, Kw("SET", "REFERENTIAL_INTEGRITY"),
+      AltCap("TRUE", "FALSE"), OptG(AltKw(Seq("CHECK"), Seq("NOCHECK"))), Eos)
   // CREATE/DROP INDEX (ddl/CreateIndex.java, ddl/DropIndex.java) — recorded
   // and surfaced via INFORMATION_SCHEMA.INDEXES; execution is a no-op
   // because Spark's scan planning subsumes secondary indexes.
   private val createIndexRe =
-    M("""(?is)^\s*CREATE\s+(UNIQUE\s+)?(?:HASH\s+)?INDEX\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+ON\s+(\w+)\s*\(([^)]*)\)\s*$""".r)
+    P(Kw("CREATE"), OptCap("UNIQUE"), Opt("HASH"), Kw("INDEX"),
+      Opt("IF", "NOT", "EXISTS"), Ident, Kw("ON"), Ident, Paren, Eos)
   private val dropIndexRe =
-    M("""(?is)^\s*DROP\s+INDEX\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r)
+    P(Kw("DROP", "INDEX"), Opt("IF", "EXISTS"), Ident, Eos)
   // CSVWRITE('dir','sql') statement form (Function.java:353, Csv.java:123)
   private val csvWriteRe =
     M("""(?is)^\s*(?:CALL\s+)?CSVWRITE\s*\(\s*'([^']+)'\s*,\s*'(.*)'\s*\)\s*$""".r)
   // CREATE ALIAS name FOR "class.method" (ddl/CreateFunctionAlias.java —
   // the reference resolves the target by reflection; so do we)
   private val createAliasRe =
-    M("""(?is)^\s*CREATE\s+ALIAS\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+FOR\s+"([^"]+)"\s*$""".r)
+    P(Kw("CREATE", "ALIAS"), Opt("IF", "NOT", "EXISTS"), Ident, Kw("FOR"),
+      Quoted, Eos)
   private val dropAliasRe =
-    M("""(?is)^\s*DROP\s+ALIAS\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r)
+    P(Kw("DROP", "ALIAS"), Opt("IF", "EXISTS"), Ident, Eos)
   private val createConstantRe =
-    M("""(?is)^\s*CREATE\s+CONSTANT\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+VALUE\s+(.*)$""".r)
+    P(Kw("CREATE", "CONSTANT"), Opt("IF", "NOT", "EXISTS"), Ident,
+      Kw("VALUE"), Rest)
   private val dropConstantRe =
-    M("""(?is)^\s*DROP\s+CONSTANT\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r)
+    P(Kw("DROP", "CONSTANT"), Opt("IF", "EXISTS"), Ident, Eos)
   // DOMAIN/TYPE/DATATYPE are one statement family (UserDataTypeTest:
   // "CREATE DOMAIN/TYPE/DATATYPE都是一样的"); the optional CHECK constrains
   // every column of the domain, with VALUE as the placeholder column.
   private val createDomainRe =
-    M(("""(?is)^\s*CREATE\s+(?:DOMAIN|TYPE|DATATYPE)\s+""" +
-      """(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+(?:AS\s+)?(.+?)""" +
-      """(?:\s+CHECK\s*\((.*)\))?\s*$""").r)
+    P(Kw("CREATE"), AltKw(Seq("DOMAIN"), Seq("TYPE"), Seq("DATATYPE")),
+      Opt("IF", "NOT", "EXISTS"), Ident, Opt("AS"), DomainTail)
   private val dropDomainRe =
-    M("""(?is)^\s*DROP\s+(?:DOMAIN|TYPE|DATATYPE)\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r)
+    P(Kw("DROP"), AltKw(Seq("DOMAIN"), Seq("TYPE"), Seq("DATATYPE")),
+      Opt("IF", "EXISTS"), Ident, Eos)
   private val domainChecks = mutable.HashMap.empty[String, String]
   private val createTriggerRe =
-    M("""(?is)^\s*CREATE\s+TRIGGER\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+((?:BEFORE|AFTER|INSTEAD\s+OF)\s+[\w ,]+?)\s+ON\s+(\w+)\s+.*$""".r)
+    P(Kw("CREATE", "TRIGGER"), Opt("IF", "NOT", "EXISTS"), Ident,
+      Peek("BEFORE", "AFTER", "INSTEAD"), CapUntil("ON"), Kw("ON"), Ident,
+      SkipRest)
   private val dropTriggerRe =
-    M("""(?is)^\s*DROP\s+TRIGGER\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r)
+    P(Kw("DROP", "TRIGGER"), Opt("IF", "EXISTS"), Ident, Eos)
   // DROP ALL OBJECTS (ddl/DropDatabase.java), CREATE SCHEMA
   // (ddl/CreateSchema.java), GRANT/REVOKE (ddl/GrantRevoke.java — recorded
   // only; single-user batch engine enforces nothing)
   private val dropAllRe =
-    M("""(?is)^\s*DROP\s+ALL\s+OBJECTS\s*$""".r)
+    P(Kw("DROP", "ALL", "OBJECTS"), Eos)
   private val createSchemaRe =
-    M("""(?is)^\s*CREATE\s+SCHEMA\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)(?:\s+AUTHORIZATION\s+\w+)?\s*$""".r)
+    P(Kw("CREATE", "SCHEMA"), Opt("IF", "NOT", "EXISTS"), Ident,
+      OptG(Kw("AUTHORIZATION"), SkipWord), Eos)
   private val dropSchemaRe =
-    M("""(?is)^\s*DROP\s+SCHEMA\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r)
+    P(Kw("DROP", "SCHEMA"), Opt("IF", "EXISTS"), Ident, Eos)
   // ALTER SCHEMA … RENAME TO (SchemaTest): system schemas are immutable
   private val alterSchemaRenameRe =
-    M("""(?is)^\s*ALTER\s+SCHEMA\s+(\w+)\s+RENAME\s+TO\s+(\w+)\s*$""".r)
+    P(Kw("ALTER", "SCHEMA"), Ident, Kw("RENAME", "TO"), Ident, Eos)
   // CREATE/ALTER/DROP USER (ddl/CreateUser.java, AlterUser.java,
   // DropUser.java — AlterUserTest shapes): recorded; a single-user batch
   // engine authenticates nothing, so passwords are noted as set, not kept
   private val createUserRe =
-    M("""(?is)^\s*CREATE\s+USER\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)(?:\s+PASSWORD\s+'[^']*')?(\s+ADMIN)?\s*$""".r)
+    P(Kw("CREATE", "USER"), Opt("IF", "NOT", "EXISTS"), Ident,
+      OptG(Kw("PASSWORD"), SkipLit), OptCap("ADMIN"), Eos)
   private val alterUserRenameRe =
-    M("""(?is)^\s*ALTER\s+USER\s+(\w+)\s+RENAME\s+TO\s+(\w+)\s*$""".r)
+    P(Kw("ALTER", "USER"), Ident, Kw("RENAME", "TO"), Ident, Eos)
   private val alterUserPasswordRe =
-    M("""(?is)^\s*ALTER\s+USER\s+(\w+)\s+SET\s+PASSWORD\s+'[^']*'\s*$""".r)
+    P(Kw("ALTER", "USER"), Ident, Kw("SET", "PASSWORD"), SkipLit, Eos)
   private val alterUserAdminRe =
-    M("""(?is)^\s*ALTER\s+USER\s+(\w+)\s+ADMIN\s+(TRUE|FALSE)\s*$""".r)
+    P(Kw("ALTER", "USER"), Ident, Kw("ADMIN"), AltCap("TRUE", "FALSE"), Eos)
   private val dropUserRe =
-    M("""(?is)^\s*DROP\s+USER\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r)
+    P(Kw("DROP", "USER"), Opt("IF", "EXISTS"), Ident, Eos)
   private val users = mutable.LinkedHashMap("sa" -> true) // name → admin
   private val grantRe =
     M("""(?is)^\s*GRANT\s+([\w, ]+?)\s+ON\s+(\w+)\s+TO\s+(\w+)\s*$""".r)
@@ -588,9 +604,9 @@ final class Engine(val spark: SparkSession) {
   private val roles = mutable.LinkedHashSet("public")
   private val roleGrants = mutable.ArrayBuffer.empty[(String, String)]
   private val createRoleRe =
-    M("""(?is)^\s*CREATE\s+ROLE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s*$""".r)
+    P(Kw("CREATE", "ROLE"), OptCap("IF", "NOT", "EXISTS"), Ident, Eos)
   private val dropRoleRe =
-    M("""(?is)^\s*DROP\s+ROLE\s+(IF\s+EXISTS\s+)?(\w+)\s*$""".r)
+    P(Kw("DROP", "ROLE"), OptCap("IF", "EXISTS"), Ident, Eos)
   // GRANT/REVOKE without ON: role grants, or object-less system rights
   // (GRANT ALTER ANY SCHEMA TO u — Right.java ALTER_ANY_SCHEMA)
   private val grantRoleRe =
@@ -1692,25 +1708,8 @@ final class Engine(val spark: SparkSession) {
   }
 
   /** Spans [start,end) of single-quoted literals ('' is the escape). */
-  private def literalSpans(s: String): IndexedSeq[(Int, Int)] = {
-    val out = mutable.ArrayBuffer.empty[(Int, Int)]
-    var i = 0
-    while (i < s.length) {
-      if (s.charAt(i) == '\'') {
-        val start = i
-        i += 1
-        var done = false
-        while (i < s.length && !done) {
-          if (s.charAt(i) == '\'') {
-            if (i + 1 < s.length && s.charAt(i + 1) == '\'') i += 2
-            else { done = true; i += 1 }
-          } else i += 1
-        }
-        out += ((start, i))
-      } else i += 1
-    }
-    out.toIndexedSeq
-  }
+  private def literalSpans(s: String): IndexedSeq[(Int, Int)] =
+    Stmt.literalSpans(s)
 
   /** Apply a regex rewrite only to matches that start outside string
     * literals; matches inside a literal are left verbatim. */

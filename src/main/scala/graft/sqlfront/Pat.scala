@@ -1,0 +1,269 @@
+package graft.sqlfront
+
+import scala.collection.mutable
+
+/** A statement plus its literal-masked view: the CONTENTS of every
+  * single-quoted literal are blanked to spaces (quotes kept, length
+  * preserved — offsets map 1:1 onto the raw text). Regex dispatch decisions
+  * run over `masked`, so a keyword inside a quoted literal can never select
+  * or mis-split a statement; token-pattern dispatch ([[Pat]]) gets the same
+  * property structurally (a literal is one token). */
+private[sqlfront] final case class Stmt(raw: String) {
+  val masked: String = {
+    val chars = raw.toCharArray
+    Stmt.literalSpans(raw).foreach { case (s, e) =>
+      var i = s + 1
+      while (i < e - 1) { chars(i) = ' '; i += 1 }
+    }
+    new String(chars)
+  }
+}
+
+private[sqlfront] object Stmt {
+  /** Spans [start, end) of 'string literals' ('' escapes included) —
+    * the masking/offset contract every literal-aware scan shares. */
+  def literalSpans(s: String): IndexedSeq[(Int, Int)] = {
+    val out = mutable.ArrayBuffer.empty[(Int, Int)]
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\'') {
+        val start = i
+        i += 1
+        var done = false
+        while (i < s.length && !done) {
+          if (s.charAt(i) == '\'') {
+            if (i + 1 < s.length && s.charAt(i + 1) == '\'') i += 2
+            else { done = true; i += 1 }
+          } else i += 1
+        }
+        out += ((start, i))
+      } else i += 1
+    }
+    out.toIndexedSeq
+  }
+}
+
+/** Token-pattern extractors over [[Lex]] — the regex-free successor of the
+  * `M(regex)` front door for the CREATE/ALTER/DROP DDL families.
+  *
+  * A pattern is a sequence of elements matched against the statement's
+  * token stream with one-element backtracking for optional groups and
+  * alternations (the same skip-on-failure semantics as a regex `(?:…)?`).
+  * Capture groups keep the EXACT contract of the regexes they replaced —
+  * raw source slices in pattern order, `null` for an absent optional
+  * capture — so the dispatch arms in [[Engine]] are unchanged. Literal
+  * safety is structural: a 'string literal' or "quoted identifier" is a
+  * single token, so keywords inside them can never select a statement
+  * (the property `M` simulated by masking).
+  */
+private[sqlfront] object Pat {
+
+  sealed trait El
+  /** Required keyword sequence (case-insensitive bare words). */
+  final case class Kw(ws: String*) extends El
+  /** Optional keyword sequence, no capture (regex `(?:W1\s+W2\s+)?`). */
+  final case class Opt(ws: String*) extends El
+  /** Optional keyword sequence CAPTURED as its raw span, null if absent
+    * (regex `(IF\s+NOT\s+EXISTS\s+)?`-style flag captures — call sites
+    * null-check, so the exact span text is irrelevant). */
+  final case class OptCap(ws: String*) extends El
+  /** Alternation of keyword sequences, first full match wins, no capture. */
+  final case class AltKw(alts: Seq[String]*) extends El
+  /** Alternation of single keywords, CAPTURING the matched word. */
+  final case class AltCap(ws: String*) extends El
+  /** Optional group of nested elements, tried with backtracking: on
+    * failure the cursor restores and every nested capture yields null. */
+  final case class OptG(els: El*) extends El
+  /** Capture a bare identifier (regex `(\w+)`). */
+  case object Ident extends El
+  /** Capture the inner text of a non-empty "quoted" token. */
+  case object Quoted extends El
+  /** Capture an optionally-negated integer literal (regex `(-?\d+)`). */
+  case object IntCap extends El
+  /** Skip one bare word (regex `\w+`, non-capturing). */
+  case object SkipWord extends El
+  /** Skip one unsigned number. */
+  case object SkipNum extends El
+  /** Skip one 'string literal'. */
+  case object SkipLit extends El
+  /** '(' … matching ')': capture the raw inner text. */
+  case object Paren extends El
+  /** '(' … matching ')', no capture. */
+  case object SkipParen extends El
+  /** Capture the raw remainder, possibly empty (regex `(.*)$`). */
+  case object Rest extends El
+  /** Capture the raw remainder, at least one token (regex `(.+)$`). */
+  case object RestNonEmpty extends El
+  /** Capture the remainder, which must start with an ASCII-letter-led bare
+    * word (regex `([A-Za-z].*)$` — excludes quoted identifiers and `_`). */
+  case object RestTyped extends El
+  /** Capture raw text (trimmed) up to the first depth-0 occurrence of the
+    * keyword — which must exist, is not consumed, and needs ≥1 token
+    * before it. */
+  final case class CapUntil(w: String) extends El
+  /** Assert (without consuming) that the next token is one of the words. */
+  final case class Peek(ws: String*) extends El
+  /** Ignore everything to the end (regex `.*$`), possibly empty. */
+  case object SkipRest extends El
+  /** End of statement (regex `\s*$`). */
+  case object Eos extends El
+  /** ALTER TABLE … ADD tail — captures (spec, before, after): an optional
+    * trailing `BEFORE <ident>` / `AFTER <ident>` is split off the
+    * NON-EMPTY spec, matching the backtracking of
+    * `(.+?)(?:\s+BEFORE\s+(\w+)|\s+AFTER\s+(\w+))?\s*$` (the LAST
+    * two-token tail wins; a spec that IS `BEFORE x` alone stays a spec). */
+  case object SpecBeforeAfter extends El
+  /** CREATE DOMAIN tail — captures (baseType, check): check is the paren
+    * inner of the EARLIEST depth-0 `CHECK ( … )` whose close ends the
+    * statement, null when absent
+    * (regex `(.+?)(?:\s+CHECK\s*\((.*)\))?\s*$`). */
+  case object DomainTail extends El
+
+  /** Number of capture slots an element contributes. */
+  private def nCaps(el: El): Int = el match {
+    case _: OptCap | _: AltCap | Ident | Quoted | IntCap | Paren | Rest |
+         RestNonEmpty | RestTyped | _: CapUntil => 1
+    case DomainTail => 2
+    case SpecBeforeAfter => 3
+    case OptG(inner @ _*) => inner.map(nCaps).sum
+    case _ => 0
+  }
+
+  final case class P(els: El*) {
+    def unapplySeq(st: Stmt): Option[Seq[String]] = Pat.run(st.raw, els)
+  }
+
+  private def run(s: String, els: Seq[El]): Option[Seq[String]] = {
+    val ts = Lex.tokens(s)
+    val caps = mutable.ArrayBuffer.empty[String]
+    var i = 0
+
+    def isWord(j: Int, w: String): Boolean = j < ts.length && ts(j).is(s, w)
+    def isBare(j: Int): Boolean =
+      j < ts.length && ts(j).kind == Lex.Word && s.charAt(ts(j).start) != '"'
+    def isSymC(j: Int, c: Char): Boolean =
+      j < ts.length && ts(j).kind == Lex.Sym && s.charAt(ts(j).start) == c
+    def digitsOnly(j: Int): Boolean =
+      ts(j).kind == Lex.Num &&
+        (ts(j).start until ts(j).end).forall(k => s.charAt(k).isDigit)
+    /** Token index of the ')' matching the '(' at `open`, -1 if none. */
+    def matchClose(open: Int): Int = {
+      var j = open + 1
+      while (j < ts.length) {
+        if (ts(j).kind == Lex.Sym && s.charAt(ts(j).start) == ')' &&
+            ts(j).depth == ts(open).depth) return j
+        j += 1
+      }
+      -1
+    }
+    def kwSeq(ws: Seq[String]): Boolean =
+      if (ws.indices.forall(k => isWord(i + k, ws(k)))) {
+        i += ws.length; true
+      } else false
+
+    def one(el: El): Boolean = el match {
+      case Kw(ws @ _*) => kwSeq(ws)
+      case Opt(ws @ _*) => kwSeq(ws) || true
+      case OptCap(ws @ _*) =>
+        if (i < ts.length) {
+          val st0 = ts(i).start
+          if (kwSeq(ws)) { caps += s.substring(st0, ts(i - 1).end); true }
+          else { caps += null; true }
+        } else { caps += null; true }
+      case AltKw(alts @ _*) => alts.exists(kwSeq)
+      case AltCap(ws @ _*) =>
+        ws.exists(isWord(i, _)) && { caps += ts(i).text(s); i += 1; true }
+      case OptG(inner @ _*) =>
+        val (si, sc) = (i, caps.length)
+        if (inner.forall(one)) true
+        else {
+          i = si; caps.takeInPlace(sc)
+          inner.foreach(e => caps ++= Seq.fill(nCaps(e))(null: String))
+          true
+        }
+      case Ident =>
+        isBare(i) && { caps += ts(i).text(s); i += 1; true }
+      case Quoted =>
+        if (i < ts.length && ts(i).kind == Lex.Word &&
+            s.charAt(ts(i).start) == '"' && ts(i).end - ts(i).start > 2) {
+          caps += s.substring(ts(i).start + 1, ts(i).end - 1); i += 1; true
+        } else false
+      case IntCap =>
+        if (i < ts.length && digitsOnly(i)) {
+          caps += ts(i).text(s); i += 1; true
+        } else if (isSymC(i, '-') && i + 1 < ts.length && digitsOnly(i + 1)) {
+          caps += s.substring(ts(i).start, ts(i + 1).end); i += 2; true
+        } else false
+      case SkipWord => isBare(i) && { i += 1; true }
+      case SkipNum =>
+        i < ts.length && ts(i).kind == Lex.Num && { i += 1; true }
+      case SkipLit =>
+        i < ts.length && ts(i).kind == Lex.Lit && { i += 1; true }
+      case Paren =>
+        if (!isSymC(i, '(')) false
+        else {
+          val close = matchClose(i)
+          close >= 0 && {
+            caps += s.substring(ts(i).end, ts(close).start); i = close + 1; true
+          }
+        }
+      case SkipParen =>
+        isSymC(i, '(') && { val c = matchClose(i); c >= 0 && { i = c + 1; true } }
+      case Rest =>
+        caps += (if (i < ts.length) s.substring(ts(i).start) else "")
+        i = ts.length; true
+      case RestNonEmpty =>
+        i < ts.length && { caps += s.substring(ts(i).start); i = ts.length; true }
+      case RestTyped =>
+        val c = if (isBare(i)) s.charAt(ts(i).start) else ' '
+        (c >= 'a' && c <= 'z' || c >= 'A' && c <= 'Z') && {
+          caps += s.substring(ts(i).start); i = ts.length; true
+        }
+      case CapUntil(w) =>
+        var j = i
+        var hit = -1
+        while (j < ts.length && hit < 0) {
+          if (ts(j).depth == 0 && ts(j).is(s, w)) hit = j
+          j += 1
+        }
+        hit > i && {
+          caps += s.substring(ts(i).start, ts(hit).start).trim; i = hit; true
+        }
+      case Peek(ws @ _*) => ws.exists(isWord(i, _))
+      case SkipRest => i = ts.length; true
+      case Eos => i == ts.length
+      case SpecBeforeAfter =>
+        i < ts.length && {
+          val last = ts.length - 1
+          if (last - 1 > i && isBare(last) &&
+              (ts(last - 1).is(s, "BEFORE") || ts(last - 1).is(s, "AFTER"))) {
+            caps += s.substring(ts(i).start, ts(last - 1).start).trim
+            caps += (if (ts(last - 1).is(s, "BEFORE")) ts(last).text(s) else null)
+            caps += (if (ts(last - 1).is(s, "AFTER")) ts(last).text(s) else null)
+          } else {
+            caps += s.substring(ts(i).start).trim
+            caps += null; caps += null
+          }
+          i = ts.length; true
+        }
+      case DomainTail =>
+        i < ts.length && {
+          var j = i + 1 // base type needs ≥1 token before CHECK
+          var hit = -1
+          while (j < ts.length - 1 && hit < 0) {
+            if (ts(j).depth == 0 && ts(j).is(s, "CHECK") && isSymC(j + 1, '(') &&
+                matchClose(j + 1) == ts.length - 1) hit = j
+            j += 1
+          }
+          if (hit < 0) { caps += s.substring(ts(i).start).trim; caps += null }
+          else {
+            caps += s.substring(ts(i).start, ts(hit).start).trim
+            caps += s.substring(ts(hit + 1).end, ts(ts.length - 1).start)
+          }
+          i = ts.length; true
+        }
+    }
+
+    if (els.forall(one)) Some(caps.toSeq) else None
+  }
+}

@@ -66,6 +66,16 @@ object ScaleStress {
       Dedup.duplicateSpans(hot, "doc_id", "text", k = 8).count()
     }
     println("[stress] hot-gram spans=" + hotSpans + " (expect 1000000: one per doc)")
+    // longest-repeat dense worst case: every doc appears 10x, so EVERY
+    // position of every doc is a duplicated start at every ladder level —
+    // the refinement universe is the whole corpus and the per-doc answer is
+    // the full doc length. Sum over a computed column so nothing hollows out.
+    val lrep = time("longest-repeat-50k-all-dup") {
+      Dedup.longestRepeat(big, "doc_id", "text")
+        .agg(sum(col("longest_repeat"))).head().getLong(0)
+    }
+    println("[stress] longest-repeat token-sum=" + lrep +
+      " (every doc fully duplicated: equals corpus token count)")
     val packedMax = time("pack-sequences-50k") {
       graft.operators.Sampling.packSequences(
         big.select(col("doc_id"),
