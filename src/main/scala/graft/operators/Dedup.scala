@@ -466,16 +466,24 @@ object Dedup {
         .transform(graft.core.Checkpoint.cut)
     }
 
-    // per-doc bracket: jmax and its binary-search state [lo, hi]
-    val nTok = base0.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
+    // per-doc bracket: jmax and its binary-search state [lo, hi]. hi starts
+    // at the FULL bracket top (2^(j+1)-1), deliberately NOT clamped to the
+    // doc's token count: a length beyond the doc can never hit (the doc has
+    // no position probe there), so the converged lo is identical — and every
+    // doc at a level now shares the same search-path prefix, which keeps
+    // `lens` (the distinct lengths probed per round) at O(2^round · levels)
+    // instead of O(distinct doc lengths · levels) from round 0. On the
+    // 10x-clone dense stress the clamp made the keyed probe join explode
+    // ~50x in the first rounds (317 s for round 0 alone); unclamped, each
+    // early round joins each dup start against ONE length per level.
     val jmax = dupStarts.zipWithIndex.map { case (d, jj) =>
         d.select(col("__id")).distinct().withColumn("__j", lit(jj)) }
       .reduce(_ union _)
       .groupBy(col("__id")).agg(max(col("__j")).as("__j"))
-    var state = jmax.join(nTok, Seq("__id"))
+    var state = jmax
       .selectExpr("__id", "__j",
         "CAST(shiftleft(1, __j) AS BIGINT) AS lo",
-        "least(CAST(shiftleft(1, __j + 1) AS BIGINT) - 1, __n) AS hi")
+        "CAST(shiftleft(1, __j + 1) AS BIGINT) - 1 AS hi")
       .transform(graft.core.Checkpoint.cut)
 
     val dupStartsAll = dupStarts.zipWithIndex.map { case (d, jj) =>

@@ -1,0 +1,136 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Scratch phase-timing probe for the longest-repeat dense worst case —
+  * not part of the driver contract. Replicates Dedup.longestRepeat's
+  * phases with timers to localize the 10x-clone stress cost. */
+object D17Probe {
+  def main(a: Array[String]): Unit = {
+    val spark = graft.core.GraftSession.local(32)
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.expressions.Window
+    val dir = a.headOption.getOrElse("/root/testdata/sf0.1")
+    val amp = a.lift(1).map(_.toInt).getOrElse(10)
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[d17] $label ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
+    }
+    val docs0 = graft.core.Tables.load(spark, dir, "documents")
+    val docs = (0 until amp).map(i =>
+        docs0.select((col("doc_id") * amp + i).as("doc_id"), col("text")))
+      .reduce(_ union _).localCheckpoint(true)
+    println("[d17] docs=" + docs.count())
+
+    val toks = filter(split(lower(regexp_replace(col("text"),
+      "[ \\t\\n\\x0B\\f\\r]+", " ")), " "), t => length(t) > 0)
+    val base0 = time("base0 cut") {
+      graft.core.Checkpoint.cut(
+        docs.select(col("doc_id").as("__id"), posexplode(toks).as(Seq("pos", "tok")))
+          .select(col("__id"), col("pos"), xxhash64(col("tok")).as("h0")))
+    }
+    println("[d17] positions=" + base0.count())
+    val wDoc = Window.partitionBy("__id").orderBy("pos")
+    val maxLen = time("maxLen") {
+      base0.groupBy(col("__id")).count().agg(max(col("count"))).head().getLong(0)
+    }
+    val levels = math.min(
+      math.max(0, 63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, maxLen))),
+      63)
+    println(s"[d17] maxLen=$maxLen levels=$levels")
+    var lad = base0
+    time("ladder windows + cut") {
+      var j = 0
+      while (j < levels) {
+        val nxt = lead(col(s"h$j"), 1 << j).over(wDoc)
+        lad = lad.withColumn(s"h${j + 1}",
+          when(nxt.isNotNull, xxhash64(col(s"h$j"), nxt)))
+        j += 1
+      }
+      lad = graft.core.Checkpoint.cut(lad)
+      lad.count()
+    }
+    val dupStarts = time("dupStarts x levels") {
+      (0 to levels).map { jj =>
+        val hs = lad.filter(col(s"h$jj").isNotNull)
+          .select(col("__id"), col("pos"), col(s"h$jj").as("__h"))
+        val dups = hs.groupBy(col("__h")).agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > 1).select(col("__h"))
+        val d = graft.core.Checkpoint.cut(
+          hs.join(dups, Seq("__h"), "left_semi")
+            .select(col("__id"), col("pos"), col("__h")))
+        println(s"[d17]   level $jj dupStarts=" + d.count())
+        d
+      }
+    }
+    val jmax = time("jmax union-distinct") {
+      val j = dupStarts.zipWithIndex.map { case (d, jj) =>
+          d.select(col("__id")).distinct().withColumn("__j", lit(jj)) }
+        .reduce(_ union _)
+        .groupBy(col("__id")).agg(max(col("__j")).as("__j"))
+      val s0 = graft.core.Checkpoint.cut(
+        j.selectExpr("__id", "__j",
+          "CAST(shiftleft(1, __j) AS BIGINT) AS lo",
+          "CAST(shiftleft(1, __j + 1) AS BIGINT) - 1 AS hi"))
+      s0.count(); s0
+    }
+    var state = jmax
+    val dupStartsAll = time("dupStartsAll cut") {
+      val d = graft.core.Checkpoint.cut(
+        dupStarts.zipWithIndex.map { case (d0, jj) =>
+          d0.withColumn("__j", lit(jj)) }.reduce(_ union _))
+      println("[d17]   rows=" + d.count()); d
+    }
+    val tailRanks = lad.select(
+      Seq(col("__id"), col("pos").as("__q")) ++
+        (0 to levels).map(jj => col(s"h$jj").as(s"t$jj")): _*)
+    var r = 0
+    var done = false
+    while (r < levels && !done) {
+      time(s"refine round $r") {
+        val withMid = state.withColumn("__mid", expr("(lo + hi + 1) div 2"))
+        val lens = withMid.filter(col("lo") < col("hi"))
+          .select(col("__j"), col("__mid").as("__L")).distinct()
+        if (lens.isEmpty) done = true
+        else {
+          val keyed = dupStartsAll
+            .join(lens, Seq("__j"))
+            .withColumn("__q",
+              col("pos") + col("__L") - expr("CAST(shiftleft(1, __j) AS BIGINT)"))
+            .join(tailRanks, Seq("__id", "__q"))
+          val tailCol = (0 to levels).map(jj =>
+            when(col("__j") === jj, col(s"t$jj"))).reduce((a, b) => coalesce(a, b))
+          val probes = graft.core.Checkpoint.cut(
+            keyed.withColumn("__t", tailCol)
+              .filter(col("__t").isNotNull)
+              .select(col("__id"), col("__j"), col("__L"), col("__h"), col("__t")))
+          val dupKeys = probes
+            .groupBy(col("__j"), col("__L"), col("__h"), col("__t"))
+            .agg(count(lit(1)).as("__n"))
+            .filter(col("__n") > 1)
+            .select(col("__j"), col("__L"), col("__h"), col("__t"))
+          val hitDocs = probes
+            .join(dupKeys, Seq("__j", "__L", "__h", "__t"), "left_semi")
+            .select(col("__id"), col("__L")).distinct()
+            .withColumn("__hit", lit(true))
+          state = graft.core.Checkpoint.cut(
+            withMid
+              .join(hitDocs,
+                withMid("__id") === hitDocs("__id") &&
+                  withMid("__mid") === hitDocs("__L"), "left")
+              .select(withMid("__id"), withMid("__j"),
+                when(col("lo") < col("hi"),
+                    when(col("__hit").isNotNull, col("__mid")).otherwise(col("lo")))
+                  .otherwise(col("lo")).as("lo"),
+                when(col("lo") < col("hi"),
+                    when(col("__hit").isNotNull, col("hi"))
+                      .otherwise(col("__mid") - 1))
+                  .otherwise(col("hi")).as("hi")))
+          state.count()
+        }
+      }
+      r += 1
+    }
+    spark.stop()
+  }
+}
