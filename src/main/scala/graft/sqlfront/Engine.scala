@@ -211,28 +211,15 @@ final class Engine(val spark: SparkSession) {
   }
 
   // Stmt (the literal-masked statement view) lives in Pat.scala with the
-  // token-pattern extractors; `Pat.P` patterns below replace the DDL
-  // regexes of the historical `M` front door.
+  // token-pattern extractors; `Pat.P` patterns replaced the `M(regex)`
+  // extractors of the historical regex front door — STATEMENT dispatch is
+  // now regex-free (fragment-level scans below still use matchMasked).
   import Pat.{P, Kw, Opt, OptCap, AltKw, AltCap, OptG, Ident, Quoted, IntCap,
     SkipWord, SkipNum, SkipLit, Paren, SkipParen, Rest, RestNonEmpty,
-    RestTyped, CapUntil, Peek, SkipRest, Eos, SpecBeforeAfter, DomainTail}
+    RestTyped, CapUntil, Peek, SkipRest, Eos, SpecBeforeAfter, DomainTail,
+    LitCap, LitCapNonEmpty, DottedIdent, NullOrLit}
 
-  /** Masked-dispatch extractor: the regex MATCHES against `Stmt.masked`
-    * (literal-blind), then capture groups are extracted from the RAW text
-    * via the match's span positions — dispatch is keyword-safe while the
-    * extracted fragments (VALUES tuples, SELECT bodies, paths) keep their
-    * literal text. Replaces per-statement literal-span guards with one
-    * uniform rule for the whole regex front door. */
-  private[sqlfront] final case class M(re: scala.util.matching.Regex) {
-    def unapplySeq(st: Stmt): Option[Seq[String]] = {
-      val m = re.pattern.matcher(st.masked)
-      if (!m.matches()) None
-      else Some((1 to m.groupCount()).map(i =>
-        if (m.start(i) < 0) null else st.raw.substring(m.start(i), m.end(i))))
-    }
-  }
-
-  /** Fragment-level twin of [[M]] for sub-statement pieces (column defs,
+  /** Masked-regex matcher for sub-statement FRAGMENTS (column defs,
     * type specs): match `re` against the literal-masked view of `frag`,
     * extract capture groups from the RAW fragment by span — so keyword
     * scans (NOT NULL / DEFAULT / IDENTITY …) can never bind to text inside
@@ -472,8 +459,9 @@ final class Engine(val spark: SparkSession) {
   // ANALYZE [TABLE t] [SAMPLE_SIZE n] (ddl/Analyze.java): selectivity
   // statistics — Catalyst keeps its own stats; accepted no-op
   private val analyzeRe =
-    M("""(?is)^\s*ANALYZE(?:\s+TABLE\s+\w+)?(?:\s+SAMPLE_SIZE\s+\d+)?\s*$""".r)
-  private val explainAnalyzeRe = M("""(?is)^\s*EXPLAIN\s+ANALYZE\s+(.*)$""".r)
+    P(Kw("ANALYZE"), OptG(Kw("TABLE"), SkipWord),
+      OptG(Kw("SAMPLE_SIZE"), SkipNum), Eos)
+  private val explainAnalyzeRe = P(Kw("EXPLAIN", "ANALYZE"), Rest)
   private val createViewRe =
     P(Kw("CREATE"), Opt("OR", "REPLACE"), Opt("FORCE"), Kw("VIEW"), Ident,
       OptG(Paren), Kw("AS"), Rest)
@@ -535,7 +523,8 @@ final class Engine(val spark: SparkSession) {
     P(Kw("DROP", "INDEX"), Opt("IF", "EXISTS"), Ident, Eos)
   // CSVWRITE('dir','sql') statement form (Function.java:353, Csv.java:123)
   private val csvWriteRe =
-    M("""(?is)^\s*(?:CALL\s+)?CSVWRITE\s*\(\s*'([^']+)'\s*,\s*'(.*)'\s*\)\s*$""".r)
+    P(Opt("CALL"), Kw("CSVWRITE"), Pat.Sym('('), LitCapNonEmpty,
+      Pat.Sym(','), LitCap, Pat.Sym(')'), Eos)
   // CREATE ALIAS name FOR "class.method" (ddl/CreateFunctionAlias.java —
   // the reference resolves the target by reflection; so do we)
   private val createAliasRe =
@@ -593,9 +582,9 @@ final class Engine(val spark: SparkSession) {
     P(Kw("DROP", "USER"), Opt("IF", "EXISTS"), Ident, Eos)
   private val users = mutable.LinkedHashMap("sa" -> true) // name → admin
   private val grantRe =
-    M("""(?is)^\s*GRANT\s+([\w, ]+?)\s+ON\s+(\w+)\s+TO\s+(\w+)\s*$""".r)
+    P(Kw("GRANT"), CapUntil("ON"), Kw("ON"), Ident, Kw("TO"), Ident, Eos)
   private val revokeRe =
-    M("""(?is)^\s*REVOKE\s+([\w, ]+?)\s+ON\s+(\w+)\s+FROM\s+(\w+)\s*$""".r)
+    P(Kw("REVOKE"), CapUntil("ON"), Kw("ON"), Ident, Kw("FROM"), Ident, Eos)
   private val schemas = mutable.LinkedHashSet("public")
   private val rights = mutable.ArrayBuffer.empty[(String, String, String)]
   // Roles + role grants (db/auth/Role.java, ddl/GrantRevoke.java; RoleTest/
@@ -610,15 +599,17 @@ final class Engine(val spark: SparkSession) {
   // GRANT/REVOKE without ON: role grants, or object-less system rights
   // (GRANT ALTER ANY SCHEMA TO u — Right.java ALTER_ANY_SCHEMA)
   private val grantRoleRe =
-    M("""(?is)^\s*GRANT\s+([\w, ]+?)\s+TO\s+(\w+)\s*$""".r)
+    P(Kw("GRANT"), CapUntil("TO"), Kw("TO"), Ident, Eos)
   private val revokeRoleRe =
-    M("""(?is)^\s*REVOKE\s+([\w, ]+?)\s+FROM\s+(\w+)\s*$""".r)
+    P(Kw("REVOKE"), CapUntil("FROM"), Kw("FROM"), Ident, Eos)
   // COMMENT ON <type> <name> IS 'text'|NULL (ddl/SetComment.java,
   // CommentTest). Keyed by (TYPE, unqualified tail) — COLUMN keeps
   // table.column, everything else the bare object name.
-  private val commentRe = M(("""(?is)^\s*COMMENT\s+ON\s+""" +
-    """(TABLE|COLUMN|ROLE|USER|VIEW|INDEX|SEQUENCE|CONSTANT|DOMAIN|""" +
-    """TRIGGER|ALIAS|SCHEMA)\s+([\w.]+)\s+IS\s+(NULL|'(?:[^']|'')*')\s*$""").r)
+  private val commentRe =
+    P(Kw("COMMENT", "ON"),
+      AltCap("TABLE", "COLUMN", "ROLE", "USER", "VIEW", "INDEX", "SEQUENCE",
+        "CONSTANT", "DOMAIN", "TRIGGER", "ALIAS", "SCHEMA"),
+      DottedIdent, Kw("IS"), NullOrLit, Eos)
   private val comments = mutable.LinkedHashMap.empty[(String, String), String]
   /** Transitive closure of roles `grantee` possesses (Role.isRoleGranted
     * recursion) — tiny in-memory BFS over the grant edges. */
@@ -640,58 +631,65 @@ final class Engine(val spark: SparkSession) {
   def commentText(typ: String, name: String): Option[String] =
     comments.get((typ.toUpperCase, name.toLowerCase))
 
-  private val explainRe = M("""(?is)^\s*EXPLAIN\s+(?:PLAN\s+FOR\s+)?(.*)$""".r)
-  private val setVarRe = M("""(?is)^\s*SET\s+@(\w+)\s*=\s*(.*)$""".r)
-  private val scriptRe = M("""(?is)^\s*SCRIPT\s*$""".r)
+  private val explainRe = P(Kw("EXPLAIN"), Opt("PLAN", "FOR"), Rest)
+  private val setVarRe =
+    P(Kw("SET"), Pat.Sym('@'), Ident, Pat.Sym('='), Rest)
+  private val scriptRe = P(Kw("SCRIPT"), Eos)
   // BACKUP TO 'file' (dml/Backup.java, BackupCommandTest): the engine
   // snapshots to a parquet directory instead of a zip — same contract
   // (full restorable copy), cluster-writable format
-  private val backupRe = M("""(?is)^\s*BACKUP\s+TO\s+'([^']+)'\s*$""".r)
+  private val backupRe = P(Kw("BACKUP", "TO"), LitCapNonEmpty, Eos)
   // SHUTDOWN [IMMEDIATELY|COMPACT|DEFRAG] (admin ShutdownServerTest):
   // a library engine has no server process — accepted no-op
   private val shutdownRe =
-    M("""(?is)^\s*SHUTDOWN(?:\s+(?:IMMEDIATELY|COMPACT|DEFRAG|SCRIPT))?\s*$""".r)
-  private val runScriptRe = M("""(?is)^\s*RUNSCRIPT\s+FROM\s+'([^']+)'\s*$""".r)
-  private val prepareRe =
-    M("""(?is)^\s*PREPARE\s+(\w+)\s+AS\s+(.*)$""".r)
-  private val executeRe = M("""(?is)^\s*EXECUTE\s+(\w+)\s*(?:\((.*)\))?\s*$""".r)
-  private val deallocateRe = M("""(?is)^\s*DEALLOCATE\s+(?:PREPARE\s+)?(\w+)\s*$""".r)
-  private val setModeRe = M("""(?is)^\s*SET\s+MODE\s+(\w+)\s*$""".r)
+    P(Kw("SHUTDOWN"), OptG(AltKw(Seq("IMMEDIATELY"), Seq("COMPACT"),
+      Seq("DEFRAG"), Seq("SCRIPT"))), Eos)
+  private val runScriptRe = P(Kw("RUNSCRIPT", "FROM"), LitCapNonEmpty, Eos)
+  private val prepareRe = P(Kw("PREPARE"), Ident, Kw("AS"), Rest)
+  private val executeRe = P(Kw("EXECUTE"), Ident, OptG(Paren), Eos)
+  private val deallocateRe =
+    P(Kw("DEALLOCATE"), Opt("PREPARE"), Ident, Eos)
+  private val setModeRe = P(Kw("SET", "MODE"), Ident, Eos)
   // transaction statements (Parser.java:560-650)
   private val beginRe =
-    M("""(?is)^\s*(?:BEGIN(?:\s+WORK|\s+TRANSACTION)?|START\s+TRANSACTION)\s*$""".r)
-  private val commitRe = M("""(?is)^\s*COMMIT(?:\s+WORK)?\s*$""".r)
+    P(AltKw(Seq("BEGIN", "WORK"), Seq("BEGIN", "TRANSACTION"),
+      Seq("START", "TRANSACTION"), Seq("BEGIN")), Eos)
+  private val commitRe =
+    P(AltKw(Seq("COMMIT", "WORK"), Seq("COMMIT")), Eos)
   private val rollbackToRe =
-    M("""(?is)^\s*ROLLBACK\s+TO\s+SAVEPOINT\s+(\w+)\s*$""".r)
-  private val rollbackRe = M("""(?is)^\s*ROLLBACK(?:\s+WORK)?\s*$""".r)
-  private val savepointStmtRe = M("""(?is)^\s*SAVEPOINT\s+(\w+)\s*$""".r)
+    P(Kw("ROLLBACK", "TO", "SAVEPOINT"), Ident, Eos)
+  private val rollbackRe =
+    P(AltKw(Seq("ROLLBACK", "WORK"), Seq("ROLLBACK")), Eos)
+  private val savepointStmtRe = P(Kw("SAVEPOINT"), Ident, Eos)
   private val releaseSavepointRe =
-    M("""(?is)^\s*RELEASE\s+(?:SAVEPOINT\s+)?(\w+)\s*$""".r)
+    P(Kw("RELEASE"), Opt("SAVEPOINT"), Ident, Eos)
   private val setAutocommitRe =
-    M("""(?is)^\s*SET\s+AUTOCOMMIT\s+(ON|OFF|TRUE|FALSE|0|1)\s*$""".r)
+    P(Kw("SET", "AUTOCOMMIT"),
+      AltCap("ON", "OFF", "TRUE", "FALSE", "0", "1"), Eos)
   // database-level SET REFERENTIAL_INTEGRITY (dml/Set.java) — the standard
   // bulk-load toggle; the ALTER TABLE form additionally revalidates
   private val setRefIntRe =
-    M("""(?is)^\s*SET\s+REFERENTIAL_INTEGRITY\s+(TRUE|FALSE)\s*$""".r)
+    P(Kw("SET", "REFERENTIAL_INTEGRITY"), AltCap("TRUE", "FALSE"), Eos)
   // generic SET option (dml/Set.java SetTypes): recorded + surfaced in the
   // SETTINGS meta view; execution semantics live in Spark session confs
-  private val setGenericRe = M("""(?is)^\s*SET\s+(\w+)\s+(.+)$""".r)
+  private val setGenericRe = P(Kw("SET"), Ident, RestNonEmpty)
   // SHOW … (Parser.java:884 parseShow — MySQL/PostgreSQL compatibility
   // statements rewritten into INFORMATION_SCHEMA selects)
-  private val showRe = M("""(?is)^\s*SHOW\s+(.*)$""".r)
+  private val showRe = P(Kw("SHOW"), Rest)
   // HELP [word...] → SELECT over INFORMATION_SCHEMA.HELP with one
   // UPPER(TOPIC) LIKE filter per word (Parser.parseHelp:865-882)
-  private val helpRe = M("""(?is)^\s*HELP\b\s*(.*)$""".r)
+  private val helpRe = P(Kw("HELP"), Rest)
   // USE [=] schema → SET SCHEMA (Parser.parseUse:5063)
-  private val useRe = M("""(?is)^\s*USE\s+(?:=\s*)?(\w+)\s*$""".r)
+  private val useRe = P(Kw("USE"), OptG(Pat.Sym('=')), Ident, Eos)
   // CHECKPOINT [SYNC] (TransactionStatement CHECKPOINT/CHECKPOINT_SYNC):
   // flushing a WAL has no Spark analogue — accepted no-op, same contract
   // as SHUTDOWN; durability here is Checkpoint.cut + the parquet sinks
-  private val checkpointStmtRe = M("""(?is)^\s*CHECKPOINT(?:\s+SYNC)?\s*$""".r)
+  private val checkpointStmtRe = P(Kw("CHECKPOINT"), Opt("SYNC"), Eos)
   // CALL expr (dml/Call.java): evaluate an expression/function as a
   // one-row result; the JDBC `?= CALL f(…)` out-parameter form strips to
   // the same statement
-  private val callRe = M("""(?is)^\s*(?:\?\s*=\s*)?CALL\s+(.*)$""".r)
+  private val callRe =
+    P(OptG(Pat.Sym('?'), Pat.Sym('=')), Kw("CALL"), Rest)
   private val variables = mutable.HashMap.empty[String, String]
   private val procedures = mutable.HashMap.empty[String, String]
   private var compatibilityMode: String = "REGULAR"

@@ -69,8 +69,22 @@ private[sqlfront] object Pat {
   final case class OptCap(ws: String*) extends El
   /** Alternation of keyword sequences, first full match wins, no capture. */
   final case class AltKw(alts: Seq[String]*) extends El
-  /** Alternation of single keywords, CAPTURING the matched word. */
+  /** Alternation of single tokens (bare word or numeric literal, matched by
+    * text case-insensitively), CAPTURING the matched text — covers
+    * `(ON|OFF|0|1)`-style capture groups. */
   final case class AltCap(ws: String*) extends El
+  /** One specific symbol character, no capture. */
+  final case class Sym(c: Char) extends El
+  /** Capture the INNER text of a 'string literal' (possibly empty; escapes
+    * kept raw — callers unescape, as with the regex spans). */
+  case object LitCap extends El
+  /** [[LitCap]] but the inner text must be non-empty (regex `'([^']+)'`). */
+  case object LitCapNonEmpty extends El
+  /** Capture a dotted name `a.b.c` (regex `([\w.]+)`) as its raw span. */
+  case object DottedIdent extends El
+  /** Capture either the keyword NULL or a whole 'literal' WITH its quotes
+    * (the COMMENT ON text form). */
+  case object NullOrLit extends El
   /** Optional group of nested elements, tried with backtracking: on
     * failure the cursor restores and every nested capture yields null. */
   final case class OptG(els: El*) extends El
@@ -122,7 +136,8 @@ private[sqlfront] object Pat {
   /** Number of capture slots an element contributes. */
   private def nCaps(el: El): Int = el match {
     case _: OptCap | _: AltCap | Ident | Quoted | IntCap | Paren | Rest |
-         RestNonEmpty | RestTyped | _: CapUntil => 1
+         RestNonEmpty | RestTyped | _: CapUntil | LitCap | LitCapNonEmpty |
+         DottedIdent | NullOrLit => 1
     case DomainTail => 2
     case SpecBeforeAfter => 3
     case OptG(inner @ _*) => inner.map(nCaps).sum
@@ -172,7 +187,31 @@ private[sqlfront] object Pat {
         } else { caps += null; true }
       case AltKw(alts @ _*) => alts.exists(kwSeq)
       case AltCap(ws @ _*) =>
-        ws.exists(isWord(i, _)) && { caps += ts(i).text(s); i += 1; true }
+        i < ts.length && (ts(i).kind == Lex.Word || ts(i).kind == Lex.Num) &&
+          ws.exists(_.equalsIgnoreCase(ts(i).text(s))) && {
+            caps += ts(i).text(s); i += 1; true
+          }
+      case Sym(c) => isSymC(i, c) && { i += 1; true }
+      case LitCap =>
+        i < ts.length && ts(i).kind == Lex.Lit && {
+          caps += s.substring(ts(i).start + 1, math.max(ts(i).start + 1, ts(i).end - 1))
+          i += 1; true
+        }
+      case LitCapNonEmpty =>
+        i < ts.length && ts(i).kind == Lex.Lit && ts(i).end - ts(i).start > 2 && {
+          caps += s.substring(ts(i).start + 1, ts(i).end - 1); i += 1; true
+        }
+      case DottedIdent =>
+        isBare(i) && {
+          var last = i
+          while (isSymC(last + 1, '.') && isBare(last + 2)) last += 2
+          caps += s.substring(ts(i).start, ts(last).end); i = last + 1; true
+        }
+      case NullOrLit =>
+        if (isWord(i, "NULL")) { caps += ts(i).text(s); i += 1; true }
+        else if (i < ts.length && ts(i).kind == Lex.Lit) {
+          caps += ts(i).text(s); i += 1; true
+        } else false
       case OptG(inner @ _*) =>
         val (si, sc) = (i, caps.length)
         if (inner.forall(one)) true
