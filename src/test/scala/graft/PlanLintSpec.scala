@@ -93,4 +93,175 @@ class PlanLintSpec extends SparkSpec {
         s"justification.\nfound:    ${counts.toSeq.sorted.mkString(", ")}\n" +
         s"recorded: ${collectSites.toSeq.sorted.mkString(", ")}")
   }
+
+  /** Per-query SHUFFLE-exchange budget (hash/range/single-partition
+    * Exchanges in the initial plan at sf0.001; BroadcastExchange excluded —
+    * broadcasts are the cheap, desirable join side). Regenerate with
+    * `graft.tools.ExchangeCensus`. An added exchange — a lost broadcast, a
+    * redundant repartition, an unfused window — fails here with the query
+    * named; going UNDER budget is always fine (tighten the row when it
+    * happens). */
+  private val exchangeBudget: Map[String, Int] = Map(
+    "d01_dedup_exact" -> 1,
+    "d02_minhash_pairs" -> 2,
+    "d03_minhash_dedup" -> 4,
+    "d04_simhash_pairs" -> 2,
+    "d05_ngram_jaccard" -> 2,
+    "d06_embedding_neardup" -> 1,
+    "d07_minhash_dedup_transitive" -> 2,
+    "d08_cross_dedup" -> 7,
+    "d09_segment_dedup" -> 3,
+    "d10_semdedup" -> 2,
+    "d11_dedup_clusters" -> 2,
+    "d12_cluster_stats" -> 3,
+    "d13_duplicate_spans" -> 2,
+    "d14_remove_dup_spans" -> 3,
+    "d15_duplication_profile" -> 5,
+    "d16_quality_reps" -> 3,
+    "d17_longest_repeat" -> 2,
+    "d19_semdedup_kmeans" -> 5,
+    "m01_media_decode" -> 0,
+    "m02_frame_sample" -> 0,
+    "m03_media_features" -> 0,
+    "p01_corpus_prep" -> 13,
+    "p02_embedding_prep" -> 1,
+    "p03_media_prep" -> 6,
+    "q01_pricing_summary" -> 2,
+    "q02_filter_project" -> 0,
+    "q03_join_revenue_by_nation" -> 1,
+    "q04_left_join" -> 0,
+    "q05_right_join" -> 0,
+    "q06_full_outer_join" -> 2,
+    "q07_cross_join" -> 0,
+    "q08_natural_join" -> 0,
+    "q09_semi_join" -> 0,
+    "q10_anti_join" -> 0,
+    "q11_scalar_subquery" -> 1,
+    "q12_union" -> 1,
+    "q13_union_all" -> 0,
+    "q14_except" -> 1,
+    "q15_intersect" -> 1,
+    "q16_distinct_multi" -> 1,
+    "q17_sort_limit_offset" -> 0,
+    "q18_topk" -> 0,
+    "q19_nulls_ordering" -> 0,
+    "q20_stats_decomposed" -> 2,
+    "q21_minmax_countdistinct" -> 5,
+    "q22_bool_bit_agg" -> 1,
+    "q23_sum_bool" -> 2,
+    "q24_group_concat" -> 2,
+    "q25_group_concat_distinct" -> 2,
+    "q26_histogram" -> 1,
+    "q27_selectivity" -> 2,
+    "q28_string_funcs" -> 0,
+    "q29_math_funcs" -> 0,
+    "q30_datetime_funcs" -> 0,
+    "q31_conditional" -> 0,
+    "q32_like_regexp_in" -> 0,
+    "q33_array_funcs" -> 0,
+    "q34_window_rank" -> 1,
+    "q35_window_running_sum" -> 1,
+    "q36_system_range" -> 0,
+    "q37_recursive_cte" -> 0,
+    "q38_recursive_closure" -> 0,
+    "q39_merge_upsert" -> 2,
+    "q40_update_rewrite" -> 0,
+    "q41_delete_rewrite" -> 0,
+    "q42_csv_roundtrip" -> 0,
+    "q43_group_concat_udaf" -> 2,
+    "q44_selectivity_udaf" -> 1,
+    "q45_histogram_udaf" -> 1,
+    "q46_events_windowed" -> 1,
+    "q47_sessionize" -> 1,
+    "q48_unique_validation" -> 2,
+    "q49_table_function" -> 0,
+    "q50_collation_ignorecase" -> 0,
+    "q51_quantified_compare" -> 1,
+    "q52_topk_per_user" -> 1,
+    "q53_type_casts" -> 0,
+    "q54_json_extract" -> 0,
+    "q55_explode_embedding" -> 0,
+    "q56_intersect_all" -> 1,
+    "q57_except_all" -> 1,
+    "q58_fk_violations" -> 1,
+    "q59_table_literal_join" -> 0,
+    "q60_check_violations" -> 0,
+    "q61_interval_join_outer" -> 0,
+    "q62_events_sliding_window" -> 1,
+    "q63_stream_dedup_earliest" -> 1,
+    "q64_salted_join" -> 0,
+    "q65_asof_join" -> 1,
+    "q66_range_join" -> 0,
+    "q67_rolling_features" -> 1,
+    "q68_rollup" -> 1,
+    "q69_pivot" -> 2,
+    "q70_cube" -> 1,
+    "q71_grouping_sets" -> 1,
+    "q72_unpivot" -> 1,
+    "q73_lateral" -> 1,
+    "q74_percentiles" -> 1,
+    "q75_higher_order" -> 0,
+    "q76_window_analytics" -> 1,
+    "q77_selector_aggregates" -> 1,
+    "q78_json_roundtrip" -> 0,
+    "q79_orc_roundtrip" -> 0,
+    "s01_ann_bruteforce" -> 1,
+    "s02_ann_lsh" -> 2,
+    "s03_ann_ivf" -> 1,
+    "s04_ann_quantized" -> 1,
+    "s05_knn_graph" -> 2,
+    "s06_kmeans_assign" -> 0,
+    "s07_ann_pq" -> 1,
+    "s08_ann_ivfpq" -> 1,
+    "t01_text_stats" -> 0,
+    "t02_lang_id" -> 0,
+    "t03_fingerprint" -> 0,
+    "t04_corpus_stats" -> 1,
+    "t05_repetition" -> 0,
+    "t06_decontaminate" -> 2,
+    "t07_pii_redact" -> 0,
+    "t08_vocab_topk" -> 2,
+    "t09_blocklist_filter" -> 0,
+    "t10_trigram_quality" -> 2,
+    "t11_readability" -> 0,
+    "t12_chunk_text" -> 0,
+    "t13_tfidf_topk" -> 6,
+    "t14_bpe_pairs" -> 2,
+    "t15_trigram_quality_lang" -> 2,
+    "t16_bpe_train" -> 0,
+    "t17_bpe_encode" -> 2,
+    "t18_rolling_corpus_stats" -> 1,
+    "t19_freq_spectrum" -> 2,
+    "t20_kmv_distinct" -> 3,
+    "t21_rolling_distinct" -> 1,
+    "u01_hash_split" -> 0,
+    "u02_stratified_sample" -> 0,
+    "u03_priority_sample" -> 0,
+    "u04_pack_sequences" -> 0,
+    "u05_corpus_shuffle" -> 0,
+    "u06_stratified_priority_sample" -> 1,
+    "u07_temperature_rebalance" -> 4,
+    "u08_token_budget_select" -> 1,
+    "u09_domain_mix" -> 1
+  )
+
+  test("no query exceeds its recorded shuffle-exchange budget") {
+    val over = scala.collection.mutable.ListBuffer[String]()
+    val missing = scala.collection.mutable.ListBuffer[String]()
+    for (q <- SparkEntry.allQ.sortBy(_.name)) {
+      val p = q.fn(spark, sf).queryExecution.executedPlan.toString
+      val n = "(?<!Broadcast)Exchange".r.findAllIn(p).length
+      exchangeBudget.get(q.name) match {
+        case Some(b) if n > b => over += s"${q.name}: $n exchanges (budget $b)"
+        case None => missing += q.name
+        case _ =>
+      }
+    }
+    assert(missing.isEmpty,
+      s"queries without a budget row (run graft.tools.ExchangeCensus and " +
+        s"add them):\n${missing.mkString("\n")}")
+    assert(over.isEmpty,
+      s"shuffle-exchange budget exceeded — a lost broadcast or redundant " +
+        s"shuffle; fix the plan or justify a bump:\n${over.mkString("\n")}")
+  }
 }
