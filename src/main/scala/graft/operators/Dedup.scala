@@ -490,9 +490,16 @@ object Dedup {
         d.withColumn("__j", lit(jj)) }
       .reduce(_ union _)
       .transform(graft.core.Checkpoint.cut)
-    val tailRanks = lad.select(
-      Seq(col("__id"), col("pos").as("__q")) ++
-        (0 to levels).map(jj => col(s"h$jj").as(s"t$jj")): _*)
+    // trailing-block lookup side: the SAME level-j dup starts, keyed by
+    // position. Restricting tails to dup starts (instead of every corpus
+    // position) is lossless: a probe's (h, t) pair can only reach count ≥ 2
+    // when the tail fingerprint t itself appears at ≥ 2 positions — which
+    // makes its position a level-j dup start by definition. Probes whose
+    // tail is unique could never match, so dropping them changes nothing,
+    // and the refinement never touches the non-duplicated bulk of the
+    // corpus on EITHER side of the join.
+    val tailStarts = dupStartsAll.select(col("__id"), col("pos").as("__q"),
+      col("__j"), col("__h").as("__t"))
 
     // refine: ≤ effPow rounds of shared binary search — all docs advance
     // one probe per round; each round is one keyed exchange over the
@@ -506,17 +513,14 @@ object Dedup {
       if (lens.isEmpty) done = true
       else {
         // candidate keys: EVERY level-j dup start × every length under
-        // test at that level (partner docs included regardless of state)
-        val keyed = dupStartsAll
+        // test at that level (partner docs included regardless of state);
+        // a q past the doc end simply has no dup-start row — the join
+        // subsumes the old null-tail filter
+        val probes = dupStartsAll
           .join(lens, Seq("__j"))
           .withColumn("__q",
             col("pos") + col("__L") - expr("CAST(shiftleft(1, __j) AS BIGINT)"))
-          .join(tailRanks, Seq("__id", "__q"))
-        // h_j at the trailing block, picked by level (null past doc end)
-        val tailCol = (0 to levels).map(jj =>
-          when(col("__j") === jj, col(s"t$jj"))).reduce((a, b) => coalesce(a, b))
-        val probes = keyed.withColumn("__t", tailCol)
-          .filter(col("__t").isNotNull)
+          .join(tailStarts, Seq("__id", "__q", "__j"))
           .select(col("__id"), col("__j"), col("__L"), col("__h"), col("__t"))
           .transform(graft.core.Checkpoint.cut)
         val dupKeys = probes

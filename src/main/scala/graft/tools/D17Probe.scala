@@ -81,9 +81,8 @@ object D17Probe {
           d0.withColumn("__j", lit(jj)) }.reduce(_ union _))
       println("[d17]   rows=" + d.count()); d
     }
-    val tailRanks = lad.select(
-      Seq(col("__id"), col("pos").as("__q")) ++
-        (0 to levels).map(jj => col(s"h$jj").as(s"t$jj")): _*)
+    val tailStarts = dupStartsAll.select(col("__id"), col("pos").as("__q"),
+      col("__j"), col("__h").as("__t"))
     var r = 0
     var done = false
     while (r < levels && !done) {
@@ -93,16 +92,12 @@ object D17Probe {
           .select(col("__j"), col("__mid").as("__L")).distinct()
         if (lens.isEmpty) done = true
         else {
-          val keyed = dupStartsAll
-            .join(lens, Seq("__j"))
-            .withColumn("__q",
-              col("pos") + col("__L") - expr("CAST(shiftleft(1, __j) AS BIGINT)"))
-            .join(tailRanks, Seq("__id", "__q"))
-          val tailCol = (0 to levels).map(jj =>
-            when(col("__j") === jj, col(s"t$jj"))).reduce((a, b) => coalesce(a, b))
           val probes = graft.core.Checkpoint.cut(
-            keyed.withColumn("__t", tailCol)
-              .filter(col("__t").isNotNull)
+            dupStartsAll
+              .join(lens, Seq("__j"))
+              .withColumn("__q",
+                col("pos") + col("__L") - expr("CAST(shiftleft(1, __j) AS BIGINT)"))
+              .join(tailStarts, Seq("__id", "__q", "__j"))
               .select(col("__id"), col("__j"), col("__L"), col("__h"), col("__t")))
           val dupKeys = probes
             .groupBy(col("__j"), col("__L"), col("__h"), col("__t"))
