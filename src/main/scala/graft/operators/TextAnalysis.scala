@@ -369,21 +369,20 @@ object TextAnalysis {
     *
     * `batch` > 1 amortizes the per-round driver round-trip + lineage cut
     * toward a production-sized vocab (30-50k merges): each round takes the
-    * top-`batch` pairs and applies the MAXIMAL RANK-ORDERED INDEPENDENT
-    * SUBSET — scanning in rank order, a pair is selected unless it
-    * conflicts with an already-SELECTED pair (shares a symbol with its
-    * operands or merged output); conflicting pairs are skipped this round
-    * and re-measured next round (the symbol-partitioned conflict rule —
-    * hot symbols like 'e' no longer end the round at the first clash, so
-    * a round lands a large fraction of its batch). Under that mutual
-    * disjointness every selected pair's pre-round count and rewrite are
-    * invariant under the other selected merges, so a batched round equals
-    * the sequential rounds whenever the sequential argmaxes would have
-    * picked the same pairs; when a skipped pair separates two independent
-    * picks the batched table can permute adjacent ranks relative to the
-    * sequential table (disjoint merges commute — the trained tokenizer
-    * encodes identically; see the batch specs). `batch = 1` (the default,
-    * and the oracle path) is exactly the classic sequential trainer.
+    * top-`batch` pairs in rank order and selects every pair that shares NO
+    * symbol (operand or merged output) with ANY higher-ranked pair —
+    * selected or skipped; the rest are skipped and re-measured next round
+    * (the symbol-partitioned conflict rule — a hot symbol like 'e' no
+    * longer ends the round at the first clash, so a round lands a large
+    * fraction of its batch). Tainting skipped pairs' symbols too is what
+    * keeps the batch faithful to sequential training: every selected pair
+    * is independent of every pair the sequential trainer would have
+    * considered before it, so its count and rewrite coincide with the
+    * sequential run whenever the argmax picks do (the residual divergence —
+    * pairs CREATED mid-round can't be seen until the next count — is the
+    * standard batched-BPE tradeoff, shared with the prefix rule this
+    * replaces). `batch = 1` (the default, and the oracle path) is exactly
+    * the classic sequential trainer.
     *
     * Symbols are CODE POINTS (split(w, "") never separates a surrogate
     * pair), matching [[bpeEncode]] — astral-plane characters stay whole
@@ -433,20 +432,26 @@ object TextAnalysis {
         .limit(m).collect()
       if (top.isEmpty) continue = false
       else {
-        // maximal rank-ordered independent subset: a pair conflicting with
-        // an already-selected one (shared operand or merged-output symbol)
-        // is SKIPPED — its post-merge count could differ, so it is
-        // re-measured next round; independent pairs further down the list
-        // still land this round
+        // rank-ordered independent subset: a pair sharing a symbol (operand
+        // or merged output) with ANY higher-ranked pair — selected OR
+        // skipped — is SKIPPED and re-measured next round. Tainting the
+        // skipped pairs' symbols too is what makes the batch faithful:
+        // every selected pair is then independent of every pair sequential
+        // training would have considered before it, so its count and
+        // rewrite match the sequential trainer's whenever the argmax picks
+        // coincide. (Selected-only tainting admits a non-commuting chain:
+        // with (e,s) > (s,t) > (t,h), skipping only (s,t) would let (t,h)
+        // merge this round at a rank sequential training gives to (s,t) —
+        // "st" then tokenizes differently. The first pair is always
+        // independent of the empty prefix, so round progress is
+        // guaranteed.)
         val touched = scala.collection.mutable.Set.empty[String]
         val sel = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
         top.foreach { r =>
           val (a, b) = (r.getString(0), r.getString(1))
-          if (sel.isEmpty ||
-              (!touched(a) && !touched(b) && !touched(a + b))) {
+          if (!touched(a) && !touched(b) && !touched(a + b))
             sel += ((a, b, r.getLong(2)))
-            touched ++= Seq(a, b, a + b)
-          }
+          touched ++= Seq(a, b, a + b)
         }
         sel.foreach { case (a, b, pf) =>
           merges += ((rank, a, b, pf)); rank += 1

@@ -123,7 +123,13 @@ private[sqlfront] object Lex {
     * not a comment). Each comment is replaced by ONE space so adjacent
     * tokens stay separated; all non-comment bytes pass through verbatim.
     * Applied once at the front door (Engine.sql) so downstream fragment
-    * slicing — VALUES tuples, SELECT bodies — never sees comment text. */
+    * slicing — VALUES tuples, SELECT bodies — never sees comment text.
+    *
+    * EXCEPTION: optimizer-hint block comments (opening with "slash star
+    * plus") are preserved verbatim — they are semantic input to Spark's
+    * planner (BROADCAST, MERGE, REPARTITION …), not commentary; stripping
+    * one silently changes the join strategy of the statement it
+    * annotates. */
   def stripComments(s: String): String = {
     val sb = new java.lang.StringBuilder(s.length)
     var i = 0
@@ -133,6 +139,8 @@ private[sqlfront] object Lex {
         while (i < s.length && s.charAt(i) != '\n') i += 1
         sb.append(' ')
       } else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
+        val hint = i + 2 < s.length && s.charAt(i + 2) == '+'
+        val start = i
         var lvl = 1
         i += 2
         while (i < s.length && lvl > 0) {
@@ -142,7 +150,7 @@ private[sqlfront] object Lex {
             lvl -= 1; i += 2
           } else i += 1
         }
-        sb.append(' ')
+        if (hint) sb.append(s, start, i) else sb.append(' ')
       } else if (c == '\'') {
         val start = i
         i += 1

@@ -9,7 +9,7 @@ import scala.collection.mutable
   * or mis-split a statement; token-pattern dispatch ([[Pat]]) gets the same
   * property structurally (a literal is one token). */
 private[sqlfront] final case class Stmt(raw: String) {
-  val masked: String = {
+  lazy val masked: String = {
     val chars = raw.toCharArray
     Stmt.literalSpans(raw).foreach { case (s, e) =>
       var i = s + 1
@@ -17,6 +17,9 @@ private[sqlfront] final case class Stmt(raw: String) {
     }
     new String(chars)
   }
+  /** Tokenized once per statement — every pattern attempt against this
+    * Stmt reuses the same list instead of re-lexing per extractor. */
+  lazy val toks: IndexedSeq[Lex.Token] = Lex.tokens(raw)
 }
 
 private[sqlfront] object Stmt {
@@ -47,8 +50,10 @@ private[sqlfront] object Stmt {
   * `M(regex)` front door for the CREATE/ALTER/DROP DDL families.
   *
   * A pattern is a sequence of elements matched against the statement's
-  * token stream with one-element backtracking for optional groups and
-  * alternations (the same skip-on-failure semantics as a regex `(?:…)?`).
+  * token stream with FULL backtracking over optional groups, alternations,
+  * and reluctant captures — the same greedy-try-then-skip semantics as the
+  * regexes replaced, so e.g. a column literally named "column" resolves
+  * through `DROP (?:COLUMN )?(\w+)` identically.
   * Capture groups keep the EXACT contract of the regexes they replaced —
   * raw source slices in pattern order, `null` for an absent optional
   * capture — so the dispatch arms in [[Engine]] are unchanged. Literal
@@ -145,13 +150,19 @@ private[sqlfront] object Pat {
   }
 
   final case class P(els: El*) {
-    def unapplySeq(st: Stmt): Option[Seq[String]] = Pat.run(st.raw, els)
+    private val elList = els.toList
+    def unapplySeq(st: Stmt): Option[Seq[String]] = Pat.run(st, elList)
   }
 
-  private def run(s: String, els: Seq[El]): Option[Seq[String]] = {
-    val ts = Lex.tokens(s)
+  /** Backtracking matcher: alternatives are tried in regex order (optional
+    * groups GREEDY — consume first, skip on failure of the rest), so inputs
+    * like `ALTER TABLE t DROP COLUMN` (a column literally named "column")
+    * resolve exactly as the replaced regexes did. The invariant throughout:
+    * when a branch returns false, `caps` is restored to its entry length. */
+  private def run(st: Stmt, els: List[El]): Option[Seq[String]] = {
+    val s = st.raw
+    val ts = st.toks
     val caps = mutable.ArrayBuffer.empty[String]
-    var i = 0
 
     def isWord(j: Int, w: String): Boolean = j < ts.length && ts(j).is(s, w)
     def isBare(j: Int): Boolean =
@@ -171,138 +182,188 @@ private[sqlfront] object Pat {
       }
       -1
     }
-    def kwSeq(ws: Seq[String]): Boolean =
-      if (ws.indices.forall(k => isWord(i + k, ws(k)))) {
-        i += ws.length; true
-      } else false
+    /** Next token index after the keyword sequence at `j`, or -1. */
+    def kwAt(j: Int, ws: Seq[String]): Int =
+      if (ws.indices.forall(k => isWord(j + k, ws(k)))) j + ws.length else -1
 
-    def one(el: El): Boolean = el match {
-      case Kw(ws @ _*) => kwSeq(ws)
-      case Opt(ws @ _*) => kwSeq(ws) || true
-      case OptCap(ws @ _*) =>
-        if (i < ts.length) {
-          val st0 = ts(i).start
-          if (kwSeq(ws)) { caps += s.substring(st0, ts(i - 1).end); true }
-          else { caps += null; true }
-        } else { caps += null; true }
-      case AltKw(alts @ _*) => alts.exists(kwSeq)
-      case AltCap(ws @ _*) =>
-        i < ts.length && (ts(i).kind == Lex.Word || ts(i).kind == Lex.Num) &&
-          ws.exists(_.equalsIgnoreCase(ts(i).text(s))) && {
-            caps += ts(i).text(s); i += 1; true
-          }
-      case Sym(c) => isSymC(i, c) && { i += 1; true }
-      case LitCap =>
-        i < ts.length && ts(i).kind == Lex.Lit && {
-          caps += s.substring(ts(i).start + 1, math.max(ts(i).start + 1, ts(i).end - 1))
-          i += 1; true
-        }
-      case LitCapNonEmpty =>
-        i < ts.length && ts(i).kind == Lex.Lit && ts(i).end - ts(i).start > 2 && {
-          caps += s.substring(ts(i).start + 1, ts(i).end - 1); i += 1; true
-        }
-      case DottedIdent =>
-        isBare(i) && {
-          var last = i
-          while (isSymC(last + 1, '.') && isBare(last + 2)) last += 2
-          caps += s.substring(ts(i).start, ts(last).end); i = last + 1; true
-        }
-      case NullOrLit =>
-        if (isWord(i, "NULL")) { caps += ts(i).text(s); i += 1; true }
-        else if (i < ts.length && ts(i).kind == Lex.Lit) {
-          caps += ts(i).text(s); i += 1; true
-        } else false
-      case OptG(inner @ _*) =>
-        val (si, sc) = (i, caps.length)
-        if (inner.forall(one)) true
-        else {
-          i = si; caps.takeInPlace(sc)
-          inner.foreach(e => caps ++= Seq.fill(nCaps(e))(null: String))
-          true
-        }
-      case Ident =>
-        isBare(i) && { caps += ts(i).text(s); i += 1; true }
-      case Quoted =>
-        if (i < ts.length && ts(i).kind == Lex.Word &&
-            s.charAt(ts(i).start) == '"' && ts(i).end - ts(i).start > 2) {
-          caps += s.substring(ts(i).start + 1, ts(i).end - 1); i += 1; true
-        } else false
-      case IntCap =>
-        if (i < ts.length && digitsOnly(i)) {
-          caps += ts(i).text(s); i += 1; true
-        } else if (isSymC(i, '-') && i + 1 < ts.length && digitsOnly(i + 1)) {
-          caps += s.substring(ts(i).start, ts(i + 1).end); i += 2; true
-        } else false
-      case SkipWord => isBare(i) && { i += 1; true }
-      case SkipNum =>
-        i < ts.length && ts(i).kind == Lex.Num && { i += 1; true }
-      case SkipLit =>
-        i < ts.length && ts(i).kind == Lex.Lit && { i += 1; true }
-      case Paren =>
-        if (!isSymC(i, '(')) false
-        else {
-          val close = matchClose(i)
-          close >= 0 && {
-            caps += s.substring(ts(i).end, ts(close).start); i = close + 1; true
-          }
-        }
-      case SkipParen =>
-        isSymC(i, '(') && { val c = matchClose(i); c >= 0 && { i = c + 1; true } }
-      case Rest =>
-        caps += (if (i < ts.length) s.substring(ts(i).start) else "")
-        i = ts.length; true
-      case RestNonEmpty =>
-        i < ts.length && { caps += s.substring(ts(i).start); i = ts.length; true }
-      case RestTyped =>
-        val c = if (isBare(i)) s.charAt(ts(i).start) else ' '
-        (c >= 'a' && c <= 'z' || c >= 'A' && c <= 'Z') && {
-          caps += s.substring(ts(i).start); i = ts.length; true
-        }
-      case CapUntil(w) =>
-        var j = i
-        var hit = -1
-        while (j < ts.length && hit < 0) {
-          if (ts(j).depth == 0 && ts(j).is(s, w)) hit = j
-          j += 1
-        }
-        hit > i && {
-          caps += s.substring(ts(i).start, ts(hit).start).trim; i = hit; true
-        }
-      case Peek(ws @ _*) => ws.exists(isWord(i, _))
-      case SkipRest => i = ts.length; true
-      case Eos => i == ts.length
-      case SpecBeforeAfter =>
-        i < ts.length && {
-          val last = ts.length - 1
-          if (last - 1 > i && isBare(last) &&
-              (ts(last - 1).is(s, "BEFORE") || ts(last - 1).is(s, "AFTER"))) {
-            caps += s.substring(ts(i).start, ts(last - 1).start).trim
-            caps += (if (ts(last - 1).is(s, "BEFORE")) ts(last).text(s) else null)
-            caps += (if (ts(last - 1).is(s, "AFTER")) ts(last).text(s) else null)
-          } else {
-            caps += s.substring(ts(i).start).trim
-            caps += null; caps += null
-          }
-          i = ts.length; true
-        }
-      case DomainTail =>
-        i < ts.length && {
-          var j = i + 1 // base type needs ≥1 token before CHECK
-          var hit = -1
-          while (j < ts.length - 1 && hit < 0) {
-            if (ts(j).depth == 0 && ts(j).is(s, "CHECK") && isSymC(j + 1, '(') &&
-                matchClose(j + 1) == ts.length - 1) hit = j
-            j += 1
-          }
-          if (hit < 0) { caps += s.substring(ts(i).start).trim; caps += null }
-          else {
-            caps += s.substring(ts(i).start, ts(hit).start).trim
-            caps += s.substring(ts(hit + 1).end, ts(ts.length - 1).start)
-          }
-          i = ts.length; true
+    /** Match the element list from token `i`; restores `caps` on failure. */
+    def matchFrom(list: List[El], i: Int): Boolean = list match {
+      case Nil => true
+      case el :: rest =>
+        val mark = caps.length
+        // try each alternative (a function appending captures and returning
+        // the next token index, or -1); greedy order = regex order
+        def attempt(alts: Seq[() => Int]): Boolean =
+          alts.exists { a =>
+            caps.takeInPlace(mark)
+            val ni = a()
+            ni >= 0 && matchFrom(rest, ni)
+          } || { caps.takeInPlace(mark); false }
+
+        el match {
+          case Kw(ws @ _*) => attempt(Seq(() => kwAt(i, ws)))
+          case Opt(ws @ _*) =>
+            attempt(Seq(() => kwAt(i, ws), () => i))
+          case OptCap(ws @ _*) =>
+            attempt(Seq(
+              () => {
+                val ni = kwAt(i, ws)
+                if (ni >= 0) caps += s.substring(ts(i).start, ts(ni - 1).end)
+                ni
+              },
+              () => { caps += null; i }))
+          case AltKw(alts @ _*) =>
+            attempt(alts.map(a => () => kwAt(i, a)))
+          case AltCap(ws @ _*) =>
+            attempt(Seq(() =>
+              if (i < ts.length &&
+                  (ts(i).kind == Lex.Word || ts(i).kind == Lex.Num) &&
+                  ws.exists(_.equalsIgnoreCase(ts(i).text(s)))) {
+                caps += ts(i).text(s); i + 1
+              } else -1))
+          case OptG(inner @ _*) =>
+            matchFrom(inner.toList ::: rest, i) || {
+              caps.takeInPlace(mark)
+              inner.foreach(e => caps ++= Seq.fill(nCaps(e))(null: String))
+              matchFrom(rest, i) || { caps.takeInPlace(mark); false }
+            }
+          case Sym(c) =>
+            attempt(Seq(() => if (isSymC(i, c)) i + 1 else -1))
+          case Ident =>
+            attempt(Seq(() =>
+              if (isBare(i)) { caps += ts(i).text(s); i + 1 } else -1))
+          case Quoted =>
+            attempt(Seq(() =>
+              if (i < ts.length && ts(i).kind == Lex.Word &&
+                  s.charAt(ts(i).start) == '"' && ts(i).end - ts(i).start > 2) {
+                caps += s.substring(ts(i).start + 1, ts(i).end - 1); i + 1
+              } else -1))
+          case IntCap =>
+            attempt(Seq(() =>
+              if (i < ts.length && digitsOnly(i)) {
+                caps += ts(i).text(s); i + 1
+              } else if (isSymC(i, '-') && i + 1 < ts.length && digitsOnly(i + 1)) {
+                // token TEXTS, not the raw span: `- 5` must parse as -5
+                caps += "-" + ts(i + 1).text(s); i + 2
+              } else -1))
+          case LitCap =>
+            attempt(Seq(() =>
+              if (i < ts.length && ts(i).kind == Lex.Lit) {
+                caps += s.substring(ts(i).start + 1,
+                  math.max(ts(i).start + 1, ts(i).end - 1))
+                i + 1
+              } else -1))
+          case LitCapNonEmpty =>
+            attempt(Seq(() =>
+              if (i < ts.length && ts(i).kind == Lex.Lit &&
+                  ts(i).end - ts(i).start > 2) {
+                caps += s.substring(ts(i).start + 1, ts(i).end - 1); i + 1
+              } else -1))
+          case DottedIdent =>
+            attempt(Seq(() =>
+              if (isBare(i)) {
+                var last = i
+                while (isSymC(last + 1, '.') && isBare(last + 2)) last += 2
+                caps += s.substring(ts(i).start, ts(last).end); last + 1
+              } else -1))
+          case NullOrLit =>
+            attempt(Seq(() =>
+              if (isWord(i, "NULL") ||
+                  (i < ts.length && ts(i).kind == Lex.Lit)) {
+                caps += ts(i).text(s); i + 1
+              } else -1))
+          case SkipWord =>
+            attempt(Seq(() => if (isBare(i)) i + 1 else -1))
+          case SkipNum =>
+            attempt(Seq(() =>
+              if (i < ts.length && ts(i).kind == Lex.Num) i + 1 else -1))
+          case SkipLit =>
+            attempt(Seq(() =>
+              if (i < ts.length && ts(i).kind == Lex.Lit) i + 1 else -1))
+          case Paren =>
+            attempt(Seq(() =>
+              if (isSymC(i, '(')) {
+                val close = matchClose(i)
+                if (close < 0) -1
+                else {
+                  caps += s.substring(ts(i).end, ts(close).start); close + 1
+                }
+              } else -1))
+          case SkipParen =>
+            attempt(Seq(() =>
+              if (isSymC(i, '(')) {
+                val close = matchClose(i)
+                if (close < 0) -1 else close + 1
+              } else -1))
+          case Rest =>
+            attempt(Seq(() => {
+              caps += (if (i < ts.length) s.substring(ts(i).start) else "")
+              ts.length
+            }))
+          case RestNonEmpty =>
+            attempt(Seq(() =>
+              if (i < ts.length) { caps += s.substring(ts(i).start); ts.length }
+              else -1))
+          case RestTyped =>
+            attempt(Seq(() => {
+              val c = if (isBare(i)) s.charAt(ts(i).start) else ' '
+              if (c >= 'a' && c <= 'z' || c >= 'A' && c <= 'Z') {
+                caps += s.substring(ts(i).start); ts.length
+              } else -1
+            }))
+          case CapUntil(w) =>
+            // reluctant with backtracking like `(…+?)\s+W`: earliest
+            // depth-0 occurrence first, later ones if the rest fails
+            val hits = (i + 1 until ts.length)
+              .filter(j => ts(j).depth == 0 && ts(j).is(s, w))
+            attempt(hits.map(h => () => {
+              caps += s.substring(ts(i).start, ts(h).start).trim; h
+            }))
+          case Peek(ws @ _*) =>
+            attempt(Seq(() => if (ws.exists(isWord(i, _))) i else -1))
+          case SkipRest => attempt(Seq(() => ts.length))
+          case Eos => attempt(Seq(() => if (i == ts.length) i else -1))
+          case SpecBeforeAfter =>
+            attempt(Seq(() =>
+              if (i >= ts.length) -1
+              else {
+                val last = ts.length - 1
+                if (last - 1 > i && isBare(last) &&
+                    (ts(last - 1).is(s, "BEFORE") || ts(last - 1).is(s, "AFTER"))) {
+                  caps += s.substring(ts(i).start, ts(last - 1).start).trim
+                  caps += (if (ts(last - 1).is(s, "BEFORE")) ts(last).text(s)
+                    else null)
+                  caps += (if (ts(last - 1).is(s, "AFTER")) ts(last).text(s)
+                    else null)
+                } else {
+                  caps += s.substring(ts(i).start).trim
+                  caps += null; caps += null
+                }
+                ts.length
+              }))
+          case DomainTail =>
+            attempt(Seq(() =>
+              if (i >= ts.length) -1
+              else {
+                var j = i + 1 // base type needs ≥1 token before CHECK
+                var hit = -1
+                while (j < ts.length - 1 && hit < 0) {
+                  if (ts(j).depth == 0 && ts(j).is(s, "CHECK") &&
+                      isSymC(j + 1, '(') && matchClose(j + 1) == ts.length - 1)
+                    hit = j
+                  j += 1
+                }
+                if (hit < 0) {
+                  caps += s.substring(ts(i).start).trim; caps += null
+                } else {
+                  caps += s.substring(ts(i).start, ts(hit).start).trim
+                  caps += s.substring(ts(hit + 1).end, ts(ts.length - 1).start)
+                }
+                ts.length
+              }))
         }
     }
 
-    if (els.forall(one)) Some(caps.toSeq) else None
+    if (matchFrom(els, 0)) Some(caps.toSeq) else None
   }
 }

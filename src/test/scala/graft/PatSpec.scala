@@ -124,6 +124,67 @@ class PatSpec extends AnyFunSuite {
     }
   }
 
+  test("optional keywords backtrack: an identifier EQUAL to the optional " +
+      "keyword still parses (regex-faithful)") {
+    // a column literally named "column": Opt must give the token back when
+    // the rest of the pattern needs it
+    val dropCol = P(Kw("ALTER", "TABLE"), Ident, Kw("DROP"), Opt("COLUMN"),
+      Opt("IF", "EXISTS"), Ident, Eos)
+    Stmt("ALTER TABLE t DROP COLUMN") match {
+      case dropCol(tn, c) => assert(tn == "t" && c == "COLUMN")
+      case _ => fail("no match")
+    }
+    Stmt("ALTER TABLE t DROP COLUMN c") match {
+      case dropCol(tn, c) => assert(tn == "t" && c == "c")
+      case _ => fail("no match")
+    }
+    val release = P(Kw("RELEASE"), Opt("SAVEPOINT"), Ident, Eos)
+    Stmt("RELEASE SAVEPOINT") match { // savepoint literally named "savepoint"
+      case release(n) => assert(n == "SAVEPOINT")
+      case _ => fail("no match")
+    }
+    val addCol = P(Kw("ADD"), Opt("COLUMN"), Opt("IF", "NOT", "EXISTS"),
+      Ident, SpecBeforeAfter)
+    Stmt("ADD column int") match { // lower-case 'column' IS the column name?
+      // no — greedy first: consumed as the keyword, and 'int' becomes the
+      // name only if a spec remains; here it doesn't, so backtracking
+      // restores 'column' as the name with spec 'int'
+      case addCol(c, spec, _, _) => assert(c == "column" && spec == "int")
+      case _ => fail("no match")
+    }
+  }
+
+  test("IntCap with a separated minus captures a parseable number") {
+    val p = P(Kw("S"), IntCap, Eos)
+    Stmt("S - 5") match {
+      case p(n) => assert(n == "-5" && n.toLong == -5L)
+      case _ => fail("no match")
+    }
+    Stmt("S -7") match {
+      case p(n) => assert(n.toLong == -7L)
+      case _ => fail("no match")
+    }
+  }
+
+  test("CapUntil backtracks to later keyword occurrences when needed") {
+    // GRANT with a privilege list containing the word ON: the reluctant
+    // capture widens until the remainder fits, like ([\\w, ]+?)\\s+ON
+    val grant = P(Kw("GRANT"), CapUntil("ON"), Kw("ON"), Ident, Kw("TO"),
+      Ident, Eos)
+    Stmt("GRANT a ON b ON t TO u") match {
+      case grant(privs, obj, who) =>
+        assert(privs == "a ON b" && obj == "t" && who == "u")
+      case _ => fail("no match")
+    }
+  }
+
+  test("stripComments preserves optimizer hints, strips commentary") {
+    val in = "SELECT /*+ BROADCAST(t) */ * FROM a /* plain */ -- tail\nJOIN t"
+    val out = Lex.stripComments(in)
+    assert(out.contains("/*+ BROADCAST(t) */"), out)
+    assert(!out.contains("plain") && !out.contains("tail"), out)
+  }
+
   test("AltKw prefers the longest alternative listed first") {
     val p = P(AltKw(Seq("BEGIN", "WORK"), Seq("BEGIN")), Eos)
     assert(p.unapplySeq(Stmt("BEGIN WORK")).isDefined)

@@ -279,6 +279,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(train(2) == seq1)
   }
 
+  test("bpeTrain batch: a pair chained through a SKIPPED pair's symbol is " +
+      "also skipped (taint rule) — result identical to sequential") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // counts: (e,s)=5 > (s,t)=4 > (t,h)=3. (s,t) skips on the shared 's';
+    // (t,h) must ALSO skip (shared 't' with the SKIPPED pair): selecting it
+    // would give (t,h) the round-2 rank sequential training gives (s,t),
+    // and those two do NOT commute ("sth" would tokenize differently).
+    val docs = Seq((1L, ("es " * 5) + ("st " * 4) + ("th " * 3)))
+      .toDF("doc_id", "text")
+    def train(batch: Int) = TextAnalysis.bpeTrain(docs, "text", 3, batch)
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+    val seq1 = train(1)
+    assert(seq1 ==
+      Seq((0, "e", "s", 5L), (1, "s", "t", 4L), (2, "t", "h", 3L)))
+    assert(train(3) == seq1)
+  }
+
   test("bpeTrain batch: independent pairs past a skipped conflict still " +
       "land in the round (documented rank permutation vs sequential)") {
     import spark.implicits._
