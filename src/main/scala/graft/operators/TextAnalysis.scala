@@ -386,7 +386,16 @@ object TextAnalysis {
     *
     * Symbols are CODE POINTS (split(w, "") never separates a surrogate
     * pair), matching [[bpeEncode]] — astral-plane characters stay whole
-    * symbols on both sides. */
+    * symbols on both sides.
+    *
+    * CONTRACT NOTE — the `rank` column is batch-dependent: when an
+    * independent pair follows a SKIPPED conflict inside a round, its rank
+    * can permute relative to the `batch = 1` sequential order (disjoint
+    * merges commute, so the encoding is unaffected — pinned in
+    * TextAnalysisSpec). The stable cross-run artifact is the merge SET
+    * (sym_a, sym_b, pair_freq), not the merge ORDER; consumers diffing
+    * vocabularies across runs with different `batch` must compare by set
+    * or re-rank by (pair_freq desc, sym_a, sym_b) — not by `rank`. */
   def bpeTrain(df: DataFrame, textCol: String, numMerges: Int,
       batch: Int = 1): DataFrame = {
     require(batch >= 1, "batch must be >= 1")

@@ -129,7 +129,12 @@ private[sqlfront] object Lex {
     * plus") are preserved verbatim — they are semantic input to Spark's
     * planner (BROADCAST, MERGE, REPARTITION …), not commentary; stripping
     * one silently changes the join strategy of the statement it
-    * annotates. */
+    * annotates. A hint whose body contains a quote character is stripped
+    * like a plain comment instead: the downstream literal-span scans
+    * (Stmt.literalSpans and the masking built on it) are comment-blind, so
+    * a preserved apostrophe would open a phantom string literal and
+    * desynchronize every later rewrite — and no real planner hint
+    * (BROADCAST(t), REPARTITION(n, c) …) contains quotes. */
   def stripComments(s: String): String = {
     val sb = new java.lang.StringBuilder(s.length)
     var i = 0
@@ -150,7 +155,16 @@ private[sqlfront] object Lex {
             lvl -= 1; i += 2
           } else i += 1
         }
-        if (hint) sb.append(s, start, i) else sb.append(' ')
+        val safeHint = hint && {
+          var k = start; var quoted = false
+          while (k < i && !quoted) {
+            val hc = s.charAt(k)
+            if (hc == '\'' || hc == '"') quoted = true
+            k += 1
+          }
+          !quoted
+        }
+        if (safeHint) sb.append(s, start, i) else sb.append(' ')
       } else if (c == '\'') {
         val start = i
         i += 1

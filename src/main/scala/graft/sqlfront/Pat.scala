@@ -234,8 +234,12 @@ private[sqlfront] object Pat {
               if (isBare(i)) { caps += ts(i).text(s); i + 1 } else -1))
           case Quoted =>
             attempt(Seq(() =>
+              // the closing-quote check rejects the unterminated token Lex
+              // emits at end-of-input (end = s.length, no '"') — matching
+              // the old "([^"]+)" regex, which could not match unterminated
               if (i < ts.length && ts(i).kind == Lex.Word &&
-                  s.charAt(ts(i).start) == '"' && ts(i).end - ts(i).start > 2) {
+                  s.charAt(ts(i).start) == '"' && ts(i).end - ts(i).start > 2 &&
+                  s.charAt(ts(i).end - 1) == '"') {
                 caps += s.substring(ts(i).start + 1, ts(i).end - 1); i + 1
               } else -1))
           case IntCap =>

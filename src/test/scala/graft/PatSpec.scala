@@ -185,6 +185,24 @@ class PatSpec extends AnyFunSuite {
     assert(!out.contains("plain") && !out.contains("tail"), out)
   }
 
+  test("stripComments drops a hint whose body contains a quote character") {
+    // a preserved apostrophe would open a phantom literal for the
+    // comment-blind Stmt.literalSpans downstream — such hints are stripped
+    val out = Lex.stripComments("SELECT /*+ don't */ x FROM t WHERE y = 'a'")
+    assert(!out.contains("don"), out)
+    assert(out.contains("'a'"), out)
+    // masking over the stripped text stays sane: the literal is 'a', not
+    // a span opened inside the former hint
+    assert(Stmt(out).masked.contains("FROM"), Stmt(out).masked)
+  }
+
+  test("Quoted rejects an unterminated quoted identifier") {
+    val p = P(Kw("CALL"), Quoted, Eos)
+    assert(p.unapplySeq(Stmt("CALL \"a.b\"")).contains(Seq("a.b")))
+    assert(p.unapplySeq(Stmt("CALL \"a.b")).isEmpty,
+      "unterminated identifier must fail the match, not drop a character")
+  }
+
   test("AltKw prefers the longest alternative listed first") {
     val p = P(AltKw(Seq("BEGIN", "WORK"), Seq("BEGIN")), Eos)
     assert(p.unapplySeq(Stmt("BEGIN WORK")).isDefined)

@@ -79,10 +79,22 @@ class PlanLintSpec extends SparkSpec {
     java.nio.file.Files.walk(root).forEach { p =>
       if (p.toString.endsWith(".scala") && !p.toString.contains("/tools/")) {
         val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-        // strip line comments so documentation mentioning collect() is free
+        // strip line comments so documentation mentioning collect() is
+        // free — but only a // OUTSIDE a string literal starts a comment
+        // (an even count of '"' before it on the line), so a URL like
+        // "https://..." cannot truncate the code line and hide a real
+        // .collect() appearing after it
         val code = text.linesIterator
-          .map(l => l.indexOf("//") match {
-            case -1 => l; case i => l.substring(0, i) })
+          .map { l =>
+            var i = 0; var quotes = 0; var cut = -1
+            while (cut < 0 && i < l.length - 1) {
+              if (l.charAt(i) == '"') quotes += 1
+              else if (l.charAt(i) == '/' && l.charAt(i + 1) == '/' &&
+                quotes % 2 == 0) cut = i
+              i += 1
+            }
+            if (cut < 0) l else l.substring(0, cut)
+          }
           .mkString("\n")
         val n = "\\.collect(AsList)?\\(\\)".r.findAllIn(code).size
         if (n > 0) counts(root.relativize(p).toString) = n
