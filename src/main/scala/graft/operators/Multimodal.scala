@@ -1,23 +1,38 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing (beyond-reference surface): image/audio/video
-  * as opaque `binary` payloads + typed metadata, with decode / feature-
+  * as opaque `binary` columns + typed metadata, with decode / feature-
   * extract / resize / frame-sample stages.
   *
-  * The Spark-side plumbing is REAL — schemas, batched per-partition
-  * execution, partitioning behavior, row-explosion for frames — while the
-  * codec itself is a clearly marked deterministic STUB (this container has
-  * no image/audio libraries): `stubDecode` derives metadata from the bytes
-  * alone. Swapping in a real codec changes only the body of that one
-  * function; every schema and operator stays.
+  * The image and audio paths run a REAL codec end to end: the media table
+  * carries genuinely ENCODED payloads — PNG bytes written by
+  * `javax.imageio` and WAV (PCM 16-bit LE mono) bytes written by
+  * `javax.sound.sampled` — and [[decodeMeta]] recovers dimensions, frame
+  * counts, container format, and a decoded-content checksum by actually
+  * parsing those bytes back (ImageIO / AudioSystem). Only the VIDEO kind
+  * keeps a clearly-marked deterministic stub (this container ships no
+  * video codec): its payload is the raw UTF-8 text and its metadata a pure
+  * byte-fold function, exactly the previous stub contract.
+  *
+  * Verifiability is the design driver: the encoder chooses dimensions and
+  * frame counts as a fold over the SOURCE text bytes and fills pixels /
+  * samples by cycling those bytes — both SQL-expressible — so an oracle
+  * that never sees the binary can still predict what a correct decoder
+  * must recover (width, height, n_frames, and the checksum over every
+  * decoded pixel channel / PCM sample). A header-only fake decode cannot
+  * reproduce `content_sum`; a lossy codec would break it too (PNG and PCM
+  * are lossless, so the round trip is bit-exact).
   *
   * mapPartitions (preference (d) of the build brief) is deliberate here:
-  * a real decoder is per-row imperative native code — exactly the case the
-  * brief reserves it for — and batching per partition amortizes codec init.
+  * a codec is per-row imperative native code — exactly the case the brief
+  * reserves it for — and batching per partition amortizes codec init
+  * (ImageIO's disk cache is disabled once per partition, not per row).
   */
 object Multimodal {
 
@@ -33,47 +48,147 @@ object Multimodal {
     StructField("width", IntegerType, nullable = true),
     StructField("height", IntegerType, nullable = true),
     StructField("n_frames", IntegerType, nullable = true),
-    StructField("format", StringType, nullable = true)))
+    StructField("format", StringType, nullable = true),
+    StructField("content_sum", LongType, nullable = true)))
 
-  /** Deterministic synthetic media table derived from `documents` (the
-    * corpus ships no binary column): payload = utf8 bytes, kind by modulus. */
-  def syntheticMedia(documents: DataFrame): DataFrame =
-    documents.select(
-      col("doc_id").as("media_id"),
-      element_at(lit(Array("image", "audio", "video")),
-        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
-      encode(col("text"), "UTF-8").as("payload"))
-
-  // ======================= STUB CODEC =======================
-  // ??? in spirit: a real build links an image/audio decoder here. The stub
-  // is a pure function of the payload bytes so tests are deterministic.
-  private def stubDecode(id: Long, kind: String, payload: Array[Byte]): Row = {
-    val n = if (payload == null) 0L else payload.length.toLong
-    val h = if (payload == null) 0L
+  /** The byte fold both sides share (and the oracle reproduces in HUGEINT
+    * mod-2^64 SQL): h = fold(1125899906842597, acc*31 + signedByte). */
+  private def fold(payload: Array[Byte]): Long =
+    if (payload == null) 0L
     else payload.foldLeft(1125899906842597L)((acc, b) => acc * 31 + b)
+
+  // Encoded-media geometry, a pure function of the text fold. Image rasters
+  // are capped at 192x108 (62 KB) so encoding 100k rows/executor stays
+  // CPU-trivial; audio at <=4800 frames (9.6 KB PCM).
+  private def imageDims(h: Long): (Int, Int) =
+    ((math.abs(h) % 192 + 1).toInt, (math.abs(h / 7) % 108 + 1).toInt)
+  private def audioFrames(h: Long): Int = (math.abs(h) % 4800 + 1).toInt
+
+  /** ENCODER (synthesis-time): doc text -> real encoded media bytes.
+    * image -> PNG via javax.imageio; audio -> WAV (PCM s16le mono, 8 kHz)
+    * via javax.sound.sampled; video -> raw UTF-8 bytes (the declared stub
+    * container). Pixel channels / PCM high bytes cycle the text bytes, so
+    * the decoded-content checksum has the closed form the oracle computes:
+    *   image: sum over 3*w*h channel values ub(text[i mod n])
+    *   audio: sum over nFrames samples (ub(text[j mod n]) - 128) * 256. */
+  def encodeMedia(id: Long, kind: String, textBytes: Array[Byte]): Array[Byte] = {
+    if (textBytes == null) return null
+    val n = textBytes.length
     kind match {
       case "image" =>
-        Row(id, kind, n, (math.abs(h) % 1920 + 1).toInt,
-          (math.abs(h / 7) % 1080 + 1).toInt, null, "stub/png")
+        val h = fold(textBytes)
+        val (w, ht) = imageDims(h)
+        val img = new java.awt.image.BufferedImage(
+          w, ht, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        val buf = img.getRaster.getDataBuffer
+          .asInstanceOf[java.awt.image.DataBufferByte].getData
+        if (n > 0) {
+          var i = 0
+          while (i < buf.length) { buf(i) = textBytes(i % n); i += 1 }
+        }
+        val bos = new ByteArrayOutputStream(4096)
+        javax.imageio.ImageIO.write(img, "png", bos)
+        bos.toByteArray
       case "audio" =>
-        Row(id, kind, n, null, null, (math.abs(h) % 4800 + 1).toInt, "stub/wav")
-      case _ =>
-        Row(id, kind, n, (math.abs(h) % 1280 + 1).toInt,
-          (math.abs(h / 7) % 720 + 1).toInt, (math.abs(h / 11) % 300 + 1).toInt,
-          "stub/mp4")
+        val h = fold(textBytes)
+        val nf = audioFrames(h)
+        val data = new Array[Byte](2 * nf) // s16le mono: low byte 0, high = ub-128
+        var j = 0
+        while (j < nf) {
+          data(2 * j + 1) = (((if (n > 0) textBytes(j % n) & 0xFF else 0) - 128)).toByte
+          j += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new ByteArrayInputStream(data), fmt, nf.toLong)
+        val bos = new ByteArrayOutputStream(4096)
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        bos.toByteArray
+      case _ => textBytes // video: declared stub container (raw UTF-8)
     }
   }
-  // ==========================================================
+
+  /** Media table over `documents`: kind by id modulus, payload REALLY
+    * encoded per [[encodeMedia]] (PNG / WAV / stub-video). Map-shaped —
+    * inherits the scan's partitioning, no shuffle. */
+  def syntheticMedia(documents: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    documents.select(col("doc_id"),
+        element_at(lit(Array("image", "audio", "video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+        encode(col("text"), "UTF-8").as("text_bytes"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val kind = r.getString(1)
+          Row(id, kind, encodeMedia(id, kind, r.getAs[Array[Byte]](2)))
+        }
+      }(enc)
+  }
+
+  // ==================== REAL DECODER (image + audio) ====================
+  // Video retains the deterministic byte-fold stub (no video codec in this
+  // container); its slot is the same per-partition codec seam.
+  private def decodeOne(id: Long, kind: String, payload: Array[Byte]): Row = {
+    if (payload == null) return Row(id, kind, 0L, null, null, null, null, null)
+    val n = payload.length.toLong
+    kind match {
+      case "image" =>
+        // real decode: parse the PNG container, read every pixel back
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new ByteArrayInputStream(payload))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext)
+          throw new IllegalArgumentException(s"media_id=$id: undecodable image")
+        val reader = readers.next()
+        val fmtName = reader.getFormatName.toLowerCase
+        reader.setInput(iis)
+        val img = reader.read(0)
+        reader.dispose()
+        val w = img.getWidth; val ht = img.getHeight
+        val px = img.getRGB(0, 0, w, ht, null, 0, w)
+        var sum = 0L; var i = 0
+        while (i < px.length) {
+          val p = px(i)
+          sum += ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
+          i += 1
+        }
+        Row(id, kind, n, w, ht, null, fmtName, sum)
+      case "audio" =>
+        // real decode: parse the WAV container, stream the PCM frames back
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(payload))
+        val fmtName = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new ByteArrayInputStream(payload)).getType.toString.toLowerCase
+        val nf = ais.getFrameLength.toInt
+        val data = ais.readAllBytes()
+        ais.close()
+        var sum = 0L; var j = 0
+        while (j + 1 < data.length) { // s16le
+          sum += ((data(j) & 0xFF) | (data(j + 1).toInt << 8)).toLong
+          j += 2
+        }
+        Row(id, kind, n, null, null, nf, fmtName, sum)
+      case _ =>
+        // video STUB: metadata as a pure fold of the payload bytes
+        val h = fold(payload)
+        Row(id, kind, n, (math.abs(h) % 1280 + 1).toInt,
+          (math.abs(h / 7) % 720 + 1).toInt, (math.abs(h / 11) % 300 + 1).toInt,
+          "stub/mp4", h)
+    }
+  }
 
   /** Decode stage: batched per partition; output partitioning inherits the
     * input's (no shuffle — decode is map-shaped). */
   def decodeMeta(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
     val enc = org.apache.spark.sql.Encoders.row(metaSchema)
     media.select(col("media_id"), col("kind"), col("payload"))
       .mapPartitions { rows =>
-        // per-partition codec init would go here (amortized across the batch)
-        rows.map(r => stubDecode(r.getLong(0), r.getString(1),
+        // per-partition codec init: ImageIO's default disk-backed stream
+        // cache would turn every decode into temp-file I/O
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map(r => decodeOne(r.getLong(0), r.getString(1),
           r.getAs[Array[Byte]](2)))
       }(enc)
   }
@@ -89,9 +204,9 @@ object Multimodal {
 
   /** Feature extraction stage: deterministic pseudo-embedding per media row
     * (STUB — stands in for a vision/audio encoder); shape (dim) and batch
-    * plumbing are real. */
+    * plumbing are real, and the seed covenants on the REAL encoded payload
+    * length (id * 31 + payload.length). */
   def extractFeatures(media: DataFrame, dim: Int = 16): DataFrame = {
-    val spark = media.sparkSession
     val schema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("feature", ArrayType(FloatType, containsNull = false))))
@@ -107,8 +222,9 @@ object Multimodal {
     }(enc)
   }
 
-  /** Resize stage (STUB codec, real plumbing): recompute metadata bounded to
-    * a max edge, preserving aspect via integer math. */
+  /** Resize stage (metadata arithmetic; a real resample would slot into the
+    * decode seam): recompute dimensions bounded to a max edge, preserving
+    * aspect via the scale factor. */
   def resizeMeta(decoded: DataFrame, maxEdge: Int = 512): DataFrame =
     decoded.withColumn("scale",
         when(greatest(col("width"), col("height")) > maxEdge,

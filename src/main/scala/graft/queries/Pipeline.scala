@@ -197,8 +197,11 @@ object Pipeline {
       .collect().map { r =>
         val id = r.getLong(0)
         val text = if (r.isNullAt(1)) null else r.getString(1)
-        val payload = if (text == null) null else text.getBytes("UTF-8")
         val kind = Seq("image", "audio", "video")((id % 3).toInt)
+        // the REAL encoder (PNG/WAV containers), replayed single-node —
+        // n_bytes and the feature seed covenant on the encoded size
+        val payload = Multimodal.encodeMedia(id, kind,
+          if (text == null) null else text.getBytes("UTF-8"))
         val nBytes = if (payload == null) 0L else payload.length.toLong
         val seed = if (payload == null) id else id * 31 + payload.length
         val rnd = new scala.util.Random(seed)
@@ -957,15 +960,22 @@ object Pipeline {
         WHERE vec_id NOT IN (SELECT victim FROM victims)"""
   }
 
-  /** DuckDB twin of [[Multimodal.syntheticMedia]] + the stub codec
-    * (Multimodal.stubDecode): the payload is the UTF-8 byte encoding of
-    * `text`, and the stub derives metadata from the Java fold
-    * `h = fold(1125899906842597, acc*31 + signedByte)` over those bytes.
-    * DuckDB reads the bytes back out of hex(encode(text)) (two hex chars
-    * per byte, sign-adjusted to Java's signed byte), folds in HUGEINT
-    * mod 2^64, and mirrors Java's truncating signed division for h/7 and
-    * h/11. Produces the `decoded` CTE every m-query builds on. */
-  private def stubDecodeOracle: String = {
+  /** DuckDB twin of [[Multimodal.syntheticMedia]] + [[Multimodal.decodeMeta]]
+    * — the strongest possible oracle for a real codec: the encoder chooses
+    * geometry as the Java fold `h = fold(1125899906842597, acc*31 +
+    * signedByte)` over the SOURCE text bytes and fills pixels/samples by
+    * cycling those bytes, so DuckDB — which never sees the PNG/WAV binary —
+    * independently predicts what `javax.imageio` / `javax.sound` must
+    * recover: width, height, n_frames, container format, and the checksum
+    * over every DECODED pixel channel / PCM sample (closed form over the
+    * cyclic fill: floor(m/n)·Σbytes + prefix(m mod n)). A header-only fake
+    * decode cannot reproduce `content_sum`; a mismatch anywhere in
+    * encode→container→decode breaks the hash. DuckDB reads bytes out of
+    * hex(encode(text)), folds in HUGEINT mod 2^64, and mirrors Java's
+    * truncating signed division. Produces the `decoded` CTE every m-query
+    * builds on (no n_bytes — compressed container sizes are not
+    * SQL-expressible; m01 inlines them via [[mediaBytesValues]]). */
+  private def mediaDecodeOracle: String = {
     val N = "18446744073709551616::HUGEINT"
     val HALF = "9223372036854775808::HUGEINT"
     def hexByte(i: String) = // value of byte i (1-based) from the hex dump
@@ -973,11 +983,20 @@ object Pipeline {
         s" + (strpos('0123456789ABCDEF', hx[2*$i:2*$i])-1))"
     def jdiv(x: String, d: Int) = // Java's truncating signed division
       s"(CASE WHEN $x < 0 THEN -((-($x)) // $d) ELSE ($x) // $d END)"
+    // Σ of the first (m mod n) unsigned bytes + floor(m/n) full cycles —
+    // the cyclic-fill checksum closed form (corpus texts are never empty)
+    def cyc(m: String) =
+      s"((CAST($m AS BIGINT) // n) * s_all + CAST(COALESCE(list_sum(" +
+        s"ubl[1:CAST(CAST($m AS BIGINT) % n AS INT)]), 0) AS BIGINT))"
     s"""
         bytes AS (
           SELECT doc_id, hex(encode(text)) AS hx,
                  octet_length(encode(text)) AS n
           FROM documents),
+        ubx AS (
+          SELECT doc_id,
+            list_transform(range(1, n+1), i -> ${hexByte("i")}) AS ubl
+          FROM bytes),
         folded AS (
           SELECT doc_id, n,
             list_reduce(
@@ -989,25 +1008,50 @@ object Pipeline {
               (acc, x) -> ((acc * 31 + x) % $N + $N) % $N) AS hu
           FROM bytes),
         stub AS (
-          SELECT doc_id AS media_id,
-            ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
-            CAST(n AS BIGINT) AS n_bytes,
+          SELECT f.doc_id AS media_id,
+            ['image','audio','video'][CAST(f.doc_id % 3 AS INT) + 1] AS kind,
+            f.n, u.ubl,
+            CAST(COALESCE(list_sum(u.ubl), 0) AS BIGINT) AS s_all,
+            CAST((hu) - (CASE WHEN (hu) >= $HALF THEN $N ELSE 0::HUGEINT END) AS BIGINT) AS hs,
             abs(CAST((hu) - (CASE WHEN (hu) >= $HALF THEN $N ELSE 0::HUGEINT END) AS BIGINT)) AS ah,
             abs(${jdiv(s"CAST((hu) - (CASE WHEN (hu) >= $HALF THEN $N ELSE 0::HUGEINT END) AS BIGINT)", 7)}) AS ah7,
             abs(${jdiv(s"CAST((hu) - (CASE WHEN (hu) >= $HALF THEN $N ELSE 0::HUGEINT END) AS BIGINT)", 11)}) AS ah11
-          FROM folded),
-        decoded AS (
-          SELECT media_id, kind, n_bytes,
-            CASE kind WHEN 'image' THEN CAST(ah % 1920 + 1 AS INT)
+          FROM folded f JOIN ubx u ON u.doc_id = f.doc_id),
+        geom AS (
+          SELECT media_id, kind, n, ubl, s_all, hs,
+            CASE kind WHEN 'image' THEN CAST(ah % 192 + 1 AS INT)
                       WHEN 'video' THEN CAST(ah % 1280 + 1 AS INT) END AS width,
-            CASE kind WHEN 'image' THEN CAST(ah7 % 1080 + 1 AS INT)
+            CASE kind WHEN 'image' THEN CAST(ah7 % 108 + 1 AS INT)
                       WHEN 'video' THEN CAST(ah7 % 720 + 1 AS INT) END AS height,
             CASE kind WHEN 'audio' THEN CAST(ah % 4800 + 1 AS INT)
                       WHEN 'video' THEN CAST(ah11 % 300 + 1 AS INT) END AS n_frames,
-            CASE kind WHEN 'image' THEN 'stub/png' WHEN 'audio' THEN 'stub/wav'
+            CASE kind WHEN 'image' THEN 'png' WHEN 'audio' THEN 'wave'
                       ELSE 'stub/mp4' END AS format
-          FROM stub)"""
+          FROM stub),
+        decoded AS (
+          SELECT media_id, kind, width, height, n_frames, format,
+            CASE kind
+              WHEN 'image' THEN ${cyc("3 * width * height")}
+              WHEN 'audio' THEN 256 * ${cyc("n_frames")}
+                                - 32768 * CAST(n_frames AS BIGINT)
+              ELSE hs END AS content_sum
+          FROM geom)"""
   }
+
+  /** m01's n_bytes oracle: the compressed PNG/WAV container size is not
+    * SQL-expressible, so the generator replays the ENCODER single-node
+    * (the p03 replay discipline) and inlines (media_id, n_bytes) literals
+    * — the decode side of the compare stays fully independent (DuckDB
+    * recomputes geometry + content checksums from the text alone). */
+  private def mediaBytesValues(s: SparkSession, dir: String): String =
+    Tables.load(s, dir, "documents").select("doc_id", "text")
+      .collect().map { r =>
+        val id = r.getLong(0)
+        val kind = Seq("image", "audio", "video")((id % 3).toInt)
+        val payload = Multimodal.encodeMedia(id, kind,
+          if (r.isNullAt(1)) null else r.getString(1).getBytes("UTF-8"))
+        s"($id, ${if (payload == null) 0 else payload.length})"
+      }.mkString(",\n          ")
 
   /** DuckDB twin of [[TextAnalysis.langId]], generated from the same
     * stopword map so the lists cannot drift. */
@@ -2196,49 +2240,59 @@ object Pipeline {
                     ELSE 'test' END AS split
         FROM b""")),
 
-    // ---- Multimodal: stub-decode metadata over a binary payload column.
-    // The codec is a stub, but a DETERMINISTIC one — so the whole decode
-    // path (payload bytes → fold → metadata) is oracled bit-exactly via
-    // the generated byte-fold twin (see stubDecodeOracle).
+    // ---- Multimodal: REAL decode over really-encoded payloads — PNG via
+    // javax.imageio, WAV via javax.sound (video = the declared stub). The
+    // oracle predicts geometry + the decoded-content checksum from the
+    // TEXT alone (see mediaDecodeOracle) and inlines only the compressed
+    // container sizes, so a header-only or lossy decode cannot hash-match.
     Q("m01_media_decode",
       (s, dir) => Multimodal.decodeMeta(
         Multimodal.syntheticMedia(t(s, dir, "documents"))),
-      Some(s"""
-        WITH ${stubDecodeOracle}
-        SELECT media_id, kind, n_bytes, width, height, n_frames, format
-        FROM decoded""")),
+      None,
+      oracleGen = Some((s, dir) => s"""
+        WITH ${mediaDecodeOracle},
+        nb AS (
+          SELECT * FROM (VALUES ${mediaBytesValues(s, dir)}) v(media_id, n_bytes))
+        SELECT d.media_id, d.kind, CAST(nb.n_bytes AS BIGINT) AS n_bytes,
+               d.width, d.height, d.n_frames, d.format, d.content_sum
+        FROM decoded d JOIN nb ON nb.media_id = d.media_id""")),
 
-    // ---- Multimodal: frame sampling (row explosion per sampled frame).
+    // ---- Multimodal: frame sampling (row explosion per sampled frame) —
+    // audio frame counts now come from the REAL WAV header parse; the
+    // oracle's fold-derived n_frames only matches if the container
+    // round-trips them.
     Q("m02_frame_sample",
       (s, dir) => Multimodal.sampleFrames(
         Multimodal.decodeMeta(Multimodal.syntheticMedia(t(s, dir, "documents"))),
         everyNth = 30),
       Some(s"""
-        WITH ${stubDecodeOracle}
+        WITH ${mediaDecodeOracle}
         SELECT media_id, kind, n_frames,
                CAST(f // 30 AS INT) AS sample_idx,
                CAST(f AS INT) AS frame_idx
         FROM decoded, UNNEST(range(0, CAST(n_frames AS BIGINT), 30)) AS u(f)
         WHERE n_frames IS NOT NULL""")),
 
-    // ---- Multimodal: feature extraction + resize stages (stub codec, real
-    // batch plumbing). Feature VALUES are JVM-seeded (not SQL-expressible);
-    // the surfaced shape (dim) and the resize arithmetic are oracled.
+    // ---- Multimodal: feature extraction + resize stages over the REAL
+    // decoded geometry. Feature VALUES are JVM-seeded (not SQL-
+    // expressible); the surfaced shape (dim) and the resize arithmetic are
+    // oracled. maxEdge 96 < the 192-px encoder cap, so downscaling
+    // genuinely triggers on image rows (and on stub-video's larger dims).
     Q("m03_media_features",
       (s, dir) => {
         val media = Multimodal.syntheticMedia(t(s, dir, "documents"))
         val feats = Multimodal.extractFeatures(media, dim = 16)
-        val resized = Multimodal.resizeMeta(Multimodal.decodeMeta(media), maxEdge = 512)
+        val resized = Multimodal.resizeMeta(Multimodal.decodeMeta(media), maxEdge = 96)
         resized.join(feats, Seq("media_id"))
           .select(col("media_id"), col("kind"), col("out_width"), col("out_height"),
             size(col("feature")).as("feat_dim"))
       },
       Some(s"""
-        WITH ${stubDecodeOracle},
+        WITH ${mediaDecodeOracle},
         resized AS (
           SELECT media_id, kind, width, height,
-            CASE WHEN greatest(width, height) > 512
-                 THEN 512.0 / greatest(width, height) ELSE 1.0 END AS scale
+            CASE WHEN greatest(width, height) > 96
+                 THEN 96.0 / greatest(width, height) ELSE 1.0 END AS scale
           FROM decoded)
         SELECT media_id, kind,
                CAST(trunc(width * scale) AS INT) AS out_width,

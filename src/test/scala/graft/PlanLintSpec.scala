@@ -66,7 +66,7 @@ class PlanLintSpec extends SparkSpec {
     * VERDICT r5). Any change to a count — up OR down — fails here and
     * forces a re-audit + justification in this map. */
   private val collectSites: Map[String, Int] = Map(
-    "queries/Pipeline.scala" -> 5, // driver-side ORACLE generators: single-node replay twins, never a data path
+    "queries/Pipeline.scala" -> 6, // driver-side ORACLE generators: single-node replay twins (incl. m01's encoded-size inliner), never a data path
     "operators/Sampling.scala" -> 1, // per-partition Long count array (size = #partitions)
     "operators/Dml.scala" -> 1, // per-partition count array for ROWNUM/LIMIT semantics
     "operators/TextAnalysis.scala" -> 1, // BPE top-m driver argmax (bounded by merge batch)
