@@ -38,7 +38,8 @@ import graft.operators.Dml
   *     (ddl/CreateFunctionAlias.java); CREATE CONSTANT/DOMAIN/TRIGGER/
   *     SCHEMA, GRANT/REVOKE (recorded), DROP ALL OBJECTS
   *   - all 30 INFORMATION_SCHEMA meta tables (MetaTable.java:77-107)
-  *   - every textual rewrite is string-literal-aware (rewriteOutside)
+  *   - every textual rewrite is a token-pattern pass (Rw.rewrite) —
+  *     string-literal safety is structural, not simulated
   *
   * Tables live as temp views so translated SQL sees them; every mutation
   * re-registers the view (snapshot semantics — readers of the old DataFrame
@@ -213,23 +214,68 @@ final class Engine(val spark: SparkSession) {
   // Stmt (the literal-masked statement view) lives in Pat.scala with the
   // token-pattern extractors; `Pat.P` patterns replaced the `M(regex)`
   // extractors of the historical regex front door — STATEMENT dispatch is
-  // now regex-free (fragment-level scans below still use matchMasked).
+  // now regex-free, as are the fragment-level DEFAULT/SEQUENCE clause
+  // scans (defaultClause/seqClause) and every textual rewrite (Rw).
   import Pat.{P, Kw, Opt, OptCap, AltKw, AltCap, OptG, Ident, Quoted, IntCap,
     SkipWord, SkipNum, SkipLit, Paren, SkipParen, Rest, RestNonEmpty,
     RestTyped, CapUntil, Peek, SkipRest, Eos, SpecBeforeAfter, DomainTail,
     LitCap, LitCapNonEmpty, DottedIdent, NullOrLit}
 
-  /** Masked-regex matcher for sub-statement FRAGMENTS (column defs,
-    * type specs): match `re` against the literal-masked view of `frag`,
-    * extract capture groups from the RAW fragment by span — so keyword
-    * scans (NOT NULL / DEFAULT / IDENTITY …) can never bind to text inside
-    * a string literal such as `DEFAULT 'x NOT NULL'`. */
-  private def matchMasked(re: scala.util.matching.Regex, frag: String)
-      : Option[IndexedSeq[String]] = {
-    val m = re.pattern.matcher(Stmt(frag).masked)
-    if (!m.matches()) None
-    else Some((1 to m.groupCount()).map(i =>
-      if (m.start(i) < 0) null else frag.substring(m.start(i), m.end(i))))
+  /** Token twin of the old masked `defOptRe` column-def fragment regex
+    * (`^(\w+)\s+.*?\s+(?:DEFAULT|AS)\s+(.+?)(?:\s+NOT\s+NULL|\s+NULL|
+    * \s+AUTO_INCREMENT|\s+UNIQUE)?\s*$`): Some((head, expr)) at the
+    * EARLIEST DEFAULT|AS keyword with whitespace before it and at least
+    * one token after it; `expr` runs to the end of the fragment with ONE
+    * trailing column option stripped — NOT NULL first, then NULL /
+    * AUTO_INCREMENT / UNIQUE — and only while at least one expr token
+    * remains (the reluctant `(.+?)` floor). Literal safety is structural:
+    * `DEFAULT 'x NOT NULL'` is one token, so nothing strips inside it.
+    * `leadIdent` selects the column-def form (head = the leading bare
+    * word; the keyword needs another token — or a ≥2-char gap — before
+    * it, mirroring `(\w+)\s+.*?\s+`); otherwise the `^(.*?)\s+` type-
+    * spec form (head = everything before the keyword). */
+  private def defaultClause(frag: String, leadIdent: Boolean)
+      : Option[(String, String)] = {
+    val ts = Lex.tokens(frag)
+    if (ts.isEmpty) return None
+    if (leadIdent &&
+        !(ts(0).kind == Lex.Word && frag.charAt(ts(0).start) != '"'))
+      return None
+    var k = 1
+    var hit = -1
+    while (k < ts.length - 1 && hit < 0) {
+      if ((ts(k).is(frag, "DEFAULT") || ts(k).is(frag, "AS")) &&
+          ts(k).start > ts(k - 1).end &&
+          (!leadIdent || k >= 2 || ts(k).start - ts(0).end >= 2))
+        hit = k
+      k += 1
+    }
+    if (hit < 0) return None
+    var endTok = ts.length - 1
+    def w(i: Int, s0: String) = ts(i).is(frag, s0)
+    if (endTok >= hit + 3 && w(endTok - 1, "NOT") && w(endTok, "NULL"))
+      endTok -= 2
+    else if (endTok >= hit + 2 && (w(endTok, "NULL") ||
+        w(endTok, "AUTO_INCREMENT") || w(endTok, "UNIQUE")))
+      endTok -= 1
+    val head =
+      if (leadIdent) ts(0).text(frag)
+      else frag.substring(0, ts(hit).start).trim
+    Some((head, frag.substring(ts(hit + 1).start, ts(endTok).end)))
+  }
+
+  /** Token twin of the old masked `seqOptRe`
+    * (`^(.*?)\s+SEQUENCE\s+(\w+)\s*$`): the fragment must END with
+    * `SEQUENCE <bareword>`; Some((prefix, seqName)). */
+  private def seqClause(frag: String): Option[(String, String)] = {
+    val ts = Lex.tokens(frag)
+    if (ts.length < 3) return None
+    val last = ts.length - 1
+    if (ts(last - 1).is(frag, "SEQUENCE") && ts(last).kind == Lex.Word &&
+        frag.charAt(ts(last).start) != '"' &&
+        ts(last - 1).start > ts(last - 2).end)
+      Some((frag.substring(0, ts(last - 1).start).trim, ts(last).text(frag)))
+    else None
   }
 
   /** Literal-masked upper-cased view of a fragment, for keyword
@@ -1187,15 +1233,14 @@ final class Engine(val spark: SparkSession) {
         // keyword in VALUES
         // trailing column options (NOT NULL / AUTO_INCREMENT / UNIQUE) are
         // not part of the default expression
-        val defOptRe =
-          """(?is)^(\w+)\s+.*?\s+(?:DEFAULT|AS)\s+(.+?)(?:\s+NOT\s+NULL|\s+NULL|\s+AUTO_INCREMENT|\s+UNIQUE)?\s*$""".r
-        // masked match: DEFAULT keyword + trailing-option stripping must
-        // never bind inside a default literal (DEFAULT 'x NOT NULL')
+        // token scan: DEFAULT keyword + trailing-option stripping can
+        // never bind inside a default literal (DEFAULT 'x NOT NULL' is
+        // one token)
         splitTop(colDefs).map(_.trim).foreach { d0 =>
-          matchMasked(defOptRe, d0) match {
-            case Some(gs) if !gs(0).equalsIgnoreCase("PRIMARY") =>
+          defaultClause(d0, leadIdent = true) match {
+            case Some((cn, dflt)) if !cn.equalsIgnoreCase("PRIMARY") =>
               colDefaults.getOrElseUpdate(tn,
-                mutable.LinkedHashMap.empty)(gs(0).toLowerCase) = gs(1).trim
+                mutable.LinkedHashMap.empty)(cn.toLowerCase) = dflt.trim
             case _ =>
           }
         }
@@ -1502,17 +1547,22 @@ final class Engine(val spark: SparkSession) {
         else s"SELECT ${rest.substring(0, tailIdx)} FROM $fromPart ${rest.substring(tailIdx)}"
       }
     }
-    // All rewrites below are literal-aware (rewriteOutside): a quoted
-    // 'user@example.com' or 'LIMIT 3,4' inside a string must never be
-    // rewritten (translate used to be string-blind — round-1 advice).
+    // All rewrites below are token-pattern passes (Rw.rewrite): literal
+    // safety is structural — a quoted 'user@example.com' or 'LIMIT 3,4'
+    // inside a string is ONE token no bare-keyword pattern can match
+    // (translate used to be string-blind — round-1 advice; the regex
+    // successor's span-exclusion is retired with the regexes themselves).
+    import Rw.{W => RwW, Kw => RwKw, Sy, AdjSy, AnyW, AdjAnyW, Digits,
+      SignedDigits, OptE, Not, Peek, End => REnd}
+    import Rw.{Lit => RLit}
     // Mode-gated syntax (db/Mode.java): MSSQL bracket identifiers.
     if (compatibilityMode == "MSSQLSERVER" || compatibilityMode == "MSSQL")
-      q = rewriteOutside(q, """\[([A-Za-z_]\w*)\]""".r)(m => s"`${m.group(1)}`")
+      q = Rw.rewrite(q, Sy('['), AnyW, Sy(']'))(c => s"`${c(0)}`")
     // SYSTEM_RANGE(a,b[,s]) → registered range view
-    val sysRange = """(?i)\bSYSTEM_RANGE\s*\(\s*(-?\d+)\s*,\s*(-?\d+)\s*(?:,\s*(-?\d+)\s*)?\)""".r
-    q = rewriteOutside(q, sysRange) { m =>
-      val (a, b) = (m.group(1).toLong, m.group(2).toLong)
-      val step = Option(m.group(3)).map(_.toLong).getOrElse(1L)
+    q = Rw.rewrite(q, RwKw("SYSTEM_RANGE"), Sy('('), SignedDigits, Sy(','),
+        SignedDigits, OptE(Sy(','), SignedDigits), Sy(')')) { c =>
+      val (a, b) = (c(0).toLong, c(1).toLong)
+      val step = Option(c(2)).map(_.toLong).getOrElse(1L)
       rangeViewId += 1
       val v = s"graft_system_range_$rangeViewId"
       spark.range(a, b + (if (step > 0) 1 else -1), step).toDF("x")
@@ -1520,20 +1570,20 @@ final class Engine(val spark: SparkSession) {
       v
     }
     // CSVREAD('path') → registered csv view
-    val csvRead = """(?i)\bCSVREAD\s*\(\s*'([^']+)'\s*\)""".r
-    q = rewriteOutside(q, csvRead) { m =>
+    q = Rw.rewrite(q, RwKw("CSVREAD"), Sy('('),
+        RLit(inner => inner.nonEmpty && !inner.contains("'")), Sy(')')) { c =>
       rangeViewId += 1
       val v = s"graft_csvread_$rangeViewId"
       spark.read.option("header", "true").option("inferSchema", "true")
-        .csv(m.group(1)).createOrReplaceTempView(v)
+        .csv(c(0)).createOrReplaceTempView(v)
       v
     }
     // TABLE(c T=ARRAY[…] …) / TABLE_DISTINCT in FROM position
     // (expression/function/TableFunction.java:32-160) → registered view
     q = rewriteTableFunctions(q)
     // ORDER BY =n → ORDER BY n (Parser.java:1493)
-    q = rewriteOutside(q, """(?i)(ORDER\s+BY\s+)=\s*(\d+)""".r)(m =>
-      m.group(1) + m.group(2))
+    q = Rw.rewrite(q, RwKw("ORDER"), RwKw("BY"), Sy('='), Digits)(c =>
+      s"ORDER BY ${c(0)}")
     // H2/MSSQL `SELECT TOP n …` → LIMIT n appended (token-dispatched:
     // SELECT TOP <num> as the first three tokens)
     locally {
@@ -1543,21 +1593,20 @@ final class Engine(val spark: SparkSession) {
         q = s"SELECT ${q.substring(ts(3).start)} LIMIT ${ts(2).text(q)}"
     }
     // MySQL `LIMIT offset, count` → LIMIT count OFFSET offset
-    q = rewriteOutside(q, """(?i)\bLIMIT\s+(\d+)\s*,\s*(\d+)""".r)(m =>
-      s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}")
+    q = Rw.rewrite(q, RwKw("LIMIT"), Digits, Sy(','), Digits)(c =>
+      s"LIMIT ${c(1)} OFFSET ${c(0)}")
     // standard OFFSET … ROWS / FETCH FIRST … ROWS ONLY (Mode.java
     // supportOffsetFetch — on by default in every reference mode); Spark
     // wants LIMIT before OFFSET, so the combined form swaps
-    q = rewriteOutside(q,
-      """(?i)\bOFFSET\s+(\d+)\s+ROWS?\s+FETCH\s+(?:FIRST|NEXT)\s+(\d+)\s+ROWS?\s+ONLY""".r)(
-      m => s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}")
-    q = rewriteOutside(q,
-      """(?i)\bFETCH\s+(?:FIRST|NEXT)\s+(\d+)\s+ROWS?\s+ONLY""".r)(m =>
-      s"LIMIT ${m.group(1)}")
-    q = rewriteOutside(q,
-      """(?i)\bFETCH\s+(?:FIRST|NEXT)\s+ROWS?\s+ONLY""".r)(_ => "LIMIT 1")
-    q = rewriteOutside(q, """(?i)\bOFFSET\s+(\d+)\s+ROWS?\b""".r)(m =>
-      s"OFFSET ${m.group(1)}")
+    q = Rw.rewrite(q, RwKw("OFFSET"), Digits, RwKw("ROWS", "ROW"),
+        RwKw("FETCH"), RwKw("FIRST", "NEXT"), Digits, RwKw("ROWS", "ROW"),
+        RwKw("ONLY"))(c => s"LIMIT ${c(1)} OFFSET ${c(0)}")
+    q = Rw.rewrite(q, RwKw("FETCH"), RwKw("FIRST", "NEXT"), Digits,
+        RwKw("ROWS", "ROW"), RwKw("ONLY"))(c => s"LIMIT ${c(0)}")
+    q = Rw.rewrite(q, RwKw("FETCH"), RwKw("FIRST", "NEXT"),
+        RwKw("ROWS", "ROW"), RwKw("ONLY"))(_ => "LIMIT 1")
+    q = Rw.rewrite(q, RwKw("OFFSET"), Digits, RwKw("ROWS", "ROW"))(c =>
+      s"OFFSET ${c(0)}")
     // Quantified comparison subqueries x op ALL|ANY|SOME (SELECT …)
     // (ConditionInSelect.java:26-95) — Spark SQL has no quantified
     // comparison syntax; lowered to scalar MIN/MAX subqueries / IN forms
@@ -1583,20 +1632,20 @@ final class Engine(val spark: SparkSession) {
     // qualified star. Documented divergence: exact duplicate rows share an
     // id (content hash, not storage position).
     if (modeFlags.systemColumns) {
-      q = rewriteOutside(q, """(?i)\b(?:(\w+)\.)?(?:CTID|OID)\b(?!\s*\()""".r)(m =>
-        Option(m.group(1)) match {
+      q = Rw.rewrite(q, OptE(AnyW, Sy('.')), RwKw("CTID", "OID"),
+          Not(Sy('(')))(c =>
+        Option(c(0)) match {
           case Some(alias) => s"xxhash64($alias.*)"
           case None => "xxhash64(*)"
         })
     }
     // INFORMATION_SCHEMA.X → synthesized meta view (MetaTable.java:68)
-    val infoRe = """(?i)INFORMATION_SCHEMA\.(\w+)""".r
-    q = rewriteOutside(q, infoRe)(m => metaView(m.group(1).toLowerCase))
+    q = Rw.rewrite(q, RwKw("INFORMATION_SCHEMA"), Sy('.'), AnyW)(c =>
+      metaView(c(0).toLowerCase))
     // LINK_SCHEMA: the reference REGISTERS the function (Function.java:360)
     // but its evaluation throws unsupported (Function.java:1262-1270) — the
     // exact-parity behavior is the same loud error, not a JDBC emulation
-    if ("""(?i)\bLINK_SCHEMA\s*\(""".r.findFirstMatchIn(q).exists(m =>
-        !literalSpans(q).exists(sp => m.start >= sp._1 && m.start < sp._2)))
+    if (Rw.contains(q, RwKw("LINK_SCHEMA"), Sy('(')))
       throw new UnsupportedOperationException(
         "LINK_SCHEMA is unsupported (reference parity: Function.java:1270 " +
           "throws the same; use spark.read.jdbc for external links at deploy)")
@@ -1607,66 +1656,71 @@ final class Engine(val spark: SparkSession) {
     q = rewriteSetFunction(q)
     // @var substitution (Variable.java:20; unset vars read as NULL, same
     // as the reference's ValueNull for an unset session variable)
-    val varRe = """@(\w+)""".r
-    q = rewriteOutside(q, varRe)(m =>
-      variables.getOrElse(m.group(1).toLowerCase, "NULL"))
+    q = Rw.rewrite(q, Sy('@'), AdjAnyW)(c =>
+      variables.getOrElse(c(0).toLowerCase, "NULL"))
     // SAMPLE_SIZE n → LIMIT n (head-sample semantics, Select.java:877)
-    q = rewriteOutside(q, """(?i)\bSAMPLE_SIZE\s+(\d+)""".r)(m =>
-      s"LIMIT ${m.group(1)}")
+    q = Rw.rewrite(q, RwKw("SAMPLE_SIZE"), Digits)(c => s"LIMIT ${c(0)}")
     // H2 function-name surface → the registered UDF names / Spark natives
     // (Function.java registry): H2's DATEADD/DATEDIFF take a unit STRING
     // (vs Spark's keyword/2-arg forms), so the quoted-unit call shape maps
     // to the _h2 UDFs; INSERT/HASH collide with keywords/natives and carry
     // suffixed registrations; session-identity functions resolve to the
     // engine's counters.
-    q = rewriteOutside(q, """(?i)\b(?:DATEADD|TIMESTAMPADD)\s*\(\s*'""".r)(_ => "dateadd_h2('")
-    q = rewriteOutside(q, """(?i)\b(?:DATEDIFF|TIMESTAMPDIFF)\s*\(\s*'""".r)(_ => "datediff_h2('")
-    q = rewriteOutside(q, """(?i)\bHASH\s*\(""".r)(_ => "h2_hash(")
-    q = rewriteOutside(q, """(?i)\bINSERT\s*\(""".r)(_ => "insert_str(")
-    q = rewriteOutside(q, """(?i)\bCHARINDEX\s*\(""".r)(_ => "locate(")
-    q = rewriteOutside(q, """(?i)\bGETDATE\s*\(\s*\)""".r)(_ => "now()")
-    q = rewriteOutside(q, """(?i)\bRANDOM\s*\(""".r)(_ => "rand(")
-    q = rewriteOutside(q, """(?i)\bSYS_GUID\s*\(\s*\)""".r)(_ => "random_uuid()")
-    q = rewriteOutside(q, """(?i)\bLEALONE_VERSION\s*\(\s*\)""".r)(_ => "graft_version()")
+    q = Rw.rewrite(q, RwKw("DATEADD", "TIMESTAMPADD"), Sy('('),
+      Peek(RLit()))(_ => "dateadd_h2(")
+    q = Rw.rewrite(q, RwKw("DATEDIFF", "TIMESTAMPDIFF"), Sy('('),
+      Peek(RLit()))(_ => "datediff_h2(")
+    q = Rw.rewrite(q, RwKw("HASH"), Sy('('))(_ => "h2_hash(")
+    q = Rw.rewrite(q, RwKw("INSERT"), Sy('('))(_ => "insert_str(")
+    q = Rw.rewrite(q, RwKw("CHARINDEX"), Sy('('))(_ => "locate(")
+    q = Rw.rewrite(q, RwKw("GETDATE"), Sy('('), Sy(')'))(_ => "now()")
+    q = Rw.rewrite(q, RwKw("RANDOM"), Sy('('))(_ => "rand(")
+    q = Rw.rewrite(q, RwKw("SYS_GUID"), Sy('('), Sy(')'))(_ => "random_uuid()")
+    q = Rw.rewrite(q, RwKw("LEALONE_VERSION"), Sy('('), Sy(')'))(_ =>
+      "graft_version()")
     // USER()/CURRENT_USER() = the session user (RightOwner — the implicit
     // SA admin), not the JVM/OS user Spark's current_user() reports
-    q = rewriteOutside(q, """(?i)\b(?:USER|CURRENT_USER)\s*\(\s*\)""".r)(_ => "'SA'")
-    q = rewriteOutside(q,
-      """(?i)\b(?:IDENTITY|SCOPE_IDENTITY|LAST_INSERT_ID|IDENTITY_VAL_LOCAL)\s*\(\s*\)""".r)(
+    q = Rw.rewrite(q, RwKw("USER", "CURRENT_USER"), Sy('('), Sy(')'))(_ =>
+      "'SA'")
+    q = Rw.rewrite(q, RwKw("IDENTITY", "SCOPE_IDENTITY", "LAST_INSERT_ID",
+        "IDENTITY_VAL_LOCAL"), Sy('('), Sy(')'))(
       _ => lastIdentity.map(_.toString).getOrElse("NULL"))
-    q = rewriteOutside(q, """(?i)\bLASTVAL\s*\(\s*\)""".r)(
+    q = Rw.rewrite(q, RwKw("LASTVAL"), Sy('('), Sy(')'))(
       _ => lastSeqVal.map(_.toString).getOrElse("NULL"))
     // date-part aliases (Function.java DAY_OF_MONTH…WEEK groups)
-    q = rewriteOutside(q, """(?i)\bDAY_OF_MONTH\s*\(""".r)(_ => "dayofmonth(")
-    q = rewriteOutside(q, """(?i)\bDAY_OF_WEEK\s*\(""".r)(_ => "dayofweek(")
-    q = rewriteOutside(q, """(?i)\bDAY_OF_YEAR\s*\(""".r)(_ => "dayofyear(")
-    q = rewriteOutside(q, """(?i)\bWEEK\s*\(""".r)(_ => "weekofyear(")
+    q = Rw.rewrite(q, RwKw("DAY_OF_MONTH"), Sy('('))(_ => "dayofmonth(")
+    q = Rw.rewrite(q, RwKw("DAY_OF_WEEK"), Sy('('))(_ => "dayofweek(")
+    q = Rw.rewrite(q, RwKw("DAY_OF_YEAR"), Sy('('))(_ => "dayofyear(")
+    q = Rw.rewrite(q, RwKw("WEEK"), Sy('('))(_ => "weekofyear(")
     // NOW(precision) → now() (fractional-second precision not kept);
     // CURTIME/CURRENT_TIME → HH:mm:ss string (Spark has no TIME type —
     // README divergences); bare paren-less forms are valid H2
-    q = rewriteOutside(q, """(?i)\bNOW\s*\(\s*\d+\s*\)""".r)(_ => "now()")
+    q = Rw.rewrite(q, RwKw("NOW"), Sy('('), Digits, Sy(')'))(_ => "now()")
     val timeStr = "date_format(now(), 'HH:mm:ss')"
-    q = rewriteOutside(q, """(?i)\bCURTIME\s*\(\s*\)""".r)(_ => timeStr)
-    q = rewriteOutside(q, """(?i)\bCURTIME\b""".r)(_ => timeStr)
-    q = rewriteOutside(q, """(?i)\bCURRENT_TIME(?!STAMP)\s*\(\s*\)""".r)(_ => timeStr)
-    q = rewriteOutside(q, """(?i)\bCURRENT_TIME(?!STAMP)\b""".r)(_ => timeStr)
-    q = rewriteOutside(q, """(?i)\bCURDATE\b(?!\s*\()""".r)(_ => "current_date()")
-    q = rewriteOutside(q, """(?i)\bNOW\b(?!\s*\()""".r)(_ => "now()")
+    q = Rw.rewrite(q, RwKw("CURTIME"), Sy('('), Sy(')'))(_ => timeStr)
+    q = Rw.rewrite(q, RwKw("CURTIME"))(_ => timeStr)
+    q = Rw.rewrite(q, RwKw("CURRENT_TIME"), Sy('('), Sy(')'))(_ => timeStr)
+    q = Rw.rewrite(q, RwKw("CURRENT_TIME"))(_ => timeStr)
+    q = Rw.rewrite(q, RwKw("CURDATE"), Not(Sy('(')))(_ => "current_date()")
+    q = Rw.rewrite(q, RwKw("NOW"), Not(Sy('(')))(_ => "now()")
     // H2 `WHERE ROWNUM <= n` tail form: Spark forbids window functions in
     // WHERE — the scan-order row cap is a LIMIT (same semantics when no
     // ORDER BY follows, which is the canonical H2 usage)
-    q = rewriteOutside(q, """(?i)\bWHERE\s+ROWNUM\s*(<=|<)\s*(\d+)\s*$""".r) { m =>
-      val n = if (m.group(1) == "<") m.group(2).toInt - 1 else m.group(2).toInt
-      s"LIMIT $n"
-    }
+    // two passes: '<=' (the '=' adjacent, as the regex alternation
+    // required) keeps n; strict '<' caps at n-1
+    q = Rw.rewrite(q, RwKw("WHERE"), RwKw("ROWNUM"), Sy('<'), AdjSy('='),
+      Digits, REnd)(c => s"LIMIT ${c(0)}")
+    q = Rw.rewrite(q, RwKw("WHERE"), RwKw("ROWNUM"), Sy('<'), Digits,
+      REnd)(c => s"LIMIT ${c(0).toInt - 1}")
     // ROWNUM / ROW_NUMBER without a window (Parser.java ROWNUM,
     // Select.java:877): number rows in scan order
     val rowNum = "row_number() OVER (ORDER BY monotonically_increasing_id())"
-    q = rewriteOutside(q,
-      """(?i)\bROW_NUMBER\s*\(\s*\)\s*OVER\s*\(\s*\)""".r)(_ => rowNum)
-    q = rewriteOutside(q, """(?i)\bROW_NUMBER\s*\(\s*\)(?!\s*OVER)""".r)(_ => rowNum)
-    q = rewriteOutside(q, """(?i)\bROWNUM\s*\(\s*\)""".r)(_ => rowNum)
-    q = rewriteOutside(q, """(?i)\bROWNUM\b(?!\s*\()""".r)(_ => rowNum)
+    q = Rw.rewrite(q, RwKw("ROW_NUMBER"), Sy('('), Sy(')'), RwKw("OVER"),
+      Sy('('), Sy(')'))(_ => rowNum)
+    q = Rw.rewrite(q, RwKw("ROW_NUMBER"), Sy('('), Sy(')'),
+      Not(RwKw("OVER")))(_ => rowNum)
+    q = Rw.rewrite(q, RwKw("ROWNUM"), Sy('('), Sy(')'))(_ => rowNum)
+    q = Rw.rewrite(q, RwKw("ROWNUM"), Not(Sy('(')))(_ => rowNum)
     // FORMATDATETIME/PARSEDATETIME: rename by arity to the fixed-arity UDFs
     q = renameByArity(q, "FORMATDATETIME")(n => s"formatdatetime_$n")
     q = renameByArity(q, "PARSEDATETIME")(n => s"parsedatetime_$n")
@@ -1692,15 +1746,13 @@ final class Engine(val spark: SparkSession) {
   private def substConstants(q0: String, context: Seq[String] = Nil): String = {
     if (constants.isEmpty) return q0
     var q = q0
-    val lower = q.toLowerCase
+    val qToks = Lex.tokens(q)
     val colNames = tables.keys
-      .filter(t => context.contains(t) ||
-        s"\\b${java.util.regex.Pattern.quote(t)}\\b".r
-          .findFirstIn(lower).isDefined)
+      .filter(t => context.contains(t) || qToks.exists(_.is(q, t)))
       .flatMap(t => tables(t).columns.map(_.toLowerCase)).toSet
     constants.foreach { case (n, v) =>
       if (!colNames.contains(n))
-        q = rewriteOutside(q, s"(?i)\\b$n\\b".r)(_ => v)
+        q = Rw.rewrite(q, Rw.Kw(n))(_ => v)
     }
     q
   }
@@ -1708,17 +1760,6 @@ final class Engine(val spark: SparkSession) {
   /** Spans [start,end) of single-quoted literals ('' is the escape). */
   private def literalSpans(s: String): IndexedSeq[(Int, Int)] =
     Stmt.literalSpans(s)
-
-  /** Apply a regex rewrite only to matches that start outside string
-    * literals; matches inside a literal are left verbatim. */
-  private def rewriteOutside(q: String, re: scala.util.matching.Regex)(
-      f: scala.util.matching.Regex.Match => String): String = {
-    val spans = literalSpans(q)
-    re.replaceAllIn(q, m =>
-      java.util.regex.Matcher.quoteReplacement(
-        if (spans.exists(sp => m.start >= sp._1 && m.start < sp._2)) m.matched
-        else f(m)))
-  }
 
   /** MySQL-mode `||` (Mode.java:148-153 nullConcatIsNull=false; evaluated at
     * Operation.java:125-142): a NULL operand yields the OTHER side, so a
@@ -1910,16 +1951,20 @@ final class Engine(val spark: SparkSession) {
     * base-b in Spark). Needs balanced-paren scanning to count top-level
     * commas, so not a plain regex rewrite. */
   private def rewriteSingleArgLog(q: String): String = {
-    val re = """(?i)\bLOG\s*\(""".r
-    val spans = literalSpans(q)
     val sb = new StringBuilder
     var last = 0
-    for (m <- re.findAllMatchIn(q)
-         if !spans.exists(sp => m.start >= sp._1 && m.start < sp._2)) {
-      val (close, commas) = matchParen(q, m.end - 1)
-      if (close >= 0 && commas == 0 && m.start >= last) {
-        sb.append(q.substring(last, m.start)).append("LOG10(")
-        last = m.end
+    var from = 0
+    var go = true
+    while (go) {
+      val (ws, open) = Rw.findCall(q, "LOG", from)
+      if (ws < 0) go = false
+      else {
+        val (close, commas) = matchParen(q, open)
+        if (close >= 0 && commas == 0 && ws >= last) {
+          sb.append(q.substring(last, ws)).append("LOG10(")
+          last = open + 1
+        }
+        from = open + 1
       }
     }
     sb.append(q.substring(last))
@@ -1953,34 +1998,64 @@ final class Engine(val spark: SparkSession) {
     * an explicit error. Matches inside string literals are skipped. */
   private def rewriteQuantified(q0: String): String = {
     var q = q0
-    val kw =
-      """(?i)([\w.'"]+)\s*(=|<>|!=|<=|>=|<|>)\s*(ALL|ANY|SOME)\s*\(""".r
+    // token find of `lhs op ALL|ANY|SOME (`: the lhs is the maximal chain
+    // of ADJACENT word/number/literal/'.' tokens before the operator (the
+    // old regex char class `[\w.'"]+`), the operator one or two adjacent
+    // comparison symbols
+    def findQuant(src: String): Option[(Int, String, String, String, Int)] = {
+      val ts = Lex.tokens(src)
+      def sym(j: Int, c: Char) = j < ts.length && ts(j).kind == Lex.Sym &&
+        src.charAt(ts(j).start) == c
+      def adj(j: Int) = j > 0 && ts(j).start == ts(j - 1).end
+      var i = 1
+      while (i < ts.length) {
+        val (opTxt, opLen) =
+          if (sym(i, '<') && sym(i + 1, '>') && adj(i + 1)) ("<>", 2)
+          else if (sym(i, '!') && sym(i + 1, '=') && adj(i + 1)) ("<>", 2)
+          else if (sym(i, '<') && sym(i + 1, '=') && adj(i + 1)) ("<=", 2)
+          else if (sym(i, '>') && sym(i + 1, '=') && adj(i + 1)) (">=", 2)
+          else if (sym(i, '<')) ("<", 1)
+          else if (sym(i, '>')) (">", 1)
+          else if (sym(i, '=')) ("=", 1)
+          else (null, 0)
+        if (opTxt != null) {
+          val qi = i + opLen
+          def lhsTok(j: Int) = j >= 0 && (ts(j).kind == Lex.Word ||
+            ts(j).kind == Lex.Num || ts(j).kind == Lex.Lit || sym(j, '.'))
+          if (qi < ts.length &&
+              (ts(qi).is(src, "ALL") || ts(qi).is(src, "ANY") ||
+                ts(qi).is(src, "SOME")) && sym(qi + 1, '(') && lhsTok(i - 1)) {
+            var b = i - 1
+            while (lhsTok(b - 1) && adj(b)) b -= 1
+            return Some((ts(b).start,
+              src.substring(ts(b).start, ts(i - 1).end), opTxt,
+              ts(qi).text(src).toUpperCase, ts(qi + 1).start))
+          }
+        }
+        i += 1
+      }
+      None
+    }
     var guard = 0
     var continue = true
     while (continue && guard < 64) {
       guard += 1
-      val spans = literalSpans(q)
-      kw.findAllMatchIn(q).find(m =>
-          !spans.exists(sp => m.start >= sp._1 && m.start < sp._2)) match {
+      findQuant(q) match {
         case None => continue = false
-        case Some(m) =>
-          val open = q.indexOf('(', m.end - 1)
+        case Some((mStart, lhs, op, quant, open)) =>
           val (close, _) = matchParen(q, open)
           if (close < 0) continue = false
           else {
-            // compound LHS (`a + b > ALL …`): the token regex binds only
+            // compound LHS (`a + b > ALL …`): the token chain binds only
             // `b`, so rewriting would silently produce `a + (b > (SELECT…))`
-            val prevCh = q.substring(0, m.start)
+            val prevCh = q.substring(0, mStart)
               .reverse.dropWhile(_.isWhitespace).headOption
             if (prevCh.exists(c => "+-*/%^&|".contains(c)))
               throw new IllegalArgumentException(
                 "unsupported LHS for quantified comparison near '" +
-                  q.substring(math.max(0, m.start - 16), m.end) +
+                  q.substring(math.max(0, mStart - 16), open) +
                   "(': only a single column or literal is supported " +
                   "(wrap the expression in a derived column first)")
-            val lhs = m.group(1)
-            val op = if (m.group(2) == "!=") "<>" else m.group(2)
-            val quant = m.group(3).toUpperCase
             val sub = q.substring(open + 1, close - 1)
             def scalar(agg: String) =
               s"(SELECT $agg(__qv) FROM ($sub) __qt(__qv))"
@@ -2009,7 +2084,7 @@ final class Engine(val spark: SparkSession) {
               case (_, _)        =>
                 anyG(s"($lhs <> ${scalar("MIN")} OR $lhs <> ${scalar("MAX")})")
             }
-            q = q.substring(0, m.start) + lowered + q.substring(close)
+            q = q.substring(0, mStart) + lowered + q.substring(close)
           }
       }
     }
@@ -2038,21 +2113,18 @@ final class Engine(val spark: SparkSession) {
       target: Int => String): String = {
     var q = q0
     var from = 0
-    val re = ("""(?i)\b""" + name + """\s*\(""").r
     var continue = true
     while (continue) {
-      val spans = literalSpans(q)
-      re.findAllMatchIn(q).find(m => m.start >= from &&
-          !spans.exists(sp => m.start >= sp._1 && m.start < sp._2)) match {
-        case None => continue = false
-        case Some(m) =>
-          val (close, commas) = matchParen(q, m.end - 1)
-          if (close < 0) continue = false
-          else {
-            val newName = target(commas + 1)
-            q = q.substring(0, m.start) + newName + "(" + q.substring(m.end)
-            from = m.start + newName.length + 1
-          }
+      val (ws, open) = Rw.findCall(q, name, from)
+      if (ws < 0) continue = false
+      else {
+        val (close, commas) = matchParen(q, open)
+        if (close < 0) continue = false
+        else {
+          val newName = target(commas + 1)
+          q = q.substring(0, ws) + newName + "(" + q.substring(open + 1)
+          from = ws + newName.length + 1
+        }
       }
     }
     q
@@ -2066,24 +2138,21 @@ final class Engine(val spark: SparkSession) {
       sparkName: String): String = {
     var q = q0
     var from = 0
-    val re = ("""(?i)\b""" + h2Name + """\s*\(""").r
     var continue = true
     while (continue) {
-      val spans = literalSpans(q)
-      re.findAllMatchIn(q).find(m => m.start >= from &&
-          !spans.exists(sp => m.start >= sp._1 && m.start < sp._2)) match {
-        case None => continue = false
-        case Some(m) =>
-          var i = m.end
-          while (i < q.length && q.charAt(i).isWhitespace) i += 1
-          val head = q.substring(0, m.start) + sparkName + "("
-          q = if (i < q.length && q.charAt(i) == '(') {
-            val (close, _) = matchParen(q, i)
-            if (close < 0) return q
-            head + q.substring(m.end, i) + "array" + q.substring(i, close) +
-              q.substring(close)
-          } else head + q.substring(m.end)
-          from = m.start + sparkName.length + 1
+      val (ws, open) = Rw.findCall(q, h2Name, from)
+      if (ws < 0) continue = false
+      else {
+        var i = open + 1
+        while (i < q.length && q.charAt(i).isWhitespace) i += 1
+        val head = q.substring(0, ws) + sparkName + "("
+        q = if (i < q.length && q.charAt(i) == '(') {
+          val (close, _) = matchParen(q, i)
+          if (close < 0) return q
+          head + q.substring(open + 1, i) + "array" + q.substring(i, close) +
+            q.substring(close)
+        } else head + q.substring(open + 1)
+        from = ws + sparkName.length + 1
       }
     }
     q
@@ -2096,32 +2165,29 @@ final class Engine(val spark: SparkSession) {
   private def rewriteCaseFunction(q0: String): String = {
     var q = q0
     var from = 0
-    val re = """(?i)\bCASE\s*\(""".r
     var continue = true
     while (continue) {
-      val spans = literalSpans(q)
-      re.findAllMatchIn(q).find(m => m.start >= from &&
-          !spans.exists(sp => m.start >= sp._1 && m.start < sp._2)) match {
-        case None => continue = false
-        case Some(m) =>
-          val (close, _) = matchParen(q, m.end - 1)
-          if (close < 0) return q
-          // `CASE (expr) WHEN …` is the expression form — skip it
-          val tail = q.substring(close).trim
-          if (tail.toUpperCase.startsWith("WHEN")) { from = close }
-          else {
-            val args = splitTop(q.substring(m.end, close - 1)).map(_.trim)
-            val pairs = args.grouped(2).toSeq
-            val sb = new StringBuilder("CASE")
-            pairs.foreach {
-              case Seq(w, r) => sb.append(s" WHEN $w THEN $r")
-              case Seq(e) => sb.append(s" ELSE $e")
-              case _ =>
-            }
-            sb.append(" END")
-            q = q.substring(0, m.start) + sb + q.substring(close)
-            from = m.start + sb.length
+      val (ws, open) = Rw.findCall(q, "CASE", from)
+      if (ws < 0) continue = false
+      else {
+        val (close, _) = matchParen(q, open)
+        if (close < 0) return q
+        // `CASE (expr) WHEN …` is the expression form — skip it
+        val tail = q.substring(close).trim
+        if (tail.toUpperCase.startsWith("WHEN")) { from = close }
+        else {
+          val args = splitTop(q.substring(open + 1, close - 1)).map(_.trim)
+          val pairs = args.grouped(2).toSeq
+          val sb = new StringBuilder("CASE")
+          pairs.foreach {
+            case Seq(w, r) => sb.append(s" WHEN $w THEN $r")
+            case Seq(e) => sb.append(s" ELSE $e")
+            case _ =>
           }
+          sb.append(" END")
+          q = q.substring(0, ws) + sb + q.substring(close)
+          from = ws + sb.length
+        }
       }
     }
     q
@@ -2133,30 +2199,28 @@ final class Engine(val spark: SparkSession) {
     * the assigned value (left-to-right, as the reference evaluates). */
   private def rewriteSetFunction(q0: String): String = {
     var q = q0
-    val re = """(?i)\bSET\s*\(\s*@(\w+)\s*,""".r
     var continue = true
     while (continue) {
-      val spans = literalSpans(q)
-      re.findAllMatchIn(q).find(m =>
-          !spans.exists(sp => m.start >= sp._1 && m.start < sp._2)) match {
+      Rw.find(q, 0, Rw.Kw("SET"), Rw.Sy('('), Rw.Sy('@'), Rw.AdjAnyW,
+          Rw.Sy(',')) match {
         case None => continue = false
-        case Some(m) =>
-          val open = q.indexOf('(', m.start)
+        case Some((mStart, mEnd, caps)) =>
+          val open = q.indexOf('(', mStart)
           val (close, _) = matchParen(q, open)
           if (close < 0) return q
-          val inner0 = q.substring(m.end, close - 1)
+          val inner0 = q.substring(mEnd, close - 1)
           // earlier-assigned vars are visible in the value expression;
           // literal-aware so '@' inside a string (an email address, say)
           // is never substituted
-          val inner = rewriteOutside(inner0, """@(\w+)""".r)(mm =>
-            variables.getOrElse(mm.group(1).toLowerCase, "NULL"))
+          val inner = Rw.rewrite(inner0, Rw.Sy('@'), Rw.AdjAnyW)(c =>
+            variables.getOrElse(c(0).toLowerCase, "NULL"))
           val value = spark.sql(
             s"SELECT ${substSequences(substConstants(inner))}").head().get(0) match {
             case s: String => s"'${s.replace("'", "''")}'"
             case v => String.valueOf(v)
           }
-          variables(m.group(1).toLowerCase) = value
-          q = q.substring(0, m.start) + value + q.substring(close)
+          variables(caps(0).toLowerCase) = value
+          q = q.substring(0, mStart) + value + q.substring(close)
       }
     }
     q
@@ -2169,19 +2233,16 @@ final class Engine(val spark: SparkSession) {
     * paren extraction (ARRAY[…] nests), so not a plain regex rewrite. */
   private def rewriteTableFunctions(q0: String): String = {
     var q = q0
-    val word = """(?i)\b(TABLE_DISTINCT|TABLE)\s*\(""".r
     var search = 0
     var guard = 0
     while (guard < 64) {
       guard += 1
-      val spans = literalSpans(q)
-      val m0 = word.findAllMatchIn(q).find(m =>
-        m.start >= search && !spans.exists(sp => m.start >= sp._1 && m.start < sp._2))
+      val m0 = Rw.find(q, search, Rw.W("TABLE_DISTINCT", "TABLE"), Rw.Sy('('))
       m0 match {
         case None => return q
-        case Some(m) =>
+        case Some((mStart, mEnd, caps)) =>
           // find the matching close paren, respecting quotes/nesting
-          val open = m.end - 1
+          val open = mEnd - 1
           var depth = 0; var i = open; var inStr = false; var close = -1
           while (i < q.length && close < 0) {
             q.charAt(i) match {
@@ -2215,11 +2276,11 @@ final class Engine(val spark: SparkSession) {
           rangeViewId += 1
           val v = s"graft_table_fn_$rangeViewId"
           val df0 = spark.sql(s"SELECT $sel FROM VALUES $tuples AS __t($anon)")
-          val df = if (m.group(1).equalsIgnoreCase("TABLE_DISTINCT"))
+          val df = if (caps(0).equalsIgnoreCase("TABLE_DISTINCT"))
             df0.distinct() else df0
           df.createOrReplaceTempView(v)
-          q = q.substring(0, m.start) + v + q.substring(close + 1)
-          search = m.start + v.length
+          q = q.substring(0, mStart) + v + q.substring(close + 1)
+          search = mStart + v.length
       }
     }
     q
@@ -2237,7 +2298,7 @@ final class Engine(val spark: SparkSession) {
       val hid = rowidTables.toSeq.filter(refed)
       val pkT = rowidPk.toSeq.filter { case (tn, _) => refed(tn) }
       if (hid.isEmpty && pkT.size == 1)
-        q = rewriteOutside(q, """(?i)\b_ROWID_\b""".r)(_ => pkT.head._2)
+        q = Rw.rewrite(q, Rw.Kw("_ROWID_"))(_ => pkT.head._2)
       hid.foreach { tn =>
         tables(tn).createOrReplaceTempView(tn); restoreHidden += tn }
     }
@@ -2247,12 +2308,8 @@ final class Engine(val spark: SparkSession) {
   }
 
   /** Word-boundary occurrence of `word` outside string literals. */
-  private def referencedOutsideLiterals(q: String, word: String): Boolean = {
-    val spans = literalSpans(q)
-    ("""(?i)\b""" + java.util.regex.Pattern.quote(word) + """\b""").r
-      .findAllMatchIn(q)
-      .exists(m => !spans.exists(sp => m.start >= sp._1 && m.start < sp._2))
-  }
+  private def referencedOutsideLiterals(q: String, word: String): Boolean =
+    Lex.tokens(q).exists(_.is(q, word))
 
   private def runSelectTranslated(q: String): DataFrame = {
     val t = translate(q)
@@ -2304,23 +2361,23 @@ final class Engine(val spark: SparkSession) {
     var whereSeg = q.substring(whereIdx + 5, whereEnd)
     var changed = false
     aliases.foreach { case (a, e) =>
-      val re = ("""(?i)\b""" + a + """\b""").r
-      val next = rewriteOutside(whereSeg, re)(_ => s"($e)")
+      val next = Rw.rewrite(whereSeg, Rw.Kw(a))(_ => s"($e)")
       if (next != whereSeg) { changed = true; whereSeg = next }
     }
     if (!changed) None
     else Some(q.substring(0, whereIdx + 5) + whereSeg + q.substring(whereEnd))
   }
 
-  private val nextvalRe = """(?i)\bNEXTVAL\s*\(\s*'(\w+)'\s*\)""".r
-  private val currvalRe = """(?i)\bCURRVAL\s*\(\s*'(\w+)'\s*\)""".r
+  private val seqNameLit = Rw.Lit(inner =>
+    inner.nonEmpty && inner.forall(c => c.isLetterOrDigit || c == '_'))
 
   private def substSequences(q0: String): String = {
-    // per-occurrence evaluation (each NEXTVAL increments), literal-aware
-    val q = rewriteOutside(q0, nextvalRe)(m =>
-      sequences(m.group(1).toLowerCase).nextVal().toString)
-    rewriteOutside(q, currvalRe)(m =>
-      sequences(m.group(1).toLowerCase).curr.toString)
+    // per-occurrence evaluation (each NEXTVAL increments), literal-safe
+    // structurally (the 'name' literal is matched as ONE token)
+    val q = Rw.rewrite(q0, Rw.Kw("NEXTVAL"), Rw.Sy('('), seqNameLit,
+      Rw.Sy(')'))(c => sequences(c(0).toLowerCase).nextVal().toString)
+    Rw.rewrite(q, Rw.Kw("CURRVAL"), Rw.Sy('('), seqNameLit,
+      Rw.Sy(')'))(c => sequences(c(0).toLowerCase).curr.toString)
   }
 
   /** SELECT source for INSERT INTO … SELECT. A plain textual NEXTVAL
@@ -2332,29 +2389,28 @@ final class Engine(val spark: SparkSession) {
     * rowCount*k afterwards. The global row_number keeps the same
     * non-parallel contract as the reference's Sequence (documented). */
   private def selectForInsert(q: String): DataFrame = {
-    val spans = literalSpans(q)
-    val ms = nextvalRe.findAllMatchIn(q)
-      .filterNot(m => spans.exists(sp => m.start >= sp._1 && m.start < sp._2))
-      .toList
-    if (ms.isEmpty) return runSelect(q)
-    val bySeq = ms.groupBy(_.group(1).toLowerCase)
+    // pass 1 only counts occurrences per sequence (the rewritten text is
+    // discarded); pass 2 substitutes with the per-occurrence (j, k) terms
+    val names = mutable.ArrayBuffer.empty[String]
+    Rw.rewrite(q, Rw.Kw("NEXTVAL"), Rw.Sy('('), seqNameLit, Rw.Sy(')')) { c =>
+      names += c(0).toLowerCase; ""
+    }
+    if (names.isEmpty) return runSelect(q)
+    val bySeq: Map[String, Int] =
+      names.groupBy(identity).map { case (k, v) => k -> v.size }
     val occIdx = mutable.HashMap.empty[String, Int]
     val rn = "(ROW_NUMBER() OVER (ORDER BY monotonically_increasing_id()) - 1)"
-    val sb = new StringBuilder
-    var last = 0
-    ms.foreach { m =>
-      sb.append(q.substring(last, m.start))
-      val s = m.group(1).toLowerCase
+    val out = Rw.rewrite(q, Rw.Kw("NEXTVAL"), Rw.Sy('('), seqNameLit,
+        Rw.Sy(')')) { c =>
+      val s = c(0).toLowerCase
       val seq = sequences(s)
-      val k = bySeq(s).size
+      val k = bySeq(s)
       val j = occIdx.getOrElse(s, 0); occIdx(s) = j + 1
-      sb.append(s"(${seq.next} + ($rn * ${k * seq.inc} + ${j * seq.inc}))")
-      last = m.end
+      s"(${seq.next} + ($rn * ${k * seq.inc} + ${j * seq.inc}))"
     }
-    sb.append(q.substring(last))
-    val df = runSelect(sb.toString)
+    val df = runSelect(out)
     val n = df.count()
-    bySeq.foreach { case (s, occ) => sequences(s).advance(n * occ.size) }
+    bySeq.foreach { case (s, k) => sequences(s).advance(n * k) }
     df
   }
 
@@ -2697,15 +2753,12 @@ final class Engine(val spark: SparkSession) {
     if (t.columns.contains(cName)) return // IF NOT EXISTS semantics
     var typeSpec = typeSpec0.trim
     var default: Option[String] = None
-    val seqOptRe = """(?is)^(.*?)\s+SEQUENCE\s+(\w+)\s*$""".r
-    val defOptRe =
-      """(?is)^(.*?)\s+(?:DEFAULT|AS)\s+(.+?)(?:\s+NOT\s+NULL|\s+NULL|\s+AUTO_INCREMENT|\s+UNIQUE)?\s*$""".r
-    // masked matches: keywords inside a DEFAULT string literal are data
-    matchMasked(seqOptRe, typeSpec) match {
-      case Some(gs) =>
-        typeSpec = gs(0); default = Some(s"NEXTVAL('${gs(1).toLowerCase}')")
-      case None => matchMasked(defOptRe, typeSpec) match {
-        case Some(gs) => typeSpec = gs(0); default = Some(gs(1).trim)
+    // token scans: keywords inside a DEFAULT string literal are data
+    seqClause(typeSpec) match {
+      case Some((pre, seqName)) =>
+        typeSpec = pre; default = Some(s"NEXTVAL('${seqName.toLowerCase}')")
+      case None => defaultClause(typeSpec, leadIdent = false) match {
+        case Some((pre, dflt)) => typeSpec = pre; default = Some(dflt.trim)
         case None =>
       }
     }
@@ -2843,11 +2896,20 @@ final class Engine(val spark: SparkSession) {
 
   /** MySQL-mode zero-date typed literals → typed NULL (see translate). */
   private def rewriteZeroDates(q0: String): String = {
-    var q = rewriteOutside(q0,
-      """(?i)\bDATE\s+'0000-00-00'""".r)(_ => "CAST(NULL AS DATE)")
-    q = rewriteOutside(q,
-      """(?i)\bTIMESTAMP\s+'0000-00-00[ T]00:00:00(?:\.0+)?'""".r)(
-      _ => "CAST(NULL AS TIMESTAMP)")
+    // '0000-00-00[ T]00:00:00[.0+]' — the zero-timestamp literal shapes
+    def zeroTs(inner: String): Boolean = {
+      if (!inner.startsWith("0000-00-00") || inner.length < 19) return false
+      val sep = inner.charAt(10)
+      if (sep != ' ' && sep != 'T') return false
+      if (inner.substring(11, 19) != "00:00:00") return false
+      val frac = inner.substring(19)
+      frac.isEmpty ||
+        (frac.length >= 2 && frac.charAt(0) == '.' && frac.drop(1).forall(_ == '0'))
+    }
+    var q = Rw.rewrite(q0, Rw.Kw("DATE"), Rw.Lit(_ == "0000-00-00"))(_ =>
+      "CAST(NULL AS DATE)")
+    q = Rw.rewrite(q, Rw.Kw("TIMESTAMP"), Rw.Lit(zeroTs))(_ =>
+      "CAST(NULL AS TIMESTAMP)")
     q
   }
 
@@ -3055,8 +3117,8 @@ final class Engine(val spark: SparkSession) {
     val setPairs = splitTop(sets).map { s =>
       val Array(c, v) = s.split("=", 2)
       // VALUES(col) → the source row's value (MySQL VALUES() function)
-      val rewritten = rewriteOutside(v.trim,
-        """(?i)\bVALUES\s*\(\s*(\w+)\s*\)""".r)(m => s"__src_${m.group(1).toLowerCase}")
+      val rewritten = Rw.rewrite(v.trim, Rw.Kw("VALUES"), Rw.Sy('('),
+        Rw.AnyW, Rw.Sy(')'))(c => s"__src_${c(0).toLowerCase}")
       c.trim.toLowerCase -> rewritten
     }.toMap
     val srcR = src.select(src.columns.toSeq.map(c => col(c).as(s"__src_$c")) :+
