@@ -486,42 +486,70 @@ object Dedup {
         "CAST(shiftleft(1, __j + 1) AS BIGINT) - 1 AS hi")
       .transform(graft.core.Checkpoint.cut)
 
-    val dupStartsAll = dupStarts.zipWithIndex.map { case (d, jj) =>
+    // PACKED dup starts — the islands trick taken to its limit: all of a
+    // (doc, level)'s dup starts collapse into ONE row of position-sorted
+    // parallel arrays (consecutive dup starts — maximal on dense corpora,
+    // where EVERY position is one — compress into adjacent array slots).
+    // The per-round tail lookup then becomes a two-pointer walk WITHIN
+    // each row (p, p + L - 2^j both dup starts ⇒ emit (h(p), h(q))),
+    // replacing the former 2-sided positional shuffle join over every
+    // dup-start row and the per-round multi-million-row lineage cut —
+    // the r6 dense-stress profile spent 45-60 s per round there. Lossless:
+    // the pair (h, t) can only reach count ≥ 2 when both its endpoints
+    // are level-j dup starts, so walking dup starts only drops nothing.
+    val packed = dupStarts.zipWithIndex.map { case (d, jj) =>
         d.withColumn("__j", lit(jj)) }
       .reduce(_ union _)
+      .groupBy(col("__id"), col("__j"))
+      .agg(sort_array(collect_list(struct(
+        col("pos").cast("long").as("p"), col("__h").as("h")))).as("__ph"))
+      .select(col("__id"), col("__j"),
+        col("__ph.p").as("__poss"), col("__ph.h").as("__hs"))
       .transform(graft.core.Checkpoint.cut)
-    // trailing-block lookup side: the SAME level-j dup starts, keyed by
-    // position. Restricting tails to dup starts (instead of every corpus
-    // position) is lossless: a probe's (h, t) pair can only reach count ≥ 2
-    // when the tail fingerprint t itself appears at ≥ 2 positions — which
-    // makes its position a level-j dup start by definition. Probes whose
-    // tail is unique could never match, so dropping them changes nothing,
-    // and the refinement never touches the non-duplicated bulk of the
-    // corpus on EITHER side of the join.
-    val tailStarts = dupStartsAll.select(col("__id"), col("pos").as("__q"),
-      col("__j"), col("__h").as("__t"))
 
     // refine: ≤ effPow rounds of shared binary search — all docs advance
-    // one probe per round; each round is one keyed exchange over the
-    // dup-start subset, never the full corpus
+    // one probe per round; each round is one partition-local pair walk
+    // plus one keyed exchange over the emitted pairs, never the corpus
     var r = 0
     var done = false
     while (r < effPow && !done) {
       val withMid = state.withColumn("__mid", expr("(lo + hi + 1) div 2"))
       val lens = withMid.filter(col("lo") < col("hi"))
         .select(col("__j"), col("__mid").as("__L")).distinct()
-      if (lens.isEmpty) done = true
+      // driver-side: bounded by (levels × distinct lengths this round) —
+      // the per-round length menu, never data
+      val lensByJ: Map[Int, Seq[Long]] = lens.collect()
+        .map(row => (row.getInt(0), row.getLong(1)))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+      if (lensByJ.isEmpty) done = true
       else {
         // candidate keys: EVERY level-j dup start × every length under
         // test at that level (partner docs included regardless of state);
-        // a q past the doc end simply has no dup-start row — the join
+        // a q past the doc end simply has no dup-start slot — the walk
         // subsumes the old null-tail filter
-        val probes = dupStartsAll
-          .join(lens, Seq("__j"))
-          .withColumn("__q",
-            col("pos") + col("__L") - expr("CAST(shiftleft(1, __j) AS BIGINT)"))
-          .join(tailStarts, Seq("__id", "__q", "__j"))
-          .select(col("__id"), col("__j"), col("__L"), col("__h"), col("__t"))
+        val pairUdf = udf((j: Int, poss: Seq[Long], hs: Seq[Long]) => {
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+          lensByJ.getOrElse(j, Nil).foreach { ll =>
+            val d = ll - (1L << j)
+            var a = 0
+            var b = 0
+            while (a < poss.length) {
+              val target = poss(a) + d // monotone in a ⇒ b never rewinds
+              while (b < poss.length && poss(b) < target) b += 1
+              if (b < poss.length && poss(b) == target)
+                out += ((ll, hs(a), hs(b)))
+              a += 1
+            }
+          }
+          out.toSeq
+        })
+        val activeJs = lensByJ.keys.toSeq
+        val probes = packed
+          .filter(col("__j").isin(activeJs: _*))
+          .select(col("__id"), col("__j"),
+            explode(pairUdf(col("__j"), col("__poss"), col("__hs"))).as("__e"))
+          .select(col("__id"), col("__j"), col("__e._1").as("__L"),
+            col("__e._2").as("__h"), col("__e._3").as("__t"))
           .transform(graft.core.Checkpoint.cut)
         val dupKeys = probes
           .groupBy(col("__j"), col("__L"), col("__h"), col("__t"))

@@ -75,14 +75,17 @@ object D17Probe {
       s0.count(); s0
     }
     var state = jmax
-    val dupStartsAll = time("dupStartsAll cut") {
+    val packed = time("packed arrays cut") {
       val d = graft.core.Checkpoint.cut(
         dupStarts.zipWithIndex.map { case (d0, jj) =>
-          d0.withColumn("__j", lit(jj)) }.reduce(_ union _))
+            d0.withColumn("__j", lit(jj)) }.reduce(_ union _)
+          .groupBy(col("__id"), col("__j"))
+          .agg(sort_array(collect_list(struct(
+            col("pos").cast("long").as("p"), col("__h").as("h")))).as("__ph"))
+          .select(col("__id"), col("__j"),
+            col("__ph.p").as("__poss"), col("__ph.h").as("__hs")))
       println("[d17]   rows=" + d.count()); d
     }
-    val tailStarts = dupStartsAll.select(col("__id"), col("pos").as("__q"),
-      col("__j"), col("__h").as("__t"))
     var r = 0
     var done = false
     while (r < levels && !done) {
@@ -90,15 +93,34 @@ object D17Probe {
         val withMid = state.withColumn("__mid", expr("(lo + hi + 1) div 2"))
         val lens = withMid.filter(col("lo") < col("hi"))
           .select(col("__j"), col("__mid").as("__L")).distinct()
-        if (lens.isEmpty) done = true
+        val lensByJ: Map[Int, Seq[Long]] = lens.collect()
+          .map(row => (row.getInt(0), row.getLong(1)))
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+        if (lensByJ.isEmpty) done = true
         else {
+          val pairUdf = udf((j: Int, poss: Seq[Long], hs: Seq[Long]) => {
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+            lensByJ.getOrElse(j, Nil).foreach { ll =>
+              val d = ll - (1L << j)
+              var a = 0
+              var b = 0
+              while (a < poss.length) {
+                val target = poss(a) + d
+                while (b < poss.length && poss(b) < target) b += 1
+                if (b < poss.length && poss(b) == target)
+                  out += ((ll, hs(a), hs(b)))
+                a += 1
+              }
+            }
+            out.toSeq
+          })
           val probes = graft.core.Checkpoint.cut(
-            dupStartsAll
-              .join(lens, Seq("__j"))
-              .withColumn("__q",
-                col("pos") + col("__L") - expr("CAST(shiftleft(1, __j) AS BIGINT)"))
-              .join(tailStarts, Seq("__id", "__q", "__j"))
-              .select(col("__id"), col("__j"), col("__L"), col("__h"), col("__t")))
+            packed
+              .filter(col("__j").isin(lensByJ.keys.toSeq: _*))
+              .select(col("__id"), col("__j"),
+                explode(pairUdf(col("__j"), col("__poss"), col("__hs"))).as("__e"))
+              .select(col("__id"), col("__j"), col("__e._1").as("__L"),
+                col("__e._2").as("__h"), col("__e._3").as("__t")))
           val dupKeys = probes
             .groupBy(col("__j"), col("__L"), col("__h"), col("__t"))
             .agg(count(lit(1)).as("__n"))
