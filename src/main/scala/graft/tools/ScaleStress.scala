@@ -187,6 +187,89 @@ object ScaleStress {
     }
     println("[stress] trigram total-freq=" + tri)
 
+    // ---- composed pipelines p01/p02/p03 at 10x (round-6 directive #8):
+    // the end-to-end flagship shapes, with stage-interface invariants.
+    // p01 on a pure clone corpus must produce EXACTLY the 1x result
+    // modulo the id map (keep-earliest reps collapse each clone cluster
+    // to the i=0 copy), so the 1x run, executed inline, IS the oracle
+    // for both row count and selected token mass.
+    import graft.operators.{Sampling, TextAnalysis}
+    def alphaOf(c: org.apache.spark.sql.Column) =
+      when(length(c) > 0, length(regexp_replace(c, "[^a-zA-Z]", ""))
+        .cast("double") / length(c)).otherwise(lit(0.0))
+    def corpusPrep(d: org.apache.spark.sql.DataFrame) = {
+      // mirrors queries/Pipeline.scala p01_corpus_prep stage for stage
+      val reps = Dedup.qualityRepresentatives(
+          d.select(col("doc_id"), col("text"),
+            alphaOf(col("text")).as("alpha_ratio")),
+          "doc_id", "text", "alpha_ratio",
+          Dedup.MinHashConfig(numHashes = 64, bands = 16, threshold = 0.35))
+        .filter(col("keep")).select(col("doc_id"), col("text"))
+      val cleaned = Dedup.removeDuplicateSpans(reps, "doc_id", "text", k = 8)
+        .select(col("doc_id"), col("clean_text"))
+      val gated = cleaned.select(col("doc_id") +: col("clean_text") +:
+          TextAnalysis.blocklistSignals(col("clean_text"),
+            Seq("dup", "spam", "error"), maxRatio = 0.05): _*)
+        .filter(col("blocklist_keep"))
+      val scored = gated
+        .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("clean_text")).as("n_toks"),
+          alphaOf(col("clean_text")).as("alpha_ratio"))
+      Sampling.budgetSelect(scored, "doc_id", "source",
+        "alpha_ratio", "n_toks", budgetTokens = 1500L)
+    }
+    val p1base = corpusPrep(docsFull).agg(count(lit(1)), sum(col("n_toks")))
+      .head()
+    val (p1rows, p1toks) = (p1base.getLong(0), p1base.getLong(1))
+    val p1big = time("p01-corpus-prep-50k") {
+      corpusPrep(bigSrc).agg(count(lit(1)), sum(col("n_toks"))).head()
+    }
+    println("[stress] p01 rows=" + p1big.getLong(0) + "/" + p1rows +
+      " toks=" + p1big.getLong(1) + "/" + p1toks +
+      " (10x must equal 1x: clone clusters collapse to the i=0 copy)")
+    require(p1big.getLong(0) == p1rows && p1big.getLong(1) == p1toks,
+      "p01 10x/1x interface drifted")
+
+    // p02 shape: dedup-then-index — SemDeDup survivors become the IVF-PQ
+    // corpus (dedup threshold 0.35 collapses each exact-clone cluster);
+    // every query must still retrieve a full top-k from the pruned index
+    val p2 = time("p02-embedding-prep-dense") {
+      val survivors = Similarity.semDedupKMeans(
+          bigEmb.select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", coarse16, threshold = 0.9999)
+        .select(col("vec_id"), col("embedding"))
+      Similarity.ivfPqTopK(survivors, "vec_id", "embedding",
+        bigEmb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 10, coarse16, cbs, dim = 64, nProbe = 4).count()
+    }
+    println("[stress] p02 topk rows=" + p2 + " (expect 80: 8 queries x k)")
+    require(p2 == 80L, "p02 top-k short after dedup-then-index")
+
+    // p03 shape: 50k REAL PNG/WAV encodes + decodes feed the feature and
+    // byte-budget stages; the budget bound is the exact invariant
+    val p3 = time("p03-media-prep-50k-real-codec") {
+      val media = graft.operators.Multimodal.syntheticMedia(big)
+      val feats = graft.operators.Multimodal.extractFeatures(media, dim = 16)
+      val meta = graft.operators.Multimodal.decodeMeta(media)
+        .select(col("media_id"), col("kind"), col("n_bytes"))
+      val rnd = new scala.util.Random(11L)
+      val cents = Seq.fill(4)(Seq.fill(16)(rnd.nextDouble()))
+      val survivors = Similarity.semDedupKMeans(feats, "media_id", "feature",
+          cents, threshold = 0.95)
+        .select(col("media_id"),
+          element_at(col("feature"), 1).cast("double").as("feat_score"))
+      Sampling.budgetSelect(meta.join(survivors, Seq("media_id")),
+          "media_id", "kind", "feat_score", "n_bytes", budgetTokens = 200000L)
+        .groupBy(col("kind")).agg(max(col("cum_tokens")).as("mx"),
+          count(lit(1)).as("n"))
+        .agg(sum(col("n")).cast("long"), max(col("mx"))).head()
+    }
+    println("[stress] p03 selected=" + p3.getLong(0) +
+      " max-cum-bytes=" + p3.getLong(1) + " (bound 200000)")
+    require(p3.getLong(0) > 0 && p3.getLong(1) <= 200000L,
+      "p03 budget bound violated")
+
     // 10x lineitem (6M rows ≈ SF1): relational headliners, noop sink
     val li = graft.core.Tables.load(spark, dir, "lineitem")
     val bigLi = (0 until 10).map(i =>

@@ -68,6 +68,7 @@ class PlanLintSpec extends SparkSpec {
   private val collectSites: Map[String, Int] = Map(
     "queries/Pipeline.scala" -> 6, // driver-side ORACLE generators: single-node replay twins (incl. m01's encoded-size inliner), never a data path
     "operators/Sampling.scala" -> 1, // per-partition Long count array (size = #partitions)
+    "operators/Dedup.scala" -> 1, // longestRepeat per-round length menu (bounded by levels x lengths, never data)
     "operators/Dml.scala" -> 1, // per-partition count array for ROWNUM/LIMIT semantics
     "operators/TextAnalysis.scala" -> 1, // BPE top-m driver argmax (bounded by merge batch)
     "dsl/Model.scala" -> 2 // findList/findOne: the DSL's intentional executors (reference Model.java parity)
@@ -130,7 +131,7 @@ class PlanLintSpec extends SparkSpec {
     "d14_remove_dup_spans" -> 3,
     "d15_duplication_profile" -> 5,
     "d16_quality_reps" -> 3,
-    "d17_longest_repeat" -> 2,
+    "d17_longest_repeat" -> 0, // r7 packed refine: state is checkpointed, the final attach broadcasts
     "d19_semdedup_kmeans" -> 5,
     "m01_media_decode" -> 0,
     "m02_frame_sample" -> 0,
@@ -257,13 +258,22 @@ class PlanLintSpec extends SparkSpec {
     "u09_domain_mix" -> 1
   )
 
-  test("no query exceeds its recorded shuffle-exchange budget") {
+  /** sf0.01 OVERRIDES on top of [[exchangeBudget]] (VERDICT r6 directive
+    * #5): a second recorded scale catches AQE/broadcast-threshold
+    * crossings the sf0.001 plans can't see, and survives driver testdata
+    * regeneration. As of r7 the two censuses agree on EVERY query
+    * (graft.tools.ExchangeCensus at both dirs — 141 rows identical), so
+    * the override map is empty; any future scale-divergent plan must add
+    * its row here WITH the justification for why the shapes differ. */
+  private val exchangeBudget01: Map[String, Int] = exchangeBudget ++ Map()
+
+  private def assertBudgets(dir: String, budget: Map[String, Int]): Unit = {
     val over = scala.collection.mutable.ListBuffer[String]()
     val missing = scala.collection.mutable.ListBuffer[String]()
     for (q <- SparkEntry.allQ.sortBy(_.name)) {
-      val p = q.fn(spark, sf).queryExecution.executedPlan.toString
+      val p = q.fn(spark, dir).queryExecution.executedPlan.toString
       val n = "(?<!Broadcast)Exchange".r.findAllIn(p).length
-      exchangeBudget.get(q.name) match {
+      budget.get(q.name) match {
         case Some(b) if n > b => over += s"${q.name}: $n exchanges (budget $b)"
         case None => missing += q.name
         case _ =>
@@ -275,5 +285,13 @@ class PlanLintSpec extends SparkSpec {
     assert(over.isEmpty,
       s"shuffle-exchange budget exceeded — a lost broadcast or redundant " +
         s"shuffle; fix the plan or justify a bump:\n${over.mkString("\n")}")
+  }
+
+  test("no query exceeds its recorded shuffle-exchange budget") {
+    assertBudgets(sf, exchangeBudget)
+  }
+
+  test("no query exceeds its recorded shuffle-exchange budget at sf0.01") {
+    assertBudgets("/root/testdata/sf0.01", exchangeBudget01)
   }
 }
