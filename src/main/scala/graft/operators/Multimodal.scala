@@ -202,24 +202,79 @@ object Multimodal {
         posexplode(sequence(lit(0), col("n_frames") - 1, lit(everyNth)))
           .as(Seq("sample_idx", "frame_idx")))
 
-  /** Feature extraction stage: deterministic pseudo-embedding per media row
-    * (STUB — stands in for a vision/audio encoder); shape (dim) and batch
-    * plumbing are real, and the seed covenants on the REAL encoded payload
-    * length (id * 31 + payload.length). */
+  /** Content features per media row — REAL statistics over the DECODED
+    * content for image (per-channel means, gray 8-bin histogram fractions,
+    * normalized dimensions) and audio (mean/RMS amplitude, zero-crossing
+    * rate, 8-bin |amplitude| histogram, normalized frame count); the base
+    * vector cycles to fill `dim`. VIDEO keeps the deterministic seeded
+    * stand-in (its payload is the stub container). Exposed for the oracle
+    * replay, which re-derives the same values single-node. */
+  def contentFeatures(id: Long, kind: String, payload: Array[Byte],
+      dim: Int): Array[Float] = {
+    if (payload == null) return new Array[Float](dim)
+    def cycle(base: Array[Double]): Array[Float] =
+      Array.tabulate(dim)(i => base(i % base.length).toFloat)
+    kind match {
+      case "image" =>
+        val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(payload))
+        val w = img.getWidth; val ht = img.getHeight
+        val px = img.getRGB(0, 0, w, ht, null, 0, w)
+        var sr = 0L; var sg = 0L; var sb = 0L
+        val hist = new Array[Long](8)
+        var i = 0
+        while (i < px.length) {
+          val p = px(i)
+          val r = (p >> 16) & 0xFF; val g = (p >> 8) & 0xFF; val b = p & 0xFF
+          sr += r; sg += g; sb += b
+          hist((r + g + b) / 96) += 1 // gray in [0,765] → 8 bins of 96
+          i += 1
+        }
+        val n = px.length.toDouble
+        cycle(Array(sr / n / 255.0, sg / n / 255.0, sb / n / 255.0) ++
+          hist.map(_ / n) ++ Array(w / 192.0, ht / 108.0))
+      case "audio" =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(payload))
+        val data = ais.readAllBytes()
+        ais.close()
+        val nf = data.length / 2
+        var sum = 0L; var sq = 0.0; var zc = 0L; var prev = 0
+        val hist = new Array[Long](8)
+        var j = 0
+        while (2 * j + 1 < data.length) {
+          val s = (data(2 * j) & 0xFF) | (data(2 * j + 1).toInt << 8)
+          sum += s; sq += s.toDouble * s
+          if (j > 0 && ((s < 0) != (prev < 0))) zc += 1
+          hist(math.min(7L, math.abs(s.toLong) / 4096).toInt) += 1 // s.toLong: abs(Int.MinValue) trap
+          prev = s
+          j += 1
+        }
+        val n = math.max(1, nf).toDouble
+        cycle(Array(sum / n / 32768.0, math.sqrt(sq / n) / 32768.0, zc / n) ++
+          hist.map(_ / n) ++ Array(nf / 4800.0))
+      case _ =>
+        // video: deterministic seeded stand-in (stub container payload)
+        val rnd = new scala.util.Random(id * 31 + payload.length)
+        Array.fill(dim)(rnd.nextFloat())
+    }
+  }
+
+  /** Feature extraction stage: REAL decoded-content statistics for image
+    * and audio (see [[contentFeatures]]); shape (dim) and per-partition
+    * batch plumbing as before. */
   def extractFeatures(media: DataFrame, dim: Int = 16): DataFrame = {
     val schema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("feature", ArrayType(FloatType, containsNull = false))))
     val enc = org.apache.spark.sql.Encoders.row(schema)
-    media.select(col("media_id"), col("payload")).mapPartitions { rows =>
-      rows.map { r =>
-        val id = r.getLong(0)
-        val p = r.getAs[Array[Byte]](1)
-        val seed = if (p == null) id else id * 31 + p.length
-        val rnd = new scala.util.Random(seed)
-        Row(id, Array.fill(dim)(rnd.nextFloat()))
-      }
-    }(enc)
+    media.select(col("media_id"), col("kind"), col("payload"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          Row(r.getLong(0), contentFeatures(r.getLong(0), r.getString(1),
+            r.getAs[Array[Byte]](2), dim))
+        }
+      }(enc)
   }
 
   /** Resize stage (metadata arithmetic; a real resample would slot into the

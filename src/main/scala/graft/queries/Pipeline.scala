@@ -183,13 +183,13 @@ object Pipeline {
   }
 
   /** p03 oracle: independent single-node replay of the whole media-prep
-    * pipeline — stub features (the same seeded JVM floats the operator
-    * produces; the feature VALUES are not SQL-expressible, so the replay
-    * recomputes them and inlines the final answer), naive all-pairs
-    * within-cluster cosine (vs the distributed capped pair join), greedy
-    * per-kind byte-budget selection. Fold orders match the codegen kernels
-    * exactly (float widened to double, strict left-to-right), so the
-    * compare is bit-exact. */
+    * pipeline — real encode (PNG/WAV) + real content-statistics features
+    * (decoded-pixel/PCM stats; the feature VALUES are not SQL-expressible,
+    * so the replay recomputes them and inlines the final answer), naive
+    * all-pairs within-cluster cosine (vs the distributed capped pair
+    * join), greedy per-kind byte-budget selection. Fold orders match the
+    * codegen kernels exactly (float widened to double, strict
+    * left-to-right), so the compare is bit-exact. */
   private def mediaPrepOracle(s: SparkSession, dir: String, k: Int,
       threshold: Double, budgetBytes: Long): String = {
     val cents = mediaCentroids(k, 16, 11L).map(_.toArray)
@@ -198,14 +198,12 @@ object Pipeline {
         val id = r.getLong(0)
         val text = if (r.isNullAt(1)) null else r.getString(1)
         val kind = Seq("image", "audio", "video")((id % 3).toInt)
-        // the REAL encoder (PNG/WAV containers), replayed single-node —
-        // n_bytes and the feature seed covenant on the encoded size
+        // the REAL encoder (PNG/WAV containers) and the REAL content-
+        // statistics feature extractor, replayed single-node
         val payload = Multimodal.encodeMedia(id, kind,
           if (text == null) null else text.getBytes("UTF-8"))
         val nBytes = if (payload == null) 0L else payload.length.toLong
-        val seed = if (payload == null) id else id * 31 + payload.length
-        val rnd = new scala.util.Random(seed)
-        (id, kind, nBytes, Array.fill(16)(rnd.nextFloat()))
+        (id, kind, nBytes, Multimodal.contentFeatures(id, kind, payload, 16))
       }
     def dotf(a: Array[Float], b: Array[Float]): Double = {
       var acc = 0.0; var i = 0
@@ -1768,8 +1766,8 @@ object Pipeline {
           k = 10))),
 
     // ---- Composed media-prep pipeline (p03): the multimodal pillar end to
-    // end as ONE query — stub feature extraction over the binary payload
-    // column (m03's plumbing) → SemDeDup-style near-dup drop on the feature
+    // end as ONE query — real-codec content-statistics features over the
+    // binary payload column (m03's plumbing) → SemDeDup-style near-dup drop on the feature
     // vectors (d19's within-cluster keep-earliest rule, seeded literal
     // centroids) → per-kind byte-budget selection of the survivors (u08's
     // greedy rule with n_bytes as the cost). The oracle is an independent
@@ -2274,10 +2272,11 @@ object Pipeline {
         WHERE n_frames IS NOT NULL""")),
 
     // ---- Multimodal: feature extraction + resize stages over the REAL
-    // decoded geometry. Feature VALUES are JVM-seeded (not SQL-
-    // expressible); the surfaced shape (dim) and the resize arithmetic are
-    // oracled. maxEdge 96 < the 192-px encoder cap, so downscaling
-    // genuinely triggers on image rows (and on stub-video's larger dims).
+    // decoded content (image/audio features = decoded-pixel/PCM
+    // statistics; values not SQL-expressible — the surfaced shape (dim)
+    // and the resize arithmetic are oracled). maxEdge 96 < the 192-px
+    // encoder cap, so downscaling genuinely triggers on image rows (and
+    // on stub-video's larger dims).
     Q("m03_media_features",
       (s, dir) => {
         val media = Multimodal.syntheticMedia(t(s, dir, "documents"))
