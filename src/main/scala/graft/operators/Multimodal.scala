@@ -10,15 +10,16 @@ import org.apache.spark.sql.types._
   * as opaque `binary` columns + typed metadata, with decode / feature-
   * extract / resize / frame-sample stages.
   *
-  * The image and audio paths run a REAL codec end to end: the media table
-  * carries genuinely ENCODED payloads — PNG bytes written by
-  * `javax.imageio` and WAV (PCM 16-bit LE mono) bytes written by
-  * `javax.sound.sampled` — and [[decodeMeta]] recovers dimensions, frame
-  * counts, container format, and a decoded-content checksum by actually
-  * parsing those bytes back (ImageIO / AudioSystem). Only the VIDEO kind
-  * keeps a clearly-marked deterministic stub (this container ships no
-  * video codec): its payload is the raw UTF-8 text and its metadata a pure
-  * byte-fold function, exactly the previous stub contract.
+  * ALL THREE kinds run a real codec end to end: the media table carries
+  * genuinely ENCODED payloads — PNG bytes written by `javax.imageio`, WAV
+  * (PCM 16-bit LE mono) bytes written by `javax.sound.sampled`, and for
+  * video a GVID container (magic + frame count + length-prefixed PNG
+  * frames: the MJPEG idea with a lossless frame codec, bespoke because no
+  * standard video codec ships in this environment) — and [[decodeMeta]]
+  * recovers dimensions, frame counts, container format, and a
+  * decoded-content checksum by actually parsing those bytes back
+  * (ImageIO / AudioSystem; video decodes EVERY frame through the PNG
+  * reader and sums its pixels, so a header-only parse cannot fake it).
   *
   * Verifiability is the design driver: the encoder chooses dimensions and
   * frame counts as a fold over the SOURCE text bytes and fills pixels /
@@ -59,18 +60,40 @@ object Multimodal {
 
   // Encoded-media geometry, a pure function of the text fold. Image rasters
   // are capped at 192x108 (62 KB) so encoding 100k rows/executor stays
-  // CPU-trivial; audio at <=4800 frames (9.6 KB PCM).
+  // CPU-trivial; audio at <=4800 frames (9.6 KB PCM); video at 64x36
+  // frames x <=300 so a row decodes at most ~690k pixels.
   private def imageDims(h: Long): (Int, Int) =
     ((math.abs(h) % 192 + 1).toInt, (math.abs(h / 7) % 108 + 1).toInt)
   private def audioFrames(h: Long): Int = (math.abs(h) % 4800 + 1).toInt
+  private def videoDims(h: Long): (Int, Int) =
+    ((math.abs(h) % 64 + 1).toInt, (math.abs(h / 7) % 36 + 1).toInt)
+  private def videoFrames(h: Long): Int = (math.abs(h / 11) % 300 + 1).toInt
+
+  private val GvidMagic: Array[Byte] = "GVID".getBytes("US-ASCII")
+
+  private def renderPng(w: Int, ht: Int, textBytes: Array[Byte]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, ht, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val buf = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
+    val n = textBytes.length
+    if (n > 0) {
+      var i = 0
+      while (i < buf.length) { buf(i) = textBytes(i % n); i += 1 }
+    }
+    val bos = new ByteArrayOutputStream(4096)
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
 
   /** ENCODER (synthesis-time): doc text -> real encoded media bytes.
     * image -> PNG via javax.imageio; audio -> WAV (PCM s16le mono, 8 kHz)
-    * via javax.sound.sampled; video -> raw UTF-8 bytes (the declared stub
-    * container). Pixel channels / PCM high bytes cycle the text bytes, so
-    * the decoded-content checksum has the closed form the oracle computes:
+    * via javax.sound.sampled; video -> GVID (length-prefixed PNG frames).
+    * Pixel channels / PCM high bytes cycle the text bytes, so the
+    * decoded-content checksum has the closed form the oracle computes:
     *   image: sum over 3*w*h channel values ub(text[i mod n])
-    *   audio: sum over nFrames samples (ub(text[j mod n]) - 128) * 256. */
+    *   audio: sum over nFrames samples (ub(text[j mod n]) - 128) * 256
+    *   video: nFrames * (the image form over 3*w*h). */
   def encodeMedia(id: Long, kind: String, textBytes: Array[Byte]): Array[Byte] = {
     if (textBytes == null) return null
     val n = textBytes.length
@@ -78,17 +101,7 @@ object Multimodal {
       case "image" =>
         val h = fold(textBytes)
         val (w, ht) = imageDims(h)
-        val img = new java.awt.image.BufferedImage(
-          w, ht, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-        val buf = img.getRaster.getDataBuffer
-          .asInstanceOf[java.awt.image.DataBufferByte].getData
-        if (n > 0) {
-          var i = 0
-          while (i < buf.length) { buf(i) = textBytes(i % n); i += 1 }
-        }
-        val bos = new ByteArrayOutputStream(4096)
-        javax.imageio.ImageIO.write(img, "png", bos)
-        bos.toByteArray
+        renderPng(w, ht, textBytes)
       case "audio" =>
         val h = fold(textBytes)
         val nf = audioFrames(h)
@@ -105,12 +118,29 @@ object Multimodal {
         javax.sound.sampled.AudioSystem.write(ais,
           javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
         bos.toByteArray
-      case _ => textBytes // video: declared stub container (raw UTF-8)
+      case _ =>
+        // video: GVID container — "GVID" magic, 4-byte BE frame count,
+        // then per frame a 4-byte BE length + a real PNG. The scene is
+        // static (every frame carries the same cyclic text fill — the
+        // MJPEG-of-a-still shape), so the frame is rendered/encoded once
+        // and the container repeats its bytes; the DECODER cannot know
+        // that and must decode all of them.
+        val h = fold(textBytes)
+        val (w, ht) = videoDims(h)
+        val nf = videoFrames(h)
+        val frame = renderPng(w, ht, textBytes)
+        val bos = new ByteArrayOutputStream(8 + nf * (4 + frame.length))
+        val out = new java.io.DataOutputStream(bos)
+        out.write(GvidMagic)
+        out.writeInt(nf)
+        var f = 0
+        while (f < nf) { out.writeInt(frame.length); out.write(frame); f += 1 }
+        bos.toByteArray
     }
   }
 
   /** Media table over `documents`: kind by id modulus, payload REALLY
-    * encoded per [[encodeMedia]] (PNG / WAV / stub-video). Map-shaped —
+    * encoded per [[encodeMedia]] (PNG / WAV / GVID). Map-shaped —
     * inherits the scan's partitioning, no shuffle. */
   def syntheticMedia(documents: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
@@ -127,9 +157,19 @@ object Multimodal {
       }(enc)
   }
 
-  // ==================== REAL DECODER (image + audio) ====================
-  // Video retains the deterministic byte-fold stub (no video codec in this
-  // container); its slot is the same per-partition codec seam.
+  // ================= REAL DECODER (image + audio + video) =================
+
+  private def sumRgb(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth; val ht = img.getHeight
+    val px = img.getRGB(0, 0, w, ht, null, 0, w)
+    var sum = 0L; var i = 0
+    while (i < px.length) {
+      val p = px(i)
+      sum += ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
+      i += 1
+    }
+    sum
+  }
   private def decodeOne(id: Long, kind: String, payload: Array[Byte]): Row = {
     if (payload == null) return Row(id, kind, 0L, null, null, null, null, null)
     val n = payload.length.toLong
@@ -146,15 +186,7 @@ object Multimodal {
         reader.setInput(iis)
         val img = reader.read(0)
         reader.dispose()
-        val w = img.getWidth; val ht = img.getHeight
-        val px = img.getRGB(0, 0, w, ht, null, 0, w)
-        var sum = 0L; var i = 0
-        while (i < px.length) {
-          val p = px(i)
-          sum += ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
-          i += 1
-        }
-        Row(id, kind, n, w, ht, null, fmtName, sum)
+        Row(id, kind, n, img.getWidth, img.getHeight, null, fmtName, sumRgb(img))
       case "audio" =>
         // real decode: parse the WAV container, stream the PCM frames back
         val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
@@ -171,11 +203,27 @@ object Multimodal {
         }
         Row(id, kind, n, null, null, nf, fmtName, sum)
       case _ =>
-        // video STUB: metadata as a pure fold of the payload bytes
-        val h = fold(payload)
-        Row(id, kind, n, (math.abs(h) % 1280 + 1).toInt,
-          (math.abs(h / 7) % 720 + 1).toInt, (math.abs(h / 11) % 300 + 1).toInt,
-          "stub/mp4", h)
+        // real decode: parse the GVID container, run EVERY frame through
+        // the PNG reader, sum all decoded pixels across frames
+        val in = new java.io.DataInputStream(new ByteArrayInputStream(payload))
+        val magic = new Array[Byte](4)
+        in.readFully(magic)
+        if (!java.util.Arrays.equals(magic, GvidMagic))
+          throw new IllegalArgumentException(s"media_id=$id: not a GVID container")
+        val nf = in.readInt()
+        var sum = 0L; var w = 0; var ht = 0; var f = 0
+        while (f < nf) {
+          val len = in.readInt()
+          val fb = new Array[Byte](len)
+          in.readFully(fb)
+          val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(fb))
+          if (img == null)
+            throw new IllegalArgumentException(s"media_id=$id: undecodable frame $f")
+          if (f == 0) { w = img.getWidth; ht = img.getHeight }
+          sum += sumRgb(img)
+          f += 1
+        }
+        Row(id, kind, n, w, ht, nf, "gvid/png", sum)
     }
   }
 
@@ -204,11 +252,12 @@ object Multimodal {
 
   /** Content features per media row — REAL statistics over the DECODED
     * content for image (per-channel means, gray 8-bin histogram fractions,
-    * normalized dimensions) and audio (mean/RMS amplitude, zero-crossing
-    * rate, 8-bin |amplitude| histogram, normalized frame count); the base
-    * vector cycles to fill `dim`. VIDEO keeps the deterministic seeded
-    * stand-in (its payload is the stub container). Exposed for the oracle
-    * replay, which re-derives the same values single-node. */
+    * normalized dimensions), audio (mean/RMS amplitude, zero-crossing
+    * rate, 8-bin |amplitude| histogram, normalized frame count), and video
+    * (the image statistics accumulated over EVERY decoded frame +
+    * normalized geometry/length); the base vector cycles to fill `dim`.
+    * Exposed for the oracle replay, which re-derives the same values
+    * single-node. */
   def contentFeatures(id: Long, kind: String, payload: Array[Byte],
       dim: Int): Array[Float] = {
     if (payload == null) return new Array[Float](dim)
@@ -253,15 +302,46 @@ object Multimodal {
         cycle(Array(sum / n / 32768.0, math.sqrt(sq / n) / 32768.0, zc / n) ++
           hist.map(_ / n) ++ Array(nf / 4800.0))
       case _ =>
-        // video: deterministic seeded stand-in (stub container payload)
-        val rnd = new scala.util.Random(id * 31 + payload.length)
-        Array.fill(dim)(rnd.nextFloat())
+        // video: decode every GVID frame, accumulate the image statistics
+        // across all frames' pixels, append normalized geometry + length
+        val in = new java.io.DataInputStream(new ByteArrayInputStream(payload))
+        val magic = new Array[Byte](4)
+        in.readFully(magic)
+        if (!java.util.Arrays.equals(magic, GvidMagic))
+          throw new IllegalArgumentException(s"media_id=$id: not a GVID container")
+        val nf = in.readInt()
+        var sr = 0L; var sg = 0L; var sb = 0L; var np = 0L
+        var w = 0; var ht = 0
+        val hist = new Array[Long](8)
+        var f = 0
+        while (f < nf) {
+          val len = in.readInt()
+          val fb = new Array[Byte](len)
+          in.readFully(fb)
+          val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(fb))
+          if (f == 0) { w = img.getWidth; ht = img.getHeight }
+          val px = img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0,
+            img.getWidth)
+          var i = 0
+          while (i < px.length) {
+            val p = px(i)
+            val r = (p >> 16) & 0xFF; val g = (p >> 8) & 0xFF; val b = p & 0xFF
+            sr += r; sg += g; sb += b
+            hist((r + g + b) / 96) += 1
+            i += 1
+          }
+          np += px.length
+          f += 1
+        }
+        val n = math.max(1L, np).toDouble
+        cycle(Array(sr / n / 255.0, sg / n / 255.0, sb / n / 255.0) ++
+          hist.map(_ / n) ++ Array(w / 64.0, ht / 36.0, nf / 300.0))
     }
   }
 
-  /** Feature extraction stage: REAL decoded-content statistics for image
-    * and audio (see [[contentFeatures]]); shape (dim) and per-partition
-    * batch plumbing as before. */
+  /** Feature extraction stage: REAL decoded-content statistics for every
+    * kind (see [[contentFeatures]]); shape (dim) and per-partition batch
+    * plumbing as before. */
   def extractFeatures(media: DataFrame, dim: Int = 16): DataFrame = {
     val schema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),

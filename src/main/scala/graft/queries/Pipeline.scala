@@ -1018,13 +1018,13 @@ object Pipeline {
         geom AS (
           SELECT media_id, kind, n, ubl, s_all, hs,
             CASE kind WHEN 'image' THEN CAST(ah % 192 + 1 AS INT)
-                      WHEN 'video' THEN CAST(ah % 1280 + 1 AS INT) END AS width,
+                      WHEN 'video' THEN CAST(ah % 64 + 1 AS INT) END AS width,
             CASE kind WHEN 'image' THEN CAST(ah7 % 108 + 1 AS INT)
-                      WHEN 'video' THEN CAST(ah7 % 720 + 1 AS INT) END AS height,
+                      WHEN 'video' THEN CAST(ah7 % 36 + 1 AS INT) END AS height,
             CASE kind WHEN 'audio' THEN CAST(ah % 4800 + 1 AS INT)
                       WHEN 'video' THEN CAST(ah11 % 300 + 1 AS INT) END AS n_frames,
             CASE kind WHEN 'image' THEN 'png' WHEN 'audio' THEN 'wave'
-                      ELSE 'stub/mp4' END AS format
+                      ELSE 'gvid/png' END AS format
           FROM stub),
         decoded AS (
           SELECT media_id, kind, width, height, n_frames, format,
@@ -1032,7 +1032,8 @@ object Pipeline {
               WHEN 'image' THEN ${cyc("3 * width * height")}
               WHEN 'audio' THEN 256 * ${cyc("n_frames")}
                                 - 32768 * CAST(n_frames AS BIGINT)
-              ELSE hs END AS content_sum
+              ELSE CAST(n_frames AS BIGINT) * ${cyc("3 * width * height")}
+            END AS content_sum
           FROM geom)"""
   }
 
@@ -1780,19 +1781,19 @@ object Pipeline {
         val meta = Multimodal.decodeMeta(media)
           .select(col("media_id"), col("kind"), col("n_bytes"))
         val survivors = Similarity.semDedupKMeans(feats, "media_id", "feature",
-            mediaCentroids(4, 16, 11L), threshold = 0.95)
+            mediaCentroids(4, 16, 11L), threshold = 0.999)
           .select(col("media_id"),
             element_at(col("feature"), 1).cast("double").as("feat_score"))
         graft.operators.Sampling.budgetSelect(
             meta.join(survivors, Seq("media_id")),
             "media_id", "kind", "feat_score", "n_bytes",
-            budgetTokens = 20000L)
+            budgetTokens = 1000000L)
           .withColumnRenamed("cum_tokens", "cum_bytes")
       },
       None,
       oracleGen = Some((s, dir) =>
-        mediaPrepOracle(s, dir, k = 4, threshold = 0.95,
-          budgetBytes = 20000L))),
+        mediaPrepOracle(s, dir, k = 4, threshold = 0.999,
+          budgetBytes = 1000000L))),
 
     // ---- Composed corpus-prep pipeline (p01): the end-to-end shape a
     // real training-data user ships, as ONE query — quality-aware dedup
@@ -2239,7 +2240,7 @@ object Pipeline {
         FROM b""")),
 
     // ---- Multimodal: REAL decode over really-encoded payloads — PNG via
-    // javax.imageio, WAV via javax.sound (video = the declared stub). The
+    // javax.imageio, WAV via javax.sound, GVID (PNG frames) for video. The
     // oracle predicts geometry + the decoded-content checksum from the
     // TEXT alone (see mediaDecodeOracle) and inlines only the compressed
     // container sizes, so a header-only or lossy decode cannot hash-match.
@@ -2275,8 +2276,8 @@ object Pipeline {
     // decoded content (image/audio features = decoded-pixel/PCM
     // statistics; values not SQL-expressible — the surfaced shape (dim)
     // and the resize arithmetic are oracled). maxEdge 96 < the 192-px
-    // encoder cap, so downscaling genuinely triggers on image rows (and
-    // on stub-video's larger dims).
+    // image encoder cap, so downscaling genuinely triggers on image rows
+    // (video frames cap at 64x36 and pass through).
     Q("m03_media_features",
       (s, dir) => {
         val media = Multimodal.syntheticMedia(t(s, dir, "documents"))
