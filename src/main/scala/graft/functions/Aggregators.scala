@@ -174,6 +174,59 @@ object Aggregators {
     def outputEncoder: Encoder[CappedIds] = Encoders.product[CappedIds]
   }
 
+  /** Output of [[CollectCappedPairs]]: true pair count + at most `cap`
+    * (a, b) pairs as parallel arrays. */
+  final case class CappedPairs(n: Long, as: Seq[Long], bs: Seq[Long])
+
+  /** [[CollectCapped]] for (id, payload) PAIRS — lets an LSH bucket carry
+    * each member's hash/signature alongside its id, so the pair-verify
+    * stage (e.g. simhash hamming) runs list-locally on the bucket row
+    * instead of joining ids back to the corpus for their hashes: at scale
+    * that retires two corpus-size shuffle joins. Same capped-flat-buffer
+    * discipline; the cap counts pairs, the buffer is bounded at 2·cap+2
+    * longs by construction. */
+  class CollectCappedPairs(cap: Int)
+      extends Aggregator[(Long, Long), Array[Long], CappedPairs] {
+    // buffer layout: [n, used, a0, b0, a1, b1, …] — `used` counts PAIRS
+    def zero: Array[Long] = Array(0L, 0L)
+    private def append(b: Array[Long], x: Long, y: Long): Array[Long] = {
+      val used = b(1).toInt
+      val out = if (b.length < 2 * used + 4)
+        java.util.Arrays.copyOf(b, math.max(2 * used + 4, b.length * 2))
+      else b
+      out(2 + 2 * used) = x
+      out(3 + 2 * used) = y
+      out(1) = used + 1
+      out
+    }
+    def reduce(b: Array[Long], a: (Long, Long)): Array[Long] = {
+      val out = if (b(1) < cap) append(b, a._1, a._2) else b
+      out(0) += 1
+      out
+    }
+    def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+      val total = b1(0) + b2(0)
+      var out = b1
+      var i = 0
+      while (i < b2(1).toInt && out(1) < cap) {
+        out = append(out, b2(2 + 2 * i), b2(3 + 2 * i)); i += 1
+      }
+      out(0) = total
+      out
+    }
+    def finish(b: Array[Long]): CappedPairs = {
+      val u = b(1).toInt
+      val as = new Array[Long](u); val bs = new Array[Long](u)
+      var i = 0
+      while (i < u) { as(i) = b(2 + 2 * i); bs(i) = b(3 + 2 * i); i += 1 }
+      CappedPairs(b(0), scala.collection.immutable.ArraySeq.unsafeWrapArray(as),
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(bs))
+    }
+    def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[CappedPairs] = Encoders.product[CappedPairs]
+  }
+
   /** Output of [[KmvSketch]]: kept distinct-hash count + the kth smallest
     * (unsigned order) hash, signed. kth is only meaningful at n == k. */
   final case class KmvState(n_sketch: Long, kth_hash: Long)

@@ -618,7 +618,6 @@ object Dedup {
     require(nb <= 64, s"bands=$nb exceeds the 64-bit hash width")
     val base = df.select(col(idCol).as("__id"),
         simhashColumn(col(textCol)).as("__sh"))
-      .transform(graft.core.Checkpoint.cut) // reused by both sides of the bucket join
     // disjoint chunks covering all 64 bits: first (64 % nb) bands get the
     // extra bit — uneven widths keep the pigeonhole argument intact
     val baseW = 64 / nb
@@ -628,34 +627,38 @@ object Dedup {
       val off = b * baseW + math.min(b, rem)
       (off, w)
     }
-    val banded = base.select(col("__id"),
+    val banded = base.select(col("__id"), col("__sh"),
       posexplode(array(chunks.map { case (off, w) =>
         val mask = if (w == 64) -1L else (1L << w) - 1
         shiftrightunsigned(col("__sh"), off).bitwiseAND(lit(mask))
       }: _*)).as(Seq("__b", "__bv")))
     // Capped bucket lists (one shuffle, bounded buffer, observable drops),
-    // pairs explode list-locally — same shape as minhashCandidates; the
-    // hamming verify joins the (id, hash) side back on the deduped pairs.
-    val cappedIds = udaf(
-      new graft.functions.Aggregators.CollectCapped(maxBucket),
-      org.apache.spark.sql.Encoders.LONG)
-    val pairs = banded
+    // pairs explode list-locally — same shape as minhashCandidates, except
+    // each bucket member carries its 64-bit hash alongside its id
+    // (CollectCappedPairs), so the hamming verify runs INSIDE the bucket
+    // row and the pair set dedups AFTER the ≤ maxHamming filter. No join
+    // back to the corpus for hashes: at scale that was two corpus-size
+    // shuffle joins (and the checkpoint that fed them).
+    val cappedPairs = udaf(
+      new graft.functions.Aggregators.CollectCappedPairs(maxBucket))
+    banded
       .groupBy(col("__b"), col("__bv"))
-      .agg(cappedIds(col("__id")).as("__bk"))
+      .agg(cappedPairs(col("__id"), col("__sh")).as("__bk"))
       .observe("simhash_lsh",
         sum(when(col("__bk.n") > maxBucket, col("__bk.n")).otherwise(0L))
           .as("dropped_band_rows"))
       .filter(col("__bk.n").between(2, maxBucket))
-      .select(explode(col("__bk.ids")).as("id_a"), col("__bk.ids").as("__ids"))
-      .select(col("id_a"), explode(col("__ids")).as("id_b"))
+      .select(col("__bk.as").as("__ids"), col("__bk.bs").as("__hs"))
+      .select(posexplode(col("__ids")).as(Seq("__i", "id_a")),
+        col("__ids"), col("__hs"))
+      .select(col("id_a"), element_at(col("__hs"), col("__i") + 1).as("__ha"),
+        posexplode(col("__ids")).as(Seq("__j", "id_b")), col("__hs"))
       .filter(col("id_a") < col("id_b"))
-      .distinct()
-    pairs
-      .join(base.select(col("__id").as("id_a"), col("__sh").as("__ha")), Seq("id_a"))
-      .join(base.select(col("__id").as("id_b"), col("__sh").as("__hb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        bit_count(col("__ha").bitwiseXOR(col("__hb"))).as("hamming"))
+        bit_count(col("__ha").bitwiseXOR(
+          element_at(col("__hs"), col("__j") + 1))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Survivors after SimHash dedup (keep-earliest, as [[minhashDedup]]). */

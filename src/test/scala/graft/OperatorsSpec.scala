@@ -111,6 +111,29 @@ class OperatorsSpec extends SparkSpec {
     assert(v == 10)
   }
 
+  test("CollectCappedPairs: aligned arrays, true count over cap, no truncation under") {
+    val cp = udaf(new graft.functions.Aggregators.CollectCappedPairs(5))
+    // 8 pairs into one group across 4 partitions: n must be the true count,
+    // at most 5 stored, and as(i)/bs(i) must stay aligned (b = a * 100)
+    val df = spark.range(8).repartition(4)
+      .select(lit(1).as("g"), $"id".as("a"), ($"id" * 100).as("b"))
+    val over = df.groupBy($"g").agg(cp($"a", $"b").as("bk"))
+      .select($"bk.n", $"bk.as", $"bk.bs").head()
+    assert(over.getLong(0) == 8L)
+    val as = over.getSeq[Long](1); val bs = over.getSeq[Long](2)
+    assert(as.size == 5 && bs.size == 5)
+    assert(as.indices.forall(i => bs(i) == as(i) * 100))
+    // under the cap: everything kept, still aligned
+    val under = spark.range(4).repartition(2)
+      .select(lit(1).as("g"), $"id".as("a"), ($"id" * 7).as("b"))
+      .groupBy($"g").agg(cp($"a", $"b").as("bk"))
+      .select($"bk.n", $"bk.as", $"bk.bs").head()
+    assert(under.getLong(0) == 4L)
+    assert(under.getSeq[Long](1).sorted == Seq(0L, 1L, 2L, 3L))
+    assert(under.getSeq[Long](1).zip(under.getSeq[Long](2))
+      .forall { case (a, b) => b == a * 7 })
+  }
+
   test("asofJoin: backward match, equal-time tie, strict mode, no-match null") {
     import graft.operators.AsofJoin
     val left = Seq(
