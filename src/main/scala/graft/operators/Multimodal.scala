@@ -72,6 +72,10 @@ object Multimodal {
   private val GvidMagic: Array[Byte] = "GVID".getBytes("US-ASCII")
 
   private def renderPng(w: Int, ht: Int, textBytes: Array[Byte]): Array[Byte] = {
+    // ImageIO's default disk-backed stream cache would temp-file every PNG
+    // write; encode runs on executors AND driver-side in the oracle
+    // generators, so disable it here rather than per mapPartitions
+    javax.imageio.ImageIO.setUseCache(false)
     val img = new java.awt.image.BufferedImage(
       w, ht, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
     val buf = img.getRaster.getDataBuffer
@@ -266,6 +270,8 @@ object Multimodal {
     kind match {
       case "image" =>
         val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(payload))
+        if (img == null)
+          throw new IllegalArgumentException(s"media_id=$id: undecodable image")
         val w = img.getWidth; val ht = img.getHeight
         val px = img.getRGB(0, 0, w, ht, null, 0, w)
         var sr = 0L; var sg = 0L; var sb = 0L
@@ -319,6 +325,8 @@ object Multimodal {
           val fb = new Array[Byte](len)
           in.readFully(fb)
           val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(fb))
+          if (img == null)
+            throw new IllegalArgumentException(s"media_id=$id: undecodable frame $f")
           if (f == 0) { w = img.getWidth; ht = img.getHeight }
           val px = img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0,
             img.getWidth)

@@ -1776,7 +1776,10 @@ object Pipeline {
     // stage INTERFACES: who survived dedup INTO the budget pass.
     Q("p03_media_prep",
       (s, dir) => {
+        // the encode pass is real codec work now — cut lineage so the two
+        // consumers (features + decode) don't re-encode every payload
         val media = Multimodal.syntheticMedia(t(s, dir, "documents"))
+          .transform(graft.core.Checkpoint.cut)
         val feats = Multimodal.extractFeatures(media, dim = 16)
         val meta = Multimodal.decodeMeta(media)
           .select(col("media_id"), col("kind"), col("n_bytes"))
@@ -2280,7 +2283,9 @@ object Pipeline {
     // (video frames cap at 64x36 and pass through).
     Q("m03_media_features",
       (s, dir) => {
+        // same cut as p03: two consumers of the real-codec encode pass
         val media = Multimodal.syntheticMedia(t(s, dir, "documents"))
+          .transform(graft.core.Checkpoint.cut)
         val feats = Multimodal.extractFeatures(media, dim = 16)
         val resized = Multimodal.resizeMeta(Multimodal.decodeMeta(media), maxEdge = 96)
         resized.join(feats, Seq("media_id"))

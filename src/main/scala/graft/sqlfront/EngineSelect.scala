@@ -36,7 +36,7 @@ private[sqlfront] trait EngineSelect { this: Engine =>
 
   /** Word-boundary occurrence of `word` outside string literals. */
   private[sqlfront] def referencedOutsideLiterals(q: String, word: String): Boolean =
-    Lex.tokens(q).exists(_.is(q, word))
+    Lex.tokens(q).exists(_.isIdent(q, word))
 
   private[sqlfront] def runSelectTranslated(q: String): DataFrame = {
     val t = translate(q)

@@ -240,7 +240,34 @@ private[sqlfront] trait EngineTranslate { this: Engine =>
     // CASE(w1, r1, w2, r2, …[, else]) function form (Function.java:890)
     q = rewriteCaseFunction(q)
     // NEXTVAL/CURRVAL + CREATE CONSTANT names
-    substSequences(substConstants(q))
+    q = substSequences(substConstants(q))
+    // LAST: H2 "quoted identifiers" → Spark backticks. Spark's parser has
+    // no double-quoted identifier form (a "t" in FROM position is a syntax
+    // error), so this is the fidelity boundary for every pass above —
+    // they all see the H2 form, where a quoted identifier is one Word
+    // token no keyword pattern can bind into.
+    quotedIdentsToBackticks(q)
+  }
+
+  /** Every double-quoted identifier token → `backticked` (H2 ""-escapes
+    * unfolded; embedded backticks doubled per Spark's escape). Runs on the
+    * final Spark-bound string only. */
+  private[sqlfront] def quotedIdentsToBackticks(q: String): String = {
+    val ts = Lex.tokens(q).filter(t =>
+      t.kind == Lex.Word && t.end - t.start >= 2 &&
+        q.charAt(t.start) == '"' && q.charAt(t.end - 1) == '"')
+    if (ts.isEmpty) return q
+    val sb = new java.lang.StringBuilder
+    var pos = 0
+    ts.foreach { t =>
+      sb.append(q, pos, t.start)
+      val inner = q.substring(t.start + 1, t.end - 1)
+        .replace("\"\"", "\"").replace("`", "``")
+      sb.append('`').append(inner).append('`')
+      pos = t.end
+    }
+    sb.append(q, pos, q.length)
+    sb.toString
   }
 
   /** CREATE CONSTANT names → literal value (schema/Constant.java). Column
@@ -255,7 +282,7 @@ private[sqlfront] trait EngineTranslate { this: Engine =>
     var q = q0
     val qToks = Lex.tokens(q)
     val colNames = tables.keys
-      .filter(t => context.contains(t) || qToks.exists(_.is(q, t)))
+      .filter(t => context.contains(t) || qToks.exists(_.isIdent(q, t)))
       .flatMap(t => tables(t).columns.map(_.toLowerCase)).toSet
     constants.foreach { case (n, v) =>
       if (!colNames.contains(n))

@@ -33,6 +33,17 @@ private[sqlfront] object Lex {
     def is(src: String, word: String): Boolean =
       kind == Word && end - start == word.length &&
         src.regionMatches(true, start, word, 0, word.length)
+
+    /** [[is]], but also matching the double-quoted form `"word"` — for
+      * detecting references to a NAMED object (table/column), where the
+      * regex predecessors' \bword\b matched inside quoted identifiers
+      * too. Keyword dispatch should keep using [[is]]: a quoted token is
+      * never a keyword. */
+    def isIdent(src: String, word: String): Boolean =
+      is(src, word) ||
+        (kind == Word && end - start == word.length + 2 &&
+          src.charAt(start) == '"' && src.charAt(end - 1) == '"' &&
+          src.regionMatches(true, start + 1, word, 0, word.length))
   }
 
   def tokens(s: String): IndexedSeq[Token] = {

@@ -250,6 +250,7 @@ object ScaleStress {
     // byte-budget stages; the budget bound is the exact invariant
     val p3 = time("p03-media-prep-50k-real-codec") {
       val media = graft.operators.Multimodal.syntheticMedia(big)
+        .transform(graft.core.Checkpoint.cut)
       val feats = graft.operators.Multimodal.extractFeatures(media, dim = 16)
       val meta = graft.operators.Multimodal.decodeMeta(media)
         .select(col("media_id"), col("kind"), col("n_bytes"))

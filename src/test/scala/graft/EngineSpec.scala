@@ -500,6 +500,10 @@ class EngineSpec extends SparkSpec {
     e.sql("INSERT INTO tr DEFAULT VALUES")
     val rr = e.sql("SELECT a, b, _ROWID_ FROM tr").head()
     assert(rr.getInt(0) == 3 && rr.isNullAt(1) && rr.getLong(2) == 1L)
+    // the _ROWID_ path must detect the table through its QUOTED reference
+    // too (regex-era \btr\b matched inside "tr"; Token.isIdent parity)
+    val rq = e.sql("SELECT _ROWID_ FROM \"tr\"").head()
+    assert(rq.getLong(0) == 1L)
   }
 
   test("MySQL mode: || treats NULL as the other operand (Mode.java nullConcatIsNull)") {
@@ -995,6 +999,10 @@ class EngineSpec extends SparkSpec {
     e.sql("CREATE TABLE shadow_t (max_qty int)")
     e.sql("INSERT INTO shadow_t VALUES (7)")
     assert(e.sql("SELECT max_qty FROM shadow_t").head().getInt(0) == 7)
+    // shadowing must also hold when the table is referenced ONLY through
+    // its quoted form (the regex predecessor's \bword\b matched inside
+    // "shadow_t"; Token.isIdent keeps that parity)
+    assert(e.sql("SELECT max_qty FROM \"shadow_t\"").head().getInt(0) == 7)
     // constants resolve in DML scalar positions too (UPDATE SET/WHERE, VALUES)
     e.sql("CREATE TABLE cst (v int)")
     e.sql("INSERT INTO cst VALUES (max_qty)")
