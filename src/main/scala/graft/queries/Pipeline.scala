@@ -1005,7 +1005,7 @@ object Pipeline {
                             ELSE ${hexByte("i")} END AS HUGEINT))),
               (acc, x) -> ((acc * 31 + x) % $N + $N) % $N) AS hu
           FROM bytes),
-        stub AS (
+        keyed AS (
           SELECT f.doc_id AS media_id,
             ['image','audio','video'][CAST(f.doc_id % 3 AS INT) + 1] AS kind,
             f.n, u.ubl,
@@ -1025,7 +1025,7 @@ object Pipeline {
                       WHEN 'video' THEN CAST(ah11 % 300 + 1 AS INT) END AS n_frames,
             CASE kind WHEN 'image' THEN 'png' WHEN 'audio' THEN 'wave'
                       ELSE 'gvid/png' END AS format
-          FROM stub),
+          FROM keyed),
         decoded AS (
           SELECT media_id, kind, width, height, n_frames, format,
             CASE kind
@@ -2307,7 +2307,7 @@ object Pipeline {
 
     // ---- PII detect + redact (the pre-training privacy pass). The corpus
     // text is digit-free word soup, so the query enriches it with
-    // DETERMINISTIC synthetic PII derived from doc_id (the stub-media
+    // DETERMINISTIC synthetic PII derived from doc_id (the synthetic-media
     // trick): the regex engines then face real addresses/IPs/phones, and
     // counts + redacted spans hash-verify exactly — the patterns live in
     // the Java∩RE2 subset (no backrefs/lookaround), so both engines agree.
