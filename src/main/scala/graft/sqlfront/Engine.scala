@@ -127,13 +127,47 @@ final class Engine(val spark: SparkSession)
   private[sqlfront] var lastIdentity: Option[Long] = None
   private[sqlfront] var lastSeqVal: Option[Long] = None
 
-  private[sqlfront] final class Sequence(var next: Long, val inc: Long) {
+  /** Full reference sequence semantics (schema/Sequence.java): MINVALUE /
+    * MAXVALUE default per Sequence.java:146-160, bound check + CYCLE wrap
+    * or SEQUENCE_EXHAUSTED per Sequence.java:239-247, attribute validation
+    * per Sequence.java:137-144, BELONGS_TO_TABLE drop guard enforced at
+    * the DROP SEQUENCE dispatch. CACHE sizes are accepted and ignored
+    * (a persistence-flush margin; no disk here). */
+  private[sqlfront] final class Sequence(var next: Long, var inc: Long,
+      minOpt: Option[Long] = None, maxOpt: Option[Long] = None,
+      var cycle: Boolean = false, var belongsToTable: Boolean = false) {
+    var minV: Long = minOpt.getOrElse(defaultMin)
+    var maxV: Long = maxOpt.getOrElse(defaultMax)
+    private def defaultMin: Long =
+      if (inc >= 0) math.min(1L, next) else Long.MinValue
+    private def defaultMax: Long =
+      if (inc >= 0) Long.MaxValue else math.max(-1L, next)
+    validate()
+    def validate(): Unit =
+      require(minV <= next && next <= maxV && maxV > minV && inc != 0 &&
+          (BigInt(inc).abs < BigInt(maxV) - BigInt(minV)),
+        s"SEQUENCE_ATTRIBUTES_INVALID value=$next min=$minV max=$maxV increment=$inc (Sequence.java:137)")
     var curr: Long = next - inc
-    def nextVal(): Long = { curr = next; next += inc; lastSeqVal = Some(curr); curr }
+    def nextVal(): Long = {
+      if ((inc > 0 && next > maxV) || (inc < 0 && next < minV)) {
+        if (cycle) next = if (inc > 0) minV else maxV
+        else throw new IllegalStateException(
+          s"SEQUENCE_EXHAUSTED (Sequence.java:246)")
+      }
+      curr = next; next += inc; lastSeqVal = Some(curr); curr
+    }
     /** Bulk advance after a per-row multi-occurrence fill (SequenceValue
-      * semantics: every evaluation increments). */
+      * semantics: every evaluation increments). The arithmetic fill cannot
+      * express a CYCLE wrap, so crossing a bound fails loudly either way. */
     def advance(n: Long): Unit =
-      if (n > 0) { next += n * inc; curr = next - inc }
+      if (n > 0) {
+        val end = next + (n - 1) * inc
+        if ((inc > 0 && end > maxV) || (inc < 0 && end < minV))
+          throw new IllegalStateException(
+            if (cycle) "bulk INSERT…SELECT NEXTVAL cannot CYCLE-wrap mid-fill; use single-row inserts"
+            else "SEQUENCE_EXHAUSTED (Sequence.java:246)")
+        next += n * inc; curr = next - inc
+      }
   }
 
   graft.functions.H2Functions.registerAll(spark)
@@ -227,13 +261,20 @@ final class Engine(val spark: SparkSession)
     P(Kw("CREATE", "TABLE"), Opt("IF", "NOT", "EXISTS"), Ident, Paren, Eos)
   private[sqlfront] val createTableAsRe =
     P(Kw("CREATE", "TABLE"), Opt("IF", "NOT", "EXISTS"), Ident, Kw("AS"), Rest)
+  // DROP TABLE [IF EXISTS] t1[, t2 …] [CASCADE|RESTRICT] — the reference
+  // chains comma-separated drops (Parser.java parseDropTable →
+  // DropTable.addNextDropTable) and defaults the action to CASCADE
+  // (DropTable.java:40, dropRestrict=false); tail parsed by dropTableTail
   private[sqlfront] val dropTableRe =
-    P(Kw("DROP", "TABLE"), Opt("IF", "EXISTS"), Ident, Eos)
+    P(Kw("DROP", "TABLE"), OptCap("IF", "EXISTS"), RestNonEmpty)
   private[sqlfront] val truncateRe = P(Kw("TRUNCATE", "TABLE"), Ident, Eos)
+  // option tail parsed by parseSeqOptions — the reference grammar is an
+  // order-free option loop (Parser.java:4375-4422 / 4780-4826), which a
+  // fixed-order pattern cannot express
   private[sqlfront] val createSeqRe =
-    P(Kw("CREATE", "SEQUENCE"), Opt("IF", "NOT", "EXISTS"), Ident,
-      OptG(Kw("START", "WITH"), IntCap), OptG(Kw("INCREMENT", "BY"), IntCap),
-      OptG(Kw("CACHE"), SkipNum), Eos)
+    P(Kw("CREATE", "SEQUENCE"), Opt("IF", "NOT", "EXISTS"), Ident, Rest)
+  private[sqlfront] val alterSeqRe =
+    P(Kw("ALTER", "SEQUENCE"), Ident, Rest)
   private[sqlfront] val dropSeqRe =
     P(Kw("DROP", "SEQUENCE"), Opt("IF", "EXISTS"), Ident, Eos)
   // CREATE PRIMARY KEY [HASH] name ON t(cols) (ddl/CreateIndex.java primary
@@ -450,8 +491,9 @@ final class Engine(val spark: SparkSession)
       OptG(Kw("SAMPLE_SIZE"), SkipNum), Eos)
   private[sqlfront] val explainAnalyzeRe = P(Kw("EXPLAIN", "ANALYZE"), Rest)
   private[sqlfront] val createViewRe =
-    P(Kw("CREATE"), Opt("OR", "REPLACE"), Opt("FORCE"), Kw("VIEW"), Ident,
-      OptG(Paren), Kw("AS"), Rest)
+    P(Kw("CREATE"), Opt("OR", "REPLACE"), Opt("FORCE"), Kw("VIEW"),
+      Opt("IF", "NOT", "EXISTS"), Ident,
+      OptG(Kw("COMMENT", "IS"), LitCap), OptG(Paren), Kw("AS"), Rest)
   private[sqlfront] val dropViewRe =
     P(Kw("DROP", "VIEW"), Opt("IF", "EXISTS"), Ident, Eos)
   // ALTER TABLE family (ddl/AlterTableAddColumn.java,
@@ -867,8 +909,10 @@ final class Engine(val spark: SparkSession)
         execOne(body)
       case deallocateRe(name) =>
         procedures.remove(name.toLowerCase); status()
-      case createViewRe(name, colList, query) =>
+      case createViewRe(name, cmt, colList, query) =>
         viewDefs(name.toLowerCase) = query.trim
+        // COMMENT IS 'remark' in the definition (Parser.java parseCreateView)
+        Option(cmt).foreach(c => comments(("VIEW", name.toLowerCase)) = c)
         val df0 = runSelect(query)
         // optional view column list renames positionally (TableView.java)
         val df = Option(colList).map(cl =>
@@ -961,6 +1005,12 @@ final class Engine(val spark: SparkSession)
           IndexDef(name.toLowerCase, tn.toLowerCase, ks, unique = true)
         status()
       case dropSeqRe(name) =>
+        // SEQUENCE_BELONGS_TO_A_TABLE_1 (ddl/DropSequence.java via
+        // SequenceTest.java drop()): a table-owned sequence refuses DROP
+        sequences.get(name.toLowerCase).foreach { s =>
+          require(!s.belongsToTable,
+            s"SEQUENCE_BELONGS_TO_A_TABLE: $name (SequenceTest.java drop)")
+        }
         sequences.remove(name.toLowerCase); status()
       case createDatabaseRe(name) =>
         databases += name.toLowerCase; status()
@@ -1213,23 +1263,58 @@ final class Engine(val spark: SparkSession)
         register(name, spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], finalSchema))
         status()
-      case dropTableRe(name) =>
-        tables.remove(name.toLowerCase)
-        rowidPk.remove(name.toLowerCase); rowidTables.remove(name.toLowerCase)
-        rowidNext.remove(name.toLowerCase)
-        // comments die with the object (as DROP ROLE already does and the
-        // reference does for every schema object) — otherwise a re-created
-        // table of the same name inherits the stale remark via script()
-        comments.remove(("TABLE", name.toLowerCase))
-        comments.filterInPlace { case ((t, n), _) =>
-          !(t == "COLUMN" && n.startsWith(name.toLowerCase + ".")) }
-        spark.catalog.dropTempView(name.toLowerCase); status()
+      case dropTableRe(ifExists, tail) =>
+        val (names, restrict) = dropTableTail(tail)
+        names.foreach { n0 =>
+          val n = n0.toLowerCase
+          if (!tables.contains(n))
+            // TABLE_OR_VIEW_NOT_FOUND_1 (DropTable.java:76-78)
+            require(ifExists != null, s"table not found: $n0")
+          else {
+            // dependent views: RESTRICT refuses naming them (CANNOT_DROP_2,
+            // DropTable.java:84-93); CASCADE (the default) drops them too
+            val deps = viewDefs.toSeq.collect { case (vn, q)
+                if Lex.tokens(q).exists(_.isIdent(q, n)) => vn }
+            if (restrict && deps.nonEmpty)
+              throw new IllegalArgumentException(
+                s"cannot drop $n0, dependent views exist: ${deps.mkString(", ")}")
+            deps.foreach { vn =>
+              viewDefs.remove(vn); tables.remove(vn)
+              comments.remove(("VIEW", vn))
+              spark.catalog.dropTempView(vn)
+            }
+            dropOneTable(n)
+          }
+        }
+        status()
       case truncateRe(name) =>
         register(name, Dml.truncate(table(name))); status()
-      case createSeqRe(name, start, inc) =>
-        sequences(name.toLowerCase) = new Sequence(
-          Option(start).map(_.toLong).getOrElse(1L),
-          Option(inc).map(_.toLong).getOrElse(1L))
+      case createSeqRe(name, rest) =>
+        val o = parseSeqOptions(Option(rest).getOrElse(""))
+        val inc = o.inc.getOrElse(1L)
+        // default start = min bound for ascending, max for descending
+        // (Sequence.java:162-164); explicit bounds feed that default
+        val start = o.start.getOrElse(
+          if (inc >= 0) o.min.flatten.getOrElse(1L)
+          else o.max.flatten.getOrElse(-1L))
+        sequences(name.toLowerCase) = new Sequence(start, inc,
+          o.min.getOrElse(None), o.max.getOrElse(None),
+          cycle = o.cycle.getOrElse(false), belongsToTable = o.belongsToTable)
+        status()
+      case alterSeqRe(name, rest) =>
+        val s = sequences.getOrElse(name.toLowerCase,
+          throw new IllegalArgumentException(s"sequence not found: $name"))
+        val o = parseSeqOptions(Option(rest).getOrElse(""))
+        // AlterSequence semantics (Sequence.java:103-126): provided values
+        // replace, RESTART WITH resets the live value, then re-validate
+        o.inc.foreach(s.inc = _)
+        o.min.foreach(m => s.minV = m.getOrElse(
+          if (s.inc >= 0) math.min(1L, s.next) else Long.MinValue))
+        o.max.foreach(m => s.maxV = m.getOrElse(
+          if (s.inc >= 0) Long.MaxValue else math.max(-1L, s.next)))
+        o.cycle.foreach(s.cycle = _)
+        o.start.foreach { v => s.next = v; s.curr = v - s.inc }
+        s.validate()
         status()
       case InsertStmt(name, cols, body) =>
         body match {

@@ -74,6 +74,118 @@ private[sqlfront] trait EngineDdl { this: Engine =>
     * `contains`/`startsWith` scans. */
   private[sqlfront] def maskedUpper(frag: String): String = Stmt(frag).masked.toUpperCase
 
+  /** DROP TABLE tail: comma-separated table names with an optional final
+    * CASCADE/RESTRICT keyword (Parser.java parseDropTable). Returns the
+    * names (quotes stripped) and whether RESTRICT was requested — the
+    * default is CASCADE (DropTable.java:40, dropRestrict=false). */
+  private[sqlfront] def dropTableTail(tail: String): (Seq[String], Boolean) = {
+    val ts = Lex.tokens(tail)
+    val names = mutable.ArrayBuffer.empty[String]
+    var restrict = false
+    var i = 0
+    def fail(): Nothing = throw new IllegalArgumentException(
+      s"cannot parse DROP TABLE list: $tail")
+    var done = false
+    while (!done) {
+      if (i >= ts.length || ts(i).kind != Lex.Word) fail()
+      val w = ts(i).text(tail)
+      names += (if (w.length >= 2 && w.head == '"' && w.last == '"')
+        w.substring(1, w.length - 1) else w)
+      i += 1
+      if (i >= ts.length) done = true
+      else if (ts(i).kind == Lex.Sym && tail.charAt(ts(i).start) == ',') i += 1
+      else if (i == ts.length - 1 && ts(i).kind == Lex.Word) {
+        val u = ts(i).text(tail).toUpperCase
+        if (u == "CASCADE") done = true
+        else if (u == "RESTRICT") { restrict = true; done = true }
+        else fail()
+        i += 1
+      } else fail()
+    }
+    (names.toSeq, restrict)
+  }
+
+  /** Remove one table and every per-table registry entry keyed on it
+    * (the single-name body of the old DROP TABLE dispatch). */
+  private[sqlfront] def dropOneTable(n: String): Unit = {
+    tables.remove(n)
+    rowidPk.remove(n); rowidTables.remove(n)
+    rowidNext.remove(n)
+    // comments die with the object (as DROP ROLE already does and the
+    // reference does for every schema object) — otherwise a re-created
+    // table of the same name inherits the stale remark via script()
+    comments.remove(("TABLE", n))
+    comments.filterInPlace { case ((t, cn), _) =>
+      !(t == "COLUMN" && cn.startsWith(n + ".")) }
+    spark.catalog.dropTempView(n)
+  }
+
+  /** Parsed CREATE/ALTER SEQUENCE option tail. `min`/`max`: outer None =
+    * not mentioned, Some(None) = NOMINVALUE/NO MINVALUE (reset to the
+    * derived default), Some(Some(v)) = explicit bound. */
+  private[sqlfront] final case class SeqOpts(
+      start: Option[Long] = None, inc: Option[Long] = None,
+      min: Option[Option[Long]] = None, max: Option[Option[Long]] = None,
+      cycle: Option[Boolean] = None, belongsToTable: Boolean = false)
+
+  /** Order-free sequence option loop, the token twin of
+    * Parser.java:4375-4422 (create) / 4780-4826 (alter): START [WITH] n /
+    * RESTART WITH n / INCREMENT [BY] n / MINVALUE n / NOMINVALUE /
+    * MAXVALUE n / NOMAXVALUE / CYCLE / NOCYCLE / NO {MINVALUE|MAXVALUE|
+    * CYCLE|CACHE} / CACHE n / NOCACHE / BELONGS_TO_TABLE. An unknown word
+    * fails loudly (the reference's loop break leads to a syntax error for
+    * trailing junk too). */
+  private[sqlfront] def parseSeqOptions(frag0: String): SeqOpts = {
+    val frag = frag0.trim
+    val ts = Lex.tokens(frag)
+    var i = 0
+    var o = SeqOpts()
+    def has: Boolean = i < ts.length
+    def word: String =
+      if (has && ts(i).kind == Lex.Word) ts(i).text(frag).toUpperCase else ""
+    def readIf(w: String): Boolean = { if (word == w) { i += 1; true } else false }
+    def readLong(): Long = {
+      val neg = has && ts(i).kind == Lex.Sym && frag.charAt(ts(i).start) == '-'
+      if (neg) i += 1
+      require(has && ts(i).kind == Lex.Num,
+        s"expected a number in sequence options at: ${frag.substring(if (has) ts(i).start else frag.length)}")
+      // parse sign+digits together: Long.MinValue's magnitude overflows
+      // a bare toLong, so -9223372036854775808 must round-trip via SCRIPT
+      val v = java.lang.Long.parseLong(
+        (if (neg) "-" else "") + ts(i).text(frag))
+      i += 1
+      v
+    }
+    while (has) {
+      if (readIf("START")) { readIf("WITH"); o = o.copy(start = Some(readLong())) }
+      else if (readIf("RESTART")) {
+        require(readIf("WITH"), "RESTART requires WITH (Parser.java:4787)")
+        o = o.copy(start = Some(readLong()))
+      }
+      else if (readIf("INCREMENT")) { readIf("BY"); o = o.copy(inc = Some(readLong())) }
+      else if (readIf("MINVALUE")) o = o.copy(min = Some(Some(readLong())))
+      else if (readIf("NOMINVALUE")) o = o.copy(min = Some(None))
+      else if (readIf("MAXVALUE")) o = o.copy(max = Some(Some(readLong())))
+      else if (readIf("NOMAXVALUE")) o = o.copy(max = Some(None))
+      else if (readIf("CYCLE")) o = o.copy(cycle = Some(true))
+      else if (readIf("NOCYCLE")) o = o.copy(cycle = Some(false))
+      else if (readIf("NO")) {
+        if (readIf("MINVALUE")) o = o.copy(min = Some(None))
+        else if (readIf("MAXVALUE")) o = o.copy(max = Some(None))
+        else if (readIf("CYCLE")) o = o.copy(cycle = Some(false))
+        else if (readIf("CACHE")) ()
+        else throw new IllegalArgumentException(
+          s"unknown sequence option NO $word (Parser.java:4400)")
+      }
+      else if (readIf("CACHE")) readLong() // accepted, ignored (flush margin)
+      else if (readIf("NOCACHE")) ()
+      else if (readIf("BELONGS_TO_TABLE")) o = o.copy(belongsToTable = true)
+      else throw new IllegalArgumentException(
+        s"unknown sequence option: ${frag.substring(ts(i).start)}")
+    }
+    o
+  }
+
   /** ALTER TABLE … ADD CONSTRAINT (ddl/AlterTableAddConstraint.java):
     * existing rows are validated before the constraint is recorded, the
     * same all-rows check the reference runs — here one distributed

@@ -98,13 +98,36 @@ private[sqlfront] trait EngineSelect { this: Engine =>
   private[sqlfront] val seqNameLit = Rw.Lit(inner =>
     inner.nonEmpty && inner.forall(c => c.isLetterOrDigit || c == '_'))
 
+  /** H2's dotted sequence pseudo-columns `seq.NEXTVAL` / `seq.CURRVAL`
+    * (SequenceTest.java:42-49; Parser.java readTermObjectDot) → the
+    * function forms, so every later stage — per-statement substitution
+    * AND the per-row INSERT…SELECT lowering — sees ONE shape. Only names
+    * registered as sequences rewrite; any other `x.nextval` stays a
+    * column reference. */
+  private[sqlfront] def normalizeSeqRefs(q0: String): String = {
+    var q = q0
+    sequences.keys.toSeq.sorted.foreach { n =>
+      q = Rw.rewrite(q, Rw.W(n), Rw.Sy('.'), Rw.Kw("NEXTVAL"))(_ =>
+        s"NEXTVAL('$n')")
+      q = Rw.rewrite(q, Rw.W(n), Rw.Sy('.'), Rw.Kw("CURRVAL"))(_ =>
+        s"CURRVAL('$n')")
+    }
+    q
+  }
+
   private[sqlfront] def substSequences(q0: String): String = {
-    // per-occurrence evaluation (each NEXTVAL increments), literal-safe
-    // structurally (the 'name' literal is matched as ONE token)
-    val q = Rw.rewrite(q0, Rw.Kw("NEXTVAL"), Rw.Sy('('), seqNameLit,
-      Rw.Sy(')'))(c => sequences(c(0).toLowerCase).nextVal().toString)
-    Rw.rewrite(q, Rw.Kw("CURRVAL"), Rw.Sy('('), seqNameLit,
-      Rw.Sy(')'))(c => sequences(c(0).toLowerCase).curr.toString)
+    // ONE left-to-right pass over both function kinds: the reference
+    // evaluates expressions in statement order, so in
+    // `select s.CURRVAL, s.NEXTVAL` the CURRVAL reads the value BEFORE
+    // the NEXTVAL increments (SequenceTest.java:49-58). Per-occurrence
+    // evaluation (each NEXTVAL increments), literal-safe structurally
+    // (the 'name' literal is matched as ONE token).
+    Rw.rewrite(normalizeSeqRefs(q0), Rw.W("NEXTVAL", "CURRVAL"), Rw.Sy('('),
+        seqNameLit, Rw.Sy(')')) { c =>
+      val s = sequences(c(1).toLowerCase)
+      if (c(0).equalsIgnoreCase("NEXTVAL")) s.nextVal().toString
+      else s.curr.toString
+    }
   }
 
   /** SELECT source for INSERT INTO … SELECT. A plain textual NEXTVAL
@@ -115,7 +138,8 @@ private[sqlfront] trait EngineSelect { this: Engine =>
     * left-to-right per-row evaluation order — and the counter advances by
     * rowCount*k afterwards. The global row_number keeps the same
     * non-parallel contract as the reference's Sequence (documented). */
-  private[sqlfront] def selectForInsert(q: String): DataFrame = {
+  private[sqlfront] def selectForInsert(q0: String): DataFrame = {
+    val q = normalizeSeqRefs(q0) // dotted seq.NEXTVAL → the function form
     // pass 1 only counts occurrences per sequence (the rewritten text is
     // discarded); pass 2 substitutes with the per-occurrence (j, k) terms
     val names = mutable.ArrayBuffer.empty[String]
@@ -317,7 +341,10 @@ private[sqlfront] trait EngineSelect { this: Engine =>
       s"CREATE TABLE $name (${cols.mkString(", ")});"
     }
     val seqs = sequences.toSeq.map { case (n, s) =>
-      s"CREATE SEQUENCE $n START WITH ${s.next} INCREMENT BY ${s.inc};"
+      s"CREATE SEQUENCE $n START WITH ${s.next} INCREMENT BY ${s.inc}" +
+        s" MINVALUE ${s.minV} MAXVALUE ${s.maxV}" +
+        (if (s.cycle) " CYCLE" else "") +
+        (if (s.belongsToTable) " BELONGS_TO_TABLE" else "") + ";"
     }
     val ixs = indexes.values.toSeq.map { ix =>
       s"CREATE ${if (ix.unique) "UNIQUE " else ""}INDEX ${ix.name} " +
