@@ -77,6 +77,12 @@ final class Engine(val spark: SparkSession)
   private[sqlfront] val checks = mutable.ArrayBuffer.empty[CheckDef]
   private[sqlfront] val viewDefs = mutable.LinkedHashMap.empty[String, String]
   private[sqlfront] val aliases = mutable.LinkedHashMap.empty[String, String]
+  // CREATE ALIAS … AS $$source$$ (FunctionAlias.loadFromSource): name →
+  // method source, compiled in-memory per JVM by SourceCompiler
+  private[sqlfront] val aliasSources = mutable.LinkedHashMap.empty[String, String]
+  // CREATE AGGREGATE name FOR "class" (db/UserAggregate.java): name →
+  // user class; call sites rewrite to the collect_list-fed finisher UDF
+  private[sqlfront] val userAggs = mutable.LinkedHashMap.empty[String, String]
   // CREATE CONSTANT (schema/Constant.java), CREATE DOMAIN
   // (ddl/CreateUserDataType.java), CREATE TRIGGER (recorded; row-hook
   // execution is out of engine scope per BASELINE — the streaming
@@ -254,7 +260,7 @@ final class Engine(val spark: SparkSession)
   import Pat.{P, Kw, Opt, OptCap, AltKw, AltCap, OptG, Ident, Quoted, IntCap,
     SkipWord, SkipNum, SkipLit, Paren, SkipParen, Rest, RestNonEmpty,
     RestTyped, CapUntil, Peek, SkipRest, Eos, SpecBeforeAfter, DomainTail,
-    LitCap, LitCapNonEmpty, DottedIdent, NullOrLit}
+    LitCap, LitCapNonEmpty, StrCap, DottedIdent, NullOrLit}
 
 
   private[sqlfront] val createTableRe =
@@ -555,12 +561,31 @@ final class Engine(val spark: SparkSession)
     P(Opt("CALL"), Kw("CSVWRITE"), Pat.Sym('('), LitCapNonEmpty,
       Pat.Sym(','), LitCap, Pat.Sym(')'), Eos)
   // CREATE ALIAS name FOR "class.method" (ddl/CreateFunctionAlias.java —
-  // the reference resolves the target by reflection; so do we)
+  // the reference resolves the target by reflection; so do we).
+  // DETERMINISTIC is accepted and advisory (Parser.java:4583); FORCE defers
+  // nothing here because resolution is already lazy per JVM.
   private[sqlfront] val createAliasRe =
-    P(Kw("CREATE", "ALIAS"), Opt("IF", "NOT", "EXISTS"), Ident, Kw("FOR"),
-      Quoted, Eos)
+    P(Kw("CREATE"), Opt("FORCE"), Kw("ALIAS"), Opt("IF", "NOT", "EXISTS"),
+      Ident, Opt("DETERMINISTIC"), Kw("FOR"), Quoted, Eos)
+  // CREATE ALIAS name AS $$ method source $$ (Parser.java:4584-4585 →
+  // FunctionAlias.loadFromSource): the body is a Java method compiled
+  // in-memory; '…' and $$…$$ string forms are interchangeable (StrCap)
+  private[sqlfront] val createAliasSrcRe =
+    P(Kw("CREATE"), Opt("FORCE"), Kw("ALIAS"), Opt("IF", "NOT", "EXISTS"),
+      Ident, Opt("DETERMINISTIC"), Kw("AS"), StrCap, Eos)
   private[sqlfront] val dropAliasRe =
     P(Kw("DROP", "ALIAS"), Opt("IF", "EXISTS"), Ident, Eos)
+  // CREATE [FORCE] AGGREGATE name FOR "class" (Parser.java:4450,
+  // ddl/CreateAggregate.java + db/UserAggregate.java): FORCE skips the
+  // eager class validation, exactly the reference's force flag. DROP
+  // AGGREGATE accepts IF EXISTS before or after the name
+  // (Parser.java:1301-1308 reads it in both positions).
+  private[sqlfront] val createAggregateRe =
+    P(Kw("CREATE"), OptCap("FORCE"), Kw("AGGREGATE"),
+      OptCap("IF", "NOT", "EXISTS"), Ident, Kw("FOR"), Quoted, Eos)
+  private[sqlfront] val dropAggregateRe =
+    P(Kw("DROP", "AGGREGATE"), Opt("IF", "EXISTS"), Ident,
+      Opt("IF", "EXISTS"), Eos)
   private[sqlfront] val createConstantRe =
     P(Kw("CREATE", "CONSTANT"), Opt("IF", "NOT", "EXISTS"), Ident,
       Kw("VALUE"), Rest)
@@ -576,10 +601,13 @@ final class Engine(val spark: SparkSession)
     P(Kw("DROP"), AltKw(Seq("DOMAIN"), Seq("TYPE"), Seq("DATATYPE")),
       Opt("IF", "EXISTS"), Ident, Eos)
   private[sqlfront] val domainChecks = mutable.HashMap.empty[String, String]
+  // CREATE [FORCE] TRIGGER … [FOR EACH ROW] [QUEUE n] [NOWAIT]
+  // [CALL "class"] (Parser.parseCreateTrigger; TriggerObjectTest shapes) —
+  // the tail is captured for the reference's validation errors
   private[sqlfront] val createTriggerRe =
-    P(Kw("CREATE", "TRIGGER"), Opt("IF", "NOT", "EXISTS"), Ident,
-      Peek("BEFORE", "AFTER", "INSTEAD"), CapUntil("ON"), Kw("ON"), Ident,
-      SkipRest)
+    P(Kw("CREATE"), Opt("FORCE"), Kw("TRIGGER"), Opt("IF", "NOT", "EXISTS"),
+      Ident, Peek("BEFORE", "AFTER", "INSTEAD"), CapUntil("ON"), Kw("ON"),
+      Ident, Rest)
   private[sqlfront] val dropTriggerRe =
     P(Kw("DROP", "TRIGGER"), Opt("IF", "EXISTS"), Ident, Eos)
   // DROP ALL OBJECTS (ddl/DropDatabase.java), CREATE SCHEMA
@@ -1039,10 +1067,31 @@ final class Engine(val spark: SparkSession)
       case createAliasRe(name, target) =>
         ReflectAlias.register(spark, name.toLowerCase, target)
         aliases(name.toLowerCase) = target; status()
+      case createAliasSrcRe(name, src) =>
+        ReflectAlias.registerSource(spark, name.toLowerCase, src)
+        aliasSources(name.toLowerCase) = src; status()
       case dropAliasRe(name) =>
         aliases.remove(name.toLowerCase)
+        aliasSources.remove(name.toLowerCase)
         spark.sql(s"DROP TEMPORARY FUNCTION IF EXISTS ${name.toLowerCase}")
         status()
+      case createAggregateRe(force, ifNotExists, name, className) =>
+        val n = name.toLowerCase
+        // Parser.java:4455: a built-in aggregate/function name is taken
+        require(!Engine.builtinAggregates.contains(n) && !aliases.contains(n)
+            && !aliasSources.contains(n),
+          s"FUNCTION_ALIAS_ALREADY_EXISTS: $name (Parser.java:4455)")
+        if (userAggs.contains(n)) {
+          require(ifNotExists != null,
+            s"FUNCTION_ALIAS_ALREADY_EXISTS: $name (ddl/CreateAggregate.java:45)")
+        } else {
+          if (force == null) UserAggregate.validate(className) // eager unless FORCE
+          UserAggregate.register(spark, n, className)
+          userAggs(n) = className
+        }
+        status()
+      case dropAggregateRe(name) =>
+        userAggs.remove(name.toLowerCase); status()
       case createConstantRe(name, value) =>
         constants(name.toLowerCase) = value.trim; status()
       case dropConstantRe(name) =>
@@ -1056,9 +1105,21 @@ final class Engine(val spark: SparkSession)
       case dropDomainRe(name) =>
         domains.remove(name.toLowerCase)
         domainChecks.remove(name.toLowerCase); status()
-      case createTriggerRe(name, timing, tableName) =>
-        triggers(name.toLowerCase) =
-          (tableName.toLowerCase, timing.trim.toUpperCase.replaceAll("\\s+", " "))
+      case createTriggerRe(name, timing, tableName, tail) =>
+        val ev = timing.trim.toUpperCase.replaceAll("\\s+", " ")
+        // QUEUE must be non-negative (ddl/CreateTrigger.setQueueSize →
+        // ErrorCode.INVALID_VALUE_2, TriggerObjectTest)
+        Rw.find(tail, 0, Rw.Kw("QUEUE"), Rw.SignedDigits).foreach {
+          case (_, _, caps) =>
+            require(caps(0).toInt >= 0,
+              s"INVALID_VALUE QUEUE ${caps(0)} (ddl/CreateTrigger.java)")
+        }
+        // SELECT triggers cannot be row-based (CreateTrigger.update →
+        // TRIGGER_SELECT_AND_ROW_BASED_NOT_SUPPORTED)
+        if (Rw.contains(tail, Rw.Kw("FOR"), Rw.Kw("EACH"), Rw.Kw("ROW")))
+          require(!ev.split("[ ,]+").contains("SELECT"),
+            s"TRIGGER_SELECT_AND_ROW_BASED_NOT_SUPPORTED: $name")
+        triggers(name.toLowerCase) = (tableName.toLowerCase, ev)
         status()
       case dropTriggerRe(name) =>
         triggers.remove(name.toLowerCase); status()
@@ -1532,4 +1593,14 @@ final class Engine(val spark: SparkSession)
     Seq("OK").toDF("status")
   }
 
+}
+
+private[sqlfront] object Engine {
+  /** The reference's built-in aggregate names (Parser.getAggregateType /
+    * Aggregate.java registry) — CREATE AGGREGATE/ALIAS may not shadow one
+    * (FUNCTION_ALIAS_ALREADY_EXISTS_1, Parser.java:4455). */
+  val builtinAggregates: Set[String] = Set(
+    "count", "sum", "min", "max", "avg", "group_concat", "stddev_pop",
+    "stddev_samp", "var_pop", "var_samp", "stddev", "variance", "bool_and",
+    "bool_or", "every", "some", "selectivity", "histogram")
 }

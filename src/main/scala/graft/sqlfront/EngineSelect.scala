@@ -218,13 +218,16 @@ private[sqlfront] trait EngineSelect { this: Engine =>
           .toDF("table_catalog", "table_schema", "table_name",
             "view_definition")
       case "function_aliases" =>
-        // MetaTable.java FUNCTION_ALIASES (id 12)
-        aliases.toSeq.map { case (n, target) =>
+        // MetaTable.java FUNCTION_ALIASES (id 12); source aliases carry no
+        // class/method target (FunctionAlias.loadFromSource compiles the
+        // body — the reference lists them with the source, not a target)
+        (aliases.toSeq.map { case (n, target) =>
           val dot = target.lastIndexOf('.')
           ("graft", "public", n, target.substring(0, dot max 0),
             target.substring(dot + 1))
-        }.toDF("alias_catalog", "alias_schema", "alias_name", "java_class",
-          "java_method")
+        } ++ aliasSources.keys.toSeq.map(n => ("graft", "public", n, "", "")))
+          .toDF("alias_catalog", "alias_schema", "alias_name", "java_class",
+            "java_method")
       case "sessions" =>
         // MetaTable.java SESSIONS (id 25): single local session by contract
         Seq((0L, "SA", spark.sparkContext.applicationId))
@@ -362,6 +365,12 @@ private[sqlfront] trait EngineSelect { this: Engine =>
     }
     val als = aliases.toSeq.map { case (n, t) =>
       s"""CREATE ALIAS $n FOR "$t";"""
+    } ++ aliasSources.toSeq.map { case (n, src) =>
+      s"CREATE ALIAS $n AS $$$$$src$$$$;"
+    } ++ userAggs.toSeq.map { case (n, cls) =>
+      // FORCE: re-running the script must not need the class on the
+      // driver classpath at parse time (UserAggregate.java force flag)
+      s"""CREATE FORCE AGGREGATE $n FOR "$cls";"""
     }
     val consts = constants.toSeq.map { case (n, v) =>
       s"CREATE CONSTANT $n VALUE $v;"

@@ -167,6 +167,12 @@ private[sqlfront] trait EngineTranslate { this: Engine =>
       variables.getOrElse(c(0).toLowerCase, "NULL"))
     // SAMPLE_SIZE n → LIMIT n (head-sample semantics, Select.java:877)
     q = Rw.rewrite(q, RwKw("SAMPLE_SIZE"), Digits)(c => s"LIMIT ${c(0)}")
+    // CREATE AGGREGATE call sites (db/UserAggregate.java — the reference
+    // feeds the user object the group's values row-at-a-time): NAME(expr)
+    // → graft_ua_name(collect_list(expr)). collect_list's partial buffers
+    // merge map-side; the opaque add/getResult finisher runs once per
+    // group, the reference's own per-group cost model.
+    if (userAggs.nonEmpty) q = rewriteUserAggregates(q)
     // H2 function-name surface → the registered UDF names / Spark natives
     // (Function.java registry): H2's DATEADD/DATEDIFF take a unit STRING
     // (vs Spark's keyword/2-arg forms), so the quoted-unit call shape maps
@@ -638,6 +644,35 @@ private[sqlfront] trait EngineTranslate { this: Engine =>
       i += 1
     }
     (if (depth == 0) i else -1, commas)
+  }
+
+  /** `NAME(args)` → `graft_ua_name(collect_list(args))` for every
+    * registered CREATE AGGREGATE name — the call-shaped rewrite loop with
+    * balanced-paren capture (DISTINCT inside the call passes through:
+    * Spark's collect_list accepts it). Inner text is re-scanned, so nested
+    * user-aggregate calls in the argument resolve too. */
+  private[sqlfront] def rewriteUserAggregates(q0: String): String = {
+    var q = q0
+    userAggs.keys.foreach { name =>
+      var from = 0
+      var continue = true
+      while (continue) {
+        val (ws, open) = Rw.findCall(q, name, from)
+        if (ws < 0) continue = false
+        else {
+          val (close, _) = matchParen(q, open)
+          if (close < 0) continue = false
+          else {
+            // matchParen's close is the index AFTER the ')'
+            val fn = UserAggregate.finisherName(name)
+            q = q.substring(0, ws) + fn + "(collect_list(" +
+              q.substring(open + 1, close - 1) + "))" + q.substring(close)
+            from = ws + fn.length + "(collect_list(".length
+          }
+        }
+      }
+    }
+    q
   }
 
   /** Rename calls of `name` to an arity-specific target — how variable-

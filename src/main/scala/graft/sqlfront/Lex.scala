@@ -79,6 +79,16 @@ private[sqlfront] object Lex {
           } else i += 1
         }
         out += Token(Lit, start, i, depth)
+      } else if (c == '$' && i + 1 < s.length && s.charAt(i + 1) == '$') {
+        // $$ dollar-quoted string (Parser.java readString's second form —
+        // "用$$与用单引号有一样的效果"): body is VERBATIM to the closing $$,
+        // no escapes. One Lit token, same structural safety as '…'.
+        val start = i
+        i += 2
+        while (i + 1 < s.length &&
+          !(s.charAt(i) == '$' && s.charAt(i + 1) == '$')) i += 1
+        i = if (i + 1 < s.length) i + 2 else s.length
+        out += Token(Lit, start, i, depth)
       } else if (c == '"') {
         val start = i
         i += 1
@@ -186,6 +196,14 @@ private[sqlfront] object Lex {
             else { done = true; i += 1 }
           } else i += 1
         }
+        sb.append(s, start, i)
+      } else if (c == '$' && i + 1 < s.length && s.charAt(i + 1) == '$') {
+        // dollar-quoted string: verbatim (a -- or /* inside is body text)
+        val start = i
+        i += 2
+        while (i + 1 < s.length &&
+          !(s.charAt(i) == '$' && s.charAt(i + 1) == '$')) i += 1
+        i = if (i + 1 < s.length) i + 2 else s.length
         sb.append(s, start, i)
       } else if (c == '"') {
         val start = i

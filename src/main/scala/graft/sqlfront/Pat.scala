@@ -12,8 +12,11 @@ private[sqlfront] final case class Stmt(raw: String) {
   lazy val masked: String = {
     val chars = raw.toCharArray
     Stmt.literalSpans(raw).foreach { case (s, e) =>
-      var i = s + 1
-      while (i < e - 1) { chars(i) = ' '; i += 1 }
+      // keep the delimiters (1 char for '…', 2 for $$…$$) so offsets and
+      // the visible quote structure of the masked view stay aligned
+      val d = if (raw.charAt(s) == '$') 2 else 1
+      var i = s + d
+      while (i < e - d) { chars(i) = ' '; i += 1 }
     }
     new String(chars)
   }
@@ -23,8 +26,10 @@ private[sqlfront] final case class Stmt(raw: String) {
 }
 
 private[sqlfront] object Stmt {
-  /** Spans [start, end) of 'string literals' ('' escapes included) —
-    * the masking/offset contract every literal-aware scan shares. */
+  /** Spans [start, end) of string literals — '…' ('' escapes included)
+    * and $$…$$ dollar-quoted bodies (verbatim, no escapes) — the
+    * masking/offset contract every literal-aware scan shares. One pass,
+    * so a $$ inside a '…' literal (or a ' inside $$…$$) is body text. */
   def literalSpans(s: String): IndexedSeq[(Int, Int)] = {
     val out = mutable.ArrayBuffer.empty[(Int, Int)]
     var i = 0
@@ -39,6 +44,14 @@ private[sqlfront] object Stmt {
             else { done = true; i += 1 }
           } else i += 1
         }
+        out += ((start, i))
+      } else if (s.charAt(i) == '$' && i + 1 < s.length &&
+          s.charAt(i + 1) == '$') {
+        val start = i
+        i += 2
+        while (i + 1 < s.length &&
+          !(s.charAt(i) == '$' && s.charAt(i + 1) == '$')) i += 1
+        i = if (i + 1 < s.length) i + 2 else s.length
         out += ((start, i))
       } else i += 1
     }
@@ -85,6 +98,10 @@ private[sqlfront] object Pat {
   case object LitCap extends El
   /** [[LitCap]] but the inner text must be non-empty (regex `'([^']+)'`). */
   case object LitCapNonEmpty extends El
+  /** Capture the DECODED inner text of either string form — `'…'` with
+    * `''` unescaped, or `$$…$$` verbatim — the Parser.readString contract
+    * (both quote forms are interchangeable wherever a string is read). */
+  case object StrCap extends El
   /** Capture a dotted name `a.b.c` (regex `([\w.]+)`) as its raw span. */
   case object DottedIdent extends El
   /** Capture either the keyword NULL or a whole 'literal' WITH its quotes
@@ -142,7 +159,7 @@ private[sqlfront] object Pat {
   private def nCaps(el: El): Int = el match {
     case _: OptCap | _: AltCap | Ident | Quoted | IntCap | Paren | Rest |
          RestNonEmpty | RestTyped | _: CapUntil | LitCap | LitCapNonEmpty |
-         DottedIdent | NullOrLit => 1
+         StrCap | DottedIdent | NullOrLit => 1
     case DomainTail => 2
     case SpecBeforeAfter => 3
     case OptG(inner @ _*) => inner.map(nCaps).sum
@@ -262,6 +279,21 @@ private[sqlfront] object Pat {
               if (i < ts.length && ts(i).kind == Lex.Lit &&
                   ts(i).end - ts(i).start > 2) {
                 caps += s.substring(ts(i).start + 1, ts(i).end - 1); i + 1
+              } else -1))
+          case StrCap =>
+            attempt(Seq(() =>
+              if (i < ts.length && ts(i).kind == Lex.Lit) {
+                val t = ts(i)
+                caps += (if (s.charAt(t.start) == '$') {
+                  // $$…$$: verbatim body; a terminated token ends with $$
+                  val e = if (t.end - t.start >= 4 &&
+                      s.charAt(t.end - 1) == '$' && s.charAt(t.end - 2) == '$')
+                    t.end - 2 else t.end
+                  s.substring(math.min(t.start + 2, e), e)
+                } else
+                  s.substring(t.start + 1,
+                    math.max(t.start + 1, t.end - 1)).replace("''", "'"))
+                i + 1
               } else -1))
           case DottedIdent =>
             attempt(Seq(() =>

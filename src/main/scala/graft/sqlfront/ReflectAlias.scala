@@ -10,7 +10,10 @@ import org.apache.spark.sql.types._
   * method is looked up lazily inside the closure by name so the UDF stays
   * serializable for executors; only public static methods qualify, matching
   * FunctionAlias.java's `Modifier.isStatic` check. Source-code aliases
-  * (`CREATE ALIAS … AS 'code'`) need a compiler and are rejected. */
+  * (`CREATE ALIAS … AS $$code$$`, FunctionAlias.loadFromSource) compile
+  * the source in-memory via [[SourceCompiler]]; the closure captures only
+  * the (class name, source) strings and each JVM compiles once, so the
+  * UDF stays serializable for a real cluster too. */
 private[sqlfront] object ReflectAlias {
 
   private def resolve(target: String): java.lang.reflect.Method = {
@@ -49,12 +52,35 @@ private[sqlfront] object ReflectAlias {
     }
   }
 
-  def register(spark: SparkSession, name: String, target: String): Unit = {
-    val m = resolve(target) // fail fast on the driver
+  def register(spark: SparkSession, name: String, target: String): Unit =
+    registerResolved(spark, name, new TargetResolver(target))
+
+  /** `CREATE ALIAS name AS $$source$$`: the class is named after the
+    * alias (FunctionAlias.loadFromSource — USER_PACKAGE "." aliasName;
+    * here unpackaged) and the entry point is its first public static
+    * method. */
+  def registerSource(spark: SparkSession, name: String, source: String): Unit =
+    registerResolved(spark, name, new SourceResolver(name, source))
+
+  /** Serializable lazy method lookup — ships strings, resolves per JVM. */
+  private[sqlfront] sealed trait Resolver extends Serializable {
+    def resolve(): java.lang.reflect.Method
+  }
+  private final class TargetResolver(target: String) extends Resolver {
+    def resolve(): java.lang.reflect.Method = ReflectAlias.resolve(target)
+  }
+  private final class SourceResolver(name: String, source: String) extends Resolver {
+    def resolve(): java.lang.reflect.Method =
+      SourceCompiler.entryMethod(SourceCompiler.compile(name, source))
+  }
+
+  private def registerResolved(spark: SparkSession, name: String,
+      resolver: Resolver): Unit = {
+    val m = resolver.resolve() // fail fast on the driver
     val returnType = sparkType(m.getReturnType)
     // Serializable wrapper: captures only strings, resolves lazily per JVM.
     class Fn extends Serializable {
-      @transient private lazy val method = resolve(target)
+      @transient private lazy val method = resolver.resolve()
       // Convert each SQL value to the Java parameter type, as the
       // reference's FunctionAlias does via Value.convertTo before invoke
       private def coerce(a: AnyRef, t: Class[_]): AnyRef = a match {

@@ -209,4 +209,31 @@ class PatSpec extends AnyFunSuite {
     assert(p.unapplySeq(Stmt("BEGIN")).isDefined)
     assert(p.unapplySeq(Stmt("BEGIN X")).isEmpty)
   }
+
+  test("$$ dollar-quoted strings are one literal token, body verbatim") {
+    // a keyword, quote, or comment marker inside $$…$$ is body text
+    val q = "CREATE ALIAS f AS $$ String f() { return \"x\"; } -- don't $$"
+    val ts = Lex.tokens(q)
+    assert(ts.count(_.kind == Lex.Lit) == 1)
+    assert(!ts.exists(_.is(q, "return")), "body words must not tokenize")
+    // stripComments passes the body through verbatim (the -- is body text)
+    assert(Lex.stripComments(q) == q)
+    // literalSpans covers the whole $$…$$ span; masking keeps both
+    // delimiters so offsets stay aligned
+    val spans = Stmt.literalSpans(q)
+    assert(spans.length == 1 && q.substring(spans.head._1).startsWith("$$"))
+    val m = Stmt(q).masked
+    assert(m.length == q.length && m.contains("$$") && !m.contains("return"))
+    // a $$ inside a '…' literal is body text, not an opener
+    assert(Stmt.literalSpans("SELECT 'a$$b', 1").length == 1)
+  }
+
+  test("StrCap decodes both string forms (Parser.readString contract)") {
+    val p = P(Kw("CALL"), StrCap, Eos)
+    assert(p.unapplySeq(Stmt("CALL 'it''s'")).contains(Seq("it's")))
+    assert(p.unapplySeq(Stmt("CALL $$it's$$")).contains(Seq("it's")))
+    assert(p.unapplySeq(Stmt("CALL $$$$")).contains(Seq("")))
+    // unterminated dollar quote: body runs to end of input
+    assert(p.unapplySeq(Stmt("CALL $$ab")).contains(Seq("ab")))
+  }
 }

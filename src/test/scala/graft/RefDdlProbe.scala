@@ -133,4 +133,58 @@ class RefDdlProbe extends SparkSpec {
     e.sql("DROP DATABASE db_sharding")
     assert(e.sql("SHOW DATABASES").count() == 3)
   }
+
+  test("TriggerObjectTest: FORCE/QUEUE/NOWAIT forms + the two validation errors") {
+    val e = new Engine(spark)
+    e.sql("DROP TABLE IF EXISTS CreateTriggerTest")
+    e.sql("CREATE TABLE IF NOT EXISTS CreateTriggerTest(id int, name varchar(500))")
+    e.sql("CREATE FORCE TRIGGER IF NOT EXISTS MyTrigger1" +
+      " BEFORE INSERT,UPDATE,DELETE,SELECT,ROLLBACK ON CreateTriggerTest" +
+      " QUEUE 10 NOWAIT CALL \"org.example.MyTrigger\"")
+    assert(e.sql("SELECT count(*) FROM INFORMATION_SCHEMA.TRIGGERS")
+      .head().getLong(0) == 1)
+    // QUEUE不能是负数 (ErrorCode.INVALID_VALUE_2)
+    intercept[IllegalArgumentException] {
+      e.sql("CREATE TRIGGER IF NOT EXISTS MyTrigger2" +
+        " AFTER INSERT ON CreateTriggerTest" +
+        " QUEUE -1 CALL \"org.example.MyTrigger\"")
+    }
+    // SELECT triggers cannot be FOR EACH ROW
+    // (ErrorCode.TRIGGER_SELECT_AND_ROW_BASED_NOT_SUPPORTED)
+    intercept[IllegalArgumentException] {
+      e.sql("CREATE TRIGGER IF NOT EXISTS MyTrigger2" +
+        " AFTER INSERT,UPDATE,DELETE,SELECT,ROLLBACK ON CreateTriggerTest FOR EACH ROW" +
+        " QUEUE 10 NOWAIT CALL \"org.example.MyTrigger\"")
+    }
+    // INSTEAD OF也是BEFORE类型 — row-based without SELECT is legal
+    e.sql("CREATE TRIGGER IF NOT EXISTS MyTrigger3" +
+      " INSTEAD OF INSERT,UPDATE,DELETE,ROLLBACK ON CreateTriggerTest FOR EACH ROW" +
+      " QUEUE 10 NOWAIT CALL \"org.example.MyTrigger\"")
+    e.sql("INSERT INTO CreateTriggerTest VALUES(DEFAULT, DEFAULT),(10, 'a'),(20, 'b')")
+    assert(e.sql("select id,name from CreateTriggerTest").count() == 3)
+    e.sql("DROP TRIGGER IF EXISTS MyTrigger1")
+    assert(e.sql("SELECT count(*) FROM INFORMATION_SCHEMA.TRIGGERS")
+      .head().getLong(0) == 1) // MyTrigger3 remains
+  }
+
+  test("ConstantTest / SettingTest / TimeSeriesTableTest statements verbatim") {
+    val e = new Engine(spark)
+    // ConstantTest
+    e.sql("CREATE CONSTANT IF NOT EXISTS ConstantTest VALUE 10")
+    assert(e.sql("select ConstantTest").head().get(0).toString.toInt == 10)
+    e.sql("DROP CONSTANT IF EXISTS ConstantTest")
+    // SettingTest: SET <name> <int> records the database setting
+    e.sql("SET CACHE_SIZE 1024")
+    // TimeSeriesTableTest: AUTO_INCREMENT pk + inline INDEX(dt) + datetime
+    e.sql("DROP TABLE IF EXISTS TimeSeriesTableTest")
+    e.sql("CREATE TABLE IF NOT EXISTS TimeSeriesTableTest " +
+      "(id long AUTO_INCREMENT PRIMARY KEY, dt datetime, INDEX (dt), f int)")
+    (0 until 5).foreach { i =>
+      e.sql("insert into TimeSeriesTableTest(dt, f) values(CURRENT_TIMESTAMP()," + i + ")")
+    }
+    val rows = e.sql("SELECT id, f FROM TimeSeriesTableTest ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(rows.map(_._2) == (0 until 5).toSeq, rows)
+    assert(rows.map(_._1) == (1L to 5L).toSeq, "AUTO_INCREMENT fills 1..5")
+  }
 }
