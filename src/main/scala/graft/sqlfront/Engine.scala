@@ -288,11 +288,21 @@ final class Engine(val spark: SparkSession)
   private[sqlfront] val createPkRe =
     P(Kw("CREATE", "PRIMARY", "KEY"), Opt("HASH"), Opt("IF", "NOT", "EXISTS"),
       Ident, Kw("ON"), Ident, Paren, Eos)
-  // CREATE DATABASE (ddl/CreateDatabase.java — RUN MODE/PARAMETERS are
-  // distributed-deployment attributes, recorded only)
+  // CREATE/ALTER DATABASE (ddl/CreateDatabase.java Parser.java:4224-4250,
+  // ddl/AlterDatabase.java Parser.java:4718) — RUN MODE / WITH REPLICATION
+  // STRATEGY (k:v, …) / PARAMETERS are distributed-deployment attributes,
+  // recorded only; TENANT is the reference's synonym (Parser.java:4706)
   private[sqlfront] val createDatabaseRe =
-    P(Kw("CREATE", "DATABASE"), Opt("IF", "NOT", "EXISTS"), Ident,
-      OptG(Kw("RUN", "MODE"), SkipWord), OptG(Kw("PARAMETERS"), SkipParen), Eos)
+    P(Kw("CREATE"), AltKw(Seq("DATABASE"), Seq("TENANT")),
+      OptCap("IF", "NOT", "EXISTS"), Ident,
+      OptG(Kw("RUN", "MODE"), SkipWord),
+      OptG(Kw("WITH", "REPLICATION", "STRATEGY"), SkipParen),
+      OptG(Kw("PARAMETERS"), SkipParen), Eos)
+  private[sqlfront] val alterDatabaseRe =
+    P(Kw("ALTER"), AltKw(Seq("DATABASE"), Seq("TENANT")), Ident,
+      OptG(Kw("RUN", "MODE"), SkipWord),
+      OptG(Kw("WITH", "REPLICATION", "STRATEGY"), SkipParen),
+      OptG(Kw("PARAMETERS"), SkipParen), Eos)
   private[sqlfront] val dropDatabaseRe =
     P(Kw("DROP", "DATABASE"), Opt("IF", "EXISTS"), Ident, Eos)
   private[sqlfront] val databases = mutable.LinkedHashSet("graft")
@@ -633,6 +643,11 @@ final class Engine(val spark: SparkSession)
     P(Kw("ALTER", "USER"), Ident, Kw("RENAME", "TO"), Ident, Eos)
   private[sqlfront] val alterUserPasswordRe =
     P(Kw("ALTER", "USER"), Ident, Kw("SET", "PASSWORD"), SkipLit, Eos)
+  // ALTER USER … SET SALT X'…' HASH X'…' (Parser.java:4835-4838) — the
+  // hex literals lex as the word X + a string literal
+  private[sqlfront] val alterUserSaltRe =
+    P(Kw("ALTER", "USER"), Ident, Kw("SET", "SALT"), Opt("X"), SkipLit,
+      Kw("HASH"), Opt("X"), SkipLit, Eos)
   private[sqlfront] val alterUserAdminRe =
     P(Kw("ALTER", "USER"), Ident, Kw("ADMIN"), AltCap("TRUE", "FALSE"), Eos)
   private[sqlfront] val dropUserRe =
@@ -1040,8 +1055,17 @@ final class Engine(val spark: SparkSession)
             s"SEQUENCE_BELONGS_TO_A_TABLE: $name (SequenceTest.java drop)")
         }
         sequences.remove(name.toLowerCase); status()
-      case createDatabaseRe(name) =>
+      case createDatabaseRe(ifNotExists, name) =>
+        // DATABASE_ALREADY_EXISTS_1 without IF NOT EXISTS (DatabaseTest —
+        // including the always-present root database)
+        require(ifNotExists != null || !databases.contains(name.toLowerCase),
+          s"DATABASE_ALREADY_EXISTS: $name (ddl/CreateDatabase.java)")
         databases += name.toLowerCase; status()
+      case alterDatabaseRe(name) =>
+        // the reference resolves the database first (Parser.java:4720)
+        require(databases.contains(name.toLowerCase),
+          s"DATABASE_NOT_FOUND: $name (ddl/AlterDatabase.java)")
+        status()
       case dropDatabaseRe(name) =>
         require(name.toLowerCase != "graft", "cannot drop the current database")
         databases -= name.toLowerCase; status()
@@ -1151,6 +1175,10 @@ final class Engine(val spark: SparkSession)
         users.remove(from.toLowerCase).foreach(a => users(to.toLowerCase) = a)
         status()
       case alterUserPasswordRe(name) =>
+        require(users.contains(name.toLowerCase), s"user $name not found")
+        status()
+      case alterUserSaltRe(name) =>
+        // salt+hash recorded as set, like passwords (single-user engine)
         require(users.contains(name.toLowerCase), s"user $name not found")
         status()
       case alterUserAdminRe(name, admin) =>

@@ -270,8 +270,10 @@ private[sqlfront] trait EngineDdl { this: Engine =>
     * (AlterTableAddColumn.java): DEFAULT expr fills existing rows (H2
     * semantics) and is recorded for inserts; `SEQUENCE s` makes the column
     * sequence-backed (existing rows stay NULL, inserts fill per-row);
-    * IDENTITY/AUTO_INCREMENT registers the identity fill; BEFORE/AFTER
-    * position the column. IF NOT EXISTS = no-op when present. */
+    * IDENTITY/AUTO_INCREMENT backfills existing rows with sequence values
+    * (the reference rebuilds the table row-by-row) and registers the
+    * identity fill for inserts; BEFORE/AFTER position the column.
+    * IF NOT EXISTS = no-op when present. */
   private[sqlfront] def addColumn(tn0: String, cName0: String, typeSpec0: String,
       before: Option[String], after: Option[String]): Unit = {
     val tn = tn0.toLowerCase
@@ -290,7 +292,8 @@ private[sqlfront] trait EngineDdl { this: Engine =>
       }
     }
     val up = maskedUpper(typeSpec)
-    if (up.contains("IDENTITY") || up.contains("AUTO_INCREMENT")) {
+    val isIdentity = up.contains("IDENTITY") || up.contains("AUTO_INCREMENT")
+    if (isIdentity) {
       identityCols(tn) = cName
       identityNext.getOrElseUpdate(tn, 1L)
     }
@@ -312,7 +315,14 @@ private[sqlfront] trait EngineDdl { this: Engine =>
         t.select((cols.take(i + 1) :+ newCol) ++ cols.drop(i + 1): _*)
       case _ => t.select(cols :+ newCol: _*)
     }
-    register(tn, out)
+    if (isIdentity) {
+      // the reference's ADD COLUMN rebuilds the table row-by-row, so an
+      // identity column backfills existing rows with sequence values
+      // (AlterTableAlterColumn.java copyData; OnlineDDLTest reads f4=1,2)
+      val (filled, n) = Dml.assignContiguous(out, cName, identityNext(tn))
+      identityNext(tn) += n
+      register(tn, filled)
+    } else register(tn, out)
   }
 
   /** BACKUP-style snapshot (dml/Backup.java): every table to parquet. */

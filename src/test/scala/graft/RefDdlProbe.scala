@@ -187,4 +187,66 @@ class RefDdlProbe extends SparkSpec {
     assert(rows.map(_._2) == (0 until 5).toSeq, rows)
     assert(rows.map(_._1) == (1L to 5L).toSeq, "AUTO_INCREMENT fills 1..5")
   }
+
+  test("DatabaseTest: PARAMETERS/REPLICATION STRATEGY forms + duplicate errors") {
+    val e = new Engine(spark)
+    e.sql("CREATE DATABASE IF NOT EXISTS CreateDatabaseTest1")
+    e.sql("CREATE DATABASE IF NOT EXISTS CreateDatabaseTest2 PARAMETERS(OPTIMIZE_DISTINCT=true, PERSISTENT=false)")
+    e.sql("CREATE DATABASE IF NOT EXISTS CreateDatabaseTest3 PARAMETERS()")
+    // DATABASE_ALREADY_EXISTS_1 — an existing name, and the root database
+    intercept[IllegalArgumentException] {
+      e.sql("CREATE DATABASE CreateDatabaseTest1")
+    }
+    intercept[IllegalArgumentException] { e.sql("CREATE DATABASE graft") }
+    e.sql("CREATE DATABASE IF NOT EXISTS CreateDatabaseTest4" +
+      " RUN MODE REPLICATION WITH REPLICATION STRATEGY (class: 'SimpleStrategy', replication_factor:1)")
+    e.sql("ALTER DATABASE CreateDatabaseTest4" +
+      " RUN MODE REPLICATION WITH REPLICATION STRATEGY (class: 'SimpleStrategy', replication_factor:2)")
+    // the reference resolves the database before altering
+    intercept[IllegalArgumentException] {
+      e.sql("ALTER DATABASE no_such_db PARAMETERS(OPTIMIZE_DISTINCT=false)")
+    }
+    assert(e.sql("SHOW DATABASES").count() == 5)
+  }
+
+  test("TransactionalDDLTest: ALTER USER rename/password/salt-hash/admin chain") {
+    val e = new Engine(spark)
+    e.sql("CREATE USER IF NOT EXISTS sa2 PASSWORD 'x'")
+    e.sql("ALTER USER SA2 SET PASSWORD '123'")
+    e.sql("ALTER USER SA2 SET SALT X'123456' HASH X'78'")
+    e.sql("ALTER USER SA2 RENAME TO SA222")
+    e.sql("ALTER USER SA222 ADMIN false")
+    assert(e.sql("SELECT name FROM INFORMATION_SCHEMA.USERS")
+      .collect().map(_.getString(0)).toSet == Set("SA", "SA222"))
+    e.sql("CREATE DATABASE IF NOT EXISTS db2 PARAMETERS(OPTIMIZE_DISTINCT=true, PERSISTENT=true)")
+    e.sql("ALTER DATABASE db2 PARAMETERS(OPTIMIZE_DISTINCT=false)")
+  }
+
+  test("OnlineDDLTest: ALTER TABLE column family over a constrained table") {
+    val e = new Engine(spark)
+    e.sql("CREATE SCHEMA IF NOT EXISTS schema_test")
+    e.sql("USE schema_test")
+    e.sql("DROP TABLE IF EXISTS test CASCADE")
+    e.sql("CREATE TABLE IF NOT EXISTS test (f1 int primary key, f2 long, f3 int, f_blob blob)")
+    e.sql("CREATE VIEW IF NOT EXISTS test_view (v_f1,v_f2) AS SELECT f1,f2 FROM test")
+    e.sql("ALTER TABLE test ADD CONSTRAINT test_constraint_check CHECK (f1 > 1)")
+    e.sql("ALTER TABLE test ADD CONSTRAINT test_constraint_unique UNIQUE KEY (f2)")
+    e.sql("DROP TABLE IF EXISTS ConstraintReferentialTestTable CASCADE")
+    e.sql("CREATE TABLE IF NOT EXISTS ConstraintReferentialTestTable (f1 int PRIMARY KEY not null)")
+    e.sql("ALTER TABLE test ADD CONSTRAINT test_constraint_referential " +
+      "FOREIGN KEY (f3) REFERENCES ConstraintReferentialTestTable(f1)")
+    e.sql("GRANT SELECT,DELETE,INSERT ON test TO PUBLIC")
+    e.sql("CREATE SEQUENCE IF NOT EXISTS test_sequence START WITH 1000 INCREMENT BY 1 CACHE 20")
+    e.sql("INSERT INTO ConstraintReferentialTestTable(f1) VALUES(3)")
+    e.sql("INSERT INTO test(f1, f2, f3) VALUES(2, 2, 3)")
+    e.sql("INSERT INTO test(f1, f2, f3) VALUES(6, 6, 3)")
+    e.sql("ALTER TABLE test ADD COLUMN f4 int AUTO_INCREMENT")
+    assert(e.sql("SELECT f4 FROM test ORDER BY f1").collect()
+      .map(_.getInt(0)).toSeq == Seq(1, 2), "AUTO_INCREMENT backfills")
+    e.sql("ALTER TABLE test ADD COLUMN f5 int SEQUENCE test_sequence")
+    e.sql("ALTER TABLE test ADD COLUMN f6 int BEFORE f5")
+    e.sql("ALTER TABLE test DROP COLUMN f4")
+    val cols = e.sql("SELECT * FROM test").schema.fieldNames.toSeq
+    assert(!cols.contains("f4") && cols.indexOf("f6") < cols.indexOf("f5"), cols)
+  }
 }
