@@ -203,7 +203,8 @@ final class Engine(val spark: SparkSession)
   /** Execute one or more ';'-separated statements; returns the DataFrame of
     * the last query (or an empty status frame for DDL/DML). */
   def sql(text: String): DataFrame =
-    splitStatements(Lex.stripComments(text)).map(execTimed).lastOption
+    splitStatements(Lex.normalizeDollarQuotes(Lex.stripComments(text)))
+      .map(execTimed).lastOption
       .getOrElse(spark.emptyDataFrame)
 
   // ---- SET QUERY_STATISTICS (dml/Set.java; QueryStatisticsTest):
@@ -304,7 +305,8 @@ final class Engine(val spark: SparkSession)
       OptG(Kw("WITH", "REPLICATION", "STRATEGY"), SkipParen),
       OptG(Kw("PARAMETERS"), SkipParen), Eos)
   private[sqlfront] val dropDatabaseRe =
-    P(Kw("DROP", "DATABASE"), Opt("IF", "EXISTS"), Ident, Eos)
+    P(Kw("DROP"), AltKw(Seq("DATABASE"), Seq("TENANT")), Opt("IF", "EXISTS"),
+      Ident, Eos)
   private[sqlfront] val databases = mutable.LinkedHashSet("graft")
   // ── tokenizer-first INSERT family (Parser.java:1014 parseInsert) ──
   // One token scan classifies every INSERT body form — SET assignments
@@ -572,16 +574,17 @@ final class Engine(val spark: SparkSession)
       Pat.Sym(','), LitCap, Pat.Sym(')'), Eos)
   // CREATE ALIAS name FOR "class.method" (ddl/CreateFunctionAlias.java —
   // the reference resolves the target by reflection; so do we).
-  // DETERMINISTIC is accepted and advisory (Parser.java:4583); FORCE defers
-  // nothing here because resolution is already lazy per JVM.
+  // DETERMINISTIC is accepted and advisory (Parser.java:4583); FORCE
+  // records the alias even when resolution/compilation fails
+  // (FunctionAlias.init(force) — the error then surfaces at first use).
   private[sqlfront] val createAliasRe =
-    P(Kw("CREATE"), Opt("FORCE"), Kw("ALIAS"), Opt("IF", "NOT", "EXISTS"),
+    P(Kw("CREATE"), OptCap("FORCE"), Kw("ALIAS"), OptCap("IF", "NOT", "EXISTS"),
       Ident, Opt("DETERMINISTIC"), Kw("FOR"), Quoted, Eos)
   // CREATE ALIAS name AS $$ method source $$ (Parser.java:4584-4585 →
   // FunctionAlias.loadFromSource): the body is a Java method compiled
   // in-memory; '…' and $$…$$ string forms are interchangeable (StrCap)
   private[sqlfront] val createAliasSrcRe =
-    P(Kw("CREATE"), Opt("FORCE"), Kw("ALIAS"), Opt("IF", "NOT", "EXISTS"),
+    P(Kw("CREATE"), OptCap("FORCE"), Kw("ALIAS"), OptCap("IF", "NOT", "EXISTS"),
       Ident, Opt("DETERMINISTIC"), Kw("AS"), StrCap, Eos)
   private[sqlfront] val dropAliasRe =
     P(Kw("DROP", "ALIAS"), Opt("IF", "EXISTS"), Ident, Eos)
@@ -1088,12 +1091,12 @@ final class Engine(val spark: SparkSession)
         val n = df.count()
         df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
         Seq(n).toDF("rows_written")
-      case createAliasRe(name, target) =>
-        ReflectAlias.register(spark, name.toLowerCase, target)
-        aliases(name.toLowerCase) = target; status()
-      case createAliasSrcRe(name, src) =>
-        ReflectAlias.registerSource(spark, name.toLowerCase, src)
-        aliasSources(name.toLowerCase) = src; status()
+      case createAliasRe(force, ine, name, target) =>
+        registerAliasChecked(name, ine != null, force != null, aliases, target)(
+          () => ReflectAlias.register(spark, name.toLowerCase, target))
+      case createAliasSrcRe(force, ine, name, src) =>
+        registerAliasChecked(name, ine != null, force != null, aliasSources, src)(
+          () => ReflectAlias.registerSource(spark, name.toLowerCase, src))
       case dropAliasRe(name) =>
         aliases.remove(name.toLowerCase)
         aliasSources.remove(name.toLowerCase)
@@ -1152,6 +1155,7 @@ final class Engine(val spark: SparkSession)
         tables.clear(); primaryKeys.clear(); identityCols.clear()
         identityNext.clear(); sequences.clear(); indexes.clear()
         foreignKeys.clear(); checks.clear(); viewDefs.clear()
+        aliases.clear(); aliasSources.clear(); userAggs.clear()
         constants.clear(); domains.clear(); triggers.clear(); rights.clear()
         notNullCols.clear(); colDefaults.clear()
         roles.clear(); roles += "public"; roleGrants.clear()
@@ -1619,6 +1623,29 @@ final class Engine(val spark: SparkSession)
   private[sqlfront] def status(): DataFrame = {
     import spark.implicits._
     Seq("OK").toDF("status")
+  }
+
+  /** The shared CREATE ALIAS contract (ddl/CreateFunctionAlias.java +
+    * FunctionAlias.init): the name may not shadow a built-in aggregate or
+    * a user aggregate (Parser.java:4575), an existing alias errors without
+    * IF NOT EXISTS, and FORCE records the alias even when resolution or
+    * compilation fails — the failure then surfaces at first use. */
+  private def registerAliasChecked(name: String, ifNotExists: Boolean,
+      force: Boolean, store: mutable.LinkedHashMap[String, String],
+      payload: String)(doRegister: () => Unit): DataFrame = {
+    val n = name.toLowerCase
+    require(!Engine.builtinAggregates.contains(n) && !userAggs.contains(n),
+      s"FUNCTION_ALIAS_ALREADY_EXISTS: $name (Parser.java:4575)")
+    val exists = aliases.contains(n) || aliasSources.contains(n)
+    if (exists) {
+      require(ifNotExists,
+        s"FUNCTION_ALIAS_ALREADY_EXISTS: $name (ddl/CreateFunctionAlias.java)")
+    } else {
+      try doRegister()
+      catch { case e: Exception => if (!force) throw e }
+      store(n) = payload
+    }
+    status()
   }
 
 }

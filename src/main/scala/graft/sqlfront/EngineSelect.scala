@@ -366,7 +366,9 @@ private[sqlfront] trait EngineSelect { this: Engine =>
     val als = aliases.toSeq.map { case (n, t) =>
       s"""CREATE ALIAS $n FOR "$t";"""
     } ++ aliasSources.toSeq.map { case (n, src) =>
-      s"CREATE ALIAS $n AS $$$$$src$$$$;"
+      // the single-quote string form round-trips ANY body ('' escaping);
+      // $$…$$ would truncate on a body containing $$ itself
+      s"CREATE ALIAS $n AS '${src.replace("'", "''")}';"
     } ++ userAggs.toSeq.map { case (n, cls) =>
       // FORCE: re-running the script must not need the class on the
       // driver classpath at parse time (UserAggregate.java force flag)

@@ -646,11 +646,16 @@ private[sqlfront] trait EngineTranslate { this: Engine =>
     (if (depth == 0) i else -1, commas)
   }
 
-  /** `NAME(args)` → `graft_ua_name(collect_list(args))` for every
-    * registered CREATE AGGREGATE name — the call-shaped rewrite loop with
-    * balanced-paren capture (DISTINCT inside the call passes through:
-    * Spark's collect_list accepts it). Inner text is re-scanned, so nested
-    * user-aggregate calls in the argument resolve too. */
+  /** `NAME(args…)` → `graft_ua_name(collect_list(struct(args…)))` for
+    * every registered CREATE AGGREGATE name — the call-shaped rewrite loop
+    * with balanced-paren capture. The struct wrapper is load-bearing:
+    * struct(x) is never NULL even when x is, so NULL rows reach add() as
+    * the reference's JavaAggregate feeds them (collect_list alone drops
+    * nulls), and a multi-argument call arrives as one tuple the finisher
+    * unpacks to the reference's Object[] form (JavaAggregate.java:195-207).
+    * A leading DISTINCT distributes over the tuple (distinct argument
+    * combinations, the aggregate-DISTINCT contract). Inner text is
+    * re-scanned, so nested user-aggregate calls in the argument resolve. */
   private[sqlfront] def rewriteUserAggregates(q0: String): String = {
     var q = q0
     userAggs.keys.foreach { name =>
@@ -664,9 +669,15 @@ private[sqlfront] trait EngineTranslate { this: Engine =>
           if (close < 0) continue = false
           else {
             // matchParen's close is the index AFTER the ')'
+            val inner = q.substring(open + 1, close - 1)
+            val iToks = Lex.tokens(inner)
+            val (distinct, body) =
+              if (iToks.nonEmpty && iToks.head.is(inner, "DISTINCT"))
+                ("DISTINCT ", inner.substring(iToks.head.end))
+              else ("", inner)
             val fn = UserAggregate.finisherName(name)
-            q = q.substring(0, ws) + fn + "(collect_list(" +
-              q.substring(open + 1, close - 1) + "))" + q.substring(close)
+            q = q.substring(0, ws) + fn + "(collect_list(" + distinct +
+              "struct(" + body + ")))" + q.substring(close)
             from = ws + fn.length + "(collect_list(".length
           }
         }

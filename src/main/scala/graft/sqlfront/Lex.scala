@@ -216,6 +216,45 @@ private[sqlfront] object Lex {
     sb.toString
   }
 
+  /** Normalize every `$$…$$` dollar-quoted string to the `'…'` form
+    * (body apostrophes doubled) — the two forms are interchangeable
+    * wherever the reference reads a string (Parser.readString), and
+    * Spark's parser only knows the single-quoted one, so the front door
+    * applies this once and every downstream consumer (dispatch, VALUES
+    * slicing, Spark itself) sees one canonical form. Literal-aware: a $$
+    * inside a '…' literal is body text. */
+  def normalizeDollarQuotes(s: String): String = {
+    if (s.indexOf("$$") < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') {
+        val start = i
+        i += 1
+        var done = false
+        while (i < s.length && !done) {
+          if (s.charAt(i) == '\'') {
+            if (i + 1 < s.length && s.charAt(i + 1) == '\'') i += 2
+            else { done = true; i += 1 }
+          } else i += 1
+        }
+        sb.append(s, start, i)
+      } else if (c == '$' && i + 1 < s.length && s.charAt(i + 1) == '$') {
+        i += 2
+        val bodyStart = i
+        while (i + 1 < s.length &&
+          !(s.charAt(i) == '$' && s.charAt(i + 1) == '$')) i += 1
+        val bodyEnd = if (i + 1 < s.length) i else s.length
+        i = if (i + 1 < s.length) i + 2 else s.length
+        sb.append('\'')
+          .append(s.substring(bodyStart, bodyEnd).replace("'", "''"))
+          .append('\'')
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** Split on depth-0 commas (literal- and paren-aware): every pre-comma
     * segment is emitted (empties included), the post-last-comma tail only
     * when non-empty — byte-compatible with the char-loop splitTop. */

@@ -71,7 +71,7 @@ private[sqlfront] object ReflectAlias {
   }
   private final class SourceResolver(name: String, source: String) extends Resolver {
     def resolve(): java.lang.reflect.Method =
-      SourceCompiler.entryMethod(SourceCompiler.compile(name, source))
+      SourceCompiler.entryMethod(SourceCompiler.compile(name, source), source)
   }
 
   private def registerResolved(spark: SparkSession, name: String,

@@ -74,7 +74,9 @@ private[sqlfront] object SourceCompiler {
           URI.create("string:///" + unitName + ".java"), JavaFileObject.Kind.SOURCE) {
         override def getCharContent(ignoreEncodingErrors: Boolean): CharSequence = src
       }
-      val ok = compiler.getTask(null, fm, diags, null, null, java.util.List.of(unit)).call()
+      val ok =
+        try compiler.getTask(null, fm, diags, null, null, java.util.List.of(unit)).call()
+        finally stdFm.close()
       if (!ok) {
         val msg = diags.getDiagnostics.asScala.map(_.toString).mkString("; ")
         throw new IllegalArgumentException(s"alias source failed to compile: $msg\n$src")
@@ -100,14 +102,22 @@ private[sqlfront] object SourceCompiler {
     })
 
   /** First public static non-synthetic method — the reference's
-    * SourceCompiler.getMethod contract (the alias source declares exactly
-    * one entry method; helpers may follow it). */
-  def entryMethod(cls: Class[_]): java.lang.reflect.Method =
-    cls.getDeclaredMethods
+    * SourceCompiler.getMethod contract (the alias source declares its
+    * entry method first; helpers may follow). Reflection does not
+    * guarantee declaration order, so candidates are ordered by the first
+    * occurrence of `name(` in the source text — the entry method's own
+    * declaration always precedes any later helper's. */
+  def entryMethod(cls: Class[_], methodSource: String): java.lang.reflect.Method = {
+    val candidates = cls.getDeclaredMethods
       .filter(m => java.lang.reflect.Modifier.isStatic(m.getModifiers) &&
         java.lang.reflect.Modifier.isPublic(m.getModifiers) && !m.isSynthetic)
-      .sortBy(_.getName) // deterministic if several; first declared is not guaranteed by reflection
-      .headOption
-      .getOrElse(throw new IllegalArgumentException(
-        s"alias source compiled but has no public static method: ${cls.getName}"))
+    if (candidates.isEmpty)
+      throw new IllegalArgumentException(
+        s"alias source compiled but has no public static method: ${cls.getName}")
+    candidates.minBy { m =>
+      val i = ("\\b" + java.util.regex.Pattern.quote(m.getName) + "\\s*\\(").r
+        .findFirstMatchIn(methodSource).map(_.start).getOrElse(-1)
+      (if (i < 0) Int.MaxValue else i, m.getName)
+    }
+  }
 }

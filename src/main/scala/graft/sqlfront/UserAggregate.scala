@@ -44,14 +44,19 @@ private[sqlfront] object UserAggregate {
 
   /** java.sql.Types → Spark type via the user's getType(int[]) hook
     * (AggregateFunction.getType decides the SQL result type); absent or
-    * failing → VARCHAR, the reference's common case. */
+    * failing → VARCHAR, the reference's common case. The reference passes
+    * the call site's argument types (JavaAggregate.optimize); a Spark UDF's
+    * return type is fixed at registration, before any call site exists, so
+    * the hook sees a single java.sql.Types.NULL — the `inputTypes[0]`
+    * idiom still indexes safely and type-independent implementations (the
+    * common case) are unaffected. Documented divergence. */
   private def resultType(className: String): DataType =
     try {
       val cls = Class.forName(className)
       cls.getMethods.find(m => m.getName == "getType" && m.getParameterCount == 1)
         .map { gt =>
           val inst = cls.getDeclaredConstructor().newInstance()
-          gt.invoke(inst, Array.empty[Int]) match {
+          gt.invoke(inst, Array(java.sql.Types.NULL)) match {
             case n: java.lang.Integer => n.intValue() match {
               case java.sql.Types.INTEGER => IntegerType
               case java.sql.Types.BIGINT => LongType
@@ -89,7 +94,19 @@ private[sqlfront] object UserAggregate {
           case other => Iterator.single(other)
         }
         val (inst, add, res) = surface(className)
-        values.foreach(v => add.invoke(inst, v))
+        // each element is the struct(args…) tuple row: one arg unwraps to
+        // its (possibly NULL) value, several pass as Object[] — exactly
+        // JavaAggregate.java:203-207's add(arg) vs add(argValues) split
+        values.foreach { v =>
+          val arg: AnyRef = v match {
+            case r: org.apache.spark.sql.Row =>
+              if (r.length == 1) r.get(0).asInstanceOf[AnyRef]
+              else Array.tabulate[AnyRef](r.length)(i =>
+                r.get(i).asInstanceOf[AnyRef])
+            case other => other
+          }
+          add.invoke(inst, arg)
+        }
         val out = res.invoke(inst)
         (rt, out) match {
           case (_, null) => null
