@@ -363,11 +363,19 @@ final class Engine(val spark: SparkSession)
         df.count()
         Seq(df.queryExecution.executedPlan.toString).toDF("plan")
       case explainRe(q) =>
-        // EXPLAIN [PLAN FOR] … (dml/Explain.java:30, Select.getPlanSQL)
+        // EXPLAIN [PLAN FOR] … (dml/Explain.java:30, Select.getPlanSQL).
+        // The reference explains ANY statement without executing it; for
+        // DML the plan is the statement's normalized SQL (getPlanSQL), so
+        // the DML arms return the translated statement text unexecuted.
         import spark.implicits._
-        val df = runSelect(q)
-        Seq(df.queryExecution.explainString(
-          org.apache.spark.sql.execution.ExtendedMode)).toDF("plan")
+        val lead = Lex.tokens(q).headOption.map(_.text(q).toUpperCase)
+        if (lead.exists(Set("INSERT", "UPDATE", "DELETE", "MERGE", "TRUNCATE")))
+          Seq(q.trim).toDF("plan")
+        else {
+          val df = runSelect(q)
+          Seq(df.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExtendedMode)).toDF("plan")
+        }
       case analyzeRe() => status()
       case setVarRe(name, value) =>
         // SET @v = expr (Variable.java:20); substituted at plan time
@@ -649,21 +657,50 @@ final class Engine(val spark: SparkSession)
         comments.clear(); rowidPk.clear(); rowidTables.clear()
         rowidNext.clear()
         status()
-      case createSchemaRe(name) =>
-        schemas += name.toLowerCase; status()
+      case createSchemaRe(ine, name, owner) =>
+        val n = name.toLowerCase
+        // SCHEMA_ALREADY_EXISTS without IF NOT EXISTS; AUTHORIZATION needs
+        // an existing ADMIN user (ADMIN_RIGHTS_REQUIRED — SchemaTest)
+        if (schemas.contains(n))
+          require(ine != null, s"SCHEMA_ALREADY_EXISTS: $name")
+        else {
+          Option(owner).map(_.toLowerCase).foreach { o =>
+            require(users.contains(o), s"USER_NOT_FOUND: $owner")
+            require(users(o), s"ADMIN_RIGHTS_REQUIRED: $owner (SchemaTest)")
+            schemaOwners(n) = o
+          }
+          schemas += n
+        }
+        status()
       case dropSchemaRe(name) =>
-        require(name.toLowerCase != "public", "cannot drop PUBLIC")
-        schemas -= name.toLowerCase; status()
+        val n = name.toLowerCase
+        // SCHEMA_CAN_NOT_BE_DROPPED covers the system schemas
+        require(n != "public" && n != "information_schema",
+          s"SCHEMA_CAN_NOT_BE_DROPPED: $name")
+        schemas -= n; schemaOwners.remove(n); status()
       case alterSchemaRenameRe(from, to) =>
         val f = from.toLowerCase
         require(f != "information_schema" && f != "public",
           s"schema $from can not be renamed") // SCHEMA_CAN_NOT_BE_DROPPED
         require(schemas.remove(f), s"schema $from not found")
-        schemas += to.toLowerCase; status()
-      case createUserRe(name, admin) =>
-        users(name.toLowerCase) = admin != null; status()
+        schemas += to.toLowerCase
+        schemaOwners.remove(f).foreach(o => schemaOwners(to.toLowerCase) = o)
+        status()
+      case createUserRe(ine, name, cmt, admin) =>
+        createUserChecked(name, ine != null, cmt, admin != null)
+      case createUserSaltRe(ine, name, cmt, admin) =>
+        createUserChecked(name, ine != null, cmt, admin != null)
+      case createUserIdentRe(ine, name, cmt, admin) =>
+        createUserChecked(name, ine != null, cmt, admin != null)
       case alterUserRenameRe(from, to) =>
+        // USER_ALREADY_EXISTS when the target name is taken (UserTest)
+        require(users.contains(from.toLowerCase),
+          s"USER_NOT_FOUND: $from")
+        require(!users.contains(to.toLowerCase),
+          s"USER_ALREADY_EXISTS: $to (AlterUser rename)")
         users.remove(from.toLowerCase).foreach(a => users(to.toLowerCase) = a)
+        schemaOwners.mapValuesInPlace((_, o) =>
+          if (o == from.toLowerCase) to.toLowerCase else o)
         status()
       case alterUserPasswordRe(name) =>
         require(users.contains(name.toLowerCase), s"user $name not found")
@@ -673,10 +710,33 @@ final class Engine(val spark: SparkSession)
         require(users.contains(name.toLowerCase), s"user $name not found")
         status()
       case alterUserAdminRe(name, admin) =>
-        require(users.contains(name.toLowerCase), s"user $name not found")
-        users(name.toLowerCase) = admin.equalsIgnoreCase("TRUE"); status()
-      case dropUserRe(name) =>
-        users.remove(name.toLowerCase); status()
+        val n = name.toLowerCase
+        require(users.contains(n), s"user $name not found")
+        // revoking ADMIN while the user owns a schema refuses
+        // (ErrorCode.CANNOT_DROP_2 — UserTest: drop the schema first)
+        if (!admin.equalsIgnoreCase("TRUE"))
+          require(!schemaOwners.values.exists(_ == n),
+            s"CANNOT_DROP: $name owns a schema (UserTest)")
+        users(n) = admin.equalsIgnoreCase("TRUE"); status()
+      case dropUserRe(ifEx, name, cascade) =>
+        val n = name.toLowerCase
+        if (!users.contains(n)) {
+          require(ifEx != null, s"USER_NOT_FOUND: $name (DropUser)")
+        } else {
+          if (cascade == null)
+            require(!schemaOwners.values.exists(_ == n),
+              s"CANNOT_DROP: $name owns a schema (UserTest)")
+          else {
+            val owned = schemaOwners.collect { case (s, o) if o == n => s }
+            owned.foreach { s => schemas -= s; schemaOwners.remove(s) }
+          }
+          users.remove(n)
+        }
+        status()
+      case alterIndexRenameRe(from, to) =>
+        val ix = indexes.remove(from.toLowerCase).getOrElse(
+          throw new IllegalArgumentException(s"INDEX_NOT_FOUND: $from"))
+        indexes(to.toLowerCase) = ix.copy(name = to.toLowerCase); status()
       case grantRe(privs, obj, grantee) =>
         // a role name inside an ON-form right list is the reference's
         // ROLES_AND_RIGHT_CANNOT_BE_MIXED error (GrantRevoke.java)
@@ -934,6 +994,11 @@ final class Engine(val spark: SparkSession)
       case MergeStmt(name, cols, keys, source) =>
         val src = source.trim match {
           case v if v.toUpperCase.startsWith("VALUES") =>
+            // MERGE … VALUES() is the reference's malformed-UPDATE syntax
+            // error (Merge.java builds "UPDATE t SET WHERE id=?" from an
+            // empty column list — MergeTest pins the throw)
+            require(v.substring(6).trim.replaceAll("\\s+", "") != "()",
+              s"Syntax error: MERGE INTO $name VALUES() (Merge.java)")
             parseValueRows(name, v.substring(6),
               Option(cols).map(c => splitTop(c).map(_.trim.toLowerCase)))
           case p if p.startsWith("(") && p.endsWith(")") =>
@@ -952,6 +1017,15 @@ final class Engine(val spark: SparkSession)
         val key = Option(keys).map(_.split(",").map(_.trim.toLowerCase).toSeq)
           .orElse(primaryKeys.get(name.toLowerCase))
           .getOrElse(Seq(t.columns.head))
+        // a NULL in a key column cannot match-or-insert deterministically —
+        // "Column X contains null values" (Merge.java merge(); MergeTest
+        // pins MERGE … VALUES(DEFAULT, …) on the key throwing)
+        locally {
+          val nullKey = key.map(k => col(k).isNull).reduce(_ || _)
+          require(aligned.toDF(t.columns.toSeq: _*).filter(nullKey)
+              .head(1).isEmpty,
+            s"Column ${key.mkString(",")} contains null values (Merge.java)")
+        }
         // row hooks per arm (H2 MERGE fires update-else-insert row
         // triggers, Merge.java:146): replaced = source rows whose key
         // exists, inserted = the rest; deltas are lazy
@@ -1110,6 +1184,23 @@ final class Engine(val spark: SparkSession)
   private[sqlfront] def status(): DataFrame = {
     import spark.implicits._
     Seq("OK").toDF("status")
+  }
+
+  /** The shared CREATE USER contract (ddl/CreateUser.java; UserTest): a
+    * role name blocks even under IF NOT EXISTS (ROLE_ALREADY_EXISTS), an
+    * existing user errors without it (USER_ALREADY_EXISTS), COMMENT [IS]
+    * records to the comments registry. */
+  private def createUserChecked(name: String, ifNotExists: Boolean,
+      comment: String, admin: Boolean): DataFrame = {
+    val n = name.toLowerCase
+    require(!roles.contains(n), s"ROLE_ALREADY_EXISTS: $name (CreateUser)")
+    if (users.contains(n)) {
+      require(ifNotExists, s"USER_ALREADY_EXISTS: $name (CreateUser)")
+    } else {
+      users(n) = admin
+      Option(comment).foreach(c => comments(("USER", n)) = c)
+    }
+    status()
   }
 
   /** The shared CREATE ALIAS contract (ddl/CreateFunctionAlias.java +

@@ -385,9 +385,11 @@ private[sqlfront] trait EngineSelect { this: Engine =>
         s"ALTER TABLE $t ALTER COLUMN $c SET DEFAULT $d;"
       }
     }
-    val usrs = users.toSeq.filter(_._1 != "sa").map { case (n, a) =>
-      s"CREATE USER $n PASSWORD ''${if (a) " ADMIN" else ""};"
-    }
+    val usrs = users.toSeq
+      .filter(u => u._1 != "sa" && u._1 != "root") // the implicit admins
+      .map { case (n, a) =>
+        s"CREATE USER $n PASSWORD ''${if (a) " ADMIN" else ""};"
+      }
     val rls = roles.toSeq.filter(_ != "public").map(r => s"CREATE ROLE $r;")
     val rgs = roleGrants.toSeq.map { case (r, g) => s"GRANT $r TO $g;" }
     val cmts = comments.toSeq.map { case ((t, n), c) =>

@@ -125,7 +125,9 @@ private[sqlfront] trait EngineStatements { this: Engine =>
       if (cols == null && i + 1 < ts.length && ts(i).is(s, "DEFAULT") &&
           ts(i + 1).is(s, "VALUES") && i + 2 == ts.length)
         return Some((name, null, InsDefaults))
-      if (i + 1 < ts.length && ts(i).is(s, "DIRECT") && ts(i + 1).is(s, "VALUES"))
+      // DIRECT/SORTED insert hints (Parser.java parseInsert readIf) are
+      // advisory in a snapshot engine — accepted before VALUES or SELECT
+      while (i < ts.length && (ts(i).is(s, "DIRECT") || ts(i).is(s, "SORTED")))
         i += 1
       if (i < ts.length && ts(i).is(s, "VALUES")) {
         val bodyStart = ts(i).end
@@ -386,19 +388,35 @@ private[sqlfront] trait EngineStatements { this: Engine =>
   private[sqlfront] val dropAllRe =
     P(Kw("DROP", "ALL", "OBJECTS"), Eos)
   private[sqlfront] val createSchemaRe =
-    P(Kw("CREATE", "SCHEMA"), Opt("IF", "NOT", "EXISTS"), Ident,
-      OptG(Kw("AUTHORIZATION"), SkipWord), Eos)
+    P(Kw("CREATE", "SCHEMA"), OptCap("IF", "NOT", "EXISTS"), Ident,
+      OptG(Kw("AUTHORIZATION"), Ident), Eos)
   private[sqlfront] val dropSchemaRe =
     P(Kw("DROP", "SCHEMA"), Opt("IF", "EXISTS"), Ident, Eos)
+  // schema → owning user (CREATE SCHEMA … AUTHORIZATION u): DROP USER and
+  // ALTER USER … ADMIN FALSE refuse while the user owns a schema
+  // (ErrorCode.CANNOT_DROP_2, UserTest)
+  private[sqlfront] val schemaOwners = mutable.HashMap.empty[String, String]
   // ALTER SCHEMA … RENAME TO (SchemaTest): system schemas are immutable
   private[sqlfront] val alterSchemaRenameRe =
     P(Kw("ALTER", "SCHEMA"), Ident, Kw("RENAME", "TO"), Ident, Eos)
   // CREATE/ALTER/DROP USER (ddl/CreateUser.java, AlterUser.java,
-  // DropUser.java — AlterUserTest shapes): recorded; a single-user batch
-  // engine authenticates nothing, so passwords are noted as set, not kept
+  // DropUser.java — UserTest shapes): recorded; a single-user batch
+  // engine authenticates nothing, so passwords are noted as set, not kept.
+  // Parser.java:4548-4570: [COMMENT [IS] '…'] then exactly one of
+  // PASSWORD '…' | SALT X'…' HASH X'…' | IDENTIFIED BY word, then [ADMIN]
   private[sqlfront] val createUserRe =
-    P(Kw("CREATE", "USER"), Opt("IF", "NOT", "EXISTS"), Ident,
-      OptG(Kw("PASSWORD"), SkipLit), OptCap("ADMIN"), Eos)
+    P(Kw("CREATE", "USER"), OptCap("IF", "NOT", "EXISTS"), Ident,
+      OptG(Kw("COMMENT"), Opt("IS"), LitCap),
+      Kw("PASSWORD"), SkipLit, OptCap("ADMIN"), Eos)
+  private[sqlfront] val createUserSaltRe =
+    P(Kw("CREATE", "USER"), OptCap("IF", "NOT", "EXISTS"), Ident,
+      OptG(Kw("COMMENT"), Opt("IS"), LitCap),
+      Kw("SALT"), Opt("X"), SkipLit, Kw("HASH"), Opt("X"), SkipLit,
+      OptCap("ADMIN"), Eos)
+  private[sqlfront] val createUserIdentRe =
+    P(Kw("CREATE", "USER"), OptCap("IF", "NOT", "EXISTS"), Ident,
+      OptG(Kw("COMMENT"), Opt("IS"), LitCap),
+      Kw("IDENTIFIED", "BY"), SkipWord, OptCap("ADMIN"), Eos)
   private[sqlfront] val alterUserRenameRe =
     P(Kw("ALTER", "USER"), Ident, Kw("RENAME", "TO"), Ident, Eos)
   private[sqlfront] val alterUserPasswordRe =
@@ -410,9 +428,17 @@ private[sqlfront] trait EngineStatements { this: Engine =>
       Kw("HASH"), Opt("X"), SkipLit, Eos)
   private[sqlfront] val alterUserAdminRe =
     P(Kw("ALTER", "USER"), Ident, Kw("ADMIN"), AltCap("TRUE", "FALSE"), Eos)
+  // DROP USER [IF EXISTS] name [CASCADE] (TransactionalDDLTest's CASCADE
+  // drops the owned schemas with the user)
   private[sqlfront] val dropUserRe =
-    P(Kw("DROP", "USER"), Opt("IF", "EXISTS"), Ident, Eos)
-  private[sqlfront] val users = mutable.LinkedHashMap("sa" -> true) // name → admin
+    P(Kw("DROP", "USER"), OptCap("IF", "EXISTS"), Ident, OptCap("CASCADE"), Eos)
+  // ALTER INDEX name RENAME TO name2 (Parser.java:4737 AlterIndexRename)
+  private[sqlfront] val alterIndexRenameRe =
+    P(Kw("ALTER", "INDEX"), Ident, Kw("RENAME", "TO"), Ident, Eos)
+  // name → admin; ROOT is the reference's implicit superuser
+  // (LealoneDatabase creates it; UserTest renames it as a positive test),
+  // SA the H2-family session default this engine reports from USER()
+  private[sqlfront] val users = mutable.LinkedHashMap("root" -> true, "sa" -> true)
   private[sqlfront] val grantRe =
     P(Kw("GRANT"), CapUntil("ON"), Kw("ON"), Ident, Kw("TO"), Ident, Eos)
   private[sqlfront] val revokeRe =

@@ -727,14 +727,14 @@ class EngineSpec extends SparkSpec {
     e.sql("ALTER USER test1 RENAME TO test2")
     val names = e.sql("SELECT name FROM INFORMATION_SCHEMA.USERS ORDER BY name")
       .collect().map(_.getString(0)).toSeq
-    assert(names == Seq("SA", "TEST2"))
+    assert(names == Seq("ROOT", "SA", "TEST2"))
     e.sql("ALTER USER test2 ADMIN TRUE")
     assert(e.sql("SELECT admin FROM INFORMATION_SCHEMA.USERS WHERE name='TEST2'")
       .head().getBoolean(0))
     e.sql("ALTER USER test2 SET PASSWORD 'x'")
     intercept[IllegalArgumentException] { e.sql("ALTER USER nouser ADMIN TRUE") }
     e.sql("DROP USER test2")
-    assert(e.sql("SELECT count(*) FROM INFORMATION_SCHEMA.USERS").head().getLong(0) == 1)
+    assert(e.sql("SELECT count(*) FROM INFORMATION_SCHEMA.USERS").head().getLong(0) == 2)
   }
 
   test("session identity functions: IDENTITY()/SCOPE_IDENTITY()/LASTVAL()") {
@@ -955,7 +955,7 @@ class EngineSpec extends SparkSpec {
     assert(e.sql("SELECT count(*) FROM INFORMATION_SCHEMA.VIEWS").head().getLong(0) == 0)
     // SESSIONS / USERS stubs exist with the documented shape
     assert(e.sql("SELECT user_name FROM INFORMATION_SCHEMA.SESSIONS").head().getString(0) == "SA")
-    assert(e.sql("SELECT name FROM INFORMATION_SCHEMA.USERS WHERE admin").count() == 1)
+    assert(e.sql("SELECT name FROM INFORMATION_SCHEMA.USERS WHERE admin").count() == 2)
   }
 
   test("NEXTVAL is per-row in INSERT ... SELECT (SequenceValue semantics)") {

@@ -188,6 +188,29 @@ class RefDdlProbe extends SparkSpec {
     assert(rows.map(_._1) == (1L to 5L).toSeq, "AUTO_INCREMENT fills 1..5")
   }
 
+  test("MergeTest error shapes + INSERT DIRECT + EXPLAIN over DML") {
+    val e = new Engine(spark)
+    e.sql("CREATE TABLE IF NOT EXISTS MergeTest2(id int, name varchar(500))")
+    e.sql("INSERT INTO MergeTest2 VALUES(10, 'a'),(20, 'b')")
+    // MERGE … VALUES() is the reference's malformed-UPDATE syntax error
+    intercept[IllegalArgumentException] {
+      e.sql("MERGE INTO MergeTest2 KEY(id) VALUES()")
+    }
+    // a NULL key value refuses: "Column ID contains null values"
+    intercept[IllegalArgumentException] {
+      e.sql("MERGE INTO MergeTest2 KEY(id) VALUES(DEFAULT, DEFAULT),(30, 'c')")
+    }
+    // DIRECT/SORTED insert hints parse (Parser.parseInsert readIf)
+    e.sql("CREATE TABLE IF NOT EXISTS MergeTest3(id int, name varchar(500))")
+    e.sql("INSERT INTO MergeTest3(id, name) DIRECT SELECT id, name FROM MergeTest2")
+    e.sql("INSERT INTO MergeTest3(id, name) SORTED SELECT id, name FROM MergeTest2")
+    assert(e.sql("SELECT count(*) FROM MergeTest3").head().getLong(0) == 4)
+    // EXPLAIN over DML returns the plan text without executing
+    assert(e.sql("EXPLAIN MERGE INTO MergeTest2(id, name) KEY(id) SELECT * FROM MergeTest3")
+      .head().getString(0).toUpperCase.startsWith("MERGE"))
+    assert(e.sql("SELECT count(*) FROM MergeTest2").head().getLong(0) == 2)
+  }
+
   test("DatabaseTest: PARAMETERS/REPLICATION STRATEGY forms + duplicate errors") {
     val e = new Engine(spark)
     e.sql("CREATE DATABASE IF NOT EXISTS CreateDatabaseTest1")
@@ -217,7 +240,7 @@ class RefDdlProbe extends SparkSpec {
     e.sql("ALTER USER SA2 RENAME TO SA222")
     e.sql("ALTER USER SA222 ADMIN false")
     assert(e.sql("SELECT name FROM INFORMATION_SCHEMA.USERS")
-      .collect().map(_.getString(0)).toSet == Set("SA", "SA222"))
+      .collect().map(_.getString(0)).toSet == Set("ROOT", "SA", "SA222"))
     e.sql("CREATE DATABASE IF NOT EXISTS db2 PARAMETERS(OPTIMIZE_DISTINCT=true, PERSISTENT=true)")
     e.sql("ALTER DATABASE db2 PARAMETERS(OPTIMIZE_DISTINCT=false)")
   }
