@@ -24,6 +24,10 @@ object GraftSession {
     // Harmless for micros-generated corpora, which arrive as TIMESTAMP_NTZ.
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+    // ANSI TIME (Spark 4.1 TimeType, flag-gated): the reference's TIME
+    // column/literal/CURTIME surface (Value.java:93) maps to a real typed
+    // column instead of the former HH:mm:ss string fallback.
+    .config("spark.sql.timeType.enabled", "true")
     .config("spark.ui.enabled", "false")
 
   /** Local session for tests/CLI, with the H2 function/aggregate registry

@@ -32,7 +32,7 @@ object Dml {
     *    key-unique source (zero-cost fast path for pre-deduped pipelines).
     */
   def mergeInto(target: DataFrame, source: DataFrame, keys: Seq[String],
-      onDupSourceKeys: String = "last"): DataFrame = {
+      onDupSourceKeys: String = "last", nullKeysMatch: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val aligned = source.toDF(target.columns.toSeq: _*)
     val w = Window.partitionBy(keys.map(col): _*)
@@ -47,14 +47,18 @@ object Dml {
             lit(s"duplicate source key in MERGE on (${keys.mkString(", ")})"))
             .isNull)
           .drop("__n")
-      case "last" => lastPerKey(aligned, keys)
+      case "last" => lastPerKey(aligned, keys, exemptNullKeys = !nullKeysMatch)
       case other => throw new IllegalArgumentException(
         s"onDupSourceKeys must be last|error|unchecked, got $other")
     }
     // Aliases rather than df("col") references: source typically derives from
     // target (upsert-from-select), which would make raw attribute references
-    // ambiguous in the self-join.
-    val cond = keys.map(k => col(s"__t.$k") <=> col(s"__s.$k")).reduce(_ && _)
+    // ambiguous in the self-join. With nullKeysMatch=false (the H2 door,
+    // Merge.java: UPDATE … WHERE k = NULL matches nothing → the row
+    // inserts), NULL keys use === so they never match an existing row.
+    val eq: (Column, Column) => Column =
+      if (nullKeysMatch) _ <=> _ else _ === _
+    val cond = keys.map(k => eq(col(s"__t.$k"), col(s"__s.$k"))).reduce(_ && _)
     target.alias("__t").join(src.alias("__s"), cond, "left_anti").union(src)
   }
 

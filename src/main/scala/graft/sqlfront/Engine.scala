@@ -485,10 +485,20 @@ final class Engine(val spark: SparkSession)
         foreignKeys.filterInPlace(_.name != n)
         checks.filterInPlace(_.name != n)
         indexes.remove(n); status()
-      case alterDropColRe(tn, c) =>
-        if (table(tn).columns.contains(c.toLowerCase))
-          register(tn, table(tn).drop(c.toLowerCase))
-        colDefaults.get(tn.toLowerCase).foreach(_.remove(c.toLowerCase))
+      case alterDropColRe(tn, ie, c) =>
+        val t0 = table(tn)
+        val cl = c.toLowerCase
+        if (t0.columns.contains(cl)) {
+          // AlterTableAlterColumn.java:191 CANNOT_DROP_LAST_COLUMN — a
+          // table must keep at least one (visible) column
+          require(t0.columns.count(_ != "_rowid_") > 1,
+            s"cannot drop last column $c (AlterTableAlterColumn.java:191)")
+          register(tn, t0.drop(cl))
+          colDefaults.get(tn.toLowerCase).foreach(_.remove(cl))
+        } else {
+          // Table.getColumn: unknown column errors without IF EXISTS
+          require(ie != null, s"COLUMN_NOT_FOUND: $c (ALTER TABLE DROP)")
+        }
         status()
       case alterRenameColRe(tn, from, to) =>
         register(tn, table(tn).withColumnRenamed(from.toLowerCase, to.toLowerCase))
@@ -672,17 +682,24 @@ final class Engine(val spark: SparkSession)
           schemas += n
         }
         status()
-      case dropSchemaRe(name) =>
+      case dropSchemaRe(ie, name) =>
         val n = name.toLowerCase
         // SCHEMA_CAN_NOT_BE_DROPPED covers the system schemas
         require(n != "public" && n != "information_schema",
           s"SCHEMA_CAN_NOT_BE_DROPPED: $name")
+        // DropSchema.java:54 — missing schema errors without IF EXISTS
+        if (!schemas.contains(n))
+          require(ie != null, s"SCHEMA_NOT_FOUND: $name (DropSchema.java:54)")
         schemas -= n; schemaOwners.remove(n); status()
       case alterSchemaRenameRe(from, to) =>
         val f = from.toLowerCase
         require(f != "information_schema" && f != "public",
           s"schema $from can not be renamed") // SCHEMA_CAN_NOT_BE_DROPPED
-        require(schemas.remove(f), s"schema $from not found")
+        require(schemas.contains(f), s"SCHEMA_NOT_FOUND: $from")
+        // AlterSchemaRename.java:57 — target name taken
+        require(!schemas.contains(to.toLowerCase),
+          s"SCHEMA_ALREADY_EXISTS: $to (AlterSchemaRename.java:57)")
+        schemas.remove(f)
         schemas += to.toLowerCase
         schemaOwners.remove(f).foreach(o => schemaOwners(to.toLowerCase) = o)
         status()
@@ -1017,14 +1034,36 @@ final class Engine(val spark: SparkSession)
         val key = Option(keys).map(_.split(",").map(_.trim.toLowerCase).toSeq)
           .orElse(primaryKeys.get(name.toLowerCase))
           .getOrElse(Seq(t.columns.head))
-        // a NULL in a key column cannot match-or-insert deterministically —
-        // "Column X contains null values" (Merge.java merge(); MergeTest
-        // pins MERGE … VALUES(DEFAULT, …) on the key throwing)
+        // Merge.java merge(): "contains null values" fires only when a key
+        // value was never SET — the key column is absent from the column
+        // list, or a VALUES row has DEFAULT there with no column default
+        // (row.getValue == Java null). An explicit/source NULL is ValueNull
+        // (non-null object): the UPDATE matches nothing and the row INSERTS
+        // — MergeTest pins merge-from-select with a NULL id succeeding
+        // while VALUES(DEFAULT, …) on the key throws.
         locally {
-          val nullKey = key.map(k => col(k).isNull).reduce(_ || _)
-          require(aligned.toDF(t.columns.toSeq: _*).filter(nullKey)
-              .head(1).isEmpty,
-            s"Column ${key.mkString(",")} contains null values (Merge.java)")
+          val provided: Seq[String] = Option(cols)
+            .map(splitTop(_).map(_.trim.toLowerCase))
+            .getOrElse(t.columns.toSeq.map(_.toLowerCase))
+          key.foreach { k =>
+            require(provided.contains(k),
+              s"Column $k contains null values (Merge.java merge())")
+          }
+          if (source.trim.toUpperCase.startsWith("VALUES")) {
+            val defaults = colDefaults.getOrElse(name.toLowerCase,
+              mutable.LinkedHashMap.empty[String, String])
+            splitTop(source.trim.substring(6).trim).map(_.trim)
+              .filter(v => v.startsWith("(") && v.endsWith(")")).foreach { tup =>
+                splitTop(tup.substring(1, tup.length - 1)).zipWithIndex
+                  .foreach { case (v, i) =>
+                    val cn = provided.lift(i).getOrElse("")
+                    require(!(key.contains(cn) &&
+                        v.trim.equalsIgnoreCase("DEFAULT") &&
+                        !defaults.contains(cn)),
+                      s"Column $cn contains null values (Merge.java merge())")
+                  }
+              }
+          }
         }
         // row hooks per arm (H2 MERGE fires update-else-insert row
         // triggers, Merge.java:146): replaced = source rows whose key
@@ -1040,7 +1079,7 @@ final class Engine(val spark: SparkSession)
           t.select(keyCols: _*).distinct(), key, "left_anti")
         if (!(fireTriggers(tn, "UPDATE", "BEFORE", oldMatched, replaced) |
             fireTriggers(tn, "INSERT", "BEFORE", t.limit(0), insertedArm))) {
-          register(name, Dml.mergeInto(t, aligned, key))
+          register(name, Dml.mergeInto(t, aligned, key, nullKeysMatch = false))
           fireTriggers(tn, "UPDATE", "AFTER", oldMatched, replaced)
           fireTriggers(tn, "INSERT", "AFTER", t.limit(0), insertedArm)
         }

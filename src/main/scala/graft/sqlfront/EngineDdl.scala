@@ -393,6 +393,10 @@ private[sqlfront] trait EngineDdl { this: Engine =>
           .getOrElse(DecimalType(38, 18))
       case "BOOLEAN" | "BOOL" | "BIT" => BooleanType
       case "DATE" => DateType
+      // ANSI TIME (Value.java:93): Spark 4.1 TimeType, micros precision —
+      // ValueTime keeps sub-second nanos, so the widest Spark precision.
+      // catalogString emits TIME(6), which re-parses here (RUNSCRIPT).
+      case "TIME" => TimeType(6)
       case "TIMESTAMP" | "DATETIME" => TimestampType
       case "BINARY" | "VARBINARY" | "BLOB" | "BYTEA" => BinaryType
       case _ => StringType // VARCHAR/CHAR/CLOB/TEXT/UUID/…
@@ -598,6 +602,7 @@ private[sqlfront] trait EngineDdl { this: Engine =>
           case StringType => lit("")
           case TimestampType => current_timestamp()
           case DateType => current_date()
+          case _: TimeType => expr("CAST('00:00:00' AS TIME)")
           case BooleanType => lit(false)
           case _ => lit(0).cast(f.dataType)
         }

@@ -244,7 +244,8 @@ private[sqlfront] trait EngineSelect { this: Engine =>
           ("SMALLINT", java.sql.Types.SMALLINT, 5), ("TINYINT", java.sql.Types.TINYINT, 3),
           ("DOUBLE", java.sql.Types.DOUBLE, 17), ("REAL", java.sql.Types.REAL, 7),
           ("DECIMAL", java.sql.Types.DECIMAL, 38), ("BOOLEAN", java.sql.Types.BOOLEAN, 1),
-          ("DATE", java.sql.Types.DATE, 10), ("TIMESTAMP", java.sql.Types.TIMESTAMP, 29),
+          ("DATE", java.sql.Types.DATE, 10), ("TIME", java.sql.Types.TIME, 8),
+          ("TIMESTAMP", java.sql.Types.TIMESTAMP, 29),
           ("VARBINARY", java.sql.Types.VARBINARY, Int.MaxValue),
           ("VARCHAR", java.sql.Types.VARCHAR, Int.MaxValue))
           .toDF("type_name", "data_type", "precision")

@@ -295,7 +295,7 @@ private[sqlfront] trait EngineStatements { this: Engine =>
       Opt("IF", "EXISTS"), Ident, Eos)
   private[sqlfront] val alterDropColRe =
     P(Kw("ALTER", "TABLE"), Ident, Kw("DROP"), Opt("COLUMN"),
-      Opt("IF", "EXISTS"), Ident, Eos)
+      OptCap("IF", "EXISTS"), Ident, Eos)
   // ALTER/MODIFY [COLUMN] variants (AlterTableAlterColumnTest shapes:
   // `ALTER f1 TYPE long`, `MODIFY f1 long`, `MODIFY COLUMN f1 int NOT NULL`)
   private[sqlfront] val alterRenameColRe =
@@ -391,7 +391,7 @@ private[sqlfront] trait EngineStatements { this: Engine =>
     P(Kw("CREATE", "SCHEMA"), OptCap("IF", "NOT", "EXISTS"), Ident,
       OptG(Kw("AUTHORIZATION"), Ident), Eos)
   private[sqlfront] val dropSchemaRe =
-    P(Kw("DROP", "SCHEMA"), Opt("IF", "EXISTS"), Ident, Eos)
+    P(Kw("DROP", "SCHEMA"), OptCap("IF", "EXISTS"), Ident, Eos)
   // schema → owning user (CREATE SCHEMA … AUTHORIZATION u): DROP USER and
   // ALTER USER … ADMIN FALSE refuse while the user owns a schema
   // (ErrorCode.CANNOT_DROP_2, UserTest)

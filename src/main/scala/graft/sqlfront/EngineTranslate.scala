@@ -200,20 +200,31 @@ private[sqlfront] trait EngineTranslate { this: Engine =>
       _ => lastIdentity.map(_.toString).getOrElse("NULL"))
     q = Rw.rewrite(q, RwKw("LASTVAL"), Sy('('), Sy(')'))(
       _ => lastSeqVal.map(_.toString).getOrElse("NULL"))
+    // bare string types in CAST position (`CAST(x AS VARCHAR)`) — H2
+    // defaults the length to unbounded (Parser.parseColumnWithType);
+    // Spark's VARCHAR demands one, but STRING is the same unbounded type.
+    // The Peek(')') pins the CAST-closing context so a column alias that
+    // happens to collide (`SELECT x AS char FROM …`) is never rewritten.
+    q = Rw.rewrite(q, RwKw("AS"), RwKw("VARCHAR", "CHAR", "CLOB", "TEXT",
+      "LONGVARCHAR", "NVARCHAR"), Peek(Sy(')')))(_ => "AS STRING")
     // date-part aliases (Function.java DAY_OF_MONTH…WEEK groups)
     q = Rw.rewrite(q, RwKw("DAY_OF_MONTH"), Sy('('))(_ => "dayofmonth(")
     q = Rw.rewrite(q, RwKw("DAY_OF_WEEK"), Sy('('))(_ => "dayofweek(")
     q = Rw.rewrite(q, RwKw("DAY_OF_YEAR"), Sy('('))(_ => "dayofyear(")
     q = Rw.rewrite(q, RwKw("WEEK"), Sy('('))(_ => "weekofyear(")
     // NOW(precision) → now() (fractional-second precision not kept);
-    // CURTIME/CURRENT_TIME → HH:mm:ss string (Spark has no TIME type —
-    // README divergences); bare paren-less forms are valid H2
+    // CURTIME/CURRENT_TIME → a real TIME value (Function.java:743-748
+    // ValueTime from transaction start; Spark 4.1 TimeType, second
+    // precision matching java.sql.Time display); bare paren-less forms
+    // are valid H2
     q = Rw.rewrite(q, RwKw("NOW"), Sy('('), Digits, Sy(')'))(_ => "now()")
-    val timeStr = "date_format(now(), 'HH:mm:ss')"
+    // the replacement contains the token `current_time`, so the bare-form
+    // passes need the Not-paren guard or they re-bind their own output
+    val timeStr = "current_time(0)"
     q = Rw.rewrite(q, RwKw("CURTIME"), Sy('('), Sy(')'))(_ => timeStr)
-    q = Rw.rewrite(q, RwKw("CURTIME"))(_ => timeStr)
+    q = Rw.rewrite(q, RwKw("CURTIME"), Not(Sy('(')))(_ => timeStr)
     q = Rw.rewrite(q, RwKw("CURRENT_TIME"), Sy('('), Sy(')'))(_ => timeStr)
-    q = Rw.rewrite(q, RwKw("CURRENT_TIME"))(_ => timeStr)
+    q = Rw.rewrite(q, RwKw("CURRENT_TIME"), Not(Sy('(')))(_ => timeStr)
     q = Rw.rewrite(q, RwKw("CURDATE"), Not(Sy('(')))(_ => "current_date()")
     q = Rw.rewrite(q, RwKw("NOW"), Not(Sy('(')))(_ => "now()")
     // H2 `WHERE ROWNUM <= n` tail form: Spark forbids window functions in

@@ -1208,4 +1208,41 @@ class EngineSpec extends SparkSpec {
     val n = e.sql("-- leading comment; with semicolon\nSELECT count(*) FROM cmt")
     assert(n.head().getLong(0) == 4L)
   }
+
+  test("TIME type: column, literal, compare, group, CURTIME, SCRIPT round-trip") {
+    import org.apache.spark.sql.types.TimeType
+    val e = freshEngine
+    e.sql("CREATE TABLE tt (id int PRIMARY KEY, t TIME)")
+    e.sql("INSERT INTO tt VALUES (1, '12:34:56'), (2, TIME '01:02:03.5'), " +
+      "(3, '12:34:56'), (4, NULL)")
+    val df = e.sql("SELECT t FROM tt WHERE id = 1")
+    assert(df.schema.head.dataType.isInstanceOf[TimeType],
+      s"TIME column is ${df.schema.head.dataType}, not TimeType")
+    assert(df.head().get(0).toString == "12:34:56")
+    // fractional seconds survive (ValueTime keeps nanos)
+    assert(e.sql("SELECT CAST(t AS VARCHAR) FROM tt WHERE id = 2")
+      .head().getString(0) == "01:02:03.5")
+    // comparison + ORDER BY + GROUP BY on the typed column
+    assert(e.sql("SELECT count(*) FROM tt WHERE t > TIME '02:00:00'")
+      .head().getLong(0) == 2L)
+    val grouped = e.sql(
+      "SELECT t, count(*) c FROM tt WHERE t IS NOT NULL GROUP BY t ORDER BY t")
+      .collect().map(r => (r.get(0).toString, r.getLong(1))).toSeq
+    // LocalTime.toString pads fractional seconds to millis
+    assert(grouped == Seq(("01:02:03.500", 1L), ("12:34:56", 2L)))
+    // HOUR/MINUTE/SECOND extract from TIME (DateTimeFunction parity)
+    assert(e.sql("SELECT HOUR(t), MINUTE(t), SECOND(t) FROM tt WHERE id = 1")
+      .head().toSeq == Seq(12, 34, 56))
+    // CURTIME/CURRENT_TIME are typed TIME now, not strings
+    val ct = e.sql("SELECT CURTIME(), CURRENT_TIME")
+    assert(ct.schema.forall(_.dataType.isInstanceOf[TimeType]))
+    assert(ct.head().get(0).toString.matches("\\d{2}:\\d{2}:\\d{2}"))
+    // SCRIPT emits TIME(6) and RUNSCRIPT re-parses it (catalogString loop)
+    val ddl = e.sql("SCRIPT").collect().map(_.getString(0))
+      .find(_.toUpperCase.contains("CREATE TABLE TT")).get
+    assert(ddl.toUpperCase.contains("TIME(6)"), ddl)
+    val e2 = freshEngine
+    e2.sql(ddl)
+    assert(e2.sql("SELECT * FROM tt").schema("t").dataType.isInstanceOf[TimeType])
+  }
 }
