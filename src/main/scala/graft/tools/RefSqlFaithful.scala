@@ -1,0 +1,584 @@
+package graft.tools
+
+import java.nio.file.{Files, Path}
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+/** Execution-faithful parity replay of the reference's test tree.
+  *
+  * Where [[RefSqlCensus]] replays every SQL string literal in declaration
+  * order (bulk grammar coverage), this interpreter follows each file's LIVE
+  * call tree the way JUnit runs it: entry points are `@Test` methods (else
+  * `run()` / `test()`), commented-out calls never run, `sql = "…"`
+  * reassignment keeps only the LAST value before an `executeUpdate()` /
+  * `executeQuery()` / `getIntValue(...)` sink (SqlTestBase.java:131-148 — the
+  * no-arg forms execute the `sql` field), `tryExecuteUpdate` tolerates either
+  * outcome (SqlTestBase.java:144-148 swallows), and a `try { … fail(); }
+  * catch` block inverts the expectation. The metric answers: "if a reference
+  * user ran this exact test flow against the engine, how many statements
+  * behave identically?"
+  *
+  * Interpreter approximations (counted SKIP, never FAIL): unresolvable
+  * string expressions (method calls, arithmetic), local helper calls WITH
+  * arguments, loop bodies run once, catch-block statements don't run.
+  */
+object RefSqlFaithful {
+
+  /** One runnable action discovered in call-tree order. */
+  final case class Action(text: String, negative: Boolean, tolerant: Boolean)
+
+  final case class FileResult(file: String, ok: Int, skip: Int, fail: Int,
+      failLines: Seq[String])
+
+  // ---------------------------------------------------------------- parsing
+
+  /** Replace // and nestable-free block comments with spaces (offsets kept);
+    * string/char literals are opaque. */
+  private def stripComments(src: String): String = {
+    val out = src.toCharArray
+    var i = 0
+    val n = src.length
+    var inStr = false
+    var inChr = false
+    while (i < n) {
+      val c = out(i)
+      if (inStr) {
+        if (c == '\\') { i += 1 }
+        else if (c == '"') inStr = false
+      } else if (inChr) {
+        if (c == '\\') { i += 1 }
+        else if (c == '\'') inChr = false
+      } else c match {
+        case '"' => inStr = true
+        case '\'' => inChr = true
+        case '/' if i + 1 < n && out(i + 1) == '/' =>
+          while (i < n && out(i) != '\n') { out(i) = ' '; i += 1 }
+        case '/' if i + 1 < n && out(i + 1) == '*' =>
+          out(i) = ' '; out(i + 1) = ' '; i += 2
+          while (i + 1 < n && !(out(i) == '*' && out(i + 1) == '/')) {
+            if (out(i) != '\n') out(i) = ' '
+            i += 1
+          }
+          if (i + 1 < n) { out(i) = ' '; out(i + 1) = ' '; i += 1 }
+        case _ =>
+      }
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Match the closing brace/paren for the opener at `open` (literal-aware).
+    * Returns the index OF the closer, or -1. */
+  private def matchDelim(s: String, open: Int): Int = {
+    val oc = s.charAt(open)
+    val cc = oc match { case '{' => '}'; case '(' => ')'; case '[' => ']' }
+    var depth = 0
+    var i = open
+    var inStr = false
+    var inChr = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\\') i += 1 else if (c == '"') inStr = false }
+      else if (inChr) { if (c == '\\') i += 1 else if (c == '\'') inChr = false }
+      else if (c == '"') inStr = true
+      else if (c == '\'') inChr = true
+      else if (c == oc) depth += 1
+      else if (c == cc) { depth -= 1; if (depth == 0) return i }
+      i += 1
+    }
+    -1
+  }
+
+  private final case class Method(name: String, params: Int, bodyStart: Int,
+      bodyEnd: Int, hasTest: Boolean)
+
+  private val methodSig =
+    """(?m)^\s{4}(?:(?:public|protected|private|static|final|synchronized)\s+)*(?:void|int|long|boolean|String|double)\s+(\w+)\s*\(([^)]*)\)\s*(?:throws\s+[\w.,\s]+)?\{""".r
+
+  /** Class-level String field initializers (`String userName = "sa1";`) —
+    * seeds the interpreter's variable table. Literal-only rhs. */
+  private val fieldInit =
+    """(?m)^\s{4}(?:(?:public|protected|private|static|final)\s+)*String\s+(\w+)\s*=\s*"((?:[^"\\]|\\.)*)"\s*;""".r
+
+  private def parseFields(s: String): Map[String, String] =
+    fieldInit.findAllMatchIn(s).map(m => m.group(1) -> m.group(2)).toMap
+
+  /** Top-level (4-space-indented) method declarations with body spans. */
+  private def parseMethods(s: String): Seq[Method] =
+    methodSig.findAllMatchIn(s).flatMap { m =>
+      val brace = s.lastIndexOf('{', m.end - 1)
+      val close = matchDelim(s, brace)
+      if (close < 0) None
+      else {
+        val pre = s.substring(math.max(0, m.start - 60), m.start)
+        val params = m.group(2).trim
+        Some(Method(m.group(1),
+          if (params.isEmpty) 0 else params.count(_ == ',') + 1,
+          brace + 1, close, pre.contains("@Test")))
+      }
+    }.toSeq
+
+  // ------------------------------------------------------------ interpreter
+
+  private final class Interp(src: String, methods: Map[String, Method],
+      fields: Map[String, String]) {
+    val actions = mutable.ArrayBuffer.empty[Action]
+    var skipped = 0
+    /** String variables with known values; None = assigned-but-unresolvable.
+      * Seeded with class-field initializers (`String userName = "sa1";`). */
+    private val vars = mutable.Map.empty[String, Option[String]] ++=
+      fields.map { case (k, v) => k -> Some(v) }
+    /** Has the current `sql` value already been executed (getXValue lazy
+      * re-execution guard, SqlTestBase.check())? */
+    private var sqlExecuted = false
+    private val visiting = mutable.Set.empty[String]
+    /** Names DECLARED (`String x = …`) in the current method frame — Java
+      * locals, restored on method return so they don't shadow fields in
+      * later methods. */
+    private var frameLocals = List.empty[mutable.Map[String, Option[Option[String]]]]
+
+    def runEntry(m: Method): Unit = {
+      frameLocals = mutable.Map.empty[String, Option[Option[String]]] :: frameLocals
+      interp(m.bodyStart, m.bodyEnd, neg = false, tol = false)
+      popFrame()
+    }
+
+    private def popFrame(): Unit = {
+      frameLocals.head.foreach {
+        case (k, Some(prev)) => vars(k) = prev
+        case (k, None) => vars.remove(k)
+      }
+      frameLocals = frameLocals.tail
+    }
+
+    private def skipWs(i0: Int, end: Int): Int = {
+      var i = i0
+      while (i < end && src.charAt(i).isWhitespace) i += 1
+      i
+    }
+
+    private def wordAt(i: Int): String = {
+      var j = i
+      while (j < src.length && (src.charAt(j).isLetterOrDigit || src.charAt(j) == '_')) j += 1
+      src.substring(i, j)
+    }
+
+    /** Interpret the statement stream in [start,end). */
+    private def interp(start: Int, end: Int, neg: Boolean, tol: Boolean): Unit = {
+      var i = skipWs(start, end)
+      while (i < end) {
+        val w = wordAt(i)
+        w match {
+          case "try" =>
+            val b0 = src.indexOf('{', i)
+            if (b0 < 0 || b0 >= end) return
+            val b1 = matchDelim(src, b0)
+            if (b1 < 0) return
+            val body = src.substring(b0, b1)
+            val negHere = body.contains("fail(")
+            // fail() present → the statement immediately BEFORE fail() must
+            // throw (the negative test); earlier statements must succeed
+            // (the interp flips the adjacent action and stops at fail()).
+            // No fail() → the catch is defensive, either outcome passes.
+            interp(b0 + 1, b1, neg = false, tol = !negHere)
+            i = skipWs(b1 + 1, end)
+            // skip catch/finally clauses (catch bodies are assertions on
+            // the error; finally bodies do run — interpret them)
+            var go = true
+            while (go && i < end) {
+              wordAt(i) match {
+                case "catch" =>
+                  val p = src.indexOf('(', i); val p1 = matchDelim(src, p)
+                  val cb = src.indexOf('{', p1); val cb1 = matchDelim(src, cb)
+                  i = skipWs(cb1 + 1, end)
+                case "finally" =>
+                  val fb = src.indexOf('{', i); val fb1 = matchDelim(src, fb)
+                  interp(fb + 1, fb1, neg, tol)
+                  i = skipWs(fb1 + 1, end)
+                case _ => go = false
+              }
+            }
+          case "if" | "while" | "for" | "switch" | "synchronized" =>
+            // run the (sole/first) body once; conditions don't execute SQL
+            val p = src.indexOf('(', i)
+            if (p < 0 || p >= end) return
+            val p1 = matchDelim(src, p)
+            if (p1 < 0) return
+            i = skipWs(p1 + 1, end)
+            if (i < end && src.charAt(i) == '{') {
+              val b1 = matchDelim(src, i)
+              interp(i + 1, b1, neg, tol)
+              i = skipWs(b1 + 1, end)
+            } // single-statement body: falls through to normal scan
+          case "else" =>
+            i = skipWs(i + 4, end)
+            if (i < end && src.charAt(i) == '{') {
+              val b1 = matchDelim(src, i)
+              interp(i + 1, b1, neg, tol)
+              i = skipWs(b1 + 1, end)
+            }
+          case "do" =>
+            i = skipWs(i + 2, end)
+            if (i < end && src.charAt(i) == '{') {
+              val b1 = matchDelim(src, i)
+              interp(i + 1, b1, neg, tol)
+              i = skipWs(b1 + 1, end)
+            }
+          case _ =>
+            // plain statement: consume to ';' at depth 0
+            var j = i
+            var depth = 0
+            var inStr = false
+            var inChr = false
+            var stop = false
+            while (!stop && j < end) {
+              val c = src.charAt(j)
+              if (inStr) { if (c == '\\') j += 1 else if (c == '"') inStr = false }
+              else if (inChr) { if (c == '\\') j += 1 else if (c == '\'') inChr = false }
+              else c match {
+                case '"' => inStr = true
+                case '\'' => inChr = true
+                case '(' | '{' | '[' => depth += 1
+                case ')' | '}' | ']' => depth -= 1
+                case ';' if depth == 0 => stop = true
+                case _ =>
+              }
+              j += 1
+            }
+            val stmt = src.substring(i, math.max(i, j - 1)).trim
+            val before = actions.length
+            if (stmt.nonEmpty) statement(stmt, neg, tol)
+            i = skipWs(j, end)
+            // `stmt; fail();` — the reference expects stmt to throw: flip
+            // its (last) action to negative and stop (fail() raises, so the
+            // rest of this block never runs)
+            if (i < end && wordAt(i) == "fail" && actions.length > before) {
+              val last = actions.length - 1
+              actions(last) = actions(last).copy(negative = true, tolerant = false)
+              i = end
+            }
+        }
+      }
+    }
+
+    private val assignRe = """(?s)^(String\s+)?(\w+)\s*=\s*(.+)$""".r
+    private val callRe = """(?s)^(\w+)\s*\(\s*\)$""".r
+
+    private def statement(stmt: String, neg: Boolean, tol: Boolean): Unit =
+      stmt match {
+        case callRe(name) if methods.contains(name) =>
+          val m = methods(name)
+          if (m.params == 0 && !visiting(name)) {
+            visiting += name
+            frameLocals = mutable.Map.empty[String, Option[Option[String]]] ::
+              frameLocals
+            interp(m.bodyStart, m.bodyEnd, neg, tol)
+            popFrame()
+            visiting -= name
+          } else skipped += 1
+        case assignRe(decl, name, rhs) if !rhs.trim.startsWith("=") =>
+          // a sink may appear on the rhs (assertEquals-less direct use,
+          // e.g. `int n = executeUpdate("…")`)
+          if (!sinkIn(stmt, neg, tol)) {
+            // `String x = …` declares a LOCAL: remember what it shadowed so
+            // the frame pop restores the field/outer value
+            if (decl != null && frameLocals.nonEmpty &&
+                !frameLocals.head.contains(name))
+              frameLocals.head(name) = vars.get(name)
+            vars(name) = resolve(rhs)
+            if (name == "sql") sqlExecuted = false
+          }
+        case _ =>
+          if (!sinkIn(stmt, neg, tol)) {
+            // local helper call with literal/colname args? run nothing, but
+            // count a skip so approximations stay visible
+            if (methods.keys.exists(n => stmt.startsWith(n + "("))) skipped += 1
+          }
+      }
+
+    private val sinks = Seq(
+      // (pattern name, tolerant override, takes-sql-arg)
+      ("tryExecuteUpdate", true), ("tryExecuteQuery", true),
+      ("executeUpdate", false), ("executeQuery", false),
+      ("executeUpdateThenAssertErrorCode", false))
+    private val lazyQuerySinks = Seq("getIntValue", "getLongValue",
+      "getDoubleValue", "getFloatValue", "getStringValue", "getBooleanValue",
+      "getShortValue", "getByteValue", "printResultSet")
+    private val argQuerySinks = Seq("getInt", "getLong", "getString", "getDouble")
+
+    /** Find an execute-style sink call inside the statement; emit its action.
+      * Returns true when a sink was found (the statement is consumed). */
+    private def sinkIn(stmt: String, neg: Boolean, tol: Boolean): Boolean = {
+      for ((name, tolOverride) <- sinks) {
+        val at = callSite(stmt, name)
+        if (at >= 0) {
+          val arg = argOf(stmt, at)
+          val tolerant = tol || tolOverride
+          arg.map(_.trim).filter(_.nonEmpty) match {
+            case None => emitSqlField(neg, tolerant)
+            case Some(a) =>
+              // executeUpdateThenAssertErrorCode(sql, code): first arg only
+              val first = topLevelFirstArg(a)
+              resolve(first) match {
+                case Some(text) if looksSql(text) =>
+                  actions += Action(text, neg, tolerant)
+                  if (first.trim == "sql") sqlExecuted = true
+                case Some(_) => // a non-SQL string (prose) — not a statement
+                case None => skipped += 1
+              }
+          }
+          return true
+        }
+      }
+      for (name <- lazyQuerySinks) {
+        if (callSite(stmt, name) >= 0) {
+          // SqlTestBase.check(): runs `sql` iff no live ResultSet
+          if (!sqlExecuted) emitSqlField(neg, tol)
+          return true
+        }
+      }
+      for (name <- argQuerySinks) {
+        val at = callSite(stmt, name)
+        if (at >= 0) {
+          // DbObjectTestBase.getInt(sql, index) — query only when the first
+          // arg resolves to a SQL string
+          argOf(stmt, at).foreach { a =>
+            val first = topLevelFirstArg(a)
+            resolve(first) match {
+              case Some(text) if looksSql(text) =>
+                actions += Action(text, neg, tol)
+                if (first.trim == "sql") sqlExecuted = true
+              case _ =>
+            }
+          }
+          return true
+        }
+      }
+      val ct = callSite(stmt, "createTable")
+      if (ct >= 0) {
+        argOf(stmt, ct).flatMap(a => resolve(a.trim)).foreach { t =>
+          actions += Action(s"DROP TABLE IF EXISTS $t", neg, tol)
+          actions += Action(s"CREATE TABLE $t (pk varchar(100) NOT NULL " +
+            "PRIMARY KEY, f1 varchar(100), f2 varchar(100), f3 int)", neg, tol)
+        }
+        return true
+      }
+      false
+    }
+
+    private def emitSqlField(neg: Boolean, tol: Boolean): Unit = {
+      vars.get("sql") match {
+        case Some(Some(text)) if looksSql(text) =>
+          actions += Action(text, neg, tol)
+          sqlExecuted = true
+        case Some(None) => skipped += 1
+        case _ => // sql never assigned on this path (field default) — no-op
+      }
+    }
+
+    /** `name(` as a call site: not preceded by an identifier char or '.'
+      * UNLESS the receiver is `stmt.`/`this.` (the JDBC statement field). */
+    private def callSite(stmt: String, name: String): Int = {
+      var from = 0
+      while (true) {
+        val at = stmt.indexOf(name + "(", from)
+        if (at < 0) return -1
+        val okBefore = at == 0 || {
+          val c = stmt.charAt(at - 1)
+          if (c.isLetterOrDigit || c == '_') false
+          else if (c == '.') {
+            val recv = {
+              var k = at - 2
+              while (k >= 0 && (stmt.charAt(k).isLetterOrDigit || stmt.charAt(k) == '_')) k -= 1
+              stmt.substring(k + 1, at - 1)
+            }
+            recv == "stmt" || recv == "this"
+          } else true
+        }
+        if (okBefore) return at
+        from = at + 1
+      }
+      -1
+    }
+
+    private def argOf(stmt: String, callAt: Int): Option[String] = {
+      val p = stmt.indexOf('(', callAt)
+      val p1 = matchDelim(stmt, p)
+      if (p1 < 0) None else Some(stmt.substring(p + 1, p1))
+    }
+
+    private def topLevelFirstArg(args: String): String = {
+      var depth = 0
+      var inStr = false
+      var i = 0
+      while (i < args.length) {
+        val c = args.charAt(i)
+        if (inStr) { if (c == '\\') i += 1 else if (c == '"') inStr = false }
+        else if (c == '"') inStr = true
+        else if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        else if (c == ',' && depth == 0) return args.substring(0, i)
+        i += 1
+      }
+      args
+    }
+
+    /** Resolve a Java string expression: top-level `+` concat of literals
+      * and known variables. None = has an unresolvable part. */
+    private def resolve(expr: String): Option[String] = {
+      val parts = splitConcat(expr)
+      val sb = new StringBuilder
+      for (p0 <- parts) {
+        val p = p0.trim
+        if (p.length >= 2 && p.head == '"' && p.last == '"')
+          sb.append(unescape(p.substring(1, p.length - 1)))
+        else if (p.matches("[A-Za-z_][A-Za-z0-9_]*")) {
+          vars.get(p).flatten match {
+            case Some(v) => sb.append(v)
+            case None => if (p == "sql") {
+              vars.get("sql").flatten match {
+                case Some(v) => sb.append(v)
+                case None => return None
+              }
+            } else return None
+          }
+        } else if (p.matches("-?\\d+")) sb.append(p)
+        else return None
+      }
+      Some(sb.toString)
+    }
+
+    private def splitConcat(expr: String): Seq[String] = {
+      val out = mutable.ArrayBuffer.empty[String]
+      var depth = 0
+      var inStr = false
+      var last = 0
+      var i = 0
+      while (i < expr.length) {
+        val c = expr.charAt(i)
+        if (inStr) { if (c == '\\') i += 1 else if (c == '"') inStr = false }
+        else if (c == '"') inStr = true
+        else if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        else if (c == '+' && depth == 0) { out += expr.substring(last, i); last = i + 1 }
+        i += 1
+      }
+      out += expr.substring(last)
+      out.toSeq
+    }
+
+    private def unescape(s: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\\' && i + 1 < s.length) {
+          sb.append(s.charAt(i + 1) match {
+            case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'; case o => o
+          })
+          i += 2
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+  }
+
+  private val sqlLead = Set(
+    "SELECT", "INSERT", "UPDATE", "DELETE", "MERGE", "TRUNCATE", "CREATE",
+    "DROP", "ALTER", "SET", "SHOW", "CALL", "GRANT", "REVOKE", "USE",
+    "BEGIN", "COMMIT", "ROLLBACK", "SAVEPOINT", "SCRIPT", "RUNSCRIPT",
+    "BACKUP", "CHECKPOINT", "EXPLAIN", "PREPARE", "EXECUTE", "DEALLOCATE",
+    "COMMENT", "WITH", "FROM", "HELP", "SHUTDOWN")
+
+  private def looksSql(t0: String): Boolean = {
+    val t = t0.trim
+    val lead = t.takeWhile(_.isLetter).toUpperCase
+    sqlLead.contains(lead) && (lead != "INSERT" || t.toUpperCase.contains("INTO"))
+  }
+
+  // ---------------------------------------------------------------- runner
+
+  /** Extract each file's live-call-tree actions. Exposed for inspection. */
+  def actionsOf(p: Path): (Seq[Action], Int) = {
+    val raw = new String(Files.readAllBytes(p), "UTF-8")
+    val src = stripComments(raw)
+    val methods = parseMethods(src)
+    val byName = methods.map(m => m.name -> m).toMap
+    val entries0 = methods.filter(_.hasTest)
+    val entries =
+      if (entries0.nonEmpty) entries0
+      else methods.filter(m => (m.name == "run" || m.name == "test") && m.params == 0)
+    val it = new Interp(src, byName, parseFields(src))
+    entries.foreach(it.runEntry)
+    (it.actions.toSeq, it.skipped)
+  }
+
+  def run(root: Path, spark: org.apache.spark.sql.SparkSession,
+      param: String => Boolean = _ => true): Seq[FileResult] = {
+    val files = Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith("Test.java"))
+      .filter(p => Seq("/sql/", "/db/", "/misc/").exists(p.toString.contains))
+      .filter(p => param(p.getFileName.toString))
+      .toSeq.sortBy(_.toString)
+
+    val results = Vector.newBuilder[FileResult]
+    files.foreach { p =>
+      val (actions, approxSkips) = actionsOf(p)
+      if (actions.nonEmpty) {
+        val en = new graft.sqlfront.Engine(spark)
+        var ok, fail = 0
+        var skip = approxSkips
+        val failLines = Vector.newBuilder[String]
+        actions.foreach { a =>
+          if (hasParamMarker(a.text) || a.text.contains("org.lealone")) skip += 1
+          else {
+            val threw =
+              try { en.sql(a.text).collect(); false }
+              catch { case _: Throwable => true }
+            if (a.tolerant || threw == a.negative) ok += 1
+            else {
+              fail += 1
+              val tag = if (a.negative) "EXPECTED-ERROR-but-succeeded" else "threw"
+              failLines += f"${p.getFileName}%-36s $tag: ${a.text.replaceAll("\\s+", " ").take(110)}"
+            }
+          }
+        }
+        results += FileResult(p.getFileName.toString, ok, skip, fail,
+          failLines.result())
+      }
+    }
+    results.result()
+  }
+
+  private def hasParamMarker(sql: String): Boolean = {
+    var i = 0
+    var inStr = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'') inStr = !inStr
+      else if (c == '?' && !inStr) return true
+      i += 1
+    }
+    false
+  }
+
+  def main(a: Array[String]): Unit = {
+    val root = java.nio.file.Paths.get(
+      a.headOption.filterNot(_.startsWith("-")).getOrElse(RefSqlCensus.defaultRoot))
+    val verbose = a.contains("-v")
+    require(Files.isDirectory(root), s"no reference test tree at $root")
+    val spark = graft.core.GraftSession.local(32)
+    spark.sparkContext.setLogLevel("ERROR")
+    val results = run(root, spark)
+    results.foreach { r =>
+      if (verbose || r.fail > 0)
+        println(f"[faithful] ${r.file}%-40s ok=${r.ok}%-4d skip=${r.skip}%-4d fail=${r.fail}")
+    }
+    val (totOk, totSkip, totFail) =
+      (results.map(_.ok).sum, results.map(_.skip).sum, results.map(_.fail).sum)
+    println(s"[faithful] TOTAL ok=$totOk skip=$totSkip fail=$totFail " +
+      f"(${100.0 * totOk / math.max(1, totOk + totFail)}%.1f%% of live statements)")
+    results.flatMap(_.failLines).foreach(l => println(s"[faithful-fail] $l"))
+    spark.stop()
+  }
+}
