@@ -708,6 +708,29 @@ object Advanced {
       },
       Some("SELECT r_regionkey, r_name FROM region")),
 
+    // ---- TIME type end-to-end (q80): Value.java:93 ValueTime as a real
+    // typed column (Spark 4.1 TimeType, enabled in GraftSession) — derived
+    // from event timestamps since the corpus ships no TIME column, grouped,
+    // compared and min/max-aggregated as TIME, written as parquet TIME.
+    // TIMESTAMP_NTZ→TIME has no cast in Spark; make_time from date_part
+    // components is exact at micros precision (the type's own precision).
+    Q("q80_time_of_day",
+      (s, dir) => {
+        val tod = expr("make_time(hour(ts), minute(ts), " +
+          "CAST(date_part('SECOND', ts) AS DECIMAL(8,6)))")
+        t(s, dir, "events")
+          .groupBy(col("event_type"))
+          .agg(min(tod).as("min_tod"), max(tod).as("max_tod"),
+            count(when(tod < expr("TIME '06:00:00'"), 1)).as("night_events"))
+      },
+      Some("""
+        SELECT event_type,
+               min(CAST(ts AS TIME)) AS min_tod,
+               max(CAST(ts AS TIME)) AS max_tod,
+               count(CASE WHEN CAST(ts AS TIME) < TIME '06:00:00' THEN 1 END)
+                 AS night_events
+        FROM events GROUP BY event_type""")),
+
     // ---- CSVWRITE → CSVREAD round trip (Function.java:352-353,
     // db/Csv.java:46): written distributed (no driver collect), read back
     // with explicit schema.
