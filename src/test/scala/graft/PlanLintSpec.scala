@@ -255,7 +255,9 @@ class PlanLintSpec extends SparkSpec {
     "u06_stratified_priority_sample" -> 1,
     "u07_temperature_rebalance" -> 4,
     "u08_token_budget_select" -> 1,
-    "u09_domain_mix" -> 1
+    "u09_domain_mix" -> 1,
+    // one keyed agg shuffle; TIME min/max partial-aggregates map-side
+    "q80_time_of_day" -> 1
   )
 
   /** sf0.01 OVERRIDES on top of [[exchangeBudget]] (VERDICT r6 directive
