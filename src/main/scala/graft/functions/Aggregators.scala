@@ -282,6 +282,45 @@ object Aggregators {
     def outputEncoder: Encoder[KmvState] = Encoders.product[KmvState]
   }
 
+  /** Mergeable Bloom bitset over precomputed BIT POSITIONS (longs in
+    * [0, mBits)): the buffer is the fixed mBits/64-word bitset itself —
+    * bounded by construction, associative/commutative (bitwise OR), flat
+    * long array for native unsafe-array encoding on partial-merge hops.
+    *
+    * The input is positions, not element hashes, so the SAME Column
+    * expression ([[graft.operators.Dedup.bloomPositions]]) feeds both the
+    * build side (exploded here) and the membership test
+    * ([[graft.operators.Dedup.bloomMightContain]]) — no-false-negatives
+    * holds by construction rather than by two hand-kept hash replicas.
+    * At 10 bits/element the false-positive rate with k=6 probes is ~0.8%;
+    * every consumer must exact-confirm hits (the bloom is a prefilter,
+    * never the answer). */
+  class BloomBits(mBits: Int)
+      extends Aggregator[java.lang.Long, Array[Long], Array[Long]] {
+    require(mBits >= 64 && (mBits & (mBits - 1)) == 0,
+      "mBits must be a power of two >= 64")
+    private val words = mBits >>> 6
+    def zero: Array[Long] = new Array[Long](words)
+    def reduce(b: Array[Long], a: java.lang.Long): Array[Long] = {
+      if (a != null) {
+        val pos = a.longValue()
+        require(pos >= 0 && pos < mBits, s"bloom position $pos out of [0,$mBits)")
+        b((pos >>> 6).toInt) |= 1L << (pos & 63L).toInt
+      }
+      b
+    }
+    def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < words) { b1(i) |= b2(i); i += 1 }
+      b1
+    }
+    def finish(b: Array[Long]): Array[Long] = b
+    def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
   /** Register SQL-callable forms (CREATE AGGREGATE parity,
     * ddl/CreateAggregate.java). */
   def registerAll(spark: SparkSession): Unit = {

@@ -704,6 +704,116 @@ object Dedup {
         (coalesce(col("__hits"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** The i-th Bloom bit position (in [0, mBits)) for one 64-bit element
+    * hash: pos_i = xxhash64(elemHash, i) & (mBits-1) — k INDEPENDENT
+    * seeded rehashes rather than Kirsch-Mitzenmacher double hashing.
+    * Deliberate, twice over: (a) each probe conjunct becomes a
+    * self-contained expression, so the k-way AND stays inside whole-stage
+    * codegen (shared h1/h2 subexpressions trip Janino's split-function
+    * CSE under non-ANSI codegen — found empirically, the fallback is an
+    * interpreted Predicate on the corpus-gram hot path); (b) bitwiseAND
+    * against a power-of-two mask can neither overflow nor go negative, so
+    * the formula is ANSI-agnostic.
+    *
+    * This ONE constructor defines the bloom's hash family: the build side
+    * aggregates exactly these positions ([[bloomPositions]] →
+    * [[graft.functions.Aggregators.BloomBits]]) and the probe side tests
+    * exactly these positions ([[bloomMightContain]]), so no false
+    * negatives are possible by construction. mBits must be a power of
+    * two. */
+  def bloomPosition(elemHash: Column, i: Int, mBits: Int): Column = {
+    require(mBits >= 64 && (mBits & (mBits - 1)) == 0,
+      "mBits must be a power of two >= 64")
+    xxhash64(elemHash, lit(i)).bitwiseAND(lit(mBits - 1L))
+  }
+
+  /** All k positions as array<long> — the Bloom BUILD side's input
+    * (exploded into [[graft.functions.Aggregators.BloomBits]]). */
+  def bloomPositions(elemHash: Column, mBits: Int, k: Int = 6): Column = {
+    require(k >= 1 && k <= 16, "k must be in [1,16]")
+    array((0 until k).map(bloomPosition(elemHash, _, mBits)): _*)
+  }
+
+  /** Bloom membership probe: true iff EVERY [[bloomPosition]]'s bit is set
+    * in the bitset column (array<long> from [[bloomBitsOf]]). Statically
+    * unrolled over k — stays inside whole-stage codegen (a `forall` lambda
+    * would evaluate interpretively per element on the corpus-side hot
+    * path). True means "maybe present" (FP rate set by mBits/n and k);
+    * false means definitely absent. */
+  def bloomMightContain(bits: Column, elemHash: Column, mBits: Int,
+      k: Int = 6): Column =
+    (0 until k).map { i =>
+      val pos = bloomPosition(elemHash, i, mBits)
+      getbit(element_at(bits, shiftrightunsigned(pos, 6).cast("int") + 1),
+        pos.bitwiseAND(lit(63L))) === 1
+    }.reduce(_ && _)
+
+  /** Distributed Bloom build, materialized as the fixed-size sketch it is:
+    * the bitset ORs together map-side ([[graft.functions.Aggregators.BloomBits]]
+    * partials, mBits/8 bytes per partition on the one single-partition
+    * exchange) and the single result row comes back to the driver — the
+    * same materialize-then-embed execution Spark's own runtime-filter
+    * injection and `df.stat.bloomFilter` use for bloom sketches. Bounded
+    * by mBits (default 512 KB), never by the data. */
+  def bloomBitsOf(elemHashes: DataFrame, hashCol: String, mBits: Int,
+      k: Int = 6): Array[Long] = {
+    val bloomAgg = udaf(new graft.functions.Aggregators.BloomBits(mBits))
+    elemHashes
+      .select(explode(bloomPositions(col(hashCol), mBits, k)).as("__p"))
+      .agg(bloomAgg(col("__p")).as("__bloom"))
+      .head().getSeq[Long](0).toArray
+  }
+
+  /** [[decontaminate]] with a Bloom prefilter between the corpus grams and
+    * the exact confirm join — same EXACT result (identical oracle), scale
+    * path for when the benchmark gram set outgrows a broadcast.
+    *
+    * Plan shape: the benchmark grams fold into ONE mBits-wide bitset
+    * ([[bloomBitsOf]]) embedded as a single array Literal, so the corpus
+    * side stays a joinless scan→filter inside whole-stage codegen — the
+    * sketch ships with the task binary's existing TorrentBroadcast, and no
+    * 1-row join exists to collapse into a nested loop. Only bloom HITS
+    * (true matches + ~0.8% FPs at 10 bits/gram, k=6) reach the exact
+    * confirm join, which is UNHINTED: at test SF Catalyst broadcasts it,
+    * at 100 TB AQE shuffles two tiny sides — either way the corpus-sized
+    * gram stream never shuffles, which is the property [[decontaminate]]'s
+    * broadcast shape loses once benchmarks reach GBs (the exact set must
+    * fit on every executor: a 1 G-gram bench set is an 8 GB broadcast vs a
+    * 1.25 GB bloom at 10 bits/gram — pick mBits ≈ 10·n grams).
+    *
+    * Output schema/semantics identical to [[decontaminate]]: every
+    * non-benchmark row's id with `shared_grams` and `contaminated`. */
+  def decontaminateBloom(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      mBits: Int = 1 << 22,
+      k: Int = 6): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(wordNgramHashSet(col(textCol), n)).as("__g"))
+      .distinct()
+    // bloom build skips the distinct: bit-OR is idempotent, so feeding
+    // duplicate grams changes nothing and saves the build job's shuffle
+    val rawBenchGrams = benchmark
+      .select(explode(wordNgramHashSet(col(textCol), n)).as("__g"))
+    val bits = lit(bloomBitsOf(rawBenchGrams, "__g", mBits, k))
+    val candidates = corpus
+      .select(col(idCol).as("__id"),
+        explode(wordNgramHashSet(col(textCol), n)).as("__g"))
+      .filter(bloomMightContain(bits, col("__g"), mBits, k))
+    val hits = candidates
+      .join(benchGrams, Seq("__g")) // exact confirm kills the bloom FPs
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("__hits")) // grams are distinct per doc already
+    corpus.select(col(idCol).as("__id"))
+      .join(hits, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("__hits"), lit(0L)).as("shared_grams"),
+        (coalesce(col("__hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Incremental (cross-corpus) dedup: drop from `batch` every document
     * that duplicates the EXISTING `corpus` — the shape every rolling-crawl
     * ingest runs (new crawl vs. what's already in the lake). The corpus

@@ -286,6 +286,58 @@ class DedupSpec extends SparkSpec {
     assert(out(12L)._1 == 3L && out(12L)._2) // 3 windows, all shared
   }
 
+  test("decontaminateBloom is exact even when the bloom saturates") {
+    // mBits=64 (the minimum) with dozens of grams → the bitset saturates
+    // and nearly EVERY corpus gram is a bloom false positive — the exact
+    // confirm join must still produce decontaminate's answer bit-for-bit.
+    val bench = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "prefix words beta gamma delta epsilon zeta eta theta iota suffix"),
+      (11L, "no overlap with anything in the benchmark set at all here today"),
+      (12L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (13L, "short doc")
+    ).toDF("doc_id", "text")
+    for (m <- Seq(64, 1 << 12, 1 << 20)) {
+      val exact = Dedup.decontaminate(corpus, bench, "doc_id", "text", n = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      val bloom = Dedup.decontaminateBloom(corpus, bench, "doc_id", "text",
+          n = 8, mBits = m)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      assert(bloom == exact, s"mBits=$m")
+    }
+  }
+
+  test("bloom positions/bitset have no false negatives and prune misses") {
+    import org.apache.spark.sql.functions._
+    val m = 1 << 16
+    val members = spark.range(0, 500).select(xxhash64(col("id")).as("__g"))
+    val bits = lit(Dedup.bloomBitsOf(members, "__g", m))
+    // every member tests positive (no false negatives, by construction)
+    val posHits = members
+      .filter(Dedup.bloomMightContain(bits, col("__g"), m))
+      .count()
+    assert(posHits == 500L)
+    // non-members are overwhelmingly pruned (500 elems in 65536 bits,
+    // k=6 → FP rate well under 1%; 10000 probes bound it loosely)
+    val negHits = spark.range(10000, 20000)
+      .select(xxhash64(col("id")).as("__g"))
+      .filter(Dedup.bloomMightContain(bits, col("__g"), m))
+      .count()
+    assert(negHits < 500L, s"bloom pruned nothing: $negHits FPs of 10000")
+    // the probe is a joinless scan→filter that stays in whole-stage
+    // codegen — the k-way AND must not fall back to an interpreted
+    // Predicate (the shared-subexpression Janino trap the scaladoc of
+    // bloomPosition documents)
+    val probe = members.filter(Dedup.bloomMightContain(bits, col("__g"), m))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try assert(probe.count() == 500L) // throws if the predicate can't codegen
+    finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+  }
+
   test("dedup is deterministic across runs") {
     val cfg = Dedup.MinHashConfig(numHashes = 64, bands = 16, threshold = 0.6)
     val a = Dedup.minhashCandidates(docs, "doc_id", "text", cfg).collect().toSet

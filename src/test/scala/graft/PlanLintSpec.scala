@@ -60,18 +60,24 @@ class PlanLintSpec extends SparkSpec {
         stale.mkString("\n"))
   }
 
-  /** Exact recorded count of `.collect()`/`.collectAsList()` call sites per
+  /** Exact recorded count of driver-materialization call sites —
+    * `.collect()`/`.collectAsList()`/`.head()`/`.first()` — per
     * main-source file (tools/ excluded — those are operator mains, not
     * library paths). Every allowance is driver-side by design (audited in
-    * VERDICT r5). Any change to a count — up OR down — fails here and
-    * forces a re-audit + justification in this map. */
+    * VERDICT r5; head() sites added to the net in r7 — each is a
+    * SINGLE-ROW fetch of a global aggregate or sketch, never a data
+    * path). Any change to a count — up OR down — fails here and forces a
+    * re-audit + justification in this map. */
   private val collectSites: Map[String, Int] = Map(
     "queries/Pipeline.scala" -> 6, // driver-side ORACLE generators: single-node replay twins (incl. m01's encoded-size inliner), never a data path
     "operators/Sampling.scala" -> 1, // per-partition Long count array (size = #partitions)
-    "operators/Dedup.scala" -> 1, // longestRepeat per-round length menu (bounded by levels x lengths, never data)
+    "operators/Dedup.scala" -> 3, // longestRepeat per-round length menu (bounded by levels x lengths); head(): longestRepeat 1-row max-count agg + bloomBitsOf's 1-row fixed-size sketch (the materialize-then-embed shape of df.stat.bloomFilter)
     "operators/Dml.scala" -> 1, // per-partition count array for ROWNUM/LIMIT semantics
     "operators/TextAnalysis.scala" -> 1, // BPE top-m driver argmax (bounded by merge batch)
-    "dsl/Model.scala" -> 2 // findList/findOne: the DSL's intentional executors (reference Model.java parity)
+    "dsl/Model.scala" -> 2, // findList/findOne: the DSL's intentional executors (reference Model.java parity)
+    "sqlfront/Engine.scala" -> 1, // SET @v = (scalar expr): 1-row eval, reference Variable.java parity
+    "sqlfront/EngineDdl.scala" -> 1, // 1-row max(_rowid_) agg for identity backfill
+    "sqlfront/EngineTranslate.scala" -> 1 // @var scalar substitution: 1-row eval
   )
 
   test("driver collect() surface matches the audited per-file record") {
@@ -97,7 +103,7 @@ class PlanLintSpec extends SparkSpec {
             if (cut < 0) l else l.substring(0, cut)
           }
           .mkString("\n")
-        val n = "\\.collect(AsList)?\\(\\)".r.findAllIn(code).size
+        val n = "\\.(collect(AsList)?|head|first)\\(\\)".r.findAllIn(code).size
         if (n > 0) counts(root.relativize(p).toString) = n
       }
     }
@@ -232,6 +238,10 @@ class PlanLintSpec extends SparkSpec {
     "t04_corpus_stats" -> 1,
     "t05_repetition" -> 0,
     "t06_decontaminate" -> 2,
+    // bloom prefilter adds NO exchange: the probe is a joinless filter on
+    // the gram scan; the two shuffles are the same confirm-join groupBy +
+    // zero-restore join t06 has (bloom build runs as its own tiny job)
+    "t22_decontaminate_bloom" -> 2,
     "t07_pii_redact" -> 0,
     "t08_vocab_topk" -> 2,
     "t09_blocklist_filter" -> 0,
