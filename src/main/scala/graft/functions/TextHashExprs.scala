@@ -29,6 +29,29 @@ import org.apache.spark.unsafe.types.UTF8String
   * `graft.functions.TextHashKernels.xxx(...)` directly. */
 object TextHashKernels {
 
+  /** Bloom membership probe over a long-word bitset: true iff every one
+    * of the k bit positions pos_i = xxhash64(h, i) & (mBits-1) is set.
+    * Matches [[graft.operators.Dedup.bloomPosition]] BIT-FOR-BIT — Spark's
+    * XxHash64 folds left-to-right from seed 42, and the position literal i
+    * is an INT lane (hashInt, verified against spark's own evaluation;
+    * hashLong over i.toLong is a DIFFERENT family) — but the shared inner
+    * hash of `h` is computed ONCE per probe and each pos_i once: the
+    * Column-conjunct formulation evaluates every pos_i twice (word index +
+    * bit offset), i.e. up to 4k hash calls per gram on the corpus hot path
+    * vs. this kernel's k+1. */
+  def bloomProbe(bits: Array[Long], h: Long, mBits: Int, k: Int): Boolean = {
+    val base = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(h, 42L)
+    var i = 0
+    while (i < k) {
+      val pos = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashInt(i, base) & (mBits - 1L)
+      if (((bits((pos >>> 6).toInt) >>> (pos & 63L).toInt) & 1L) == 0L)
+        return false
+      i += 1
+    }
+    true
+  }
+
   /** splitmix64 finalizer — well-mixed bits for band hashing. */
   private def mix(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L
@@ -360,7 +383,37 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** Bloom-bitset membership probe (boolean) over a 64-bit element hash.
+  * The bitset rides into generated code as ONE long[] reference object;
+  * the k positions derive from a single shared xxhash64 of the element
+  * hash — half the hash work of the k-conjunct Column formulation — and
+  * the sharing happens INSIDE the static kernel, not across generated
+  * conjuncts, so the Janino split-function CSE trap the
+  * [[graft.operators.Dedup.bloomPosition]] scaladoc documents cannot
+  * apply. Position family identical to bloomPosition (parity pinned in
+  * DedupSpec). */
+case class BloomProbe(child: Expression, bits: Array[Long], mBits: Int, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "bloom_probe"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashKernels.bloomProbe(bits, input.asInstanceOf[Long], mBits, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bitsRef = ctx.addReferenceObj("bloomBits", bits, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashKernels.bloomProbe($bitsRef, $c, $mBits, $k);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomProbe =
+    copy(child = newChild)
+}
+
 object TextHashExprs {
+  def bloomProbe(c: Column, bits: Array[Long], mBits: Int, k: Int): Column =
+    GraftColumnBridge.column(BloomProbe(GraftColumnBridge.expression(c), bits, mBits, k))
   def shingleHashSet(c: Column, k: Int): Column =
     GraftColumnBridge.column(ShingleHashSet(GraftColumnBridge.expression(c), k))
   def minhashSig(c: Column, numHashes: Int, seed: Long): Column =

@@ -707,13 +707,16 @@ object Dedup {
   /** The i-th Bloom bit position (in [0, mBits)) for one 64-bit element
     * hash: pos_i = xxhash64(elemHash, i) & (mBits-1) — k INDEPENDENT
     * seeded rehashes rather than Kirsch-Mitzenmacher double hashing.
-    * Deliberate, twice over: (a) each probe conjunct becomes a
-    * self-contained expression, so the k-way AND stays inside whole-stage
-    * codegen (shared h1/h2 subexpressions trip Janino's split-function
-    * CSE under non-ANSI codegen — found empirically, the fallback is an
-    * interpreted Predicate on the corpus-gram hot path); (b) bitwiseAND
-    * against a power-of-two mask can neither overflow nor go negative, so
-    * the formula is ANSI-agnostic.
+    * Deliberate, twice over: (a) the family is expressible BOTH as plain
+    * Column arithmetic (this method — the build side, and the DedupSpec
+    * parity oracle) and as a tight static-kernel loop
+    * ([[graft.functions.TextHashKernels.bloomProbe]] — the probe side,
+    * which shares the inner xxhash64 across all k positions; a shared
+    * h1/h2 Column subexpression would instead trip Janino's
+    * split-function CSE under non-ANSI codegen — found empirically, the
+    * fallback is an interpreted Predicate on the corpus-gram hot path);
+    * (b) bitwiseAND against a power-of-two mask can neither overflow nor
+    * go negative, so the formula is ANSI-agnostic.
     *
     * This ONE constructor defines the bloom's hash family: the build side
     * aggregates exactly these positions ([[bloomPositions]] →
@@ -735,18 +738,19 @@ object Dedup {
   }
 
   /** Bloom membership probe: true iff EVERY [[bloomPosition]]'s bit is set
-    * in the bitset column (array<long> from [[bloomBitsOf]]). Statically
-    * unrolled over k — stays inside whole-stage codegen (a `forall` lambda
-    * would evaluate interpretively per element on the corpus-side hot
-    * path). True means "maybe present" (FP rate set by mBits/n and k);
-    * false means definitely absent. */
-  def bloomMightContain(bits: Column, elemHash: Column, mBits: Int,
+    * in the bitset (the long words from [[bloomBitsOf]]). Implemented as
+    * ONE native codegen expression ([[graft.functions.BloomProbe]]) rather
+    * than a k-way Column conjunction: whole-stage codegen does no
+    * cross-use subexpression elimination here (measured — the conjunct
+    * form generates every pos_i hash chain twice, word index + bit
+    * offset), so the kernel binds each position once and shares the inner
+    * xxhash64 of the element hash across all k probes. True means "maybe
+    * present" (FP rate set by mBits/n and k); false means definitely
+    * absent. Position-family parity with [[bloomPosition]] is pinned in
+    * DedupSpec. */
+  def bloomMightContain(bits: Array[Long], elemHash: Column, mBits: Int,
       k: Int = 6): Column =
-    (0 until k).map { i =>
-      val pos = bloomPosition(elemHash, i, mBits)
-      getbit(element_at(bits, shiftrightunsigned(pos, 6).cast("int") + 1),
-        pos.bitwiseAND(lit(63L))) === 1
-    }.reduce(_ && _)
+    graft.functions.TextHashExprs.bloomProbe(elemHash, bits, mBits, k)
 
   /** Distributed Bloom build, materialized as the fixed-size sketch it is:
     * the bitset ORs together map-side ([[graft.functions.Aggregators.BloomBits]]
@@ -768,8 +772,17 @@ object Dedup {
     * the exact confirm join — same EXACT result (identical oracle), scale
     * path for when the benchmark gram set outgrows a broadcast.
     *
+    * EAGER: unlike every other operator here, CONSTRUCTING this DataFrame
+    * runs a real Spark job immediately — the benchmark-side bloom build
+    * ([[bloomBitsOf]]) must materialize before its bitset can be embedded
+    * as a literal (the materialize-then-embed shape of
+    * `df.stat.bloomFilter` and Spark's own runtime-filter injection).
+    * Callers building plans speculatively (plan lints, EXPLAIN sweeps) pay
+    * that one bounded aggregation up front.
+    *
     * Plan shape: the benchmark grams fold into ONE mBits-wide bitset
-    * ([[bloomBitsOf]]) embedded as a single array Literal, so the corpus
+    * ([[bloomBitsOf]]) riding inside the probe expression as a single
+    * long[] reference object, so the corpus
     * side stays a joinless scan→filter inside whole-stage codegen — the
     * sketch ships with the task binary's existing TorrentBroadcast, and no
     * 1-row join exists to collapse into a nested loop. Only bloom HITS
@@ -798,7 +811,7 @@ object Dedup {
     // duplicate grams changes nothing and saves the build job's shuffle
     val rawBenchGrams = benchmark
       .select(explode(wordNgramHashSet(col(textCol), n)).as("__g"))
-    val bits = lit(bloomBitsOf(rawBenchGrams, "__g", mBits, k))
+    val bits = bloomBitsOf(rawBenchGrams, "__g", mBits, k)
     val candidates = corpus
       .select(col(idCol).as("__id"),
         explode(wordNgramHashSet(col(textCol), n)).as("__g"))

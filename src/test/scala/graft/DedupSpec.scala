@@ -313,7 +313,7 @@ class DedupSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val m = 1 << 16
     val members = spark.range(0, 500).select(xxhash64(col("id")).as("__g"))
-    val bits = lit(Dedup.bloomBitsOf(members, "__g", m))
+    val bits = Dedup.bloomBitsOf(members, "__g", m)
     // every member tests positive (no false negatives, by construction)
     val posHits = members
       .filter(Dedup.bloomMightContain(bits, col("__g"), m))
@@ -327,15 +327,44 @@ class DedupSpec extends SparkSpec {
       .count()
     assert(negHits < 500L, s"bloom pruned nothing: $negHits FPs of 10000")
     // the probe is a joinless scan→filter that stays in whole-stage
-    // codegen — the k-way AND must not fall back to an interpreted
-    // Predicate (the shared-subexpression Janino trap the scaladoc of
-    // bloomPosition documents)
+    // codegen — the BloomProbe kernel must not fall back to an
+    // interpreted Predicate (the shared-subexpression Janino trap the
+    // scaladoc of bloomPosition documents)
     val probe = members.filter(Dedup.bloomMightContain(bits, col("__g"), m))
     val plan = probe.queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), plan)
+    // restore the session's PRIOR value (not a hardcoded default), so this
+    // test can't leak CODEGEN_ONLY — or clobber a suite override — forward
+    val prior = spark.conf.getOption("spark.sql.codegen.factoryMode")
     spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
     try assert(probe.count() == 500L) // throws if the predicate can't codegen
-    finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    finally prior match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+      case None    => spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
+  test("bloom probe kernel matches the Column position formula exactly") {
+    import org.apache.spark.sql.functions._
+    // the probe side (BloomProbe static kernel, one shared inner hash)
+    // and the build side (bloomPosition Column arithmetic) must define
+    // the SAME hash family — evaluate both against the same bitset over
+    // a hash stream with hits and misses mixed in, row for row
+    val m = 1 << 12 // small bitset → plenty of FPs, exercising both arms
+    val members = spark.range(0, 300).select(xxhash64(col("id")).as("__g"))
+    val bits = Dedup.bloomBitsOf(members, "__g", m)
+    val columnFormula = (0 until 6).map { i =>
+      val pos = Dedup.bloomPosition(col("__g"), i, m)
+      getbit(element_at(lit(bits), shiftrightunsigned(pos, 6).cast("int") + 1),
+        pos.bitwiseAND(lit(63L))) === 1
+    }.reduce(_ && _)
+    val disagree = spark.range(0, 20000)
+      .select(xxhash64(col("id")).as("__g"))
+      .select(columnFormula.as("a"),
+        Dedup.bloomMightContain(bits, col("__g"), m).as("b"))
+      .filter(col("a") =!= col("b"))
+      .count()
+    assert(disagree == 0L)
   }
 
   test("dedup is deterministic across runs") {
