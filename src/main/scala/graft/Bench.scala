@@ -24,6 +24,10 @@ object Bench {
     "q02_filter_project",        // B1 scan+filter+project
     "q01_pricing_summary",       // B2 hash agg + HAVING
     "q03_join_revenue_by_nation",// B3 multi-join + agg
+    "q03_bucketed_revenue",      // B3c same join over the co-located layout
+                                 //     (one-time bucketed write lands in the
+                                 //     untimed warm-up pass — the README
+                                 //     write-amortization contract)
     "q04_left_join",             // B3 outer
     "q18_topk",                  // B4 sort+limit
     "q14_except",                // B5 set ops
@@ -106,7 +110,26 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Box-state self-adjudication (VERDICT r7 directive 3): the three
+    // cheapest fixed-plan queries double as a machine calibration probe —
+    // measured/bar ratios against their committed BASELINE.md sf0.1 bars
+    // (B1/B2/B4). A pass where these bare, byte-identical plans run ≫1×
+    // carries its own evidence that the BOX is slow, not the engine;
+    // ratios only make sense at the bars' scale, so the field is null off
+    // sf0.1.
+    val calBars = Map(
+      "q02_filter_project" -> 0.299, // B1
+      "q01_pricing_summary" -> 0.918, // B2
+      "q18_topk" -> 0.154) // B4
+    val calibration =
+      if (!sfDir.replaceAll("/+$", "").endsWith("sf0.1")) "null"
+      else {
+        val byName = results.toMap
+        calBars.toSeq.sortBy(_._1).flatMap { case (q, bar) =>
+          byName.get(q).map(v => "\"" + q + "\":" + f"${v / bar}%.2f")
+        }.mkString("{", ",", "}")
+      }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"calibration":$calibration,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

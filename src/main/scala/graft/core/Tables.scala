@@ -56,7 +56,11 @@ object Tables {
   def loadBucketed(spark: SparkSession, dir: String, name: String,
       keys: Seq[String], buckets: Int = 32): DataFrame = {
     require(keys.nonEmpty, "bucketing needs at least one key column")
-    val t = s"graft_bkt_${name}_${keys.mkString("_")}_$buckets"
+    // the SOURCE DIR is part of the cache key: one session touching two
+    // scale dirs (PlanLintSpec budgets sf0.001+sf0.01, TimeQ sweeps) must
+    // never serve one dir's rows under the other's name
+    val dirTag = new java.io.File(dir).getName.replaceAll("[^a-zA-Z0-9]", "_")
+    val t = s"graft_bkt_${dirTag}_${name}_${keys.mkString("_")}_$buckets"
     if (!spark.catalog.tableExists(t)) {
       // the in-memory catalog forgets managed tables across sessions while
       // their warehouse directories persist — purge a stale location first

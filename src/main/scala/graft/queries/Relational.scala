@@ -98,6 +98,44 @@ object Relational {
         JOIN region   ON n_regionkey = r_regionkey
         GROUP BY r_name, n_name""")),
 
+    // ---- §2.3 at 100 TB: the SAME q03 over the co-located fact layout —
+    // the first-class engine surface for the q03 scale lever (BASELINE.md
+    // "Bucketed-layout evidence": plain 5 exchanges → bucketed 3; 4.1× at
+    // SF1-amplify, where the li⋈ord shuffle dominates). Both facts are
+    // hash-bucketed on the order key at write time (Tables.loadBucketed —
+    // the single-node stand-in for distributing facts on the join key at
+    // ingest, the Spark-native analogue of the reference's clustered
+    // secondary index, StandardSecondaryIndex.java:36). The ONE-TIME
+    // bucketed write amortizes over every subsequent orderkey join of the
+    // same tables: later calls reuse the materialized layout (README
+    // "Bucketed layouts"). Results identical to q03 — same oracle SQL.
+    Q("q03_bucketed_revenue",
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+        val ord  = Tables.loadBucketed(s, dir, "orders", Seq("o_orderkey"))
+        val li   = Tables.loadBucketed(s, dir, "lineitem", Seq("l_orderkey"))
+        val nat  = broadcast(t(s, dir, "nation"))
+        val reg  = broadcast(t(s, dir, "region"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(nat, col("c_nationkey") === col("n_nationkey"))
+          .join(reg, col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(
+            dsum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))).as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      Some(s"""
+        SELECT r_name, n_name,
+               ${dsumSql(dec2Sql("l_extendedprice") + " * (1 - " + dec2Sql("l_discount") + ")")} AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name""")),
+
     // ---- §2.3: LEFT OUTER with null-padded right side (TableFilter NULL_ROW
     // emission, TableFilter.java:324-440). The right-side filter is applied
     // BEFORE the join (FIXTURES A5: outer-join filters must not leak to the

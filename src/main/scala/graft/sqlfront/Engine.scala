@@ -193,6 +193,45 @@ final class Engine(val spark: SparkSession)
 
   def table(name: String): DataFrame = tables(name.toLowerCase)
 
+  /** Whether CREATE INDEX also applies [[bucket]] on the indexed key —
+    * toggled by `SET BUCKETED_INDEXES 1` (graft extension, default off). */
+  private[sqlfront] var bucketedIndexes: Boolean = false
+
+  /** First-class co-located layout for a registered table: materialize its
+    * CURRENT rows as a managed Spark table bucketed (and per-bucket
+    * sorted) on `keys`, and re-register the table to read from that
+    * layout. Every subsequent equi-join on a prefix of `keys` between two
+    * tables bucketed with the same count plans with ZERO shuffle exchange
+    * on the bucketed side(s) — the Spark-native physical half of the
+    * reference's secondary index (ddl/CreateIndex.java →
+    * StandardSecondaryIndex.java:36: key-ordered locality at write time).
+    *
+    * Write-amortization contract (README "Bucketed layouts"): the ONE
+    * bucketed write is paid here, up front; it amortizes over every later
+    * join/aggregation on the key. The layout is a SNAPSHOT — later DML on
+    * the table re-registers a plain in-memory frame (correct results,
+    * locality gone); re-run bucket() after bulk loads. Reached from SQL
+    * via `SET BUCKETED_INDEXES 1` + `CREATE INDEX ON t(key)`. */
+  def bucket(tableName: String, keys: Seq[String], buckets: Int = 32): Unit = {
+    val tn = tableName.toLowerCase
+    require(tables.contains(tn), s"TABLE_NOT_FOUND: $tableName")
+    require(keys.nonEmpty, "bucketing needs at least one key column")
+    val t = s"graft_engine_bkt_${tn}_${keys.mkString("_")}_$buckets"
+    // in-memory catalog forgets managed tables across sessions while their
+    // warehouse directories persist — purge a stale location first (same
+    // discipline as Tables.loadBucketed)
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+    if (loc.exists()) {
+      import scala.reflect.io.Directory
+      new Directory(loc).deleteRecursively()
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    table(tn).write.bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*).mode("overwrite").saveAsTable(t)
+    register(tn, spark.table(t))
+  }
+
   /** Programmatic insert for the ORM DAO executors (Model.insert) — same
     * path as SQL INSERT: align, identity/sequence fill, constraints. */
   def insertFrom(tableName: String, cols: Option[Seq[String]],
@@ -584,6 +623,11 @@ final class Engine(val spark: SparkSession)
             s"unique index $name violated by existing rows")
         indexes(name.toLowerCase) =
           IndexDef(name.toLowerCase, tn.toLowerCase, ks, unique != null)
+        // under SET BUCKETED_INDEXES 1, the index also takes physical
+        // effect: the table's rows materialize bucketed on the key, so
+        // joins on it plan co-located (the reference's secondary index
+        // gives key-ordered locality; bucketBy is the Spark-native form)
+        if (bucketedIndexes) bucket(tn, ks)
         status()
       case dropIndexRe(name) =>
         indexes.remove(name.toLowerCase); status()
@@ -1166,6 +1210,13 @@ final class Engine(val spark: SparkSession)
         if (opt.equalsIgnoreCase("QUERY_STATISTICS") &&
             (value.trim == "0" || value.trim.equalsIgnoreCase("FALSE")))
           queryStats.clear()
+        // SET BUCKETED_INDEXES 1 (graft extension, default 0): while on,
+        // CREATE INDEX additionally materializes the table's CURRENT rows
+        // as a co-located bucketed layout on the indexed key (see bucket())
+        // — the physical-locality half of the reference's secondary index,
+        // opt-in because it pays a real write per index
+        if (opt.equalsIgnoreCase("BUCKETED_INDEXES"))
+          bucketedIndexes = Set("1", "TRUE", "ON")(value.trim.toUpperCase)
         status()
       case _ => runSelect(stmt)
     }

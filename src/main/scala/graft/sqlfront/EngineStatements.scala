@@ -320,8 +320,10 @@ private[sqlfront] trait EngineStatements { this: Engine =>
     P(Kw("ALTER", "TABLE"), Ident, Kw("SET", "REFERENTIAL_INTEGRITY"),
       AltCap("TRUE", "FALSE"), OptG(AltKw(Seq("CHECK"), Seq("NOCHECK"))), Eos)
   // CREATE/DROP INDEX (ddl/CreateIndex.java, ddl/DropIndex.java) — recorded
-  // and surfaced via INFORMATION_SCHEMA.INDEXES; execution is a no-op
-  // because Spark's scan planning subsumes secondary indexes.
+  // and surfaced via INFORMATION_SCHEMA.INDEXES; lookup acceleration is
+  // subsumed by Spark's scan planning, and under SET BUCKETED_INDEXES 1
+  // the index ALSO takes physical effect (Engine.bucket: co-located
+  // bucketBy layout on the indexed key).
   private[sqlfront] val createIndexRe =
     P(Kw("CREATE"), OptCap("UNIQUE"), Opt("HASH"), Kw("INDEX"),
       Opt("IF", "NOT", "EXISTS"), Ident, Kw("ON"), Ident, Paren, Eos)

@@ -55,8 +55,8 @@ class BucketingSpec extends SparkSpec {
 
   test("Tables.loadBucketed materializes once and joins co-located") {
     import graft.core.Tables
-    spark.sql("DROP TABLE IF EXISTS graft_bkt_lineitem_l_orderkey_8")
-    spark.sql("DROP TABLE IF EXISTS graft_bkt_orders_o_orderkey_8")
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_sf0_001_lineitem_l_orderkey_8")
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_sf0_001_orders_o_orderkey_8")
     val li = Tables.loadBucketed(spark, sf, "lineitem", Seq("l_orderkey"), 8)
     val ord = Tables.loadBucketed(spark, sf, "orders", Seq("o_orderkey"), 8)
     // second call reuses the managed table (no rewrite): same files listed
@@ -80,8 +80,77 @@ class BucketingSpec extends SparkSpec {
       .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
       .collect().map(_.toString).sorted.toSeq
     assert(joined.collect().map(_.toString).sorted.toSeq == plain)
-    spark.sql("DROP TABLE IF EXISTS graft_bkt_lineitem_l_orderkey_8")
-    spark.sql("DROP TABLE IF EXISTS graft_bkt_orders_o_orderkey_8")
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_sf0_001_lineitem_l_orderkey_8")
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_sf0_001_orders_o_orderkey_8")
+  }
+
+  test("q03_bucketed_revenue holds the 3-exchange budget at fact scale") {
+    // the committed contract (BASELINE.md "Bucketed-layout evidence"):
+    // once the facts outgrow a broadcast, plain q03 plans 5 hash exchanges
+    // and the bucketed layout plans 3 (both fact-side exchanges gone,
+    // replaced by bucketed scans). Reproduce that regime at sf0.001 by
+    // disabling auto-broadcast — dims keep their explicit broadcast hint
+    // exactly as at 100 TB.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      def exchanges(name: String): Int = {
+        val df = graft.SparkEntry.queries(name)(spark, sf)
+        df.write.format("noop").mode("overwrite").save()
+        "Exchange hashpartitioning".r
+          .findAllIn(df.queryExecution.executedPlan.toString).length
+      }
+      val bucketed = exchanges("q03_bucketed_revenue")
+      val plain = exchanges("q03_join_revenue_by_nation")
+      assert(bucketed <= 3, s"bucketed q03 regressed to $bucketed exchanges")
+      assert(plain >= 5, // the contrast that proves the layout is doing it
+        s"plain q03 at $plain exchanges — the no-broadcast regime broke")
+      // and the two forms agree row-for-row
+      val a = graft.SparkEntry.queries("q03_bucketed_revenue")(spark, sf)
+        .collect().map(_.toString).sorted.toSeq
+      val b = graft.SparkEntry.queries("q03_join_revenue_by_nation")(spark, sf)
+        .collect().map(_.toString).sorted.toSeq
+      assert(a == b)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        (64L * 1024 * 1024).toString)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("SET BUCKETED_INDEXES 1 makes CREATE INDEX a physical layout") {
+    // the engine-DDL door to the same lever: CREATE INDEX on the join key
+    // materializes the table bucketed, so the self-join plans co-located
+    val en = new graft.sqlfront.Engine(spark)
+    en.sql("CREATE TABLE bx_fact(k INT, v INT)")
+    en.sql("INSERT INTO bx_fact SELECT X, X*2 FROM SYSTEM_RANGE(1, 500)")
+    en.sql("CREATE TABLE bx_dim(k INT, name VARCHAR)")
+    en.sql("INSERT INTO bx_dim SELECT X, 'n' || X FROM SYSTEM_RANGE(1, 500)")
+    en.sql("SET BUCKETED_INDEXES 1")
+    en.sql("CREATE INDEX bx_fact_k ON bx_fact(k)")
+    en.sql("CREATE INDEX bx_dim_k ON bx_dim(k)")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = en.table("bx_fact")
+        .join(en.table("bx_dim"), Seq("k"))
+        .groupBy(col("name")).agg(sum(col("v")).as("sv"))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert("Exchange hashpartitioning\\(k".r.findAllIn(p).isEmpty,
+        s"indexed-key join should be co-located:\n$p")
+      // correctness: engine SQL over the bucketed registration still agrees
+      val viaSql = en.sql(
+        "SELECT SUM(v) FROM bx_fact JOIN bx_dim ON bx_fact.k = bx_dim.k")
+        .head().getLong(0)
+      assert(viaSql == (1 to 500).map(_ * 2L).sum)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        (64L * 1024 * 1024).toString)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      en.sql("SET BUCKETED_INDEXES 0")
+      en.sql("DROP TABLE bx_fact"); en.sql("DROP TABLE bx_dim")
+    }
   }
 
   test("date-partitioned layout prunes partitions at the scan") {

@@ -148,6 +148,10 @@ class PlanLintSpec extends SparkSpec {
     "q01_pricing_summary" -> 2,
     "q02_filter_project" -> 0,
     "q03_join_revenue_by_nation" -> 1,
+    // at test SF the dims broadcast so both q03 forms read 1; the bucketed
+    // form's REAL contract (3 exchanges vs plain 5 once facts outgrow
+    // broadcast) is pinned in BucketingSpec's no-broadcast regime
+    "q03_bucketed_revenue" -> 1,
     "q04_left_join" -> 0,
     "q05_right_join" -> 0,
     "q06_full_outer_join" -> 2,
