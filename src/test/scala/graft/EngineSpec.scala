@@ -1245,4 +1245,27 @@ class EngineSpec extends SparkSpec {
     e2.sql(ddl)
     assert(e2.sql("SELECT * FROM tt").schema("t").dataType.isInstanceOf[TimeType])
   }
+
+  test("documented platform divergences enforce at the boundary (README)") {
+    val e = freshEngine
+    // DECIMAL beyond precision 38: H2 decimals are unbounded
+    // (lealone-common Value.java:78); Spark caps at DecimalType(38). The
+    // cap ERRORS at DDL time rather than silently rounding — the README
+    // "Known divergences" entry is enforced, not prose.
+    val err = intercept[Exception](e.sql("CREATE TABLE dv (x DECIMAL(39, 0))"))
+    assert(err.getMessage.contains("38"), err.getMessage)
+    // ...while the full supported width still works end to end
+    e.sql("CREATE TABLE dv (x DECIMAL(38, 0))")
+    e.sql("INSERT INTO dv VALUES (99999999999999999999999999999999999999)")
+    assert(e.sql("SELECT CAST(x AS VARCHAR) FROM dv").head().getString(0)
+      == "9" * 38)
+    // TIME sub-microsecond precision: ValueTime carries nanos
+    // (lealone-common ValueTime.java); Spark TimeType(6) is micros — a
+    // nanosecond literal loses its sub-micro digits at the boundary.
+    e.sql("CREATE TABLE tvn (t TIME)")
+    e.sql("INSERT INTO tvn VALUES ('01:02:03.123456789')")
+    val got = e.sql("SELECT CAST(t AS VARCHAR) FROM tvn").head().getString(0)
+    assert(got == "01:02:03.123456",
+      s"nanos must truncate to TIME(6) micros, got $got")
+  }
 }
