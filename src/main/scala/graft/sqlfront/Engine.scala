@@ -494,9 +494,17 @@ final class Engine(val spark: SparkSession)
         // COMMENT IS 'remark' in the definition (Parser.java parseCreateView)
         Option(cmt).foreach(c => comments(("VIEW", name.toLowerCase)) = c)
         val df0 = runSelect(query)
-        // optional view column list renames positionally (TableView.java)
-        val df = Option(colList).map(cl =>
-          df0.toDF(cl.split(",").map(_.trim.toLowerCase).toSeq: _*)).getOrElse(df0)
+        // optional view column list renames positionally, count-mismatch
+        // TOLERATED (TableView.java; documented in ViewTest.java:109-121:
+        // "(f1) AS SELECT id,name" → columns f1,name — extra select
+        // columns keep their own names; "(f1,f2) AS SELECT id" → f1 only,
+        // the surplus list name is silently ignored, no error)
+        val df = Option(colList).map { cl =>
+          val names = cl.split(",").map(_.trim.toLowerCase).filter(_.nonEmpty)
+          val full = df0.columns.zipWithIndex.map { case (c, i) =>
+            if (i < names.length) names(i) else c.toLowerCase }
+          df0.toDF(full.toSeq: _*)
+        }.getOrElse(df0)
         register(name, df); status()
       case dropViewRe(name) =>
         viewDefs.remove(name.toLowerCase)

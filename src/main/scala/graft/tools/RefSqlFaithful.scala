@@ -95,13 +95,55 @@ object RefSqlFaithful {
   private val methodSig =
     """(?m)^\s{4}(?:(?:public|protected|private|static|final|synchronized)\s+)*(?:void|int|long|boolean|String|double)\s+(\w+)\s*\(([^)]*)\)\s*(?:throws\s+[\w.,\s]+)?\{""".r
 
-  /** Class-level String field initializers (`String userName = "sa1";`) —
-    * seeds the interpreter's variable table. Literal-only rhs. */
-  private val fieldInit =
-    """(?m)^\s{4}(?:(?:public|protected|private|static|final)\s+)*String\s+(\w+)\s*=\s*"((?:[^"\\]|\\.)*)"\s*;""".r
+  /** Class-level String field initializers — seeds the interpreter's
+    * variable table. Handles both the single-literal form
+    * (`String userName = "sa1";`) and multi-line literal CONCAT chains
+    * (AggregateFunctionTest's `String select = "SELECT …" + " avg(f3), " +
+    * …;` — the r7 harness left it unresolved, turning all 66 of that
+    * file's sink calls into skips). Only all-literal chains resolve. */
+  private val fieldDecl =
+    """(?m)^\s{4}(?:(?:public|protected|private|static|final)\s+)*String\s+(\w+)\s*=""".r
 
-  private def parseFields(s: String): Map[String, String] =
-    fieldInit.findAllMatchIn(s).map(m => m.group(1) -> m.group(2)).toMap
+  private def parseFields(s: String): Map[String, String] = {
+    val out = Map.newBuilder[String, String]
+    fieldDecl.findAllMatchIn(s).foreach { m =>
+      // scan the rhs to its statement-ending ';' (literal-aware)
+      var i = m.end
+      var inStr = false
+      while (i < s.length && (inStr || s.charAt(i) != ';')) {
+        val c = s.charAt(i)
+        if (inStr) { if (c == '\\') i += 1 else if (c == '"') inStr = false }
+        else if (c == '"') inStr = true
+        i += 1
+      }
+      if (i < s.length) {
+        val rhs = s.substring(m.end, i).trim
+        // all-literal `+` chain → join; anything else stays unresolved
+        val parts = {
+          val b = mutable.ArrayBuffer.empty[String]
+          var depth = 0; var str = false; var last = 0; var j = 0
+          while (j < rhs.length) {
+            val c = rhs.charAt(j)
+            if (str) { if (c == '\\') j += 1 else if (c == '"') str = false }
+            else if (c == '"') str = true
+            else if (c == '(') depth += 1
+            else if (c == ')') depth -= 1
+            else if (c == '+' && depth == 0) { b += rhs.substring(last, j); last = j + 1 }
+            j += 1
+          }
+          b += rhs.substring(last)
+          b.toSeq.map(_.trim)
+        }
+        if (parts.nonEmpty && parts.forall(p =>
+            p.length >= 2 && p.head == '"' && p.last == '"'))
+          out += m.group(1) -> parts.map(p =>
+            p.substring(1, p.length - 1)
+              .replace("\\n", "\n").replace("\\t", "\t").replace("\\\"", "\"")
+              .replace("\\\\", "\\")).mkString
+      }
+    }
+    out.result()
+  }
 
   /** Top-level (4-space-indented) method declarations with body spans. */
   private def parseMethods(s: String): Seq[Method] =
@@ -392,7 +434,10 @@ object RefSqlFaithful {
               while (k >= 0 && (stmt.charAt(k).isLetterOrDigit || stmt.charAt(k) == '_')) k -= 1
               stmt.substring(k + 1, at - 1)
             }
-            recv == "stmt" || recv == "this"
+            // `stmt.`/`statement.`/`this.` — JDBC Statement fields in the
+            // reference tests (TransactionTest's inner class names its
+            // field `statement`)
+            recv == "stmt" || recv == "statement" || recv == "this"
           } else true
         }
         if (okBefore) return at
@@ -522,32 +567,40 @@ object RefSqlFaithful {
       .toSeq.sortBy(_.toString)
 
     val results = Vector.newBuilder[FileResult]
-    files.foreach { p =>
-      val (actions, approxSkips) = actionsOf(p)
-      if (actions.nonEmpty) {
-        val en = new graft.sqlfront.Engine(spark)
-        var ok, fail = 0
-        var skip = approxSkips
-        val failLines = Vector.newBuilder[String]
-        actions.foreach { a =>
-          if (hasParamMarker(a.text) || a.text.contains("org.lealone")) skip += 1
+    files.foreach { p => runFile(p, spark).foreach(results += _) }
+    results.result()
+  }
+
+  /** Replay ONE file's live call tree against a fresh engine — the unit
+    * [[run]] iterates, also reused by [[RefSqlCensus]] for files whose
+    * declaration-order replay is a known ordering artifact. None when the
+    * file yields no actions. */
+  def runFile(p: Path,
+      spark: org.apache.spark.sql.SparkSession): Option[FileResult] = {
+    val (actions, approxSkips) = actionsOf(p)
+    if (actions.isEmpty) None
+    else {
+      val en = new graft.sqlfront.Engine(spark)
+      var ok, fail = 0
+      var skip = approxSkips
+      val failLines = Vector.newBuilder[String]
+      actions.foreach { a =>
+        if (hasParamMarker(a.text) || a.text.contains("org.lealone")) skip += 1
+        else {
+          val threw =
+            try { en.sql(a.text).collect(); false }
+            catch { case _: Throwable => true }
+          if (a.tolerant || threw == a.negative) ok += 1
           else {
-            val threw =
-              try { en.sql(a.text).collect(); false }
-              catch { case _: Throwable => true }
-            if (a.tolerant || threw == a.negative) ok += 1
-            else {
-              fail += 1
-              val tag = if (a.negative) "EXPECTED-ERROR-but-succeeded" else "threw"
-              failLines += f"${p.getFileName}%-36s $tag: ${a.text.replaceAll("\\s+", " ").take(110)}"
-            }
+            fail += 1
+            val tag = if (a.negative) "EXPECTED-ERROR-but-succeeded" else "threw"
+            failLines += f"${p.getFileName}%-36s $tag: ${a.text.replaceAll("\\s+", " ").take(110)}"
           }
         }
-        results += FileResult(p.getFileName.toString, ok, skip, fail,
-          failLines.result())
       }
+      Some(FileResult(p.getFileName.toString, ok, skip, fail,
+        failLines.result()))
     }
-    results.result()
   }
 
   private def hasParamMarker(sql: String): Boolean = {

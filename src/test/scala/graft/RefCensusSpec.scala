@@ -7,10 +7,27 @@ import graft.tools.RefSqlCensus
 /** Regression gate over the bulk parity census (tools/RefSqlCensus): every
   * SQL string literal in the reference's sql/db/misc test packages replays
   * through the front door, with try/fail negative tests inverting the
-  * expectation. The floors pin the triaged state (696 ok / 88 fail,
-  * NOTES_r11 "Bulk parity census") so a front-door regression that breaks
-  * reference statements in bulk fails CI even if no curated probe covers
-  * the exact statement. Cancels when the reference tree is not on disk. */
+  * expectation on the statement adjacent to fail(). Order-artifact files
+  * (setup methods declared after their use sites) replay in live
+  * call-tree order via the faithful interpreter. The floors pin the
+  * triaged state — 636 ok / 5 fail at 99.2% (r8, was 696/88 at 88.8%
+  * before the live-order delegation) — so a front-door regression that
+  * breaks reference statements in bulk fails CI even if no curated probe
+  * covers the exact statement.
+  *
+  * The five allowed failures, each triaged as not-a-gap:
+  *  1. SequenceTest DROP SEQUENCE: needs the setBelongsToTable(false)
+  *     Java-API call mid-test (same allowance as RefFaithfulSpec's one).
+  *  2. ViewTest `select f1, f2 from (select id,name …)`: DEAD statement
+  *     (assigned, never executed) whose own source comment says it errors
+  *     in the reference too ("f1,f2找不到") — our throw IS parity.
+  *  3-4. ViewTest `select * from my_view2 …` ×2: dead statements; the
+  *     only my_view2 CREATE is `?`-parameterized (skip class), so the
+  *     view cannot exist on any replay, ours or the reference's.
+  *  5. SystemFunctionTest DECODE: dead statement carrying a source TYPO
+  *     (`0,/'v2'`) that no SQL parser accepts — the reference would throw
+  *     had it ever executed it.
+  * Cancels when the reference tree is not on disk. */
 class RefCensusSpec extends SparkSpec {
 
   test("reference test-tree census holds its parity floor") {
@@ -19,8 +36,8 @@ class RefCensusSpec extends SparkSpec {
     val rs = RefSqlCensus.run(root, spark)
     val ok = rs.map(_.ok).sum
     val fail = rs.map(_.fail).sum
-    assert(ok >= 690, s"census ok=$ok dropped below the recorded 696")
-    assert(fail <= 95, s"census fail=$fail above the triaged 88")
+    assert(ok >= 630, s"census ok=$ok dropped below the recorded 636")
+    assert(fail <= 5, s"census fail=$fail above the triaged 5")
     // fully-green files stay fully green — these are the ones whose every
     // executable statement (positive AND negative) matches the reference
     val green = Set(
@@ -29,7 +46,12 @@ class RefCensusSpec extends SparkSpec {
       "UpdateTest.java", "SubqueryTest.java", "AggregateFunctionTest.java",
       "UniqueIndexTest.java", "TruncateTableTest.java",
       "PreparedStatementTest.java", "TriggerObjectTest.java",
-      "ConstantTest.java", "TransactionalDDLTest.java")
+      "ConstantTest.java", "TransactionalDDLTest.java",
+      // live-order delegated files (r8): fully green under the faithful
+      // interpreter's ordering
+      "TableTest.java", "AlterTableAlterColumnTest.java",
+      "TransactionTest.java", "NumericFunctionTest.java",
+      "StringFunctionTest.java")
     val regressed = rs.filter(r => green(r.file) && r.fail > 0)
     assert(regressed.isEmpty, regressed.map(r =>
       s"${r.file}: ${r.failLines.take(3).mkString(" | ")}").mkString("\n"))

@@ -108,6 +108,16 @@ class RefDmlProbe extends SparkSpec {
     assert(e.sql("SELECT * FROM my_view").columns.toSeq == Seq("f1", "f2"))
     // reference asserts 4 (ViewTest.java:86): ids 2,2,3,3
     assert(e.sql("SELECT count(*) FROM my_view where f1>=2").head().getLong(0) == 4)
+    // column-list/select COUNT MISMATCH is tolerated, positionally
+    // (ViewTest.java:109-121 documents both directions): fewer list names
+    // → extra select columns keep their own names…
+    e.sql("CREATE OR REPLACE FORCE VIEW my_view COMMENT IS 'my view'(f1) " +
+      "AS SELECT id,name FROM ViewTest")
+    assert(e.sql("SELECT * FROM my_view").columns.toSeq == Seq("f1", "name"))
+    // …more list names → the surplus is silently ignored, no error
+    e.sql("CREATE OR REPLACE VIEW my_view COMMENT IS 'my view'(f1, f2) " +
+      "AS SELECT id FROM ViewTest")
+    assert(e.sql("SELECT * FROM my_view").columns.toSeq == Seq("f1"))
   }
 
   test("SequenceTest: full option list, dotted NEXTVAL/CURRVAL, ALTER, drop guard (SequenceTest.java:35-80)") {

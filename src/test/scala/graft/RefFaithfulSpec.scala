@@ -10,8 +10,10 @@ import graft.tools.{RefSqlCensus, RefSqlFaithful}
   * blocks — replays through the front door in JUnit order. Complements
   * RefCensusSpec (bulk string-literal census): the census measures grammar
   * coverage; this measures "a reference user running this exact test flow
-  * sees identical behavior". Floors pin the triaged state (555 ok / 1 fail,
-  * NOTES_r11): the single allowed failure is SequenceTest's
+  * sees identical behavior". Floors pin the triaged state (561 ok /
+  * 29 skip / 1 fail as of r8 — class-field literal-concat resolution
+  * closed AggregateFunctionTest's 66 skips): the single allowed failure
+  * is SequenceTest's
   * setBelongsToTable(false) Java-API call, which flips engine state
   * mid-test in a way no SQL replay can reproduce — our engine throws on
   * the subsequent DROP exactly as the reference would without that call.
@@ -23,8 +25,12 @@ class RefFaithfulSpec extends SparkSpec {
     assume(Files.isDirectory(root), "reference test tree not on disk")
     val rs = RefSqlFaithful.run(root, spark)
     val ok = rs.map(_.ok).sum
+    val skips = rs.map(_.skip).sum
     val fails = rs.filter(_.fail > 0)
-    assert(ok >= 550, s"faithful ok=$ok dropped below the recorded 555")
+    assert(ok >= 558, s"faithful ok=$ok dropped below the recorded 561")
+    // skips are statements we never execute — a resolver regression that
+    // silently demotes live statements to skips must fail here, not hide
+    assert(skips <= 35, s"faithful skip=$skips above the recorded 29")
     assert(fails.map(_.fail).sum <= 1 &&
         fails.forall(_.file == "SequenceTest.java"),
       "new faithful-replay failures:\n" + fails.flatMap(_.failLines)
