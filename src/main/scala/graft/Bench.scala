@@ -58,7 +58,9 @@ object Bench {
     "t19_freq_spectrum",         // pipeline: Zipf frequency spectrum
     "t20_kmv_distinct",          // pipeline: KMV distinct-count sketch
     "s07_ann_pq",                // pipeline: PQ-ADC compressed-domain ANN
-    "s08_ann_ivfpq")             // pipeline: IVF-PQ cell-pruned ANN
+    "s08_ann_ivfpq",             // pipeline: IVF-PQ cell-pruned ANN
+    "t23_boolean_search",        // retrieval: boolean AND over inverted terms
+    "t24_bm25_topk")             // retrieval: BM25 bounded-heap top-k
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

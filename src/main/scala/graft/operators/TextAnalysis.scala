@@ -542,6 +542,123 @@ object TextAnalysis {
       .orderBy(col("freq").desc, col("token"))
       .limit(k)
 
+  /** Boolean AND retrieval over an implicit inverted index: for each
+    * (query_id, terms) query, every document containing ALL the query's
+    * terms, with the matched-term count. The training-data shape:
+    * "find every doc mentioning X and Y" over a TB corpus without
+    * building a serving index.
+    *
+    * Plan (100 TB shape): the term universe is a LITERAL IN-filter at the
+    * scan (only matching tokens survive the explode), the query table is
+    * a broadcast literal, and the single shuffle is the (query, doc)
+    * groupBy — corpus-linear, no index materialization, no pairwise
+    * anything. Integer-exact end to end. */
+  def booleanSearch(df: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(Int, Seq[String])]): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "every query needs at least one term")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val universe = queries.flatMap(_._2).distinct
+    val qterms = queries.flatMap { case (q, ts) => ts.distinct.map((q, _)) }
+      .toDF("query_id", "__t")
+    val qsizes = queries.map { case (q, ts) => (q, ts.distinct.size.toLong) }
+      .toDF("query_id", "__m")
+    df.select(col(idCol).as("doc_id"),
+        explode(array_distinct(tokens(col(textCol)))).as("__t"))
+      .filter(col("__t").isin(universe: _*))
+      .join(broadcast(qterms), Seq("__t"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms")) // distinct per doc by construction
+      .join(broadcast(qsizes), Seq("query_id"))
+      .filter(col("n_terms") === col("__m")) // AND semantics: all terms hit
+      .select(col("query_id"), col("doc_id"), col("n_terms"))
+  }
+
+  /** BM25 top-k retrieval (Robertson/Spärck Jones; the standard lexical
+    * ranking function) for a bounded literal query set over the corpus.
+    *
+    * EAGER: construction runs one bounded Spark job — the per-term
+    * document frequencies (≤ |term universe| rows) and the corpus size
+    * materialize up front so each term's IDF embeds as a LITERAL in the
+    * plan (the same materialize-then-embed shape as the Bloom
+    * decontaminator; it also keeps `ln` out of the distributed plan, so
+    * an oracle can replay the exact same IDF doubles).
+    *
+    * Determinism contract (what makes this hash-verifiable cross-engine):
+    * every floating-point step is either IEEE-identical given identical
+    * inputs (+,*,/ on doubles, integer-exact tf/dl/N) or a driver-side
+    * constant (the IDF literals); the per-query score folds the per-term
+    * contributions in SORTED TERM ORDER (sort_array before the fold), so
+    * float addition order is fixed — a bare SUM would hash-diverge at ulp
+    * scale across engines.
+    *
+    * Plan (100 TB shape): term-universe IN-filter at the scan, one
+    * (doc, term) tf aggregation, broadcast literal query table, one
+    * (query, doc) score aggregation, then bounded-heap top-k per query
+    * ([[graft.plans.TopKPerKey]] — never a full per-query sort).
+    * Output: (query_id, doc_id, score, rank), rank 1-based best-first,
+    * ties broken by doc_id. */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(Int, Seq[String])], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val universe = queries.flatMap(_._2).distinct.sorted
+    val base = df.select(col(idCol).as("doc_id"),
+        tokens(col(textCol)).as("__toks"))
+      .withColumn("__dl", size(col("__toks")).cast("long"))
+    // integer-exact corpus stats; avgdl divides as double (IEEE-identical)
+    val stats = base.agg(sum(col("__dl")).as("__sumdl"),
+      count(lit(1)).as("__n"))
+    val tf = base
+      .select(col("doc_id"), col("__dl"), explode(col("__toks")).as("__t"))
+      .filter(col("__t").isin(universe: _*))
+      .groupBy(col("doc_id"), col("__t"))
+      .agg(count(lit(1)).as("__tf"), max(col("__dl")).as("__dl"))
+    val (idf, _, _) = bm25Idf(df, textCol, universe)
+    val avgdl = col("__sumdl").cast("double") / col("__n").cast("double")
+    val contrib = tf.crossJoin(broadcast(stats))
+      .withColumn("__c",
+        element_at(typedLit(idf), col("__t")) *
+          (col("__tf").cast("double") * lit(k1 + 1.0)) /
+          (col("__tf").cast("double") +
+            lit(k1) * (lit(1.0) - lit(b) +
+              lit(b) * (col("__dl").cast("double") / avgdl))))
+      .select(col("doc_id"), col("__t"), col("__c"))
+    val qterms = queries.flatMap { case (q, ts) => ts.distinct.map((q, _)) }
+      .toDF("query_id", "__t")
+    val scored = contrib.join(broadcast(qterms), Seq("__t"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(aggregate(
+        transform(
+          sort_array(collect_list(struct(col("__t").as("t"), col("__c").as("c")))),
+          x => x("c")),
+        lit(0.0), (acc, x) => acc + x).as("score"))
+    graft.plans.TopKPerKey(scored, Seq("query_id"),
+      Seq(("score", true), ("doc_id", false)), k)
+  }
+
+  /** The BM25 IDF table for a term universe: one bounded job computing
+    * (N, df per term), folded to idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))
+    * in the DRIVER — ≤ |universe| values, embedded as plan literals by
+    * [[bm25TopK]] and replayed verbatim by its oracle generator. Returns
+    * (idf map, N, df map). */
+  def bm25Idf(df: DataFrame, textCol: String,
+      universe: Seq[String]): (Map[String, Double], Long, Map[String, Long]) = {
+    val n = df.count()
+    val dfCounts = df
+      .select(explode(array_distinct(tokens(col(textCol)))).as("__t"))
+      .filter(col("__t").isin(universe: _*))
+      .groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val idf = universe.map { t =>
+      val d = dfCounts.getOrElse(t, 0L).toDouble
+      t -> math.log((n - d + 0.5) / (d + 0.5) + 1.0)
+    }.toMap
+    (idf, n, dfCounts)
+  }
+
   /** Token frequency-of-frequency spectrum (the Zipf/Good-Turing corpus
     * profile: how many distinct tokens occur exactly f times, and how much
     * token mass that bin carries). The classic corpus-health readout —

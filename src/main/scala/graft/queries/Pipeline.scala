@@ -15,6 +15,21 @@ object Pipeline {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
 
+  /** Literal query set shared by t23 (boolean AND) and t24 (BM25): terms
+    * drawn from the synthetic corpus vocabulary, plus one zero-df term
+    * ("quantum") so the missing-term paths are exercised under the hash. */
+  private val searchQueries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("join", "hash"),
+    2 -> Seq("window", "stream", "sort"),
+    3 -> Seq("customer", "query"),
+    4 -> Seq("vector", "batch"),
+    5 -> Seq("spark", "slow", "merge"),
+    6 -> Seq("join", "quantum"))
+
+  /** The same query set as a SQL VALUES list for the DuckDB twins. */
+  private val searchQueryValues: String = searchQueries
+    .flatMap { case (q, ts) => ts.map(tm => s"($q,'$tm')") }.mkString(",")
+
   /** DuckDB twin of [[TextAnalysis.fingerprint]] (winnowing, k=8, w=4),
     * generated so the u64 arithmetic cannot drift from the Scala kernel
     * (TextHashKernels.winnowFingerprint). DuckDB has no wrapping 64-bit
@@ -2073,6 +2088,94 @@ object Pipeline {
                len(list_intersect(g.grams, bench.bg)) > 0 AS contaminated
         FROM g, bench
         WHERE g.doc_id % 7 <> 0""")),
+
+    // ---- Boolean AND retrieval (t23): every doc containing ALL of a
+    // query's terms, over an implicit inverted index — term-universe
+    // IN-filter at the scan, broadcast literal query table, one (query,
+    // doc) groupBy. Integer-exact. Query 6 carries a zero-df term
+    // ("quantum"), so its AND result is EMPTY by construction — the
+    // missing-term path is what the hash verifies there.
+    Q("t23_boolean_search",
+      (s, dir) => TextAnalysis.booleanSearch(
+        t(s, dir, "documents"), "doc_id", "text", searchQueries),
+      Some(s"""
+        WITH tok AS (
+          SELECT doc_id, unnest(list_distinct(list_filter(string_split(
+            trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), ' '),
+            x -> len(x) > 0))) AS t
+          FROM documents),
+        q(query_id, t) AS (VALUES $searchQueryValues),
+        qn AS (SELECT query_id, COUNT(*) AS m FROM q GROUP BY query_id),
+        hits AS (
+          SELECT q.query_id, tok.doc_id, COUNT(*) AS n_terms
+          FROM tok JOIN q USING (t)
+          GROUP BY q.query_id, tok.doc_id)
+        SELECT hits.query_id, hits.doc_id, hits.n_terms
+        FROM hits JOIN qn USING (query_id)
+        WHERE hits.n_terms = qn.m""")),
+
+    // ---- BM25 top-k retrieval (t24): the standard lexical ranker over
+    // the corpus for a literal query set, top-10 per query through the
+    // bounded-heap TopKPerKey operator (never a full per-query sort). The
+    // IDF table materializes driver-side (≤ |universe| values) and embeds
+    // as literals in BOTH plans — ln never runs inside either engine's
+    // distributed plan — and the per-query score folds contributions in
+    // sorted term order, so every float op is order-fixed and the DOUBLE
+    // scores hash-verify bit-for-bit (see bm25TopK's determinism
+    // contract). oracleGen recomputes the same IDF doubles at verify time.
+    Q("t24_bm25_topk",
+      (s, dir) => TextAnalysis.bm25TopK(
+        t(s, dir, "documents"), "doc_id", "text", searchQueries, k = 10),
+      None,
+      oracleGen = Some((s, dir) => {
+        val universe = searchQueries.flatMap(_._2).distinct.sorted
+        val (idf, _, _) = TextAnalysis.bm25Idf(
+          t(s, dir, "documents"), "text", universe)
+        // STRING-cast, not a bare decimal literal: DuckDB parses a decimal
+        // literal as DECIMAL first and its DECIMAL→DOUBLE conversion
+        // double-rounds (measured: CAST(0.18712348678936194 AS DOUBLE) is
+        // 1 ulp off strtod of the same digits) — the string form parses
+        // straight to the intended double
+        def d(x: Double) = s"CAST('$x' AS DOUBLE)"
+        val idfCase = universe.map(tm => s"WHEN '$tm' THEN ${d(idf(tm))}")
+          .mkString("CASE t ", " ", s" ELSE ${d(0.0)} END")
+        val inList = universe.map(tm => s"'$tm'").mkString(",")
+        s"""
+        WITH dls AS (
+          SELECT doc_id, toks, len(toks) AS dl
+          FROM (SELECT doc_id, list_filter(string_split(
+                  trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), ' '),
+                  x -> len(x) > 0) AS toks
+                FROM documents)),
+        stats AS (
+          SELECT CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+          FROM dls),
+        tf AS (
+          SELECT doc_id, t, COUNT(*) AS tf, MAX(dl) AS dl
+          FROM (SELECT doc_id, unnest(toks) AS t, dl FROM dls)
+          WHERE t IN ($inList)
+          GROUP BY doc_id, t),
+        contrib AS (
+          SELECT doc_id, t,
+            ($idfCase) * (CAST(tf AS DOUBLE) * ${d(1.2 + 1.0)}) /
+            (CAST(tf AS DOUBLE) + ${d(1.2)} * (${d(1.0)} - ${d(0.75)} +
+              ${d(0.75)} * (CAST(dl AS DOUBLE) / stats.avgdl))) AS c
+          FROM tf, stats),
+        q(query_id, t) AS (VALUES $searchQueryValues),
+        scored AS (
+          SELECT query_id, doc_id,
+            list_reduce(
+              list_transform(list_sort(list(struct_pack(t := t, c := c))),
+                x -> x.c),
+              (a, x) -> a + x) AS score
+          FROM contrib JOIN q USING (t)
+          GROUP BY query_id, doc_id)
+        SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+          FROM scored)
+        WHERE rank <= 10"""
+      })),
 
     // ---- Corpus trigram LM quality score (the CCNet/KenLM shape reduced
     // to exact integers): char-trigram corpus model, then per-doc mean +

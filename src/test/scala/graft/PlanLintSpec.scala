@@ -36,7 +36,9 @@ class PlanLintSpec extends SparkSpec {
     "t13_tfidf_topk" ->
       "corpus N attach: single-row countDistinct broadcast as a constant (TextAnalysis.tfidfTopTerms)",
     "u07_temperature_rebalance" ->
-      "budget total attach: per-stratum counts × single-row weight total, both constant-size (Sampling)"
+      "budget total attach: per-stratum counts × single-row weight total, both constant-size (Sampling)",
+    "t24_bm25_topk" ->
+      "corpus-stats attach: single-row (sum dl, N) aggregate broadcast as the avgdl constant (TextAnalysis.bm25TopK)"
   )
 
   test("no query plans a CartesianProduct or BroadcastNestedLoopJoin " +
@@ -73,7 +75,7 @@ class PlanLintSpec extends SparkSpec {
     "operators/Sampling.scala" -> 1, // per-partition Long count array (size = #partitions)
     "operators/Dedup.scala" -> 3, // longestRepeat per-round length menu (bounded by levels x lengths); head(): longestRepeat 1-row max-count agg + bloomBitsOf's 1-row fixed-size sketch (the materialize-then-embed shape of df.stat.bloomFilter)
     "operators/Dml.scala" -> 1, // per-partition count array for ROWNUM/LIMIT semantics
-    "operators/TextAnalysis.scala" -> 1, // BPE top-m driver argmax (bounded by merge batch)
+    "operators/TextAnalysis.scala" -> 2, // BPE top-m driver argmax (bounded by merge batch); bm25Idf's per-term df collect (bounded by the literal term universe — the IDF table embeds as plan literals, materialize-then-embed like bloomBitsOf)
     "dsl/Model.scala" -> 2, // findList/findOne: the DSL's intentional executors (reference Model.java parity)
     "sqlfront/Engine.scala" -> 1, // SET @v = (scalar expr): 1-row eval, reference Variable.java parity
     "sqlfront/EngineDdl.scala" -> 1, // 1-row max(_rowid_) agg for identity backfill
@@ -246,6 +248,10 @@ class PlanLintSpec extends SparkSpec {
     // the gram scan; the two shuffles are the same confirm-join groupBy +
     // zero-restore join t06 has (bloom build runs as its own tiny job)
     "t22_decontaminate_bloom" -> 2,
+    "t23_boolean_search" -> 1,
+    // t24: tf groupBy, stats 1-row agg, score groupBy, TopKPerKey's
+    // query_id clustering — all keyed or single-row, none corpus-pairwise
+    "t24_bm25_topk" -> 4,
     "t07_pii_redact" -> 0,
     "t08_vocab_topk" -> 2,
     "t09_blocklist_filter" -> 0,

@@ -582,6 +582,52 @@ class TextAnalysisSpec extends SparkSpec {
     assert(again("big") == out("big")._3)
   }
 
+  test("booleanSearch: AND semantics, repeated tokens count once, " +
+      "zero-df term empties the query") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha"), // repeated alpha: distinct per doc
+      (2L, "alpha delta"),
+      (3L, "beta gamma"),
+      (4L, "alpha beta")).toDF("doc_id", "text")
+    val out = TextAnalysis.booleanSearch(docs, "doc_id", "text", Seq(
+        10 -> Seq("alpha", "beta"),
+        11 -> Seq("gamma"),
+        12 -> Seq("alpha", "nosuchterm")))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set(
+      (10, 1L, 2L), (10, 4L, 2L), // docs with BOTH alpha and beta
+      (11, 1L, 1L), (11, 3L, 1L))) // zero-df term → query 12 empty
+  }
+
+  test("bm25TopK: ranks by the textbook formula, rank contract, " +
+      "missing term contributes nothing") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // doc 1: high tf of 'rare'; doc 2: one hit in a LONG doc (length
+    // normalization demotes it); doc 3: common term only
+    val docs = Seq(
+      (1L, "rare rare rare pad"),
+      (2L, "rare " + Seq.fill(40)("pad").mkString(" ")),
+      (3L, "common pad pad pad")).toDF("doc_id", "text")
+    val qs = Seq(1 -> Seq("rare", "ghost")) // ghost: df=0, no contribution
+    val out = TextAnalysis.bm25TopK(docs, "doc_id", "text", qs, k = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3)))
+      .sortBy(_._4)
+    assert(out.map(_._2).toSeq == Seq(1L, 2L)) // only docs containing 'rare'
+    assert(out.map(_._4).toSeq == Seq(1, 2))   // 1-based dense ranks
+    // textbook recomputation (same fixed-order ops) matches exactly
+    val n = 3.0
+    val avgdl = (4.0 + 41.0 + 4.0) / 3.0
+    val idf = math.log((n - 2.0 + 0.5) / (2.0 + 0.5) + 1.0)
+    def s(tf: Double, dl: Double) =
+      idf * (tf * 2.2000000000000002) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl / avgdl)))
+    assert(out.find(_._2 == 1L).get._3 == s(3.0, 4.0))
+    assert(out.find(_._2 == 2L).get._3 == s(1.0, 41.0))
+  }
+
   test("domainMix: literal quotas, under-populated strata cap, " +
       "unmapped strata excluded, subset-stable") {
     import spark.implicits._
