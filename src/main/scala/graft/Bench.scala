@@ -60,7 +60,9 @@ object Bench {
     "s07_ann_pq",                // pipeline: PQ-ADC compressed-domain ANN
     "s08_ann_ivfpq",             // pipeline: IVF-PQ cell-pruned ANN
     "t23_boolean_search",        // retrieval: boolean AND over inverted terms
-    "t24_bm25_topk")             // retrieval: BM25 bounded-heap top-k
+    "t24_bm25_topk",             // retrieval: BM25 bounded-heap top-k
+    "t25_phrase_search",         // retrieval: positional phrase match
+    "t26_ngram_lm_counts")       // LM training: KN n-gram count table
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

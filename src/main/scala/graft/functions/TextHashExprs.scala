@@ -113,6 +113,30 @@ object TextHashKernels {
     new GenericArrayData(out.toArray[AnyRef].asInstanceOf[Array[Any]])
   }
 
+  /** All overlapping n-word grams of normalized (single-spaced, trimmed)
+    * text, space-joined, in order — one scan over word boundaries, one
+    * substring per gram. Fewer than n words → empty. The codegen
+    * replacement for the interpreted transform(sequence, slice, concat_ws)
+    * lambda chain (measured 4+ s of the t26 explode at sf0.1). */
+  def wordNgrams(input: UTF8String, n: Int): ArrayData = {
+    val s = input.toString
+    if (s.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val starts = new scala.collection.mutable.ArrayBuffer[Int](64)
+    starts += 0
+    var i = 0
+    while (i < s.length) { if (s.charAt(i) == ' ') starts += i + 1; i += 1 }
+    val w = starts.length
+    if (w < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](w - n + 1)
+    var j = 0
+    while (j + n <= w) {
+      val end = if (j + n == w) s.length else starts(j + n) - 1
+      out(j) = UTF8String.fromString(s.substring(starts(j), end))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** All overlapping k-char substrings, in order (char-gram stream for the
     * trigram LM quality operator). Like the sibling kernels this indexes
     * UTF-16 code units (astral-plane chars count as two); identical to
@@ -323,6 +347,24 @@ case class MinHashSig(child: Expression, numHashes: Int, seed: Long)
   * every run of `w` words, as the exact substring between word boundaries
   * — equal to concat_ws(" ", slice(tokens, i, w)) but one scan of the
   * string instead of a token array + interpreted per-segment lambdas. */
+/** Overlapping space-joined n-word grams of normalized text, in order. */
+case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashKernels.wordNgrams(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashKernels.wordNgrams($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+}
+
 case class WordSegments(child: Expression, w: Int) extends UnaryExpression {
 
   override def dataType: DataType =
@@ -422,6 +464,8 @@ object TextHashExprs {
     GraftColumnBridge.column(WinnowFingerprint(GraftColumnBridge.expression(c), k, w))
   def wordSegments(c: Column, w: Int): Column =
     GraftColumnBridge.column(WordSegments(GraftColumnBridge.expression(c), w))
+  def wordNgrams(c: Column, n: Int): Column =
+    GraftColumnBridge.column(WordNgrams(GraftColumnBridge.expression(c), n))
   def charGrams(c: Column, k: Int): Column =
     GraftColumnBridge.column(CharGrams(GraftColumnBridge.expression(c), k))
   def jaccardSorted(a: Column, b: Column): Column =

@@ -639,6 +639,77 @@ object TextAnalysis {
       Seq(("score", true), ("doc_id", false)), k)
   }
 
+  /** Positional phrase search: for each (phrase_id, words) phrase, every
+    * document where the words appear CONSECUTIVELY, with the count of
+    * distinct start positions. The dedup/contamination cousin of
+    * [[booleanSearch]]: "which docs contain this exact boilerplate /
+    * benchmark sentence", position-exact.
+    *
+    * Plan (100 TB shape): ONE positional explode of the corpus filtered
+    * to the phrase-term universe at the scan; each occurrence of phrase
+    * word w_j at position p votes for start p-j via a broadcast literal
+    * (phrase, word, offset) table; a start with all m votes is a match.
+    * One (phrase, doc, start) groupBy + one (phrase, doc) count — never
+    * a positional self-join per phrase word. Integer-exact. */
+  def phraseSearch(df: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[(Int, Seq[String])]): DataFrame = {
+    require(phrases.nonEmpty && phrases.forall(_._2.nonEmpty),
+      "every phrase needs at least one word")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val universe = phrases.flatMap(_._2).distinct
+    // (phrase, word, offset, m): one row per phrase POSITION (a repeated
+    // word carries each of its offsets)
+    val qpos = phrases.flatMap { case (q, ws) =>
+      ws.zipWithIndex.map { case (w, j) => (q, w, j, ws.length) } }
+      .toDF("phrase_id", "__t", "__off", "__m")
+    df.select(col(idCol).as("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("__pos", "__t")))
+      .filter(col("__t").isin(universe: _*))
+      .join(broadcast(qpos), Seq("__t"))
+      .groupBy(col("phrase_id"), col("doc_id"),
+        (col("__pos") - col("__off")).as("__start"), col("__m"))
+      .agg(count(lit(1)).as("__votes")) // offset j votes iff token(start+j)=w_j — once each
+      .filter(col("__votes") === col("__m") && col("__start") >= 0)
+      .groupBy(col("phrase_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"))
+  }
+
+  /** Kneser-Ney-style n-gram LM count table — the integer core of KenLM
+    * (or any interpolated-KN) training: per n-gram, its raw corpus count
+    * and the CONTINUATION statistics of its (n-1)-gram suffix (how many
+    * DISTINCT left contexts precede it — the count KN backs off to,
+    * Kneser & Ney 1995). Top-k by count (ties → lexicographic n-gram) so
+    * the artifact is bounded at any corpus size; integer-exact end to
+    * end.
+    *
+    * Plan (100 TB shape): one positional n-gram explode (list-local) into
+    * ONE (ngram) count groupBy — the persisted count table any KenLM
+    * pipeline writes (materialized once, lineage cut). Because an n-gram
+    * IS its (context, suffix) pair, the continuation stats are a
+    * row-count re-aggregation of that table's suffix column — the raw
+    * gram stream is never aggregated twice and countDistinct never runs.
+    * The suffix join touches only the k TakeOrdered survivors. */
+  def ngramLmCounts(df: DataFrame, textCol: String, n: Int,
+      k: Int): DataFrame = {
+    require(n >= 2, "n-gram order must be >= 2 (the suffix needs a context)")
+    val counts = df.select(explode(graft.functions.TextHashExprs
+        .wordNgrams(normalize(col(textCol)), n)).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("count"))
+      // the (n-1)-gram suffix this n-gram continues
+      .withColumn("suffix", substring_index(col("ngram"), " ", -(n - 1)))
+      .transform(graft.core.Checkpoint.cut) // feeds two branches below
+    // N1+(• suffix), the count KN backs off to: each `counts` row is a
+    // DISTINCT ngram = a distinct (left context, suffix) pair, so distinct
+    // contexts per suffix is a plain row count over the count table
+    val continuation = counts.groupBy(col("suffix"))
+      .agg(count(lit(1)).as("n_contexts"))
+    counts.orderBy(col("count").desc, col("ngram")).limit(k)
+      .join(continuation, Seq("suffix"))
+      .select(col("ngram"), col("count"), col("suffix"), col("n_contexts"))
+      .orderBy(col("count").desc, col("ngram"))
+  }
+
   /** The BM25 IDF table for a term universe: one bounded job computing
     * (N, df per term), folded to idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))
     * in the DRIVER — ≤ |universe| values, embedded as plan literals by

@@ -30,6 +30,22 @@ object Pipeline {
   private val searchQueryValues: String = searchQueries
     .flatMap { case (q, ts) => ts.map(tm => s"($q,'$tm')") }.mkString(",")
 
+  /** Literal phrase set for t25: phrase 2 repeats its word (multi-offset
+    * votes), phrase 4 carries a zero-df word (empty by construction). */
+  private val searchPhrases: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("hash", "value"),
+    2 -> Seq("table", "table"),
+    3 -> Seq("slow", "fast", "table"),
+    4 -> Seq("join", "quantum"))
+
+  /** (phrase, word, offset, length) VALUES rows for the DuckDB twin. */
+  private val searchPhraseValues: String = searchPhrases
+    .flatMap { case (q, ws) => ws.zipWithIndex.map { case (w, j) =>
+      s"($q,'$w',$j,${ws.length})" } }.mkString(",")
+
+  private val searchPhraseTermList: String = searchPhrases
+    .flatMap(_._2).distinct.map(w => s"'$w'").mkString(",")
+
   /** DuckDB twin of [[TextAnalysis.fingerprint]] (winnowing, k=8, w=4),
     * generated so the u64 arithmetic cannot drift from the Scala kernel
     * (TextHashKernels.winnowFingerprint). DuckDB has no wrapping 64-bit
@@ -2176,6 +2192,65 @@ object Pipeline {
           FROM scored)
         WHERE rank <= 10"""
       })),
+
+    // ---- Positional phrase search (t25): docs where the phrase words
+    // appear CONSECUTIVELY, with distinct-start-position counts — the
+    // exact-boilerplate / benchmark-sentence detector. Phrase 2 repeats
+    // its word ("table table") so the multi-offset vote path is what the
+    // hash verifies; phrase 4 carries a zero-df word → empty. Spark
+    // posexplode is 0-based and DuckDB positions are 1-based — both sides
+    // only ever compare votes at aligned starts, so the base cancels.
+    Q("t25_phrase_search",
+      (s, dir) => TextAnalysis.phraseSearch(
+        t(s, dir, "documents"), "doc_id", "text", searchPhrases),
+      Some(s"""
+        WITH dls AS (
+          SELECT doc_id, list_filter(string_split(
+            trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), ' '),
+            x -> len(x) > 0) AS toks
+          FROM documents),
+        occ AS (
+          SELECT doc_id, i AS pos, toks[i] AS t
+          FROM dls, UNNEST(range(1, len(toks)+1)) AS r(i)
+          WHERE toks[i] IN ($searchPhraseTermList)),
+        q(phrase_id, t, off, m) AS (VALUES $searchPhraseValues),
+        votes AS (
+          SELECT q.phrase_id, occ.doc_id, occ.pos - q.off AS start, q.m,
+                 COUNT(*) AS v
+          FROM occ JOIN q USING (t)
+          GROUP BY 1, 2, 3, 4)
+        SELECT phrase_id, doc_id, COUNT(*) AS n_matches
+        FROM votes WHERE v = m AND start >= 1
+        GROUP BY phrase_id, doc_id""")),
+
+    // ---- Kneser-Ney n-gram LM count table (t26): per trigram, its raw
+    // count plus the continuation statistics of its bigram suffix
+    // (distinct left contexts — the count KN backs off to). The integer
+    // core of KenLM-style LM training, bounded by top-k (ties →
+    // lexicographic ngram, a total order).
+    Q("t26_ngram_lm_counts",
+      (s, dir) => TextAnalysis.ngramLmCounts(
+        t(s, dir, "documents"), "text", n = 3, k = 200),
+      Some("""
+        WITH dls AS (
+          SELECT doc_id, list_filter(string_split(
+            trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')), ' '),
+            x -> len(x) > 0) AS toks
+          FROM documents),
+        grams AS (
+          SELECT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS ngram,
+                 toks[i] AS ctx,
+                 toks[i+1] || ' ' || toks[i+2] AS suffix
+          FROM dls, UNNEST(range(1, len(toks) - 1)) AS r(i)
+          WHERE len(toks) >= 3),
+        counts AS (
+          SELECT ngram, suffix, COUNT(*) AS count FROM grams GROUP BY 1, 2),
+        cont AS (
+          SELECT suffix, COUNT(DISTINCT ctx) AS n_contexts
+          FROM grams GROUP BY 1)
+        SELECT ngram, count, suffix, n_contexts
+        FROM counts JOIN cont USING (suffix)
+        ORDER BY count DESC, ngram LIMIT 200""")),
 
     // ---- Corpus trigram LM quality score (the CCNet/KenLM shape reduced
     // to exact integers): char-trigram corpus model, then per-doc mean +

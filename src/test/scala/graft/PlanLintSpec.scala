@@ -252,6 +252,8 @@ class PlanLintSpec extends SparkSpec {
     // t24: tf groupBy, stats 1-row agg, score groupBy, TopKPerKey's
     // query_id clustering — all keyed or single-row, none corpus-pairwise
     "t24_bm25_topk" -> 4,
+    "t25_phrase_search" -> 2, // start-vote groupBy + per-doc match count
+    "t26_ngram_lm_counts" -> 2, // ngram counts (lineage-cut) + suffix re-agg
     "t07_pii_redact" -> 0,
     "t08_vocab_topk" -> 2,
     "t09_blocklist_filter" -> 0,

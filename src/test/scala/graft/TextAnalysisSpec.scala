@@ -628,6 +628,46 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.find(_._2 == 2L).get._3 == s(1.0, 41.0))
   }
 
+  test("phraseSearch: consecutive-only, overlapping repeats, zero-df word") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "a b c a b"),   // "a b" twice; "b a" once (positions 1→2)
+      (2L, "b a c"),       // "a b" never (only reversed)
+      (3L, "x x x")).toDF("doc_id", "text") // overlapping "x x": 2 starts
+    val out = TextAnalysis.phraseSearch(docs, "doc_id", "text", Seq(
+        1 -> Seq("a", "b"),
+        2 -> Seq("x", "x"),
+        3 -> Seq("a", "ghost")))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set(
+      (1, 1L, 2L), // both "a b" occurrences; doc 2's reversed pair absent
+      (2, 3L, 2L))) // overlapping starts count separately; query 3 empty
+  }
+
+  test("ngramLmCounts: counts and suffix continuation stats, top-k order") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // trigram "b c d" appears with two DISTINCT left contexts for its
+    // suffix "c d" (b after a, and b after e) → n_contexts("c d") = 1
+    // (only 'b' precedes "c d"); "a b c" and "e b c": suffix "b c" has
+    // contexts {a, e} → 2
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "e b c d"),
+      (3L, "a b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramLmCounts(docs, "text", n = 3, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3)))
+    // top-k order: count desc, then lexicographic ngram
+    assert(out.map(_._1).toSeq == Seq("a b c", "b c d", "e b c"))
+    assert(out.map(_._2).toSeq == Seq(2L, 2L, 1L))
+    val byNgram = out.map(t => t._1 -> ((t._3, t._4))).toMap
+    assert(byNgram("a b c") == (("b c", 2L))) // contexts of "b c": {a, e}
+    assert(byNgram("b c d") == (("c d", 1L))) // only 'b' precedes "c d"
+    assert(byNgram("e b c") == (("b c", 2L)))
+  }
+
   test("domainMix: literal quotas, under-populated strata cap, " +
       "unmapped strata excluded, subset-stable") {
     import spark.implicits._
