@@ -53,14 +53,24 @@ object Tables {
     * sf0.1). This is the single-node stand-in for the production layout
     * where facts are hash-distributed on the join key at ingest — the
     * 100 TB answer to the li⋈ord shuffle dominating q03's plan audit. */
+  /** The managed-table name [[loadBucketed]] caches under. The SOURCE DIR
+    * is part of the key: one session touching two scale dirs (PlanLintSpec
+    * budgets sf0.001+sf0.01, TimeQ sweeps) must never serve one dir's rows
+    * under the other's name — basename for readability plus a
+    * full-canonical-path hash so two dirs sharing a basename
+    * (/ssd/sf0.1 vs /backup/sf0.1) can't alias either. */
+  def bucketedTableName(dir: String, name: String, keys: Seq[String],
+      buckets: Int): String = {
+    val canon = new java.io.File(dir).getCanonicalFile
+    val dirTag = canon.getName.replaceAll("[^a-zA-Z0-9]", "_") +
+      "_" + java.lang.Integer.toHexString(canon.getPath.hashCode)
+    s"graft_bkt_${dirTag}_${name}_${keys.mkString("_")}_$buckets"
+  }
+
   def loadBucketed(spark: SparkSession, dir: String, name: String,
       keys: Seq[String], buckets: Int = 32): DataFrame = {
     require(keys.nonEmpty, "bucketing needs at least one key column")
-    // the SOURCE DIR is part of the cache key: one session touching two
-    // scale dirs (PlanLintSpec budgets sf0.001+sf0.01, TimeQ sweeps) must
-    // never serve one dir's rows under the other's name
-    val dirTag = new java.io.File(dir).getName.replaceAll("[^a-zA-Z0-9]", "_")
-    val t = s"graft_bkt_${dirTag}_${name}_${keys.mkString("_")}_$buckets"
+    val t = bucketedTableName(dir, name, keys, buckets)
     if (!spark.catalog.tableExists(t)) {
       // the in-memory catalog forgets managed tables across sessions while
       // their warehouse directories persist — purge a stale location first

@@ -749,8 +749,17 @@ object Dedup {
     * absent. Position-family parity with [[bloomPosition]] is pinned in
     * DedupSpec. */
   def bloomMightContain(bits: Array[Long], elemHash: Column, mBits: Int,
-      k: Int = 6): Column =
+      k: Int = 6): Column = {
+    // same guards the k-conjunct Column form inherited from bloomPosition:
+    // a non-pow2 mBits masks into a DIFFERENT position family than the
+    // build side (silent false negatives), k=0 would probe nothing
+    require(mBits >= 64 && (mBits & (mBits - 1)) == 0,
+      "mBits must be a power of two >= 64")
+    require(k >= 1 && k <= 16, "k must be in [1,16]")
+    require(bits.length == mBits >> 6,
+      s"bitset has ${bits.length} words, mBits=$mBits needs ${mBits >> 6}")
     graft.functions.TextHashExprs.bloomProbe(elemHash, bits, mBits, k)
+  }
 
   /** Distributed Bloom build, materialized as the fixed-size sketch it is:
     * the bitset ORs together map-side ([[graft.functions.Aggregators.BloomBits]]

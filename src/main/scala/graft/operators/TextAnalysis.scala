@@ -667,10 +667,13 @@ object TextAnalysis {
         posexplode(tokens(col(textCol))).as(Seq("__pos", "__t")))
       .filter(col("__t").isin(universe: _*))
       .join(broadcast(qpos), Seq("__t"))
+      // negative starts can never complete a phrase — drop those votes
+      // BEFORE the shuffle, not after the aggregation
+      .filter(col("__pos") >= col("__off"))
       .groupBy(col("phrase_id"), col("doc_id"),
         (col("__pos") - col("__off")).as("__start"), col("__m"))
       .agg(count(lit(1)).as("__votes")) // offset j votes iff token(start+j)=w_j — once each
-      .filter(col("__votes") === col("__m") && col("__start") >= 0)
+      .filter(col("__votes") === col("__m"))
       .groupBy(col("phrase_id"), col("doc_id"))
       .agg(count(lit(1)).as("n_matches"))
   }
@@ -717,12 +720,18 @@ object TextAnalysis {
     * (idf map, N, df map). */
   def bm25Idf(df: DataFrame, textCol: String,
       universe: Seq[String]): (Map[String, Double], Long, Map[String, Long]) = {
-    val n = df.count()
-    val dfCounts = df
-      .select(explode(array_distinct(tokens(col(textCol)))).as("__t"))
-      .filter(col("__t").isin(universe: _*))
+    // ONE corpus pass: every doc emits its matching distinct terms plus a
+    // sentinel (it contains a space, which no whitespace-split token can),
+    // so the sentinel's group count IS the corpus size N
+    val sentinel = " N "
+    val rows = df
+      .select(explode(concat(array(lit(sentinel)),
+        array_intersect(array_distinct(tokens(col(textCol))),
+          typedLit(universe)))).as("__t"))
       .groupBy(col("__t")).agg(count(lit(1)).as("__df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = rows(sentinel)
+    val dfCounts = rows - sentinel
     val idf = universe.map { t =>
       val d = dfCounts.getOrElse(t, 0L).toDouble
       t -> math.log((n - d + 0.5) / (d + 0.5) + 1.0)

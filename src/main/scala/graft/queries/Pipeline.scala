@@ -26,9 +26,13 @@ object Pipeline {
     5 -> Seq("spark", "slow", "merge"),
     6 -> Seq("join", "quantum"))
 
-  /** The same query set as a SQL VALUES list for the DuckDB twins. */
+  /** The same query set as a SQL VALUES list for the DuckDB twins —
+    * DISTINCT per query, mirroring the operators' ts.distinct (a repeated
+    * term would otherwise inflate the twin's per-query term count m and
+    * silently diverge the hashes). */
   private val searchQueryValues: String = searchQueries
-    .flatMap { case (q, ts) => ts.map(tm => s"($q,'$tm')") }.mkString(",")
+    .flatMap { case (q, ts) => ts.distinct.map(tm => s"($q,'$tm')") }
+    .mkString(",")
 
   /** Literal phrase set for t25: phrase 2 repeats its word (multi-offset
     * votes), phrase 4 carries a zero-df word (empty by construction). */

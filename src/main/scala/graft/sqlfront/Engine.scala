@@ -216,21 +216,36 @@ final class Engine(val spark: SparkSession)
     val tn = tableName.toLowerCase
     require(tables.contains(tn), s"TABLE_NOT_FOUND: $tableName")
     require(keys.nonEmpty, "bucketing needs at least one key column")
-    val t = s"graft_engine_bkt_${tn}_${keys.mkString("_")}_$buckets"
-    // in-memory catalog forgets managed tables across sessions while their
-    // warehouse directories persist — purge a stale location first (same
-    // discipline as Tables.loadBucketed)
+    // EPOCHED name, never reused: a re-bucket of the same (table, keys)
+    // must WRITE BEFORE DROPPING — the table's current registration may
+    // read from the previous snapshot, so deleting it first (the
+    // loadBucketed purge discipline) would have the write scan its own
+    // just-deleted source. The engine-instance tag keeps two engines
+    // sharing one SparkSession from clobbering each other's snapshots.
+    bucketEpoch += 1
+    val t = s"graft_engine_bkt_${engineTag}_${tn}_" +
+      s"${keys.mkString("_")}_${buckets}_e$bucketEpoch"
+    // stale location from a dead session with the same (random) tag is
+    // practically impossible, but the purge stays cheap and harmless
     val loc = new java.io.File(
       spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
     if (loc.exists()) {
       import scala.reflect.io.Directory
       new Directory(loc).deleteRecursively()
     }
-    spark.sql(s"DROP TABLE IF EXISTS $t")
     table(tn).write.bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*).mode("overwrite").saveAsTable(t)
     register(tn, spark.table(t))
+    // the previous epoch's snapshot (if any) is no longer referenced
+    bucketTables.remove(tn).foreach(old => spark.sql(s"DROP TABLE IF EXISTS $old"))
+    bucketTables(tn) = t
   }
+
+  private val engineTag =
+    java.lang.Long.toHexString(System.nanoTime() ^ System.identityHashCode(this))
+  private var bucketEpoch = 0
+  /** Live bucketed-snapshot table per engine table (previous epochs drop). */
+  private val bucketTables = mutable.Map.empty[String, String]
 
   /** Programmatic insert for the ORM DAO executors (Model.insert) — same
     * path as SQL INSERT: align, identity/sequence fill, constraints. */

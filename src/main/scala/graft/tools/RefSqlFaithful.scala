@@ -136,10 +136,25 @@ object RefSqlFaithful {
         }
         if (parts.nonEmpty && parts.forall(p =>
             p.length >= 2 && p.head == '"' && p.last == '"'))
-          out += m.group(1) -> parts.map(p =>
-            p.substring(1, p.length - 1)
-              .replace("\\n", "\n").replace("\\t", "\t").replace("\\\"", "\"")
-              .replace("\\\\", "\\")).mkString
+          // single left-to-right unescape pass — sequential .replace calls
+          // corrupt an escaped backslash followed by n/t/" (\\n would
+          // become backslash+newline instead of backslash+n)
+          out += m.group(1) -> parts.map { p =>
+            val body = p.substring(1, p.length - 1)
+            val sb = new StringBuilder(body.length)
+            var q = 0
+            while (q < body.length) {
+              val c = body.charAt(q)
+              if (c == '\\' && q + 1 < body.length) {
+                sb.append(body.charAt(q + 1) match {
+                  case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
+                  case other => other
+                })
+                q += 2
+              } else { sb.append(c); q += 1 }
+            }
+            sb.toString
+          }.mkString
       }
     }
     out.result()

@@ -55,8 +55,8 @@ class BucketingSpec extends SparkSpec {
 
   test("Tables.loadBucketed materializes once and joins co-located") {
     import graft.core.Tables
-    spark.sql("DROP TABLE IF EXISTS graft_bkt_sf0_001_lineitem_l_orderkey_8")
-    spark.sql("DROP TABLE IF EXISTS graft_bkt_sf0_001_orders_o_orderkey_8")
+    spark.sql("DROP TABLE IF EXISTS " + Tables.bucketedTableName(sf, "lineitem", Seq("l_orderkey"), 8))
+    spark.sql("DROP TABLE IF EXISTS " + Tables.bucketedTableName(sf, "orders", Seq("o_orderkey"), 8))
     val li = Tables.loadBucketed(spark, sf, "lineitem", Seq("l_orderkey"), 8)
     val ord = Tables.loadBucketed(spark, sf, "orders", Seq("o_orderkey"), 8)
     // second call reuses the managed table (no rewrite): same files listed
@@ -80,8 +80,8 @@ class BucketingSpec extends SparkSpec {
       .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
       .collect().map(_.toString).sorted.toSeq
     assert(joined.collect().map(_.toString).sorted.toSeq == plain)
-    spark.sql("DROP TABLE IF EXISTS graft_bkt_sf0_001_lineitem_l_orderkey_8")
-    spark.sql("DROP TABLE IF EXISTS graft_bkt_sf0_001_orders_o_orderkey_8")
+    spark.sql("DROP TABLE IF EXISTS " + Tables.bucketedTableName(sf, "lineitem", Seq("l_orderkey"), 8))
+    spark.sql("DROP TABLE IF EXISTS " + Tables.bucketedTableName(sf, "orders", Seq("o_orderkey"), 8))
   }
 
   test("q03_bucketed_revenue holds the 3-exchange budget at fact scale") {
@@ -139,6 +139,13 @@ class BucketingSpec extends SparkSpec {
       val p = joined.queryExecution.executedPlan.toString
       assert("Exchange hashpartitioning\\(k".r.findAllIn(p).isEmpty,
         s"indexed-key join should be co-located:\n$p")
+      // RE-bucketing the same (table, key) must write the new snapshot
+      // BEFORE dropping the old one — the current registration reads from
+      // it (regression: the purge-first discipline read a just-deleted
+      // source, failing or silently re-registering the table EMPTY)
+      en.sql("CREATE INDEX bx_fact_k2 ON bx_fact(k)")
+      assert(en.table("bx_fact").count() == 500L,
+        "re-bucket lost rows: snapshot dropped before the rewrite read it")
       // correctness: engine SQL over the bucketed registration still agrees
       val viaSql = en.sql(
         "SELECT SUM(v) FROM bx_fact JOIN bx_dim ON bx_fact.k = bx_dim.k")
