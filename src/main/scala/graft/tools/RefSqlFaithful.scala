@@ -19,8 +19,10 @@ import scala.jdk.CollectionConverters._
   * behave identically?"
   *
   * Interpreter approximations (counted SKIP, never FAIL): unresolvable
-  * string expressions (method calls, arithmetic), local helper calls WITH
-  * arguments, loop bodies run once, catch-block statements don't run.
+  * string expressions (method calls, arithmetic), local helper calls
+  * whose arguments do NOT all resolve (constant-argument calls inline
+  * with the parameters bound as frame locals), loop bodies run once,
+  * catch-block statements don't run.
   */
 object RefSqlFaithful {
 
@@ -89,8 +91,8 @@ object RefSqlFaithful {
     -1
   }
 
-  private final case class Method(name: String, params: Int, bodyStart: Int,
-      bodyEnd: Int, hasTest: Boolean)
+  private final case class Method(name: String, paramNames: Seq[String],
+      bodyStart: Int, bodyEnd: Int, hasTest: Boolean)
 
   private val methodSig =
     """(?m)^\s{4}(?:(?:public|protected|private|static|final|synchronized)\s+)*(?:void|int|long|boolean|String|double)\s+(\w+)\s*\(([^)]*)\)\s*(?:throws\s+[\w.,\s]+)?\{""".r
@@ -169,9 +171,9 @@ object RefSqlFaithful {
       else {
         val pre = s.substring(math.max(0, m.start - 60), m.start)
         val params = m.group(2).trim
-        Some(Method(m.group(1),
-          if (params.isEmpty) 0 else params.count(_ == ',') + 1,
-          brace + 1, close, pre.contains("@Test")))
+        val names = if (params.isEmpty) Seq.empty[String]
+          else params.split(",").toSeq.map(_.trim.split("\\s+").last)
+        Some(Method(m.group(1), names, brace + 1, close, pre.contains("@Test")))
       }
     }.toSeq
 
@@ -319,16 +321,46 @@ object RefSqlFaithful {
     }
 
     private val assignRe = """(?s)^(String\s+)?(\w+)\s*=\s*(.+)$""".r
-    private val callRe = """(?s)^(\w+)\s*\(\s*\)$""".r
+    private val callRe = """(?s)^(\w+)\s*\((.*)\)$""".r
+
+    /** Split an argument list on top-level commas (string/paren-aware). */
+    private def splitArgs(args: String): Seq[String] = {
+      if (args.trim.isEmpty) return Nil
+      val out = mutable.ArrayBuffer.empty[String]
+      var depth = 0; var inStr = false; var last = 0; var i = 0
+      while (i < args.length) {
+        val c = args.charAt(i)
+        if (inStr) { if (c == '\\') i += 1 else if (c == '"') inStr = false }
+        else if (c == '"') inStr = true
+        else if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        else if (c == ',' && depth == 0) { out += args.substring(last, i); last = i + 1 }
+        i += 1
+      }
+      out += args.substring(last)
+      out.toSeq
+    }
 
     private def statement(stmt: String, neg: Boolean, tol: Boolean): Unit =
       stmt match {
-        case callRe(name) if methods.contains(name) =>
+        case callRe(name, argsStr) if methods.contains(name) =>
+          // local helper call — inline its body when every argument
+          // resolves (literal or known variable), binding the parameters
+          // as frame locals (VERDICT r7 directive 7: constant-argument
+          // helpers like UserTest's asserts("sa1") used to be skips)
           val m = methods(name)
-          if (m.params == 0 && !visiting(name)) {
+          val args = splitArgs(argsStr)
+          val resolved = args.map(a => resolve(a.trim))
+          if (!visiting(name) && args.length == m.paramNames.length &&
+              resolved.forall(_.isDefined)) {
             visiting += name
             frameLocals = mutable.Map.empty[String, Option[Option[String]]] ::
               frameLocals
+            m.paramNames.zip(resolved).foreach { case (p, v) =>
+              if (!frameLocals.head.contains(p))
+                frameLocals.head(p) = vars.get(p)
+              vars(p) = v
+            }
             interp(m.bodyStart, m.bodyEnd, neg, tol)
             popFrame()
             visiting -= name
@@ -567,7 +599,7 @@ object RefSqlFaithful {
     val entries0 = methods.filter(_.hasTest)
     val entries =
       if (entries0.nonEmpty) entries0
-      else methods.filter(m => (m.name == "run" || m.name == "test") && m.params == 0)
+      else methods.filter(m => (m.name == "run" || m.name == "test") && m.paramNames.isEmpty)
     val it = new Interp(src, byName, parseFields(src))
     entries.foreach(it.runEntry)
     (it.actions.toSeq, it.skipped)

@@ -271,6 +271,61 @@ object ScaleStress {
     require(p3.getLong(0) > 0 && p3.getLong(1) <= 200000L,
       "p03 budget bound violated")
 
+    // ---- retrieval family (r8 ops) under the same 10x clone corpus.
+    // Boolean/phrase matches must scale exactly 10x (every clone matches
+    // like its base); BM25 clone sets must share bit-identical scores;
+    // n-gram counts scale 10x while continuation counts DON'T move
+    // (clones add no new (context, suffix) pairs).
+    import graft.operators.TextAnalysis
+    val rQueries = Seq(1 -> Seq("join", "hash"), 2 -> Seq("customer", "query"))
+    val rPhrases = Seq(1 -> Seq("hash", "value"), 2 -> Seq("table", "table"))
+    val bool1 = TextAnalysis.booleanSearch(docsFull, "doc_id", "text", rQueries)
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val bool10 = time("boolean-search-50k") {
+      TextAnalysis.booleanSearch(big, "doc_id", "text", rQueries)
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    }
+    println("[stress] boolean 10x=" + bool10 + " 1x=" + bool1)
+    require(bool10 == bool1.map { case (q, n) => q -> n * 10 },
+      "boolean-search matches must scale exactly 10x on a clone corpus")
+    val phr1 = graft.operators.TextAnalysis.phraseSearch(
+        docsFull, "doc_id", "text", rPhrases)
+      .agg(sum(col("n_matches"))).head().getLong(0)
+    val phr10 = time("phrase-search-50k") {
+      TextAnalysis.phraseSearch(big, "doc_id", "text", rPhrases)
+        .agg(sum(col("n_matches"))).head().getLong(0)
+    }
+    println("[stress] phrase 10x=" + phr10 + " 1x=" + phr1)
+    require(phr10 == phr1 * 10, "phrase matches must scale exactly 10x")
+    val bmRows = time("bm25-topk-50k") {
+      TextAnalysis.bm25TopK(big, "doc_id", "text", rQueries, k = 10)
+        .select(col("query_id"), col("doc_id"), col("score")).collect()
+    }
+    // every clone of a doc scores identically → the top-10 is clone sets
+    // with bit-identical scores, never 10 distinct values
+    val perQ = bmRows.groupBy(_.getInt(0))
+    perQ.foreach { case (q, rows) =>
+      val distinctScores = rows.map(_.getDouble(2)).distinct.length
+      val cloneBases = rows.map(_.getLong(1) / 10).distinct.length
+      println(s"[stress] bm25 q$q top-${rows.length}: " +
+        s"$distinctScores distinct scores over $cloneBases base docs")
+      require(distinctScores == cloneBases,
+        "clone scores must be bit-identical within a clone set")
+    }
+    val lm1 = TextAnalysis.ngramLmCounts(docsFull, "text", n = 3, k = 100)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    val lm10 = time("ngram-lm-counts-50k") {
+      TextAnalysis.ngramLmCounts(big, "text", n = 3, k = 100)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    }
+    val lmShared = lm1.keySet.intersect(lm10.keySet)
+    println(s"[stress] ngram-lm shared top rows: ${lmShared.size}")
+    require(lmShared.nonEmpty && lmShared.forall { g =>
+      lm10(g)._1 == lm1(g)._1 * 10 && lm10(g)._2 == lm1(g)._2 },
+      "ngram counts must scale 10x with continuation counts unchanged")
+
     // 10x lineitem (6M rows ≈ SF1): relational headliners, noop sink
     val li = graft.core.Tables.load(spark, dir, "lineitem")
     val bigLi = (0 until 10).map(i =>
