@@ -113,6 +113,23 @@ object TextHashKernels {
     new GenericArrayData(out.toArray[AnyRef].asInstanceOf[Array[Any]])
   }
 
+  /** How many elements of `arr` are present in the SORTED long array
+    * `sorted` — binary search per element, zero allocation. The stateless
+    * decontamination probe: the benchmark gram set rides as one sorted
+    * reference array and each document answers its own shared-gram count
+    * locally (no join, no state). */
+  def countInSorted(arr: ArrayData, sorted: Array[Long]): Long = {
+    var hits = 0L
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (java.util.Arrays.binarySearch(sorted, arr.getLong(i)) >= 0)
+        hits += 1
+      i += 1
+    }
+    hits
+  }
+
   /** All overlapping n-word grams of normalized (single-spaced, trimmed)
     * text, space-joined, in order — one scan over word boundaries, one
     * substring per gram. Fewer than n words → empty. The codegen
@@ -347,6 +364,27 @@ case class MinHashSig(child: Expression, numHashes: Int, seed: Long)
   * every run of `w` words, as the exact substring between word boundaries
   * — equal to concat_ws(" ", slice(tokens, i, w)) but one scan of the
   * string instead of a token array + interpreted per-segment lambdas. */
+/** Count of the child array's elements present in a SORTED reference long
+  * array (rides into generated code as one long[] reference object). */
+case class CountInSorted(child: Expression, sorted: Array[Long])
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "count_in_sorted"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashKernels.countInSorted(input.asInstanceOf[ArrayData], sorted)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sortedSet", sorted, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashKernels.countInSorted($c, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CountInSorted =
+    copy(child = newChild)
+}
+
 /** Overlapping space-joined n-word grams of normalized text, in order. */
 case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
 
@@ -466,6 +504,8 @@ object TextHashExprs {
     GraftColumnBridge.column(WordSegments(GraftColumnBridge.expression(c), w))
   def wordNgrams(c: Column, n: Int): Column =
     GraftColumnBridge.column(WordNgrams(GraftColumnBridge.expression(c), n))
+  def countInSorted(c: Column, sorted: Array[Long]): Column =
+    GraftColumnBridge.column(CountInSorted(GraftColumnBridge.expression(c), sorted))
   def charGrams(c: Column, k: Int): Column =
     GraftColumnBridge.column(CharGrams(GraftColumnBridge.expression(c), k))
   def jaccardSorted(a: Column, b: Column): Column =

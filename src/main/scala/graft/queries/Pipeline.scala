@@ -2071,6 +2071,43 @@ object Pipeline {
         FROM g, bench
         WHERE g.doc_id % 7 <> 0""")),
 
+    // ---- Stateless/streaming decontamination (t27): third member of the
+    // t06 contract family (identical oracle), the STREAM-INGEST shape:
+    // the benchmark's distinct gram hashes ride as ONE sorted long[]
+    // inside a codegen binary-search expression, so every corpus row
+    // answers its own shared-gram count locally — no join, no shuffle, no
+    // state; the operator runs unchanged on a readStream (StreamDedupSpec
+    // proves streaming ≡ batch ≡ the t06 join path).
+    Q("t27_decontaminate_stream",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        graft.streaming.StreamDecontaminate.decontaminateStream(
+          d.filter(col("doc_id") % 7 =!= 0),
+          d.filter(col("doc_id") % 7 === 0),
+          "doc_id", "text", n = 8)
+      },
+      Some("""
+        WITH g AS (
+          SELECT doc_id,
+            CASE WHEN len(toks) < 8 THEN [list_aggregate(toks, 'string_agg', ' ')]
+                 ELSE list_distinct(list_transform(range(1, len(toks)-6),
+                        i -> toks[i] || toks[i+1] || toks[i+2] || toks[i+3] ||
+                             toks[i+4] || toks[i+5] || toks[i+6] || toks[i+7]))
+            END AS grams
+          FROM (SELECT doc_id,
+                  list_filter(string_split(
+                    trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')), ' '),
+                    x -> len(x) > 0) AS toks
+                FROM documents)),
+        bench AS (
+          SELECT list_distinct(flatten(list(grams))) AS bg
+          FROM g WHERE doc_id % 7 = 0)
+        SELECT g.doc_id,
+               CAST(len(list_intersect(g.grams, bench.bg)) AS BIGINT) AS shared_grams,
+               len(list_intersect(g.grams, bench.bg)) > 0 AS contaminated
+        FROM g, bench
+        WHERE g.doc_id % 7 <> 0""")),
+
     // ---- Bloom-prefiltered decontamination (t22): same EXACT contract as
     // t06 (identical oracle — the bloom is a prefilter, never the answer),
     // different 100 TB shape: the benchmark grams fold into one 512 KB

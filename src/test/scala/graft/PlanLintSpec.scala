@@ -79,7 +79,8 @@ class PlanLintSpec extends SparkSpec {
     "dsl/Model.scala" -> 2, // findList/findOne: the DSL's intentional executors (reference Model.java parity)
     "sqlfront/Engine.scala" -> 1, // SET @v = (scalar expr): 1-row eval, reference Variable.java parity
     "sqlfront/EngineDdl.scala" -> 1, // 1-row max(_rowid_) agg for identity backfill
-    "sqlfront/EngineTranslate.scala" -> 1 // @var scalar substitution: 1-row eval
+    "sqlfront/EngineTranslate.scala" -> 1, // @var scalar substitution: 1-row eval
+    "streaming/StreamDecontaminate.scala" -> 1 // benchmark gram-set materialization, bounded by the benchmark (KBs-MBs), embedded as a sorted reference array — materialize-then-embed like bloomBitsOf
   )
 
   test("driver collect() surface matches the audited per-file record") {
@@ -254,6 +255,7 @@ class PlanLintSpec extends SparkSpec {
     "t24_bm25_topk" -> 4,
     "t25_phrase_search" -> 2, // start-vote groupBy + per-doc match count
     "t26_ngram_lm_counts" -> 2, // ngram counts (lineage-cut) + suffix re-agg
+    "t27_decontaminate_stream" -> 0, // pure per-row projection, joinless
     "t07_pii_redact" -> 0,
     "t08_vocab_topk" -> 2,
     "t09_blocklist_filter" -> 0,

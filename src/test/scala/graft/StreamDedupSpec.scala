@@ -73,4 +73,37 @@ class StreamDedupSpec extends SparkSpec {
       assert(got == expected)
     } finally q.stop()
   }
+
+  test("streaming decontamination ≡ batch ≡ the t06 join path") {
+    import graft.streaming.StreamDecontaminate
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix words beta gamma delta epsilon zeta eta theta iota suffix"),
+      (2L, "no overlap with anything in the benchmark set at all here now"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (4L, "short doc")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    // batch-mode execution of the streaming operator == the join-based op
+    val joinPath = rows(Dedup.decontaminate(corpus, bench, "doc_id", "text", n = 8))
+    val statelessBatch = rows(StreamDecontaminate.decontaminateStream(
+      corpus, bench, "doc_id", "text", n = 8))
+    assert(statelessBatch == joinPath)
+    // true streaming run (two micro-batches) emits the same rows
+    val dir = Files.createTempDirectory("graft_sdecon").toFile.getAbsolutePath
+    corpus.filter($"doc_id" <= 2).coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(corpus.schema).parquet(dir)
+    val q = StreamDecontaminate.decontaminateStream(
+        stream, bench, "doc_id", "text", n = 8)
+      .writeStream.format("memory").queryName("graft_stream_decon")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      q.processAllAvailable()
+      corpus.filter($"doc_id" > 2).coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      assert(rows(spark.table("graft_stream_decon")) == joinPath)
+    } finally q.stop()
+  }
 }
