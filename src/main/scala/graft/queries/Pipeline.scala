@@ -50,6 +50,32 @@ object Pipeline {
   private val searchPhraseTermList: String = searchPhrases
     .flatMap(_._2).distinct.map(w => s"'$w'").mkString(",")
 
+  /** ONE oracle for the whole decontamination contract family — t06
+    * (broadcast join), t22 (bloom prefilter), t27 (stateless sorted-set
+    * probe) all promise the IDENTICAL answer, so they share the literal
+    * SQL: a tokenization fix can never silently fork the family. */
+  private val decontaminateOracleSql: String = """
+        WITH g AS (
+          SELECT doc_id,
+            CASE WHEN len(toks) < 8 THEN [list_aggregate(toks, 'string_agg', ' ')]
+                 ELSE list_distinct(list_transform(range(1, len(toks)-6),
+                        i -> toks[i] || toks[i+1] || toks[i+2] || toks[i+3] ||
+                             toks[i+4] || toks[i+5] || toks[i+6] || toks[i+7]))
+            END AS grams
+          FROM (SELECT doc_id,
+                  list_filter(string_split(
+                    trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')), ' '),
+                    x -> len(x) > 0) AS toks
+                FROM documents)),
+        bench AS (
+          SELECT list_distinct(flatten(list(grams))) AS bg
+          FROM g WHERE doc_id % 7 = 0)
+        SELECT g.doc_id,
+               CAST(len(list_intersect(g.grams, bench.bg)) AS BIGINT) AS shared_grams,
+               len(list_intersect(g.grams, bench.bg)) > 0 AS contaminated
+        FROM g, bench
+        WHERE g.doc_id % 7 <> 0"""
+
   /** DuckDB twin of [[TextAnalysis.fingerprint]] (winnowing, k=8, w=4),
     * generated so the u64 arithmetic cannot drift from the Scala kernel
     * (TextHashKernels.winnowFingerprint). DuckDB has no wrapping 64-bit
@@ -2049,27 +2075,7 @@ object Pipeline {
           d.filter(col("doc_id") % 7 === 0),
           "doc_id", "text", n = 8)
       },
-      Some("""
-        WITH g AS (
-          SELECT doc_id,
-            CASE WHEN len(toks) < 8 THEN [list_aggregate(toks, 'string_agg', ' ')]
-                 ELSE list_distinct(list_transform(range(1, len(toks)-6),
-                        i -> toks[i] || toks[i+1] || toks[i+2] || toks[i+3] ||
-                             toks[i+4] || toks[i+5] || toks[i+6] || toks[i+7]))
-            END AS grams
-          FROM (SELECT doc_id,
-                  list_filter(string_split(
-                    trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')), ' '),
-                    x -> len(x) > 0) AS toks
-                FROM documents)),
-        bench AS (
-          SELECT list_distinct(flatten(list(grams))) AS bg
-          FROM g WHERE doc_id % 7 = 0)
-        SELECT g.doc_id,
-               CAST(len(list_intersect(g.grams, bench.bg)) AS BIGINT) AS shared_grams,
-               len(list_intersect(g.grams, bench.bg)) > 0 AS contaminated
-        FROM g, bench
-        WHERE g.doc_id % 7 <> 0""")),
+      Some(decontaminateOracleSql)),
 
     // ---- Stateless/streaming decontamination (t27): third member of the
     // t06 contract family (identical oracle), the STREAM-INGEST shape:
@@ -2086,27 +2092,7 @@ object Pipeline {
           d.filter(col("doc_id") % 7 === 0),
           "doc_id", "text", n = 8)
       },
-      Some("""
-        WITH g AS (
-          SELECT doc_id,
-            CASE WHEN len(toks) < 8 THEN [list_aggregate(toks, 'string_agg', ' ')]
-                 ELSE list_distinct(list_transform(range(1, len(toks)-6),
-                        i -> toks[i] || toks[i+1] || toks[i+2] || toks[i+3] ||
-                             toks[i+4] || toks[i+5] || toks[i+6] || toks[i+7]))
-            END AS grams
-          FROM (SELECT doc_id,
-                  list_filter(string_split(
-                    trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')), ' '),
-                    x -> len(x) > 0) AS toks
-                FROM documents)),
-        bench AS (
-          SELECT list_distinct(flatten(list(grams))) AS bg
-          FROM g WHERE doc_id % 7 = 0)
-        SELECT g.doc_id,
-               CAST(len(list_intersect(g.grams, bench.bg)) AS BIGINT) AS shared_grams,
-               len(list_intersect(g.grams, bench.bg)) > 0 AS contaminated
-        FROM g, bench
-        WHERE g.doc_id % 7 <> 0""")),
+      Some(decontaminateOracleSql)),
 
     // ---- Bloom-prefiltered decontamination (t22): same EXACT contract as
     // t06 (identical oracle — the bloom is a prefilter, never the answer),
@@ -2124,27 +2110,7 @@ object Pipeline {
           d.filter(col("doc_id") % 7 === 0),
           "doc_id", "text", n = 8)
       },
-      Some("""
-        WITH g AS (
-          SELECT doc_id,
-            CASE WHEN len(toks) < 8 THEN [list_aggregate(toks, 'string_agg', ' ')]
-                 ELSE list_distinct(list_transform(range(1, len(toks)-6),
-                        i -> toks[i] || toks[i+1] || toks[i+2] || toks[i+3] ||
-                             toks[i+4] || toks[i+5] || toks[i+6] || toks[i+7]))
-            END AS grams
-          FROM (SELECT doc_id,
-                  list_filter(string_split(
-                    trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')), ' '),
-                    x -> len(x) > 0) AS toks
-                FROM documents)),
-        bench AS (
-          SELECT list_distinct(flatten(list(grams))) AS bg
-          FROM g WHERE doc_id % 7 = 0)
-        SELECT g.doc_id,
-               CAST(len(list_intersect(g.grams, bench.bg)) AS BIGINT) AS shared_grams,
-               len(list_intersect(g.grams, bench.bg)) > 0 AS contaminated
-        FROM g, bench
-        WHERE g.doc_id % 7 <> 0""")),
+      Some(decontaminateOracleSql)),
 
     // ---- Boolean AND retrieval (t23): every doc containing ALL of a
     // query's terms, over an implicit inverted index — term-universe

@@ -36,14 +36,18 @@ object StreamDecontaminate {
       idCol: String,
       textCol: String,
       n: Int = 8): DataFrame = {
-    // one bounded job: the benchmark's distinct gram hashes, sorted for
-    // the binary-search probe (bounded by the benchmark, never the corpus)
+    // one bounded job: the benchmark's distinct gram hashes (bounded by
+    // the benchmark, never the corpus); the sort happens on the driver —
+    // a distributed orderBy before a collect would buy nothing but a
+    // range-partitioning exchange
     val benchSorted = benchmark
       .select(explode(Dedup.wordNgramHashSet(col(textCol), n)).as("__g"))
-      .distinct().orderBy(col("__g"))
-      .collect().map(_.getLong(0))
-    val shared = graft.functions.TextHashExprs.countInSorted(
-      Dedup.wordNgramHashSet(col(textCol), n), benchSorted)
+      .distinct()
+      .collect().map(_.getLong(0)).sorted
+    val shared = coalesce(
+      graft.functions.TextHashExprs.countInSorted(
+        Dedup.wordNgramHashSet(col(textCol), n), benchSorted),
+      lit(0L)) // NULL text → 0/false, matching the join path's coalesce
     corpus.select(col(idCol),
       shared.as("shared_grams"),
       (shared > 0).as("contaminated"))

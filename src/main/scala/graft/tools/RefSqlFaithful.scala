@@ -196,8 +196,15 @@ object RefSqlFaithful {
       * later methods. */
     private var frameLocals = List.empty[mutable.Map[String, Option[Option[String]]]]
 
+    /** Per frame: Some(priorFlag) when this frame SHADOWS the `sql` field
+      * (param or `String sql` local) — [[popFrame]] restores [[sqlExecuted]]
+      * alongside the variable, since the shadowed field's executed-state
+      * was untouched by the helper's activity on its own `sql`. */
+    private var frameSqlFlag = List.empty[Option[Boolean]]
+
     def runEntry(m: Method): Unit = {
       frameLocals = mutable.Map.empty[String, Option[Option[String]]] :: frameLocals
+      frameSqlFlag = None :: frameSqlFlag
       interp(m.bodyStart, m.bodyEnd, neg = false, tol = false)
       popFrame()
     }
@@ -208,6 +215,8 @@ object RefSqlFaithful {
         case (k, None) => vars.remove(k)
       }
       frameLocals = frameLocals.tail
+      frameSqlFlag.head.foreach(prior => sqlExecuted = prior)
+      frameSqlFlag = frameSqlFlag.tail
     }
 
     private def skipWs(i0: Int, end: Int): Int = {
@@ -356,15 +365,24 @@ object RefSqlFaithful {
             visiting += name
             frameLocals = mutable.Map.empty[String, Option[Option[String]]] ::
               frameLocals
+            frameSqlFlag = None :: frameSqlFlag
             m.paramNames.zip(resolved).foreach { case (p, v) =>
-              if (!frameLocals.head.contains(p))
+              if (!frameLocals.head.contains(p)) {
                 frameLocals.head(p) = vars.get(p)
+                // a param named `sql` SHADOWS the SqlTestBase field in
+                // Java — the helper's sink activity on the param must not
+                // mark the caller's field as already-executed
+                if (p == "sql" && frameSqlFlag.head.isEmpty)
+                  frameSqlFlag = Some(sqlExecuted) :: frameSqlFlag.tail
+              }
               vars(p) = v
             }
             interp(m.bodyStart, m.bodyEnd, neg, tol)
             popFrame()
             visiting -= name
-          } else skipped += 1
+          } else if (!sinkIn(stmt, neg, tol)) skipped += 1
+          // ^ a non-inlinable helper call can still WRAP a sink
+          //   (check(getStringValue("SELECT …"))) — the sink must fire
         case assignRe(decl, name, rhs) if !rhs.trim.startsWith("=") =>
           // a sink may appear on the rhs (assertEquals-less direct use,
           // e.g. `int n = executeUpdate("…")`)
@@ -372,8 +390,14 @@ object RefSqlFaithful {
             // `String x = …` declares a LOCAL: remember what it shadowed so
             // the frame pop restores the field/outer value
             if (decl != null && frameLocals.nonEmpty &&
-                !frameLocals.head.contains(name))
+                !frameLocals.head.contains(name)) {
               frameLocals.head(name) = vars.get(name)
+              // `String sql = …` shadows the field: snapshot its
+              // executed-state for restoration at frame pop
+              if (name == "sql" && frameSqlFlag.nonEmpty &&
+                  frameSqlFlag.head.isEmpty)
+                frameSqlFlag = Some(sqlExecuted) :: frameSqlFlag.tail
+            }
             vars(name) = resolve(rhs)
             if (name == "sql") sqlExecuted = false
           }

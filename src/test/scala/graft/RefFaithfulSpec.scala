@@ -27,7 +27,7 @@ class RefFaithfulSpec extends SparkSpec {
     val ok = rs.map(_.ok).sum
     val skips = rs.map(_.skip).sum
     val fails = rs.filter(_.fail > 0)
-    assert(ok >= 558, s"faithful ok=$ok dropped below the recorded 561")
+    assert(ok >= 561, s"faithful ok=$ok dropped below the recorded 561")
     // skips are statements we never execute — a resolver regression that
     // silently demotes live statements to skips must fail here, not hide
     // (r8: 95 → 29 via field concat chains → 15 via constant-argument

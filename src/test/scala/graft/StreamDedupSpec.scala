@@ -83,7 +83,9 @@ class StreamDedupSpec extends SparkSpec {
       (1L, "prefix words beta gamma delta epsilon zeta eta theta iota suffix"),
       (2L, "no overlap with anything in the benchmark set at all here now"),
       (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
-      (4L, "short doc")).toDF("doc_id", "text")
+      (4L, "short doc"),
+      (5L, null.asInstanceOf[String])) // NULL text → (0, false) on BOTH paths
+      .toDF("doc_id", "text")
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
     // batch-mode execution of the streaming operator == the join-based op
