@@ -999,4 +999,30 @@ object Dedup {
         coalesce(col("segs_kept"), lit(0L)).as("segs_kept"),
         col("segs_total"))
   }
+
+  /** Canonical-key dedup keeping the best representative per key — the
+    * URL/source dedup every crawl pipeline runs first (many fetches of one
+    * canonical URL → keep the richest capture). "Best" is the
+    * (qualityCol, idCol) lexicographic MAX — highest quality, ties broken
+    * toward the highest id — a total order, so the survivor is
+    * deterministic.
+    *
+    * Shape: a single hash-aggregate keyed on the canonical key, with the
+    * arg-max carried as a struct MAX inside the same partial/final
+    * aggregation — ONE shuffle of (key, best-so-far, counters) partial
+    * states, never a window sort over the group (a window's
+    * partition-by-key sort materializes every duplicate row per key;
+    * at crawl scale hot URLs make that the skew bottleneck, while a
+    * struct-max partial state stays O(1) per key per partition). */
+  def keepBestPerKey(df: DataFrame, keyCol: String, qualityCol: String,
+      idCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(
+        max(struct(col(qualityCol).as("q"), col(idCol).as("i"))).as("__best"),
+        count(lit(1)).as("n_docs"),
+        sum(col(qualityCol)).as("total_quality"))
+      .select(col(keyCol),
+        col("__best").getField("i").as("kept_id"),
+        col("__best").getField("q").as("kept_quality"),
+        col("n_docs"), col("total_quality"))
 }

@@ -254,6 +254,79 @@ object Multimodal {
         posexplode(sequence(lit(0), col("n_frames") - 1, lit(everyNth)))
           .as(Seq("sample_idx", "frame_idx")))
 
+  val frameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("pix_sum", LongType, nullable = false)))
+
+  /** Per-frame decoded-pixel checksums over the visual kinds: one row per
+    * image (its single frame) and one row PER VIDEO FRAME, each decoded
+    * individually through the real PNG reader (audio has no raster and is
+    * skipped). Map-shaped flatMap — inherits the scan's partitioning, the
+    * frame explosion happens executor-side, nothing shuffles here. */
+  def frameChecksums(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(frameSchema)
+    media.select(col("media_id"), col("kind"), col("payload"))
+      .filter(col("kind") =!= "audio")
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { r =>
+          val id = r.getLong(0); val kind = r.getString(1)
+          val payload = r.getAs[Array[Byte]](2)
+          if (payload == null) Iterator.empty
+          else kind match {
+            case "image" =>
+              val img = javax.imageio.ImageIO.read(
+                new ByteArrayInputStream(payload))
+              if (img == null)
+                throw new IllegalArgumentException(
+                  s"media_id=$id: undecodable image")
+              Iterator.single(Row(id, kind, 0,
+                img.getWidth, img.getHeight, sumRgb(img)))
+            case _ =>
+              val in = new java.io.DataInputStream(
+                new ByteArrayInputStream(payload))
+              val magic = new Array[Byte](4)
+              in.readFully(magic)
+              if (!java.util.Arrays.equals(magic, GvidMagic))
+                throw new IllegalArgumentException(
+                  s"media_id=$id: not a GVID container")
+              val nf = in.readInt()
+              (0 until nf).iterator.map { f =>
+                val len = in.readInt()
+                val fb = new Array[Byte](len)
+                in.readFully(fb)
+                val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(fb))
+                if (img == null)
+                  throw new IllegalArgumentException(
+                    s"media_id=$id: undecodable frame $f")
+                Row(id, kind, f, img.getWidth, img.getHeight, sumRgb(img))
+              }
+          }
+        }
+      }(enc)
+  }
+
+  /** Frame-level exact dedup across the corpus: frames are identical iff
+    * their decoded geometry + pixel checksum match (PNG is lossless, the
+    * checksum covers every channel of every pixel). The production shape
+    * for still-heavy video corpora (credits, slates, static scenes):
+    * explode to per-frame checksums executor-side, then ONE hash-aggregate
+    * keyed on (width, height, pix_sum) — partial map-side combine collapses
+    * each video's identical frames to a single partial state before the
+    * shuffle, so exchange bytes scale with DISTINCT frames, not total
+    * frames. Output per distinct frame content: occurrence counts, how many
+    * media contain it, and the smallest containing media id. */
+  def frameDedup(media: DataFrame): DataFrame =
+    frameChecksums(media)
+      .groupBy(col("width"), col("height"), col("pix_sum"))
+      .agg(count(lit(1)).as("n_frames"),
+        countDistinct(col("media_id")).as("n_media"),
+        min(col("media_id")).as("rep_media_id"))
+
   /** Content features per media row — REAL statistics over the DECODED
     * content for image (per-channel means, gray 8-bin histogram fractions,
     * normalized dimensions), audio (mean/RMS amplitude, zero-crossing

@@ -802,6 +802,139 @@ object TextAnalysis {
     when(n < k, n.cast("double")).otherwise(lit((k - 1).toDouble) / u)
   }
 
+  /** The Gopher rule set's 8-word stopword list (Rae et al. 2021, §A1.1):
+    * a doc must contain at least two of these to pass the stopword rule. */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style document quality rules (Rae et al. 2021, appendix A1.1),
+    * surfaced as the per-rule signal, the per-rule verdict, and the
+    * composite `gopher_pass` — the standard pre-training keep/drop gate.
+    * Differences from [[qualitySignals]] (t01): these are the PAPER's
+    * named rules with its thresholds, including the LINE-level rules
+    * (bullet-start / ellipsis-end fractions) t01 has no counterpart for.
+    *
+    * Every signal is an integer count or a single int/int IEEE division,
+    * so the DOUBLE ratios hash-verify bit-for-bit against the SQL twin.
+    * "Alphabetic" is judged as ASCII `[a-z]` over the NORMALIZED
+    * (lowercased) tokens — a documented heuristic, matched exactly by the
+    * oracle. Pure codegen'd column expressions over one scan: no UDF, no
+    * shuffle (exchange budget 0).
+    *
+    * Thresholds default to the paper's values; `minStopHits` is
+    * parameterized because corpora whose token distribution lacks the
+    * English function words (synthetic or non-English corpora) would
+    * otherwise fail the composite uniformly — the driver fixture uses 1.
+    */
+  def gopherSignals(text: Column, minWords: Long = 50L,
+      maxWords: Long = 100000L, minStopHits: Long = 2L): Seq[Column] = {
+    val toks = tokens(text)
+    val nWords = size(toks).cast("long")
+    val meanLen = when(nWords > 0,
+      length(concat_ws("", toks)).cast("double") / nWords).otherwise(lit(0.0))
+    // symbols: '#', the three-dot ellipsis (non-overlapping, left-to-right
+    // — both engines' replace contract), and U+2026
+    val nHash = (length(text) - length(regexp_replace(text, "#", ""))).cast("long")
+    val nDots = ((length(text) -
+      length(regexp_replace(text, "\\.\\.\\.", ""))) / 3).cast("long")
+    val nUEll = (length(text) -
+      length(regexp_replace(text, "…", ""))).cast("long")
+    val symRatio = (nHash + nDots + nUEll).cast("double") /
+      greatest(nWords, lit(1L)).cast("double")
+    val alphaWords = size(filter(toks, t => t.rlike("[a-z]"))).cast("long")
+    val alphaRatio = when(nWords > 0,
+      alphaWords.cast("double") / nWords).otherwise(lit(0.0))
+    val stopHits = size(array_intersect(array_distinct(toks),
+      lit(gopherStopwords.toArray))).cast("long")
+    val lines = split(text, "\n")
+    val nLines = size(lines).cast("long")
+    val bulletLines = size(filter(lines, l => {
+      val t = ltrim(l)
+      t.startsWith("-") || t.startsWith("*") || t.startsWith("•")
+    })).cast("long")
+    val ellLines = size(filter(lines, l => {
+      val t = rtrim(l)
+      t.endsWith("...") || t.endsWith("…")
+    })).cast("long")
+    val bulletRatio = bulletLines.cast("double") / greatest(nLines, lit(1L))
+    val ellRatio = ellLines.cast("double") / greatest(nLines, lit(1L))
+    val okWords = nWords >= minWords && nWords <= maxWords
+    val okMeanLen = meanLen >= 3.0 && meanLen <= 10.0
+    val okSymbols = symRatio <= 0.1
+    val okAlpha = alphaRatio >= 0.80
+    val okStops = stopHits >= minStopHits
+    val okBullets = bulletRatio <= 0.90
+    val okEllipsis = ellRatio <= 0.30
+    Seq(
+      nWords.as("n_words"), meanLen.as("mean_word_len"),
+      symRatio.as("symbol_ratio"), alphaRatio.as("alpha_word_ratio"),
+      stopHits.as("stop_hits"), bulletRatio.as("bullet_ratio"),
+      ellRatio.as("ellipsis_line_ratio"),
+      okWords.as("ok_words"), okMeanLen.as("ok_mean_len"),
+      okSymbols.as("ok_symbols"), okAlpha.as("ok_alpha"),
+      okStops.as("ok_stops"), okBullets.as("ok_bullets"),
+      okEllipsis.as("ok_ellipsis"),
+      (okWords && okMeanLen && okSymbols && okAlpha && okStops &&
+        okBullets && okEllipsis).as("gopher_pass"))
+  }
+
+  /** Per-document bigram LM fluency score — the CCNet-style "score every
+    * doc under a corpus LM" quality pass, with the corpus itself as the
+    * training set. The model is an add-one-smoothed bigram model:
+    *
+    *   p(w2 | w1) = (C(w1 w2) + 1) / (C(w1 ·) + V)
+    *
+    * with C(w1 ·) the token-count of bigrams continuing w1 and V the
+    * number of distinct continuation words in the corpus. The score is the
+    * MEAN conditional probability over the doc's bigram occurrences —
+    * deliberately the arithmetic mean of p, not log-perplexity: ln() is
+    * not correctly-rounded IEEE and JVM fdlibm vs DuckDB libm diverge at
+    * ulp scale, while every op here (int→double casts, one division per
+    * distinct bigram, multiply by the occurrence count, an order-fixed
+    * sum) IS correctly rounded — so even the model-dependent DOUBLE score
+    * hash-verifies bit-for-bit. Per doc the contributions fold in SORTED
+    * bigram order (distinct bigrams — a total order), the same discipline
+    * as [[bm25TopK]].
+    *
+    * Shape (the KenLM-training join plan): one gram scan → (doc, bigram)
+    * partial-agg counts (lineage cut: feeds the corpus model AND the
+    * scoring join) → bigram model re-agg → context re-agg → V as a 1-row
+    * broadcast — then score via two model joins keyed on the bigram/
+    * context and one per-doc fold. The model tables scale with DISTINCT
+    * grams, not corpus size; nothing collects to the driver. Docs with
+    * fewer than 2 tokens have no bigrams and are absent from the output
+    * (documented; the oracle inner-joins identically). */
+  def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val docBigrams = df.select(col(idCol).as("__id"),
+        explode(graft.functions.TextHashExprs
+          .wordNgrams(normalize(col(textCol)), 2)).as("bigram"))
+      .groupBy(col("__id"), col("bigram")).agg(count(lit(1)).as("cnt"))
+      .transform(graft.core.Checkpoint.cut) // feeds model AND scoring
+    val bigramCounts = docBigrams.groupBy(col("bigram"))
+      .agg(sum(col("cnt")).as("cb"))
+      .withColumn("ctx", substring_index(col("bigram"), " ", 1))
+      .transform(graft.core.Checkpoint.cut) // feeds context agg AND join
+    val contextCounts = bigramCounts.groupBy(col("ctx"))
+      .agg(sum(col("cb")).as("cu"))
+    val vocab = bigramCounts
+      .agg(count_distinct(substring_index(col("bigram"), " ", -1)).as("v"))
+    val contrib = docBigrams
+      .join(bigramCounts, Seq("bigram"))
+      .join(contextCounts, Seq("ctx"))
+      .crossJoin(broadcast(vocab))
+      .select(col("__id"), col("bigram"), col("cnt"),
+        (col("cnt").cast("double") *
+          ((col("cb").cast("double") + lit(1.0)) /
+            (col("cu") + col("v")).cast("double"))).as("c"))
+    contrib.groupBy(col("__id"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        aggregate(
+          array_sort(collect_list(struct(col("bigram"), col("c")))),
+          lit(0.0), (a, x) => a + x.getField("c")).as("__s"))
+      .select(col("__id").as(idCol), col("n_bigrams"),
+        (col("__s") / col("n_bigrams").cast("double")).as("lm_score"))
+  }
+
   /** One row per document with every text-analysis signal. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(

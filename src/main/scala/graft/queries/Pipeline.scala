@@ -2980,6 +2980,164 @@ object Pipeline {
         SELECT query_id, neighbor_id, qcos_sim,
                CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                  ORDER BY qcos_sim DESC, neighbor_id ASC) AS INT) AS rank
-        FROM scored QUALIFY rank <= 10"""))
+        FROM scored QUALIFY rank <= 10""")),
+
+    // ---- Gopher quality-rule gate (t29): the paper's named document
+    // rules (Rae et al. 2021 A1.1) with per-rule verdicts and the
+    // composite pass — signal values are integer counts or single int/int
+    // divisions so even the DOUBLE ratios hash-verify. One scan, no
+    // shuffle. minStopHits=1: the synthetic corpus tops out at one
+    // distinct English function word per doc, so the paper's >=2 would
+    // fail every row and the composite would gate nothing.
+    Q("t29_gopher_filter",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id") +:
+          TextAnalysis.gopherSignals(col("text"), minStopHits = 1L): _*),
+      Some(gopherOracle(minStopHits = 1L))),
+
+    // ---- Bigram LM fluency score (t28): corpus-trained add-one bigram
+    // model, per-doc MEAN conditional probability (the CCNet "score every
+    // doc under a corpus LM" pass; arithmetic-mean-of-p instead of
+    // log-perplexity so every float op is correctly-rounded IEEE — see
+    // TextAnalysis.lmScore). Fold order is fixed (sorted distinct
+    // bigrams), so the model-dependent DOUBLE score hash-verifies.
+    Q("t28_lm_score",
+      (s, dir) => TextAnalysis.lmScore(t(s, dir, "documents"), "doc_id", "text"),
+      Some("""
+        WITH dls AS (
+          SELECT doc_id, list_filter(string_split(
+            trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')), ' '),
+            x -> len(x) > 0) AS toks
+          FROM documents),
+        grams AS (
+          SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bigram
+          FROM dls, UNNEST(range(1, len(toks))) AS r(i)
+          WHERE len(toks) >= 2),
+        doc_bigrams AS (
+          SELECT doc_id, bigram, COUNT(*) AS cnt FROM grams GROUP BY 1, 2),
+        model AS (
+          SELECT bigram, string_split(bigram, ' ')[1] AS ctx,
+                 SUM(cnt) AS cb
+          FROM doc_bigrams GROUP BY 1, 2),
+        ctxc AS (SELECT ctx, SUM(cb) AS cu FROM model GROUP BY 1),
+        voc AS (
+          SELECT COUNT(DISTINCT string_split(bigram, ' ')[2]) AS v FROM model),
+        contrib AS (
+          SELECT d.doc_id, d.bigram,
+            d.cnt,
+            CAST(d.cnt AS DOUBLE) *
+              ((CAST(m.cb AS DOUBLE) + CAST('1.0' AS DOUBLE)) /
+               CAST(c.cu + voc.v AS DOUBLE)) AS c
+          FROM doc_bigrams d
+          JOIN model m USING (bigram)
+          JOIN ctxc c ON c.ctx = m.ctx, voc),
+        folded AS (
+          SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+            list_reduce(
+              list_transform(list_sort(list(struct_pack(bigram := bigram, c := c))),
+                x -> x.c),
+              (a, x) -> a + x) AS s
+          FROM contrib GROUP BY doc_id)
+        SELECT doc_id, n_bigrams, s / CAST(n_bigrams AS DOUBLE) AS lm_score
+        FROM folded""")),
+
+    // ---- Canonical-source keep-best dedup (d20): the crawl pipeline's
+    // URL dedup — one hash-aggregate per canonical key with the arg-max
+    // carried as a struct MAX partial state (never a per-key window sort,
+    // which hot URLs would skew). Integer-exact.
+    Q("d20_url_dedup",
+      (s, dir) => Dedup.keepBestPerKey(
+        t(s, dir, "documents"), "source", "n_chars", "doc_id"),
+      Some("""
+        WITH g AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_chars) AS BIGINT) AS total_quality
+          FROM documents GROUP BY source),
+        b AS (
+          SELECT source, doc_id AS kept_id, n_chars AS kept_quality,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id DESC) AS rn
+          FROM documents)
+        SELECT g.source, b.kept_id, b.kept_quality, g.n_docs, g.total_quality
+        FROM g JOIN b USING (source) WHERE b.rn = 1""")),
+
+    // ---- Frame-level media dedup (m04): per-frame REAL decode (every
+    // video frame individually through the PNG reader) → one
+    // hash-aggregate on (geometry, decoded-pixel checksum). The oracle
+    // predicts each frame's checksum from the text alone (per-media
+    // content_sum / n_frames — exact: the GVID scene is static), so a
+    // header-only or lossy decode cannot hash-match.
+    Q("m04_frame_dedup",
+      (s, dir) => Multimodal.frameDedup(
+        Multimodal.syntheticMedia(t(s, dir, "documents"))),
+      Some(s"""
+        WITH ${mediaDecodeOracle},
+        frames AS (
+          SELECT media_id, width, height, content_sum AS pix_sum
+          FROM decoded WHERE kind = 'image'
+          UNION ALL
+          SELECT media_id, width, height,
+                 content_sum // CAST(n_frames AS BIGINT) AS pix_sum
+          FROM decoded, UNNEST(range(0, CAST(n_frames AS BIGINT))) AS u(f)
+          WHERE kind = 'video')
+        SELECT width, height, pix_sum,
+               CAST(COUNT(*) AS BIGINT) AS n_frames,
+               CAST(COUNT(DISTINCT media_id) AS BIGINT) AS n_media,
+               MIN(media_id) AS rep_media_id
+        FROM frames GROUP BY 1, 2, 3"""))
   )
+
+  /** DuckDB twin of [[TextAnalysis.gopherSignals]], generated from the same
+    * stopword list and thresholds so the two sides cannot drift. */
+  private def gopherOracle(minStopHits: Long): String = {
+    val stops = TextAnalysis.gopherStopwords.map(w => s"'$w'").mkString("[", ",", "]")
+    s"""
+        WITH base AS (
+          SELECT doc_id, text,
+            list_filter(string_split(
+              trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), ' '),
+              x -> len(x) > 0) AS toks,
+            string_split(text, chr(10)) AS lns
+          FROM documents),
+        sig AS (
+          SELECT doc_id,
+            CAST(len(toks) AS BIGINT) AS n_words,
+            CASE WHEN len(toks) > 0
+                 THEN CAST(list_sum(list_transform(toks, x -> length(x)))
+                      AS DOUBLE) / len(toks)
+                 ELSE CAST('0.0' AS DOUBLE) END AS mean_word_len,
+            CAST(length(text) - length(regexp_replace(text, '#', '', 'g'))
+                 + (length(text) - length(replace(text, '...', ''))) // 3
+                 + length(text) - length(regexp_replace(text, '…', '', 'g'))
+              AS DOUBLE) / GREATEST(len(toks), 1) AS symbol_ratio,
+            CASE WHEN len(toks) > 0
+                 THEN CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                      AS DOUBLE) / len(toks)
+                 ELSE CAST('0.0' AS DOUBLE) END AS alpha_word_ratio,
+            CAST(len(list_intersect(list_distinct(toks), $stops)) AS BIGINT)
+              AS stop_hits,
+            CAST(len(list_filter(lns, l ->
+                starts_with(ltrim(l, ' '), '-') OR starts_with(ltrim(l, ' '), '*')
+                OR starts_with(ltrim(l, ' '), '•'))) AS DOUBLE)
+              / GREATEST(len(lns), 1) AS bullet_ratio,
+            CAST(len(list_filter(lns, l ->
+                ends_with(rtrim(l, ' '), '...') OR ends_with(rtrim(l, ' '), '…')))
+              AS DOUBLE) / GREATEST(len(lns), 1) AS ellipsis_line_ratio
+          FROM base)
+        SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_ratio,
+          stop_hits, bullet_ratio, ellipsis_line_ratio,
+          (n_words >= 50 AND n_words <= 100000) AS ok_words,
+          (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_mean_len,
+          (symbol_ratio <= 0.1) AS ok_symbols,
+          (alpha_word_ratio >= 0.80) AS ok_alpha,
+          (stop_hits >= $minStopHits) AS ok_stops,
+          (bullet_ratio <= 0.90) AS ok_bullets,
+          (ellipsis_line_ratio <= 0.30) AS ok_ellipsis,
+          ((n_words >= 50 AND n_words <= 100000)
+            AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+            AND (symbol_ratio <= 0.1) AND (alpha_word_ratio >= 0.80)
+            AND (stop_hits >= $minStopHits) AND (bullet_ratio <= 0.90)
+            AND (ellipsis_line_ratio <= 0.30)) AS gopher_pass
+        FROM sig"""
+  }
 }

@@ -408,4 +408,28 @@ class DedupSpec extends SparkSpec {
     assert(out(2L) == (("", 0L, 1L)))
     assert(out(3L) == (("", 0L, 0L)))
   }
+
+  test("keepBestPerKey: deterministic arg-max survivor, quality ties break " +
+      "toward the highest id, counters exact, no Window in the plan") {
+    import spark.implicits._
+    val rows = Seq(
+      (10L, "a.com", 100L), (11L, "a.com", 300L), (12L, "a.com", 300L),
+      (20L, "b.com", 50L),
+      (30L, "c.com", 0L), (31L, "c.com", 0L)).toDF("doc_id", "source", "n_chars")
+    val got = Dedup.keepBestPerKey(rows, "source", "n_chars", "doc_id")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // a.com: quality tie 300 between 11/12 → highest id 12 survives
+    assert(got("a.com") == ((12L, 300L, 3L, 700L)))
+    assert(got("b.com") == ((20L, 50L, 1L, 50L)))
+    assert(got("c.com") == ((31L, 0L, 2L, 0L)))
+    // the scale contract: one partial/final aggregation with map-side
+    // combine (struct MAX plans as SortAggregate — still O(1) state per
+    // key per partition), never a per-key window sort materializing every
+    // duplicate row
+    val plan = Dedup.keepBestPerKey(rows, "source", "n_chars", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window sort leaked into plan:\n$plan")
+    assert(plan.contains("partial_max"), s"map-side combine missing:\n$plan")
+  }
 }

@@ -87,6 +87,59 @@ class OperatorsSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("frameChecksums: one row per image, one per decoded video frame, " +
+      "video frames agree with decodeMeta's whole-payload sum") {
+    val docs = graft.core.Tables.load(spark, sf, "documents").limit(60)
+    val media = Multimodal.syntheticMedia(docs)
+    val frames = Multimodal.frameChecksums(media)
+    assert(frames.schema == Multimodal.frameSchema)
+    assert(frames.filter($"kind" === "audio").count() == 0)
+    // each image contributes exactly one frame row at frame_idx 0
+    val imgIds = media.filter($"kind" === "image").select($"media_id")
+      .as[Long].collect().toSet
+    val imgFrames = frames.filter($"kind" === "image")
+      .select($"media_id", $"frame_idx").as[(Long, Int)].collect()
+    assert(imgFrames.map(_._1).toSet == imgIds)
+    assert(imgFrames.forall(_._2 == 0))
+    // per-video: frame count and SUM of per-frame checksums must equal
+    // decodeMeta's n_frames / whole-payload content_sum (the independent
+    // decode path), and frame indices are 0..n-1
+    val perVideo = frames.filter($"kind" === "video")
+      .groupBy($"media_id")
+      .agg(count(lit(1)).as("nf"), sum($"pix_sum").as("s"),
+        min($"frame_idx").as("lo"), max($"frame_idx").as("hi"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4)))).toMap
+    val meta = Multimodal.decodeMeta(media).filter($"kind" === "video")
+      .select($"media_id", $"n_frames", $"content_sum")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(perVideo.keySet == meta.keySet)
+    meta.foreach { case (id, (nf, cs)) =>
+      val (gotNf, gotSum, lo, hi) = perVideo(id)
+      assert(gotNf == nf.toLong && gotSum == cs && lo == 0 && hi == nf - 1)
+    }
+  }
+
+  test("frameDedup: static-scene videos collapse to one distinct frame; " +
+      "counts and representative are exact") {
+    val docs = graft.core.Tables.load(spark, sf, "documents").limit(60)
+    val media = Multimodal.syntheticMedia(docs)
+    val frames = Multimodal.frameChecksums(media).collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getInt(4), r.getLong(5)))
+    val expected = frames.groupBy(t => (t._2, t._3, t._4)).map {
+      case (k, rows) =>
+        k -> ((rows.length.toLong, rows.map(_._1).distinct.length.toLong,
+          rows.map(_._1).min))
+    }
+    val got = Multimodal.frameDedup(media).collect().map(r =>
+      (r.getInt(0), r.getInt(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == expected)
+    // the static-scene contract: some video has >1 frame but the content
+    // dedups to a single distinct (its n_frames collapses into one row)
+    assert(expected.exists { case (_, (nFrames, nMedia, _)) => nFrames > nMedia })
+  }
+
   test("feature extraction yields fixed-dim float vectors") {
     val docs = graft.core.Tables.load(spark, sf, "documents").limit(20)
     val feats = Multimodal.extractFeatures(Multimodal.syntheticMedia(docs), dim = 8)

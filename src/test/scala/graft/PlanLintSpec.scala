@@ -38,7 +38,9 @@ class PlanLintSpec extends SparkSpec {
     "u07_temperature_rebalance" ->
       "budget total attach: per-stratum counts × single-row weight total, both constant-size (Sampling)",
     "t24_bm25_topk" ->
-      "corpus-stats attach: single-row (sum dl, N) aggregate broadcast as the avgdl constant (TextAnalysis.bm25TopK)"
+      "corpus-stats attach: single-row (sum dl, N) aggregate broadcast as the avgdl constant (TextAnalysis.bm25TopK)",
+    "t28_lm_score" ->
+      "vocab-size attach: single-row count_distinct aggregate broadcast as the smoothing constant V (TextAnalysis.lmScore)"
   )
 
   test("no query plans a CartesianProduct or BroadcastNestedLoopJoin " +
@@ -281,7 +283,20 @@ class PlanLintSpec extends SparkSpec {
     "u08_token_budget_select" -> 1,
     "u09_domain_mix" -> 1,
     // one keyed agg shuffle; TIME min/max partial-aggregates map-side
-    "q80_time_of_day" -> 1
+    "q80_time_of_day" -> 1,
+    // one hash-aggregate keyed on the canonical key (struct-max partial
+    // state; no window sort over the group)
+    "d20_url_dedup" -> 1,
+    // per-frame checksums are map-shaped (flatMap on the scan); the two
+    // shuffles are the frame-content groupBy's partial/final split with
+    // countDistinct's expand
+    "m04_frame_dedup" -> 2,
+    // doc-bigram partial agg (lineage cut) + bigram model re-agg +
+    // context re-agg + per-doc score fold; model joins shuffle-reuse the
+    // bigram key, V is a 1-row broadcast
+    "t28_lm_score" -> 4,
+    // pure per-row codegen column expressions over one scan
+    "t29_gopher_filter" -> 0
   )
 
   /** sf0.01 OVERRIDES on top of [[exchangeBudget]] (VERDICT r6 directive

@@ -668,6 +668,54 @@ class TextAnalysisSpec extends SparkSpec {
     assert(byNgram("e b c") == (("b c", 2L)))
   }
 
+  test("gopherSignals: each named rule fires on its designed violation") {
+    import spark.implicits._
+    val pad = (1 to 60).map(i => s"word$i").mkString(" ")   // 60 clean words
+    val good = s"the cat sat and that dog ran to be of it $pad"
+    val docs = Seq(
+      (1L, good),                                  // passes everything
+      (2L, "too short to count"),                  // n_words < 50
+      (3L, s"$good ${"#" * 200}"),                 // symbol_ratio > 0.1
+      (4L, s"$good ${"42 " * 40}"),                // alpha ratio < 0.80
+      (5L, (1 to 60).map(i => s"w$i").mkString(" ")), // no stopwords at all
+      (6L, (1 to 60).map(i => s"- bullet line $i").mkString("\n")), // bullets
+      (7L, (1 to 60).map(i => s"line $i trails off...").mkString("\n")) // ellipses
+    ).toDF("doc_id", "text")
+    val out = docs.select($"doc_id" +:
+        TextAnalysis.gopherSignals($"text", minStopHits = 1L): _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def b(id: Long, name: String): Boolean =
+      out(id).getBoolean(out(id).fieldIndex(name))
+    assert(b(1L, "gopher_pass"))
+    assert(!b(2L, "ok_words") && !b(2L, "gopher_pass"))
+    assert(!b(3L, "ok_symbols") && b(3L, "ok_words"))
+    assert(!b(4L, "ok_alpha"))
+    assert(!b(5L, "ok_stops"))
+    assert(!b(6L, "ok_bullets"))
+    assert(!b(7L, "ok_ellipsis"))
+    // stop_hits counts DISTINCT stopword types, not occurrences
+    assert(out(1L).getLong(out(1L).fieldIndex("stop_hits")) == 6L)
+  }
+
+  test("lmScore matches a hand-built add-one bigram model") {
+    import spark.implicits._
+    // corpus: "a b" ×2 docs and "a c b" — bigrams: (a b):2, (a c):1, (c b):1
+    // contexts: a→3, c→1; V = |{b, c}| = 2
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c b"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.lmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val pAB = (2.0 + 1.0) / (3.0 + 2.0)   // C(a b)+1 / (C(a ·)+V)
+    val pAC = (1.0 + 1.0) / (3.0 + 2.0)
+    val pCB = (1.0 + 1.0) / (1.0 + 2.0)
+    assert(got(1L) == ((1L, pAB)))
+    assert(got(2L) == ((1L, pAB)))
+    assert(got(3L)._1 == 2L)
+    assert(math.abs(got(3L)._2 - (pAC + pCB) / 2.0) < 1e-15)
+    // <2 tokens → no bigrams → absent (documented contract)
+    assert(!got.contains(4L))
+  }
+
   test("domainMix: literal quotas, under-populated strata cap, " +
       "unmapped strata excluded, subset-stable") {
     import spark.implicits._
