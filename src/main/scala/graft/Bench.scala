@@ -62,7 +62,11 @@ object Bench {
     "t23_boolean_search",        // retrieval: boolean AND over inverted terms
     "t24_bm25_topk",             // retrieval: BM25 bounded-heap top-k
     "t25_phrase_search",         // retrieval: positional phrase match
-    "t26_ngram_lm_counts")       // LM training: KN n-gram count table
+    "t26_ngram_lm_counts",       // LM training: KN n-gram count table
+    "t29_gopher_filter",         // quality: Gopher rule gate (zero-exchange)
+    "t28_lm_score",              // quality: corpus-trained bigram LM scoring
+    "d20_url_dedup",             // dedup: canonical-key keep-best (struct MAX)
+    "m04_frame_dedup")           // media: frame-level dedup over real decodes
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
