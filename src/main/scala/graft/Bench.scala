@@ -66,7 +66,8 @@ object Bench {
     "t29_gopher_filter",         // quality: Gopher rule gate (zero-exchange)
     "t28_lm_score",              // quality: corpus-trained bigram LM scoring
     "d20_url_dedup",             // dedup: canonical-key keep-best (struct MAX)
-    "m04_frame_dedup")           // media: frame-level dedup over real decodes
+    "m04_frame_dedup",           // media: frame-level dedup over real decodes
+    "t30_gopher_repetition")     // quality: repetition rules (one-pass kernel)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

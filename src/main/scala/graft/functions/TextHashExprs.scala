@@ -5,7 +5,7 @@ import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Hot-path text hashing as custom Catalyst expressions (SURVEY §4.3 rule:
@@ -169,6 +169,124 @@ object TextHashKernels {
       i += 1
     }
     new GenericArrayData(out.asInstanceOf[Array[Any]])
+  }
+
+  /** All 13 Gopher repetition signals (Rae et al. 2021 A1.1) in ONE pass
+    * per document, in this fixed order:
+    * [0] dup_line_frac [1] dup_line_char_frac
+    * [2] dup_para_frac [3] dup_para_char_frac
+    * [4..6] top_{2,3,4}gram_char_frac [7..12] dup_{5..10}gram_char_frac.
+    *
+    * Semantics mirror the relational oracle exactly: lines/paragraphs are
+    * space-trimmed non-empty `\n` / `\n\n` splits of the RAW text; grams
+    * run over the normalized text (lowercase via UTF8String.toLowerCase —
+    * the same routine as Spark's `lower()` — then `[ \t\n\f\r]+`
+    * collapsed to single spaces and trimmed, matching Dedup.normalize);
+    * char counts are CODEPOINTS (matching `length()`); the top gram is
+    * the lexicographically-first gram of maximal count. Lexicographic
+    * tie-break uses String.compareTo (UTF-16 code-unit order) — identical
+    * to engine byte order over BMP text, the sibling kernels' documented
+    * caveat. Every fraction is one long/long IEEE division → bit-exact
+    * against the SQL twin.
+    *
+    * The interpreted equivalent (9 wordNgrams arrays + 3 array_sorts + 8
+    * array_distincts + per-element fold lambdas) measured 9.85 s at
+    * sf0.1; this kernel is a single JIT-friendly pass with per-n hash
+    * maps. */
+  def gopherRepetition(input: UTF8String): ArrayData = {
+    val out = new Array[Any](13)
+    val raw = input.toString
+    // ---- line / paragraph duplicate stats over the raw text
+    def splitDupStats(delim: String, fracSlot: Int, charSlot: Int): Unit = {
+      val seen = new java.util.HashSet[String]()
+      var total = 0L; var totChars = 0L; var disChars = 0L
+      var from = 0
+      while (from <= raw.length) {
+        val hit = raw.indexOf(delim, from)
+        val end = if (hit < 0) raw.length else hit
+        // trim ASCII spaces only (the `trim()` contract both engines share)
+        var a = from; var b = end
+        while (a < b && raw.charAt(a) == ' ') a += 1
+        while (b > a && raw.charAt(b - 1) == ' ') b -= 1
+        if (b > a) {
+          val seg = raw.substring(a, b)
+          val cp = seg.codePointCount(0, seg.length).toLong
+          total += 1L; totChars += cp
+          if (seen.add(seg)) disChars += cp
+        }
+        if (hit < 0) from = raw.length + 1 else from = hit + delim.length
+      }
+      out(fracSlot) =
+        if (total > 0L) (total - seen.size).toDouble / total else 0.0
+      out(charSlot) =
+        if (totChars > 0L) (totChars - disChars).toDouble / totChars else 0.0
+    }
+    splitDupStats("\n", 0, 1)
+    splitDupStats("\n\n", 2, 3)
+    // ---- normalized text (Dedup.normalize semantics) + word starts
+    val lowered = input.toLowerCase.toString
+    val nb = new java.lang.StringBuilder(lowered.length)
+    var i = 0; var pendingSpace = false
+    while (i < lowered.length) {
+      val c = lowered.charAt(i)
+      val ws = c == ' ' || c == '\t' || c == '\n' || c == '\u000B' ||
+        c == '\f' || c == '\r'
+      if (ws) { if (nb.length > 0) pendingSpace = true }
+      else { if (pendingSpace) { nb.append(' '); pendingSpace = false }
+        nb.append(c) }
+      i += 1
+    }
+    val norm = nb.toString
+    val normLen = norm.codePointCount(0, norm.length).toLong
+    val starts = new scala.collection.mutable.ArrayBuffer[Int](64)
+    if (norm.nonEmpty) starts += 0
+    i = 0
+    while (i < norm.length) { if (norm.charAt(i) == ' ') starts += i + 1; i += 1 }
+    val w = if (norm.isEmpty) 0 else starts.length
+    def gramEnd(lastWord: Int): Int =
+      if (lastWord + 1 == w) norm.length else starts(lastWord + 1) - 1
+    // ---- top-{2,3,4}-gram char fractions
+    var n = 2
+    while (n <= 4) {
+      val counts = new java.util.HashMap[String, Int]()
+      var j = 0
+      while (j + n <= w) {
+        val k = norm.substring(starts(j), gramEnd(j + n - 1))
+        counts.put(k, counts.getOrDefault(k, 0) + 1)
+        j += 1
+      }
+      var bestCnt = 0; var bestGram: String = null
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue > bestCnt ||
+            (e.getValue == bestCnt && bestGram != null &&
+              e.getKey.compareTo(bestGram) < 0)) {
+          bestCnt = e.getValue; bestGram = e.getKey
+        }
+      }
+      val chars = if (bestGram == null) 0L
+        else bestCnt.toLong * bestGram.codePointCount(0, bestGram.length)
+      out(4 + (n - 2)) = if (normLen > 0L) chars.toDouble / normLen else 0.0
+      n += 1
+    }
+    // ---- duplicate-{5..10}-gram char fractions
+    n = 5
+    while (n <= 10) {
+      val seen = new java.util.HashSet[String]()
+      var tot = 0L; var dis = 0L
+      var j = 0
+      while (j + n <= w) {
+        val g = norm.substring(starts(j), gramEnd(j + n - 1))
+        val cp = g.codePointCount(0, g.length).toLong
+        tot += cp
+        if (seen.add(g)) dis += cp
+        j += 1
+      }
+      out(7 + (n - 5)) = if (tot > 0L) (tot - dis).toDouble / tot else 0.0
+      n += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** Fraction of positions where two equal-length long arrays agree. */
@@ -444,6 +562,25 @@ case class CharGrams(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** The 13 Gopher repetition signals as one array-of-double column — see
+  * [[TextHashKernels.gopherRepetition]] for the slot order and the exact
+  * per-signal semantics. */
+case class GopherRepetition(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "gopher_repetition"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashKernels.gopherRepetition(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashKernels.gopherRepetition($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): GopherRepetition =
+    copy(child = newChild)
+}
+
 /** Winnowing fingerprint: k-shingle rolling-hash stream → min per sliding
   * window of w (classic monotone-deque, O(n)) → distinct set. */
 case class WinnowFingerprint(child: Expression, k: Int, w: Int)
@@ -508,6 +645,8 @@ object TextHashExprs {
     GraftColumnBridge.column(CountInSorted(GraftColumnBridge.expression(c), sorted))
   def charGrams(c: Column, k: Int): Column =
     GraftColumnBridge.column(CharGrams(GraftColumnBridge.expression(c), k))
+  def gopherRepetition(c: Column): Column =
+    GraftColumnBridge.column(GopherRepetition(GraftColumnBridge.expression(c)))
   def jaccardSorted(a: Column, b: Column): Column =
     GraftColumnBridge.column(JaccardSorted(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))

@@ -878,6 +878,51 @@ object TextAnalysis {
         okBullets && okEllipsis).as("gopher_pass"))
   }
 
+  /** Gopher REPETITION rules (Rae et al. 2021, appendix A1.1 — the other
+    * half of the rule set next to [[gopherSignals]]' quality rules):
+    * duplicate line/paragraph fractions (row-count and char-weighted),
+    * the top-{2,3,4}-gram character fractions, the duplicate
+    * {5..10}-gram character fractions, and the composite `rep_pass` at
+    * the paper's thresholds.
+    *
+    * Definitions (documented heuristics, mirrored exactly by the oracle):
+    * lines are space-trimmed non-empty `\n` splits, paragraphs the same
+    * over `\n\n`; duplicate-X char fraction = chars in occurrences AFTER
+    * the first / chars in all occurrences; the top-n-gram char fraction
+    * is count(top gram) x length(top gram) over the normalized text
+    * length, where the top gram is the lexicographically-FIRST gram of
+    * maximal count (a total order, deterministic on both engines). Every
+    * ratio is a single long/long IEEE division, so the DOUBLEs
+    * hash-verify bit-for-bit.
+    *
+    * Shape: ONE codegen kernel pass per row
+    * ([[graft.functions.TextHashKernels.gopherRepetition]]) emitting all
+    * 13 signals as an array slot — zero exchanges at any corpus size.
+    * The interpreted higher-order-function formulation (9 wordNgrams
+    * arrays + 3 array_sorts + 8 array_distincts) measured 9.85 s at
+    * sf0.1; the kernel's two-step projection keeps it to one kernel call
+    * per row (CollapseProject will not merge a multiply-referenced
+    * non-trivial alias back into 13 copies). */
+  def gopherRepetitionSignals(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val names =
+      Seq("dup_line_frac", "dup_line_char_frac",
+        "dup_para_frac", "dup_para_char_frac") ++
+      (2 to 4).map(n => s"top_${n}gram_char_frac") ++
+      (5 to 10).map(n => s"dup_${n}gram_char_frac")
+    // the paper's thresholds, rule for rule
+    val bars =
+      Seq(0.30, 0.20, 0.30, 0.20) ++ Seq(0.20, 0.18, 0.16) ++
+      Seq(0.15, 0.14, 0.13, 0.12, 0.11, 0.10)
+    val staged = df.select(col(idCol),
+      graft.functions.TextHashExprs.gopherRepetition(col(textCol)).as("__r"))
+    val sigCols = names.zipWithIndex.map { case (nm, i) =>
+      element_at(col("__r"), i + 1).as(nm) }
+    val pass = names.zipWithIndex.map { case (_, i) =>
+      element_at(col("__r"), i + 1) <= bars(i) }.reduce(_ && _)
+    staged.select(col(idCol) +: sigCols :+ pass.as("rep_pass"): _*)
+  }
+
   /** Per-document bigram LM fluency score — the CCNet-style "score every
     * doc under a corpus LM" quality pass, with the corpus itself as the
     * training set. The model is an add-one-smoothed bigram model:

@@ -2995,6 +2995,16 @@ object Pipeline {
           TextAnalysis.gopherSignals(col("text"), minStopHits = 1L): _*),
       Some(gopherOracle(minStopHits = 1L))),
 
+    // ---- Gopher repetition-rule gate (t30): the paper's other rule half
+    // (Rae et al. 2021 A1.1) — duplicate line/paragraph fractions
+    // (row-count + char-weighted), top-{2,3,4}-gram char fractions,
+    // duplicate-{5..10}-gram char fractions, composite rep_pass at the
+    // paper's thresholds. ONE codegen kernel pass per row, zero exchanges.
+    Q("t30_gopher_repetition",
+      (s, dir) => TextAnalysis.gopherRepetitionSignals(
+        t(s, dir, "documents"), "doc_id", "text"),
+      Some(gopherRepetitionOracle)),
+
     // ---- Bigram LM fluency score (t28): corpus-trained add-one bigram
     // model, per-doc MEAN conditional probability (the CCNet "score every
     // doc under a corpus LM" pass; arithmetic-mean-of-p instead of
@@ -3086,6 +3096,104 @@ object Pipeline {
                MIN(media_id) AS rep_media_id
         FROM frames GROUP BY 1, 2, 3"""))
   )
+
+  /** DuckDB twin of [[TextAnalysis.gopherRepetitionSignals]] — the n-gram
+    * families are generated from the same (2..4 top / 5..10 dup) ranges
+    * and thresholds as the Scala side so the two cannot drift. The twin
+    * computes grams relationally (UNNEST + GROUP BY + one window for the
+    * deterministic (count DESC, gram ASC) arg-max) — the oracle need not
+    * be shuffle-free, only value-identical. */
+  private def gopherRepetitionOracle: String = {
+    val topBar = Map(2 -> "0.20", 3 -> "0.18", 4 -> "0.16")
+    val dupBar = Map(5 -> "0.15", 6 -> "0.14", 7 -> "0.13", 8 -> "0.12",
+      9 -> "0.11", 10 -> "0.10")
+    val topCols = (2 to 4).map(n =>
+      s"""CASE WHEN b.norm_len > 0
+         THEN CAST(COALESCE(t.top$n, 0) AS DOUBLE) / b.norm_len
+         ELSE CAST('0.0' AS DOUBLE) END AS top_${n}gram_char_frac""")
+    val dupCols = (5 to 10).map(n =>
+      s"""CASE WHEN COALESCE(d.tot$n, 0) > 0
+         THEN CAST(d.rep$n AS DOUBLE) / d.tot$n
+         ELSE CAST('0.0' AS DOUBLE) END AS dup_${n}gram_char_frac""")
+    val passTerms =
+      Seq("dup_line_frac <= 0.30", "dup_line_char_frac <= 0.20",
+        "dup_para_frac <= 0.30", "dup_para_char_frac <= 0.20") ++
+      (2 to 4).map(n => s"top_${n}gram_char_frac <= ${topBar(n)}") ++
+      (5 to 10).map(n => s"dup_${n}gram_char_frac <= ${dupBar(n)}")
+    s"""
+        WITH base AS (
+          SELECT doc_id,
+            list_filter(list_transform(string_split(text, chr(10)),
+              x -> trim(x)), x -> x <> '') AS lns,
+            list_filter(list_transform(string_split(text, chr(10)||chr(10)),
+              x -> trim(x)), x -> x <> '') AS prs,
+            list_filter(string_split(trim(regexp_replace(lower(text),
+              '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), ' '),
+              x -> len(x) > 0) AS toks
+          FROM documents),
+        base2 AS (
+          SELECT doc_id, lns, prs, toks,
+            length(array_to_string(toks, ' ')) AS norm_len
+          FROM base),
+        grams AS (
+          SELECT doc_id, n, array_to_string(toks[i:i+n-1], ' ') AS gram
+          FROM base2,
+               UNNEST([2,3,4,5,6,7,8,9,10]) AS tn(n),
+               UNNEST(range(1, len(toks) - n + 2)) AS r(i)),
+        counts AS (
+          SELECT doc_id, n, gram, COUNT(*) AS c, length(gram) AS gl
+          FROM grams GROUP BY 1, 2, 3, length(gram)),
+        topg AS (
+          SELECT doc_id, n, c * gl AS chars,
+            ROW_NUMBER() OVER (PARTITION BY doc_id, n
+              ORDER BY c DESC, gram ASC) AS rn
+          FROM counts WHERE n <= 4),
+        topp AS (
+          SELECT doc_id,
+            ${(2 to 4).map(n =>
+              s"MAX(CASE WHEN n = $n THEN chars END) AS top$n")
+              .mkString(", ")}
+          FROM topg WHERE rn = 1 GROUP BY doc_id),
+        dupp AS (
+          SELECT doc_id,
+            ${(5 to 10).map(n =>
+              s"SUM(CASE WHEN n = $n THEN (c - 1) * gl END) AS rep$n, " +
+              s"SUM(CASE WHEN n = $n THEN c * gl END) AS tot$n")
+              .mkString(", ")}
+          FROM counts WHERE n >= 5 GROUP BY doc_id),
+        sig AS (
+          SELECT b.doc_id,
+            CASE WHEN len(b.lns) > 0
+              THEN CAST(len(b.lns) - len(list_distinct(b.lns)) AS DOUBLE)
+                / len(b.lns) ELSE CAST('0.0' AS DOUBLE) END AS dup_line_frac,
+            CASE WHEN COALESCE(list_sum(list_transform(b.lns,
+                x -> length(x))), 0) > 0
+              THEN CAST(list_sum(list_transform(b.lns, x -> length(x)))
+                  - list_sum(list_transform(list_distinct(b.lns),
+                    x -> length(x))) AS DOUBLE)
+                / list_sum(list_transform(b.lns, x -> length(x)))
+              ELSE CAST('0.0' AS DOUBLE) END AS dup_line_char_frac,
+            CASE WHEN len(b.prs) > 0
+              THEN CAST(len(b.prs) - len(list_distinct(b.prs)) AS DOUBLE)
+                / len(b.prs) ELSE CAST('0.0' AS DOUBLE) END AS dup_para_frac,
+            CASE WHEN COALESCE(list_sum(list_transform(b.prs,
+                x -> length(x))), 0) > 0
+              THEN CAST(list_sum(list_transform(b.prs, x -> length(x)))
+                  - list_sum(list_transform(list_distinct(b.prs),
+                    x -> length(x))) AS DOUBLE)
+                / list_sum(list_transform(b.prs, x -> length(x)))
+              ELSE CAST('0.0' AS DOUBLE) END AS dup_para_char_frac,
+            ${(topCols ++ dupCols).mkString(",\n            ")}
+          FROM base2 b
+          LEFT JOIN topp t USING (doc_id)
+          LEFT JOIN dupp d USING (doc_id))
+        SELECT doc_id, dup_line_frac, dup_line_char_frac, dup_para_frac,
+          dup_para_char_frac,
+          ${(2 to 4).map(n => s"top_${n}gram_char_frac").mkString(", ")},
+          ${(5 to 10).map(n => s"dup_${n}gram_char_frac").mkString(", ")},
+          (${passTerms.mkString("\n            AND ")}) AS rep_pass
+        FROM sig"""
+  }
 
   /** DuckDB twin of [[TextAnalysis.gopherSignals]], generated from the same
     * stopword list and thresholds so the two sides cannot drift. */

@@ -296,7 +296,10 @@ class PlanLintSpec extends SparkSpec {
     // bigram key, V is a 1-row broadcast
     "t28_lm_score" -> 4,
     // pure per-row codegen column expressions over one scan
-    "t29_gopher_filter" -> 0
+    "t29_gopher_filter" -> 0,
+    // per-row array expressions (sorted-run folds + distinct sums) — no
+    // shuffle at any corpus size
+    "t30_gopher_repetition" -> 0
   )
 
   /** sf0.01 OVERRIDES on top of [[exchangeBudget]] (VERDICT r6 directive

@@ -697,6 +697,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L).getLong(out(1L).fieldIndex("stop_hits")) == 6L)
   }
 
+  test("gopherRepetitionSignals: hand-computed fractions on designed docs") {
+    import spark.implicits._
+    val docs = Seq(
+      // 4 lines, "dup line" twice; 2 paragraphs, distinct
+      (1L, "dup line\nunique one\ndup line\nanother\n\nsecond para"),
+      // "a b" repeated: top 2-gram dominates; 5-grams all duplicated
+      (2L, Seq.fill(6)("a b").mkString(" ")),
+      // long enough that the count-1 top gram's chars are a small fraction
+      (3L, (1 to 60).map(i => s"word$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRepetitionSignals(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def d(id: Long, name: String): Double =
+      out(id).getDouble(out(id).fieldIndex(name))
+    // doc 1 lines: [dup line, unique one, dup line, another, second para]
+    // (the \n\n boundary also splits lines) → 5 lines, 1 repeat
+    assert(d(1L, "dup_line_frac") == 1.0 / 5.0)
+    // repeat chars: "dup line" (8) over total 8+10+8+7+11 = 44
+    assert(d(1L, "dup_line_char_frac") == 8.0 / 44.0)
+    assert(d(1L, "dup_para_frac") == 0.0)
+    // doc 2: "a b a b …" ×6 → tokens a,b ×6; 2-grams: "a b"×6, "b a"×5
+    // top 2-gram = count 6 × len 3 = 18 chars over norm_len 23
+    assert(d(2L, "top_2gram_char_frac") == 18.0 / 23.0)
+    // 5-grams: 8 occurrences, 2 distinct ("a b a b a", "b a b a b", len 9)
+    // rep = (8-2)*9 over 8*9
+    assert(d(2L, "dup_5gram_char_frac") == 54.0 / 72.0)
+    assert(!out(2L).getBoolean(out(2L).fieldIndex("rep_pass")))
+    // doc 3: nothing repeats anywhere
+    assert(d(3L, "dup_line_frac") == 0.0 &&
+      d(3L, "top_4gram_char_frac") > 0.0 &&
+      d(3L, "dup_10gram_char_frac") == 0.0)
+    assert(out(3L).getBoolean(out(3L).fieldIndex("rep_pass")))
+  }
+
   test("lmScore matches a hand-built add-one bigram model") {
     import spark.implicits._
     // corpus: "a b" ×2 docs and "a c b" — bigrams: (a b):2, (a c):1, (c b):1
