@@ -545,4 +545,29 @@ object Similarity {
           .as("skipped_cluster_rows"))
       .select((df.columns.map(col) :+ col("__cl").as("cluster")): _*)
   }
+
+  /** Per-query recall@k of an approximate ANN result against the exact
+    * ground truth — the eval harness every ANN index deployment needs
+    * before its parameters ship. Both inputs carry (queryCol, neighborCol)
+    * rows with at most one row per pair (the contract of every topK
+    * operator in this file); recall = |approx ∩ exact| / |exact| per
+    * query, a single long/long IEEE division (bit-exact vs the SQL twin).
+    *
+    * Shape: one equi-join on the (query, neighbor) pair key + one keyed
+    * aggregate — both sides are queries×k rows, so the eval costs
+    * O(queries·k) regardless of corpus size (the expensive part is
+    * PRODUCING the inputs, and the ground-truth side is typically run on
+    * a sampled query set for exactly that reason). */
+  def recallAtK(exact: DataFrame, approx: DataFrame,
+      queryCol: String = "query_id",
+      neighborCol: String = "neighbor_id"): DataFrame =
+    exact.select(col(queryCol), col(neighborCol))
+      .join(approx.select(col(queryCol), col(neighborCol),
+          lit(1L).as("__hit")),
+        Seq(queryCol, neighborCol), "left")
+      .groupBy(col(queryCol))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .select(col(queryCol), col("n_exact"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_exact")).as("recall"))
 }

@@ -462,6 +462,26 @@ object Pipeline {
     s"sqrt(list_reduce(list_transform($v, " +
       s"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a+b))"
 
+  /** DuckDB twin of [[Similarity.bruteForceTopK]] over the sf fixtures
+    * (vec_id < 8 queries, k=10) — shared by s01 and the s09 recall eval. */
+  private val annBruteOracle: String = """
+        WITH c AS (
+          SELECT vec_id, embedding,
+            sqrt(list_reduce(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a+b)) AS nrm
+          FROM embeddings),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            list_reduce(list_transform(list_zip(c.embedding, q.embedding),
+              z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (a,b) -> a+b)
+              / (c.nrm * q.nrm) AS cos_sim
+          FROM c q JOIN c ON q.vec_id < 8 AND c.vec_id <> q.vec_id)
+        SELECT query_id, neighbor_id, cos_sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+        FROM scored
+        QUALIFY rank <= 10"""
+
   /** The m-bit hyperplane sign bucket of `vecExpr` — the planes are seeded
     * CONSTANTS, so their exact double values inline as SQL literals
     * (Double.toString round-trips), making the "approximate" LSH paths
@@ -1570,23 +1590,7 @@ object Pipeline {
           emb.filter(col("vec_id") < 8), "vec_id", "embedding",
           k = 10)
       },
-      Some("""
-        WITH c AS (
-          SELECT vec_id, embedding,
-            sqrt(list_reduce(list_transform(embedding,
-              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a+b)) AS nrm
-          FROM embeddings),
-        scored AS (
-          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-            list_reduce(list_transform(list_zip(c.embedding, q.embedding),
-              z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (a,b) -> a+b)
-              / (c.nrm * q.nrm) AS cos_sim
-          FROM c q JOIN c ON q.vec_id < 8 AND c.vec_id <> q.vec_id)
-        SELECT query_id, neighbor_id, cos_sim,
-               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                 ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
-        FROM scored
-        QUALIFY rank <= 10""")),
+      Some(annBruteOracle)),
 
     // ---- ANN: hyperplane-LSH bucketed top-k (scale path; sublinear).
     // Oracled like d06: the seeded planes inline as literals, so the
@@ -1684,6 +1688,40 @@ object Pipeline {
       oracleGen = Some((s, dir) =>
         annIvfPqOracle(s, dir, nCoarse = 16, coarseSeed = 42L,
           m = 8, kc = 16, pqSeed = 7L, nProbe = 4, k = 10))),
+
+    // ---- ANN recall evaluation (s09): recall@k of the LSH index (s02's
+    // exact parameters) against the brute-force ground truth (s01's) —
+    // the eval every index deployment runs before its parameters ship.
+    // The approximation AND the ground truth both reproduce in SQL (the
+    // seeded hyperplanes inline as literals), so the recall numbers
+    // themselves are hash-verified. Cost is O(queries x k) beyond
+    // producing the two inputs.
+    Q("s09_ann_recall",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 8)
+        Similarity.recallAtK(
+          Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+            queries, "vec_id", "embedding", k = 10),
+          Similarity.lshTopK(emb, "vec_id", "embedding",
+            queries, "vec_id", "embedding",
+            k = 10, dim = 64, bitsPerTable = 5, tables = 8))
+      },
+      Some(s"""
+        WITH exact AS (
+          SELECT query_id, neighbor_id FROM ($annBruteOracle) x),
+        approx AS (
+          SELECT query_id, neighbor_id
+          FROM (${annLshOracle(tables = 8, bits = 5, seed = 42L, k = 10)}) y)
+        SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+          CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+          CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+            THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS recall
+        FROM exact e
+        LEFT JOIN approx a
+          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id""")),
 
     // ---- SemDeDup, k-means-partitioned (d19; Abbas et al. 2023 §3 as
     // published): exact pairwise cosine ONLY within each k-means cluster,

@@ -329,6 +329,85 @@ object ScaleStress {
       lm10(g)._1 == lm1(g)._1 * 10 && lm10(g)._2 == lm1(g)._2 },
       "ngram counts must scale 10x with continuation counts unchanged")
 
+    // ---- round-8 ops. keep-best dedup under a single 500k-duplicate hot
+    // key (the hot-URL skew case the struct-MAX shape exists for: a
+    // window formulation would sort 500k rows in one task; the partial
+    // aggregate combines them map-side). Exact invariants: survivor =
+    // arg-max (quality, id) with quality ties broken toward the higher
+    // id, counters exact.
+    val hotKeyed = spark.range(1000000L).select(
+      when(col("id") < 500000L, lit("hot"))
+        .otherwise(concat(lit("k"), col("id"))).as("src"),
+      (col("id") % 1000L).as("q"), col("id"))
+    val d20n = time("keep-best-hot-key-1M") {
+      Dedup.keepBestPerKey(hotKeyed, "src", "q", "id").count()
+    }
+    println("[stress] keep-best keys=" + d20n + " (expect 500001)")
+    require(d20n == 500001L, "keep-best key count drifted")
+    val hotRow = Dedup.keepBestPerKey(hotKeyed, "src", "q", "id")
+      .filter(col("src") === "hot").head()
+    println("[stress] hot key kept_id=" + hotRow.getLong(1) +
+      " kept_q=" + hotRow.getLong(2) + " n=" + hotRow.getLong(3) +
+      " totq=" + hotRow.getLong(4))
+    require(hotRow.getLong(1) == 499999L && hotRow.getLong(2) == 999L &&
+      hotRow.getLong(3) == 500000L && hotRow.getLong(4) == 249750000L,
+      "hot-key arg-max survivor wrong")
+
+    // LM scoring on the 10x clone corpus: the model's counts all scale by
+    // 10 (scores shift — that is the corpus-trained contract), but the
+    // OUTPUT SHAPE is exact: 10x rows, 10x total bigram occurrences.
+    val lm1s = TextAnalysis.lmScore(docsFull, "doc_id", "text")
+      .agg(count(lit(1)), sum(col("n_bigrams"))).head()
+    val lm10s = time("lm-score-50k") {
+      TextAnalysis.lmScore(big, "doc_id", "text")
+        .agg(count(lit(1)), sum(col("n_bigrams"))).head()
+    }
+    println("[stress] lm-score rows=" + lm10s.getLong(0) + "/" +
+      lm1s.getLong(0) + " bigrams=" + lm10s.getLong(1) + "/" + lm1s.getLong(1))
+    require(lm10s.getLong(0) == lm1s.getLong(0) * 10 &&
+      lm10s.getLong(1) == lm1s.getLong(1) * 10,
+      "lm-score clone-corpus shape drifted")
+
+    // repetition kernel is per-row: clone corpus passes exactly 10x the
+    // rows and 10x the rep_pass count
+    val rep1 = TextAnalysis.gopherRepetitionSignals(docsFull, "doc_id", "text")
+      .agg(count(lit(1)), sum(col("rep_pass").cast("long"))).head()
+    val rep10 = time("gopher-repetition-50k") {
+      TextAnalysis.gopherRepetitionSignals(big, "doc_id", "text")
+        .agg(count(lit(1)), sum(col("rep_pass").cast("long"))).head()
+    }
+    println("[stress] gopher-rep rows=" + rep10.getLong(0) +
+      " pass=" + rep10.getLong(1))
+    require(rep10.getLong(0) == rep1.getLong(0) * 10 &&
+      rep10.getLong(1) == rep1.getLong(1) * 10,
+      "repetition kernel clone invariance drifted")
+
+    // frame dedup at 10x with KIND-PRESERVING clone ids (offset multiple
+    // of 3 keeps doc_id%3, so every clone encodes the identical payload):
+    // the distinct-content group set must be EXACTLY the 1x set with
+    // n_frames/n_media scaled 10x and the representative = the offset-0
+    // copy — and the whole thing runs on real decodes of every distinct
+    // compressed frame.
+    val kindSafe = (0 until 10).map(i =>
+        docsFull.select((col("doc_id") + lit(300000L * i)).as("doc_id"),
+          col("text")))
+      .reduce(_ union _)
+    val fd1 = graft.operators.Multimodal.frameDedup(
+        graft.operators.Multimodal.syntheticMedia(docsFull))
+      .agg(count(lit(1)), sum(col("n_frames")), sum(col("n_media"))).head()
+    val fd10 = time("frame-dedup-50k-real-decode") {
+      graft.operators.Multimodal.frameDedup(
+          graft.operators.Multimodal.syntheticMedia(kindSafe))
+        .agg(count(lit(1)), sum(col("n_frames")), sum(col("n_media"))).head()
+    }
+    println("[stress] frame-dedup groups=" + fd10.getLong(0) + "/" +
+      fd1.getLong(0) + " frames=" + fd10.getLong(1) + "/" + fd1.getLong(1) +
+      " media=" + fd10.getLong(2) + "/" + fd1.getLong(2))
+    require(fd10.getLong(0) == fd1.getLong(0) &&
+      fd10.getLong(1) == fd1.getLong(1) * 10 &&
+      fd10.getLong(2) == fd1.getLong(2) * 10,
+      "frame-dedup clone-corpus invariants drifted")
+
     // 10x lineitem (6M rows ≈ SF1): relational headliners, noop sink
     val li = graft.core.Tables.load(spark, dir, "lineitem")
     val bigLi = (0 until 10).map(i =>

@@ -40,7 +40,9 @@ class PlanLintSpec extends SparkSpec {
     "t24_bm25_topk" ->
       "corpus-stats attach: single-row (sum dl, N) aggregate broadcast as the avgdl constant (TextAnalysis.bm25TopK)",
     "t28_lm_score" ->
-      "vocab-size attach: single-row count_distinct aggregate broadcast as the smoothing constant V (TextAnalysis.lmScore)"
+      "vocab-size attach: single-row count_distinct aggregate broadcast as the smoothing constant V (TextAnalysis.lmScore)",
+    "s09_ann_recall" ->
+      "inherits s01's by-design brute-force baseline as the recall eval's ground-truth side (tiny query side broadcast)"
   )
 
   test("no query plans a CartesianProduct or BroadcastNestedLoopJoin " +
@@ -299,7 +301,11 @@ class PlanLintSpec extends SparkSpec {
     "t29_gopher_filter" -> 0,
     // per-row array expressions (sorted-run folds + distinct sums) — no
     // shuffle at any corpus size
-    "t30_gopher_repetition" -> 0
+    "t30_gopher_repetition" -> 0,
+    // contains both ANN inputs it evaluates: s02's LSH plan (bucket join +
+    // TopKPerKey clusterings) + s01's brute ground truth, then ONE pair-key
+    // join + keyed agg on queries×k rows
+    "s09_ann_recall" -> 6
   )
 
   /** sf0.01 OVERRIDES on top of [[exchangeBudget]] (VERDICT r6 directive

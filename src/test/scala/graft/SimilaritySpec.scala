@@ -258,4 +258,24 @@ class SimilaritySpec extends SparkSpec {
     assert(full.queryExecution.observedMetrics("semdedup_kmeans")
       .getAs[Long]("skipped_cluster_rows") == 0L)
   }
+
+  test("recallAtK: per-query hit counts and recall fractions exact") {
+    import spark.implicits._
+    val exact = Seq(
+      (1, 10L), (1, 11L), (1, 12L), (1, 13L),
+      (2, 20L), (2, 21L)).toDF("query_id", "neighbor_id")
+    val approx = Seq(
+      (1, 10L), (1, 13L), (1, 99L),  // 2 of 4 hit; 99 is a non-hit extra
+      (2, 20L), (2, 21L),            // perfect
+      (3, 30L)                       // query absent from ground truth
+    ).toDF("query_id", "neighbor_id")
+    val got = Similarity.recallAtK(exact, approx)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // ground-truth-driven: query 3 (no exact rows) doesn't appear;
+    // approx extras never inflate recall
+    assert(got.keySet == Set(1, 2))
+    assert(got(1) == ((4L, 2L, 0.5)))
+    assert(got(2) == ((2L, 2L, 1.0)))
+  }
 }
