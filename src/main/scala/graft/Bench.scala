@@ -68,7 +68,8 @@ object Bench {
     "d20_url_dedup",             // dedup: canonical-key keep-best (struct MAX)
     "m04_frame_dedup",           // media: frame-level dedup over real decodes
     "t30_gopher_repetition",     // quality: repetition rules (one-pass kernel)
-    "s09_ann_recall")            // eval: ANN recall@k vs brute ground truth
+    "s09_ann_recall",            // eval: ANN recall@k vs brute ground truth
+    "t31_c4_filter")             // quality: C4 line+page cleaning gate
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

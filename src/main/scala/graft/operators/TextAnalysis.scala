@@ -878,6 +878,56 @@ object TextAnalysis {
         okBullets && okEllipsis).as("gopher_pass"))
   }
 
+  /** Page-level phrases whose presence anywhere in the lowercased text
+    * drops the document under the C4 rules (Raffel et al. 2020 §2.2's
+    * boilerplate/placeholder classes, as a fixed documented list). */
+  val c4PagePhrases: Seq[String] =
+    Seq("lorem ipsum", "terms of use", "privacy policy", "cookie policy")
+
+  /** C4-style line + page cleaning (Raffel et al. 2020, §2.2) — the third
+    * member of the paper-named gate family next to [[gopherSignals]] and
+    * [[gopherRepetitionSignals]]. Line rules (each line space-trimmed):
+    * keep iff it ends in terminal punctuation (`.` `!` `?` `"`), has at
+    * least `minLineWords` whitespace words, and does not contain
+    * `javascript` (case-insensitive). Page rules: keep iff the cleaned
+    * page has at least `minSentences` sentences (terminal-punctuation
+    * count over kept lines), contains no `{`, and contains none of
+    * [[c4PagePhrases]] (case-insensitive). The output carries the CLEANED
+    * text (kept lines joined by `\n`), the per-stage counters, and the
+    * composite `c4_keep` — documented deterministic heuristics, mirrored
+    * exactly by the oracle.
+    *
+    * Pure per-row codegen column expressions over one scan — zero
+    * exchanges at any corpus size (the same 100 TB shape as t29/t30). */
+  def c4Signals(text: Column, minLineWords: Int = 3,
+      minSentences: Int = 5): Seq[Column] = {
+    val lines = filter(transform(split(text, "\n"), l => trim(l)),
+      l => length(l) > 0)
+    def keepLine(l: Column): Column = {
+      val punct = l.endsWith(".") || l.endsWith("!") || l.endsWith("?") ||
+        l.endsWith("\"")
+      val words = size(filter(split(l, " "), w => length(w) > 0))
+      punct && words >= minLineWords && !lower(l).contains("javascript")
+    }
+    val kept = filter(lines, keepLine(_))
+    val cleanText = array_join(kept, "\n")
+    // sentences = terminal-punctuation marks in the kept text
+    val nSentences = (length(cleanText) -
+      length(regexp_replace(cleanText, "[.!?]", ""))).cast("long")
+    val lowered = lower(text)
+    val noBrace = !text.contains("{")
+    val noPhrase = c4PagePhrases.map(p => !lowered.contains(p)).reduce(_ && _)
+    val keep = nSentences >= minSentences && noBrace && noPhrase
+    Seq(
+      cleanText.as("clean_text"),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept_lines"),
+      nSentences.as("n_sentences"),
+      noBrace.as("ok_no_brace"),
+      noPhrase.as("ok_no_phrases"),
+      keep.as("c4_keep"))
+  }
+
   /** Gopher REPETITION rules (Rae et al. 2021, appendix A1.1 — the other
     * half of the rule set next to [[gopherSignals]]' quality rules):
     * duplicate line/paragraph fractions (row-count and char-weighted),

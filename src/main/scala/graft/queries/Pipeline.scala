@@ -3043,6 +3043,22 @@ object Pipeline {
         t(s, dir, "documents"), "doc_id", "text"),
       Some(gopherRepetitionOracle)),
 
+    // ---- C4 line+page cleaning (t31): the third paper-named gate next
+    // to t29/t30 — terminal-punctuation / min-words / javascript line
+    // rules, sentence-count / brace / boilerplate-phrase page rules,
+    // CLEANED text carried in the output. Pure per-row codegen column
+    // expressions: zero exchanges.
+    // The fixture text carries no newlines or punctuation, so the gate
+    // runs over a DERIVED page: a sentence break after every 6th word
+    // (same leftmost-non-overlap regex contract in both engines), which
+    // leaves a trailing unpunctuated partial line — every line rule and
+    // the sentence-count page rule exercise BOTH branches under the hash.
+    Q("t31_c4_filter",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id") +: TextAnalysis.c4Signals(
+          regexp_replace(col("text"), "((?:\\S+ ){6})", "$1.\n")): _*),
+      Some(c4Oracle)),
+
     // ---- Bigram LM fluency score (t28): corpus-trained add-one bigram
     // model, per-doc MEAN conditional probability (the CCNet "score every
     // doc under a corpus LM" pass; arithmetic-mean-of-p instead of
@@ -3134,6 +3150,49 @@ object Pipeline {
                MIN(media_id) AS rep_media_id
         FROM frames GROUP BY 1, 2, 3"""))
   )
+
+  /** DuckDB twin of [[TextAnalysis.c4Signals]] — the page-phrase list is
+    * generated from the same constant as the Scala side. */
+  private def c4Oracle: String = {
+    val phrases = TextAnalysis.c4PagePhrases
+      .map(p => s"NOT contains(lt, '$p')").mkString(" AND ")
+    s"""
+        WITH paged AS (
+          SELECT doc_id, regexp_replace(text,
+            '((?:\\S+ ){6})', '\\1.' || chr(10), 'g') AS text
+          FROM documents),
+        base AS (
+          SELECT doc_id, text, lower(text) AS lt,
+            list_filter(list_transform(string_split(text, chr(10)),
+              x -> trim(x)), x -> x <> '') AS lns
+          FROM paged),
+        k AS (
+          SELECT doc_id, text, lt, lns,
+            list_filter(lns, l ->
+              (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?')
+                OR ends_with(l, '"'))
+              AND len(list_filter(string_split(l, ' '), w -> len(w) > 0)) >= 3
+              AND NOT contains(lower(l), 'javascript')) AS kept
+          FROM base),
+        sig AS (
+          SELECT doc_id,
+            -- DuckDB array_to_string([]) is NULL where Spark array_join
+            -- is '' — coalesce to the Spark semantic
+            COALESCE(array_to_string(kept, chr(10)), '') AS clean_text,
+            CAST(len(lns) AS BIGINT) AS n_lines,
+            CAST(len(kept) AS BIGINT) AS n_kept_lines,
+            CAST(length(COALESCE(array_to_string(kept, chr(10)), ''))
+              - length(regexp_replace(
+                  COALESCE(array_to_string(kept, chr(10)), ''),
+                  '[.!?]', '', 'g')) AS BIGINT) AS n_sentences,
+            NOT contains(text, '{') AS ok_no_brace,
+            ($phrases) AS ok_no_phrases
+          FROM k)
+        SELECT doc_id, clean_text, n_lines, n_kept_lines, n_sentences,
+          ok_no_brace, ok_no_phrases,
+          (n_sentences >= 5 AND ok_no_brace AND ok_no_phrases) AS c4_keep
+        FROM sig"""
+  }
 
   /** DuckDB twin of [[TextAnalysis.gopherRepetitionSignals]] — the n-gram
     * families are generated from the same (2..4 top / 5..10 dup) ranges

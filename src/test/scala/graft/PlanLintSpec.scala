@@ -305,7 +305,9 @@ class PlanLintSpec extends SparkSpec {
     // contains both ANN inputs it evaluates: s02's LSH plan (bucket join +
     // TopKPerKey clusterings) + s01's brute ground truth, then ONE pair-key
     // join + keyed agg on queries×k rows
-    "s09_ann_recall" -> 6
+    "s09_ann_recall" -> 6,
+    // pure per-row codegen column expressions over one scan
+    "t31_c4_filter" -> 0
   )
 
   /** sf0.01 OVERRIDES on top of [[exchangeBudget]] (VERDICT r6 directive

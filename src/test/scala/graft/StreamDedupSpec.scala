@@ -108,4 +108,33 @@ class StreamDedupSpec extends SparkSpec {
       assert(rows(spark.table("graft_stream_decon")) == joinPath)
     } finally q.stop()
   }
+
+  test("quality gates (t29/t30 signals) run unchanged on readStream " +
+      "and match batch row for row") {
+    import graft.operators.TextAnalysis
+    val corpus = Seq(
+      (1L, "the cat sat and that dog ran to be of it " +
+        (1 to 60).map(i => s"word$i").mkString(" ")),
+      (2L, "dup line\ndup line\n" + Seq.fill(6)("a b").mkString(" ")),
+      (3L, "short one")).toDF("doc_id", "text")
+    def gates(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.gopherRepetitionSignals(
+        df.select(col("doc_id") +: col("text") +:
+          TextAnalysis.gopherSignals(col("text"), minStopHits = 1L): _*),
+        "doc_id", "text")
+    val batch = gates(corpus).collect().map(_.toString).sorted.toSeq
+    val dir = Files.createTempDirectory("graft_sqgate").toFile.getAbsolutePath
+    corpus.filter($"doc_id" <= 1).coalesce(1).write.mode("overwrite").parquet(dir)
+    val q = gates(spark.readStream.schema(corpus.schema).parquet(dir))
+      .writeStream.format("memory").queryName("graft_stream_qgate")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      q.processAllAvailable()
+      corpus.filter($"doc_id" > 1).coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val streamed = spark.table("graft_stream_qgate")
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed == batch)
+    } finally q.stop()
+  }
 }

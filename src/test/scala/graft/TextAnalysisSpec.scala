@@ -697,6 +697,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L).getLong(out(1L).fieldIndex("stop_hits")) == 6L)
   }
 
+  test("c4Signals: line rules, page rules, cleaned text exact") {
+    import spark.implicits._
+    val goodLines = (1 to 6).map(i => s"This is sentence number $i.")
+    val docs = Seq(
+      (1L, goodLines.mkString("\n")),                       // clean keep
+      (2L, (goodLines :+ "no punct line here").mkString("\n")), // line dropped
+      (3L, (goodLines :+ "Uses JavaScript everywhere.").mkString("\n")),
+      (4L, (goodLines :+ "object { nested }").mkString("\n")), // brace page drop
+      (5L, goodLines.take(3).mkString("\n")),               // <5 sentences
+      (6L, (goodLines :+ "Read our Privacy Policy today.").mkString("\n")),
+      (7L, "Shortest sentence here. Yes indeed done.")      // 1 line, 2 sentences
+    ).toDF("doc_id", "text")
+    val out = docs.select($"doc_id" +: TextAnalysis.c4Signals($"text"): _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def f[T](id: Long, name: String): T =
+      out(id).getAs[T](out(id).fieldIndex(name))
+    assert(f[Boolean](1L, "c4_keep") &&
+      f[String](1L, "clean_text") == goodLines.mkString("\n") &&
+      f[Long](1L, "n_sentences") == 6L)
+    // unpunctuated line dropped from clean_text but page survives
+    assert(f[Long](2L, "n_kept_lines") == 6L && f[Long](2L, "n_lines") == 7L &&
+      f[Boolean](2L, "c4_keep"))
+    // javascript line dropped (case-insensitive)
+    assert(f[Long](3L, "n_kept_lines") == 6L && f[Boolean](3L, "c4_keep"))
+    // brace anywhere on the page drops it even though the line was
+    // already filtered
+    assert(!f[Boolean](4L, "ok_no_brace") && !f[Boolean](4L, "c4_keep"))
+    assert(f[Long](5L, "n_sentences") == 3L && !f[Boolean](5L, "c4_keep"))
+    // page phrase is case-insensitive and page-level (the line itself
+    // passes the line rules)
+    assert(f[Long](6L, "n_kept_lines") == 7L &&
+      !f[Boolean](6L, "ok_no_phrases") && !f[Boolean](6L, "c4_keep"))
+    assert(f[Long](7L, "n_sentences") == 2L && !f[Boolean](7L, "c4_keep"))
+  }
+
   test("gopherRepetitionSignals: hand-computed fractions on designed docs") {
     import spark.implicits._
     val docs = Seq(
