@@ -69,7 +69,8 @@ object Bench {
     "m04_frame_dedup",           // media: frame-level dedup over real decodes
     "t30_gopher_repetition",     // quality: repetition rules (one-pass kernel)
     "s09_ann_recall",            // eval: ANN recall@k vs brute ground truth
-    "t31_c4_filter")             // quality: C4 line+page cleaning gate
+    "t31_c4_filter",            // quality: C4 line+page cleaning gate
+    "t32_ccnet_buckets")         // quality: CCNet LM-score bucket split
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

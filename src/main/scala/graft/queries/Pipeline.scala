@@ -3067,43 +3067,40 @@ object Pipeline {
     // bigrams), so the model-dependent DOUBLE score hash-verifies.
     Q("t28_lm_score",
       (s, dir) => TextAnalysis.lmScore(t(s, dir, "documents"), "doc_id", "text"),
-      Some("""
-        WITH dls AS (
-          SELECT doc_id, list_filter(string_split(
-            trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')), ' '),
-            x -> len(x) > 0) AS toks
-          FROM documents),
-        grams AS (
-          SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bigram
-          FROM dls, UNNEST(range(1, len(toks))) AS r(i)
-          WHERE len(toks) >= 2),
-        doc_bigrams AS (
-          SELECT doc_id, bigram, COUNT(*) AS cnt FROM grams GROUP BY 1, 2),
-        model AS (
-          SELECT bigram, string_split(bigram, ' ')[1] AS ctx,
-                 SUM(cnt) AS cb
-          FROM doc_bigrams GROUP BY 1, 2),
-        ctxc AS (SELECT ctx, SUM(cb) AS cu FROM model GROUP BY 1),
-        voc AS (
-          SELECT COUNT(DISTINCT string_split(bigram, ' ')[2]) AS v FROM model),
-        contrib AS (
-          SELECT d.doc_id, d.bigram,
-            d.cnt,
-            CAST(d.cnt AS DOUBLE) *
-              ((CAST(m.cb AS DOUBLE) + CAST('1.0' AS DOUBLE)) /
-               CAST(c.cu + voc.v AS DOUBLE)) AS c
-          FROM doc_bigrams d
-          JOIN model m USING (bigram)
-          JOIN ctxc c ON c.ctx = m.ctx, voc),
-        folded AS (
-          SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
-            list_reduce(
-              list_transform(list_sort(list(struct_pack(bigram := bigram, c := c))),
-                x -> x.c),
-              (a, x) -> a + x) AS s
-          FROM contrib GROUP BY doc_id)
-        SELECT doc_id, n_bigrams, s / CAST(n_bigrams AS DOUBLE) AS lm_score
-        FROM folded""")),
+      Some(lmScoreOracle)),
+
+    // ---- CCNet perplexity buckets (t32): the paper's head/middle/tail
+    // split, per source — every doc ranked by its corpus-LM fluency
+    // (t28's bit-exact score) and NTILE(3)-bucketed within its source.
+    // Deterministic: (lm_score DESC, doc_id) total order; the scores
+    // hash-verify, so the ranking and buckets do too. One window sort
+    // per source beyond the t28 plan.
+    Q("t32_ccnet_buckets",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        TextAnalysis.lmScore(t(s, dir, "documents"), "doc_id", "text")
+          .join(t(s, dir, "documents").select(col("doc_id"), col("source")),
+            Seq("doc_id"))
+          .select(col("doc_id"), col("source"), col("lm_score"),
+            ntile(3).over(Window.partitionBy(col("source"))
+              .orderBy(col("lm_score").desc, col("doc_id")))
+              .as("bucket"))
+          .withColumn("bucket_label",
+            when(col("bucket") === 1, lit("head"))
+              .when(col("bucket") === 2, lit("middle"))
+              .otherwise(lit("tail")))
+      },
+      Some(s"""
+        WITH lm AS ($lmScoreOracle),
+        ranked AS (
+          SELECT lm.doc_id, d.source, lm.lm_score,
+            CAST(NTILE(3) OVER (PARTITION BY d.source
+              ORDER BY lm.lm_score DESC, lm.doc_id) AS INT) AS bucket
+          FROM lm JOIN documents d ON d.doc_id = lm.doc_id)
+        SELECT doc_id, source, lm_score, bucket,
+          CASE WHEN bucket = 1 THEN 'head'
+               WHEN bucket = 2 THEN 'middle' ELSE 'tail' END AS bucket_label
+        FROM ranked""")),
 
     // ---- Canonical-source keep-best dedup (d20): the crawl pipeline's
     // URL dedup — one hash-aggregate per canonical key with the arg-max
@@ -3150,6 +3147,46 @@ object Pipeline {
                MIN(media_id) AS rep_media_id
         FROM frames GROUP BY 1, 2, 3"""))
   )
+
+  /** DuckDB twin of [[TextAnalysis.lmScore]] — shared by t28 and the
+    * t32 CCNet bucket split. */
+  private def lmScoreOracle: String = """
+        WITH dls AS (
+          SELECT doc_id, list_filter(string_split(
+            trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')), ' '),
+            x -> len(x) > 0) AS toks
+          FROM documents),
+        grams AS (
+          SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bigram
+          FROM dls, UNNEST(range(1, len(toks))) AS r(i)
+          WHERE len(toks) >= 2),
+        doc_bigrams AS (
+          SELECT doc_id, bigram, COUNT(*) AS cnt FROM grams GROUP BY 1, 2),
+        model AS (
+          SELECT bigram, string_split(bigram, ' ')[1] AS ctx,
+                 SUM(cnt) AS cb
+          FROM doc_bigrams GROUP BY 1, 2),
+        ctxc AS (SELECT ctx, SUM(cb) AS cu FROM model GROUP BY 1),
+        voc AS (
+          SELECT COUNT(DISTINCT string_split(bigram, ' ')[2]) AS v FROM model),
+        contrib AS (
+          SELECT d.doc_id, d.bigram,
+            d.cnt,
+            CAST(d.cnt AS DOUBLE) *
+              ((CAST(m.cb AS DOUBLE) + CAST('1.0' AS DOUBLE)) /
+               CAST(c.cu + voc.v AS DOUBLE)) AS c
+          FROM doc_bigrams d
+          JOIN model m USING (bigram)
+          JOIN ctxc c ON c.ctx = m.ctx, voc),
+        folded AS (
+          SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+            list_reduce(
+              list_transform(list_sort(list(struct_pack(bigram := bigram, c := c))),
+                x -> x.c),
+              (a, x) -> a + x) AS s
+          FROM contrib GROUP BY doc_id)
+        SELECT doc_id, n_bigrams, s / CAST(n_bigrams AS DOUBLE) AS lm_score
+        FROM folded"""
 
   /** DuckDB twin of [[TextAnalysis.c4Signals]] — the page-phrase list is
     * generated from the same constant as the Scala side. */

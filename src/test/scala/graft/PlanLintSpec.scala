@@ -42,7 +42,9 @@ class PlanLintSpec extends SparkSpec {
     "t28_lm_score" ->
       "vocab-size attach: single-row count_distinct aggregate broadcast as the smoothing constant V (TextAnalysis.lmScore)",
     "s09_ann_recall" ->
-      "inherits s01's by-design brute-force baseline as the recall eval's ground-truth side (tiny query side broadcast)"
+      "inherits s01's by-design brute-force baseline as the recall eval's ground-truth side (tiny query side broadcast)",
+    "t32_ccnet_buckets" ->
+      "inherits t28's single-row vocab-size broadcast (the smoothing constant V)"
   )
 
   test("no query plans a CartesianProduct or BroadcastNestedLoopJoin " +
@@ -307,7 +309,10 @@ class PlanLintSpec extends SparkSpec {
     // join + keyed agg on queries×k rows
     "s09_ann_recall" -> 6,
     // pure per-row codegen column expressions over one scan
-    "t31_c4_filter" -> 0
+    "t31_c4_filter" -> 0,
+    // t28's 4 (doc-bigram agg, model re-agg, context re-agg, score fold)
+    // + the per-source NTILE window sort; the source join broadcasts
+    "t32_ccnet_buckets" -> 5
   )
 
   /** sf0.01 OVERRIDES on top of [[exchangeBudget]] (VERDICT r6 directive
