@@ -70,7 +70,8 @@ object Bench {
     "t30_gopher_repetition",     // quality: repetition rules (one-pass kernel)
     "s09_ann_recall",            // eval: ANN recall@k vs brute ground truth
     "t31_c4_filter",            // quality: C4 line+page cleaning gate
-    "t32_ccnet_buckets")         // quality: CCNet LM-score bucket split
+    "t32_ccnet_buckets",         // quality: CCNet LM-score bucket split
+    "p04_quality_gate")          // composed: all three paper gates, one scan
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

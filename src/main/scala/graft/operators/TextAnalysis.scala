@@ -953,17 +953,23 @@ object TextAnalysis {
     * sf0.1; the kernel's two-step projection keeps it to one kernel call
     * per row (CollapseProject will not merge a multiply-referenced
     * non-trivial alias back into 13 copies). */
+  /** Kernel slot names, in [[graft.functions.TextHashKernels.gopherRepetition]]
+    * order — shared by [[gopherRepetitionSignals]] and composed gates. */
+  val gopherRepetitionNames: Seq[String] =
+    Seq("dup_line_frac", "dup_line_char_frac",
+      "dup_para_frac", "dup_para_char_frac") ++
+    (2 to 4).map(n => s"top_${n}gram_char_frac") ++
+    (5 to 10).map(n => s"dup_${n}gram_char_frac")
+
+  /** The paper's thresholds, rule for rule (same order as the names). */
+  val gopherRepetitionBars: Seq[Double] =
+    Seq(0.30, 0.20, 0.30, 0.20) ++ Seq(0.20, 0.18, 0.16) ++
+    Seq(0.15, 0.14, 0.13, 0.12, 0.11, 0.10)
+
   def gopherRepetitionSignals(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val names =
-      Seq("dup_line_frac", "dup_line_char_frac",
-        "dup_para_frac", "dup_para_char_frac") ++
-      (2 to 4).map(n => s"top_${n}gram_char_frac") ++
-      (5 to 10).map(n => s"dup_${n}gram_char_frac")
-    // the paper's thresholds, rule for rule
-    val bars =
-      Seq(0.30, 0.20, 0.30, 0.20) ++ Seq(0.20, 0.18, 0.16) ++
-      Seq(0.15, 0.14, 0.13, 0.12, 0.11, 0.10)
+    val names = gopherRepetitionNames
+    val bars = gopherRepetitionBars
     val staged = df.select(col(idCol),
       graft.functions.TextHashExprs.gopherRepetition(col(textCol)).as("__r"))
     val sigCols = names.zipWithIndex.map { case (nm, i) =>

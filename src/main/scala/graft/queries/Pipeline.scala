@@ -1873,6 +1873,40 @@ object Pipeline {
     // greedy rule with n_bytes as the cost). The oracle is an independent
     // single-node replay (see [[mediaPrepOracle]]), so the hash checks the
     // stage INTERFACES: who survived dedup INTO the budget pass.
+    // ---- Composed quality gate (p04): the three paper-named gates —
+    // Gopher quality (t29), Gopher repetition (t30), C4 line+page (t31,
+    // over the same derived punctuated page) — fused into ONE scan with
+    // zero exchanges: the full "keep/drop + cleaned text" pre-training
+    // filter pass. The oracle composes the three stage twins by doc_id
+    // join (the ORACLE may shuffle; the engine plan must not).
+    Q("p04_quality_gate",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val page = regexp_replace(col("text"), "((?:\\S+ ){6})", "$1.\n")
+        val c4 = TextAnalysis.c4Signals(page)
+        val staged = docs.select(col("doc_id"),
+          TextAnalysis.gopherSignals(col("text"), minStopHits = 1L).last,
+          c4.head, c4.last,
+          graft.functions.TextHashExprs.gopherRepetition(col("text"))
+            .as("__r"))
+        val repPass = TextAnalysis.gopherRepetitionBars.zipWithIndex
+          .map { case (bar, i) => element_at(col("__r"), i + 1) <= bar }
+          .reduce(_ && _)
+        staged.select(col("doc_id"), col("gopher_pass"),
+          repPass.as("rep_pass"), col("c4_keep"),
+          (col("gopher_pass") && repPass && col("c4_keep")).as("keep"),
+          col("clean_text"))
+      },
+      Some(s"""
+        WITH g AS (SELECT doc_id, gopher_pass
+                   FROM (${gopherOracle(minStopHits = 1L)}) x),
+        r AS (SELECT doc_id, rep_pass FROM ($gopherRepetitionOracle) y),
+        c AS (SELECT doc_id, clean_text, c4_keep FROM ($c4Oracle) z)
+        SELECT g.doc_id, g.gopher_pass, r.rep_pass, c.c4_keep,
+          (g.gopher_pass AND r.rep_pass AND c.c4_keep) AS keep,
+          c.clean_text
+        FROM g JOIN r USING (doc_id) JOIN c USING (doc_id)""")),
+
     Q("p03_media_prep",
       (s, dir) => {
         // the encode pass is real codec work now — cut lineage so the two

@@ -312,7 +312,9 @@ class PlanLintSpec extends SparkSpec {
     "t31_c4_filter" -> 0,
     // t28's 4 (doc-bigram agg, model re-agg, context re-agg, score fold)
     // + the per-source NTILE window sort; the source join broadcasts
-    "t32_ccnet_buckets" -> 5
+    "t32_ccnet_buckets" -> 5,
+    // three per-row gates fused into one scan — zero exchanges
+    "p04_quality_gate" -> 0
   )
 
   /** sf0.01 OVERRIDES on top of [[exchangeBudget]] (VERDICT r6 directive
