@@ -39,9 +39,13 @@ object SparkEntry {
 
   /** Oracle map with generated (data-dependent) oracles evaluated against
     * `dir` — Verify passes its sfDir so generated literals (e.g. trained
-    * IVF centroids) match the data the queries actually ran on. */
-  def oracleSqlFor(spark: SparkSession, dir: String): Map[String, String] =
-    allQ.flatMap(q =>
+    * IVF centroids) match the data the queries actually ran on. `names`
+    * restricts WHICH generators run (None = all): the data-dependent ones
+    * (IVF training, media-encode replay) are expensive, so a local
+    * iteration filter must apply before generation, not after. */
+  def oracleSqlFor(spark: SparkSession, dir: String,
+      names: Option[Set[String]] = None): Map[String, String] =
+    allQ.filter(q => names.forall(_.contains(q.name))).flatMap(q =>
       q.oracleGen.map(g => q.name -> g(spark, dir).trim)
         .orElse(q.oracle.map(sql => q.name -> sql.trim))).toMap
 }

@@ -16,8 +16,11 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // local-iteration filter (unset in driver runs): comma-separated query
     // names to dump/compare; everything else is skipped
+    // empty names are dropped BEFORE building the set: "" splits to
+    // Array("") and a Set("") would silently filter out every query
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet).filter(_.nonEmpty)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.forall(_.contains(q._1)))
       .foreach { case (name, fn) =>
@@ -43,8 +46,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSqlFor(spark, sfDir)
-      .filter { case (k, _) => only.forall(_.contains(k)) }
+    val json = SparkEntry.oracleSqlFor(spark, sfDir, only)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

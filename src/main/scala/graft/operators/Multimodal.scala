@@ -163,6 +163,34 @@ object Multimodal {
 
   // ================= REAL DECODER (image + audio + video) =================
 
+  /** Iterate a GVID container's length-prefixed compressed frames — the
+    * ONE parser behind decodeMeta, frameChecksums, and extractFeatures
+    * (a container-format change has exactly one site to update). */
+  private def gvidFrames(id: Long, payload: Array[Byte]): Iterator[Array[Byte]] = {
+    val in = new java.io.DataInputStream(new ByteArrayInputStream(payload))
+    val magic = new Array[Byte](4)
+    in.readFully(magic)
+    if (!java.util.Arrays.equals(magic, GvidMagic))
+      throw new IllegalArgumentException(s"media_id=$id: not a GVID container")
+    val nf = in.readInt()
+    (0 until nf).iterator.map { _ =>
+      val len = in.readInt()
+      val fb = new Array[Byte](len)
+      in.readFully(fb)
+      fb
+    }
+  }
+
+  /** Decode one compressed frame through the real PNG reader (throws on
+    * undecodable bytes — a fake or truncated frame can never checksum). */
+  private def decodeFrame(id: Long, f: Int,
+      fb: Array[Byte]): java.awt.image.BufferedImage = {
+    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(fb))
+    if (img == null)
+      throw new IllegalArgumentException(s"media_id=$id: undecodable frame $f")
+    img
+  }
+
   private def sumRgb(img: java.awt.image.BufferedImage): Long = {
     val w = img.getWidth; val ht = img.getHeight
     val px = img.getRGB(0, 0, w, ht, null, 0, w)
@@ -209,23 +237,12 @@ object Multimodal {
       case _ =>
         // real decode: parse the GVID container, run EVERY frame through
         // the PNG reader, sum all decoded pixels across frames
-        val in = new java.io.DataInputStream(new ByteArrayInputStream(payload))
-        val magic = new Array[Byte](4)
-        in.readFully(magic)
-        if (!java.util.Arrays.equals(magic, GvidMagic))
-          throw new IllegalArgumentException(s"media_id=$id: not a GVID container")
-        val nf = in.readInt()
-        var sum = 0L; var w = 0; var ht = 0; var f = 0
-        while (f < nf) {
-          val len = in.readInt()
-          val fb = new Array[Byte](len)
-          in.readFully(fb)
-          val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(fb))
-          if (img == null)
-            throw new IllegalArgumentException(s"media_id=$id: undecodable frame $f")
-          if (f == 0) { w = img.getWidth; ht = img.getHeight }
+        var sum = 0L; var w = 0; var ht = 0; var nf = 0
+        gvidFrames(id, payload).foreach { fb =>
+          val img = decodeFrame(id, nf, fb)
+          if (nf == 0) { w = img.getWidth; ht = img.getHeight }
           sum += sumRgb(img)
-          f += 1
+          nf += 1
         }
         Row(id, kind, n, w, ht, nf, "gvid/png", sum)
     }
@@ -299,28 +316,13 @@ object Multimodal {
               Iterator.single(Row(id, kind, 0,
                 img.getWidth, img.getHeight, sumRgb(img)))
             case _ =>
-              val in = new java.io.DataInputStream(
-                new ByteArrayInputStream(payload))
-              val magic = new Array[Byte](4)
-              in.readFully(magic)
-              if (!java.util.Arrays.equals(magic, GvidMagic))
-                throw new IllegalArgumentException(
-                  s"media_id=$id: not a GVID container")
-              val nf = in.readInt()
               val cache = new java.util.HashMap[java.nio.ByteBuffer,
                 (Int, Int, Long)]()
-              (0 until nf).iterator.map { f =>
-                val len = in.readInt()
-                val fb = new Array[Byte](len)
-                in.readFully(fb)
+              gvidFrames(id, payload).zipWithIndex.map { case (fb, f) =>
                 val key = java.nio.ByteBuffer.wrap(fb)
                 var dec = cache.get(key)
                 if (dec == null) {
-                  val img = javax.imageio.ImageIO.read(
-                    new ByteArrayInputStream(fb))
-                  if (img == null)
-                    throw new IllegalArgumentException(
-                      s"media_id=$id: undecodable frame $f")
+                  val img = decodeFrame(id, f, fb)
                   dec = (img.getWidth, img.getHeight, sumRgb(img))
                   cache.put(key, dec)
                 }
@@ -404,23 +406,11 @@ object Multimodal {
       case _ =>
         // video: decode every GVID frame, accumulate the image statistics
         // across all frames' pixels, append normalized geometry + length
-        val in = new java.io.DataInputStream(new ByteArrayInputStream(payload))
-        val magic = new Array[Byte](4)
-        in.readFully(magic)
-        if (!java.util.Arrays.equals(magic, GvidMagic))
-          throw new IllegalArgumentException(s"media_id=$id: not a GVID container")
-        val nf = in.readInt()
         var sr = 0L; var sg = 0L; var sb = 0L; var np = 0L
-        var w = 0; var ht = 0
+        var w = 0; var ht = 0; var nf = 0
         val hist = new Array[Long](8)
-        var f = 0
-        while (f < nf) {
-          val len = in.readInt()
-          val fb = new Array[Byte](len)
-          in.readFully(fb)
-          val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(fb))
-          if (img == null)
-            throw new IllegalArgumentException(s"media_id=$id: undecodable frame $f")
+        gvidFrames(id, payload).zipWithIndex.foreach { case (fb, f) =>
+          val img = decodeFrame(id, f, fb)
           if (f == 0) { w = img.getWidth; ht = img.getHeight }
           val px = img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0,
             img.getWidth)
@@ -433,7 +423,7 @@ object Multimodal {
             i += 1
           }
           np += px.length
-          f += 1
+          nf = f + 1
         }
         val n = math.max(1L, np).toDouble
         cycle(Array(sr / n / 255.0, sg / n / 255.0, sb / n / 255.0) ++

@@ -1882,7 +1882,7 @@ object Pipeline {
     Q("p04_quality_gate",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val page = regexp_replace(col("text"), "((?:\\S+ ){6})", "$1.\n")
+        val page = regexp_replace(col("text"), "((?:[^ \\t\\n\\x0B\\f\\r]+ ){6})", "$1.\n")
         val c4 = TextAnalysis.c4Signals(page)
         val staged = docs.select(col("doc_id"),
           TextAnalysis.gopherSignals(col("text"), minStopHits = 1L).last,
@@ -3090,7 +3090,7 @@ object Pipeline {
     Q("t31_c4_filter",
       (s, dir) => t(s, dir, "documents")
         .select(col("doc_id") +: TextAnalysis.c4Signals(
-          regexp_replace(col("text"), "((?:\\S+ ){6})", "$1.\n")): _*),
+          regexp_replace(col("text"), "((?:[^ \\t\\n\\x0B\\f\\r]+ ){6})", "$1.\n")): _*),
       Some(c4Oracle)),
 
     // ---- Bigram LM fluency score (t28): corpus-trained add-one bigram
@@ -3230,7 +3230,7 @@ object Pipeline {
     s"""
         WITH paged AS (
           SELECT doc_id, regexp_replace(text,
-            '((?:\\S+ ){6})', '\\1.' || chr(10), 'g') AS text
+            '((?:[^ \\t\\n\\x0b\\f\\r]+ ){6})', '\\1.' || chr(10), 'g') AS text
           FROM documents),
         base AS (
           SELECT doc_id, text, lower(text) AS lt,
@@ -3272,9 +3272,6 @@ object Pipeline {
     * deterministic (count DESC, gram ASC) arg-max) — the oracle need not
     * be shuffle-free, only value-identical. */
   private def gopherRepetitionOracle: String = {
-    val topBar = Map(2 -> "0.20", 3 -> "0.18", 4 -> "0.16")
-    val dupBar = Map(5 -> "0.15", 6 -> "0.14", 7 -> "0.13", 8 -> "0.12",
-      9 -> "0.11", 10 -> "0.10")
     val topCols = (2 to 4).map(n =>
       s"""CASE WHEN b.norm_len > 0
          THEN CAST(COALESCE(t.top$n, 0) AS DOUBLE) / b.norm_len
@@ -3283,11 +3280,12 @@ object Pipeline {
       s"""CASE WHEN COALESCE(d.tot$n, 0) > 0
          THEN CAST(d.rep$n AS DOUBLE) / d.tot$n
          ELSE CAST('0.0' AS DOUBLE) END AS dup_${n}gram_char_frac""")
-    val passTerms =
-      Seq("dup_line_frac <= 0.30", "dup_line_char_frac <= 0.20",
-        "dup_para_frac <= 0.30", "dup_para_char_frac <= 0.20") ++
-      (2 to 4).map(n => s"top_${n}gram_char_frac <= ${topBar(n)}") ++
-      (5 to 10).map(n => s"dup_${n}gram_char_frac <= ${dupBar(n)}")
+    // every threshold interpolated from the Scala-side constants — a bar
+    // change in TextAnalysis.gopherRepetitionBars cannot leave the twin
+    // at a stale literal
+    val passTerms = TextAnalysis.gopherRepetitionNames
+      .zip(TextAnalysis.gopherRepetitionBars)
+      .map { case (nm, bar) => s"$nm <= $bar" }
     s"""
         WITH base AS (
           SELECT doc_id,

@@ -117,11 +117,24 @@ class StreamDedupSpec extends SparkSpec {
         (1 to 60).map(i => s"word$i").mkString(" ")),
       (2L, "dup line\ndup line\n" + Seq.fill(6)("a b").mkString(" ")),
       (3L, "short one")).toDF("doc_id", "text")
-    def gates(df: org.apache.spark.sql.DataFrame) =
-      TextAnalysis.gopherRepetitionSignals(
-        df.select(col("doc_id") +: col("text") +:
-          TextAnalysis.gopherSignals(col("text"), minStopHits = 1L): _*),
-        "doc_id", "text")
+    // the compared output must CARRY both gates' columns — a projection
+    // that drops the t29 signals would let Catalyst prune them and the
+    // test would prove nothing about their streaming behavior
+    def gates(df: org.apache.spark.sql.DataFrame) = {
+      val staged = df
+        .select(col("doc_id") +: col("text") +:
+          TextAnalysis.gopherSignals(col("text"), minStopHits = 1L): _*)
+        .withColumn("__r",
+          graft.functions.TextHashExprs.gopherRepetition(col("text")))
+      val repPass = TextAnalysis.gopherRepetitionBars.zipWithIndex
+        .map { case (bar, i) => element_at(col("__r"), i + 1) <= bar }
+        .reduce(_ && _)
+      staged.select(col("doc_id"), col("gopher_pass"), col("stop_hits"),
+        col("n_words"), col("bullet_ratio"), col("symbol_ratio"),
+        repPass.as("rep_pass"),
+        element_at(col("__r"), 1).as("dup_line_frac"),
+        element_at(col("__r"), 5).as("top_2gram_char_frac"))
+    }
     val batch = gates(corpus).collect().map(_.toString).sorted.toSeq
     val dir = Files.createTempDirectory("graft_sqgate").toFile.getAbsolutePath
     corpus.filter($"doc_id" <= 1).coalesce(1).write.mode("overwrite").parquet(dir)
