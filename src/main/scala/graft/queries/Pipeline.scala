@@ -2537,6 +2537,42 @@ object Pipeline {
                     ELSE 'test' END AS split
         FROM b""")),
 
+    // ---- Contamination-aware split (u10): the production guard rail
+    // composed end to end — hash-split the corpus (u01's bit-exact bucket
+    // formula), then QUARANTINE any train-bound doc sharing an 8-gram
+    // with the benchmark set (t06's decontamination). val/test keep their
+    // split (eval-side contamination is reported, not rerouted). One
+    // doc_id equi-join beyond the two component plans.
+    Q("u10_decontaminated_split",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val corpus = d.filter(col("doc_id") % 7 =!= 0)
+        val deco = Dedup.decontaminate(corpus,
+          d.filter(col("doc_id") % 7 === 0), "doc_id", "text", n = 8)
+        graft.operators.Sampling.hashSplit(corpus, "doc_id",
+            trainPermille = 900, valPermille = 50)
+          .select(col("doc_id"), col("split"))
+          .join(deco, Seq("doc_id"))
+          .select(col("doc_id"),
+            when(col("contaminated") && col("split") === "train",
+              lit("quarantine")).otherwise(col("split")).as("split"),
+            col("shared_grams"), col("contaminated"))
+      },
+      Some(s"""
+        WITH deco AS ($decontaminateOracleSql),
+        b AS (
+          SELECT doc_id,
+            ((((doc_id % 1000000) + 1000000) % 1000000) * 2654435761) % 1000
+              AS bk
+          FROM documents WHERE doc_id % 7 <> 0)
+        SELECT d.doc_id,
+          CASE WHEN d.contaminated AND b.bk < 900 THEN 'quarantine'
+               WHEN b.bk < 900 THEN 'train'
+               WHEN b.bk < 950 THEN 'val'
+               ELSE 'test' END AS split,
+          d.shared_grams, d.contaminated
+        FROM deco d JOIN b USING (doc_id)""")),
+
     // ---- Multimodal: REAL decode over really-encoded payloads — PNG via
     // javax.imageio, WAV via javax.sound, GVID (PNG frames) for video. The
     // oracle predicts geometry + the decoded-content checksum from the

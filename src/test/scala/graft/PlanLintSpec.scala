@@ -314,7 +314,10 @@ class PlanLintSpec extends SparkSpec {
     // + the per-source NTILE window sort; the source join broadcasts
     "t32_ccnet_buckets" -> 5,
     // three per-row gates fused into one scan — zero exchanges
-    "p04_quality_gate" -> 0
+    "p04_quality_gate" -> 0,
+    // t06's two (per-doc hit groupBy + zero-restore join) — the split
+    // attach joins on the same doc_id clustering
+    "u10_decontaminated_split" -> 2
   )
 
   /** sf0.01 OVERRIDES on top of [[exchangeBudget]] (VERDICT r6 directive
