@@ -460,4 +460,56 @@ object Multimodal {
       .withColumn("out_width", (col("width") * col("scale")).cast("int"))
       .withColumn("out_height", (col("height") * col("scale")).cast("int"))
       .drop("scale")
+
+  val resizedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("out_width", IntegerType, nullable = false),
+    StructField("out_height", IntegerType, nullable = false),
+    StructField("resized_sum", LongType, nullable = false)))
+
+  /** REAL image resize: decode the PNG, nearest-neighbor resample to a
+    * bounded max edge with pure INTEGER arithmetic (ow = w·maxEdge /
+    * max(w,h) floored, source pixel sx = x·w / ow floored — both
+    * engine-exact, no float rounding edge), re-encode the RESULT as a
+    * real PNG, then independently re-decode those bytes and checksum the
+    * pixels. The oracle predicts `resized_sum` from the text alone (the
+    * cyclic fill gives every source pixel a closed form), so a
+    * metadata-only or fake resample cannot hash-match — the same
+    * discipline as decodeMeta/frameChecksums. Map-shaped: inherits the
+    * scan's partitioning, no shuffle. */
+  def resizeImages(media: DataFrame, maxEdge: Int = 64): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(resizedSchema)
+    media.filter(col("kind") === "image")
+      .select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val id = r.getLong(0)
+          val img = decodeFrame(id, 0, r.getAs[Array[Byte]](1))
+          val w = img.getWidth; val h = img.getHeight
+          val me = math.max(w, h)
+          val (ow, oh) =
+            if (me > maxEdge)
+              (math.max(1, w * maxEdge / me), math.max(1, h * maxEdge / me))
+            else (w, h)
+          val out = new java.awt.image.BufferedImage(
+            ow, oh, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          var y = 0
+          while (y < oh) {
+            var x = 0
+            while (x < ow) {
+              out.setRGB(x, y, img.getRGB(x * w / ow, y * h / oh))
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new ByteArrayOutputStream(1024)
+          javax.imageio.ImageIO.write(out, "png", bos)
+          val back = decodeFrame(id, 0, bos.toByteArray)
+          Row(id, w, h, ow, oh, sumRgb(back))
+        }
+      }(enc)
+  }
 }

@@ -2537,6 +2537,16 @@ object Pipeline {
                     ELSE 'test' END AS split
         FROM b""")),
 
+    // ---- Real image resize (m05): decode -> integer nearest-neighbor
+    // resample -> re-encode PNG -> independent re-decode + checksum. The
+    // oracle predicts the RESIZED pixel checksum from the text alone
+    // (closed form per source pixel), so a metadata-only resize cannot
+    // hash-match.
+    Q("m05_image_resize",
+      (s, dir) => Multimodal.resizeImages(
+        Multimodal.syntheticMedia(t(s, dir, "documents")), maxEdge = 64),
+      Some(imageResizeOracle(maxEdge = 64))),
+
     // ---- Contamination-aware split (u10): the production guard rail
     // composed end to end — hash-split the corpus (u01's bit-exact bucket
     // formula), then QUARANTINE any train-bound doc sharing an 8-gram
@@ -3257,6 +3267,38 @@ object Pipeline {
           FROM contrib GROUP BY doc_id)
         SELECT doc_id, n_bigrams, s / CAST(n_bigrams AS DOUBLE) AS lm_score
         FROM folded"""
+
+  /** DuckDB twin of [[Multimodal.resizeImages]]: the geometry comes from
+    * the shared decode oracle CTEs; every RESIZED pixel has the closed
+    * form ubl[(3*(sy*w + sx) + c) mod n] with sy/sx the integer
+    * nearest-neighbor source coordinates, so the resized checksum is
+    * predicted from the text alone. */
+  private def imageResizeOracle(maxEdge: Int): String = s"""
+        WITH $mediaDecodeOracle,
+        imgs AS (
+          SELECT g.media_id, g.n, g.ubl, g.width AS w, g.height AS h
+          FROM geom g WHERE g.kind = 'image'),
+        dims AS (
+          SELECT media_id, n, ubl, w, h,
+            CASE WHEN greatest(w, h) > $maxEdge
+                 THEN greatest((w * $maxEdge) // greatest(w, h), 1)
+                 ELSE w END AS ow,
+            CASE WHEN greatest(w, h) > $maxEdge
+                 THEN greatest((h * $maxEdge) // greatest(w, h), 1)
+                 ELSE h END AS oh
+          FROM imgs),
+        px AS (
+          SELECT media_id, w, h, ow, oh,
+            ubl[CAST((3 * (((y * h) // oh) * w + ((x * w) // ow)) + c) % n
+              AS INT) + 1] AS v
+          FROM dims,
+               UNNEST(range(0, oh)) AS uy(y),
+               UNNEST(range(0, ow)) AS ux(x),
+               UNNEST([0, 1, 2]) AS uc(c))
+        SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+          CAST(ow AS INT) AS out_width, CAST(oh AS INT) AS out_height,
+          CAST(SUM(v) AS BIGINT) AS resized_sum
+        FROM px GROUP BY 1, 2, 3, 4, 5"""
 
   /** DuckDB twin of [[TextAnalysis.c4Signals]] — the page-phrase list is
     * generated from the same constant as the Scala side. */

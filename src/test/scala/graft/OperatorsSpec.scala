@@ -140,6 +140,37 @@ class OperatorsSpec extends SparkSpec {
     assert(expected.exists { case (_, (nFrames, nMedia, _)) => nFrames > nMedia })
   }
 
+  test("resizeImages: bounded geometry, aspect kept, no-op when small, " +
+      "no-op checksum equals the decode checksum") {
+    val docs = graft.core.Tables.load(spark, sf, "documents").limit(60)
+    val media = Multimodal.syntheticMedia(docs)
+    val meta = Multimodal.decodeMeta(media).filter($"kind" === "image")
+      .select($"media_id", $"width", $"height", $"content_sum")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(3)))).toMap
+    val out = Multimodal.resizeImages(media, maxEdge = 64)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getLong(5))))
+      .toMap
+    assert(out.keySet == meta.keySet)
+    out.foreach { case (id, (w, h, ow, oh, sum)) =>
+      assert((w, h) == ((meta(id)._1, meta(id)._2)))
+      assert(math.max(ow, oh) <= math.max(64, 1) && ow >= 1 && oh >= 1)
+      if (math.max(w, h) <= 64) {
+        // no resample: geometry unchanged and the checksum of the
+        // re-encoded image must equal the original decode checksum
+        assert((ow, oh) == ((w, h)) && sum == meta(id)._3)
+      } else {
+        // integer NN mapping, exactly
+        assert(ow == math.max(1, w * 64 / math.max(w, h)) &&
+          oh == math.max(1, h * 64 / math.max(w, h)))
+      }
+    }
+    // the fixture spans both branches
+    assert(out.exists { case (_, (w, h, _, _, _)) => math.max(w, h) > 64 })
+    assert(out.exists { case (_, (w, h, _, _, _)) => math.max(w, h) <= 64 })
+  }
+
   test("feature extraction yields fixed-dim float vectors") {
     val docs = graft.core.Tables.load(spark, sf, "documents").limit(20)
     val feats = Multimodal.extractFeatures(Multimodal.syntheticMedia(docs), dim = 8)

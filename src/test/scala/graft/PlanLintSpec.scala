@@ -317,7 +317,9 @@ class PlanLintSpec extends SparkSpec {
     "p04_quality_gate" -> 0,
     // t06's two (per-doc hit groupBy + zero-restore join) — the split
     // attach joins on the same doc_id clustering
-    "u10_decontaminated_split" -> 2
+    "u10_decontaminated_split" -> 2,
+    // map-shaped: decode -> resample -> re-encode -> re-decode per row
+    "m05_image_resize" -> 0
   )
 
   /** sf0.01 OVERRIDES on top of [[exchangeBudget]] (VERDICT r6 directive
