@@ -154,6 +154,54 @@ object TextHashKernels {
     new GenericArrayData(out)
   }
 
+  /** Distinct xxhash64 values of all overlapping n-word grams of
+    * normalized (single-spaced, trimmed) text, SORTED — each gram hashed
+    * as Spark's `xxhash64(concat_ws("\u0001", tokens))` would hash it
+    * (XXH64 seed 42 over the UTF-8 bytes of the \u0001-joined
+    * concatenation - the unambiguous token boundary);
+    * fewer than n words → one hash of the whole normalized text (the
+    * space-JOINED form — for a single-spaced input that IS the input).
+    * Bit-for-bit the Column formula `sort_array(array_distinct(transform(
+    * sequence…, i => xxhash64(concat_ws("\u0001", slice(toks, i, n))))))`,
+    * which evaluates its lambda interpretively per gram and re-slices the
+    * token array each time — measured 4.7 s of the t06 decontamination
+    * family's 5k-doc scan vs this kernel's one pass (DedupSpec pins the
+    * kernel ≡ Column-formula parity). */
+  def wordNgramHashSet(input: UTF8String, n: Int): ArrayData = {
+    val s = input.toString
+    val starts = new scala.collection.mutable.ArrayBuffer[Int](64)
+    if (s.nonEmpty) starts += 0
+    var i = 0
+    while (i < s.length) { if (s.charAt(i) == ' ') starts += i + 1; i += 1 }
+    val w = if (s.isEmpty) 0 else starts.length
+    def xx(str: String): Long = {
+      val u = UTF8String.fromString(str)
+      org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+    }
+    if (w < n) return new GenericArrayData(Array[Any](xx(s)))
+    val seen = new java.util.HashSet[java.lang.Long](math.min(w, 1024))
+    val out = new scala.collection.mutable.ArrayBuffer[Long](w - n + 1)
+    val sb = new java.lang.StringBuilder(64)
+    var j = 0
+    while (j + n <= w) {
+      sb.setLength(0)
+      var t = j
+      while (t < j + n) {
+        if (t > j) sb.append('\u0001')
+        val end = if (t + 1 == w) s.length else starts(t + 1) - 1
+        sb.append(s, starts(t), end)
+        t += 1
+      }
+      val h = xx(sb.toString)
+      if (seen.add(h)) out += h
+      j += 1
+    }
+    val arr = out.toArray
+    java.util.Arrays.sort(arr)
+    new GenericArrayData(arr)
+  }
+
   /** All overlapping k-char substrings, in order (char-gram stream for the
     * trigram LM quality operator). Like the sibling kernels this indexes
     * UTF-16 code units (astral-plane chars count as two); identical to
@@ -562,6 +610,24 @@ case class CharGrams(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Sorted distinct word-n-gram xxhash64 set — see
+  * [[TextHashKernels.wordNgramHashSet]] for the exact hash contract. */
+case class WordNgramHashSet(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_ngram_hash_set"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashKernels.wordNgramHashSet(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashKernels.wordNgramHashSet($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgramHashSet =
+    copy(child = newChild)
+}
+
 /** The 13 Gopher repetition signals as one array-of-double column — see
   * [[TextHashKernels.gopherRepetition]] for the slot order and the exact
   * per-signal semantics. */
@@ -647,6 +713,8 @@ object TextHashExprs {
     GraftColumnBridge.column(CharGrams(GraftColumnBridge.expression(c), k))
   def gopherRepetition(c: Column): Column =
     GraftColumnBridge.column(GopherRepetition(GraftColumnBridge.expression(c)))
+  def wordNgramHashSet(c: Column, n: Int): Column =
+    GraftColumnBridge.column(WordNgramHashSet(GraftColumnBridge.expression(c), n))
   def jaccardSorted(a: Column, b: Column): Column =
     GraftColumnBridge.column(JaccardSorted(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))

@@ -32,8 +32,18 @@ object Dedup {
   def shingleHashSet(text: Column, k: Int): Column =
     graft.functions.TextHashExprs.shingleHashSet(normalize(text), k)
 
-  /** Distinct hashed word n-grams (token shingles). */
-  def wordNgramHashSet(text: Column, n: Int): Column = {
+  /** Distinct hashed word n-grams (token shingles) - ONE codegen kernel
+    * pass per row (see TextHashKernels.wordNgramHashSet for the exact
+    * xxhash64 contract). Replaces the interpreted Column formula that
+    * re-sliced the token array per gram and dominated the
+    * decontamination family's corpus scan; DedupSpec pins kernel = formula
+    * parity. */
+  def wordNgramHashSet(text: Column, n: Int): Column =
+    graft.functions.TextHashExprs.wordNgramHashSet(normalize(text), n)
+
+  /** The interpreted Column formula the kernel replaced - retained ONLY
+    * as the spec-side parity oracle (DedupSpec). */
+  private[graft] def wordNgramHashSetColumnFormula(text: Column, n: Int): Column = {
     val toks = filter(split(normalize(text), " "), t => length(t) > 0)
     val cnt = size(toks)
     sort_array( // sorted set -> downstream merge-Jaccard

@@ -409,6 +409,27 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) == (("", 0L, 0L)))
   }
 
+  test("wordNgramHashSet kernel matches the Column formula exactly " +
+      "(including the <n whole-text branch and the empty doc)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "a b c d e f g h"),          // exactly n=8 tokens: one gram
+      (3L, "short text"),               // <n: whole-text hash branch
+      (4L, "  "),                       // empty after normalize
+      (5L, "x y x y x y x y x y x y")   // heavy duplicate grams
+    ).toDF("doc_id", "text")
+    for (n <- Seq(3, 8)) {
+      val got = docs.select($"doc_id",
+          Dedup.wordNgramHashSet($"text", n).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val want = docs.select($"doc_id",
+          Dedup.wordNgramHashSetColumnFormula($"text", n).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(got == want, s"n=$n kernel diverged from the Column formula")
+    }
+  }
+
   test("keepBestPerKey: deterministic arg-max survivor, quality ties break " +
       "toward the highest id, counters exact, no Window in the plan") {
     import spark.implicits._
