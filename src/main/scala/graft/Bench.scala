@@ -73,7 +73,8 @@ object Bench {
     "t32_ccnet_buckets",         // quality: CCNet LM-score bucket split
     "p04_quality_gate",          // composed: all three paper gates, one scan
     "u10_decontaminated_split",  // composed: decontamination-aware split
-    "m05_image_resize")          // media: real NN resample + re-encode
+    "m05_image_resize",          // media: real NN resample + re-encode
+    "m06_audio_dedup")           // media: audio PCM-checksum dedup
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2537,6 +2537,21 @@ object Pipeline {
                     ELSE 'test' END AS split
         FROM b""")),
 
+    // ---- Audio-clip exact dedup (m06): real WAV PCM decode -> one
+    // aggregate on (frame count, decoded sample checksum) — the audio
+    // sibling of m04's frame dedup; the oracle predicts the PCM checksum
+    // from the text alone.
+    Q("m06_audio_dedup",
+      (s, dir) => Multimodal.audioDedup(
+        Multimodal.syntheticMedia(t(s, dir, "documents"))),
+      Some(s"""
+        WITH $mediaDecodeOracle
+        SELECT n_frames, content_sum AS pcm_sum,
+               CAST(COUNT(*) AS BIGINT) AS n_clips,
+               MIN(media_id) AS rep_media_id
+        FROM decoded WHERE kind = 'audio'
+        GROUP BY 1, 2""")),
+
     // ---- Real image resize (m05): decode -> integer nearest-neighbor
     // resample -> re-encode PNG -> independent re-decode + checksum. The
     // oracle predicts the RESIZED pixel checksum from the text alone

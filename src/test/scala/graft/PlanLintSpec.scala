@@ -319,7 +319,9 @@ class PlanLintSpec extends SparkSpec {
     // attach joins on the same doc_id clustering
     "u10_decontaminated_split" -> 2,
     // map-shaped: decode -> resample -> re-encode -> re-decode per row
-    "m05_image_resize" -> 0
+    "m05_image_resize" -> 0,
+    // one (n_frames, pcm_sum) aggregate over the audio-only decode
+    "m06_audio_dedup" -> 1
   )
 
   /** sf0.01 OVERRIDES on top of [[exchangeBudget]] (VERDICT r6 directive
