@@ -495,7 +495,9 @@ object Multimodal {
     * scan's partitioning, no shuffle. */
   def resizeImages(media: DataFrame, maxEdge: Int = 64): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(resizedSchema)
-    media.filter(col("kind") === "image")
+    // null payloads (null source text) drop here, mirroring the oracle,
+    // which has no geometry for them — the sibling decoders' null guard
+    media.filter(col("kind") === "image" && col("payload").isNotNull)
       .select(col("media_id"), col("payload"))
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false)
@@ -508,19 +510,35 @@ object Multimodal {
             if (me > maxEdge)
               (math.max(1, w * maxEdge / me), math.max(1, h * maxEdge / me))
             else (w, h)
-          val out = new java.awt.image.BufferedImage(
-            ow, oh, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-          var y = 0
-          while (y < oh) {
-            var x = 0
-            while (x < ow) {
-              out.setRGB(x, y, img.getRGB(x * w / ow, y * h / oh))
-              x += 1
+          val resized =
+            if (ow == w && oh == h) img // no-op: re-encode the decode as-is
+            else {
+              // bulk pixel read once (the sumRgb pattern), direct BGR
+              // byte fill on the output raster — no per-pixel
+              // getRGB/setRGB ColorModel round trips
+              val px = img.getRGB(0, 0, w, h, null, 0, w)
+              val out = new java.awt.image.BufferedImage(
+                ow, oh, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+              val buf = out.getRaster.getDataBuffer
+                .asInstanceOf[java.awt.image.DataBufferByte].getData
+              var y = 0
+              while (y < oh) {
+                val sy = y * h / oh
+                var x = 0
+                while (x < ow) {
+                  val p = px(sy * w + x * w / ow)
+                  val o = 3 * (y * ow + x)
+                  buf(o) = (p & 0xFF).toByte            // B
+                  buf(o + 1) = ((p >> 8) & 0xFF).toByte // G
+                  buf(o + 2) = ((p >> 16) & 0xFF).toByte // R
+                  x += 1
+                }
+                y += 1
+              }
+              out
             }
-            y += 1
-          }
           val bos = new ByteArrayOutputStream(1024)
-          javax.imageio.ImageIO.write(out, "png", bos)
+          javax.imageio.ImageIO.write(resized, "png", bos)
           val back = decodeFrame(id, 0, bos.toByteArray)
           Row(id, w, h, ow, oh, sumRgb(back))
         }

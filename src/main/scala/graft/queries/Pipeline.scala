@@ -2526,15 +2526,11 @@ object Pipeline {
       // bucket formula mirrors Sampling.permilleBucket exactly: mod 10^6
       // BEFORE the multiply, so neither engine can overflow and the twin
       // holds at any id scale (pmod twin: ((x%m)+m)%m for negative ids)
-      Some("""
+      Some(s"""
         WITH b AS (
-          SELECT doc_id,
-            ((((doc_id % 1000000) + 1000000) % 1000000) * 2654435761) % 1000 AS bk
+          SELECT doc_id, $permilleBucketSql AS bk
           FROM documents)
-        SELECT doc_id,
-               CASE WHEN bk < 900 THEN 'train'
-                    WHEN bk < 950 THEN 'val'
-                    ELSE 'test' END AS split
+        SELECT doc_id, $splitCaseSql AS split
         FROM b""")),
 
     // ---- Audio-clip exact dedup (m06): real WAV PCM decode -> one
@@ -2542,8 +2538,10 @@ object Pipeline {
     // sibling of m04's frame dedup; the oracle predicts the PCM checksum
     // from the text alone.
     Q("m06_audio_dedup",
+      // same document-side kind pre-filter as m05 (pmod 3 == 1 = audio)
       (s, dir) => Multimodal.audioDedup(
-        Multimodal.syntheticMedia(t(s, dir, "documents"))),
+        Multimodal.syntheticMedia(
+          t(s, dir, "documents").filter(pmod(col("doc_id"), lit(3)) === 1))),
       Some(s"""
         WITH $mediaDecodeOracle
         SELECT n_frames, content_sum AS pcm_sum,
@@ -2558,8 +2556,14 @@ object Pipeline {
     // (closed form per source pixel), so a metadata-only resize cannot
     // hash-match.
     Q("m05_image_resize",
+      // kind pre-filter on the DOCUMENT side (pmod 3 == 0 IS the image
+      // assignment): an encode mapPartitions is opaque to filter
+      // pushdown, so filtering after syntheticMedia would still encode
+      // every audio clip and video container just to discard them
       (s, dir) => Multimodal.resizeImages(
-        Multimodal.syntheticMedia(t(s, dir, "documents")), maxEdge = 64),
+        Multimodal.syntheticMedia(
+          t(s, dir, "documents").filter(pmod(col("doc_id"), lit(3)) === 0)),
+        maxEdge = 64),
       Some(imageResizeOracle(maxEdge = 64))),
 
     // ---- Contamination-aware split (u10): the production guard rail
@@ -2586,17 +2590,15 @@ object Pipeline {
       Some(s"""
         WITH deco AS ($decontaminateOracleSql),
         b AS (
-          SELECT doc_id,
-            ((((doc_id % 1000000) + 1000000) % 1000000) * 2654435761) % 1000
-              AS bk
-          FROM documents WHERE doc_id % 7 <> 0)
+          SELECT doc_id, $permilleBucketSql AS bk
+          FROM documents WHERE doc_id % 7 <> 0),
+        sp AS (
+          SELECT doc_id, bk, $splitCaseSql AS base_split FROM b)
         SELECT d.doc_id,
-          CASE WHEN d.contaminated AND b.bk < 900 THEN 'quarantine'
-               WHEN b.bk < 900 THEN 'train'
-               WHEN b.bk < 950 THEN 'val'
-               ELSE 'test' END AS split,
+          CASE WHEN d.contaminated AND sp.base_split = 'train'
+               THEN 'quarantine' ELSE sp.base_split END AS split,
           d.shared_grams, d.contaminated
-        FROM deco d JOIN b USING (doc_id)""")),
+        FROM deco d JOIN sp USING (doc_id)""")),
 
     // ---- Multimodal: REAL decode over really-encoded payloads — PNG via
     // javax.imageio, WAV via javax.sound, GVID (PNG frames) for video. The
@@ -3282,6 +3284,17 @@ object Pipeline {
           FROM contrib GROUP BY doc_id)
         SELECT doc_id, n_bigrams, s / CAST(n_bigrams AS DOUBLE) AS lm_score
         FROM folded"""
+
+  /** DuckDB twin of `Sampling.permilleBucket` + the 900/950 split CASE —
+    * ONE definition shared by u01 and u10 so the bucket formula cannot
+    * drift between twins (mod 10^6 BEFORE the multiply: neither engine
+    * can overflow; the +m wrap is the pmod twin for negative ids). */
+  private def permilleBucketSql: String =
+    "((((doc_id % 1000000) + 1000000) % 1000000) * 2654435761) % 1000"
+  private def splitCaseSql: String =
+    """CASE WHEN bk < 900 THEN 'train'
+               WHEN bk < 950 THEN 'val'
+               ELSE 'test' END"""
 
   /** DuckDB twin of [[Multimodal.resizeImages]]: the geometry comes from
     * the shared decode oracle CTEs; every RESIZED pixel has the closed

@@ -47,6 +47,19 @@ class PlanLintSpec extends SparkSpec {
       "inherits t28's single-row vocab-size broadcast (the smoothing constant V)"
   )
 
+  test("no oracle SQL carries an interpolated-null artifact") {
+    // a Scala val declared AFTER the query list interpolates as the
+    // literal "null" at list-construction time (hit twice this round:
+    // lmScoreOracle, permilleBucketSql — both now defs); the artifact
+    // always surfaces as "null AS <alias>" in the generated SQL
+    val bad = SparkEntry.allQ.flatMap(q =>
+      q.oracle.filter(sql => sql.contains("null AS") || sql.trim.isEmpty)
+        .map(_ => q.name))
+    assert(bad.isEmpty,
+      s"oracle SQL with an interpolated-null artifact (a helper val " +
+        s"declared after the query list? make it a def): ${bad.mkString(", ")}")
+  }
+
   test("no query plans a CartesianProduct or BroadcastNestedLoopJoin " +
       "outside the named allow-list") {
     val offenders = scala.collection.mutable.ListBuffer[String]()
