@@ -3226,8 +3226,13 @@ object Pipeline {
     // content_sum / n_frames — exact: the GVID scene is static), so a
     // header-only or lossy decode cannot hash-match.
     Q("m04_frame_dedup",
+      // document-side kind pre-filter (pmod 3 != 1 drops the audio
+      // assignment): the encode mapPartitions is opaque to filter
+      // pushdown, so frameChecksums' own audio filter would run AFTER
+      // every audio clip had been encoded
       (s, dir) => Multimodal.frameDedup(
-        Multimodal.syntheticMedia(t(s, dir, "documents"))),
+        Multimodal.syntheticMedia(
+          t(s, dir, "documents").filter(pmod(col("doc_id"), lit(3)) =!= 1))),
       Some(s"""
         WITH ${mediaDecodeOracle},
         frames AS (
