@@ -408,6 +408,93 @@ object ScaleStress {
       fd10.getLong(2) == fd1.getLong(2) * 10,
       "frame-dedup clone-corpus invariants drifted")
 
+    // ---- late round-8 ops. The C4 gate and the composed p04 gate are
+    // per-row: the clone corpus passes exactly 10x the rows with 10x the
+    // keep counts.
+    val c41 = docsFull.select(col("doc_id") +: TextAnalysis.c4Signals(
+        regexp_replace(col("text"), "((?:[^ \\t\\n\\x0B\\f\\r]+ ){6})",
+          "$1.\n")): _*)
+      .agg(count(lit(1)), sum(col("c4_keep").cast("long"))).head()
+    val c410 = time("c4-filter-50k") {
+      big.select(col("doc_id") +: TextAnalysis.c4Signals(
+          regexp_replace(col("text"), "((?:[^ \\t\\n\\x0B\\f\\r]+ ){6})",
+            "$1.\n")): _*)
+        .agg(count(lit(1)), sum(col("c4_keep").cast("long"))).head()
+    }
+    println("[stress] c4 rows=" + c410.getLong(0) + " keep=" + c410.getLong(1))
+    require(c410.getLong(0) == c41.getLong(0) * 10 &&
+      c410.getLong(1) == c41.getLong(1) * 10, "c4 clone invariance drifted")
+    val p4big = time("p04-quality-gate-50k") {
+      val page = regexp_replace(col("text"),
+        "((?:[^ \\t\\n\\x0B\\f\\r]+ ){6})", "$1.\n")
+      val c4 = TextAnalysis.c4Signals(page)
+      val staged = big.select(col("doc_id"),
+        TextAnalysis.gopherSignals(col("text"), minStopHits = 1L).last,
+        c4.last,
+        graft.functions.TextHashExprs.gopherRepetition(col("text")).as("__r"))
+      val repPass = TextAnalysis.gopherRepetitionBars.zipWithIndex
+        .map { case (bar, i) => element_at(col("__r"), i + 1) <= bar }
+        .reduce(_ && _)
+      staged.agg(count(lit(1)),
+        sum((col("gopher_pass") && repPass && col("c4_keep")).cast("long")))
+        .head()
+    }
+    println("[stress] p04 rows=" + p4big.getLong(0) +
+      " keep=" + p4big.getLong(1))
+    require(p4big.getLong(0) == 50000L &&
+      p4big.getLong(1) % 10 == 0, "p04 clone shape drifted")
+
+    // media resize / audio dedup at 10x with kind-preserving clone ids:
+    // every clone resamples/decodes the identical payload, so the resize
+    // checksum mass is exactly 10x and the distinct audio clip set is
+    // IDENTICAL with 10x counts
+    val rz1 = graft.operators.Multimodal.resizeImages(
+        graft.operators.Multimodal.syntheticMedia(
+          docsFull.filter(pmod(col("doc_id"), lit(3)) === 0)), maxEdge = 64)
+      .agg(count(lit(1)), sum(col("resized_sum"))).head()
+    val rz10 = time("image-resize-50k-real-resample") {
+      graft.operators.Multimodal.resizeImages(
+          graft.operators.Multimodal.syntheticMedia(
+            kindSafe.filter(pmod(col("doc_id"), lit(3)) === 0)), maxEdge = 64)
+        .agg(count(lit(1)), sum(col("resized_sum"))).head()
+    }
+    println("[stress] resize rows=" + rz10.getLong(0) + "/" + rz1.getLong(0) +
+      " sum=" + rz10.getLong(1) + "/" + rz1.getLong(1))
+    require(rz10.getLong(0) == rz1.getLong(0) * 10 &&
+      rz10.getLong(1) == rz1.getLong(1) * 10, "resize clone mass drifted")
+    val au1 = graft.operators.Multimodal.audioDedup(
+        graft.operators.Multimodal.syntheticMedia(
+          docsFull.filter(pmod(col("doc_id"), lit(3)) === 1)))
+      .agg(count(lit(1)), sum(col("n_clips"))).head()
+    val au10 = time("audio-dedup-50k-real-decode") {
+      graft.operators.Multimodal.audioDedup(
+          graft.operators.Multimodal.syntheticMedia(
+            kindSafe.filter(pmod(col("doc_id"), lit(3)) === 1)))
+        .agg(count(lit(1)), sum(col("n_clips"))).head()
+    }
+    println("[stress] audio groups=" + au10.getLong(0) + "/" + au1.getLong(0) +
+      " clips=" + au10.getLong(1) + "/" + au1.getLong(1))
+    require(au10.getLong(0) == au1.getLong(0) &&
+      au10.getLong(1) == au1.getLong(1) * 10,
+      "audio-dedup distinct-clip set drifted")
+
+    // ANN recall eval on the 10x embedding corpus: the eval contract
+    // (exactly k ground-truth rows per query, recall in [0,1]) must hold
+    // under dense exact-duplicate clusters
+    val rec = time("ann-recall-50k") {
+      Similarity.recallAtK(
+        Similarity.bruteForceTopK(bigEmb, "vec_id", "embedding",
+          bigEmb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 10),
+        Similarity.lshTopK(bigEmb, "vec_id", "embedding",
+          bigEmb.filter(col("vec_id") < 8), "vec_id", "embedding",
+          k = 10, dim = 64, bitsPerTable = 5, tables = 8)).collect()
+    }
+    println("[stress] recall rows=" + rec.length +
+      " mean=" + rec.map(_.getDouble(3)).sum / rec.length)
+    require(rec.length == 8 && rec.forall(r => r.getLong(1) == 10L &&
+      r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0),
+      "recall eval contract drifted at 10x")
+
     // 10x lineitem (6M rows ≈ SF1): relational headliners, noop sink
     val li = graft.core.Tables.load(spark, dir, "lineitem")
     val bigLi = (0 until 10).map(i =>
