@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop}
+import org.scalacheck.Prop.forAll
+import org.scalacheck.Test.{check => scCheck, Parameters}
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Property tests for the round-8 codegen kernels: random inputs catch the
+  * edge cases designed fixtures miss (empty docs, single tokens, unicode,
+  * runs of duplicates, whitespace variety). Each property compares the
+  * kernel against an independent formulation — the interpreted Column
+  * formula for the gram-hash set, arithmetic invariants and a slow
+  * in-JVM recomputation for the repetition signals. */
+class KernelPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val params = Parameters.default.withMinSuccessfulTests(40)
+  private def run(p: Prop, label: String): Unit = {
+    val r = scCheck(params, p)
+    assert(r.passed, s"$label: $r")
+  }
+
+  // token generator: small alphabet (forces duplicate grams), plus unicode
+  // and digit tokens; docs of 0..40 tokens joined by random whitespace
+  private val token: Gen[String] = Gen.frequency(
+    6 -> Gen.oneOf("a", "b", "cat", "dog", "the", "x1", "…", "naïve"),
+    1 -> Gen.choose(0, 999).map(_.toString))
+  private val ws: Gen[String] = Gen.oneOf(" ", "  ", "\t", "\n", " \n ")
+  private val doc: Gen[String] = for {
+    n <- Gen.choose(0, 40)
+    ts <- Gen.listOfN(n, token)
+    seps <- Gen.listOfN(math.max(n - 1, 0), ws)
+    lead <- Gen.oneOf("", " ", "\n")
+    trail <- Gen.oneOf("", " ", "\t")
+  } yield lead + (if (ts.isEmpty) ""
+    else ts.head + seps.zip(ts.tail).map { case (s, t) => s + t }.mkString) + trail
+
+  test("property: wordNgramHashSet kernel ≡ interpreted Column formula " +
+      "on random docs for n in {2, 5, 8}") {
+    // evaluate in BATCHES (one Spark job per ScalaCheck sample would
+    // dominate the suite): collect a corpus of random docs, compare all
+    val docs = Gen.listOfN(120, doc).sample.get.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("id", "text")
+    for (n <- Seq(2, 5, 8)) {
+      val got = df.select($"id", Dedup.wordNgramHashSet($"text", n).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val want = df.select($"id",
+          Dedup.wordNgramHashSetColumnFormula($"text", n).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val diff = docs.collect {
+        case (id, t) if got(id) != want(id) => s"n=$n doc=${t.take(60)}"
+      }
+      assert(diff.isEmpty, s"kernel/formula divergence:\n${diff.mkString("\n")}")
+    }
+  }
+
+  test("property: gopherRepetition invariants on random docs") {
+    val docs = Gen.listOfN(200, doc).sample.get.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("doc_id", "text")
+    val rows = TextAnalysis.gopherRepetitionSignals(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val names = TextAnalysis.gopherRepetitionNames
+    docs.foreach { case (id, text) =>
+      val r = rows(id)
+      // every fraction bounded; dup fractions can never be negative
+      names.zipWithIndex.foreach { case (nm, i) =>
+        val v = r.getDouble(r.fieldIndex(nm))
+        assert(v >= 0.0 && !v.isNaN && !v.isInfinite, s"$nm=$v doc=$id")
+        if (nm.startsWith("dup_")) assert(v < 1.0 || v == 1.0)
+      }
+      // slow reference for dup_line_frac: space-trimmed non-empty \n splits
+      val lines = text.split("\n", -1).map(_.replaceAll("^ +| +$", ""))
+        .filter(_.nonEmpty)
+      val expectLineFrac =
+        if (lines.isEmpty) 0.0
+        else (lines.length - lines.distinct.length).toDouble / lines.length
+      assert(r.getDouble(r.fieldIndex("dup_line_frac")) == expectLineFrac,
+        s"dup_line_frac doc=$id text=${text.take(60)}")
+    }
+    // exact duplication: a doc of one token repeated 12x has dup-gram
+    // char fraction (occurrences-1)/occurrences for every n <= 12
+    val rep = TextAnalysis.gopherRepetitionSignals(
+        Seq((1L, Seq.fill(12)("tok").mkString(" "))).toDF("doc_id", "text"),
+        "doc_id", "text").head()
+    for (n <- 5 to 10) {
+      val g = 12 - n + 1 // identical grams
+      assert(rep.getDouble(rep.fieldIndex(s"dup_${n}gram_char_frac")) ==
+        (g - 1).toDouble / g)
+    }
+  }
+
+  test("property: keepBestPerKey survivor equals a brute-force arg-max " +
+      "on random keyed rows") {
+    val gRows: Gen[List[(Long, String, Long)]] = Gen.listOf(for {
+      key <- Gen.oneOf("k1", "k2", "k3", "k4")
+      q <- Gen.choose(0L, 5L) // small range forces quality ties
+      id <- Gen.choose(0L, 1000L)
+    } yield (id, key, q)).map(_.distinctBy(_._1)) // unique ids
+    run(forAll(gRows) { rows =>
+      rows.isEmpty || {
+        val got = Dedup.keepBestPerKey(
+            rows.toDF("doc_id", "source", "n_chars"),
+            "source", "n_chars", "doc_id")
+          .collect().map(r => r.getString(0) ->
+            ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+        val want = rows.groupBy(_._2).map { case (k, rs) =>
+          val best = rs.map(r => (r._3, r._1)).max // (quality, id) max
+          k -> ((best._2, best._1, rs.length.toLong, rs.map(_._3).sum))
+        }
+        got == want
+      }
+    }, "keepBestPerKey")
+  }
+}
