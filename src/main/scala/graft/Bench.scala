@@ -74,7 +74,8 @@ object Bench {
     "p04_quality_gate",          // composed: all three paper gates, one scan
     "u10_decontaminated_split",  // composed: decontamination-aware split
     "m05_image_resize",          // media: real NN resample + re-encode
-    "m06_audio_dedup")           // media: audio PCM-checksum dedup
+    "m06_audio_dedup",           // media: audio PCM-checksum dedup
+    "m07_image_phash")           // media: perceptual aHash over real decodes
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

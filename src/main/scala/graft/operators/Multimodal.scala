@@ -475,6 +475,66 @@ object Multimodal {
       .agg(count(lit(1)).as("n_clips"),
         min(col("media_id")).as("rep_media_id"))
 
+  val phashSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("ahash", LongType, nullable = false)))
+
+  /** Perceptual average-hash (aHash) over the REAL decoded pixels: the
+    * image is divided into an 8×8 block grid (block bx = x·8/w floored),
+    * and bit (by·8 + bx) is set iff the block's channel-sum mean exceeds
+    * the whole image's — compared by exact INTEGER cross-multiplication
+    * (blockSum·totalPixels > totalSum·blockPixels; both products
+    * ≤ ~3·10^11, no overflow, no float rounding), so the 64-bit hash is
+    * engine-exact and the oracle predicts it from the text alone.
+    * Empty blocks (w or h < 8) contribute 0 on both sides. Byte-identical
+    * re-encodes collapse to equal hashes; the standard perceptual
+    * first-pass for image dedup (near-dup at hamming radius r would band
+    * this hash exactly like [[Dedup.simhashCandidates]]'s pigeonhole).
+    * Map-shaped: no shuffle. */
+  def imagePHash(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(phashSchema)
+    media.filter(col("kind") === "image" && col("payload").isNotNull)
+      .select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val id = r.getLong(0)
+          val img = decodeFrame(id, 0, r.getAs[Array[Byte]](1))
+          val w = img.getWidth; val h = img.getHeight
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
+          val blockSum = new Array[Long](64)
+          val blockPx = new Array[Long](64)
+          var totalSum = 0L
+          var y = 0
+          while (y < h) {
+            val by = y * 8 / h
+            var x = 0
+            while (x < w) {
+              val p = px(y * w + x)
+              val g = ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
+              val b = by * 8 + x * 8 / w
+              blockSum(b) += g
+              blockPx(b) += 1L
+              totalSum += g
+              x += 1
+            }
+            y += 1
+          }
+          val totalPx = w.toLong * h
+          var hash = 0L
+          var i = 0
+          while (i < 64) {
+            if (blockSum(i) * totalPx > totalSum * blockPx(i))
+              hash |= (1L << i)
+            i += 1
+          }
+          Row(id, w, h, hash)
+        }
+      }(enc)
+  }
+
   val resizedSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("width", IntegerType, nullable = false),

@@ -2550,6 +2550,17 @@ object Pipeline {
         FROM decoded WHERE kind = 'audio'
         GROUP BY 1, 2""")),
 
+    // ---- Perceptual image hash (m07): aHash over the real decoded
+    // pixels — 8x8 block grid, integer cross-multiplied mean bits, the
+    // standard perceptual first-pass for image dedup. The 64-bit hash is
+    // predicted by the oracle from the text alone (exact integer math on
+    // both sides), so a fake or partial decode cannot match.
+    Q("m07_image_phash",
+      (s, dir) => Multimodal.imagePHash(
+        Multimodal.syntheticMedia(
+          t(s, dir, "documents").filter(pmod(col("doc_id"), lit(3)) === 0))),
+      Some(imagePHashOracle)),
+
     // ---- Real image resize (m05): decode -> integer nearest-neighbor
     // resample -> re-encode PNG -> independent re-decode + checksum. The
     // oracle predicts the RESIZED pixel checksum from the text alone
@@ -3300,6 +3311,46 @@ object Pipeline {
     """CASE WHEN bk < 900 THEN 'train'
                WHEN bk < 950 THEN 'val'
                ELSE 'test' END"""
+
+  /** DuckDB twin of [[Multimodal.imagePHash]]: per-pixel channel sums in
+    * closed form from the cyclic fill, 8x8 block grid by integer floor,
+    * bits by exact integer cross-multiplication, and the 64-bit hash
+    * assembled in HUGEINT then wrapped to the signed BIGINT Spark holds
+    * (bit 63 flips the sign - the same mod-2^64 trick as the decode
+    * oracle's fold). */
+  private def imagePHashOracle: String = s"""
+        WITH $mediaDecodeOracle,
+        imgs AS (
+          SELECT g.media_id, g.n, g.ubl, g.width AS w, g.height AS h
+          FROM geom g WHERE g.kind = 'image'),
+        px AS (
+          SELECT media_id, w, h,
+            ((y * 8) // h) * 8 + ((x * 8) // w) AS b,
+            ubl[CAST((3 * (y * w + x)) % n AS INT) + 1]
+              + ubl[CAST((3 * (y * w + x) + 1) % n AS INT) + 1]
+              + ubl[CAST((3 * (y * w + x) + 2) % n AS INT) + 1] AS g
+          FROM imgs,
+               UNNEST(range(0, h)) AS uy(y),
+               UNNEST(range(0, w)) AS ux(x)),
+        blocks AS (
+          SELECT media_id, w, h, b,
+            CAST(SUM(g) AS BIGINT) AS bs, COUNT(*) AS bp
+          FROM px GROUP BY 1, 2, 3, 4),
+        tot AS (
+          SELECT media_id, CAST(SUM(bs) AS BIGINT) AS ts
+          FROM blocks GROUP BY 1),
+        hashes AS (
+          SELECT b.media_id, b.w, b.h,
+            SUM(CASE WHEN b.bs * (b.w * b.h) > t.ts * b.bp
+                THEN (1::HUGEINT << CAST(b.b AS INT))
+                ELSE 0::HUGEINT END) AS hh
+          FROM blocks b JOIN tot t USING (media_id)
+          GROUP BY 1, 2, 3)
+        SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+          CAST(hh - (CASE WHEN hh >= 9223372036854775808::HUGEINT
+            THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)
+            AS BIGINT) AS ahash
+        FROM hashes"""
 
   /** DuckDB twin of [[Multimodal.resizeImages]]: the geometry comes from
     * the shared decode oracle CTEs; every RESIZED pixel has the closed

@@ -171,6 +171,28 @@ class OperatorsSpec extends SparkSpec {
     assert(out.exists { case (_, (w, h, _, _, _)) => math.max(w, h) <= 64 })
   }
 
+  test("imagePHash: deterministic, equal for identical content, " +
+      "distinct for the fixture pair, bits only where blocks exist") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog many many times"),
+      (3L, "the quick brown fox jumps over the lazy dog many many times"),
+      (6L, "completely different content with other words and rhythm here")
+    ).toDF("doc_id", "text") // ids ≡ 0 mod 3 → all image kind
+    val media = Multimodal.syntheticMedia(docs)
+    val got = Multimodal.imagePHash(media)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got.keySet == Set(0L, 3L, 6L))
+    // identical text → identical payload → identical hash
+    assert(got(0L) == got(3L))
+    // this specific fixture pair differs (deterministic corpus, stable)
+    assert(got(0L) != got(6L))
+    // determinism across evaluations
+    val again = Multimodal.imagePHash(media)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(again == got)
+  }
+
   test("feature extraction yields fixed-dim float vectors") {
     val docs = graft.core.Tables.load(spark, sf, "documents").limit(20)
     val feats = Multimodal.extractFeatures(Multimodal.syntheticMedia(docs), dim = 8)

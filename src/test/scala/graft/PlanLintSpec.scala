@@ -334,7 +334,9 @@ class PlanLintSpec extends SparkSpec {
     // map-shaped: decode -> resample -> re-encode -> re-decode per row
     "m05_image_resize" -> 0,
     // one (n_frames, pcm_sum) aggregate over the audio-only decode
-    "m06_audio_dedup" -> 1
+    "m06_audio_dedup" -> 1,
+    // map-shaped: decode + block fold per row, no shuffle
+    "m07_image_phash" -> 0
   )
 
   /** sf0.01 OVERRIDES on top of [[exchangeBudget]] (VERDICT r6 directive
