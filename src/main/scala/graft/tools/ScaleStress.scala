@@ -478,6 +478,28 @@ object ScaleStress {
       au10.getLong(1) == au1.getLong(1) * 10,
       "audio-dedup distinct-clip set drifted")
 
+    // perceptual hash at 10x with kind-preserving clone ids: clones share
+    // the EXACT hash, so the distinct-hash set is identical to 1x and
+    // every hash's image count is exactly 10x — the grouping behavior the
+    // per-SF fixture (all-distinct texts) cannot exercise
+    val ph1 = graft.operators.Multimodal.imagePHash(
+        graft.operators.Multimodal.syntheticMedia(
+          docsFull.filter(pmod(col("doc_id"), lit(3)) === 0)))
+      .groupBy(col("ahash")).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)), sum(col("c"))).head()
+    val ph10 = time("image-phash-50k-real-decode") {
+      graft.operators.Multimodal.imagePHash(
+          graft.operators.Multimodal.syntheticMedia(
+            kindSafe.filter(pmod(col("doc_id"), lit(3)) === 0)))
+        .groupBy(col("ahash")).agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)), sum(col("c"))).head()
+    }
+    println("[stress] phash groups=" + ph10.getLong(0) + "/" + ph1.getLong(0) +
+      " images=" + ph10.getLong(1) + "/" + ph1.getLong(1))
+    require(ph10.getLong(0) == ph1.getLong(0) &&
+      ph10.getLong(1) == ph1.getLong(1) * 10,
+      "phash clone grouping drifted")
+
     // ANN recall eval on the 10x embedding corpus: the eval contract
     // (exactly k ground-truth rows per query, recall in [0,1]) must hold
     // under dense exact-duplicate clusters
