@@ -191,6 +191,31 @@ object Multimodal {
     img
   }
 
+  /** Additive + position-weighted checksums over the decoded raster in
+    * one pass. The weighted sum walks the channel bytes in the encoder's
+    * BGR raster order (pixel k holds B at byte 3k, G at 3k+1, R at 3k+2)
+    * with 1-based position weights, so it is ORDER-SENSITIVE: permuting
+    * or rebalancing pixel values that preserves the additive sum still
+    * changes the weighted sum unless the permutation also preserves every
+    * position·value product — the dedup key collision the additive sum
+    * alone cannot rule out. Both fit comfortably in a Long (weighted max
+    * ≈ 255·m(m+1)/2 ≈ 5·10^11 at the 192×108 cap) and both have the
+    * cyclic-fill closed form the oracle predicts from the text alone. */
+  private def sumsRgb(img: java.awt.image.BufferedImage): (Long, Long) = {
+    val w = img.getWidth; val ht = img.getHeight
+    val px = img.getRGB(0, 0, w, ht, null, 0, w)
+    var sum = 0L; var wsum = 0L; var i = 0
+    while (i < px.length) {
+      val p = px(i)
+      val r = (p >> 16) & 0xFF; val g = (p >> 8) & 0xFF; val b = p & 0xFF
+      sum += r + g + b
+      val base = 3L * i // byte positions 3i (B), 3i+1 (G), 3i+2 (R); 1-based
+      wsum += (base + 1) * b + (base + 2) * g + (base + 3) * r
+      i += 1
+    }
+    (sum, wsum)
+  }
+
   private def sumRgb(img: java.awt.image.BufferedImage): Long = {
     val w = img.getWidth; val ht = img.getHeight
     val px = img.getRGB(0, 0, w, ht, null, 0, w)
@@ -277,7 +302,8 @@ object Multimodal {
     StructField("frame_idx", IntegerType, nullable = false),
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
-    StructField("pix_sum", LongType, nullable = false)))
+    StructField("pix_sum", LongType, nullable = false),
+    StructField("pix_wsum", LongType, nullable = false)))
 
   /** Per-frame decoded-pixel checksums over the visual kinds: one row per
     * image (its single frame) and one row PER VIDEO FRAME (audio has no
@@ -313,39 +339,48 @@ object Multimodal {
               if (img == null)
                 throw new IllegalArgumentException(
                   s"media_id=$id: undecodable image")
+              val (s, ws) = sumsRgb(img)
               Iterator.single(Row(id, kind, 0,
-                img.getWidth, img.getHeight, sumRgb(img)))
+                img.getWidth, img.getHeight, s, ws))
             case _ =>
               val cache = new java.util.HashMap[java.nio.ByteBuffer,
-                (Int, Int, Long)]()
+                (Int, Int, Long, Long)]()
               gvidFrames(id, payload).zipWithIndex.map { case (fb, f) =>
                 val key = java.nio.ByteBuffer.wrap(fb)
                 var dec = cache.get(key)
                 if (dec == null) {
                   val img = decodeFrame(id, f, fb)
-                  dec = (img.getWidth, img.getHeight, sumRgb(img))
+                  val (s, ws) = sumsRgb(img)
+                  dec = (img.getWidth, img.getHeight, s, ws)
                   cache.put(key, dec)
                 }
-                Row(id, kind, f, dec._1, dec._2, dec._3)
+                Row(id, kind, f, dec._1, dec._2, dec._3, dec._4)
               }
           }
         }
       }(enc)
   }
 
-  /** Frame-level exact dedup across the corpus: frames are identical iff
-    * their decoded geometry + pixel checksum match (PNG is lossless, the
-    * checksum covers every channel of every pixel). The production shape
-    * for still-heavy video corpora (credits, slates, static scenes):
-    * explode to per-frame checksums executor-side, then ONE hash-aggregate
-    * keyed on (width, height, pix_sum) — partial map-side combine collapses
-    * each video's identical frames to a single partial state before the
-    * shuffle, so exchange bytes scale with DISTINCT frames, not total
-    * frames. Output per distinct frame content: occurrence counts, how many
-    * media contain it, and the smallest containing media id. */
+  /** Frame-level exact dedup across the corpus, keyed on the decoded
+    * geometry + BOTH raster checksums: the additive channel sum AND the
+    * position-weighted sum (order-sensitive — see [[sumsRgb]]). Two
+    * distinct frames that merely permute or rebalance pixel values share
+    * the additive sum but not the weighted one; a residual collision
+    * requires preserving every position·value moment simultaneously,
+    * which no content-editing transform does (this is a checksum pair,
+    * not a cryptographic hash — byte-identical rasters are guaranteed
+    * equal, unequal rasters are not guaranteed different). The production
+    * shape for still-heavy video corpora (credits, slates, static
+    * scenes): explode to per-frame checksums executor-side, then ONE
+    * hash-aggregate keyed on (width, height, pix_sum, pix_wsum) —
+    * partial map-side combine collapses each video's identical frames to
+    * a single partial state before the shuffle, so exchange bytes scale
+    * with DISTINCT frames, not total frames. Output per distinct frame
+    * content: occurrence counts, how many media contain it, and the
+    * smallest containing media id. */
   def frameDedup(media: DataFrame): DataFrame =
     frameChecksums(media)
-      .groupBy(col("width"), col("height"), col("pix_sum"))
+      .groupBy(col("width"), col("height"), col("pix_sum"), col("pix_wsum"))
       .agg(count(lit(1)).as("n_frames"),
         countDistinct(col("media_id")).as("n_media"),
         min(col("media_id")).as("rep_media_id"))
@@ -461,19 +496,67 @@ object Multimodal {
       .withColumn("out_height", (col("height") * col("scale")).cast("int"))
       .drop("scale")
 
-  /** Audio-clip exact dedup across the corpus: clips are identical iff
-    * their decoded PCM frame count + sample checksum match (WAV PCM is
-    * lossless; the checksum covers every decoded sample). Same shape as
-    * [[frameDedup]]: map-shaped real decode, then ONE hash-aggregate on
-    * (n_frames, pcm_sum) — exchange bytes scale with DISTINCT clips. */
+  val audioChecksumSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("pcm_sum", LongType, nullable = false),
+    StructField("pcm_wsum", LongType, nullable = false)))
+
+  /** Real WAV decode → per-clip PCM checksum PAIR: the additive sample
+    * sum and the position-weighted sum Σ (j+1)·sample_j (order-sensitive,
+    * the audio analogue of [[sumsRgb]]'s raster pair; |wsum| ≤
+    * 32768·nf(nf+1)/2 ≈ 4·10^11 at the 4800-frame cap — Long-safe). Both
+    * have the cyclic-fill closed form the oracle predicts from the text.
+    * Map-shaped, inherits the scan's partitioning. */
+  def audioChecksums(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(audioChecksumSchema)
+    media.filter(col("kind") === "audio" && col("payload").isNotNull)
+      .select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          val data = ais.readAllBytes()
+          ais.close()
+          var sum = 0L; var wsum = 0L; var j = 0
+          while (2 * j + 1 < data.length) { // s16le
+            val s = ((data(2 * j) & 0xFF) | (data(2 * j + 1).toInt << 8)).toLong
+            sum += s
+            wsum += (j + 1L) * s
+            j += 1
+          }
+          Row(id, data.length / 2, sum, wsum)
+        }
+      }(enc)
+  }
+
+  /** Audio-clip exact dedup across the corpus, keyed on the decoded PCM
+    * frame count + BOTH sample checksums (additive + position-weighted —
+    * see [[audioChecksums]]; two clips that permute the same samples
+    * collide on the additive sum but not the weighted one; a checksum
+    * pair, not a cryptographic hash). Same shape as [[frameDedup]]:
+    * map-shaped real decode, then ONE hash-aggregate on (n_frames,
+    * pcm_sum, pcm_wsum) — exchange bytes scale with DISTINCT clips. */
   def audioDedup(media: DataFrame): DataFrame =
-    // kind filter BEFORE decodeMeta: a filter after the mapPartitions
-    // cannot push through it, and would decode every image and video
+    // kind filter BEFORE the decode mapPartitions: a filter after it
+    // cannot push through, and would decode every image and video
     // frame just to discard them (measured 9.7 s -> 1.6 s at sf0.1)
-    decodeMeta(media.filter(col("kind") === "audio"))
-      .groupBy(col("n_frames"), col("content_sum").as("pcm_sum"))
+    audioChecksums(media.filter(col("kind") === "audio"))
+      .groupBy(col("n_frames"), col("pcm_sum"), col("pcm_wsum"))
       .agg(count(lit(1)).as("n_clips"),
         min(col("media_id")).as("rep_media_id"))
+
+  /** Exact `a·b > c·d` over non-negative Longs in 128 bits
+    * (Math.multiplyHigh + unsigned low-word compare) — no overflow at any
+    * operand magnitude, so the aHash bit rule holds for arbitrarily large
+    * images, not just the ≤3·10^11-product regime of the fixtures. */
+  private def mulCmpGt(a: Long, b: Long, c: Long, d: Long): Boolean = {
+    val hi1 = Math.multiplyHigh(a, b); val lo1 = a * b
+    val hi2 = Math.multiplyHigh(c, d); val lo2 = c * d
+    if (hi1 != hi2) hi1 > hi2
+    else java.lang.Long.compareUnsigned(lo1, lo2) > 0
+  }
 
   val phashSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -485,9 +568,12 @@ object Multimodal {
     * image is divided into an 8×8 block grid (block bx = x·8/w floored),
     * and bit (by·8 + bx) is set iff the block's channel-sum mean exceeds
     * the whole image's — compared by exact INTEGER cross-multiplication
-    * (blockSum·totalPixels > totalSum·blockPixels; both products
-    * ≤ ~3·10^11, no overflow, no float rounding), so the 64-bit hash is
-    * engine-exact and the oracle predicts it from the text alone.
+    * (blockSum·totalPixels > totalSum·blockPixels) carried out in 128
+    * bits via Math.multiplyHigh, so the comparison is exact for ANY image
+    * size (a raw 64-bit product overflows around 9·10^8 pixels;
+    * totalSum·totalPx ≤ 765·px², past ~10^8.5 px the old bound broke),
+    * no float rounding, and the 64-bit hash is engine-exact and the
+    * oracle (HUGEINT on its side) predicts it from the text alone.
     * Empty blocks (w or h < 8) contribute 0 on both sides. Byte-identical
     * re-encodes collapse to equal hashes; the standard perceptual
     * first-pass for image dedup (near-dup at hamming radius r would band
@@ -526,7 +612,7 @@ object Multimodal {
           var hash = 0L
           var i = 0
           while (i < 64) {
-            if (blockSum(i) * totalPx > totalSum * blockPx(i))
+            if (mulCmpGt(blockSum(i), totalPx, totalSum, blockPx(i)))
               hash |= (1L << i)
             i += 1
           }

@@ -562,8 +562,13 @@ object Similarity {
       queryCol: String = "query_id",
       neighborCol: String = "neighbor_id"): DataFrame =
     exact.select(col(queryCol), col(neighborCol))
-      .join(approx.select(col(queryCol), col(neighborCol),
-          lit(1L).as("__hit")),
+      // enforce (not assume) the at-most-one-row-per-pair contract on the
+      // approx side: a duplicate pair from a misbehaving topK producer
+      // would otherwise fan out the left join and inflate n_hit past
+      // n_exact (recall > 1.0, silently); dedup costs O(queries·k)
+      .join(approx.select(col(queryCol), col(neighborCol))
+          .dropDuplicates(queryCol, neighborCol)
+          .withColumn("__hit", lit(1L)),
         Seq(queryCol, neighborCol), "left")
       .groupBy(col(queryCol))
       .agg(count(lit(1)).as("n_exact"),

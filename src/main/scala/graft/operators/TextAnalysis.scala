@@ -807,6 +807,24 @@ object TextAnalysis {
   val gopherStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  /** The Gopher quality-rule thresholds (Rae et al. 2021, §A1.1), named
+    * once so the Scala defaults and the DuckDB oracle interpolate the
+    * SAME constants — a threshold change cannot leave the twin at a
+    * stale literal (the gopherRepetitionBars discipline, applied here). */
+  val gopherMinWords = 50L
+  val gopherMaxWords = 100000L
+  val gopherMeanWordLenMin = 3.0
+  val gopherMeanWordLenMax = 10.0
+  val gopherMaxSymbolRatio = 0.1
+  val gopherMinAlphaRatio = 0.80
+  val gopherMaxBulletRatio = 0.90
+  val gopherMaxEllipsisRatio = 0.30
+
+  /** The C4 cleaning thresholds (Raffel et al. 2020, §2.2) — same
+    * shared-constant discipline as the Gopher bars above. */
+  val c4MinLineWords = 3
+  val c4MinSentences = 5
+
   /** Gopher-style document quality rules (Rae et al. 2021, appendix A1.1),
     * surfaced as the per-rule signal, the per-rule verdict, and the
     * composite `gopher_pass` — the standard pre-training keep/drop gate.
@@ -826,8 +844,8 @@ object TextAnalysis {
     * English function words (synthetic or non-English corpora) would
     * otherwise fail the composite uniformly — the driver fixture uses 1.
     */
-  def gopherSignals(text: Column, minWords: Long = 50L,
-      maxWords: Long = 100000L, minStopHits: Long = 2L): Seq[Column] = {
+  def gopherSignals(text: Column, minWords: Long = gopherMinWords,
+      maxWords: Long = gopherMaxWords, minStopHits: Long = 2L): Seq[Column] = {
     val toks = tokens(text)
     val nWords = size(toks).cast("long")
     val meanLen = when(nWords > 0,
@@ -859,12 +877,13 @@ object TextAnalysis {
     val bulletRatio = bulletLines.cast("double") / greatest(nLines, lit(1L))
     val ellRatio = ellLines.cast("double") / greatest(nLines, lit(1L))
     val okWords = nWords >= minWords && nWords <= maxWords
-    val okMeanLen = meanLen >= 3.0 && meanLen <= 10.0
-    val okSymbols = symRatio <= 0.1
-    val okAlpha = alphaRatio >= 0.80
+    val okMeanLen = meanLen >= gopherMeanWordLenMin &&
+      meanLen <= gopherMeanWordLenMax
+    val okSymbols = symRatio <= gopherMaxSymbolRatio
+    val okAlpha = alphaRatio >= gopherMinAlphaRatio
     val okStops = stopHits >= minStopHits
-    val okBullets = bulletRatio <= 0.90
-    val okEllipsis = ellRatio <= 0.30
+    val okBullets = bulletRatio <= gopherMaxBulletRatio
+    val okEllipsis = ellRatio <= gopherMaxEllipsisRatio
     Seq(
       nWords.as("n_words"), meanLen.as("mean_word_len"),
       symRatio.as("symbol_ratio"), alphaRatio.as("alpha_word_ratio"),
@@ -899,8 +918,8 @@ object TextAnalysis {
     *
     * Pure per-row codegen column expressions over one scan — zero
     * exchanges at any corpus size (the same 100 TB shape as t29/t30). */
-  def c4Signals(text: Column, minLineWords: Int = 3,
-      minSentences: Int = 5): Seq[Column] = {
+  def c4Signals(text: Column, minLineWords: Int = c4MinLineWords,
+      minSentences: Int = c4MinSentences): Seq[Column] = {
     val lines = filter(transform(split(text, "\n"), l => trim(l)),
       l => length(l) > 0)
     def keepLine(l: Column): Column = {

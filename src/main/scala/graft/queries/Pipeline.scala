@@ -1067,6 +1067,18 @@ object Pipeline {
     def cyc(m: String) =
       s"((CAST($m AS BIGINT) // n) * s_all + CAST(COALESCE(list_sum(" +
         s"ubl[1:CAST(CAST($m AS BIGINT) % n AS INT)]), 0) AS BIGINT))"
+    // position-WEIGHTED cyclic closed form: Σ_{i=0}^{m-1} (i+1)·b[i mod n].
+    // Byte r (1-based) of the text occupies positions r, r+n, r+2n, … —
+    // c = (m-r)//n + 1 of them — whose 1-based weights sum to
+    // c·r + n·c(c-1)/2; total ≤ 255·m(m+1)/2 ≈ 5·10^11 at the raster cap,
+    // BIGINT-safe. Order-sensitive twin of the engine's sumsRgb /
+    // audioChecksums weighted sums.
+    def wcyc(m: String) =
+      s"(CAST(COALESCE(list_sum(list_transform(range(1, n+1), r -> " +
+        s"CASE WHEN r <= CAST($m AS BIGINT) THEN ubl[CAST(r AS INT)] * " +
+        s"(((CAST($m AS BIGINT) - r) // n + 1) * r + " +
+        s"n * ((CAST($m AS BIGINT) - r) // n + 1) * " +
+        s"((CAST($m AS BIGINT) - r) // n) // 2) ELSE 0 END)), 0) AS BIGINT))"
     s"""
         bytes AS (
           SELECT doc_id, hex(encode(text)) AS hx,
@@ -1114,7 +1126,18 @@ object Pipeline {
               WHEN 'audio' THEN 256 * ${cyc("n_frames")}
                                 - 32768 * CAST(n_frames AS BIGINT)
               ELSE CAST(n_frames AS BIGINT) * ${cyc("3 * width * height")}
-            END AS content_sum
+            END AS content_sum,
+            -- order-sensitive weighted checksum; for video this is the
+            -- PER-FRAME value (positions restart at each decoded frame,
+            -- matching frameChecksums), for audio it is 256·wcyc(nf)
+            -- minus the -128 bias times Σ(j+1) = nf(nf+1)/2
+            CASE kind
+              WHEN 'image' THEN ${wcyc("3 * width * height")}
+              WHEN 'audio' THEN 256 * ${wcyc("n_frames")}
+                - 32768 * (CAST(n_frames AS BIGINT)
+                           * (CAST(n_frames AS BIGINT) + 1) // 2)
+              ELSE ${wcyc("3 * width * height")}
+            END AS content_wsum
           FROM geom)"""
   }
 
@@ -2534,8 +2557,9 @@ object Pipeline {
         FROM b""")),
 
     // ---- Audio-clip exact dedup (m06): real WAV PCM decode -> one
-    // aggregate on (frame count, decoded sample checksum) — the audio
-    // sibling of m04's frame dedup; the oracle predicts the PCM checksum
+    // aggregate on (frame count, additive + position-weighted decoded
+    // sample checksums — the weighted one is ORDER-sensitive) — the audio
+    // sibling of m04's frame dedup; the oracle predicts both checksums
     // from the text alone.
     Q("m06_audio_dedup",
       // same document-side kind pre-filter as m05 (pmod 3 == 1 = audio)
@@ -2544,11 +2568,11 @@ object Pipeline {
           t(s, dir, "documents").filter(pmod(col("doc_id"), lit(3)) === 1))),
       Some(s"""
         WITH $mediaDecodeOracle
-        SELECT n_frames, content_sum AS pcm_sum,
+        SELECT n_frames, content_sum AS pcm_sum, content_wsum AS pcm_wsum,
                CAST(COUNT(*) AS BIGINT) AS n_clips,
                MIN(media_id) AS rep_media_id
         FROM decoded WHERE kind = 'audio'
-        GROUP BY 1, 2""")),
+        GROUP BY 1, 2, 3""")),
 
     // ---- Perceptual image hash (m07): aHash over the real decoded
     // pixels — 8x8 block grid, integer cross-multiplied mean bits, the
@@ -3232,10 +3256,12 @@ object Pipeline {
 
     // ---- Frame-level media dedup (m04): per-frame REAL decode (every
     // video frame individually through the PNG reader) → one
-    // hash-aggregate on (geometry, decoded-pixel checksum). The oracle
-    // predicts each frame's checksum from the text alone (per-media
-    // content_sum / n_frames — exact: the GVID scene is static), so a
-    // header-only or lossy decode cannot hash-match.
+    // hash-aggregate on (geometry, additive + position-weighted pixel
+    // checksums — the weighted one is ORDER-sensitive, so permuted-pixel
+    // frames no longer collide). The oracle predicts both checksums from
+    // the text alone (additive: per-media content_sum / n_frames — exact:
+    // the GVID scene is static; weighted: the per-frame cyclic closed
+    // form), so a header-only or lossy decode cannot hash-match.
     Q("m04_frame_dedup",
       // document-side kind pre-filter (pmod 3 != 1 drops the audio
       // assignment): the encode mapPartitions is opaque to filter
@@ -3247,18 +3273,20 @@ object Pipeline {
       Some(s"""
         WITH ${mediaDecodeOracle},
         frames AS (
-          SELECT media_id, width, height, content_sum AS pix_sum
+          SELECT media_id, width, height, content_sum AS pix_sum,
+                 content_wsum AS pix_wsum
           FROM decoded WHERE kind = 'image'
           UNION ALL
           SELECT media_id, width, height,
-                 content_sum // CAST(n_frames AS BIGINT) AS pix_sum
+                 content_sum // CAST(n_frames AS BIGINT) AS pix_sum,
+                 content_wsum AS pix_wsum
           FROM decoded, UNNEST(range(0, CAST(n_frames AS BIGINT))) AS u(f)
           WHERE kind = 'video')
-        SELECT width, height, pix_sum,
+        SELECT width, height, pix_sum, pix_wsum,
                CAST(COUNT(*) AS BIGINT) AS n_frames,
                CAST(COUNT(DISTINCT media_id) AS BIGINT) AS n_media,
                MIN(media_id) AS rep_media_id
-        FROM frames GROUP BY 1, 2, 3"""))
+        FROM frames GROUP BY 1, 2, 3, 4"""))
   )
 
   /** DuckDB twin of [[TextAnalysis.lmScore]] — shared by t28 and the
@@ -3404,7 +3432,8 @@ object Pipeline {
             list_filter(lns, l ->
               (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?')
                 OR ends_with(l, '"'))
-              AND len(list_filter(string_split(l, ' '), w -> len(w) > 0)) >= 3
+              AND len(list_filter(string_split(l, ' '), w -> len(w) > 0))
+                >= ${TextAnalysis.c4MinLineWords}
               AND NOT contains(lower(l), 'javascript')) AS kept
           FROM base),
         sig AS (
@@ -3423,7 +3452,8 @@ object Pipeline {
           FROM k)
         SELECT doc_id, clean_text, n_lines, n_kept_lines, n_sentences,
           ok_no_brace, ok_no_phrases,
-          (n_sentences >= 5 AND ok_no_brace AND ok_no_phrases) AS c4_keep
+          (n_sentences >= ${TextAnalysis.c4MinSentences}
+            AND ok_no_brace AND ok_no_phrases) AS c4_keep
         FROM sig"""
   }
 
@@ -3527,6 +3557,18 @@ object Pipeline {
     * stopword list and thresholds so the two sides cannot drift. */
   private def gopherOracle(minStopHits: Long): String = {
     val stops = TextAnalysis.gopherStopwords.map(w => s"'$w'").mkString("[", ",", "]")
+    // every threshold interpolated from the shared TextAnalysis constants
+    // (the gopherRepetitionOracle discipline) — a bar change on the Scala
+    // side cannot leave this twin at a stale literal
+    import TextAnalysis._
+    val okWords = s"n_words >= $gopherMinWords AND n_words <= $gopherMaxWords"
+    val okMeanLen = s"mean_word_len >= $gopherMeanWordLenMin" +
+      s" AND mean_word_len <= $gopherMeanWordLenMax"
+    val okSymbols = s"symbol_ratio <= $gopherMaxSymbolRatio"
+    val okAlpha = s"alpha_word_ratio >= $gopherMinAlphaRatio"
+    val okStops = s"stop_hits >= $minStopHits"
+    val okBullets = s"bullet_ratio <= $gopherMaxBulletRatio"
+    val okEllipsis = s"ellipsis_line_ratio <= $gopherMaxEllipsisRatio"
     s"""
         WITH base AS (
           SELECT doc_id, text,
@@ -3562,18 +3604,12 @@ object Pipeline {
           FROM base)
         SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_ratio,
           stop_hits, bullet_ratio, ellipsis_line_ratio,
-          (n_words >= 50 AND n_words <= 100000) AS ok_words,
-          (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_mean_len,
-          (symbol_ratio <= 0.1) AS ok_symbols,
-          (alpha_word_ratio >= 0.80) AS ok_alpha,
-          (stop_hits >= $minStopHits) AS ok_stops,
-          (bullet_ratio <= 0.90) AS ok_bullets,
-          (ellipsis_line_ratio <= 0.30) AS ok_ellipsis,
-          ((n_words >= 50 AND n_words <= 100000)
-            AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
-            AND (symbol_ratio <= 0.1) AND (alpha_word_ratio >= 0.80)
-            AND (stop_hits >= $minStopHits) AND (bullet_ratio <= 0.90)
-            AND (ellipsis_line_ratio <= 0.30)) AS gopher_pass
+          ($okWords) AS ok_words, ($okMeanLen) AS ok_mean_len,
+          ($okSymbols) AS ok_symbols, ($okAlpha) AS ok_alpha,
+          ($okStops) AS ok_stops, ($okBullets) AS ok_bullets,
+          ($okEllipsis) AS ok_ellipsis,
+          (($okWords) AND ($okMeanLen) AND ($okSymbols) AND ($okAlpha)
+            AND ($okStops) AND ($okBullets) AND ($okEllipsis)) AS gopher_pass
         FROM sig"""
   }
 }

@@ -125,19 +125,47 @@ class OperatorsSpec extends SparkSpec {
     val docs = graft.core.Tables.load(spark, sf, "documents").limit(60)
     val media = Multimodal.syntheticMedia(docs)
     val frames = Multimodal.frameChecksums(media).collect()
-      .map(r => (r.getLong(0), r.getInt(3), r.getInt(4), r.getLong(5)))
-    val expected = frames.groupBy(t => (t._2, t._3, t._4)).map {
+      .map(r => (r.getLong(0), r.getInt(3), r.getInt(4), r.getLong(5),
+        r.getLong(6)))
+    val expected = frames.groupBy(t => (t._2, t._3, t._4, t._5)).map {
       case (k, rows) =>
         k -> ((rows.length.toLong, rows.map(_._1).distinct.length.toLong,
           rows.map(_._1).min))
     }
     val got = Multimodal.frameDedup(media).collect().map(r =>
-      (r.getInt(0), r.getInt(1), r.getLong(2)) ->
-        ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)) ->
+        ((r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
     assert(got == expected)
     // the static-scene contract: some video has >1 frame but the content
     // dedups to a single distinct (its n_frames collapses into one row)
     assert(expected.exists { case (_, (nFrames, nMedia, _)) => nFrames > nMedia })
+  }
+
+  test("frameDedup key is order-sensitive: two frames with the same pixel " +
+      "MULTISET but permuted order share pix_sum yet get distinct keys") {
+    def png(pixels: Array[Int]): Array[Byte] = {
+      // 2x2 gray image from 4 channel values (r=g=b per pixel)
+      val img = new java.awt.image.BufferedImage(
+        2, 2, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var i = 0
+      while (i < 4) {
+        val v = pixels(i)
+        img.setRGB(i % 2, i / 2, (v << 16) | (v << 8) | v)
+        i += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L, "image", png(Array(10, 20, 30, 40))),
+      org.apache.spark.sql.Row(2L, "image", png(Array(40, 30, 20, 10))))
+    val media = spark.createDataFrame(rows, Multimodal.mediaSchema)
+    val fr = Multimodal.frameChecksums(media).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(5), r.getLong(6)))).toMap
+    assert(fr(1L)._1 == fr(2L)._1)  // additive sums collide (same multiset)
+    assert(fr(1L)._2 != fr(2L)._2)  // weighted sums separate them
+    assert(Multimodal.frameDedup(media).count() == 2) // NOT merged
   }
 
   test("resizeImages: bounded geometry, aspect kept, no-op when small, " +

@@ -278,4 +278,18 @@ class SimilaritySpec extends SparkSpec {
     assert(got(1) == ((4L, 2L, 0.5)))
     assert(got(2) == ((2L, 2L, 1.0)))
   }
+
+  test("recallAtK: duplicate approx pairs are deduped, never inflate n_hit " +
+      "past n_exact (recall stays <= 1.0)") {
+    import spark.implicits._
+    val exact = Seq((1, 10L), (1, 11L)).toDF("query_id", "neighbor_id")
+    // a contract-violating topK producer emits (1,10) three times; the
+    // left join would otherwise count it 3x -> n_hit=4 > n_exact=2
+    val approx = Seq((1, 10L), (1, 10L), (1, 10L), (1, 11L))
+      .toDF("query_id", "neighbor_id")
+    val got = Similarity.recallAtK(exact, approx)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1) == ((2L, 2L, 1.0)))
+  }
 }
