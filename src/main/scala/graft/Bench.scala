@@ -17,8 +17,83 @@ import org.apache.spark.sql.SparkSession
   *
   * The set covers BASELINE.md B1-B8 plus the beyond-reference pipeline
   * heads (dedup, simhash, ANN, text analysis).
+  *
+  * SELF-ADJUDICATION (VERDICT r8 directive 1): interleaved medians reject
+  * a one-pass contention episode, but an episode spanning ALL passes of a
+  * contiguous query stretch survives the median while the start-of-list
+  * calibration anchors read healthy (the r8 q67/t09/s05 false alarm). So
+  * after the timed passes, any query whose in-pass median exceeds
+  * `outlierRatio` (default 1.5) × its committed BASELINE.md bar is re-run
+  * ISOLATED — 5 back-to-back runs, median — and BOTH numbers are emitted
+  * in the JSON as `"outliers": {name: {inpass, isolated, bar}}`. A
+  * transient episode shows isolated ≤ bar (no regression, adjudicated in
+  * the artifact itself); a real regression shows isolated ≈ inpass.
+  * Ratios only bind at the bars' scale, so the check runs only on sf0.1;
+  * `SPARK_GRAFT_BENCH_OUTLIER_RATIO` overrides the trigger (lowering it
+  * exercises the mechanism on a healthy box — see NOTES).
   */
 object Bench {
+
+  /** Committed sf0.1 bars, one per headline query — MUST mirror the
+    * BASELINE.md value column exactly (BenchBarsSpec parses BASELINE.md
+    * and fails the build on any drift, so neither copy can go stale). */
+  val bars: Map[String, Double] = Map(
+    "q02_filter_project" -> 0.299,
+    "q01_pricing_summary" -> 0.918,
+    "q03_join_revenue_by_nation" -> 1.518,
+    "q03_bucketed_revenue" -> 0.791,
+    "q04_left_join" -> 0.376,
+    "q18_topk" -> 0.154,
+    "q14_except" -> 0.257,
+    "q28_string_funcs" -> 0.148,
+    "q21_minmax_countdistinct" -> 0.866,
+    "q09_semi_join" -> 0.270,
+    "q34_window_rank" -> 0.528,
+    "q35_window_running_sum" -> 0.330,
+    "d03_minhash_dedup" -> 1.668,
+    "d04_simhash_pairs" -> 0.642,
+    "s01_ann_bruteforce" -> 0.487,
+    "t01_text_stats" -> 0.626,
+    "d09_segment_dedup" -> 0.888,
+    "s04_ann_quantized" -> 0.759,
+    "t07_pii_redact" -> 0.707,
+    "t08_vocab_topk" -> 0.570,
+    "u04_pack_sequences" -> 0.844,
+    "q65_asof_join" -> 0.656,
+    "q66_range_join" -> 0.595,
+    "q67_rolling_features" -> 0.471,
+    "t09_blocklist_filter" -> 0.624,
+    "s05_knn_graph" -> 0.95,
+    "t10_trigram_quality" -> 1.15,
+    "d13_duplicate_spans" -> 1.74,
+    "s06_kmeans_assign" -> 0.118,
+    "d19_semdedup_kmeans" -> 0.661,
+    "u09_domain_mix" -> 0.170,
+    "t19_freq_spectrum" -> 0.328,
+    "t20_kmv_distinct" -> 0.669,
+    "s07_ann_pq" -> 0.610,
+    "s08_ann_ivfpq" -> 0.555,
+    "t23_boolean_search" -> 0.395,
+    "t24_bm25_topk" -> 1.151,
+    "t25_phrase_search" -> 0.662,
+    "t26_ngram_lm_counts" -> 0.637,
+    "t29_gopher_filter" -> 0.776,
+    "t28_lm_score" -> 1.478,
+    "d20_url_dedup" -> 0.283,
+    "m04_frame_dedup" -> 1.647,
+    "t30_gopher_repetition" -> 0.543,
+    "s09_ann_recall" -> 0.765,
+    "t31_c4_filter" -> 0.648,
+    "t32_ccnet_buckets" -> 1.447,
+    "p04_quality_gate" -> 1.115,
+    "u10_decontaminated_split" -> 0.676,
+    "m05_image_resize" -> 1.099,
+    "m06_audio_dedup" -> 0.571,
+    "m07_image_phash" -> 1.063,
+    "t33_quality_classifier" -> 0.259,
+    "p01_corpus_prep" -> 5.086,
+    "p02_embedding_prep" -> 0.881,
+    "p03_media_prep" -> 2.460)
 
   val headline: Seq[String] = Seq(
     "q02_filter_project",        // B1 scan+filter+project
@@ -75,7 +150,11 @@ object Bench {
     "u10_decontaminated_split",  // composed: decontamination-aware split
     "m05_image_resize",          // media: real NN resample + re-encode
     "m06_audio_dedup",           // media: audio PCM-checksum dedup
-    "m07_image_phash")           // media: perceptual aHash over real decodes
+    "m07_image_phash",           // media: perceptual aHash over real decodes
+    "t33_quality_classifier",    // quality: learned hashed-gram NB apply
+    "p01_corpus_prep",           // composed: end-to-end corpus prep
+    "p02_embedding_prep",        // composed: embedding prep
+    "p03_media_prep")            // composed: media prep (real codecs)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -127,6 +206,32 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val atBars = sfDir.replaceAll("/+$", "").endsWith("sf0.1")
+
+    // Outlier self-adjudication: re-run in-pass >ratio×bar queries
+    // ISOLATED (5 back-to-back runs, median) so the artifact itself
+    // distinguishes a mid-pass box episode from a real regression.
+    val outlierRatio =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUTLIER_RATIO", "1.5").toDouble
+    val outliers: Seq[(String, Double, Double, Double)] =
+      if (!atBars) Seq.empty
+      else results.flatMap { case (n, med) =>
+        bars.get(n).filter(bar => med > bar * outlierRatio).map { bar =>
+          val ts = (1 to 5).map { _ =>
+            try exec(n)
+            catch { case _: Throwable => Double.NaN }
+          }.filterNot(_.isNaN).sorted
+          val iso = if (ts.isEmpty) Double.NaN else ts(ts.length / 2)
+          System.err.println(f"[bench-outlier] $n inpass=$med%.3f " +
+            f"isolated=$iso%.3f bar=$bar%.3f")
+          (n, med, iso, bar)
+        }
+      }
+    val outliersJson =
+      if (!atBars) "null"
+      else outliers.map { case (n, inpass, iso, bar) =>
+        "\"" + n + "\":{" + f""""inpass":$inpass%.3f,"isolated":$iso%.3f,"bar":$bar%.3f}"""
+      }.mkString("{", ",", "}")
     // Box-state self-adjudication (VERDICT r7 directive 3): the three
     // cheapest fixed-plan queries double as a machine calibration probe —
     // measured/bar ratios against their committed BASELINE.md sf0.1 bars
@@ -146,7 +251,7 @@ object Bench {
           byName.get(q).map(v => "\"" + q + "\":" + f"${v / bar}%.2f")
         }.mkString("{", ",", "}")
       }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"calibration":$calibration,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"calibration":$calibration,"outliers":$outliersJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
