@@ -202,6 +202,78 @@ object TextHashKernels {
     new GenericArrayData(arr)
   }
 
+  /** Shared gram enumeration for the hashed-feature classifier kernels:
+    * every OCCURRENCE (not distinct) of every word n-gram of orders
+    * 1..maxN over normalized (single-spaced, trimmed) text, each hashed
+    * exactly as [[wordNgramHashSet]] hashes a gram (XXH64 seed 42 over
+    * the UTF-8 bytes of the \u0001-joined tokens; an order-1 gram is the
+    * bare token). An order with fewer than n words contributes nothing
+    * (no whole-text fallback here — the classifier's feature space is
+    * grams, not documents); empty text contributes nothing. */
+  private def eachGramHash(s: String, maxN: Int,
+      f: java.util.function.LongConsumer): Unit = {
+    if (s.isEmpty) return
+    val starts = new scala.collection.mutable.ArrayBuffer[Int](64)
+    starts += 0
+    var i = 0
+    while (i < s.length) { if (s.charAt(i) == ' ') starts += i + 1; i += 1 }
+    val w = starts.length
+    val sb = new java.lang.StringBuilder(64)
+    var n = 1
+    while (n <= maxN) {
+      var j = 0
+      while (j + n <= w) {
+        sb.setLength(0)
+        var t = j
+        while (t < j + n) {
+          if (t > j) sb.append('\u0001')
+          val end = if (t + 1 == w) s.length else starts(t + 1) - 1
+          sb.append(s, starts(t), end)
+          t += 1
+        }
+        val u = UTF8String.fromString(sb.toString)
+        f.accept(org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L))
+        j += 1
+      }
+      n += 1
+    }
+  }
+
+  /** Hashed-feature bucket id of every gram occurrence (orders 1..maxN):
+    * bucket = low log2(dim) bits of the gram's XXH64 (dim must be a power
+    * of two, enforced at the Expression, so the masked bits equal
+    * pmod(hash, dim) and the unsigned-mod SQL twin). The FIT side of the
+    * hashed classifier: explode → one gram-level aggregate. */
+  def hashedGramBuckets(input: UTF8String, dim: Int, maxN: Int): ArrayData = {
+    val out = new scala.collection.mutable.ArrayBuffer[Int](64)
+    eachGramHash(input.toString, maxN, h => out += (h & (dim - 1L)).toInt)
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Linear score over the hashed gram features in ONE pass: per-bucket
+    * occurrence counts accumulate locally, then the score folds
+    * bucket-ASCENDING from the bias — s = bias; for b in 0..dim-1 with
+    * cnt[b]>0: s += cnt[b]·w[b] — a deterministic double summation order
+    * the SQL twin reproduces with a bucket-sorted list_reduce (the t28
+    * sorted-fold discipline), so the DOUBLE scores hash-verify. Zero-count
+    * buckets are skipped on BOTH sides (adding literal 0.0 terms could
+    * flip a -0.0 accumulator to +0.0). The APPLY side of the hashed
+    * classifier: zero exchanges, one codegen call per row. */
+  def hashedGramScore(input: UTF8String, weights: Array[Double],
+      bias: Double, maxN: Int): Double = {
+    val dim = weights.length
+    val cnt = new Array[Int](dim)
+    eachGramHash(input.toString, maxN, h => cnt((h & (dim - 1L)).toInt) += 1)
+    var sc = bias
+    var b = 0
+    while (b < dim) {
+      if (cnt(b) != 0) sc += cnt(b).toDouble * weights(b)
+      b += 1
+    }
+    sc
+  }
+
   /** All overlapping k-char substrings, in order (char-gram stream for the
     * trigram LM quality operator). Like the sibling kernels this indexes
     * UTF-16 code units (astral-plane chars count as two); identical to
@@ -694,7 +766,62 @@ case class BloomProbe(child: Expression, bits: Array[Long], mBits: Int, k: Int)
     copy(child = newChild)
 }
 
+/** Hashed-feature bucket ids of every gram occurrence, orders 1..maxN —
+  * the fit-side stream of the hashed linear classifier (t33). */
+case class HashedGramBuckets(child: Expression, dim: Int, maxN: Int)
+    extends UnaryExpression {
+  require(dim > 0 && (dim & (dim - 1)) == 0,
+    s"dim must be a power of two (got $dim): bucket = hash & (dim-1) must " +
+      "equal pmod(hash, dim) and the oracle's unsigned-mod twin")
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "hashed_gram_buckets"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashKernels.hashedGramBuckets(input.asInstanceOf[UTF8String], dim, maxN)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashKernels.hashedGramBuckets($c, $dim, $maxN);")
+
+  override protected def withNewChildInternal(newChild: Expression): HashedGramBuckets =
+    copy(child = newChild)
+}
+
+/** Linear classifier score over hashed gram features in ONE codegen pass —
+  * see [[TextHashKernels.hashedGramScore]] for the deterministic
+  * bucket-ascending fold contract. The trained weights ride into generated
+  * code as one double[] reference object (the BloomProbe pattern). */
+case class HashedGramScore(child: Expression, weights: Array[Double],
+    bias: Double, maxN: Int) extends UnaryExpression {
+  require(weights.length > 0 && (weights.length & (weights.length - 1)) == 0,
+    s"weights.length must be a power of two (got ${weights.length})")
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "hashed_gram_score"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashKernels.hashedGramScore(input.asInstanceOf[UTF8String], weights,
+      bias, maxN)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("clfWeights", weights, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashKernels.hashedGramScore($c, $wRef, ${bias}D, $maxN);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HashedGramScore =
+    copy(child = newChild)
+}
+
 object TextHashExprs {
+  def hashedGramBuckets(c: Column, dim: Int, maxN: Int): Column =
+    GraftColumnBridge.column(HashedGramBuckets(
+      GraftColumnBridge.expression(c), dim, maxN))
+  def hashedGramScore(c: Column, weights: Array[Double], bias: Double,
+      maxN: Int): Column =
+    GraftColumnBridge.column(HashedGramScore(
+      GraftColumnBridge.expression(c), weights, bias, maxN))
   def bloomProbe(c: Column, bits: Array[Long], mBits: Int, k: Int): Column =
     GraftColumnBridge.column(BloomProbe(GraftColumnBridge.expression(c), bits, mBits, k))
   def shingleHashSet(c: Column, k: Int): Column =

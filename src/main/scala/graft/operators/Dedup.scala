@@ -831,6 +831,24 @@ object Dedup {
     val rawBenchGrams = benchmark
       .select(explode(wordNgramHashSet(col(textCol), n)).as("__g"))
     val bits = bloomBitsOf(rawBenchGrams, "__g", mBits, k)
+    decontaminateBloomWith(corpus, benchGrams, bits, idCol, textCol,
+      n, mBits, k)
+  }
+
+  /** [[decontaminateBloom]]'s probe/confirm core over PREBUILT benchmark
+    * artifacts (the bloom bitset + the distinct benchmark gram table) —
+    * shared by the batch operator and the per-micro-batch streaming path
+    * ([[graft.streaming.StreamDecontaminate.decontaminateBloomStream]]),
+    * which builds both ONCE and replays this against every batch. */
+  private[graft] def decontaminateBloomWith(
+      corpus: DataFrame,
+      benchGrams: DataFrame,
+      bits: Array[Long],
+      idCol: String,
+      textCol: String,
+      n: Int,
+      mBits: Int,
+      k: Int): DataFrame = {
     val candidates = corpus
       .select(col(idCol).as("__id"),
         explode(wordNgramHashSet(col(textCol), n)).as("__g"))

@@ -260,13 +260,26 @@ object Multimodal {
         }
         Row(id, kind, n, null, null, nf, fmtName, sum)
       case _ =>
-        // real decode: parse the GVID container, run EVERY frame through
-        // the PNG reader, sum all decoded pixels across frames
+        // real decode: parse the GVID container, run every DISTINCT
+        // compressed frame through the PNG reader and replay its exact
+        // integer pixel sum for byte-identical repeats (the
+        // content-addressed per-video cache frameChecksums documents —
+        // still-heavy corpora repeat compressed frames verbatim, and the
+        // sum of identical pixels is the cached Long, so the whole-payload
+        // checksum is bit-identical to the decode-everything loop)
         var sum = 0L; var w = 0; var ht = 0; var nf = 0
+        val cache = new java.util.HashMap[java.nio.ByteBuffer,
+          (Int, Int, Long)]()
         gvidFrames(id, payload).foreach { fb =>
-          val img = decodeFrame(id, nf, fb)
-          if (nf == 0) { w = img.getWidth; ht = img.getHeight }
-          sum += sumRgb(img)
+          val key = java.nio.ByteBuffer.wrap(fb)
+          var dec = cache.get(key)
+          if (dec == null) {
+            val img = decodeFrame(id, nf, fb)
+            dec = (img.getWidth, img.getHeight, sumRgb(img))
+            cache.put(key, dec)
+          }
+          if (nf == 0) { w = dec._1; ht = dec._2 }
+          sum += dec._3
           nf += 1
         }
         Row(id, kind, n, w, ht, nf, "gvid/png", sum)
@@ -439,25 +452,42 @@ object Multimodal {
         cycle(Array(sum / n / 32768.0, math.sqrt(sq / n) / 32768.0, zc / n) ++
           hist.map(_ / n) ++ Array(nf / 4800.0))
       case _ =>
-        // video: decode every GVID frame, accumulate the image statistics
-        // across all frames' pixels, append normalized geometry + length
+        // video: decode every DISTINCT GVID frame, accumulate the image
+        // statistics across all frames' pixels — per-frame stats are
+        // exact Long counters, so replaying the cached tuple for a
+        // byte-identical repeated frame (the frameChecksums/decodeOne
+        // content-addressed cache) accumulates bit-identically to
+        // re-decoding it; append normalized geometry + length
         var sr = 0L; var sg = 0L; var sb = 0L; var np = 0L
         var w = 0; var ht = 0; var nf = 0
         val hist = new Array[Long](8)
+        val cache = new java.util.HashMap[java.nio.ByteBuffer,
+          (Int, Int, Long, Long, Long, Array[Long], Long)]()
         gvidFrames(id, payload).zipWithIndex.foreach { case (fb, f) =>
-          val img = decodeFrame(id, f, fb)
-          if (f == 0) { w = img.getWidth; ht = img.getHeight }
-          val px = img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0,
-            img.getWidth)
-          var i = 0
-          while (i < px.length) {
-            val p = px(i)
-            val r = (p >> 16) & 0xFF; val g = (p >> 8) & 0xFF; val b = p & 0xFF
-            sr += r; sg += g; sb += b
-            hist((r + g + b) / 96) += 1
-            i += 1
+          val key = java.nio.ByteBuffer.wrap(fb)
+          var dec = cache.get(key)
+          if (dec == null) {
+            val img = decodeFrame(id, f, fb)
+            val fw = img.getWidth; val fh = img.getHeight
+            val px = img.getRGB(0, 0, fw, fh, null, 0, fw)
+            var fsr = 0L; var fsg = 0L; var fsb = 0L
+            val fhist = new Array[Long](8)
+            var i = 0
+            while (i < px.length) {
+              val p = px(i)
+              val r = (p >> 16) & 0xFF; val g = (p >> 8) & 0xFF; val b = p & 0xFF
+              fsr += r; fsg += g; fsb += b
+              fhist((r + g + b) / 96) += 1
+              i += 1
+            }
+            dec = (fw, fh, fsr, fsg, fsb, fhist, px.length.toLong)
+            cache.put(key, dec)
           }
-          np += px.length
+          if (f == 0) { w = dec._1; ht = dec._2 }
+          sr += dec._3; sg += dec._4; sb += dec._5
+          var hb = 0
+          while (hb < 8) { hist(hb) += dec._6(hb); hb += 1 }
+          np += dec._7
           nf = f + 1
         }
         val n = math.max(1L, np).toDouble

@@ -1055,6 +1055,74 @@ object TextAnalysis {
         (col("__s") / col("n_bigrams").cast("double")).as("lm_score"))
   }
 
+  /** FIT of the learned quality classifier (the DCLM / FineWeb-Edu
+    * workhorse shape: a linear model over hashed word-gram features, the
+    * fastText feature space): multinomial Naive Bayes with Laplace
+    * smoothing — a LINEAR classifier in log space, whose fit is ONE
+    * gram-level aggregate (the directive-shaped 100 TB fit: partial
+    * map-side combine collapses each partition to ≤ dim+1 rows before the
+    * single shuffle). Features are every occurrence of every word n-gram
+    * of orders 1..maxN, hashed into `dim` buckets (dim a power of two).
+    *
+    * Labels come from any boolean Column over the same rows (the standard
+    * seed-labeling trick: an existing rule gate such as t29's
+    * `gopher_pass` provides weak supervision and the learned model
+    * smooths/generalizes it). A sentinel bucket id `dim` rides in the
+    * same exploded stream once per document, so the per-class DOCUMENT
+    * counts (for the bias) come out of the same single aggregate — no
+    * second job. The ≤ dim+1 result rows materialize on the driver and
+    * the weights embed as plan literals (the bounded
+    * materialize-then-embed shape of bm25Idf / bloomBitsOf, documented
+    * there and in PlanLintSpec's collect audit).
+    *
+    * Weights: w[b] = ln((pos_b+1)/(posTot+dim)) − ln((neg_b+1)/(negTot+dim)),
+    * bias = ln((posDocs+1)/(negDocs+1)); keep ⇔ score > 0 — exact NB
+    * decision rule. Counts are exact longs, so the fit is deterministic:
+    * re-running it on the same data reproduces bit-identical doubles. */
+  def qualityClassifierFit(df: DataFrame, textCol: String, label: Column,
+      dim: Int = 1024, maxN: Int = 2): (Array[Double], Double) = {
+    require(dim > 0 && (dim & (dim - 1)) == 0, s"dim must be a power of two")
+    val buckets = graft.functions.TextHashExprs.hashedGramBuckets(
+      normalize(col(textCol)), dim, maxN)
+    // the label MUST be projected in its own step BELOW the explode: a
+    // non-trivial expression selected alongside a generator ends up
+    // re-evaluated per GENERATED row (measured: the gopher_pass label ×
+    // ~200 grams/doc turned a 0.7 s fit into 30 s); pre-projected, it
+    // runs once per document and the Generate merely replicates the value
+    val rows = df.select(col(textCol), label.as("__y"))
+      .select(col("__y"),
+        explode(concat(buckets, array(lit(dim)))).as("__b"))
+      .groupBy(col("__b"))
+      .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("__pos"),
+        sum(when(col("__y"), 0L).otherwise(1L)).as("__neg"))
+      .collect() // bounded: ≤ dim+1 rows (the gram-level model aggregate)
+    var posDocs = 0L; var negDocs = 0L; var posTot = 0L; var negTot = 0L
+    val pos = new Array[Long](dim); val neg = new Array[Long](dim)
+    rows.foreach { r =>
+      val b = r.getInt(0); val p = r.getLong(1); val g = r.getLong(2)
+      if (b == dim) { posDocs = p; negDocs = g }
+      else { pos(b) = p; neg(b) = g; posTot += p; negTot += g }
+    }
+    val w = Array.tabulate(dim)(b =>
+      math.log((pos(b) + 1.0) / (posTot + dim)) -
+        math.log((neg(b) + 1.0) / (negTot + dim)))
+    (w, math.log((posDocs + 1.0) / (negDocs + 1.0)))
+  }
+
+  /** APPLY of the learned quality classifier: one zero-exchange codegen
+    * kernel pass per row (the hashed-feature dot product with the
+    * deterministic bucket-ascending fold — DOUBLE scores hash-verify
+    * against the SQL twin). At 100 TB this is the whole point: the fit
+    * runs once on a sample or a prior corpus snapshot, the apply is a
+    * pure map over every document with the model riding along as one
+    * double[] plan literal. */
+  def qualityClassifierScore(df: DataFrame, idCol: String, textCol: String,
+      weights: Array[Double], bias: Double, maxN: Int = 2): DataFrame =
+    df.select(col(idCol),
+        graft.functions.TextHashExprs.hashedGramScore(
+          normalize(col(textCol)), weights, bias, maxN).as("clf_score"))
+      .withColumn("clf_keep", col("clf_score") > lit(0.0))
+
   /** One row per document with every text-analysis signal. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(

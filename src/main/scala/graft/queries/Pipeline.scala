@@ -671,38 +671,44 @@ object Pipeline {
       * allocation failure — so dead stages are not emitted. The corpus
       * max token is 8 bytes (asserted by the hash-match itself: a longer
       * token would hash through a missing stage and mismatch LOUDLY). */
-    def chain(key: String, maxBytes: Int = 15): String = {
+    def chain(key: String, maxBytes: Int = 15,
+        materialized: Boolean = false): String = {
       val n8 = maxBytes / 8 // step8 stages that can ever run
+      // MATERIALIZED pins every stage CTE: referenced-once CTEs otherwise
+      // inline, and each step8 references its input hash many times, so a
+      // 2-stage chain's inlined expression tree grows past DuckDB's
+      // allocator (observed: t33's first cut OOM'd at maxBytes=17)
+      val m = if (materialized) "MATERIALIZED " else ""
       val sb = new StringBuilder
       sb.append(s"""
-        t0 AS (
+        t0 AS $m(
           SELECT $key, hex(encode(tok)) AS hx, octet_length(encode(tok)) AS n
           FROM toks),
-        t1 AS (SELECT $key, hx, n,
+        t1 AS $m(SELECT $key, hx, n,
           ((42 + $P5::HUGEINT + n) % $N) AS h0, n // 8 AS c8 FROM t0),""")
       var h = "h0"
       var t = "t1"
       (1 to n8).foreach { i =>
         sb.append(s"""
-        t1$i AS (SELECT $key, hx, n, c8,
+        t1$i AS $m(SELECT $key, hx, n, c8,
           CASE WHEN c8 >= $i THEN ${step8(h, rd(s"${8 * (i - 1) + 1}", 8))} ELSE $h END AS h1$i FROM $t),""")
         h = s"h1$i"; t = s"t1$i"
       }
       sb.append(s"""
-        t5 AS (SELECT $key, hx, n, 8*c8 AS o4, (n - 8*c8) >= 4 AS has4,
+        t5 AS $m(SELECT $key, hx, n, 8*c8 AS o4, (n - 8*c8) >= 4 AS has4,
           CASE WHEN (n - 8*c8) >= 4 THEN ${step4(h, rd("8*c8+1", 4))} ELSE $h END AS h4 FROM $t),
-        t6 AS (SELECT $key, hx, n, o4 + (CASE WHEN has4 THEN 4 ELSE 0 END) AS ob, h4 FROM t5),
-        t7 AS (SELECT $key, hx, n, ob,
+        t6 AS $m(SELECT $key, hx, n, o4 + (CASE WHEN has4 THEN 4 ELSE 0 END) AS ob, h4 FROM t5),
+        t7 AS $m(SELECT $key, hx, n, ob,
           CASE WHEN n > ob THEN ${stepB("h4", s"CAST(${hexByte("ob+1")} AS HUGEINT)")} ELSE h4 END AS h5 FROM t6),
-        t8 AS (SELECT $key, hx, n, ob,
+        t8 AS $m(SELECT $key, hx, n, ob,
           CASE WHEN n > ob+1 THEN ${stepB("h5", s"CAST(${hexByte("ob+2")} AS HUGEINT)")} ELSE h5 END AS h6 FROM t7),
-        t9 AS (SELECT $key, hx, n, ob,
+        t9 AS $m(SELECT $key, hx, n, ob,
           CASE WHEN n > ob+2 THEN ${stepB("h6", s"CAST(${hexByte("ob+3")} AS HUGEINT)")} ELSE h6 END AS h7 FROM t8),
-        a1 AS (SELECT $key, ${xor64("h7", shr("h7", 33))} AS v1 FROM t9),
-        a2 AS (SELECT $key, ${mulmod("v1", P2)} AS v2 FROM a1),
-        a3 AS (SELECT $key, ${xor64("v2", shr("v2", 29))} AS v3 FROM a2),
-        a4 AS (SELECT $key, ${mulmod("v3", P3)} AS v4 FROM a3),
-        th AS (SELECT $key, ${xor64("v4", shr("v4", 32))} AS hu FROM a4)""")
+        a1 AS $m(SELECT $key, ${xor64("h7", shr("h7", 33))} AS v1 FROM t9),
+        a2 AS $m(SELECT $key, ${mulmod("v1", P2)} AS v2 FROM a1),
+        a3 AS $m(SELECT $key, ${xor64("v2", shr("v2", 29))} AS v3 FROM a2),
+        a4 AS $m(SELECT $key, ${mulmod("v3", P3)} AS v4 FROM a3),
+        th AS $m(SELECT $key, ${xor64("v4", shr("v4", 32))} AS hu FROM a4)""")
       sb.toString
     }
   }
@@ -731,6 +737,79 @@ object Pipeline {
           -- materialized: the pair join references sim twice, and inlining
           -- this expression tree twice explodes the planner
           SELECT doc_id, ${tos(s"($bitSum)")} AS simhash FROM tallies)"""
+  }
+
+  /** Trained hashed-gram NB classifier, memoized per (dir, dim, maxN) —
+    * the s03/s06 trained-state pattern: the t33 query and its generated
+    * oracle run in the same JVM, so both see IDENTICAL weight doubles
+    * (the fit is deterministic anyway — exact long counts through
+    * math.log — but sharing makes that a non-requirement). Seed labels =
+    * t29's gopher_pass at the fixture's minStopHits=1. */
+  private val clfCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Int, Int), (Array[Double], Double)]
+  private def clfModel(s: SparkSession, dir: String,
+      dim: Int, maxN: Int): (Array[Double], Double) =
+    clfCache.getOrElseUpdate((dir, dim, maxN),
+      TextAnalysis.qualityClassifierFit(t(s, dir, "documents"), "text",
+        TextAnalysis.gopherSignals(col("text"), minStopHits = 1L).last,
+        dim, maxN))
+
+  /** DuckDB twin of [[TextAnalysis.qualityClassifierScore]] (t33): trained
+    * weights + bias inline as exact-double literals; each gram occurrence
+    * (unigram stream + chr(1)-joined bigram stream) re-hashes through the
+    * [[XxhSql]] chain; bucket = unsigned hu mod dim (dim is a power of
+    * two, so this equals the engine's sign-safe mask); the per-doc score
+    * is the SAME bias-seeded bucket-ascending double fold the kernel
+    * runs, so the DOUBLE scores hash-verify (the t28 sorted-fold
+    * discipline). Gram-less docs fall back to the bare bias via the LEFT
+    * JOIN — the kernel's empty-text contract. */
+  private def qualityClassifierOracle(s: SparkSession, dir: String,
+      dim: Int, maxN: Int): String = {
+    require(maxN == 2, "oracle emits exactly the unigram+bigram streams")
+    val (w, bias) = clfModel(s, dir, dim, maxN)
+    val wl = dlistSql(w.toIndexedSeq)
+    val b = s"CAST('$bias' AS DOUBLE)"
+    s"""
+        WITH dls AS (
+          SELECT doc_id, list_filter(string_split(
+            trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), ' '),
+            x -> len(x) > 0) AS toksl
+          FROM documents),
+        docgram AS MATERIALIZED (
+          -- occurrence counts per (doc, gram): the corpus vocabulary is
+          -- tiny next to the occurrence stream, so each DISTINCT gram
+          -- runs the HUGEINT hash chain ONCE (57x fewer chain rows than
+          -- per-occurrence hashing, which OOM'd/crawled the first cut)
+          SELECT doc_id, tok, COUNT(*) AS cnt FROM (
+            SELECT doc_id, toksl[CAST(i AS INT)] AS tok
+            FROM dls, UNNEST(range(1, len(toksl)+1)) AS r(i)
+            UNION ALL
+            SELECT doc_id, toksl[CAST(i AS INT)] || chr(1) ||
+                   toksl[CAST(i AS INT)+1] AS tok
+            FROM dls, UNNEST(range(1, len(toksl))) AS r(i)
+            WHERE len(toksl) >= 2)
+          GROUP BY 1, 2),
+        toks AS MATERIALIZED (SELECT DISTINCT tok FROM docgram),
+        ${XxhSql.chain("tok", maxBytes = 17, materialized = true)},
+        wt AS MATERIALIZED (
+          SELECT CAST(range AS INT) AS bk,
+                 ($wl)[CAST(range AS INT)+1] AS w
+          FROM range(0, $dim)),
+        bucketed AS (
+          SELECT g.doc_id, CAST(h.hu % $dim AS INT) AS bk,
+                 SUM(g.cnt) AS cnt
+          FROM docgram g JOIN th h USING (tok) GROUP BY 1, 2),
+        folded AS (
+          SELECT g.doc_id,
+            list_reduce(list_prepend($b,
+              list_transform(list_sort(list(struct_pack(bk := g.bk,
+                c := CAST(g.cnt AS DOUBLE) * wt.w))), x -> x.c)),
+              (a, x) -> a + x) AS sc
+          FROM bucketed g JOIN wt USING (bk)
+          GROUP BY g.doc_id)
+        SELECT d.doc_id, COALESCE(f.sc, $b) AS clf_score,
+          COALESCE(f.sc, $b) > 0.0 AS clf_keep
+        FROM documents d LEFT JOIN folded f ON f.doc_id = d.doc_id"""
   }
 
   /** Trained IVF centroids, memoized per (dir, k, seed): the s03 query and
@@ -3233,6 +3312,25 @@ object Pipeline {
           CASE WHEN bucket = 1 THEN 'head'
                WHEN bucket = 2 THEN 'middle' ELSE 'tail' END AS bucket_label
         FROM ranked""")),
+
+    // ---- Learned quality classifier (t33): the fourth paper gate — the
+    // DCLM / FineWeb-Edu workhorse filter shape, a linear model over
+    // hashed word-gram features (fastText's feature space), trained as
+    // multinomial NB from t29-gopher_pass seed labels in ONE gram-level
+    // aggregate and APPLIED as one zero-exchange codegen kernel pass.
+    // The trained weights inline into the generated oracle as exact
+    // double literals (the s03/s06 trained-state pattern), and the
+    // deterministic bucket-ascending score fold makes the DOUBLE scores
+    // themselves hash-verify.
+    Q("t33_quality_classifier",
+      (s, dir) => {
+        val (w, bias) = clfModel(s, dir, dim = 1024, maxN = 2)
+        TextAnalysis.qualityClassifierScore(t(s, dir, "documents"),
+          "doc_id", "text", w, bias, maxN = 2)
+      },
+      None,
+      oracleGen = Some((s, dir) =>
+        qualityClassifierOracle(s, dir, dim = 1024, maxN = 2))),
 
     // ---- Canonical-source keep-best dedup (d20): the crawl pipeline's
     // URL dedup — one hash-aggregate per canonical key with the arg-max

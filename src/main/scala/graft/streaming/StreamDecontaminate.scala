@@ -19,11 +19,10 @@ import graft.operators.Dedup
   * join path).
   *
   * Contract: the EXACT benchmark gram set must fit on the driver and in
-  * each task binary — benchmarks are KBs-to-MBs (t06's regime). For a
-  * benchmark too big to ship exactly, batch offers
-  * [[Dedup.decontaminateBloom]]; a streaming bloom variant would need the
-  * same exact-confirm join and with it a stream-static join per
-  * micro-batch — take this exact path until benchmarks outgrow memory.
+  * each task binary — benchmarks are KBs-to-MBs (t06's regime). When the
+  * benchmark outgrows that, [[decontaminateBloomStream]] is the overflow
+  * path: same exact answer, bloom prefilter + a stream-static
+  * exact-confirm join per micro-batch.
   *
   * Output schema identical to [[Dedup.decontaminate]]: (idCol,
   * shared_grams, contaminated).
@@ -51,5 +50,58 @@ object StreamDecontaminate {
     corpus.select(col(idCol),
       shared.as("shared_grams"),
       (shared > 0).as("contaminated"))
+  }
+
+  /** Streaming BLOOM decontamination — the overflow path for benchmarks
+    * too big to ship exactly in the task binary (t22's regime on a
+    * stream): per micro-batch, the bloom bitset prefilters the batch's
+    * gram stream joinlessly and a stream-STATIC equi-join against the
+    * distinct benchmark gram table kills the false positives, so the
+    * answer is EXACT and identical to [[Dedup.decontaminateBloom]] on the
+    * same rows (StreamDedupSpec pins streaming ≡ t22 batch ≡ the t06 join
+    * path).
+    *
+    * STATE BOUND (the contract this path exists for): the Structured
+    * Streaming state store is never engaged — no stateful operator
+    * appears in the per-batch plan; `foreachBatch` scopes the confirm
+    * join and the per-doc hit aggregate to ONE micro-batch, whose state
+    * drops with the batch. The only artifacts that persist across batches
+    * are built ONCE at construction, both bounded by the BENCHMARK and
+    * never the stream: the mBits bitset (512 KB at the default 2^22) and
+    * the cached distinct benchmark gram table (the join's static side).
+    * Per-row results are a pure function of (row, benchmark), so batch
+    * boundaries cannot change them — exactly-once delivery is the sink
+    * callback's concern, as with every foreachBatch pipeline.
+    *
+    * EAGER like [[Dedup.decontaminateBloom]]: constructing the writer
+    * runs the bounded benchmark-side jobs (bloom fold + gram distinct)
+    * before the first batch ticks.
+    *
+    * `sink(batchResult, batchId)` receives each micro-batch's (idCol,
+    * shared_grams, contaminated) frame — write it wherever the pipeline
+    * lands (memory table in the spec, the lake in production). */
+  def decontaminateBloomStream(
+      corpusStream: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      mBits: Int = 1 << 22,
+      k: Int = 6)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val benchGrams = benchmark
+      .select(explode(Dedup.wordNgramHashSet(col(textCol), n)).as("__g"))
+      .distinct()
+      .cache() // static join side, replayed every micro-batch
+    val bits = Dedup.bloomBitsOf(
+      benchmark.select(
+        explode(Dedup.wordNgramHashSet(col(textCol), n)).as("__g")),
+      "__g", mBits, k)
+    corpusStream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        sink(Dedup.decontaminateBloomWith(batch, benchGrams, bits,
+          idCol, textCol, n, mBits, k), batchId)
+    }
   }
 }

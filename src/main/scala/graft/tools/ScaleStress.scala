@@ -444,6 +444,26 @@ object ScaleStress {
     require(p4big.getLong(0) == 50000L &&
       p4big.getLong(1) % 10 == 0, "p04 clone shape drifted")
 
+    // learned-classifier apply at 10x (t33): the model fits ONCE on the
+    // 1x corpus (exact long counts -> deterministic weights) and the
+    // zero-exchange apply rides the clone corpus — per-row scores are a
+    // pure function of the text, so keeps are EXACTLY 10x
+    val (clfW, clfB) = TextAnalysis.qualityClassifierFit(docsFull, "text",
+      TextAnalysis.gopherSignals(col("text"), minStopHits = 1L).last,
+      dim = 1024, maxN = 2)
+    val cl1 = TextAnalysis.qualityClassifierScore(
+        docsFull, "doc_id", "text", clfW, clfB)
+      .agg(count(lit(1)), sum(col("clf_keep").cast("long"))).head()
+    val cl10 = time("clf-apply-50k") {
+      TextAnalysis.qualityClassifierScore(big, "doc_id", "text", clfW, clfB)
+        .agg(count(lit(1)), sum(col("clf_keep").cast("long"))).head()
+    }
+    println("[stress] clf rows=" + cl10.getLong(0) + "/" + cl1.getLong(0) +
+      " keep=" + cl10.getLong(1) + "/" + cl1.getLong(1))
+    require(cl10.getLong(0) == cl1.getLong(0) * 10 &&
+      cl10.getLong(1) == cl1.getLong(1) * 10,
+      "classifier clone invariance drifted")
+
     // media resize / audio dedup at 10x with kind-preserving clone ids:
     // every clone resamples/decodes the identical payload, so the resize
     // checksum mass is exactly 10x and the distinct audio clip set is

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextHashExprs
+import graft.operators.{Dedup, TextAnalysis}
+
+/** The learned quality classifier (t33): kernel ≡ Column-formula parity
+  * (the DedupSpec discipline for every codegen kernel), deterministic
+  * refit, the NB decision-rule contract, and the empty/gram-less edge. */
+class ClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = graft.core.Tables.load(spark, sf, "documents")
+
+  test("hashedGramBuckets ≡ the interpreted Column formula (unigram + " +
+      "\\u0001-joined bigram xxhash64 pmod dim), as multisets") {
+    val dim = 1024
+    val norm = Dedup.normalize(col("text"))
+    val toks = filter(split(norm, " "), t => length(t) > 0)
+    val n = size(toks)
+    val g2 = zip_with(
+      slice(toks, lit(1), greatest(n - 1, lit(0))),
+      slice(toks, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => concat(a, lit("\u0001"), b))
+    val formula = transform(concat(toks, g2),
+      g => pmod(xxhash64(g), lit(dim)).cast("int"))
+    val rows = docs.select(
+        sort_array(TextHashExprs.hashedGramBuckets(norm, dim, 2)).as("k"),
+        sort_array(formula).as("f"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Int](0) == r.getSeq[Int](1))
+    }
+  }
+
+  test("hashedGramScore ≡ a driver-side replay of the bias-seeded " +
+      "bucket-ascending fold over the kernel's own bucket counts") {
+    val dim = 64 // small dim → dense collisions exercise count > 1 paths
+    val rnd = new scala.util.Random(7)
+    val w = Array.fill(dim)(rnd.nextGaussian())
+    val bias = -0.25
+    val rows = docs.limit(50).select(
+        TextHashExprs.hashedGramBuckets(Dedup.normalize(col("text")), dim, 2)
+          .as("b"),
+        TextHashExprs.hashedGramScore(Dedup.normalize(col("text")), w, bias, 2)
+          .as("s"))
+      .collect()
+    rows.foreach { r =>
+      val cnt = new Array[Int](dim)
+      r.getSeq[Int](0).foreach(b => cnt(b) += 1)
+      var expect = bias
+      (0 until dim).foreach(b =>
+        if (cnt(b) != 0) expect += cnt(b).toDouble * w(b))
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(expect))
+    }
+  }
+
+  test("fit is deterministic (bit-identical weights on refit) and the " +
+      "NB decision rule separates the seed labels it was trained on") {
+    val label = TextAnalysis.gopherSignals(col("text"), minStopHits = 1L).last
+    val (w1, b1) = TextAnalysis.qualityClassifierFit(docs, "text", label,
+      dim = 256, maxN = 2)
+    val (w2, b2) = TextAnalysis.qualityClassifierFit(docs, "text", label,
+      dim = 256, maxN = 2)
+    assert(b1 == b2 && w1.toSeq == w2.toSeq)
+    // learnability sanity: on the training corpus itself the mean score
+    // of label-true docs must exceed the mean of label-false docs (NB
+    // with a real signal can hardly fail this; a wiring bug — swapped
+    // classes, wrong bucket mask — fails it loudly)
+    val scored = TextAnalysis.qualityClassifierScore(docs, "doc_id", "text",
+        w1, b1, maxN = 2)
+      .join(docs.select(col("doc_id"), label.as("y")), Seq("doc_id"))
+    val m = scored.groupBy(col("y")).agg(avg(col("clf_score")).as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(m.keySet == Set(true, false), s"fixture lost a class: $m")
+    assert(m(true) > m(false), s"NB failed to separate its own labels: $m")
+  }
+
+  test("gram-less input scores exactly the bias; null text → null score") {
+    val w = Array.fill(16)(1.0)
+    val df = Seq((1L, Some("")), (2L, Some("one two")), (3L, None))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.qualityClassifierScore(df, "doc_id", "text",
+        w, bias = 0.125, maxN = 2)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(got(1L) == 0.125) // empty text: no grams, bare bias
+    assert(got(2L) == 0.125 + 3.0) // 2 unigrams + 1 bigram, all w=1
+    assert(got(3L) == null) // null propagates (UnaryExpression contract)
+  }
+}

@@ -94,7 +94,7 @@ class PlanLintSpec extends SparkSpec {
     "operators/Sampling.scala" -> 1, // per-partition Long count array (size = #partitions)
     "operators/Dedup.scala" -> 3, // longestRepeat per-round length menu (bounded by levels x lengths); head(): longestRepeat 1-row max-count agg + bloomBitsOf's 1-row fixed-size sketch (the materialize-then-embed shape of df.stat.bloomFilter)
     "operators/Dml.scala" -> 1, // per-partition count array for ROWNUM/LIMIT semantics
-    "operators/TextAnalysis.scala" -> 2, // BPE top-m driver argmax (bounded by merge batch); bm25Idf's per-term df collect (bounded by the literal term universe — the IDF table embeds as plan literals, materialize-then-embed like bloomBitsOf)
+    "operators/TextAnalysis.scala" -> 3, // BPE top-m driver argmax (bounded by merge batch); bm25Idf's per-term df collect (bounded by the literal term universe — the IDF table embeds as plan literals, materialize-then-embed like bloomBitsOf); qualityClassifierFit's <= dim+1 row model aggregate (weights embed as one double[] plan literal, same shape)
     "dsl/Model.scala" -> 2, // findList/findOne: the DSL's intentional executors (reference Model.java parity)
     "sqlfront/Engine.scala" -> 1, // SET @v = (scalar expr): 1-row eval, reference Variable.java parity
     "sqlfront/EngineDdl.scala" -> 1, // 1-row max(_rowid_) agg for identity backfill
@@ -336,7 +336,12 @@ class PlanLintSpec extends SparkSpec {
     // one (n_frames, pcm_sum) aggregate over the audio-only decode
     "m06_audio_dedup" -> 1,
     // map-shaped: decode + block fold per row, no shuffle
-    "m07_image_phash" -> 0
+    "m07_image_phash" -> 0,
+    // APPLY of the learned classifier: one zero-exchange codegen kernel
+    // pass per row (the FIT's single gram-level aggregate runs eagerly at
+    // plan-build time and embeds the weights as one double[] literal —
+    // it is not part of this plan)
+    "t33_quality_classifier" -> 0
   )
 
   /** sf0.01 OVERRIDES on top of [[exchangeBudget]] (VERDICT r6 directive

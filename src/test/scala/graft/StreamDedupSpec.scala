@@ -109,6 +109,50 @@ class StreamDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming BLOOM decontamination ≡ t22 batch ≡ the t06 join path " +
+      "(zero streaming state; two micro-batches)") {
+    import graft.streaming.StreamDecontaminate
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix words beta gamma delta epsilon zeta eta theta iota suffix"),
+      (2L, "no overlap with anything in the benchmark set at all here now"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (4L, "short doc"),
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val joinPath = rows(Dedup.decontaminate(corpus, bench, "doc_id", "text", n = 8))
+    // deliberately undersized bitset (t22's adversarial FP regime): the
+    // exact-confirm join must still kill every false positive
+    val batchBloom = rows(Dedup.decontaminateBloom(
+      corpus, bench, "doc_id", "text", n = 8, mBits = 1 << 10, k = 6))
+    assert(batchBloom == joinPath)
+    val dir = Files.createTempDirectory("graft_sbdecon").toFile.getAbsolutePath
+    corpus.filter($"doc_id" <= 2).coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(corpus.schema).parquet(dir)
+    val acc = java.util.Collections.synchronizedSet(
+      new java.util.HashSet[(Long, Long, Boolean)]())
+    val q = StreamDecontaminate.decontaminateBloomStream(
+        stream, bench, "doc_id", "text", n = 8, mBits = 1 << 10, k = 6) {
+        (batch, _) => batch.collect().foreach(r =>
+          acc.add((r.getLong(0), r.getLong(1), r.getBoolean(2))))
+      }
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      q.processAllAvailable()
+      corpus.filter($"doc_id" > 2).coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      // zero streaming state engaged: no stateful operator in the query
+      assert(q.lastProgress == null ||
+        q.lastProgress.stateOperators.isEmpty)
+      import scala.jdk.CollectionConverters._
+      assert(acc.asScala.toSet == joinPath)
+    } finally q.stop()
+  }
+
   test("quality gates (t29/t30 signals) run unchanged on readStream " +
       "and match batch row for row") {
     import graft.operators.TextAnalysis
