@@ -54,6 +54,18 @@ final class Engine(val spark: SparkSession)
   private[sqlfront] val identityCols = mutable.HashMap.empty[String, String]
   private[sqlfront] val identityNext = mutable.HashMap.empty[String, Long]
   private[sqlfront] val sequences = mutable.HashMap.empty[String, Sequence]
+
+  /** Java-API parity hook for the ONE reference test call no SQL replay
+    * can express (SequenceTest.java:76 —
+    * `schema.findSequence("myseq").setBelongsToTable(false)` flips engine
+    * state mid-test so the subsequent DROP SEQUENCE succeeds): flip the
+    * named sequence's table-ownership flag. Throws on a missing sequence,
+    * as the reference's `findSequence(...)` chain would NPE. Used by the
+    * faithful-replay harness (RefSqlFaithful), not by any SQL path. */
+  def setSequenceBelongsToTable(name: String, flag: Boolean): Unit =
+    sequences.getOrElse(name.toLowerCase,
+        throw new NoSuchElementException(s"sequence not found: $name"))
+      .belongsToTable = flag
   private[sqlfront] var rangeViewId = 0
   // _ROWID_ pseudo-column (StandardPrimaryIndex.java storage key;
   // PseudoColumnTest): tables with a single integral PRIMARY KEY map

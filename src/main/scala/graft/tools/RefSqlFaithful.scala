@@ -409,6 +409,10 @@ object RefSqlFaithful {
           }
       }
 
+    private val seqBelongsRe =
+      ("""(?s).*findSequence\(\s*"([^"]+)"\s*\)\s*\.\s*""" +
+        """setBelongsToTable\(\s*(true|false)\s*\).*""").r
+
     private val sinks = Seq(
       // (pattern name, tolerant override, takes-sql-arg)
       ("tryExecuteUpdate", true), ("tryExecuteQuery", true),
@@ -466,6 +470,16 @@ object RefSqlFaithful {
           }
           return true
         }
+      }
+      // the ONE Java-API call the replay must reproduce (SequenceTest
+      // .java:76): schema.findSequence("X").setBelongsToTable(bool) —
+      // emitted as a marker action runFile dispatches to the engine's
+      // parity hook instead of the SQL front door
+      stmt match {
+        case seqBelongsRe(nm, flag) =>
+          actions += Action(s"\u0000SEQ_BELONGS\u0000$nm\u0000$flag", neg, tol)
+          return true
+        case _ =>
       }
       val ct = callSite(stmt, "createTable")
       if (ct >= 0) {
@@ -659,8 +673,13 @@ object RefSqlFaithful {
         if (hasParamMarker(a.text) || a.text.contains("org.lealone")) skip += 1
         else {
           val threw =
-            try { en.sql(a.text).collect(); false }
-            catch { case _: Throwable => true }
+            try {
+              if (a.text.startsWith("\u0000SEQ_BELONGS\u0000")) {
+                val p = a.text.split('\u0000')
+                en.setSequenceBelongsToTable(p(2), p(3).toBoolean)
+              } else en.sql(a.text).collect()
+              false
+            } catch { case _: Throwable => true }
           if (a.tolerant || threw == a.negative) ok += 1
           else {
             fail += 1
