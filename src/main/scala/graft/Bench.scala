@@ -93,7 +93,8 @@ object Bench {
     "t33_quality_classifier" -> 0.259,
     "p01_corpus_prep" -> 5.086,
     "p02_embedding_prep" -> 0.881,
-    "p03_media_prep" -> 2.460)
+    "p03_media_prep" -> 2.460,
+    "p05_quality_funnel" -> 1.013)
 
   val headline: Seq[String] = Seq(
     "q02_filter_project",        // B1 scan+filter+project
@@ -154,7 +155,8 @@ object Bench {
     "t33_quality_classifier",    // quality: learned hashed-gram NB apply
     "p01_corpus_prep",           // composed: end-to-end corpus prep
     "p02_embedding_prep",        // composed: embedding prep
-    "p03_media_prep")            // composed: media prep (real codecs)
+    "p03_media_prep",            // composed: media prep (real codecs)
+    "p05_quality_funnel")        // composed: rules + classifier, one scan
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

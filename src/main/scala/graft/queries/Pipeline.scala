@@ -3332,6 +3332,51 @@ object Pipeline {
       oracleGen = Some((s, dir) =>
         qualityClassifierOracle(s, dir, dim = 1024, maxN = 2))),
 
+    // ---- Full quality funnel (p05): the production DCLM/FineWeb shape —
+    // the three RULE gates (p04's fusion) plus the LEARNED classifier
+    // (t33) in the SAME single scan, zero exchanges: every gate is a
+    // per-row pure function, so the whole keep/drop decision (rules AND
+    // model) costs one pass over the corpus. The oracle composes the four
+    // stage twins by doc_id join (the ORACLE may shuffle; the engine plan
+    // must not — PlanLint pins budget 0).
+    Q("p05_quality_funnel",
+      (s, dir) => {
+        val (wghts, bias) = clfModel(s, dir, dim = 1024, maxN = 2)
+        val docs = t(s, dir, "documents")
+        val page = regexp_replace(col("text"),
+          "((?:[^ \\t\\n\\x0B\\f\\r]+ ){6})", "$1.\n")
+        val c4 = TextAnalysis.c4Signals(page)
+        val staged = docs.select(col("doc_id"),
+          TextAnalysis.gopherSignals(col("text"), minStopHits = 1L).last,
+          c4.last,
+          graft.functions.TextHashExprs.gopherRepetition(col("text"))
+            .as("__r"),
+          graft.functions.TextHashExprs.hashedGramScore(
+            Dedup.normalize(col("text")), wghts, bias, maxN = 2)
+            .as("clf_score"))
+        val repPass = TextAnalysis.gopherRepetitionBars.zipWithIndex
+          .map { case (bar, i) => element_at(col("__r"), i + 1) <= bar }
+          .reduce(_ && _)
+        staged.select(col("doc_id"), col("gopher_pass"),
+          repPass.as("rep_pass"), col("c4_keep"),
+          col("clf_score"), (col("clf_score") > lit(0.0)).as("clf_keep"),
+          (col("gopher_pass") && repPass && col("c4_keep") &&
+            col("clf_score") > lit(0.0)).as("keep"))
+      },
+      None,
+      oracleGen = Some((s, dir) => s"""
+        WITH g AS (SELECT doc_id, gopher_pass
+                   FROM (${gopherOracle(minStopHits = 1L)}) x),
+        r AS (SELECT doc_id, rep_pass FROM ($gopherRepetitionOracle) y),
+        c AS (SELECT doc_id, c4_keep FROM ($c4Oracle) z),
+        k AS (SELECT doc_id, clf_score, clf_keep
+              FROM (${qualityClassifierOracle(s, dir, dim = 1024, maxN = 2)}) w)
+        SELECT g.doc_id, g.gopher_pass, r.rep_pass, c.c4_keep,
+          k.clf_score, k.clf_keep,
+          (g.gopher_pass AND r.rep_pass AND c.c4_keep AND k.clf_keep) AS keep
+        FROM g JOIN r USING (doc_id) JOIN c USING (doc_id)
+               JOIN k USING (doc_id)""")),
+
     // ---- Canonical-source keep-best dedup (d20): the crawl pipeline's
     // URL dedup — one hash-aggregate per canonical key with the arg-max
     // carried as a struct MAX partial state (never a per-key window sort,

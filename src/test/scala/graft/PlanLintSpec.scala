@@ -341,7 +341,10 @@ class PlanLintSpec extends SparkSpec {
     // pass per row (the FIT's single gram-level aggregate runs eagerly at
     // plan-build time and embeds the weights as one double[] literal —
     // it is not part of this plan)
-    "t33_quality_classifier" -> 0
+    "t33_quality_classifier" -> 0,
+    // p04's three rule gates + the t33 classifier kernel fused in the
+    // same single scan — still zero exchanges
+    "p05_quality_funnel" -> 0
   )
 
   /** sf0.01 OVERRIDES on top of [[exchangeBudget]] (VERDICT r6 directive
