@@ -114,4 +114,48 @@ class KernelPropertySpec extends SparkSpec {
       }
     }, "keepBestPerKey")
   }
+
+  test("property: hashedGramBuckets ≡ interpreted Column formula and " +
+      "hashedGramScore ≡ driver fold replay on random docs") {
+    import graft.functions.TextHashExprs
+    val dim = 64 // small → dense collisions, count>1 paths
+    val rnd = new scala.util.Random(13)
+    val w = Array.fill(dim)(rnd.nextGaussian())
+    val bias = 0.375
+    val docs = Gen.listOfN(150, doc).sample.get.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("id", "text")
+    val norm = Dedup.normalize($"text")
+    val toks = filter(split(norm, " "), t => length(t) > 0)
+    val nn = size(toks)
+    val g2 = zip_with(
+      slice(toks, lit(1), greatest(nn - 1, lit(0))),
+      slice(toks, lit(2), greatest(nn - 1, lit(0))),
+      (a, b) => concat(a, lit("\u0001"), b))
+    val formula = transform(concat(toks, g2),
+      g => pmod(xxhash64(g), lit(dim)).cast("int"))
+    val rows = df.select($"id",
+        sort_array(TextHashExprs.hashedGramBuckets(norm, dim, 2)).as("k"),
+        sort_array(formula).as("f"),
+        TextHashExprs.hashedGramScore(norm, w, bias, 2).as("s"))
+      .collect()
+    val bad = rows.filter { r =>
+      val kernel = r.getSeq[Int](1)
+      if (kernel != r.getSeq[Int](2)) true
+      else {
+        val cnt = new Array[Int](dim)
+        kernel.foreach(b => cnt(b) += 1)
+        var expect = bias
+        (0 until dim).foreach(b =>
+          if (cnt(b) != 0) expect += cnt(b).toDouble * w(b))
+        java.lang.Double.doubleToLongBits(r.getDouble(3)) !=
+          java.lang.Double.doubleToLongBits(expect)
+      }
+    }
+    val firstBad = bad.headOption
+      .map(r => docs(r.getLong(0).toInt)._2.take(80)).getOrElse("")
+    assert(bad.isEmpty,
+      s"classifier kernel divergence on ${bad.length} random docs, " +
+        s"first: $firstBad")
+  }
 }
