@@ -464,6 +464,32 @@ object ScaleStress {
       cl10.getLong(1) == cl1.getLong(1) * 10,
       "classifier clone invariance drifted")
 
+    // full quality funnel (p05) at 10x: rules + classifier fused per row —
+    // keeps are a pure function of the text, so exactly 10x
+    def funnel(df: org.apache.spark.sql.DataFrame) = {
+      val page = regexp_replace(col("text"),
+        "((?:[^ \\t\\n\\x0B\\f\\r]+ ){6})", "$1.\n")
+      val staged = df.select(col("doc_id"),
+        TextAnalysis.gopherSignals(col("text"), minStopHits = 1L).last,
+        TextAnalysis.c4Signals(page).last,
+        graft.functions.TextHashExprs.gopherRepetition(col("text")).as("__r"),
+        graft.functions.TextHashExprs.hashedGramScore(
+          graft.operators.Dedup.normalize(col("text")), clfW, clfB, 2)
+          .as("__s"))
+      val repPass = TextAnalysis.gopherRepetitionBars.zipWithIndex
+        .map { case (bar, i) => element_at(col("__r"), i + 1) <= bar }
+        .reduce(_ && _)
+      staged.agg(count(lit(1)), sum((col("gopher_pass") && repPass &&
+        col("c4_keep") && col("__s") > lit(0.0)).cast("long"))).head()
+    }
+    val fu1 = funnel(docsFull)
+    val fu10 = time("p05-quality-funnel-50k") { funnel(big) }
+    println("[stress] p05 rows=" + fu10.getLong(0) + "/" + fu1.getLong(0) +
+      " keep=" + fu10.getLong(1) + "/" + fu1.getLong(1))
+    require(fu10.getLong(0) == fu1.getLong(0) * 10 &&
+      fu10.getLong(1) == fu1.getLong(1) * 10,
+      "p05 funnel clone invariance drifted")
+
     // media resize / audio dedup at 10x with kind-preserving clone ids:
     // every clone resamples/decodes the identical payload, so the resize
     // checksum mass is exactly 10x and the distinct audio clip set is
