@@ -55,6 +55,148 @@ final class Engine(val spark: SparkSession)
   private[sqlfront] val identityNext = mutable.HashMap.empty[String, Long]
   private[sqlfront] val sequences = mutable.HashMap.empty[String, Sequence]
 
+  /** One declared service method: SQL name (stored uppercase), ordered
+    * (paramName, sqlType) pairs, declared return type ("void" = no return
+    * value — the reference executer's NO_RETURN_VALUE contract). */
+  private[sqlfront] final case class ServiceMethod(
+      name: String, params: Seq[(String, String)], retType: String)
+
+  /** CREATE SERVICE registration (ddl/CreateService.java,
+    * SqlScript.java:166-191): the service's typed method list plus the
+    * PACKAGE / IMPLEMENT BY / GENERATE CODE attributes. PACKAGE and
+    * GENERATE CODE drive the reference's client/executer CODE GENERATOR —
+    * a build-time artifact, recorded here but not emitted (a Spark
+    * library has no client-proxy build step); IMPLEMENT BY is the live
+    * contract: the class whose camelCased methods the dispatcher calls. */
+  private[sqlfront] final case class ServiceDef(
+      name: String, methods: Map[String, ServiceMethod],
+      packageName: Option[String], implementBy: Option[String],
+      codePath: Option[String])
+
+  private[sqlfront] val services = mutable.HashMap.empty[String, ServiceDef]
+  private val serviceInstances = mutable.HashMap.empty[String, AnyRef]
+
+  /** Dispatch one service call — the engine side of the reference's
+    * EXECUTE_SERVICE_{NO_,WITH_}RETURN_VALUE('SERVICE.METHOD', json)
+    * function pair (Function.java:951-965 → ServiceExecuterManager →
+    * the generated executer): resolve SERVICE.METHOD (uppercase, the
+    * manager's contract), unmarshal the JSON argument array against the
+    * DECLARED parameter types, reflect-invoke the camelCased method on a
+    * cached IMPLEMENT BY instance (SAY_GOODBYE_TO → sayGoodbyeTo, the
+    * generator's name mapping), and return Some(stringified result) —
+    * None for void methods or a null result (→ SQL NULL). Error texts
+    * mirror the reference: "service X not found"
+    * (ServiceExecuterManager.executeService) and "no method: M" (the
+    * generated executer's default branch). Model-typed parameters (a
+    * generated row class) are out of scope with the code generator;
+    * scalar types cover the reference's live test surface. */
+  private[sqlfront] def executeServiceCall(
+      target: String, json: String): Option[String] = {
+    val dot = target.indexOf('.')
+    require(dot > 0, s"service method must be SERVICE.METHOD: $target")
+    val sn = target.substring(0, dot).toUpperCase
+    val mn = target.substring(dot + 1).toUpperCase
+    val svc = services.getOrElse(sn,
+      throw new IllegalArgumentException(s"service $sn not found"))
+    val m = svc.methods.getOrElse(mn,
+      throw new IllegalArgumentException(s"no method: $mn"))
+    val impl = svc.implementBy.getOrElse(throw new IllegalArgumentException(
+      s"service $sn has no IMPLEMENT BY class"))
+    val inst = serviceInstances.getOrElseUpdate(sn,
+      Class.forName(impl).getDeclaredConstructor().newInstance()
+        .asInstanceOf[AnyRef])
+    val camel = {
+      val parts = mn.toLowerCase.split('_')
+      parts.head + parts.tail.map(_.capitalize).mkString
+    }
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val arr = om.readTree(if (json == null || json.isEmpty) "[]" else json)
+    require(arr.isArray, s"service arguments must be a JSON array: $json")
+    require(arr.size == m.params.length,
+      s"$sn.$mn expects ${m.params.length} arguments, got ${arr.size}")
+    val args: Seq[AnyRef] = m.params.zipWithIndex.map { case ((_, tp), i) =>
+      val v = arr.get(i)
+      val base = tp.toUpperCase.takeWhile(c => c.isLetter || c == '_')
+      base match {
+        case "INT" | "INTEGER" => java.lang.Integer.valueOf(v.asInt())
+        case "LONG" | "BIGINT" => java.lang.Long.valueOf(v.asLong())
+        case "DOUBLE" | "FLOAT" => java.lang.Double.valueOf(v.asDouble())
+        case "BOOLEAN" => java.lang.Boolean.valueOf(v.asBoolean())
+        case "VARCHAR" | "CHAR" | "STRING" | "TEXT" =>
+          if (v.isNull) null else v.asText()
+        case _ => // model/other types: pass the raw JSON text through
+          if (v.isNull) null else v.toString
+      }
+    }
+    val method = inst.getClass.getMethods
+      .find(mm => mm.getName == camel &&
+        mm.getParameterCount == m.params.length)
+      .getOrElse(throw new IllegalArgumentException(s"no method: $mn"))
+    val r = method.invoke(inst, args: _*)
+    if (m.retType.equalsIgnoreCase("void")) None
+    else Option(r).map(_.toString)
+  }
+
+  /** Parse a CREATE SERVICE method list: `m1(p1 t1, p2 t2) ret, m2() void`
+    * (CreateService.java's serviceMethod = a CreateTable-shaped column
+    * list + return type). Names store UPPERCASE (the
+    * ServiceExecuterManager registration contract); an absent return type
+    * reads as void. */
+  private[sqlfront] def parseServiceMethods(body: String): Seq[ServiceMethod] =
+    Lex.splitTop(body).map(_.trim).filter(_.nonEmpty).map { entry =>
+      val open = entry.indexOf('(')
+      val close = entry.lastIndexOf(')')
+      require(open > 0 && close > open,
+        s"malformed service method: $entry")
+      val nm = entry.substring(0, open).trim.toUpperCase
+      val params = Lex.splitTop(entry.substring(open + 1, close))
+        .map(_.trim).filter(_.nonEmpty).map { p =>
+          val sp = p.indexOf(' ')
+          require(sp > 0, s"service parameter needs `name type`: $p")
+          (p.substring(0, sp).trim, p.substring(sp + 1).trim)
+        }
+      val ret = entry.substring(close + 1).trim
+      ServiceMethod(nm, params, if (ret.isEmpty) "void" else ret)
+    }
+
+  /** Order-free CREATE SERVICE option tail: PACKAGE 's' / IMPLEMENT BY
+    * 's' / GENERATE CODE 's' / COMMENT [IS] 's' — the parseSeqOptions
+    * discipline (unknown trailing words fail loudly). Returns
+    * (package, implementBy, codePath). */
+  private[sqlfront] def parseServiceTail(
+      frag0: String): (Option[String], Option[String], Option[String]) = {
+    val frag = frag0.trim
+    val ts = Lex.tokens(frag)
+    var i = 0
+    var pkg, impl, code: Option[String] = None
+    def has: Boolean = i < ts.length
+    def word: String =
+      if (has && ts(i).kind == Lex.Word) ts(i).text(frag).toUpperCase else ""
+    def readIf(w: String): Boolean = { if (word == w) { i += 1; true } else false }
+    def readLit(): String = {
+      require(has && ts(i).kind == Lex.Lit,
+        s"expected a 'string' in service options at: " +
+          frag.substring(if (has) ts(i).start else frag.length))
+      val t = ts(i); i += 1
+      frag.substring(t.start + 1, t.end - 1).replace("''", "'")
+    }
+    while (has) {
+      if (readIf("PACKAGE")) pkg = Some(readLit())
+      else if (readIf("IMPLEMENT")) {
+        require(readIf("BY"), "IMPLEMENT requires BY (CreateService)")
+        impl = Some(readLit())
+      }
+      else if (readIf("GENERATE")) {
+        require(readIf("CODE"), "GENERATE requires CODE (CreateService)")
+        code = Some(readLit())
+      }
+      else if (readIf("COMMENT")) { readIf("IS"); readLit() }
+      else throw new IllegalArgumentException(
+        s"unknown service option: ${frag.substring(ts(i).start)}")
+    }
+    (pkg, impl, code)
+  }
+
   /** Java-API parity hook for the ONE reference test call no SQL replay
     * can express (SequenceTest.java:76 —
     * `schema.findSequence("myseq").setBelongsToTable(false)` flips engine
@@ -738,6 +880,7 @@ final class Engine(val spark: SparkSession)
         tables.keys.toSeq.foreach(spark.catalog.dropTempView)
         tables.clear(); primaryKeys.clear(); identityCols.clear()
         identityNext.clear(); sequences.clear(); indexes.clear()
+        services.clear(); serviceInstances.clear()
         foreignKeys.clear(); checks.clear(); viewDefs.clear()
         aliases.clear(); aliasSources.clear(); userAggs.clear()
         constants.clear(); domains.clear(); triggers.clear(); rights.clear()
@@ -1025,6 +1168,29 @@ final class Engine(val spark: SparkSession)
         status()
       case truncateRe(name) =>
         register(name, Dml.truncate(table(name))); status()
+      case createServiceRe(ifNotExists, name, body, rest) =>
+        // ddl/CreateService.java: register the typed method list + the
+        // PACKAGE / IMPLEMENT BY / GENERATE CODE attributes (codegen is a
+        // build-time artifact the reference writes to disk — recorded,
+        // not emitted); dispatch happens via the
+        // EXECUTE_SERVICE_*_RETURN_VALUE function pair (substServices)
+        val key = name.toUpperCase
+        if (services.contains(key))
+          require(ifNotExists != null,
+            s"service already exists: $name (ddl/CreateService.java)")
+        else {
+          val methods = parseServiceMethods(body)
+          val (pkg, impl, code) = parseServiceTail(Option(rest).getOrElse(""))
+          services(key) = ServiceDef(key,
+            methods.map(m => m.name -> m).toMap, pkg, impl, code)
+        }
+        status()
+      case dropServiceRe(ifExists, name) =>
+        val key = name.toUpperCase
+        if (!services.contains(key))
+          require(ifExists != null, s"service $key not found")
+        services.remove(key); serviceInstances.remove(key)
+        status()
       case createSeqRe(name, rest) =>
         val o = parseSeqOptions(Option(rest).getOrElse(""))
         val inc = o.inc.getOrElse(1L)

@@ -115,6 +115,27 @@ private[sqlfront] trait EngineSelect { this: Engine =>
     q
   }
 
+  /** Driver-side evaluation of the reference's service-call function pair
+    * EXECUTE_SERVICE_{NO_,WITH_}RETURN_VALUE('SERVICE.METHOD', 'jsonArgs')
+    * (Function.java:951-965 → ServiceExecuterManager → the generated
+    * executer) — the substSequences discipline: literal arguments
+    * evaluate eagerly per occurrence in statement order and the result
+    * splices back as a string literal (NULL for a void method or a null
+    * result — the reference's ValueNull). Column-dependent arguments are
+    * not substituted: the reference's own client proxies always send
+    * literals (each generated Proxy encodes one JsonArray constant). */
+  private[sqlfront] def substServices(q0: String): String =
+    Rw.rewrite(q0,
+        Rw.W("EXECUTE_SERVICE_NO_RETURN_VALUE",
+          "EXECUTE_SERVICE_WITH_RETURN_VALUE"),
+        Rw.Sy('('), Rw.Lit(), Rw.Sy(','), Rw.Lit(), Rw.Sy(')')) { c =>
+      val withReturn =
+        c(0).equalsIgnoreCase("EXECUTE_SERVICE_WITH_RETURN_VALUE")
+      val r = executeServiceCall(c(1), c(2).replace("''", "'"))
+      if (!withReturn) "NULL"
+      else r.map(v => "'" + v.replace("'", "''") + "'").getOrElse("NULL")
+    }
+
   private[sqlfront] def substSequences(q0: String): String = {
     // ONE left-to-right pass over both function kinds: the reference
     // evaluates expressions in statement order, so in
@@ -381,6 +402,16 @@ private[sqlfront] trait EngineSelect { this: Engine =>
     val doms = domains.toSeq.map { case (n, t) =>
       s"CREATE DOMAIN $n AS ${t.toUpperCase};"
     }
+    val svcs = services.values.toSeq.map { svc =>
+      val ms = svc.methods.values.toSeq.sortBy(_.name).map { m =>
+        val ps = m.params.map { case (pn, pt) => s"$pn $pt" }.mkString(", ")
+        s"${m.name.toLowerCase}($ps) ${m.retType}"
+      }.mkString(", ")
+      s"CREATE SERVICE ${svc.name} ($ms)" +
+        svc.packageName.map(p => s" PACKAGE '$p'").getOrElse("") +
+        svc.implementBy.map(c => s" IMPLEMENT BY '$c'").getOrElse("") +
+        svc.codePath.map(g => s" GENERATE CODE '$g'").getOrElse("") + ";"
+    }
     val defs = colDefaults.toSeq.flatMap { case (t, ds) =>
       ds.toSeq.map { case (c, d) =>
         s"ALTER TABLE $t ALTER COLUMN $c SET DEFAULT $d;"
@@ -398,7 +429,7 @@ private[sqlfront] trait EngineSelect { this: Engine =>
     val dbs = databases.toSeq.filter(_ != "graft").map(d =>
       s"CREATE DATABASE $d;")
     ddl ++ seqs ++ ixs ++ cons ++ defs ++ vws ++ als ++ consts ++ doms ++
-      usrs ++ rls ++ rgs ++ cmts ++ dbs
+      svcs ++ usrs ++ rls ++ rgs ++ cmts ++ dbs
   }
 
   // ---- DDL helpers ----

@@ -41,6 +41,14 @@ private[sqlfront] trait EngineStatements { this: Engine =>
     P(Kw("ALTER", "SEQUENCE"), Ident, Rest)
   private[sqlfront] val dropSeqRe =
     P(Kw("DROP", "SEQUENCE"), Opt("IF", "EXISTS"), Ident, Eos)
+  // CREATE SERVICE (ddl/CreateService.java; SqlScript.java:166-191 shapes):
+  // typed method list in parens + an order-free PACKAGE / IMPLEMENT BY /
+  // GENERATE CODE / COMMENT option tail (parsed by parseServiceTail)
+  private[sqlfront] val createServiceRe =
+    P(Kw("CREATE", "SERVICE"), OptCap("IF", "NOT", "EXISTS"), Ident, Paren,
+      Rest)
+  private[sqlfront] val dropServiceRe =
+    P(Kw("DROP", "SERVICE"), OptCap("IF", "EXISTS"), Ident, Eos)
   // CREATE PRIMARY KEY [HASH] name ON t(cols) (ddl/CreateIndex.java primary
   // form, used by the reference's index tests)
   private[sqlfront] val createPkRe =

@@ -258,6 +258,8 @@ private[sqlfront] trait EngineTranslate { this: Engine =>
     q = rewriteCaseFunction(q)
     // NEXTVAL/CURRVAL + CREATE CONSTANT names
     q = substSequences(substConstants(q))
+    // EXECUTE_SERVICE_*_RETURN_VALUE('svc.method', 'json') service calls
+    q = substServices(q)
     // LAST: H2 "quoted identifiers" → Spark backticks. Spark's parser has
     // no double-quoted identifier form (a "t" in FROM position is a syntax
     // error), so this is the fidelity boundary for every pass above —
