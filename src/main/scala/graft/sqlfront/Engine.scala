@@ -74,6 +74,11 @@ final class Engine(val spark: SparkSession)
       codePath: Option[String])
 
   private[sqlfront] val services = mutable.HashMap.empty[String, ServiceDef]
+
+  /** CREATE TABLE model-codegen attributes (packageName, codePath) —
+    * recorded + SCRIPT-re-emitted, never executed (see createTableRe). */
+  private[sqlfront] val tableCodegen =
+    mutable.HashMap.empty[String, (Option[String], Option[String])]
   private val serviceInstances = mutable.HashMap.empty[String, AnyRef]
 
   /** Dispatch one service call — the engine side of the reference's
@@ -195,6 +200,39 @@ final class Engine(val spark: SparkSession)
         s"unknown service option: ${frag.substring(ts(i).start)}")
     }
     (pkg, impl, code)
+  }
+
+  /** CREATE TABLE option tail: PACKAGE 's' / GENERATE CODE 's' only
+    * (CreateTable.java packageName/genCode); anything else fails loudly —
+    * the strictness the pattern's former Eos enforced. */
+  private[sqlfront] def parseTableTail(
+      frag0: String): (Option[String], Option[String]) = {
+    val frag = frag0.trim
+    if (frag.isEmpty) return (None, None)
+    val ts = Lex.tokens(frag)
+    var i = 0
+    var pkg, code: Option[String] = None
+    def has: Boolean = i < ts.length
+    def word: String =
+      if (has && ts(i).kind == Lex.Word) ts(i).text(frag).toUpperCase else ""
+    def readIf(w: String): Boolean = { if (word == w) { i += 1; true } else false }
+    def readLit(): String = {
+      require(has && ts(i).kind == Lex.Lit,
+        s"expected a 'string' in table options at: " +
+          frag.substring(if (has) ts(i).start else frag.length))
+      val t = ts(i); i += 1
+      frag.substring(t.start + 1, t.end - 1).replace("''", "'")
+    }
+    while (has) {
+      if (readIf("PACKAGE")) pkg = Some(readLit())
+      else if (readIf("GENERATE")) {
+        require(readIf("CODE"), "GENERATE requires CODE (CreateTable)")
+        code = Some(readLit())
+      }
+      else throw new IllegalArgumentException(
+        s"unknown CREATE TABLE option: ${frag.substring(ts(i).start)}")
+    }
+    (pkg, code)
   }
 
   /** Java-API parity hook for the ONE reference test call no SQL replay
@@ -1060,8 +1098,15 @@ final class Engine(val spark: SparkSession)
         status()
       case createTableAsRe(name, query) =>
         register(name, runSelect(query)); status()
-      case createTableRe(name, colDefs) =>
+      case createTableRe(name, colDefs, tableTail) =>
         val tn = name.toLowerCase
+        // model-codegen attributes (CreateTable.java packageName/genCode):
+        // recorded for SCRIPT round trip; the generator itself is a
+        // build-time artifact (writes .java files), not query semantics
+        parseTableTail(Option(tableTail).getOrElse("")) match {
+          case (None, None) =>
+          case (pkg, code) => tableCodegen(tn) = (pkg, code)
+        }
         val (schema, pks0, inlineIdx) = parseColumnDefs(colDefs)
         var pks = pks0
         val notNull = mutable.Set.empty[String]

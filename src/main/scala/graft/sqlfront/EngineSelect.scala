@@ -363,7 +363,11 @@ private[sqlfront] trait EngineSelect { this: Engine =>
           val pk = primaryKeys.get(name).exists(_.contains(f.name.toLowerCase))
           s"${f.name} ${f.dataType.sql}${if (pk) " PRIMARY KEY" else ""}"
         }
-      s"CREATE TABLE $name (${cols.mkString(", ")});"
+      val cg = tableCodegen.get(name).map { case (pkg, code) =>
+        pkg.map(v => s" PACKAGE '$v'").getOrElse("") +
+          code.map(v => s" GENERATE CODE '$v'").getOrElse("")
+      }.getOrElse("")
+      s"CREATE TABLE $name (${cols.mkString(", ")})$cg;"
     }
     val seqs = sequences.toSeq.map { case (n, s) =>
       s"CREATE SEQUENCE $n START WITH ${s.next} INCREMENT BY ${s.inc}" +

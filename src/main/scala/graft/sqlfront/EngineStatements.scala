@@ -21,8 +21,13 @@ private[sqlfront] trait EngineStatements { this: Engine =>
     LitCap, LitCapNonEmpty, StrCap, DottedIdent, NullOrLit}
 
 
+  // optional tail = the reference's model-codegen attributes
+  // (CreateTable.java packageName/genCode; SqlScript.java:52-58 shapes
+  // `create table user(...) package 'p' generate code 'g'`) — parsed by
+  // parseTableTail, which errors loudly on anything else (the old Eos
+  // strictness for trailing junk)
   private[sqlfront] val createTableRe =
-    P(Kw("CREATE", "TABLE"), Opt("IF", "NOT", "EXISTS"), Ident, Paren, Eos)
+    P(Kw("CREATE", "TABLE"), Opt("IF", "NOT", "EXISTS"), Ident, Paren, Rest)
   private[sqlfront] val createTableAsRe =
     P(Kw("CREATE", "TABLE"), Opt("IF", "NOT", "EXISTS"), Ident, Kw("AS"), Rest)
   // DROP TABLE [IF EXISTS] t1[, t2 …] [CASCADE|RESTRICT] — the reference

@@ -108,6 +108,22 @@ class ServiceSpec extends SparkSpec {
     }.getMessage.contains("not found"))
   }
 
+  test("CREATE TABLE accepts the model-codegen tail (SqlScript.java:52-58 " +
+      "`package 'p' generate code 'g'`) — recorded, SCRIPT round trips") {
+    val e = new Engine(spark)
+    e.sql("create table user_t(name char(10) primary key, notes varchar, " +
+      "phone int) package 'org.example.model' generate code './src'")
+    e.sql("insert into user_t values('a', 'b', 1)")
+    assert(e.sql("select count(*) from user_t").collect().head.getLong(0) == 1)
+    val line = e.script().find(_.startsWith("CREATE TABLE user_t"))
+    assert(line.isDefined && line.get.contains("PACKAGE 'org.example.model'")
+      && line.get.contains("GENERATE CODE './src'"))
+    // trailing junk still fails loudly (the pattern's former Eos contract)
+    assert(intercept[Exception] {
+      e.sql("create table bad_t(x int) wibble")
+    }.getMessage.contains("unknown CREATE TABLE option"))
+  }
+
   test("SCRIPT re-emits CREATE SERVICE and the replay dispatches again") {
     val e = new Engine(spark)
     e.sql("create service hello_world_service (say_hello() void, " +
