@@ -450,7 +450,8 @@ final class Engine(val spark: SparkSession)
   /** Execute one or more ';'-separated statements; returns the DataFrame of
     * the last query (or an empty status frame for DDL/DML). */
   def sql(text: String): DataFrame =
-    splitStatements(Lex.normalizeDollarQuotes(Lex.stripComments(text)))
+    splitStatements(Lex.normalizeBackquotes(
+        Lex.normalizeDollarQuotes(Lex.stripComments(text))))
       .map(execTimed).lastOption
       .getOrElse(spark.emptyDataFrame)
 
@@ -1107,7 +1108,7 @@ final class Engine(val spark: SparkSession)
           case (None, None) =>
           case (pkg, code) => tableCodegen(tn) = (pkg, code)
         }
-        val (schema, pks0, inlineIdx) = parseColumnDefs(colDefs)
+        val (schema, pks0, inlineIdx, inlineCons) = parseColumnDefs(colDefs)
         var pks = pks0
         val notNull = mutable.Set.empty[String]
         // IDENTITY / AUTO_INCREMENT / SERIAL column (Column.java
@@ -1162,6 +1163,7 @@ final class Engine(val spark: SparkSession)
         inlineIdx.foreach { case (ixName, cols, unique) =>
           indexes(ixName) = IndexDef(ixName, tn, cols, unique)
         }
+
         // _ROWID_ pseudo-column wiring (PseudoColumnTest): a single
         // integral PRIMARY KEY IS the row id (StandardPrimaryIndex
         // clustered key); otherwise a hidden engine-assigned column —
@@ -1186,6 +1188,14 @@ final class Engine(val spark: SparkSession)
         }
         register(name, spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], finalSchema))
+        // inline table constraints route through the SAME machinery as
+        // ALTER TABLE ADD CONSTRAINT — AFTER registration (the validator
+        // reads the just-created empty table; vacuous now, then the
+        // recorded constraint guards every mutation); unnamed ones get a
+        // reference-style generated name
+        inlineCons.zipWithIndex.foreach { case ((cn, body), i) =>
+          addConstraint(tn, cn.getOrElse(s"${tn}_cons_$i"), body)
+        }
         status()
       case dropTableRe(ifExists, tail) =>
         val (names, restrict) = dropTableTail(tail)

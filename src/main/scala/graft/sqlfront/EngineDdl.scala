@@ -345,17 +345,40 @@ private[sqlfront] trait EngineDdl { this: Engine =>
     * enables them (Mode.java indexDefinitionInCreateTable — REGULAR and
     * MySQL do, PostgreSQL doesn't), returned as (name, cols, unique). */
   private[sqlfront] def parseColumnDefs(defs: String)
-      : (StructType, Seq[String], Seq[(String, Seq[String], Boolean)]) = {
+      : (StructType, Seq[String], Seq[(String, Seq[String], Boolean)],
+         Seq[(Option[String], String)]) = {
     val pks = mutable.ArrayBuffer.empty[String]
     val inlineIdx = mutable.ArrayBuffer.empty[(String, Seq[String], Boolean)]
+    // inline TABLE constraints (Parser.java parseCreateTable →
+    // parseTableConstraintIf: SqlScript.java:73-76/94-99 are live fixtures
+    // — `FOREIGN KEY(c) REFERENCES t(c)` between column defs): collected
+    // as (optional name, addConstraint-shaped body) and applied by the
+    // CREATE TABLE dispatch through the SAME machinery as ALTER TABLE ADD
+    // CONSTRAINT. Before this they silently parsed as a COLUMN named
+    // "foreign"/"constraint" (found by the r9 SqlScript mini-census).
+    val inlineCons = mutable.ArrayBuffer.empty[(Option[String], String)]
     val inlineIdxRe =
       """(?is)^(UNIQUE\s+)?(?:KEY|INDEX)\s+(\w+)\s*\(([^)]*)\)$""".r
+    val consNameRe = """(?is)^CONSTRAINT\s+(\w+)\s+(.*)$""".r
     val fields = splitTop(defs).flatMap { d0 =>
       val d = d0.trim
       val up = maskedUpper(d) // literal-blind keyword scan
       if (up.startsWith("PRIMARY KEY")) {
         pks ++= d.substring(d.indexOf('(') + 1, d.lastIndexOf(')'))
           .split(",").map(_.trim.toLowerCase)
+        None
+      } else if (up.startsWith("FOREIGN KEY") ||
+          up.startsWith("UNIQUE(") || up.startsWith("UNIQUE (") ||
+          // trailing space/paren required: a COLUMN named checksum/checked
+          // must not read as a CHECK constraint
+          up.startsWith("CHECK(") || up.startsWith("CHECK ")) {
+        inlineCons += ((None, d)); None
+      } else if (up.startsWith("CONSTRAINT ")) {
+        d match {
+          case consNameRe(nm, body) => inlineCons += ((Some(nm.toLowerCase), body))
+          case _ => throw new IllegalArgumentException(
+            s"malformed inline constraint: $d")
+        }
         None
       } else d match {
         case inlineIdxRe(unique, ixName, cols)
@@ -371,7 +394,7 @@ private[sqlfront] trait EngineDdl { this: Engine =>
           Some(StructField(name, parseType(rest), nullable = true))
       }
     }
-    (StructType(fields), pks.toSeq, inlineIdx.toSeq)
+    (StructType(fields), pks.toSeq, inlineIdx.toSeq, inlineCons.toSeq)
   }
 
   private[sqlfront] def parseType(t0: String): DataType = {

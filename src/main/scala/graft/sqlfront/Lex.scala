@@ -223,6 +223,58 @@ private[sqlfront] object Lex {
     * applies this once and every downstream consumer (dispatch, VALUES
     * slicing, Spark itself) sees one canonical form. Literal-aware: a $$
     * inside a '…' literal is body text. */
+  /** H2/lealone accept MySQL-style `backquoted` identifiers everywhere
+    * (Parser.readIdentifier; the reference's own model fixtures use them:
+    * SqlScript.java:94 `create table \`order\``). Canonical engine forms:
+    * a word-shaped inner name ([A-Za-z_][A-Za-z0-9_]*) emits BARE — the
+    * engine folds identifiers case-insensitively and its dispatch has no
+    * reserved words, and Spark's default (non-ANSI) parser treats every
+    * keyword as non-reserved in identifier position (verified with
+    * `order`) — anything else emits the "double-quoted" form, one Lex
+    * Word token, riding the existing quoted-identifier support. `` ``
+    * escapes unfold; literal-aware: a backtick inside a '…' string or a
+    * "…" identifier is data. */
+  def normalizeBackquotes(s: String): String = {
+    if (s.indexOf('`') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '\'' || c == '"') {
+        val q = c
+        val start = i
+        i += 1
+        var done = false
+        while (i < n && !done) {
+          if (s.charAt(i) == q) {
+            if (i + 1 < n && s.charAt(i + 1) == q) i += 2
+            else { done = true; i += 1 }
+          } else i += 1
+        }
+        sb.append(s, start, i)
+      } else if (c == '`') {
+        i += 1
+        val inner = new java.lang.StringBuilder
+        var done = false
+        while (i < n && !done) {
+          val d = s.charAt(i)
+          if (d == '`') {
+            if (i + 1 < n && s.charAt(i + 1) == '`') { inner.append('`'); i += 2 }
+            else { done = true; i += 1 }
+          } else { inner.append(d); i += 1 }
+        }
+        val name = inner.toString
+        val wordShaped = name.nonEmpty &&
+          (name.charAt(0).isLetter || name.charAt(0) == '_') &&
+          name.forall(ch => ch.isLetterOrDigit || ch == '_')
+        if (wordShaped) sb.append(name)
+        else sb.append('"').append(name.replace("\"", "\"\"")).append('"')
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   def normalizeDollarQuotes(s: String): String = {
     if (s.indexOf("$$") < 0) return s
     val sb = new java.lang.StringBuilder(s.length)

@@ -124,6 +124,62 @@ class ServiceSpec extends SparkSpec {
     }.getMessage.contains("unknown CREATE TABLE option"))
   }
 
+  test("inline table constraints (Parser.parseTableConstraintIf): FK / " +
+      "named CHECK / UNIQUE enforce through the ADD CONSTRAINT machinery; " +
+      "a column named checksum is NOT misread as a CHECK") {
+    val e = new Engine(spark)
+    e.sql("create table parent(id long primary key)")
+    e.sql("create table child(pid long, checksum int, " +
+      "FOREIGN KEY(pid) REFERENCES parent(id), " +
+      "CONSTRAINT pos_ck CHECK (checksum > 0), UNIQUE(checksum))")
+    assert(e.sql("select * from child").columns.toSeq ==
+      Seq("pid", "checksum")) // no junk 'foreign'/'constraint' columns
+    e.sql("insert into parent values(1)")
+    e.sql("insert into child values(1, 2)")
+    assert(intercept[Exception] { e.sql("insert into child values(99, 3)") }
+      .getMessage.contains("FK"))
+    assert(intercept[Exception] { e.sql("insert into child values(1, -5)") }
+      .getMessage.contains("CHECK pos_ck"))
+    assert(intercept[Exception] { e.sql("insert into child values(1, 2)") }
+      .getMessage.contains("unique"))
+    assert(e.sql("select count(*) from child").collect().head.getLong(0) == 1)
+  }
+
+  test("backquoted identifiers (Parser.readIdentifier; SqlScript.java:94 " +
+      "`order`): keyword table name creates, enforces its inline FK, and " +
+      "reads back through BOTH the backquoted and bare forms") {
+    val e = new Engine(spark)
+    e.sql("create table customer(id long primary key, name char(10))")
+    e.sql("create table `order`(customer_id long, order_id int primary key," +
+      " order_date date, total double," +
+      " FOREIGN KEY(customer_id) REFERENCES customer(id))" +
+      " package 'org.example.model' generate code './gen'")
+    e.sql("insert into customer values(1, 'c1')")
+    e.sql("insert into `order` values(1, 10, DATE '2024-01-01', 5.5)")
+    assert(intercept[Exception] {
+      e.sql("insert into `order` values(7, 11, DATE '2024-01-02', 1.0)")
+    }.getMessage.contains("FK"))
+    e.sql("update `order` set total = 9.75 where order_id = 10")
+    assert(e.sql("select total from `order`").collect()
+      .head.getDouble(0) == 9.75)
+    assert(e.sql("select total from order").collect()
+      .head.getDouble(0) == 9.75) // bare form: no reserved words
+    // FK from ANOTHER table referencing the keyword table
+    e.sql("create table order_item(order_id int, " +
+      "FOREIGN KEY(order_id) REFERENCES `order`(order_id))")
+    e.sql("insert into order_item values(10)")
+    assert(intercept[Exception] { e.sql("insert into order_item values(99)") }
+      .getMessage.contains("FK"))
+    // non-word-shaped backquoted names normalize to the "quoted" form and
+    // ride the existing quoted-identifier support (here: a select alias
+    // with a space, which reaches Spark as a backticked identifier again)
+    val w = e.sql("select 1 as `weird name`")
+    assert(w.columns.toSeq == Seq("weird name") &&
+      w.collect().head.getInt(0) == 1)
+    // a backtick inside a string literal is data, never a quote
+    assert(e.sql("select 'a`b' as v").collect().head.getString(0) == "a`b")
+  }
+
   test("SCRIPT re-emits CREATE SERVICE and the replay dispatches again") {
     val e = new Engine(spark)
     e.sql("create service hello_world_service (say_hello() void, " +
