@@ -202,9 +202,13 @@ final class Engine(val spark: SparkSession)
     (pkg, impl, code)
   }
 
-  /** CREATE TABLE option tail: PACKAGE 's' / GENERATE CODE 's' only
-    * (CreateTable.java packageName/genCode); anything else fails loudly —
-    * the strictness the pattern's former Eos enforced. */
+  /** CREATE TABLE option tail: PACKAGE 's' / GENERATE CODE 's'
+    * (CreateTable.java packageName/genCode) plus the storage-engine
+    * clause `ENGINE name [WITH(params)]` (CreateTable.java
+    * storageEngineName/storageEngineParams; StorageTest.java:26) — a
+    * storage-layer attribute this engine maps to parquet/Spark, accepted
+    * and ignored like CREATE DATABASE's RUN MODE. Anything else fails
+    * loudly — the strictness the pattern's former Eos enforced. */
   private[sqlfront] def parseTableTail(
       frag0: String): (Option[String], Option[String]) = {
     val frag = frag0.trim
@@ -228,6 +232,22 @@ final class Engine(val spark: SparkSession)
       else if (readIf("GENERATE")) {
         require(readIf("CODE"), "GENERATE requires CODE (CreateTable)")
         code = Some(readLit())
+      }
+      else if (readIf("ENGINE")) {
+        // engine name: a bare word or a 'string' (Parser readIdentifier)
+        require(has && (ts(i).kind == Lex.Word || ts(i).kind == Lex.Lit),
+          "ENGINE requires a storage engine name (CreateTable)")
+        i += 1
+        if (readIf("WITH")) { // WITH(k=v, …) parameter list: skip the paren
+          require(has && ts(i).kind == Lex.Sym && frag.charAt(ts(i).start) == '(',
+            "ENGINE … WITH requires a (parameter list)")
+          val d = ts(i).depth
+          i += 1
+          while (has && !(ts(i).kind == Lex.Sym &&
+            frag.charAt(ts(i).start) == ')' && ts(i).depth == d)) i += 1
+          require(has, "unbalanced ENGINE WITH(…) parameter list")
+          i += 1
+        }
       }
       else throw new IllegalArgumentException(
         s"unknown CREATE TABLE option: ${frag.substring(ts(i).start)}")

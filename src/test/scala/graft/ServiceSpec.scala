@@ -122,6 +122,12 @@ class ServiceSpec extends SparkSpec {
     assert(intercept[Exception] {
       e.sql("create table bad_t(x int) wibble")
     }.getMessage.contains("unknown CREATE TABLE option"))
+    // storage-engine clause (StorageTest.java:26): accepted, storage maps
+    // to parquet/Spark — the CREATE DATABASE RUN MODE treatment
+    e.sql("CREATE TABLE IF NOT EXISTS storage_t(f1 int, f2 int) " +
+      "ENGINE AOSE WITH(map_type=BufferedMap)")
+    e.sql("INSERT INTO storage_t(f1, f2) VALUES(1, 10)")
+    assert(e.sql("select f2 from storage_t").collect().head.getInt(0) == 10)
   }
 
   test("inline table constraints (Parser.parseTableConstraintIf): FK / " +
