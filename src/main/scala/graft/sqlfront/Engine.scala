@@ -79,6 +79,21 @@ final class Engine(val spark: SparkSession)
     * recorded + SCRIPT-re-emitted, never executed (see createTableRe). */
   private[sqlfront] val tableCodegen =
     mutable.HashMap.empty[String, (Option[String], Option[String])]
+
+  /** CREATE-head storage modifiers per table (Parser.java:3969-3987):
+    * "MEMORY" / "CACHED" / "[CACHED ]LOCAL TEMPORARY" / "GLOBAL TEMPORARY".
+    * A storage-tier attribute this engine maps to Spark DataFrames
+    * uniformly (everything is in-memory/parquet) — recorded for SCRIPT
+    * re-emission, like tableCodegen. Not snapshotted in transactions
+    * (cosmetic metadata, same policy as tableCodegen). */
+  private[sqlfront] val tableStorage = mutable.HashMap.empty[String, String]
+
+  /** ON COMMIT action per temp table (Parser.java parseCreateTable WITH
+    * tail: ON COMMIT DROP | ON COMMIT DELETE ROWS) — applied when an
+    * explicit COMMIT executes. Under autocommit the reference's per-
+    * statement commit would drop the table immediately, so these tables
+    * only make sense inside BEGIN…COMMIT, which is where we honor them. */
+  private[sqlfront] val onCommitActions = mutable.HashMap.empty[String, String]
   private val serviceInstances = mutable.HashMap.empty[String, AnyRef]
 
   /** Dispatch one service call — the engine side of the reference's
@@ -207,15 +222,20 @@ final class Engine(val spark: SparkSession)
     * clause `ENGINE name [WITH(params)]` (CreateTable.java
     * storageEngineName/storageEngineParams; StorageTest.java:26) — a
     * storage-layer attribute this engine maps to parquet/Spark, accepted
-    * and ignored like CREATE DATABASE's RUN MODE. Anything else fails
-    * loudly — the strictness the pattern's former Eos enforced. */
-  private[sqlfront] def parseTableTail(
-      frag0: String): (Option[String], Option[String]) = {
+    * and ignored like CREATE DATABASE's RUN MODE. Also the temp-table
+    * tail `ON COMMIT DROP | ON COMMIT DELETE ROWS` (returned as the
+    * third element), `NOT PERSISTENT` (a durability attribute — every
+    * table here is session-durable, accepted), and `HIDDEN`
+    * (Parser.java:3995-4020 order; meta-visibility flag, accepted).
+    * Anything else fails loudly — the strictness the pattern's former
+    * Eos enforced. */
+  private[sqlfront] def parseTableTail(frag0: String)
+      : (Option[String], Option[String], Option[String]) = {
     val frag = frag0.trim
-    if (frag.isEmpty) return (None, None)
+    if (frag.isEmpty) return (None, None, None)
     val ts = Lex.tokens(frag)
     var i = 0
-    var pkg, code: Option[String] = None
+    var pkg, code, onCommit: Option[String] = None
     def has: Boolean = i < ts.length
     def word: String =
       if (has && ts(i).kind == Lex.Word) ts(i).text(frag).toUpperCase else ""
@@ -249,10 +269,23 @@ final class Engine(val spark: SparkSession)
           i += 1
         }
       }
+      else if (readIf("ON")) {
+        require(readIf("COMMIT"), "ON requires COMMIT (CreateTable)")
+        if (readIf("DROP")) onCommit = Some("DROP")
+        else if (readIf("DELETE")) {
+          require(readIf("ROWS"), "ON COMMIT DELETE requires ROWS")
+          onCommit = Some("DELETE ROWS")
+        } else throw new IllegalArgumentException(
+          "ON COMMIT requires DROP or DELETE ROWS (CreateTable)")
+      }
+      else if (readIf("NOT")) {
+        require(readIf("PERSISTENT"), "NOT requires PERSISTENT (CreateTable)")
+      }
+      else if (readIf("HIDDEN")) ()
       else throw new IllegalArgumentException(
         s"unknown CREATE TABLE option: ${frag.substring(ts(i).start)}")
     }
-    (pkg, code)
+    (pkg, code, onCommit)
   }
 
   /** Java-API parity hook for the ONE reference test call no SQL replay
@@ -619,8 +652,67 @@ final class Engine(val spark: SparkSession)
     }
   }
 
+  /** Normalize the CREATE-statement head (Parser.java:367-369 + 3969-3987):
+    * `DECLARE …` is an alias for CREATE ("support for DECLARE GLOBAL
+    * TEMPORARY TABLE"), and the [MEMORY|CACHED] [LOCAL|GLOBAL]
+    * [TEMP|TEMPORARY] storage prefixes on TABLE are recorded
+    * ([[tableStorage]], SCRIPT re-emission) and stripped — the storage
+    * tier is a physical attribute this engine maps to Spark uniformly.
+    * Bare TEMP/TEMPORARY reads as GLOBAL TEMPORARY (Parser.java:3984-3986
+    * passes globalTemp=true). */
+  private[sqlfront] def normalizeCreateHead(stmt: String): String = {
+    val ts = Lex.tokens(stmt)
+    def word(i: Int): String =
+      if (i < ts.length && ts(i).kind == Lex.Word) ts(i).text(stmt).toUpperCase
+      else ""
+    val head = word(0)
+    if (head != "CREATE" && head != "DECLARE") return stmt
+    var i = 1
+    var mem = "" // MEMORY | CACHED | ""
+    var tmp = "" // LOCAL TEMPORARY | GLOBAL TEMPORARY | ""
+    if (word(i) == "MEMORY" || word(i) == "CACHED") { mem = word(i); i += 1 }
+    if (word(i) == "LOCAL" || word(i) == "GLOBAL") {
+      if (word(i + 1) == "TEMPORARY") { tmp = s"${word(i)} TEMPORARY"; i += 2 }
+    } else if (word(i) == "TEMP" || word(i) == "TEMPORARY") {
+      tmp = "GLOBAL TEMPORARY"; i += 1
+    }
+    if (word(i) != "TABLE") // DECLARE of any other create → CREATE (367-369)
+      return if (head == "DECLARE" && ts.length > 1)
+        "CREATE " + stmt.substring(ts(1).start)
+      else stmt
+    if (head == "CREATE" && mem.isEmpty && tmp.isEmpty) return stmt
+    var j = i + 1
+    if (word(j) == "IF" && word(j + 1) == "NOT" && word(j + 2) == "EXISTS")
+      j += 3
+    val tn =
+      if (j < ts.length) ts(j).text(stmt).stripPrefix("\"").stripSuffix("\"")
+        .toLowerCase
+      else ""
+    val prefix = Seq(mem, tmp).filter(_.nonEmpty).mkString(" ")
+    if (tn.nonEmpty && prefix.nonEmpty) tableStorage(tn) = prefix
+    "CREATE " + stmt.substring(ts(i).start)
+  }
+
+  /** Record an ON COMMIT action — the reference only parses the clause on
+    * temp tables (Parser.java reads it inside the temp branch). */
+  private[sqlfront] def registerOnCommit(tn: String, action: String): Unit = {
+    require(tableStorage.get(tn).exists(_.contains("TEMPORARY")),
+      s"ON COMMIT is only valid on a TEMPORARY table (Parser.java): $tn")
+    onCommitActions(tn) = action
+  }
+
+  /** Apply ON COMMIT DROP / DELETE ROWS at an explicit COMMIT. DROP
+    * removes the table (and its action); DELETE ROWS truncates and stays
+    * armed for the next commit — Table.java onCommitDrop/onCommitTruncate. */
+  private[sqlfront] def applyOnCommit(): Unit =
+    onCommitActions.toSeq.foreach { case (tn, act) =>
+      if (!tables.contains(tn)) onCommitActions.remove(tn)
+      else if (act == "DROP") { dropOneTable(tn); onCommitActions.remove(tn) }
+      else register(tn, graft.operators.Dml.truncate(table(tn)))
+    }
+
   private[sqlfront] def execOne(stmt0: String): DataFrame = {
-    val stmt = stmt0.trim
+    val stmt = normalizeCreateHead(stmt0.trim)
     Stmt(stmt) match {
       case explainAnalyzeRe(q) =>
         // EXPLAIN ANALYZE (Explain.java setExecuteCommand): execute, then
@@ -670,6 +762,7 @@ final class Engine(val spark: SparkSession)
       case beginRe() =>
         txn = Some(snapshot()); savepointMap.clear(); status()
       case commitRe() =>
+        applyOnCommit()
         txn = if (autocommit) None else Some(snapshot())
         savepointMap.clear(); status()
       case rollbackToRe(name) =>
@@ -775,6 +868,11 @@ final class Engine(val spark: SparkSession)
           require(ie != null, s"COLUMN_NOT_FOUND: $c (ALTER TABLE DROP)")
         }
         status()
+      case alterChangeColRe(tn, from, to, _) =>
+        // MySQL CHANGE: rename only, declared type ignored (Parser.java:5338)
+        require(table(tn).columns.map(_.toLowerCase)
+          .contains(from.toLowerCase), s"COLUMN_NOT_FOUND: $from (CHANGE)")
+        execOne(s"ALTER TABLE $tn ALTER COLUMN $from RENAME TO $to")
       case alterRenameColRe(tn, from, to) =>
         register(tn, table(tn).withColumnRenamed(from.toLowerCase, to.toLowerCase))
         primaryKeys.get(tn.toLowerCase).foreach { ks =>
@@ -1125,8 +1223,11 @@ final class Engine(val spark: SparkSession)
         // recorded for SCRIPT round trip; the generator itself is a
         // build-time artifact (writes .java files), not query semantics
         parseTableTail(Option(tableTail).getOrElse("")) match {
-          case (None, None) =>
-          case (pkg, code) => tableCodegen(tn) = (pkg, code)
+          case (None, None, oc) =>
+            oc.foreach(registerOnCommit(tn, _))
+          case (pkg, code, oc) =>
+            tableCodegen(tn) = (pkg, code)
+            oc.foreach(registerOnCommit(tn, _))
         }
         val (schema, pks0, inlineIdx, inlineCons) = parseColumnDefs(colDefs)
         var pks = pks0

@@ -117,6 +117,8 @@ private[sqlfront] trait EngineDdl { this: Engine =>
     comments.remove(("TABLE", n))
     comments.filterInPlace { case ((t, cn), _) =>
       !(t == "COLUMN" && cn.startsWith(n + ".")) }
+    tableStorage.remove(n); onCommitActions.remove(n)
+    tableCodegen.remove(n)
     spark.catalog.dropTempView(n)
   }
 

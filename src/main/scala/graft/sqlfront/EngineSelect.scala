@@ -14,7 +14,7 @@ import graft.operators.Dml
 private[sqlfront] trait EngineSelect { this: Engine =>
 
   private[sqlfront] def runSelect(q0: String): DataFrame = {
-    var q = q0
+    var q = stripForUpdate(q0)
     // _ROWID_ pseudo-column (PseudoColumnTest): integral-PK tables get the
     // token substituted with the key column; hidden-rowid tables get the
     // FULL frame swapped in as the view for this statement only.
@@ -37,6 +37,49 @@ private[sqlfront] trait EngineSelect { this: Engine =>
   /** Word-boundary occurrence of `word` outside string literals. */
   private[sqlfront] def referencedOutsideLiterals(q: String, word: String): Boolean =
     Lex.tokens(q).exists(_.isIdent(q, word))
+
+  /** Strip a trailing top-level `FOR UPDATE [OF col, …] [NOWAIT]` or
+    * `FOR READ|FETCH ONLY` (Parser.java:1576-1589). Row locks are a
+    * concurrency attribute: this engine executes one statement at a time
+    * against copy-on-write snapshots, so the statement's RESULT is
+    * identical with or without the lock — setForUpdate(true) maps to a
+    * no-op by construction (the reference's own NOWAIT is likewise a
+    * parse-and-ignore TODO, Parser.java:1583). Only the statement-final,
+    * depth-0 clause is touched; a `for` inside a subquery or literal
+    * never matches. */
+  private[sqlfront] def stripForUpdate(q: String): String = {
+    val ts = Lex.tokens(q)
+    def w(i: Int): String =
+      if (i >= 0 && i < ts.length && ts(i).kind == Lex.Word)
+        ts(i).text(q).toUpperCase else ""
+    // find the last depth-0 FOR; everything after must match the clause
+    val fi = ts.indices.reverse.find(i => ts(i).depth == 0 && w(i) == "FOR")
+      .getOrElse(return q)
+    var i = fi + 1
+    val ok = w(i) match {
+      case "UPDATE" =>
+        i += 1
+        if (w(i) == "OF") {
+          i += 1
+          // ident (, ident)*
+          var good = ts.lift(i).exists(_.kind == Lex.Word)
+          i += 1
+          while (good && i < ts.length && ts(i).kind == Lex.Sym &&
+              q.charAt(ts(i).start) == ',') {
+            good = ts.lift(i + 1).exists(_.kind == Lex.Word)
+            i += 2
+          }
+          if (!good) false
+          else { if (w(i) == "NOWAIT") i += 1; i == ts.length }
+        } else if (w(i) == "NOWAIT") { i += 1; i == ts.length }
+        else i == ts.length
+      case "READ" | "FETCH" =>
+        i += 1
+        if (w(i) == "ONLY") { i += 1; i == ts.length } else false
+      case _ => false
+    }
+    if (ok) q.substring(0, ts(fi).start) else q
+  }
 
   private[sqlfront] def runSelectTranslated(q: String): DataFrame = {
     val t = translate(q)
@@ -136,6 +179,14 @@ private[sqlfront] trait EngineSelect { this: Engine =>
       else r.map(v => "'" + v.replace("'", "''") + "'").getOrElse("NULL")
     }
 
+  /** Sequence lookup with the reference's error text (ErrorCode
+    * SEQUENCE_NOT_FOUND_1: `Sequence "X" not found`) instead of a bare
+    * map NoSuchElementException. */
+  private[sqlfront] def seqOrFail(name: String): Sequence =
+    sequences.getOrElse(name.toLowerCase,
+      throw new IllegalArgumentException(
+        s"""Sequence "${name.toUpperCase}" not found"""))
+
   private[sqlfront] def substSequences(q0: String): String = {
     // ONE left-to-right pass over both function kinds: the reference
     // evaluates expressions in statement order, so in
@@ -145,7 +196,7 @@ private[sqlfront] trait EngineSelect { this: Engine =>
     // (the 'name' literal is matched as ONE token).
     Rw.rewrite(normalizeSeqRefs(q0), Rw.W("NEXTVAL", "CURRVAL"), Rw.Sy('('),
         seqNameLit, Rw.Sy(')')) { c =>
-      val s = sequences(c(1).toLowerCase)
+      val s = seqOrFail(c(1))
       if (c(0).equalsIgnoreCase("NEXTVAL")) s.nextVal().toString
       else s.curr.toString
     }
@@ -175,7 +226,7 @@ private[sqlfront] trait EngineSelect { this: Engine =>
     val out = Rw.rewrite(q, Rw.Kw("NEXTVAL"), Rw.Sy('('), seqNameLit,
         Rw.Sy(')')) { c =>
       val s = c(0).toLowerCase
-      val seq = sequences(s)
+      val seq = seqOrFail(s)
       val k = bySeq(s)
       val j = occIdx.getOrElse(s, 0); occIdx(s) = j + 1
       s"(${seq.next} + ($rn * ${k * seq.inc} + ${j * seq.inc}))"
@@ -367,7 +418,10 @@ private[sqlfront] trait EngineSelect { this: Engine =>
         pkg.map(v => s" PACKAGE '$v'").getOrElse("") +
           code.map(v => s" GENERATE CODE '$v'").getOrElse("")
       }.getOrElse("")
-      s"CREATE TABLE $name (${cols.mkString(", ")})$cg;"
+      // storage prefix + ON COMMIT tail round-trip (Parser.java:3969-3987)
+      val st = tableStorage.get(name).map(_ + " ").getOrElse("")
+      val oc = onCommitActions.get(name).map(a => s" ON COMMIT $a").getOrElse("")
+      s"CREATE ${st}TABLE $name (${cols.mkString(", ")})$oc$cg;"
     }
     val seqs = sequences.toSeq.map { case (n, s) =>
       s"CREATE SEQUENCE $n START WITH ${s.next} INCREMENT BY ${s.inc}" +
@@ -459,6 +513,9 @@ private[sqlfront] trait EngineSelect { this: Engine =>
     }
     notNullCols.remove(from).foreach(notNullCols(to) = _)
     colDefaults.remove(from).foreach(colDefaults(to) = _)
+    tableStorage.remove(from).foreach(tableStorage(to) = _)
+    onCommitActions.remove(from).foreach(onCommitActions(to) = _)
+    tableCodegen.remove(from).foreach(tableCodegen(to) = _)
     register(to, df)
   }
 

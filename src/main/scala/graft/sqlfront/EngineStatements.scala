@@ -314,6 +314,13 @@ private[sqlfront] trait EngineStatements { this: Engine =>
   private[sqlfront] val alterRenameColRe =
     P(Kw("ALTER", "TABLE"), Ident, AltKw(Seq("ALTER"), Seq("MODIFY")),
       Opt("COLUMN"), Ident, Kw("RENAME", "TO"), Ident, Eos)
+  // MySQL `CHANGE [COLUMN] old new type` (Parser.java:5333-5345): a pure
+  // rename — "new column type ignored. RENAME and MODIFY are a single
+  // command in MySQL but two different commands in H2." The type must be
+  // present (parseColumnForTable) but is deliberately not applied.
+  private[sqlfront] val alterChangeColRe =
+    P(Kw("ALTER", "TABLE"), Ident, Kw("CHANGE"), Opt("COLUMN"),
+      Ident, Ident, RestNonEmpty)
   private[sqlfront] val alterColSetDefaultRe =
     P(Kw("ALTER", "TABLE"), Ident, AltKw(Seq("ALTER"), Seq("MODIFY")),
       Opt("COLUMN"), Ident, Kw("SET", "DEFAULT"), RestNonEmpty)

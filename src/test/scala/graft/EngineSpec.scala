@@ -1271,4 +1271,78 @@ class EngineSpec extends SparkSpec {
     assert(got == "01:02:03.123456",
       s"nanos must truncate to TIME(6) micros, got $got")
   }
+
+  test("storage prefixes + DECLARE + ON COMMIT (Parser.java:367,3969-3987)") {
+    val e = freshEngine
+    // all six head shapes parse; the storage tier maps to Spark uniformly
+    e.sql("CREATE MEMORY TABLE mem1 (x int)")
+    e.sql("CREATE CACHED TABLE c1 (x int)")
+    e.sql("CREATE GLOBAL TEMPORARY TABLE gt1 (x int) NOT PERSISTENT")
+    e.sql("CREATE LOCAL TEMPORARY TABLE lt1 (x int) ON COMMIT DROP")
+    e.sql("CREATE TEMP TABLE tt1 (x int) ON COMMIT DELETE ROWS")
+    e.sql("DECLARE GLOBAL TEMPORARY TABLE dg1 (x int)") // DECLARE = CREATE
+    // SCRIPT round-trips the prefix (bare TEMP reads as GLOBAL TEMPORARY,
+    // Parser.java:3984-3986) and the ON COMMIT tail
+    val ddl = e.sql("SCRIPT").collect().map(_.getString(0)).toSeq
+    assert(ddl.exists(_.startsWith("CREATE MEMORY TABLE mem1")), ddl)
+    assert(ddl.exists(_.startsWith("CREATE CACHED TABLE c1")), ddl)
+    assert(ddl.exists(_.startsWith("CREATE GLOBAL TEMPORARY TABLE tt1")), ddl)
+    assert(ddl.exists(s => s.startsWith("CREATE LOCAL TEMPORARY TABLE lt1")
+      && s.contains("ON COMMIT DROP")), ddl)
+    // ON COMMIT semantics inside BEGIN…COMMIT: DROP removes the table,
+    // DELETE ROWS truncates and stays armed for the next commit
+    e.sql("SET AUTOCOMMIT OFF")
+    e.sql("INSERT INTO lt1 VALUES (7)")
+    e.sql("INSERT INTO tt1 VALUES (9)")
+    e.sql("COMMIT")
+    assert(!e.tableNames.contains("lt1"))
+    assert(e.sql("SELECT count(*) FROM tt1").head().getLong(0) == 0)
+    e.sql("INSERT INTO tt1 VALUES (10)")
+    e.sql("COMMIT")
+    assert(e.sql("SELECT count(*) FROM tt1").head().getLong(0) == 0)
+    e.sql("SET AUTOCOMMIT ON")
+    // ON COMMIT on a non-temp table is rejected (grammar: temp branch only)
+    val err = intercept[Exception](
+      e.sql("CREATE TABLE oops (x int) ON COMMIT DROP"))
+    assert(err.getMessage.contains("TEMPORARY"), err.getMessage)
+  }
+
+  test("MySQL CHANGE COLUMN renames, type ignored (Parser.java:5333-5345)") {
+    val e = freshEngine
+    e.sql("CREATE TABLE cc (a int, b varchar(5))")
+    e.sql("INSERT INTO cc VALUES (1, 'x')")
+    // the declared new type (varchar(20)) is deliberately NOT applied —
+    // the reference's documented MySQL-compat behavior is rename-only
+    e.sql("ALTER TABLE cc CHANGE COLUMN b bb varchar(20)")
+    assert(e.sql("SELECT bb FROM cc").head().getString(0) == "x")
+    assert(!e.sql("SELECT * FROM cc").columns.contains("b"))
+    // bare CHANGE (no COLUMN keyword) and unknown column errors
+    e.sql("ALTER TABLE cc CHANGE bb b3 int")
+    assert(e.sql("SELECT b3 FROM cc").head().getString(0) == "x") // still str
+    val err = intercept[Exception](e.sql("ALTER TABLE cc CHANGE nope n2 int"))
+    assert(err.getMessage.contains("COLUMN_NOT_FOUND"), err.getMessage)
+  }
+
+  test("FOR UPDATE / FOR READ|FETCH ONLY tails accepted (Parser.java:1576-1589)") {
+    val e = freshEngine
+    e.sql("CREATE TABLE fu (a int, b varchar(5))")
+    e.sql("INSERT INTO fu VALUES (1, 'x'), (2, 'y')")
+    // row locks are a no-op on single-statement snapshots — result identical
+    assert(e.sql("SELECT * FROM fu FOR UPDATE").count() == 2)
+    assert(e.sql("SELECT * FROM fu FOR UPDATE OF a, b NOWAIT").count() == 2)
+    assert(e.sql("SELECT a FROM fu FOR READ ONLY").count() == 2)
+    assert(e.sql("SELECT a FROM fu FOR FETCH ONLY").count() == 2)
+    // a FOR UPDATE inside a string literal is data, not a clause
+    assert(e.sql("SELECT 'FOR UPDATE' AS s FROM fu").head().getString(0)
+      == "FOR UPDATE")
+    // malformed tails still fail (the strip only matches the exact clause)
+    intercept[Exception](e.sql("SELECT a FROM fu FOR UPDATE OF"))
+  }
+
+  test("sequence not found carries the reference's error text") {
+    val e = freshEngine
+    val err = intercept[Exception](
+      e.sql("SELECT NEXTVAL('nosuch') FROM SYSTEM_RANGE(1,1)"))
+    assert(err.getMessage.contains("\"NOSUCH\" not found"), err.getMessage)
+  }
 }
