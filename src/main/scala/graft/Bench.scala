@@ -91,6 +91,7 @@ object Bench {
     "m06_audio_dedup" -> 0.571,
     "m07_image_phash" -> 1.063,
     "t33_quality_classifier" -> 0.259,
+    "t34_dsir_select" -> 0.430,
     "p01_corpus_prep" -> 5.086,
     "p02_embedding_prep" -> 0.881,
     "p03_media_prep" -> 2.460,
@@ -153,6 +154,7 @@ object Bench {
     "m06_audio_dedup",           // media: audio PCM-checksum dedup
     "m07_image_phash",           // media: perceptual aHash over real decodes
     "t33_quality_classifier",    // quality: learned hashed-gram NB apply
+    "t34_dsir_select",           // selection: DSIR Gumbel-top-k resampling
     "p01_corpus_prep",           // composed: end-to-end corpus prep
     "p02_embedding_prep",        // composed: embedding prep
     "p03_media_prep",            // composed: media prep (real codecs)

@@ -1081,6 +1081,25 @@ object TextAnalysis {
     * re-running it on the same data reproduces bit-identical doubles. */
   def qualityClassifierFit(df: DataFrame, textCol: String, label: Column,
       dim: Int = 1024, maxN: Int = 2): (Array[Double], Double) = {
+    val (pos, neg, posDocs, negDocs) =
+      hashedGramClassCounts(df, textCol, label, dim, maxN)
+    val posTot = pos.sum; val negTot = neg.sum
+    val w = Array.tabulate(dim)(b =>
+      math.log((pos(b) + 1.0) / (posTot + dim)) -
+        math.log((neg(b) + 1.0) / (negTot + dim)))
+    (w, math.log((posDocs + 1.0) / (negDocs + 1.0)))
+  }
+
+  /** The shared gram-level class-count aggregate of
+    * [[qualityClassifierFit]] and [[dsirFit]]: per hashed-gram bucket,
+    * the occurrence counts in label-true vs label-false documents, plus
+    * the per-class DOCUMENT counts via the sentinel bucket `dim`. ONE
+    * aggregate, ≤ dim+1 result rows on the driver (partial map-side
+    * combine collapses each partition before the single shuffle — the
+    * 100 TB fit shape). */
+  private def hashedGramClassCounts(df: DataFrame, textCol: String,
+      label: Column, dim: Int, maxN: Int)
+      : (Array[Long], Array[Long], Long, Long) = {
     require(dim > 0 && (dim & (dim - 1)) == 0, s"dim must be a power of two")
     val buckets = graft.functions.TextHashExprs.hashedGramBuckets(
       normalize(col(textCol)), dim, maxN)
@@ -1096,17 +1115,86 @@ object TextAnalysis {
       .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("__pos"),
         sum(when(col("__y"), 0L).otherwise(1L)).as("__neg"))
       .collect() // bounded: ≤ dim+1 rows (the gram-level model aggregate)
-    var posDocs = 0L; var negDocs = 0L; var posTot = 0L; var negTot = 0L
+    var posDocs = 0L; var negDocs = 0L
     val pos = new Array[Long](dim); val neg = new Array[Long](dim)
     rows.foreach { r =>
       val b = r.getInt(0); val p = r.getLong(1); val g = r.getLong(2)
       if (b == dim) { posDocs = p; negDocs = g }
-      else { pos(b) = p; neg(b) = g; posTot += p; negTot += g }
+      else { pos(b) = p; neg(b) = g }
     }
-    val w = Array.tabulate(dim)(b =>
-      math.log((pos(b) + 1.0) / (posTot + dim)) -
-        math.log((neg(b) + 1.0) / (negTot + dim)))
-    (w, math.log((posDocs + 1.0) / (negDocs + 1.0)))
+    (pos, neg, posDocs, negDocs)
+  }
+
+  /** FIT of DSIR importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): two bag-of-hashed-
+    * ngrams models — the TARGET distribution p̂ (documents matching the
+    * `target` label, e.g. a trusted source) and the RAW distribution q̂
+    * (the WHOLE corpus, target included — DSIR's raw side is the source
+    * pool itself, unlike the NB classifier's complement class) — each
+    * Laplace-smoothed over the same `dim` hashed buckets. The per-bucket
+    * log importance ratio ln p̂(b) − ln q̂(b) is the model; a document's
+    * log importance weight is its feature-count dot product with it.
+    * Same single gram-level aggregate as the classifier fit; exact long
+    * counts through math.log make the fit deterministic. */
+  def dsirFit(df: DataFrame, textCol: String, target: Column,
+      dim: Int = 1024, maxN: Int = 2): Array[Double] = {
+    val (pos, neg, _, _) =
+      hashedGramClassCounts(df, textCol, target, dim, maxN)
+    val tgtTot = pos.sum; val allTot = tgtTot + neg.sum
+    Array.tabulate(dim)(b =>
+      math.log((pos(b) + 1.0) / (tgtTot + dim)) -
+        math.log((pos(b) + neg(b) + 1.0) / (allTot + dim)))
+  }
+
+  /** Discretized Gumbel(0,1) noise table for [[dsirSelect]]: level q of
+    * [[dsirGumbelLevels]] carries −ln(−ln((q+0.5)/L)). Computed ONCE in
+    * Scala and inlined as plan/SQL literals on BOTH sides (the t33
+    * trained-weight discipline) — query-time `ln` is the one op Java and
+    * DuckDB libm disagree on by 1 ulp, so neither engine runs it. 4096
+    * levels is noise resolution, not sample size: ties broken by id. */
+  val dsirGumbelLevels = 4096
+  lazy val dsirGumbelTable: IndexedSeq[Double] =
+    IndexedSeq.tabulate(dsirGumbelLevels)(q =>
+      -math.log(-math.log((q + 0.5) / dsirGumbelLevels.toDouble)))
+
+  /** APPLY + SELECT of DSIR: score every document's log importance
+    * weight with the zero-exchange [[graft.functions.TextHashExprs
+    * .hashedGramScore]] kernel (bias 0 — gram-less docs score 0), then
+    * Gumbel-top-k importance RESAMPLING without replacement (Xie et al.
+    * §2.3): sel_key = logw + Gumbel(0,1), the noise looked up from the
+    * [[dsirGumbelTable]] literal at a level derived from the same
+    * deterministic Knuth hash mix as [[Sampling.prioritySample]] —
+    * re-runs agree exactly and the DOUBLE keys hash-verify against the
+    * SQL twin (one literal lookup + one add; no query-time
+    * transcendentals). The k winners are marked via a threshold
+    * broadcast: a distributed top-k (TakeOrderedAndProject —
+    * per-partition heaps, no global sort) yields the k-th (key, id)
+    * boundary, k driver rows, and `selected` is a pure comparison in the
+    * same scan — no global window at 100 TB. Ties on the boundary key
+    * break by smaller id, matching the top-k ordering. */
+  def dsirSelect(df: DataFrame, idCol: String, textCol: String,
+      weights: Array[Double], k: Int, maxN: Int = 2): DataFrame = {
+    require(k > 0, "k must be positive")
+    val lvl = pmod(pmod(col(idCol).cast("long"), lit(1000000L)) *
+      lit(2654435761L), lit(1000000L)) % lit(dsirGumbelLevels.toLong)
+    val scored = df.select(col(idCol),
+        graft.functions.TextHashExprs.hashedGramScore(
+          normalize(col(textCol)), weights, 0.0, maxN).as("dsir_logw"),
+        lvl.as("__lvl"))
+      .withColumn("sel_key", col("dsir_logw") +
+        element_at(typedLit(dsirGumbelTable), (col("__lvl") + 1).cast("int")))
+      .drop("__lvl")
+      .transform(graft.core.Checkpoint.cut) // feeds boundary AND output
+    val top = scored.orderBy(col("sel_key").desc, col(idCol)).limit(k)
+      .select(col("sel_key"), col(idCol).cast("long")).collect()
+    if (top.length < k) scored.withColumn("selected", lit(true))
+    else {
+      val thrKey = top.map(_.getDouble(0)).min
+      val thrId = top.filter(_.getDouble(0) == thrKey).map(_.getLong(1)).max
+      scored.withColumn("selected",
+        col("sel_key") > lit(thrKey) ||
+          (col("sel_key") === lit(thrKey) && col(idCol) <= lit(thrId)))
+    }
   }
 
   /** APPLY of the learned quality classifier: one zero-exchange codegen

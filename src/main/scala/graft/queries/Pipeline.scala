@@ -767,10 +767,24 @@ object Pipeline {
       dim: Int, maxN: Int): String = {
     require(maxN == 2, "oracle emits exactly the unigram+bigram streams")
     val (w, bias) = clfModel(s, dir, dim, maxN)
-    val wl = dlistSql(w.toIndexedSeq)
     val b = s"CAST('$bias' AS DOUBLE)"
     s"""
-        WITH dls AS (
+        WITH ${hashedGramScoreCtes(w.toIndexedSeq, b, dim)}
+        SELECT d.doc_id, COALESCE(f.sc, $b) AS clf_score,
+          COALESCE(f.sc, $b) > 0.0 AS clf_keep
+        FROM documents d LEFT JOIN folded f ON f.doc_id = d.doc_id"""
+  }
+
+  /** The shared hashed-gram scoring CTE chain of the t33 classifier and
+    * t34 DSIR oracles: gram streams → per-(doc, DISTINCT gram) counts →
+    * one [[XxhSql]] chain per distinct gram → bucket = unsigned hu mod
+    * dim → the `bias`-seeded bucket-ascending double fold (the t28
+    * sorted-fold discipline). Ends at CTE `folded(doc_id, sc)`; gram-less
+    * docs are absent (callers LEFT JOIN and COALESCE to the bare bias). */
+  private def hashedGramScoreCtes(w: IndexedSeq[Double], bias: String,
+      dim: Int): String = {
+    val wl = dlistSql(w)
+    s"""dls AS (
           SELECT doc_id, list_filter(string_split(
             trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), ' '),
             x -> len(x) > 0) AS toksl
@@ -801,15 +815,57 @@ object Pipeline {
           FROM docgram g JOIN th h USING (tok) GROUP BY 1, 2),
         folded AS (
           SELECT g.doc_id,
-            list_reduce(list_prepend($b,
+            list_reduce(list_prepend($bias,
               list_transform(list_sort(list(struct_pack(bk := g.bk,
                 c := CAST(g.cnt AS DOUBLE) * wt.w))), x -> x.c)),
               (a, x) -> a + x) AS sc
           FROM bucketed g JOIN wt USING (bk)
-          GROUP BY g.doc_id)
-        SELECT d.doc_id, COALESCE(f.sc, $b) AS clf_score,
-          COALESCE(f.sc, $b) > 0.0 AS clf_keep
-        FROM documents d LEFT JOIN folded f ON f.doc_id = d.doc_id"""
+          GROUP BY g.doc_id)"""
+  }
+
+  /** Trained DSIR log importance ratios, memoized per (dir, dim, maxN) —
+    * same shared-state discipline as [[clfModel]]. Target distribution =
+    * the src0/src1 documents (the "trusted sources" seed). */
+  private val dsirCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Int, Int), Array[Double]]
+  private def dsirModel(s: SparkSession, dir: String,
+      dim: Int, maxN: Int): Array[Double] =
+    dsirCache.getOrElseUpdate((dir, dim, maxN),
+      TextAnalysis.dsirFit(t(s, dir, "documents"), "text",
+        col("source").isin("src0", "src1"), dim, maxN))
+
+  /** DuckDB twin of [[TextAnalysis.dsirSelect]] (t34): the shared scoring
+    * chain with bias 0, the Gumbel noise joined from the SAME
+    * [[TextAnalysis.dsirGumbelTable]] literals the engine's plan carries
+    * (no query-time ln on either side), and the top-k mark via ROW_NUMBER
+    * (the oracle may use a window; the engine uses the threshold-broadcast
+    * shape — same k winners by construction, ties broken by smaller
+    * doc_id on both sides). */
+  private def dsirOracle(s: SparkSession, dir: String,
+      dim: Int, maxN: Int, k: Int): String = {
+    require(maxN == 2, "oracle emits exactly the unigram+bigram streams")
+    val w = dsirModel(s, dir, dim, maxN)
+    val z = "CAST('0.0' AS DOUBLE)"
+    val lvls = TextAnalysis.dsirGumbelLevels
+    val gl = dlistSql(TextAnalysis.dsirGumbelTable)
+    s"""
+        WITH ${hashedGramScoreCtes(w.toIndexedSeq, z, dim)},
+        scored AS (
+          SELECT d.doc_id, COALESCE(f.sc, $z) AS dsir_logw
+          FROM documents d LEFT JOIN folded f ON f.doc_id = d.doc_id),
+        gq AS MATERIALIZED (
+          SELECT CAST(range AS INT) AS lvl,
+                 ($gl)[CAST(range AS INT)+1] AS g
+          FROM range(0, $lvls)),
+        keyed AS (
+          SELECT doc_id, dsir_logw, dsir_logw + gq.g AS sel_key
+          FROM scored JOIN gq ON gq.lvl = CAST(
+            ((((doc_id % 1000000) + 1000000) % 1000000)
+               * 2654435761) % 1000000 % $lvls AS INT))
+        SELECT doc_id, dsir_logw, sel_key,
+          (ROW_NUMBER() OVER (ORDER BY sel_key DESC, doc_id)) <= $k
+            AS selected
+        FROM keyed"""
   }
 
   /** Trained IVF centroids, memoized per (dir, k, seed): the s03 query and
@@ -3331,6 +3387,25 @@ object Pipeline {
       None,
       oracleGen = Some((s, dir) =>
         qualityClassifierOracle(s, dir, dim = 1024, maxN = 2))),
+
+    // ---- DSIR importance resampling (t34): Xie et al. 2023 — the
+    // data-selection workhorse behind domain-matched pretraining mixes.
+    // Fit = ONE gram-level aggregate (target p̂ = src0/src1 docs vs raw
+    // q̂ = the whole corpus, Laplace-smoothed over 1024 hashed buckets);
+    // apply = the zero-exchange hashedGramScore kernel per document;
+    // select = Gumbel-top-k importance resampling with deterministic
+    // hash-derived noise, winners marked via a distributed-top-k
+    // threshold broadcast (no global window). DOUBLE log-weights and
+    // keys hash-verify against the DuckDB twin.
+    Q("t34_dsir_select",
+      (s, dir) => {
+        val w = dsirModel(s, dir, dim = 1024, maxN = 2)
+        TextAnalysis.dsirSelect(t(s, dir, "documents"), "doc_id", "text",
+          w, k = 25, maxN = 2)
+      },
+      None,
+      oracleGen = Some((s, dir) =>
+        dsirOracle(s, dir, dim = 1024, maxN = 2, k = 25))),
 
     // ---- Full quality funnel (p05): the production DCLM/FineWeb shape —
     // the three RULE gates (p04's fusion) plus the LEARNED classifier

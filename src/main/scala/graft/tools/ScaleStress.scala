@@ -458,6 +458,27 @@ object ScaleStress {
       TextAnalysis.qualityClassifierScore(big, "doc_id", "text", clfW, clfB)
         .agg(count(lit(1)), sum(col("clf_keep").cast("long"))).head()
     }
+    // DSIR select at 10x (t34): fit once on the 1x corpus; the apply is
+    // per-row text-pure, the Gumbel noise is per-ID (clones get fresh
+    // noise — resampling the bigger pool, the intended semantics), and
+    // the threshold-broadcast selection must mark EXACTLY k winners with
+    // a clean boundary (every selected key >= every unselected key,
+    // tiebreak by id)
+    val dsirW = TextAnalysis.dsirFit(docsFull, "text",
+      col("source").isin("src0", "src1"), dim = 1024, maxN = 2)
+    val ds10 = time("dsir-select-50k") {
+      TextAnalysis.dsirSelect(bigSrc, "doc_id", "text", dsirW, k = 250)
+        .agg(count(lit(1)), sum(col("selected").cast("long")),
+          min(when(col("selected"), col("sel_key"))),
+          max(when(!col("selected"), col("sel_key")))).head()
+    }
+    println("[stress] dsir rows=" + ds10.getLong(0) +
+      " selected=" + ds10.getLong(1) +
+      " boundary=" + ds10.getDouble(2) + "/" + ds10.getDouble(3))
+    require(ds10.getLong(0) == 50000L && ds10.getLong(1) == 250L &&
+      ds10.getDouble(2) >= ds10.getDouble(3),
+      "dsir selection boundary drifted at 10x")
+
     println("[stress] clf rows=" + cl10.getLong(0) + "/" + cl1.getLong(0) +
       " keep=" + cl10.getLong(1) + "/" + cl1.getLong(1))
     require(cl10.getLong(0) == cl1.getLong(0) * 10 &&

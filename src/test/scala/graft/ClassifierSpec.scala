@@ -78,6 +78,35 @@ class ClassifierSpec extends SparkSpec {
     assert(m(true) > m(false), s"NB failed to separate its own labels: $m")
   }
 
+  test("DSIR: fit deterministic, target docs weigh heavier, select marks " +
+      "exactly k with the boundary tiebreak") {
+    val target = col("source").isin("src0", "src1")
+    val w1 = TextAnalysis.dsirFit(docs, "text", target, dim = 256, maxN = 2)
+    val w2 = TextAnalysis.dsirFit(docs, "text", target, dim = 256, maxN = 2)
+    assert(w1.toSeq == w2.toSeq) // exact long counts through math.log
+    val sel = TextAnalysis.dsirSelect(docs, "doc_id", "text", w1, k = 25,
+      maxN = 2)
+    // exactly k winners; the whole corpus stays in the output
+    assert(sel.count() == docs.count())
+    assert(sel.filter(col("selected")).count() == 25)
+    // importance sanity: mean log-weight of target docs exceeds non-target
+    // (the ratio model is trained to prefer exactly these documents)
+    val m = sel.join(docs.select(col("doc_id"), target.as("y")), Seq("doc_id"))
+      .groupBy(col("y")).agg(avg(col("dsir_logw")).as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(m(true) > m(false), s"DSIR failed to prefer its target: $m")
+    // the selected set is exactly the top-k of (sel_key DESC, doc_id ASC)
+    val byKey = sel.orderBy(col("sel_key").desc, col("doc_id"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).take(25).toSet
+    val marked = sel.filter(col("selected"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(marked == byKey)
+    // k >= corpus → everything selected (the short-corpus guard)
+    val tiny = docs.limit(3)
+    assert(TextAnalysis.dsirSelect(tiny, "doc_id", "text", w1, k = 25)
+      .filter(col("selected")).count() == 3)
+  }
+
   test("gram-less input scores exactly the bias; null text → null score") {
     val w = Array.fill(16)(1.0)
     val df = Seq((1L, Some("")), (2L, Some("one two")), (3L, None))
