@@ -680,7 +680,6 @@ final class Engine(val spark: SparkSession)
       return if (head == "DECLARE" && ts.length > 1)
         "CREATE " + stmt.substring(ts(1).start)
       else stmt
-    if (head == "CREATE" && mem.isEmpty && tmp.isEmpty) return stmt
     var j = i + 1
     if (word(j) == "IF" && word(j + 1) == "NOT" && word(j + 2) == "EXISTS")
       j += 3
@@ -688,6 +687,14 @@ final class Engine(val spark: SparkSession)
       if (j < ts.length) ts(j).text(stmt).stripPrefix("\"").stripSuffix("\"")
         .toLowerCase
       else ""
+    // EVERY create-table head clears stale storage metadata first: a
+    // prefixed create that died with a ROLLBACK (these maps are not
+    // snapshotted) must not leak its prefix onto a later plain CREATE
+    // TABLE of the same name via SCRIPT
+    if (tn.nonEmpty && !tables.contains(tn)) {
+      tableStorage.remove(tn); onCommitActions.remove(tn)
+    }
+    if (head == "CREATE" && mem.isEmpty && tmp.isEmpty) return stmt
     val prefix = Seq(mem, tmp).filter(_.nonEmpty).mkString(" ")
     if (tn.nonEmpty && prefix.nonEmpty) tableStorage(tn) = prefix
     "CREATE " + stmt.substring(ts(i).start)
@@ -1380,8 +1387,7 @@ final class Engine(val spark: SparkSession)
           cycle = o.cycle.getOrElse(false), belongsToTable = o.belongsToTable)
         status()
       case alterSeqRe(name, rest) =>
-        val s = sequences.getOrElse(name.toLowerCase,
-          throw new IllegalArgumentException(s"sequence not found: $name"))
+        val s = seqOrFail(name)
         val o = parseSeqOptions(Option(rest).getOrElse(""))
         // AlterSequence semantics (Sequence.java:103-126): provided values
         // replace, RESTART WITH resets the live value, then re-validate

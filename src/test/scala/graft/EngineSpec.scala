@@ -1305,6 +1305,18 @@ class EngineSpec extends SparkSpec {
     val err = intercept[Exception](
       e.sql("CREATE TABLE oops (x int) ON COMMIT DROP"))
     assert(err.getMessage.contains("TEMPORARY"), err.getMessage)
+    // a prefixed create that died with ROLLBACK (storage metadata is not
+    // snapshotted) must not leak its prefix onto a later plain CREATE of
+    // the same name via SCRIPT
+    e.sql("SET AUTOCOMMIT OFF")
+    e.sql("CREATE MEMORY TABLE leak1 (x int)")
+    e.sql("ROLLBACK")
+    e.sql("SET AUTOCOMMIT ON")
+    assert(!e.tableNames.contains("leak1"))
+    e.sql("CREATE TABLE leak1 (x int)")
+    val ddl2 = e.sql("SCRIPT").collect().map(_.getString(0))
+    assert(ddl2.exists(_.startsWith("CREATE TABLE leak1")), ddl2.toSeq)
+    assert(!ddl2.exists(_.startsWith("CREATE MEMORY TABLE leak1")), ddl2.toSeq)
   }
 
   test("MySQL CHANGE COLUMN renames, type ignored (Parser.java:5333-5345)") {

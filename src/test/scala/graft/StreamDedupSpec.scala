@@ -194,4 +194,60 @@ class StreamDedupSpec extends SparkSpec {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("full quality funnel (rules + learned classifier + DSIR weight) " +
+      "runs unchanged on readStream — the fit-offline/apply-on-ingest shape") {
+    import graft.operators.TextAnalysis
+    val corpus = Seq(
+      (1L, "the cat sat and that dog ran to be of it " +
+        (1 to 60).map(i => s"word$i").mkString(" ")),
+      (2L, "dup line\ndup line\n" + Seq.fill(6)("a b").mkString(" ")),
+      (3L, "short one"),
+      (4L, "the cat and the dog sat to be of it in a house with " +
+        (1 to 50).map(i => s"tok$i").mkString(" "))).toDF("doc_id", "text")
+    // models fit OFFLINE on the static corpus (exact long counts →
+    // deterministic weights); the stream applies them as plan literals —
+    // the deployment shape: refit on snapshots, score every ingested row
+    val label = TextAnalysis.gopherSignals(col("text"), minStopHits = 1L).last
+    val (clfW, clfB) = TextAnalysis.qualityClassifierFit(corpus, "text",
+      label, dim = 256, maxN = 2)
+    val dsirW = TextAnalysis.dsirFit(corpus, "text", $"doc_id" <= 2,
+      dim = 256, maxN = 2)
+    def funnel(df: org.apache.spark.sql.DataFrame) = {
+      val c4 = TextAnalysis.c4Signals(col("text"))
+      val staged = df.select(col("doc_id"),
+        TextAnalysis.gopherSignals(col("text"), minStopHits = 1L).last,
+        c4.last,
+        graft.functions.TextHashExprs.gopherRepetition(col("text")).as("__r"),
+        graft.functions.TextHashExprs.hashedGramScore(
+          Dedup.normalize(col("text")), clfW, clfB, maxN = 2).as("clf_score"),
+        graft.functions.TextHashExprs.hashedGramScore(
+          Dedup.normalize(col("text")), dsirW, 0.0, maxN = 2).as("dsir_logw"))
+      val repPass = TextAnalysis.gopherRepetitionBars.zipWithIndex
+        .map { case (bar, i) => element_at(col("__r"), i + 1) <= bar }
+        .reduce(_ && _)
+      staged.select(col("doc_id"), col("gopher_pass"),
+        repPass.as("rep_pass"), col("c4_keep"), col("clf_score"),
+        col("dsir_logw"),
+        (col("gopher_pass") && repPass && col("c4_keep") &&
+          col("clf_score") > lit(0.0)).as("keep"))
+    }
+    val batch = funnel(corpus).collect().map(_.toString).sorted.toSeq
+    val dir = Files.createTempDirectory("graft_sqfun").toFile.getAbsolutePath
+    corpus.filter($"doc_id" <= 2).coalesce(1).write.mode("overwrite").parquet(dir)
+    val q = funnel(spark.readStream.schema(corpus.schema).parquet(dir))
+      .writeStream.format("memory").queryName("graft_stream_funnel")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      q.processAllAvailable()
+      corpus.filter($"doc_id" > 2).coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val streamed = spark.table("graft_stream_funnel")
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed == batch)
+      // stateless by construction: no stateful operator may appear
+      assert(q.lastProgress == null ||
+        q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
 }
