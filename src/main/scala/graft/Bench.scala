@@ -92,6 +92,7 @@ object Bench {
     "m07_image_phash" -> 1.063,
     "t33_quality_classifier" -> 0.259,
     "t34_dsir_select" -> 0.430,
+    "t35_langid_learned" -> 0.452,
     "p01_corpus_prep" -> 5.086,
     "p02_embedding_prep" -> 0.881,
     "p03_media_prep" -> 2.460,
@@ -155,6 +156,7 @@ object Bench {
     "m07_image_phash",           // media: perceptual aHash over real decodes
     "t33_quality_classifier",    // quality: learned hashed-gram NB apply
     "t34_dsir_select",           // selection: DSIR Gumbel-top-k resampling
+    "t35_langid_learned",        // quality: learned multiclass lang-id
     "p01_corpus_prep",           // composed: end-to-end corpus prep
     "p02_embedding_prep",        // composed: embedding prep
     "p03_media_prep",            // composed: media prep (real codecs)

@@ -1146,6 +1146,74 @@ object TextAnalysis {
         math.log((pos(b) + neg(b) + 1.0) / (allTot + dim)))
   }
 
+  /** FIT of the learned language identifier (the fastText-lid shape at
+    * word granularity): MULTICLASS multinomial Naive Bayes over the same
+    * hashed word-gram feature space as the quality classifier — one
+    * weight vector and prior per language. ONE gram-level aggregate with
+    * a per-class count column (classes are a bounded label universe,
+    * collected first); the sentinel bucket `dim` carries per-class
+    * DOCUMENT counts for the priors. ≤ dim+1 result rows; weights embed
+    * as plan literals. Exact long counts through math.log — the fit is
+    * deterministic. Returns (label, weights, logPrior) sorted by label
+    * (the tie-break order of [[langIdScore]]). */
+  def langIdFit(df: DataFrame, textCol: String, labelCol: String,
+      dim: Int = 256, maxN: Int = 2): Seq[(String, Array[Double], Double)] = {
+    require(dim > 0 && (dim & (dim - 1)) == 0, s"dim must be a power of two")
+    val classes = df.select(col(labelCol).cast("string")).na.drop()
+      .distinct().collect().map(_.getString(0)).sorted // bounded label set
+    require(classes.nonEmpty, s"no non-null labels in $labelCol")
+    val buckets = graft.functions.TextHashExprs.hashedGramBuckets(
+      normalize(col(textCol)), dim, maxN)
+    val aggs = classes.toIndexedSeq.map(c =>
+      sum(when(col("__y") === c, 1L).otherwise(0L)).as(s"__c_$c"))
+    val rows = df.select(col(textCol), col(labelCol).cast("string").as("__y"))
+      .select(col("__y"),
+        explode(concat(buckets, array(lit(dim)))).as("__b"))
+      .groupBy(col("__b")).agg(aggs.head, aggs.tail: _*)
+      .collect() // bounded: ≤ dim+1 rows (the gram-level model aggregate)
+    val cnt = classes.map(_ => new Array[Long](dim))
+    val docs = new Array[Long](classes.length)
+    rows.foreach { r =>
+      val b = r.getInt(0)
+      classes.indices.foreach { i =>
+        val v = r.getLong(i + 1)
+        if (b == dim) docs(i) = v else cnt(i)(b) = v
+      }
+    }
+    val totalDocs = docs.sum
+    classes.indices.map { i =>
+      val tot = cnt(i).sum
+      val w = Array.tabulate(dim)(b =>
+        math.log((cnt(i)(b) + 1.0) / (tot + dim)))
+      (classes(i), w,
+        math.log((docs(i) + 1.0) / (totalDocs.toDouble + classes.length)))
+    }.toSeq
+  }
+
+  /** APPLY of the learned language identifier: one zero-exchange scan
+    * with C [[graft.functions.TextHashExprs.hashedGramScore]] kernel
+    * columns (whole-stage codegen's subexpression elimination shares the
+    * gram stream) and the argmax resolved as first-maximum in
+    * label-ascending order (coalesced WHENs — a deterministic tie-break
+    * the SQL twin reproduces with the same CASE chain). Passthrough
+    * columns ride along so callers can compare pred vs truth without a
+    * join. */
+  def langIdScore(df: DataFrame, idCol: String, textCol: String,
+      models: Seq[(String, Array[Double], Double)],
+      passthrough: Seq[String] = Nil, maxN: Int = 2): DataFrame = {
+    require(models.nonEmpty)
+    val norm = normalize(col(textCol))
+    val scoreCols = models.map { case (lbl, w, b) =>
+      graft.functions.TextHashExprs.hashedGramScore(norm, w, b, maxN)
+        .as(s"score_$lbl") }
+    val scored = df.select(
+      (col(idCol) +: passthrough.map(col)) ++ scoreCols: _*)
+    val best = greatest(models.map(m => col(s"score_${m._1}")): _*)
+    val pred = coalesce(models.map(m =>
+      when(col(s"score_${m._1}") === best, lit(m._1))): _*)
+    scored.withColumn("pred_lang", pred)
+  }
+
   /** Discretized Gumbel(0,1) noise table for [[dsirSelect]]: level q of
     * [[dsirGumbelLevels]] carries −ln(−ln((q+0.5)/L)). Computed ONCE in
     * Scala and inlined as plan/SQL literals on BOTH sides (the t33

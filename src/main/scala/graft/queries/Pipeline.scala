@@ -775,16 +775,18 @@ object Pipeline {
         FROM documents d LEFT JOIN folded f ON f.doc_id = d.doc_id"""
   }
 
-  /** The shared hashed-gram scoring CTE chain of the t33 classifier and
-    * t34 DSIR oracles: gram streams → per-(doc, DISTINCT gram) counts →
-    * one [[XxhSql]] chain per distinct gram → bucket = unsigned hu mod
-    * dim → the `bias`-seeded bucket-ascending double fold (the t28
-    * sorted-fold discipline). Ends at CTE `folded(doc_id, sc)`; gram-less
-    * docs are absent (callers LEFT JOIN and COALESCE to the bare bias). */
-  private def hashedGramScoreCtes(w: IndexedSeq[Double], bias: String,
-      dim: Int): String = {
-    val wl = dlistSql(w)
-    s"""dls AS (
+  /** The shared hashed-gram scoring CTE chain of the t33 classifier, t34
+    * DSIR, and t35 lang-id oracles: gram streams → per-(doc, DISTINCT
+    * gram) counts → one [[XxhSql]] chain per distinct gram → bucket =
+    * unsigned hu mod dim → a `bias`-seeded bucket-ascending double fold
+    * PER MODEL (the t28 sorted-fold discipline). `models` is
+    * (suffix, weights, biasSql) — each emits `wt<suffix>` and
+    * `folded<suffix>(doc_id, sc)`; the expensive chain and the
+    * class-independent `bucketed` are shared. Gram-less docs are absent
+    * from folded (callers LEFT JOIN and COALESCE to the bare bias). */
+  private def hashedGramScoreCtesMulti(
+      models: Seq[(String, IndexedSeq[Double], String)], dim: Int): String = {
+    val shared = s"""dls AS (
           SELECT doc_id, list_filter(string_split(
             trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), ' '),
             x -> len(x) > 0) AS toksl
@@ -805,23 +807,33 @@ object Pipeline {
           GROUP BY 1, 2),
         toks AS MATERIALIZED (SELECT DISTINCT tok FROM docgram),
         ${XxhSql.chain("tok", maxBytes = 17, materialized = true)},
-        wt AS MATERIALIZED (
-          SELECT CAST(range AS INT) AS bk,
-                 ($wl)[CAST(range AS INT)+1] AS w
-          FROM range(0, $dim)),
         bucketed AS (
           SELECT g.doc_id, CAST(h.hu % $dim AS INT) AS bk,
                  SUM(g.cnt) AS cnt
-          FROM docgram g JOIN th h USING (tok) GROUP BY 1, 2),
-        folded AS (
+          FROM docgram g JOIN th h USING (tok) GROUP BY 1, 2)"""
+    val per = models.map { case (sfx, w, bias) =>
+      val wl = dlistSql(w)
+      s""",
+        wt$sfx AS MATERIALIZED (
+          SELECT CAST(range AS INT) AS bk,
+                 ($wl)[CAST(range AS INT)+1] AS w
+          FROM range(0, $dim)),
+        folded$sfx AS (
           SELECT g.doc_id,
             list_reduce(list_prepend($bias,
               list_transform(list_sort(list(struct_pack(bk := g.bk,
-                c := CAST(g.cnt AS DOUBLE) * wt.w))), x -> x.c)),
+                c := CAST(g.cnt AS DOUBLE) * wt$sfx.w))), x -> x.c)),
               (a, x) -> a + x) AS sc
-          FROM bucketed g JOIN wt USING (bk)
+          FROM bucketed g JOIN wt$sfx USING (bk)
           GROUP BY g.doc_id)"""
+    }.mkString
+    shared + per
   }
+
+  /** Single-model form (t33/t34): `wt` + `folded`, no suffix. */
+  private def hashedGramScoreCtes(w: IndexedSeq[Double], bias: String,
+      dim: Int): String =
+    hashedGramScoreCtesMulti(Seq(("", w, bias)), dim)
 
   /** Trained DSIR log importance ratios, memoized per (dir, dim, maxN) —
     * same shared-state discipline as [[clfModel]]. Target distribution =
@@ -866,6 +878,53 @@ object Pipeline {
           (ROW_NUMBER() OVER (ORDER BY sel_key DESC, doc_id)) <= $k
             AS selected
         FROM keyed"""
+  }
+
+  /** Trained multiclass lang-id models, memoized per (dir, dim, maxN) —
+    * same shared-state discipline as [[clfModel]]. Labels = the corpus
+    * `lang` column (the supervised fastText-lid setup). */
+  private val lidCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Int, Int), Seq[(String, Array[Double], Double)]]
+  private def lidModels(s: SparkSession, dir: String,
+      dim: Int, maxN: Int): Seq[(String, Array[Double], Double)] =
+    lidCache.getOrElseUpdate((dir, dim, maxN),
+      TextAnalysis.langIdFit(t(s, dir, "documents"), "text", "lang",
+        dim, maxN))
+
+  /** DuckDB twin of [[TextAnalysis.langIdScore]] (t35): one folded CTE
+    * per language over the SHARED gram/hash/bucket chain, priors+weights
+    * inlined as exact doubles, and the argmax as the same
+    * first-maximum-in-label-order CASE chain the engine's coalesced
+    * WHENs resolve — ties (possible on gram-less docs, where every score
+    * is its bare prior) break identically. */
+  private def langIdOracleGen(s: SparkSession, dir: String,
+      dim: Int, maxN: Int): String = {
+    require(maxN == 2, "oracle emits exactly the unigram+bigram streams")
+    val models = lidModels(s, dir, dim, maxN)
+    val ctes = hashedGramScoreCtesMulti(
+      models.map { case (l, w, b) =>
+        (s"_$l", w.toIndexedSeq, s"CAST('$b' AS DOUBLE)") }, dim)
+    val scoreCols = models.map { case (l, _, b) =>
+      s"COALESCE(folded_$l.sc, CAST('$b' AS DOUBLE)) AS score_$l" }
+      .mkString(",\n          ")
+    val joins = models.map { case (l, _, _) =>
+      s"LEFT JOIN folded_$l ON folded_$l.doc_id = d.doc_id" }
+      .mkString("\n          ")
+    val best = s"greatest(${models.map(m => s"score_${m._1}").mkString(", ")})"
+    val pred = "CASE " + models.map(m =>
+      s"WHEN score_${m._1} = $best THEN '${m._1}'").mkString(" ") + " END"
+    s"""
+        WITH $ctes,
+        scored AS (
+          SELECT d.doc_id, d.lang,
+          $scoreCols
+          FROM documents d
+          $joins)
+        SELECT doc_id, lang, ${models.map(m => s"score_${m._1}")
+          .mkString(", ")},
+          $pred AS pred_lang,
+          ($pred = lang) AS lang_match
+        FROM scored"""
   }
 
   /** Trained IVF centroids, memoized per (dir, k, seed): the s03 query and
@@ -3406,6 +3465,25 @@ object Pipeline {
       None,
       oracleGen = Some((s, dir) =>
         dsirOracle(s, dir, dim = 1024, maxN = 2, k = 25))),
+
+    // ---- Learned language identification (t35): the fastText-lid shape
+    // at word granularity — multiclass multinomial NB over the shared
+    // hashed-gram feature space, one weight vector + prior per language
+    // (supervised on the corpus `lang` column). Fit = ONE gram-level
+    // aggregate with per-class count columns; apply = one zero-exchange
+    // scan with C kernel columns and a first-maximum-in-label-order
+    // argmax. The per-class DOUBLE scores, the prediction, AND the
+    // truth-match flag all hash-verify against the twin.
+    Q("t35_langid_learned",
+      (s, dir) => {
+        val models = lidModels(s, dir, dim = 1024, maxN = 2)
+        TextAnalysis.langIdScore(t(s, dir, "documents"), "doc_id", "text",
+            models, passthrough = Seq("lang"), maxN = 2)
+          .withColumn("lang_match", col("pred_lang") === col("lang"))
+      },
+      None,
+      oracleGen = Some((s, dir) =>
+        langIdOracleGen(s, dir, dim = 1024, maxN = 2))),
 
     // ---- Full quality funnel (p05): the production DCLM/FineWeb shape —
     // the three RULE gates (p04's fusion) plus the LEARNED classifier

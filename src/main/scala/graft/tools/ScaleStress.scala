@@ -479,6 +479,32 @@ object ScaleStress {
       ds10.getDouble(2) >= ds10.getDouble(3),
       "dsir selection boundary drifted at 10x")
 
+    // learned lang-id at 10x (t35): fit once on the 1x corpus; pred is a
+    // pure function of the text, so the per-language match counts on the
+    // clone corpus are EXACTLY 10x the 1x counts
+    val lidM = TextAnalysis.langIdFit(docsFull, "text", "lang",
+      dim = 1024, maxN = 2)
+    val docsLang = graft.core.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val bigLang = (0 until 10).map(i =>
+        docsLang.select((col("doc_id") * 10 + i).as("doc_id"),
+          col("lang"), col("text")))
+      .reduce(_ union _)
+    def lidCounts(d: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.langIdScore(d, "doc_id", "text", lidM,
+          passthrough = Seq("lang"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("pred_lang") === col("lang")).cast("long")).as("hit"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+    val lid1 = lidCounts(docsLang)
+    val lid10 = time("langid-50k") { lidCounts(bigLang) }
+    println("[stress] langid per-lang (n,hit) 1x=" + lid1.toSeq.sorted +
+      " 10x=" + lid10.toSeq.sorted)
+    require(lid10 == lid1.map { case (k, (n, h)) => k -> (n * 10, h * 10) },
+      "lang-id clone invariance drifted")
+
     println("[stress] clf rows=" + cl10.getLong(0) + "/" + cl1.getLong(0) +
       " keep=" + cl10.getLong(1) + "/" + cl1.getLong(1))
     require(cl10.getLong(0) == cl1.getLong(0) * 10 &&

@@ -107,6 +107,37 @@ class ClassifierSpec extends SparkSpec {
       .filter(col("selected")).count() == 3)
   }
 
+  test("learned lang-id: deterministic refit, beats the majority-class " +
+      "baseline on its training corpus, prior-argmax on gram-less docs") {
+    val m1 = TextAnalysis.langIdFit(docs, "text", "lang", dim = 256, maxN = 2)
+    val m2 = TextAnalysis.langIdFit(docs, "text", "lang", dim = 256, maxN = 2)
+    assert(m1.map(_._1) == m2.map(_._1) &&
+      m1.zip(m2).forall { case (a, b) =>
+        a._2.toSeq == b._2.toSeq && a._3 == b._3 })
+    assert(m1.map(_._1) == m1.map(_._1).sorted) // label-ascending contract
+    val scored = TextAnalysis.langIdScore(docs, "doc_id", "text", m1,
+      passthrough = Seq("lang"), maxN = 2)
+    val n = scored.count()
+    val hit = scored.filter(col("pred_lang") === col("lang")).count()
+    val majority = docs.groupBy(col("lang")).count()
+      .agg(max("count")).head().getLong(0)
+    // NB trained on its own corpus must beat always-guess-the-majority —
+    // a wiring bug (swapped classes, wrong prior, broken argmax) fails this
+    assert(hit > majority, s"lang-id no better than majority: $hit vs $majority of $n")
+    // gram-less doc: every score is its bare prior, argmax = max prior
+    // (the largest class), ties by label order; null text → null pred
+    import spark.implicits._
+    val edge = Seq((1L, Some("")), (2L, None)).toDF("doc_id", "text")
+    val got = TextAnalysis.langIdScore(edge, "doc_id", "text", m1)
+      .select(col("doc_id"), col("pred_lang"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    val expectedPred = m1.filter(_._3 == m1.map(_._3).max).map(_._1).min
+    assert(got(1L) == expectedPred, s"got ${got(1L)}, want $expectedPred " +
+      s"(priors ${m1.map(m => m._1 -> m._3)})")
+    assert(got(2L) == null)
+  }
+
   test("gram-less input scores exactly the bias; null text → null score") {
     val w = Array.fill(16)(1.0)
     val df = Seq((1L, Some("")), (2L, Some("one two")), (3L, None))
