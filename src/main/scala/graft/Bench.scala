@@ -93,6 +93,7 @@ object Bench {
     "t33_quality_classifier" -> 0.259,
     "t34_dsir_select" -> 0.430,
     "t35_langid_learned" -> 0.452,
+    "t36_decontaminate_spans" -> 0.758,
     "p01_corpus_prep" -> 5.086,
     "p02_embedding_prep" -> 0.881,
     "p03_media_prep" -> 2.460,
@@ -157,6 +158,7 @@ object Bench {
     "t33_quality_classifier",    // quality: learned hashed-gram NB apply
     "t34_dsir_select",           // selection: DSIR Gumbel-top-k resampling
     "t35_langid_learned",        // quality: learned multiclass lang-id
+    "t36_decontaminate_spans",   // decon: surgical span excision (kernel)
     "p01_corpus_prep",           // composed: end-to-end corpus prep
     "p02_embedding_prep",        // composed: embedding prep
     "p03_media_prep",            // composed: media prep (real codecs)

@@ -130,6 +130,65 @@ object TextHashKernels {
     hits
   }
 
+  /** SPAN-level decontamination in one pass: normalized (single-spaced,
+    * trimmed) text with every token covered by a BENCHMARK n-gram
+    * excised; survivors re-join single-spaced. Grams hash exactly as
+    * [[wordNgramHashSet]] (XXH64 seed 42 over the \u0001-joined tokens)
+    * and probe the SORTED benchmark array by binary search — the
+    * stateless t27 shape, surgical instead of flag-and-drop. Fewer than
+    * n words degenerates like [[wordNgramHashSet]]: the whole-text hash
+    * probes the set, a hit excises the whole document (empty string).
+    * One boolean[] of word width; no allocation per gram beyond the
+    * shared builder. */
+  def exciseContaminated(input: UTF8String, sorted: Array[Long],
+      n: Int): UTF8String = {
+    val s = input.toString
+    if (s.isEmpty) return UTF8String.EMPTY_UTF8
+    val starts = new scala.collection.mutable.ArrayBuffer[Int](64)
+    starts += 0
+    var i = 0
+    while (i < s.length) { if (s.charAt(i) == ' ') starts += i + 1; i += 1 }
+    val w = starts.length
+    def xx(str: String): Long = {
+      val u = UTF8String.fromString(str)
+      org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+    }
+    if (w < n)
+      return if (java.util.Arrays.binarySearch(sorted, xx(s)) >= 0)
+        UTF8String.EMPTY_UTF8
+      else input
+    val covered = new Array[Boolean](w)
+    val sb = new java.lang.StringBuilder(64)
+    var j = 0
+    while (j + n <= w) {
+      sb.setLength(0)
+      var t = j
+      while (t < j + n) {
+        if (t > j) sb.append('\u0001')
+        val end = if (t + 1 == w) s.length else starts(t + 1) - 1
+        sb.append(s, starts(t), end)
+        t += 1
+      }
+      if (java.util.Arrays.binarySearch(sorted, xx(sb.toString)) >= 0) {
+        var c = j
+        while (c < j + n) { covered(c) = true; c += 1 }
+      }
+      j += 1
+    }
+    val out = new java.lang.StringBuilder(s.length)
+    var t2 = 0
+    while (t2 < w) {
+      if (!covered(t2)) {
+        if (out.length > 0) out.append(' ')
+        val end = if (t2 + 1 == w) s.length else starts(t2 + 1) - 1
+        out.append(s, starts(t2), end)
+      }
+      t2 += 1
+    }
+    UTF8String.fromString(out.toString)
+  }
+
   /** All overlapping n-word grams of normalized (single-spaced, trimmed)
     * text, space-joined, in order — one scan over word boundaries, one
     * substring per gram. Fewer than n words → empty. The codegen
@@ -623,6 +682,29 @@ case class CountInSorted(child: Expression, sorted: Array[Long])
     copy(child = newChild)
 }
 
+/** Normalized text with every token covered by a benchmark n-gram excised
+  * (span-level decontamination; the sorted benchmark hash set rides as a
+  * task-binary reference array, the t27 discipline). */
+case class ExciseContaminated(child: Expression, sorted: Array[Long], n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "excise_contaminated"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashKernels.exciseContaminated(input.asInstanceOf[UTF8String],
+      sorted, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("benchSorted", sorted, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashKernels.exciseContaminated($c, $ref, $n);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ExciseContaminated =
+    copy(child = newChild)
+}
+
 /** Overlapping space-joined n-word grams of normalized text, in order. */
 case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
 
@@ -836,6 +918,9 @@ object TextHashExprs {
     GraftColumnBridge.column(WordNgrams(GraftColumnBridge.expression(c), n))
   def countInSorted(c: Column, sorted: Array[Long]): Column =
     GraftColumnBridge.column(CountInSorted(GraftColumnBridge.expression(c), sorted))
+  def exciseContaminated(c: Column, sorted: Array[Long], n: Int): Column =
+    GraftColumnBridge.column(ExciseContaminated(
+      GraftColumnBridge.expression(c), sorted, n))
   def charGrams(c: Column, k: Int): Column =
     GraftColumnBridge.column(CharGrams(GraftColumnBridge.expression(c), k))
   def gopherRepetition(c: Column): Column =

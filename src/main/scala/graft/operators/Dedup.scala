@@ -714,6 +714,39 @@ object Dedup {
         (coalesce(col("__hits"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** SPAN-level decontamination — the surgical variant of
+    * [[decontaminate]] (the Lee et al. ExactSubstr treatment applied to
+    * benchmark overlap): instead of flagging a contaminated document,
+    * every token covered by an n-gram that also appears in the benchmark
+    * is EXCISED and the survivors re-join single-spaced, so one leaked
+    * benchmark passage no longer costs the whole document. The benchmark's
+    * distinct gram hashes materialize ONCE as a sorted long[] (bounded by
+    * the benchmark, never the corpus — the t27 task-binary contract) and
+    * ride inside one [[graft.functions.TextHashExprs.exciseContaminated]]
+    * codegen kernel pass: zero exchanges, runs unchanged on a stream.
+    * Returns (idCol, clean_text, n_removed_tokens); clean_text is the
+    * normalized form (the [[removeDuplicateSpans]] convention), a doc that
+    * is one big benchmark overlap keeps an empty string. */
+  def decontaminateSpans(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8): DataFrame = {
+    val benchSorted = benchmark
+      .select(explode(wordNgramHashSet(col(textCol), n)).as("__g"))
+      .distinct()
+      .collect().map(_.getLong(0)).sorted // bounded by the benchmark
+    def toks(c: Column) = filter(split(c, " "), t => length(t) > 0)
+    val clean = graft.functions.TextHashExprs.exciseContaminated(
+      normalize(col(textCol)), benchSorted, n)
+    corpus.select(col(idCol), clean.as("clean_text"),
+        toks(normalize(col(textCol))).as("__before"))
+      .select(col(idCol), col("clean_text"),
+        (size(col("__before")) - size(toks(col("clean_text"))))
+          .cast("long").as("n_removed_tokens"))
+  }
+
   /** The i-th Bloom bit position (in [0, mBits)) for one 64-bit element
     * hash: pos_i = xxhash64(elemHash, i) & (mBits-1) — k INDEPENDENT
     * seeded rehashes rather than Kirsch-Mitzenmacher double hashing.

@@ -2401,6 +2401,73 @@ object Pipeline {
       },
       Some(decontaminateOracleSql)),
 
+    // ---- Span-level decontamination (t36): the surgical member of the
+    // t06 family — benchmark-overlapping n-gram spans are EXCISED from
+    // the corpus text instead of flagging whole documents. One
+    // zero-exchange codegen kernel pass (the benchmark's sorted gram
+    // hashes ride in the task binary, the t27 contract); same 8-gram
+    // split as t06/t22/t27. Oracle: positioned 8-grams joined against
+    // the benchmark gram set, covered positions excised, string_agg
+    // reconstruction — the d14 shape with a cross-set gram table.
+    Q("t36_decontaminate_spans",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        Dedup.decontaminateSpans(
+          d.filter(col("doc_id") % 7 =!= 0),
+          d.filter(col("doc_id") % 7 === 0),
+          "doc_id", "text", n = 8)
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, list_filter(string_split(
+              trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')),
+              ' '), x -> len(x) > 0) AS t
+          FROM documents),
+        bgrams AS MATERIALIZED (
+          SELECT DISTINCT gram FROM (
+            SELECT array_to_string(t[u.i:u.i+7], ' ') AS gram
+            FROM toks, unnest(range(1, len(t) - 6)) AS u(i)
+            WHERE doc_id % 7 = 0 AND len(t) >= 8
+            UNION
+            SELECT array_to_string(t, ' ')
+            FROM toks WHERE doc_id % 7 = 0 AND len(t) < 8)),
+        hit AS (
+          SELECT g.doc_id, g.pos FROM (
+            SELECT doc_id, u.i - 1 AS pos,
+                   array_to_string(t[u.i:u.i+7], ' ') AS gram
+            FROM toks, unnest(range(1, len(t) - 6)) AS u(i)
+            WHERE doc_id % 7 <> 0 AND len(t) >= 8) g
+          JOIN bgrams b USING (gram)),
+        covered AS (
+          SELECT DISTINCT h.doc_id, c.p AS pos
+          FROM hit h, unnest(range(h.pos, h.pos + 8)) AS c(p)),
+        kept AS (
+          SELECT tk.doc_id, tk.pos, tk.tok
+          FROM (SELECT doc_id, u.i - 1 AS pos, t[u.i] AS tok
+                FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+                WHERE doc_id % 7 <> 0) tk
+          WHERE NOT EXISTS (SELECT 1 FROM covered c
+                            WHERE c.doc_id = tk.doc_id AND c.pos = tk.pos)),
+        clean AS (
+          SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+                 count(*) AS kept
+          FROM kept GROUP BY doc_id)
+        SELECT tt.doc_id,
+               CASE WHEN len(tt.t) < 8 THEN
+                 CASE WHEN array_to_string(tt.t, ' ') IN
+                        (SELECT gram FROM bgrams)
+                      THEN '' ELSE array_to_string(tt.t, ' ') END
+               ELSE COALESCE(c.clean_text, '') END AS clean_text,
+               CAST(CASE WHEN len(tt.t) < 8 THEN
+                 CASE WHEN array_to_string(tt.t, ' ') IN
+                        (SELECT gram FROM bgrams)
+                      THEN len(tt.t) ELSE 0 END
+               ELSE len(tt.t) - COALESCE(c.kept, 0) END AS BIGINT)
+                 AS n_removed_tokens
+        FROM toks tt
+        LEFT JOIN clean c ON c.doc_id = tt.doc_id
+        WHERE tt.doc_id % 7 <> 0""")),
+
     // ---- Boolean AND retrieval (t23): every doc containing ALL of a
     // query's terms, over an implicit inverted index — term-universe
     // IN-filter at the scan, broadcast literal query table, one (query,

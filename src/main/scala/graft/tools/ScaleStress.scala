@@ -458,6 +458,26 @@ object ScaleStress {
       TextAnalysis.qualityClassifierScore(big, "doc_id", "text", clfW, clfB)
         .agg(count(lit(1)), sum(col("clf_keep").cast("long"))).head()
     }
+    // span decontamination at 10x (t36): benchmark fixed at 1x; the
+    // excision is a pure per-row function of (text, benchmark), so the
+    // clone corpus removes EXACTLY 10x the tokens from 10x the docs
+    val benchFull = docsFull.filter(col("doc_id") % 7 === 0)
+    val corpFull = docsFull.filter(col("doc_id") % 7 =!= 0)
+    val bigCorp = (0 until 10).map(i =>
+        corpFull.select((col("doc_id") * 10 + i).as("doc_id"), col("text")))
+      .reduce(_ union _)
+    val sp1 = Dedup.decontaminateSpans(corpFull, benchFull, "doc_id", "text")
+      .agg(count(lit(1)), sum(col("n_removed_tokens"))).head()
+    val sp10 = time("decon-spans-50k") {
+      Dedup.decontaminateSpans(bigCorp, benchFull, "doc_id", "text")
+        .agg(count(lit(1)), sum(col("n_removed_tokens"))).head()
+    }
+    println("[stress] decon-spans rows=" + sp10.getLong(0) + "/" +
+      sp1.getLong(0) + " removed=" + sp10.getLong(1) + "/" + sp1.getLong(1))
+    require(sp10.getLong(0) == sp1.getLong(0) * 10 &&
+      sp10.getLong(1) == sp1.getLong(1) * 10,
+      "span-decontamination clone invariance drifted")
+
     // DSIR select at 10x (t34): fit once on the 1x corpus; the apply is
     // per-row text-pure, the Gumbel noise is per-ID (clones get fresh
     // noise — resampling the bigger pool, the intended semantics), and

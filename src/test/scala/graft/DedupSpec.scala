@@ -453,4 +453,35 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"window sort leaked into plan:\n$plan")
     assert(plan.contains("partial_max"), s"map-side combine missing:\n$plan")
   }
+
+  test("decontaminateSpans excises exactly the benchmark-covered tokens; " +
+      "doc-level contamination flag agrees with decontaminate") {
+    import spark.implicits._
+    // benchmark holds one 8-gram ("one two ... eight") and a short doc
+    val bench = Seq(
+      (100L, "one two three four five six seven eight"),
+      (101L, "tiny leak")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // benchmark 8-gram embedded mid-document: ONLY those 8 tokens go
+      (1L, "keep0 one two three four five six seven eight keepZ keepY"),
+      (2L, "nothing shared with any benchmark document at all here ok"),
+      // short doc (< 8 words) equal to a short benchmark doc: whole-text
+      (3L, "tiny leak"),
+      // short doc, no match: untouched
+      (4L, "tiny leek")).toDF("doc_id", "text")
+    val got = Dedup.decontaminateSpans(corpus, bench, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(got(1L) == (("keep0 keepz keepy", 8L)), got(1L)) // normalized (lowercased) form
+    assert(got(2L)._2 == 0L && got(2L)._1.startsWith("nothing shared"))
+    assert(got(3L) == (("", 2L)))
+    assert(got(4L) == (("tiny leek", 0L)))
+    // family coherence: a doc loses tokens here iff decontaminate flags it
+    // (both sides hash the same \u0001-joined grams / whole-text fallback)
+    val flags = Dedup.decontaminate(corpus, bench, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    got.foreach { case (id, (_, removed)) =>
+      assert(flags(id) == (removed > 0L), s"doc $id: flag ${flags(id)} vs removed $removed")
+    }
+  }
 }

@@ -92,7 +92,7 @@ class PlanLintSpec extends SparkSpec {
   private val collectSites: Map[String, Int] = Map(
     "queries/Pipeline.scala" -> 6, // driver-side ORACLE generators: single-node replay twins (incl. m01's encoded-size inliner), never a data path
     "operators/Sampling.scala" -> 1, // per-partition Long count array (size = #partitions)
-    "operators/Dedup.scala" -> 3, // longestRepeat per-round length menu (bounded by levels x lengths); head(): longestRepeat 1-row max-count agg + bloomBitsOf's 1-row fixed-size sketch (the materialize-then-embed shape of df.stat.bloomFilter)
+    "operators/Dedup.scala" -> 4, // longestRepeat per-round length menu (bounded by levels x lengths); head(): longestRepeat 1-row max-count agg + bloomBitsOf's 1-row fixed-size sketch (the materialize-then-embed shape of df.stat.bloomFilter); decontaminateSpans' benchmark-bounded sorted gram array (the decontaminateStream shape)
     "operators/Dml.scala" -> 1, // per-partition count array for ROWNUM/LIMIT semantics
     "operators/TextAnalysis.scala" -> 6, // BPE top-m driver argmax (bounded by merge batch); bm25Idf's per-term df collect (bounded by the literal term universe — the IDF table embeds as plan literals, materialize-then-embed like bloomBitsOf); hashedGramClassCounts' <= dim+1 row model aggregate (weights embed as one double[] plan literal, same shape); dsirSelect's k-row top-k boundary collect (threshold embeds as two plan literals); langIdFit's bounded label-universe distinct + its <= dim+1 row per-class aggregate (models embed as C double[] plan literals)
     "dsl/Model.scala" -> 2, // findList/findOne: the DSL's intentional executors (reference Model.java parity)
@@ -351,6 +351,10 @@ class PlanLintSpec extends SparkSpec {
     // subexpression elimination shares the gram stream); both fit
     // aggregates run at plan-build time and embed as plan literals
     "t35_langid_learned" -> 0,
+    // span-level decontamination: one kernel scan, benchmark gram hashes
+    // in the task binary (the t27 shape, surgical); the bounded benchmark
+    // gram job runs at plan-build time
+    "t36_decontaminate_spans" -> 0,
     // p04's three rule gates + the t33 classifier kernel fused in the
     // same single scan — still zero exchanges
     "p05_quality_funnel" -> 0
