@@ -1208,9 +1208,16 @@ object TextAnalysis {
         .as(s"score_$lbl") }
     val scored = df.select(
       (col(idCol) +: passthrough.map(col)) ++ scoreCols: _*)
-    val best = greatest(models.map(m => col(s"score_${m._1}")): _*)
-    val pred = coalesce(models.map(m =>
-      when(col(s"score_${m._1}") === best, lit(m._1))): _*)
+    // greatest() needs >= 2 args; a degenerate single-class model still
+    // predicts its class (NULL text -> NULL pred, as with C >= 2)
+    val pred =
+      if (models.size == 1)
+        when(col(s"score_${models.head._1}").isNotNull, lit(models.head._1))
+      else {
+        val best = greatest(models.map(m => col(s"score_${m._1}")): _*)
+        coalesce(models.map(m =>
+          when(col(s"score_${m._1}") === best, lit(m._1))): _*)
+      }
     scored.withColumn("pred_lang", pred)
   }
 

@@ -158,4 +158,61 @@ class KernelPropertySpec extends SparkSpec {
       s"classifier kernel divergence on ${bad.length} random docs, " +
         s"first: $firstBad")
   }
+
+  test("property: exciseContaminated kernel ≡ interpreted Column formula " +
+      "on random docs (random benchmark drawn from the same corpus)") {
+    val n = 3 // small n so random docs actually overlap the benchmark
+    val docs = Gen.listOfN(150, doc).sample.get.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("id", "text")
+    // benchmark = every 5th doc; gram-hash set via the PROVEN kernel
+    // (its own parity is pinned above), sorted on the driver
+    val bench = df.filter($"id" % 5 === 0)
+    val sorted = bench
+      .select(explode(Dedup.wordNgramHashSet($"text", n)).as("g"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    val benchLit = typedLit(sorted.toSeq)
+    // independent Column formulation: positioned gram hashes, per-token
+    // covered flag via exists over the gram window, filter-with-index
+    val norm = Dedup.normalize($"text")
+    val toks = filter(split(norm, " "), t => length(t) > 0)
+    val w = size(toks)
+    val gh = transform(sequence(lit(1), greatest(w - (n - 1), lit(0))),
+      i => xxhash64(concat_ws("\u0001", slice(toks, i, lit(n)))))
+    val member = transform(gh, h => array_contains(benchLit, h))
+    val keptToks = filter(toks, (_, idx) =>
+      !exists(
+        sequence(greatest(idx - (n - 1), lit(0)),
+          least(idx, size(gh) - 1)),
+        j => element_at(member, j + 1)))
+    val formula = when(w < n,
+        when(array_contains(benchLit, xxhash64(norm)), lit(""))
+          .otherwise(norm))
+      .otherwise(array_join(keptToks, " "))
+    val rows = df.select($"id",
+        graft.functions.TextHashExprs.exciseContaminated(norm, sorted, n)
+          .as("k"),
+        formula.as("f"))
+      .collect()
+    val bad = rows.filter(r => r.getString(1) != r.getString(2))
+    assert(bad.isEmpty,
+      s"excise kernel divergence on ${bad.length} docs, first: " +
+        bad.headOption.map(r => docs(r.getLong(0).toInt)._2.take(80))
+          .getOrElse("") +
+        bad.headOption.map(r =>
+          s" kernel=[${r.getString(1)}] formula=[${r.getString(2)}]")
+          .getOrElse(""))
+    // sanity: the benchmark members themselves are fully excised (every
+    // gram of a benchmark doc is in the set by construction)
+    val self = bench.select($"id",
+        graft.functions.TextHashExprs.exciseContaminated(
+          Dedup.normalize($"text"), sorted, n).as("k"),
+        size(filter(split(Dedup.normalize($"text"), " "),
+          t => length(t) > 0)).as("w"))
+      .collect()
+    self.foreach { r =>
+      assert(r.getString(1).isEmpty,
+        s"benchmark doc ${r.getLong(0)} not fully excised: [${r.getString(1)}]")
+    }
+  }
 }
