@@ -94,6 +94,7 @@ object Bench {
     "t34_dsir_select" -> 0.430,
     "t35_langid_learned" -> 0.452,
     "t36_decontaminate_spans" -> 0.758,
+    "p06_pretrain_export" -> 2.866,
     "p01_corpus_prep" -> 5.086,
     "p02_embedding_prep" -> 0.881,
     "p03_media_prep" -> 2.460,
@@ -162,7 +163,8 @@ object Bench {
     "p01_corpus_prep",           // composed: end-to-end corpus prep
     "p02_embedding_prep",        // composed: embedding prep
     "p03_media_prep",            // composed: media prep (real codecs)
-    "p05_quality_funnel")        // composed: rules + classifier, one scan
+    "p05_quality_funnel",        // composed: rules + classifier, one scan
+    "p06_pretrain_export")       // composed: funnel + span-clean + pack
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -880,6 +880,78 @@ object Pipeline {
         FROM keyed"""
   }
 
+  /** DuckDB twin of [[Dedup.decontaminateSpans]] (t36; shared with p06's
+    * cleaning stage): positioned 8-grams joined against the benchmark
+    * gram set (short benchmark docs contribute their whole text — the
+    * wordNgramHashSet fallback), covered positions excised, string_agg
+    * reconstruction; short corpus docs excise whole-text on a set hit. */
+  private val decontaminateSpansOracle: String = """
+        WITH toks AS (
+          SELECT doc_id, list_filter(string_split(
+              trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')),
+              ' '), x -> len(x) > 0) AS t
+          FROM documents),
+        bgrams AS MATERIALIZED (
+          SELECT DISTINCT gram FROM (
+            SELECT array_to_string(t[u.i:u.i+7], ' ') AS gram
+            FROM toks, unnest(range(1, len(t) - 6)) AS u(i)
+            WHERE doc_id % 7 = 0 AND len(t) >= 8
+            UNION
+            SELECT array_to_string(t, ' ')
+            FROM toks WHERE doc_id % 7 = 0 AND len(t) < 8)),
+        hit AS (
+          SELECT g.doc_id, g.pos FROM (
+            SELECT doc_id, u.i - 1 AS pos,
+                   array_to_string(t[u.i:u.i+7], ' ') AS gram
+            FROM toks, unnest(range(1, len(t) - 6)) AS u(i)
+            WHERE doc_id % 7 <> 0 AND len(t) >= 8) g
+          JOIN bgrams b USING (gram)),
+        covered AS (
+          SELECT DISTINCT h.doc_id, c.p AS pos
+          FROM hit h, unnest(range(h.pos, h.pos + 8)) AS c(p)),
+        kept AS (
+          SELECT tk.doc_id, tk.pos, tk.tok
+          FROM (SELECT doc_id, u.i - 1 AS pos, t[u.i] AS tok
+                FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+                WHERE doc_id % 7 <> 0) tk
+          WHERE NOT EXISTS (SELECT 1 FROM covered c
+                            WHERE c.doc_id = tk.doc_id AND c.pos = tk.pos)),
+        clean AS (
+          SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+                 count(*) AS kept
+          FROM kept GROUP BY doc_id)
+        SELECT tt.doc_id,
+               CASE WHEN len(tt.t) < 8 THEN
+                 CASE WHEN array_to_string(tt.t, ' ') IN
+                        (SELECT gram FROM bgrams)
+                      THEN '' ELSE array_to_string(tt.t, ' ') END
+               ELSE COALESCE(c.clean_text, '') END AS clean_text,
+               CAST(CASE WHEN len(tt.t) < 8 THEN
+                 CASE WHEN array_to_string(tt.t, ' ') IN
+                        (SELECT gram FROM bgrams)
+                      THEN len(tt.t) ELSE 0 END
+               ELSE len(tt.t) - COALESCE(c.kept, 0) END AS BIGINT)
+                 AS n_removed_tokens
+        FROM toks tt
+        LEFT JOIN clean c ON c.doc_id = tt.doc_id
+        WHERE tt.doc_id % 7 <> 0"""
+
+  /** DuckDB twin of the p05 quality funnel (shared with p06's keep
+    * stage): the four stage twins composed by doc_id join — the ORACLE
+    * may shuffle; the engine plan must not (PlanLint pins budget 0). */
+  private def qualityFunnelOracle(s: SparkSession, dir: String): String = s"""
+        WITH g AS (SELECT doc_id, gopher_pass
+                   FROM (${gopherOracle(minStopHits = 1L)}) x),
+        r AS (SELECT doc_id, rep_pass FROM ($gopherRepetitionOracle) y),
+        c AS (SELECT doc_id, c4_keep FROM ($c4Oracle) z),
+        k AS (SELECT doc_id, clf_score, clf_keep
+              FROM (${qualityClassifierOracle(s, dir, dim = 1024, maxN = 2)}) w)
+        SELECT g.doc_id, g.gopher_pass, r.rep_pass, c.c4_keep,
+          k.clf_score, k.clf_keep,
+          (g.gopher_pass AND r.rep_pass AND c.c4_keep AND k.clf_keep) AS keep
+        FROM g JOIN r USING (doc_id) JOIN c USING (doc_id)
+               JOIN k USING (doc_id)"""
+
   /** Trained multiclass lang-id models, memoized per (dir, dim, maxN) —
     * same shared-state discipline as [[clfModel]]. Labels = the corpus
     * `lang` column (the supervised fastText-lid setup). */
@@ -2417,56 +2489,9 @@ object Pipeline {
           d.filter(col("doc_id") % 7 === 0),
           "doc_id", "text", n = 8)
       },
-      Some("""
-        WITH toks AS (
-          SELECT doc_id, list_filter(string_split(
-              trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')),
-              ' '), x -> len(x) > 0) AS t
-          FROM documents),
-        bgrams AS MATERIALIZED (
-          SELECT DISTINCT gram FROM (
-            SELECT array_to_string(t[u.i:u.i+7], ' ') AS gram
-            FROM toks, unnest(range(1, len(t) - 6)) AS u(i)
-            WHERE doc_id % 7 = 0 AND len(t) >= 8
-            UNION
-            SELECT array_to_string(t, ' ')
-            FROM toks WHERE doc_id % 7 = 0 AND len(t) < 8)),
-        hit AS (
-          SELECT g.doc_id, g.pos FROM (
-            SELECT doc_id, u.i - 1 AS pos,
-                   array_to_string(t[u.i:u.i+7], ' ') AS gram
-            FROM toks, unnest(range(1, len(t) - 6)) AS u(i)
-            WHERE doc_id % 7 <> 0 AND len(t) >= 8) g
-          JOIN bgrams b USING (gram)),
-        covered AS (
-          SELECT DISTINCT h.doc_id, c.p AS pos
-          FROM hit h, unnest(range(h.pos, h.pos + 8)) AS c(p)),
-        kept AS (
-          SELECT tk.doc_id, tk.pos, tk.tok
-          FROM (SELECT doc_id, u.i - 1 AS pos, t[u.i] AS tok
-                FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
-                WHERE doc_id % 7 <> 0) tk
-          WHERE NOT EXISTS (SELECT 1 FROM covered c
-                            WHERE c.doc_id = tk.doc_id AND c.pos = tk.pos)),
-        clean AS (
-          SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
-                 count(*) AS kept
-          FROM kept GROUP BY doc_id)
-        SELECT tt.doc_id,
-               CASE WHEN len(tt.t) < 8 THEN
-                 CASE WHEN array_to_string(tt.t, ' ') IN
-                        (SELECT gram FROM bgrams)
-                      THEN '' ELSE array_to_string(tt.t, ' ') END
-               ELSE COALESCE(c.clean_text, '') END AS clean_text,
-               CAST(CASE WHEN len(tt.t) < 8 THEN
-                 CASE WHEN array_to_string(tt.t, ' ') IN
-                        (SELECT gram FROM bgrams)
-                      THEN len(tt.t) ELSE 0 END
-               ELSE len(tt.t) - COALESCE(c.kept, 0) END AS BIGINT)
-                 AS n_removed_tokens
-        FROM toks tt
-        LEFT JOIN clean c ON c.doc_id = tt.doc_id
-        WHERE tt.doc_id % 7 <> 0""")),
+      Some(decontaminateSpansOracle)),
+
+
 
     // ---- Boolean AND retrieval (t23): every doc containing ALL of a
     // query's terms, over an implicit inverted index — term-universe
@@ -3584,18 +3609,72 @@ object Pipeline {
             col("clf_score") > lit(0.0)).as("keep"))
       },
       None,
+      oracleGen = Some((s, dir) => qualityFunnelOracle(s, dir))),
+
+    // ---- Pretraining-data export (p06): the end-to-end last mile over
+    // this round's additions — the p05 keep decision (rules + learned
+    // classifier, one fused scan), span-level decontamination of the
+    // survivors against the benchmark split (t36's kernel), and
+    // fixed-window sequence packing of the CLEANED token counts (u04's
+    // deterministic offsets). Per-row stages compose into the same scan;
+    // packing adds the one range exchange it always costs.
+    Q("p06_pretrain_export",
+      (s, dir) => {
+        val (wghts, bias) = clfModel(s, dir, dim = 1024, maxN = 2)
+        val d = t(s, dir, "documents")
+        val bench = d.filter(col("doc_id") % 7 === 0)
+        val corp = d.filter(col("doc_id") % 7 =!= 0)
+        val page = regexp_replace(col("text"),
+          "((?:[^ \\t\\n\\x0B\\f\\r]+ ){6})", "$1.\n")
+        val c4 = TextAnalysis.c4Signals(page)
+        val staged = corp.select(col("doc_id"), col("text"),
+          TextAnalysis.gopherSignals(col("text"), minStopHits = 1L).last,
+          c4.last,
+          graft.functions.TextHashExprs.gopherRepetition(col("text"))
+            .as("__r"),
+          graft.functions.TextHashExprs.hashedGramScore(
+            Dedup.normalize(col("text")), wghts, bias, maxN = 2)
+            .as("clf_score"))
+        val repPass = TextAnalysis.gopherRepetitionBars.zipWithIndex
+          .map { case (bar, i) => element_at(col("__r"), i + 1) <= bar }
+          .reduce(_ && _)
+        val kept = staged
+          .filter(col("gopher_pass") && repPass && col("c4_keep") &&
+            col("clf_score") > lit(0.0))
+          .select(col("doc_id"), col("text"))
+        val cleaned = Dedup.decontaminateSpans(
+          kept, bench, "doc_id", "text", n = 8)
+        val withTok = cleaned.select(col("doc_id"),
+          col("n_removed_tokens"),
+          size(filter(split(col("clean_text"), " "), t => length(t) > 0))
+            .cast("long").as("n_tok"))
+        graft.operators.Sampling.packSequences(
+          withTok, "doc_id", "n_tok", budgetTokens = 64L)
+      },
+      None,
       oracleGen = Some((s, dir) => s"""
-        WITH g AS (SELECT doc_id, gopher_pass
-                   FROM (${gopherOracle(minStopHits = 1L)}) x),
-        r AS (SELECT doc_id, rep_pass FROM ($gopherRepetitionOracle) y),
-        c AS (SELECT doc_id, c4_keep FROM ($c4Oracle) z),
-        k AS (SELECT doc_id, clf_score, clf_keep
-              FROM (${qualityClassifierOracle(s, dir, dim = 1024, maxN = 2)}) w)
-        SELECT g.doc_id, g.gopher_pass, r.rep_pass, c.c4_keep,
-          k.clf_score, k.clf_keep,
-          (g.gopher_pass AND r.rep_pass AND c.c4_keep AND k.clf_keep) AS keep
-        FROM g JOIN r USING (doc_id) JOIN c USING (doc_id)
-               JOIN k USING (doc_id)""")),
+        WITH funnel AS (
+          SELECT doc_id, keep FROM (${qualityFunnelOracle(s, dir)}) f),
+        spans AS (
+          SELECT doc_id, clean_text, n_removed_tokens
+          FROM ($decontaminateSpansOracle) g),
+        kept2 AS (
+          SELECT sp.doc_id, sp.clean_text, sp.n_removed_tokens
+          FROM spans sp JOIN funnel USING (doc_id) WHERE funnel.keep),
+        tok2 AS (
+          SELECT doc_id, n_removed_tokens,
+            CAST(len(list_filter(string_split(clean_text, ' '),
+              x -> len(x) > 0)) AS BIGINT) AS n_tok
+          FROM kept2),
+        c2 AS (
+          SELECT doc_id, n_removed_tokens, n_tok,
+            CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS tok_offset
+          FROM tok2)
+        SELECT doc_id, n_removed_tokens, n_tok, tok_offset,
+               tok_offset // 64 AS bin
+        FROM c2""")),
 
     // ---- Canonical-source keep-best dedup (d20): the crawl pipeline's
     // URL dedup — one hash-aggregate per canonical key with the arg-max

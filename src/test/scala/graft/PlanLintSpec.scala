@@ -355,6 +355,10 @@ class PlanLintSpec extends SparkSpec {
     // in the task binary (the t27 shape, surgical); the bounded benchmark
     // gram job runs at plan-build time
     "t36_decontaminate_spans" -> 0,
+    // p06 export: funnel + span-clean are per-row in one scan; packing's
+    // range exchange + per-partition offsets run EAGERLY inside
+    // packSequences (the u04 shape), so the emitted plan scans its RDD
+    "p06_pretrain_export" -> 0,
     // p04's three rule gates + the t33 classifier kernel fused in the
     // same single scan — still zero exchanges
     "p05_quality_funnel" -> 0
