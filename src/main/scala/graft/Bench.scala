@@ -94,7 +94,7 @@ object Bench {
     "t34_dsir_select" -> 0.430,
     "t35_langid_learned" -> 0.452,
     "t36_decontaminate_spans" -> 0.758,
-    "p06_pretrain_export" -> 2.866,
+    "p06_pretrain_export" -> 2.405,
     "p01_corpus_prep" -> 5.086,
     "p02_embedding_prep" -> 0.881,
     "p03_media_prep" -> 2.460,

@@ -557,6 +557,48 @@ object ScaleStress {
       fu10.getLong(1) == fu1.getLong(1) * 10,
       "p05 funnel clone invariance drifted")
 
+    // p06 export at 10x: keep + span-clean are per-row pure functions of
+    // the TEXT (ids only order the packing), so kept rows and clean-token
+    // mass scale EXACTLY 10x against the fixed 1x benchmark; packing must
+    // conserve tokens (max(tok_offset + n_tok) == sum(n_tok)) at both
+    // scales
+    def export(corp: org.apache.spark.sql.DataFrame) = {
+      val page = regexp_replace(col("text"),
+        "((?:[^ \\t\\n\\x0B\\f\\r]+ ){6})", "$1.\n")
+      val staged = corp.select(col("doc_id"), col("text"),
+        TextAnalysis.gopherSignals(col("text"), minStopHits = 1L).last,
+        TextAnalysis.c4Signals(page).last,
+        graft.functions.TextHashExprs.gopherRepetition(col("text")).as("__r"),
+        graft.functions.TextHashExprs.hashedGramScore(
+          graft.operators.Dedup.normalize(col("text")), clfW, clfB, 2)
+          .as("__s"))
+      val repPass = TextAnalysis.gopherRepetitionBars.zipWithIndex
+        .map { case (bar, i) => element_at(col("__r"), i + 1) <= bar }
+        .reduce(_ && _)
+      val kept = staged.filter(col("gopher_pass") && repPass &&
+          col("c4_keep") && col("__s") > lit(0.0))
+        .select(col("doc_id"), col("text"))
+      val cleaned = Dedup.decontaminateSpans(kept, benchFull,
+        "doc_id", "text")
+      val withTok = cleaned.select(col("doc_id"),
+        size(filter(split(col("clean_text"), " "), t => length(t) > 0))
+          .cast("long").as("n_tok"))
+      graft.operators.Sampling.packSequences(
+          withTok, "doc_id", "n_tok", budgetTokens = 64L)
+        .agg(count(lit(1)), sum(col("n_tok")),
+          max(col("tok_offset") + col("n_tok"))).head()
+    }
+    val ex1 = export(corpFull)
+    val ex10 = time("p06-export-50k") { export(bigCorp) }
+    println("[stress] p06 rows=" + ex10.getLong(0) + "/" + ex1.getLong(0) +
+      " tokens=" + ex10.getLong(1) + "/" + ex1.getLong(1))
+    require(ex10.getLong(0) == ex1.getLong(0) * 10 &&
+      ex10.getLong(1) == ex1.getLong(1) * 10,
+      "p06 export clone invariance drifted")
+    require(ex1.getLong(1) == ex1.getLong(2) &&
+      ex10.getLong(1) == ex10.getLong(2),
+      "p06 packing does not conserve tokens")
+
     // media resize / audio dedup at 10x with kind-preserving clone ids:
     // every clone resamples/decodes the identical payload, so the resize
     // checksum mass is exactly 10x and the distinct audio clip set is
