@@ -250,4 +250,36 @@ class StreamDedupSpec extends SparkSpec {
         q.lastProgress.stateOperators.isEmpty)
     } finally q.stop()
   }
+
+  test("span-level decontamination (t36 kernel) runs unchanged on " +
+      "readStream — benchmark grams ride the task binary, zero state") {
+    val bench = Seq(
+      (100L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "keep0 one two three four five six seven eight keepz"),
+      (2L, "nothing shared at all in this row of plain words here"),
+      (3L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val batch = Dedup.decontaminateSpans(corpus, bench, "doc_id", "text")
+      .collect().map(_.toString).sorted.toSeq
+    // the same sorted benchmark array applied to a streaming corpus: the
+    // operator's corpus side is a pure select, so it accepts a streaming
+    // frame directly
+    val dir = Files.createTempDirectory("graft_sspan").toFile.getAbsolutePath
+    corpus.filter($"doc_id" <= 1).coalesce(1).write.mode("overwrite").parquet(dir)
+    val q = Dedup.decontaminateSpans(
+        spark.readStream.schema(corpus.schema).parquet(dir),
+        bench, "doc_id", "text")
+      .writeStream.format("memory").queryName("graft_stream_span")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      q.processAllAvailable()
+      corpus.filter($"doc_id" > 1).coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val streamed = spark.table("graft_stream_span")
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed == batch)
+      assert(q.lastProgress == null ||
+        q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
 }
