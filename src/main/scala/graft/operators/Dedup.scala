@@ -738,10 +738,14 @@ object Dedup {
       .distinct()
       .collect().map(_.getLong(0)).sorted // bounded by the benchmark
     def toks(c: Column) = filter(split(c, " "), t => length(t) > 0)
+    // NULL text ≡ empty text: a NULL corpus row yields clean_text = ''
+    // with 0 removed tokens (never NULL through the kernel), the same
+    // row the oracle's token pipeline produces for an empty doc
+    val text = coalesce(col(textCol), lit(""))
     val clean = graft.functions.TextHashExprs.exciseContaminated(
-      normalize(col(textCol)), benchSorted, n)
+      normalize(text), benchSorted, n)
     corpus.select(col(idCol), clean.as("clean_text"),
-        toks(normalize(col(textCol))).as("__before"))
+        toks(normalize(text)).as("__before"))
       .select(col(idCol), col("clean_text"),
         (size(col("__before")) - size(toks(col("clean_text"))))
           .cast("long").as("n_removed_tokens"))

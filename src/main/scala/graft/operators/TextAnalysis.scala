@@ -1156,6 +1156,23 @@ object TextAnalysis {
     * as plan literals. Exact long counts through math.log — the fit is
     * deterministic. Returns (label, weights, logPrior) sorted by label
     * (the tie-break order of [[langIdScore]]). */
+  /** Identifier-safe column suffix per class label, shared by the engine
+    * ([[langIdScore]]'s `score_<sfx>` columns) and the generated DuckDB
+    * twin's CTE/column names: the case-folded labels themselves when
+    * EVERY label is a plain lowercase identifier and they stay distinct
+    * after folding (the common lang-code case — zero renaming), else
+    * positional `c<i>` for ALL labels (all-or-nothing, so a real label
+    * can never collide with a positional name). A label with spaces,
+    * quotes, or case that collides under DuckDB's identifier lowercasing
+    * can no longer break the fit aggregate or the generated SQL; labels
+    * surface as VALUES (pred_lang) untouched. */
+  private[graft] def labelSuffixes(labels: Seq[String]): Seq[String] = {
+    val folded = labels.map(_.toLowerCase)
+    val allSafe = folded.forall(_.matches("[a-z][a-z0-9_]*")) &&
+      folded.distinct.size == folded.size
+    if (allSafe) folded else labels.indices.map(i => s"c$i")
+  }
+
   def langIdFit(df: DataFrame, textCol: String, labelCol: String,
       dim: Int = 256, maxN: Int = 2): Seq[(String, Array[Double], Double)] = {
     require(dim > 0 && (dim & (dim - 1)) == 0, s"dim must be a power of two")
@@ -1164,8 +1181,10 @@ object TextAnalysis {
     require(classes.nonEmpty, s"no non-null labels in $labelCol")
     val buckets = graft.functions.TextHashExprs.hashedGramBuckets(
       normalize(col(textCol)), dim, maxN)
-    val aggs = classes.toIndexedSeq.map(c =>
-      sum(when(col("__y") === c, 1L).otherwise(0L)).as(s"__c_$c"))
+    // positional aliases — a label is data, never an identifier (the
+    // result rows are read positionally below anyway)
+    val aggs = classes.toIndexedSeq.zipWithIndex.map { case (c, i) =>
+      sum(when(col("__y") === c, 1L).otherwise(0L)).as(s"__c_$i") }
     val rows = df.select(col(textCol), col(labelCol).cast("string").as("__y"))
       .select(col("__y"),
         explode(concat(buckets, array(lit(dim)))).as("__b"))
@@ -1202,21 +1221,24 @@ object TextAnalysis {
       models: Seq[(String, Array[Double], Double)],
       passthrough: Seq[String] = Nil, maxN: Int = 2): DataFrame = {
     require(models.nonEmpty)
-    val norm = normalize(col(textCol))
-    val scoreCols = models.map { case (lbl, w, b) =>
+    // NULL text ≡ empty text (the oracle's COALESCE-to-bare-prior
+    // contract): a gram-less doc scores each class at its prior
+    val norm = normalize(coalesce(col(textCol), lit("")))
+    val sfx = labelSuffixes(models.map(_._1))
+    val scoreCols = models.zip(sfx).map { case ((_, w, b), s) =>
       graft.functions.TextHashExprs.hashedGramScore(norm, w, b, maxN)
-        .as(s"score_$lbl") }
+        .as(s"score_$s") }
     val scored = df.select(
       (col(idCol) +: passthrough.map(col)) ++ scoreCols: _*)
     // greatest() needs >= 2 args; a degenerate single-class model still
     // predicts its class (NULL text -> NULL pred, as with C >= 2)
     val pred =
       if (models.size == 1)
-        when(col(s"score_${models.head._1}").isNotNull, lit(models.head._1))
+        when(col(s"score_${sfx.head}").isNotNull, lit(models.head._1))
       else {
-        val best = greatest(models.map(m => col(s"score_${m._1}")): _*)
-        coalesce(models.map(m =>
-          when(col(s"score_${m._1}") === best, lit(m._1))): _*)
+        val best = greatest(sfx.map(s => col(s"score_$s")): _*)
+        coalesce(models.zip(sfx).map { case (m, s) =>
+          when(col(s"score_$s") === best, lit(m._1)) }: _*)
       }
     scored.withColumn("pred_lang", pred)
   }
@@ -1254,7 +1276,10 @@ object TextAnalysis {
       lit(2654435761L), lit(1000000L)) % lit(dsirGumbelLevels.toLong)
     val scored = df.select(col(idCol),
         graft.functions.TextHashExprs.hashedGramScore(
-          normalize(col(textCol)), weights, 0.0, maxN).as("dsir_logw"),
+          // NULL text ≡ empty text: gram-less docs carry logw 0 (the
+          // oracle's COALESCE contract), never a NULL sel_key
+          normalize(coalesce(col(textCol), lit(""))),
+          weights, 0.0, maxN).as("dsir_logw"),
         lvl.as("__lvl"))
       .withColumn("sel_key", col("dsir_logw") +
         element_at(typedLit(dsirGumbelTable), (col("__lvl") + 1).cast("int")))
@@ -1283,7 +1308,10 @@ object TextAnalysis {
       weights: Array[Double], bias: Double, maxN: Int = 2): DataFrame =
     df.select(col(idCol),
         graft.functions.TextHashExprs.hashedGramScore(
-          normalize(col(textCol)), weights, bias, maxN).as("clf_score"))
+          // NULL text ≡ empty text: scores the bare bias (the oracle's
+          // LEFT JOIN + COALESCE contract), never NULL
+          normalize(coalesce(col(textCol), lit(""))),
+          weights, bias, maxN).as("clf_score"))
       .withColumn("clf_keep", col("clf_score") > lit(0.0))
 
   /** One row per document with every text-analysis signal. */

@@ -787,8 +787,12 @@ object Pipeline {
   private def hashedGramScoreCtesMulti(
       models: Seq[(String, IndexedSeq[Double], String)], dim: Int): String = {
     val shared = s"""dls AS (
+          -- COALESCE: NULL text ≡ empty text on BOTH sides (the engine
+          -- kernels coalesce before normalize — gram-less docs fall back
+          -- to the bare bias/prior, never NULL)
           SELECT doc_id, list_filter(string_split(
-            trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), ' '),
+            trim(regexp_replace(lower(coalesce(text, '')),
+              '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), ' '),
             x -> len(x) > 0) AS toksl
           FROM documents),
         docgram AS MATERIALIZED (
@@ -887,8 +891,11 @@ object Pipeline {
     * reconstruction; short corpus docs excise whole-text on a set hit. */
   private val decontaminateSpansOracle: String = """
         WITH toks AS (
+          -- COALESCE: NULL text ≡ empty text (the engine coalesces before
+          -- the excise kernel — a NULL doc cleans to '' with 0 removed)
           SELECT doc_id, list_filter(string_split(
-              trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')),
+              trim(regexp_replace(lower(coalesce(text, '')),
+                '[ \t\n\x0b\f\r]+', ' ', 'g')),
               ' '), x -> len(x) > 0) AS t
           FROM documents),
         bgrams AS MATERIALIZED (
@@ -973,18 +980,23 @@ object Pipeline {
       dim: Int, maxN: Int): String = {
     require(maxN == 2, "oracle emits exactly the unigram+bigram streams")
     val models = lidModels(s, dir, dim, maxN)
+    // identifier-safe per-class suffixes (the ENGINE's labelSuffixes —
+    // one function names both sides): a label is data, spliced into the
+    // SQL only as an escaped string VALUE, never as an identifier
+    val sfx = graft.operators.TextAnalysis.labelSuffixes(models.map(_._1))
+    def lity(l: String) = "'" + l.replace("'", "''") + "'"
     val ctes = hashedGramScoreCtesMulti(
-      models.map { case (l, w, b) =>
-        (s"_$l", w.toIndexedSeq, s"CAST('$b' AS DOUBLE)") }, dim)
-    val scoreCols = models.map { case (l, _, b) =>
-      s"COALESCE(folded_$l.sc, CAST('$b' AS DOUBLE)) AS score_$l" }
+      models.zip(sfx).map { case ((_, w, b), sx) =>
+        (s"_$sx", w.toIndexedSeq, s"CAST('$b' AS DOUBLE)") }, dim)
+    val scoreCols = models.zip(sfx).map { case ((_, _, b), sx) =>
+      s"COALESCE(folded_$sx.sc, CAST('$b' AS DOUBLE)) AS score_$sx" }
       .mkString(",\n          ")
-    val joins = models.map { case (l, _, _) =>
-      s"LEFT JOIN folded_$l ON folded_$l.doc_id = d.doc_id" }
+    val joins = sfx.map(sx =>
+      s"LEFT JOIN folded_$sx ON folded_$sx.doc_id = d.doc_id")
       .mkString("\n          ")
-    val best = s"greatest(${models.map(m => s"score_${m._1}").mkString(", ")})"
-    val pred = "CASE " + models.map(m =>
-      s"WHEN score_${m._1} = $best THEN '${m._1}'").mkString(" ") + " END"
+    val best = s"greatest(${sfx.map(sx => s"score_$sx").mkString(", ")})"
+    val pred = "CASE " + models.zip(sfx).map { case (m, sx) =>
+      s"WHEN score_$sx = $best THEN ${lity(m._1)}" }.mkString(" ") + " END"
     s"""
         WITH $ctes,
         scored AS (
@@ -992,8 +1004,7 @@ object Pipeline {
           $scoreCols
           FROM documents d
           $joins)
-        SELECT doc_id, lang, ${models.map(m => s"score_${m._1}")
-          .mkString(", ")},
+        SELECT doc_id, lang, ${sfx.map(sx => s"score_$sx").mkString(", ")},
           $pred AS pred_lang,
           ($pred = lang) AS lang_match
         FROM scored"""

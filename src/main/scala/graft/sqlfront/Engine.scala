@@ -228,7 +228,11 @@ final class Engine(val spark: SparkSession)
     * table here is session-durable, accepted), and `HIDDEN`
     * (Parser.java:3995-4020 order; meta-visibility flag, accepted).
     * Anything else fails loudly — the strictness the pattern's former
-    * Eos enforced. */
+    * Eos enforced. DELIBERATE LENIENCY: options are accepted in any
+    * order (the reference reads them in one fixed sequence,
+    * Parser.java:3995-4020) — every statement the reference accepts is
+    * accepted here with identical meaning; the superset only admits
+    * reorderings, never a different interpretation. */
   private[sqlfront] def parseTableTail(frag0: String)
       : (Option[String], Option[String], Option[String]) = {
     val frag = frag0.trim
@@ -661,6 +665,7 @@ final class Engine(val spark: SparkSession)
     * Bare TEMP/TEMPORARY reads as GLOBAL TEMPORARY (Parser.java:3984-3986
     * passes globalTemp=true). */
   private[sqlfront] def normalizeCreateHead(stmt: String): String = {
+    pendingStorage = None // a prior statement's stage dies with it
     val ts = Lex.tokens(stmt)
     def word(i: Int): String =
       if (i < ts.length && ts(i).kind == Lex.Word) ts(i).text(stmt).toUpperCase
@@ -687,23 +692,40 @@ final class Engine(val spark: SparkSession)
       if (j < ts.length) ts(j).text(stmt).stripPrefix("\"").stripSuffix("\"")
         .toLowerCase
       else ""
-    // EVERY create-table head clears stale storage metadata first: a
-    // prefixed create that died with a ROLLBACK (these maps are not
-    // snapshotted) must not leak its prefix onto a later plain CREATE
-    // TABLE of the same name via SCRIPT
+    // EVERY create-table head clears stale DDL-tail metadata first: a
+    // prefixed / codegen-tailed create that died with a ROLLBACK (these
+    // maps are not snapshotted) must not leak its attributes onto a later
+    // plain CREATE TABLE of the same name via SCRIPT
     if (tn.nonEmpty && !tables.contains(tn)) {
       tableStorage.remove(tn); onCommitActions.remove(tn)
+      tableCodegen.remove(tn)
     }
     if (head == "CREATE" && mem.isEmpty && tmp.isEmpty) return stmt
     val prefix = Seq(mem, tmp).filter(_.nonEmpty).mkString(" ")
-    if (tn.nonEmpty && prefix.nonEmpty) tableStorage(tn) = prefix
+    // staged, not recorded: a FAILED create (duplicate table, bad column
+    // defs) must not leave the prefix behind for SCRIPT to re-emit onto
+    // the surviving table — the createTable case commits it on success
+    if (tn.nonEmpty && prefix.nonEmpty) pendingStorage = Some(tn -> prefix)
     "CREATE " + stmt.substring(ts(i).start)
+  }
+
+  /** Storage prefix staged by [[normalizeCreateHead]] for the CREATE in
+    * flight; committed to [[tableStorage]] by [[commitPendingStorage]]
+    * only after the create succeeds (and discarded at the next
+    * statement's head-normalization either way). */
+  private[sqlfront] var pendingStorage: Option[(String, String)] = None
+
+  private[sqlfront] def commitPendingStorage(tn: String): Unit = {
+    pendingStorage.filter(_._1 == tn)
+      .foreach { case (t, p) => tableStorage(t) = p }
+    pendingStorage = None
   }
 
   /** Record an ON COMMIT action — the reference only parses the clause on
     * temp tables (Parser.java reads it inside the temp branch). */
   private[sqlfront] def registerOnCommit(tn: String, action: String): Unit = {
-    require(tableStorage.get(tn).exists(_.contains("TEMPORARY")),
+    require(pendingStorage.collect { case (`tn`, p) => p }
+        .orElse(tableStorage.get(tn)).exists(_.contains("TEMPORARY")),
       s"ON COMMIT is only valid on a TEMPORARY table (Parser.java): $tn")
     onCommitActions(tn) = action
   }
@@ -1222,20 +1244,35 @@ final class Engine(val spark: SparkSession)
         else comments((t, tail)) =
           text.stripPrefix("'").stripSuffix("'").replace("''", "'")
         status()
-      case createTableAsRe(name, query) =>
-        register(name, runSelect(query)); status()
-      case createTableRe(name, colDefs, tableTail) =>
-        val tn = name.toLowerCase
-        // model-codegen attributes (CreateTable.java packageName/genCode):
-        // recorded for SCRIPT round trip; the generator itself is a
-        // build-time artifact (writes .java files), not query semantics
-        parseTableTail(Option(tableTail).getOrElse("")) match {
-          case (None, None, oc) =>
-            oc.foreach(registerOnCommit(tn, _))
-          case (pkg, code, oc) =>
-            tableCodegen(tn) = (pkg, code)
-            oc.foreach(registerOnCommit(tn, _))
+      case createTableAsRe(ine, name, query) =>
+        if (tables.contains(name.toLowerCase)) {
+          // TABLE_OR_VIEW_ALREADY_EXISTS_1 (CreateTable.java:125-129):
+          // IF NOT EXISTS returns without touching the existing table
+          require(ine != null,
+            s"TABLE_OR_VIEW_ALREADY_EXISTS: $name (CreateTable.java:129)")
+        } else {
+          register(name, runSelect(query))
+          commitPendingStorage(name.toLowerCase)
         }
+        status()
+      case createTableRe(ine, name, colDefs, tableTail) =>
+        val tn = name.toLowerCase
+        if (tables.contains(tn)) {
+          // TABLE_OR_VIEW_ALREADY_EXISTS_1 (CreateTable.java:125-129) —
+          // the reference checks BEFORE evaluating column defs / tails,
+          // and IF NOT EXISTS leaves the existing table untouched
+          require(ine != null,
+            s"TABLE_OR_VIEW_ALREADY_EXISTS: $name (CreateTable.java:129)")
+          return status()
+        }
+        // model-codegen attributes (CreateTable.java packageName/genCode):
+        // recorded for SCRIPT round trip AFTER the create succeeds (a
+        // failed create must not leak them — same contract as
+        // commitPendingStorage); the generator itself is a build-time
+        // artifact (writes .java files), not query semantics
+        val (cgPkg, cgCode, cgOc) =
+          parseTableTail(Option(tableTail).getOrElse(""))
+        cgOc.foreach(registerOnCommit(tn, _))
         val (schema, pks0, inlineIdx, inlineCons) = parseColumnDefs(colDefs)
         var pks = pks0
         val notNull = mutable.Set.empty[String]
@@ -1316,6 +1353,9 @@ final class Engine(val spark: SparkSession)
         }
         register(name, spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], finalSchema))
+        if (cgPkg.isDefined || cgCode.isDefined)
+          tableCodegen(tn) = (cgPkg, cgCode)
+        commitPendingStorage(tn)
         // inline table constraints route through the SAME machinery as
         // ALTER TABLE ADD CONSTRAINT — AFTER registration (the validator
         // reads the just-created empty table; vacuous now, then the

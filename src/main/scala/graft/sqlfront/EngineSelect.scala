@@ -61,7 +61,10 @@ private[sqlfront] trait EngineSelect { this: Engine =>
         i += 1
         if (w(i) == "OF") {
           i += 1
-          // ident (, ident)*
+          // ident (, ident)* — and NOTHING after: the reference grammar
+          // treats the OF-list and NOWAIT as mutually exclusive
+          // alternatives (Parser.java:1578-1584), so `FOR UPDATE OF a
+          // NOWAIT` is a syntax error there and stays one here
           var good = ts.lift(i).exists(_.kind == Lex.Word)
           i += 1
           while (good && i < ts.length && ts(i).kind == Lex.Sym &&
@@ -69,8 +72,7 @@ private[sqlfront] trait EngineSelect { this: Engine =>
             good = ts.lift(i + 1).exists(_.kind == Lex.Word)
             i += 2
           }
-          if (!good) false
-          else { if (w(i) == "NOWAIT") i += 1; i == ts.length }
+          good && i == ts.length
         } else if (w(i) == "NOWAIT") { i += 1; i == ts.length }
         else i == ts.length
       case "READ" | "FETCH" =>
@@ -396,6 +398,16 @@ private[sqlfront] trait EngineSelect { this: Engine =>
             "average_execution_time")
       case "databases" => // id 29
         databases.toSeq.toDF("database_name")
+      case "models" => // graft extension: the trained-artifact registry
+        // (core/ModelStore) under SET MODEL_REGISTRY '<root>' — empty
+        // (same schema) when no registry is configured
+        sessionSettings.get("MODEL_REGISTRY")
+          .map(_.stripPrefix("'").stripSuffix("'"))
+          .filter(_.nonEmpty)
+          .map(root => graft.core.ModelStore.list(spark, root))
+          .getOrElse(Seq.empty[(String, Int, String, Long, Long, Long, String)]
+            .toDF("model_name", "version", "kind", "dim", "max_n",
+              "fit_fingerprint", "path"))
       case other => throw new IllegalArgumentException(
         s"INFORMATION_SCHEMA.$other not supported")
     }
@@ -486,8 +498,12 @@ private[sqlfront] trait EngineSelect { this: Engine =>
       s"COMMENT ON $t $n IS '${c.replace("'", "''")}';" }
     val dbs = databases.toSeq.filter(_ != "graft").map(d =>
       s"CREATE DATABASE $d;")
+    // the trained-artifact registry binding survives a SCRIPT round trip
+    // (the models themselves are parquet on disk, not DDL)
+    val reg = sessionSettings.get("MODEL_REGISTRY").toSeq.map(v =>
+      s"SET MODEL_REGISTRY ${if (v.startsWith("'")) v else s"'$v'"};")
     ddl ++ seqs ++ ixs ++ cons ++ defs ++ vws ++ als ++ consts ++ doms ++
-      svcs ++ usrs ++ rls ++ rgs ++ cmts ++ dbs
+      svcs ++ usrs ++ rls ++ rgs ++ cmts ++ dbs ++ reg
   }
 
   // ---- DDL helpers ----

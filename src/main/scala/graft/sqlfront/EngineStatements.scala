@@ -27,9 +27,10 @@ private[sqlfront] trait EngineStatements { this: Engine =>
   // parseTableTail, which errors loudly on anything else (the old Eos
   // strictness for trailing junk)
   private[sqlfront] val createTableRe =
-    P(Kw("CREATE", "TABLE"), Opt("IF", "NOT", "EXISTS"), Ident, Paren, Rest)
+    P(Kw("CREATE", "TABLE"), OptCap("IF", "NOT", "EXISTS"), Ident, Paren, Rest)
   private[sqlfront] val createTableAsRe =
-    P(Kw("CREATE", "TABLE"), Opt("IF", "NOT", "EXISTS"), Ident, Kw("AS"), Rest)
+    P(Kw("CREATE", "TABLE"), OptCap("IF", "NOT", "EXISTS"), Ident, Kw("AS"),
+      Rest)
   // DROP TABLE [IF EXISTS] t1[, t2 …] [CASCADE|RESTRICT] — the reference
   // chains comma-separated drops (Parser.java parseDropTable →
   // DropTable.addNextDropTable) and defaults the action to CASCADE

@@ -125,7 +125,9 @@ class ClassifierSpec extends SparkSpec {
     // a wiring bug (swapped classes, wrong prior, broken argmax) fails this
     assert(hit > majority, s"lang-id no better than majority: $hit vs $majority of $n")
     // gram-less doc: every score is its bare prior, argmax = max prior
-    // (the largest class), ties by label order; null text → null pred
+    // (the largest class), ties by label order; NULL text ≡ empty text
+    // (the oracle's COALESCE-to-prior contract — a corpus NULL must not
+    // diverge from the generated twin)
     import spark.implicits._
     val edge = Seq((1L, Some("")), (2L, None)).toDF("doc_id", "text")
     val got = TextAnalysis.langIdScore(edge, "doc_id", "text", m1)
@@ -135,10 +137,10 @@ class ClassifierSpec extends SparkSpec {
     val expectedPred = m1.filter(_._3 == m1.map(_._3).max).map(_._1).min
     assert(got(1L) == expectedPred, s"got ${got(1L)}, want $expectedPred " +
       s"(priors ${m1.map(m => m._1 -> m._3)})")
-    assert(got(2L) == null)
+    assert(got(2L) == expectedPred) // NULL ≡ '' — same prior-argmax
   }
 
-  test("gram-less input scores exactly the bias; null text → null score") {
+  test("gram-less input scores exactly the bias; NULL text ≡ empty text") {
     val w = Array.fill(16)(1.0)
     val df = Seq((1L, Some("")), (2L, Some("one two")), (3L, None))
       .toDF("doc_id", "text")
@@ -148,6 +150,34 @@ class ClassifierSpec extends SparkSpec {
         (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
     assert(got(1L) == 0.125) // empty text: no grams, bare bias
     assert(got(2L) == 0.125 + 3.0) // 2 unigrams + 1 bigram, all w=1
-    assert(got(3L) == null) // null propagates (UnaryExpression contract)
+    assert(got(3L) == 0.125) // NULL ≡ '' (the oracle's COALESCE contract)
+    // dsirSelect: a NULL-text doc carries logw 0 and a REAL sel_key —
+    // it competes in the resampling rather than vanishing into NULL
+    val sel = TextAnalysis.dsirSelect(df, "doc_id", "text", w, k = 2)
+    assert(sel.filter(col("dsir_logw").isNull || col("sel_key").isNull)
+      .count() == 0)
+    assert(sel.filter(col("doc_id") === 3L).head().getDouble(1) == 0.0)
+  }
+
+  test("labelSuffixes: safe labels pass through; unsafe sets go positional " +
+      "and langIdScore still schedules/argmaxes correctly") {
+    assert(TextAnalysis.labelSuffixes(Seq("de", "en")) == Seq("de", "en"))
+    // any unsafe member (space/quote/leading digit) or a case-fold
+    // collision flips the WHOLE set to positional — no mixed collisions
+    assert(TextAnalysis.labelSuffixes(Seq("a b", "en")) == Seq("c0", "c1"))
+    assert(TextAnalysis.labelSuffixes(Seq("EN", "en")) == Seq("c0", "c1"))
+    assert(TextAnalysis.labelSuffixes(Seq("it's", "9x")) == Seq("c0", "c1"))
+    import spark.implicits._
+    val weird = Seq((1L, "alpha beta gamma", "l one"),
+      (2L, "delta epsilon zeta", "L'2"), (3L, "alpha beta delta", "l one"))
+      .toDF("doc_id", "text", "lang")
+    val m = TextAnalysis.langIdFit(weird, "text", "lang", dim = 16, maxN = 2)
+    val scored = TextAnalysis.langIdScore(weird, "doc_id", "text", m,
+      passthrough = Seq("lang"))
+    // columns are positional (identifier-safe), values are the raw labels
+    assert(scored.columns.toSet.intersect(Set("score_c0", "score_c1"))
+      .size == 2, scored.columns.toSeq)
+    val hit = scored.filter(col("pred_lang") === col("lang")).count()
+    assert(hit == 3L, s"unsafe-label NB should memorize its 3-doc corpus")
   }
 }

@@ -468,7 +468,9 @@ class DedupSpec extends SparkSpec {
       // short doc (< 8 words) equal to a short benchmark doc: whole-text
       (3L, "tiny leak"),
       // short doc, no match: untouched
-      (4L, "tiny leek")).toDF("doc_id", "text")
+      (4L, "tiny leek"),
+      // NULL text ≡ empty text: cleans to '' with 0 removed, never NULL
+      (5L, null: String)).toDF("doc_id", "text")
     val got = Dedup.decontaminateSpans(corpus, bench, "doc_id", "text", n = 8)
       .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
       .toMap
@@ -476,6 +478,7 @@ class DedupSpec extends SparkSpec {
     assert(got(2L)._2 == 0L && got(2L)._1.startsWith("nothing shared"))
     assert(got(3L) == (("", 2L)))
     assert(got(4L) == (("tiny leek", 0L)))
+    assert(got(5L) == (("", 0L)))
     // family coherence: a doc loses tokens here iff decontaminate flags it
     // (both sides hash the same \u0001-joined grams / whole-text fallback)
     val flags = Dedup.decontaminate(corpus, bench, "doc_id", "text", n = 8)

@@ -1341,7 +1341,8 @@ class EngineSpec extends SparkSpec {
     e.sql("INSERT INTO fu VALUES (1, 'x'), (2, 'y')")
     // row locks are a no-op on single-statement snapshots — result identical
     assert(e.sql("SELECT * FROM fu FOR UPDATE").count() == 2)
-    assert(e.sql("SELECT * FROM fu FOR UPDATE OF a, b NOWAIT").count() == 2)
+    assert(e.sql("SELECT * FROM fu FOR UPDATE OF a, b").count() == 2)
+    assert(e.sql("SELECT * FROM fu FOR UPDATE NOWAIT").count() == 2)
     assert(e.sql("SELECT a FROM fu FOR READ ONLY").count() == 2)
     assert(e.sql("SELECT a FROM fu FOR FETCH ONLY").count() == 2)
     // a FOR UPDATE inside a string literal is data, not a clause
@@ -1349,6 +1350,40 @@ class EngineSpec extends SparkSpec {
       == "FOR UPDATE")
     // malformed tails still fail (the strip only matches the exact clause)
     intercept[Exception](e.sql("SELECT a FROM fu FOR UPDATE OF"))
+    // the OF-list and NOWAIT are mutually exclusive ALTERNATIVES in the
+    // reference grammar (Parser.java:1578-1584) — combining them is a
+    // syntax error there and stays one here
+    intercept[Exception](e.sql("SELECT a FROM fu FOR UPDATE OF a, b NOWAIT"))
+  }
+
+  test("failed CREATE leaks no storage prefix or codegen tail into SCRIPT") {
+    val e = freshEngine
+    e.sql("CREATE TABLE st1 (a int)")
+    // duplicate create with a MEMORY prefix fails — the surviving table's
+    // SCRIPT DDL must stay prefix-free (the prefix is staged, committed
+    // only on success)
+    intercept[Exception](e.sql("CREATE MEMORY TABLE st1 (b int)"))
+    val ddl1 = e.sql("SCRIPT").collect().map(_.getString(0))
+      .filter(_.toUpperCase.contains("ST1"))
+    assert(ddl1.exists(_.toUpperCase.startsWith("CREATE TABLE")), ddl1.toSeq)
+    assert(!ddl1.exists(_.toUpperCase.contains("MEMORY")), ddl1.toSeq)
+    // a codegen-tailed create that dies in a rolled-back transaction must
+    // not leak PACKAGE/GENERATE CODE onto a later plain create (the
+    // tableCodegen twin of the storage-prefix stale-clear)
+    e.sql("BEGIN")
+    e.sql("CREATE TABLE st2 (a int) PACKAGE 'com.x' GENERATE CODE 'src'")
+    e.sql("ROLLBACK")
+    e.sql("CREATE TABLE st2 (a int)")
+    val ddl2 = e.sql("SCRIPT").collect().map(_.getString(0))
+      .filter(_.toUpperCase.contains("ST2"))
+    assert(!ddl2.exists(_.toUpperCase.contains("PACKAGE")), ddl2.toSeq)
+    // a temp-table create that FAILS later in the statement leaves no ON
+    // COMMIT action armed, and the staged prefix still serves ON COMMIT
+    // validation on the success path
+    e.sql("CREATE GLOBAL TEMPORARY TABLE st3 (a int) ON COMMIT DELETE ROWS")
+    val ddl3 = e.sql("SCRIPT").collect().map(_.getString(0))
+      .filter(_.toUpperCase.contains("ST3"))
+    assert(ddl3.exists(_.toUpperCase.contains("GLOBAL TEMPORARY")), ddl3.toSeq)
   }
 
   test("sequence not found carries the reference's error text") {

@@ -99,7 +99,8 @@ class PlanLintSpec extends SparkSpec {
     "sqlfront/Engine.scala" -> 1, // SET @v = (scalar expr): 1-row eval, reference Variable.java parity
     "sqlfront/EngineDdl.scala" -> 1, // 1-row max(_rowid_) agg for identity backfill
     "sqlfront/EngineTranslate.scala" -> 1, // @var scalar substitution: 1-row eval
-    "streaming/StreamDecontaminate.scala" -> 1 // benchmark gram-set materialization, bounded by the benchmark (KBs-MBs), embedded as a sorted reference array — materialize-then-embed like bloomBitsOf
+    "streaming/StreamDecontaminate.scala" -> 1, // benchmark gram-set materialization, bounded by the benchmark (KBs-MBs), embedded as a sorted reference array — materialize-then-embed like bloomBitsOf
+    "core/ModelStore.scala" -> 2 // registry reads: readAll's collect is bounded by MODEL size (dim / C·dim / merges / k·d / m·kc·subdim / mBits÷64 rows — never the corpus); corpusFingerprint's head() is a 1-row global XOR aggregate
   )
 
   test("driver collect() surface matches the audited per-file record") {
