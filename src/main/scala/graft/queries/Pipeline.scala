@@ -959,6 +959,90 @@ object Pipeline {
         FROM g JOIN r USING (doc_id) JOIN c USING (doc_id)
                JOIN k USING (doc_id)"""
 
+  /** One (model, cls) metrics block of the t37 oracle over a joined CTE
+    * `src(doc_id, s, y, p)` with non-null y/p: ROW_NUMBER ranks by
+    * (s, doc_id) — the engine's unique-rank convention — exact BIGINT
+    * confusion/rank sums (COALESCE'd so an empty split yields the
+    * engine's all-zero row), then the metric expressions MIRROR
+    * Eval.BinaryEvalStats operation-for-operation (one integer
+    * numerator + one IEEE division each; f1 guarded by prec+rec > 0). */
+  private def evalMetricsSql(src: String, model: String,
+      cls: String): String = s"""
+    SELECT '$model' AS model, '${cls.replace("'", "''")}' AS cls,
+           n, n_pos, n_neg, rank_sum_pos, tp, fp, fn, tn,
+           CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+                ELSE CAST(rank_sum_pos - (n_pos*(n_pos+1))//2 AS DOUBLE) /
+                     (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) END
+             AS auc,
+           prec, rec,
+           CASE WHEN prec IS NOT NULL AND rec IS NOT NULL
+                     AND prec + rec > 0.0
+                THEN 2.0 * prec * rec / (prec + rec) END AS f1
+    FROM (
+      SELECT n, n_pos, n - n_pos AS n_neg, rank_sum_pos, tp, fp, fn, tn,
+             CASE WHEN tp + fp = 0 THEN NULL
+                  ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END
+               AS prec,
+             CASE WHEN tp + fn = 0 THEN NULL
+                  ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END
+               AS rec
+      FROM (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COALESCE(SUM(CASE WHEN y THEN 1 ELSE 0 END), 0)
+                 AS BIGINT) AS n_pos,
+               CAST(COALESCE(SUM(CASE WHEN y THEN rk ELSE 0 END), 0)
+                 AS BIGINT) AS rank_sum_pos,
+               CAST(COALESCE(SUM(CASE WHEN y AND p THEN 1 ELSE 0 END), 0)
+                 AS BIGINT) AS tp,
+               CAST(COALESCE(SUM(CASE WHEN NOT y AND p THEN 1 ELSE 0 END), 0)
+                 AS BIGINT) AS fp,
+               CAST(COALESCE(SUM(CASE WHEN y AND NOT p THEN 1 ELSE 0 END), 0)
+                 AS BIGINT) AS fn,
+               CAST(COALESCE(SUM(CASE WHEN NOT y AND NOT p THEN 1 ELSE 0 END),
+                 0) AS BIGINT) AS tn
+        FROM (SELECT y, p,
+                     ROW_NUMBER() OVER (ORDER BY s, doc_id) AS rk
+              FROM $src) rr) a) m"""
+
+  /** DuckDB twin of t37: the u01 test-bucket filter, the t33 scoring
+    * chain + t29 gopher seed labels for the classifier row, the full t35
+    * chain for the per-language one-vs-rest rows — each graded by
+    * [[evalMetricsSql]] and UNION ALL'd. */
+  private def modelEvalOracle(s: SparkSession, dir: String): String = {
+    val models = lidModels(s, dir, dim = 1024, maxN = 2)
+    val sfx = graft.operators.TextAnalysis.labelSuffixes(models.map(_._1))
+    def lity(l: String) = "'" + l.replace("'", "''") + "'"
+    val lidJoins = models.zip(sfx).map { case ((lbl, _, _), sx) => s"""
+        lid_j_$sx AS (
+          SELECT l.doc_id, l.score_$sx AS s,
+                 COALESCE(l.lang = ${lity(lbl)}, FALSE) AS y,
+                 COALESCE(l.pred_lang = ${lity(lbl)}, FALSE) AS p
+          FROM lid l JOIN tst USING (doc_id))""" }.mkString(",")
+    val lidBlocks = models.zip(sfx).map { case ((lbl, _, _), sx) =>
+      evalMetricsSql(s"lid_j_$sx", "langid", lbl) }
+      .mkString("\n    UNION ALL\n")
+    s"""
+        WITH tst AS (
+          SELECT doc_id FROM (
+            SELECT doc_id, $permilleBucketSql AS bk FROM documents) bb
+          WHERE bk >= 950),
+        gop AS (SELECT doc_id, gopher_pass
+                FROM (${gopherOracle(minStopHits = 1L)}) gg),
+        clf AS (SELECT doc_id, clf_score
+                FROM (${qualityClassifierOracle(s, dir, dim = 1024,
+                  maxN = 2)}) cc),
+        lid AS (SELECT * FROM (${langIdOracleGen(s, dir, dim = 1024,
+                  maxN = 2)}) ll),
+        clf_j AS (
+          SELECT c.doc_id, c.clf_score AS s, g.gopher_pass AS y,
+                 c.clf_score > 0.0 AS p
+          FROM clf c JOIN gop g USING (doc_id) JOIN tst USING (doc_id)),
+        $lidJoins
+        ${evalMetricsSql("clf_j", "classifier", "keep")}
+    UNION ALL
+    $lidBlocks"""
+  }
+
   /** Trained multiclass lang-id models, memoized per (dir, dim, maxN) —
     * same shared-state discipline as [[clfModel]]. Labels = the corpus
     * `lang` column (the supervised fastText-lid setup). */
@@ -3587,6 +3671,48 @@ object Pipeline {
       None,
       oracleGen = Some((s, dir) =>
         langIdOracleGen(s, dir, dim = 1024, maxN = 2))),
+
+    // ---- In-pipeline model evaluation (t37): exact AUC (Mann-Whitney
+    // rank-sum with the (score, id) tie-break convention — integer
+    // numerator, one IEEE division) plus precision/recall/F1 at the
+    // models' own decision thresholds, graded on the u01 held-out test
+    // split. One row for the t33 classifier vs its gopher_pass seed
+    // labels; one row per language for t35 one-vs-rest. The rank-sum
+    // runs WITHOUT a global window (range-repartition + per-partition
+    // offsets — the packSequences shape); the ORACLE may use
+    // ROW_NUMBER, the engine must not.
+    Q("t37_model_eval",
+      (s, dir) => {
+        val (w, bias) = clfModel(s, dir, dim = 1024, maxN = 2)
+        val models = lidModels(s, dir, dim = 1024, maxN = 2)
+        val test = graft.operators.Sampling.hashSplit(
+            t(s, dir, "documents"), "doc_id",
+            trainPermille = 900, valPermille = 50)
+          .filter(col("split") === "test")
+        val clfScored = test.select(col("doc_id"),
+          TextAnalysis.gopherSignals(col("text"), minStopHits = 1L).last,
+          graft.functions.TextHashExprs.hashedGramScore(
+            Dedup.normalize(coalesce(col("text"), lit(""))),
+            w, bias, maxN = 2).as("clf_score"))
+        val clfRow = graft.operators.Eval.binaryEval(
+          clfScored.withColumn("clf_keep", col("clf_score") > lit(0.0)),
+          "doc_id", "clf_score", "gopher_pass", "clf_keep",
+          "classifier", "keep")
+        val lidScored = TextAnalysis.langIdScore(test, "doc_id", "text",
+          models, passthrough = Seq("lang"), maxN = 2)
+        val sfx = TextAnalysis.labelSuffixes(models.map(_._1))
+        models.zip(sfx).map { case ((lbl, _, _), sx) =>
+          graft.operators.Eval.binaryEval(
+            lidScored
+              .withColumn("__y", coalesce(col("lang") === lit(lbl),
+                lit(false)))
+              .withColumn("__p", coalesce(col("pred_lang") === lit(lbl),
+                lit(false))),
+            "doc_id", s"score_$sx", "__y", "__p", "langid", lbl)
+        }.foldLeft(clfRow)(_ union _)
+      },
+      None,
+      oracleGen = Some((s, dir) => modelEvalOracle(s, dir))),
 
     // ---- Full quality funnel (p05): the production DCLM/FineWeb shape —
     // the three RULE gates (p04's fusion) plus the LEARNED classifier

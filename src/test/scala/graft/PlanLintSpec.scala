@@ -100,7 +100,8 @@ class PlanLintSpec extends SparkSpec {
     "sqlfront/EngineDdl.scala" -> 1, // 1-row max(_rowid_) agg for identity backfill
     "sqlfront/EngineTranslate.scala" -> 1, // @var scalar substitution: 1-row eval
     "streaming/StreamDecontaminate.scala" -> 1, // benchmark gram-set materialization, bounded by the benchmark (KBs-MBs), embedded as a sorted reference array — materialize-then-embed like bloomBitsOf
-    "core/ModelStore.scala" -> 2 // registry reads: readAll's collect is bounded by MODEL size (dim / C·dim / merges / k·d / m·kc·subdim / mBits÷64 rows — never the corpus); corpusFingerprint's head() is a 1-row global XOR aggregate
+    "core/ModelStore.scala" -> 2, // registry reads: readAll's collect is bounded by MODEL size (dim / C·dim / merges / k·d / m·kc·subdim / mBits÷64 rows — never the corpus); corpusFingerprint's head() is a 1-row global XOR aggregate
+    "operators/Eval.scala" -> 1 // rank-sum offset pass: #partitions driver rows (the packSequences shape), never row-scaled
   )
 
   test("driver collect() surface matches the audited per-file record") {
@@ -362,7 +363,11 @@ class PlanLintSpec extends SparkSpec {
     "p06_pretrain_export" -> 0,
     // p04's three rule gates + the t33 classifier kernel fused in the
     // same single scan — still zero exchanges
-    "p05_quality_funnel" -> 0
+    "p05_quality_funnel" -> 0,
+    // t37 eval: each (model, cls) rank-sum job (one range exchange + a
+    // per-partition offset pass, the packSequences shape) runs EAGERLY
+    // at plan-build time; the emitted plan unions 1-row literal frames
+    "t37_model_eval" -> 0
   )
 
   /** sf0.01 OVERRIDES on top of [[exchangeBudget]] (VERDICT r6 directive
