@@ -40,6 +40,14 @@ object Tables {
     else df
   }
 
+  /** Write-side twin of [[load]]: persist a (state) table as
+    * `$dir/$name.parquet` — the incremental-pipeline state tables
+    * (operators/Incremental) flow through here so state and corpus share
+    * one storage convention. */
+  def save(df: DataFrame, dir: String, name: String,
+      mode: String = "errorifexists"): Unit =
+    df.write.mode(mode).parquet(s"$dir/$name.parquet")
+
   /** Register every corpus table as a temp view (idempotent). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))

@@ -920,13 +920,46 @@ object Dedup {
       idCol: String,
       textCol: String,
       cfg: MinHashConfig = MinHashConfig(),
+      maxBucket: Int = 1000): DataFrame =
+    crossDedupPrepped(batch, idCol, textCol,
+      crossPrep(corpus, idCol, textCol, cfg), cfg, maxBucket)
+
+  /** The ONE corpus-side preparation both the recompute path
+    * ([[crossDedup]]) and the incremental path
+    * ([[Incremental.crossDedupAgainstState]]) flow through:
+    * (__id, __nrm, __sh, __sig, __bands). Persisting exactly these
+    * columns (minus the sig-derived __bands) as parquet and reading them
+    * back IS the incremental dedup state — equivalence with the
+    * recompute path holds by construction (longs/strings round-trip
+    * parquet exactly) and is proven empirically in IncrementalSpec. */
+  private[graft] def crossPrep(df: DataFrame, idCol: String,
+      textCol: String, cfg: MinHashConfig): DataFrame = df.select(
+      col(idCol).as("__id"),
+      normalize(col(textCol)).as("__nrm"),
+      shingleHashSet(col(textCol), cfg.shingleSize).as("__sh"))
+    .withColumn("__sig", minhashSignature(col("__sh"), cfg.numHashes, cfg.seed))
+    .withColumn("__bands", bandHashes(col("__sig"), cfg.bands, cfg.rowsPerBand))
+    .transform(graft.core.Checkpoint.cut)
+
+  /** [[crossDedup]] against an ALREADY-PREPARED corpus side (a
+    * [[crossPrep]] frame — live or read back from persisted dedup
+    * state): batch docs that duplicate the prepared corpus exactly
+    * (normalized text) or nearly (banded LSH + signature estimate +
+    * exact Jaccard) are dropped. */
+  def crossDedupPrepped(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      corpusPrepped: DataFrame,
+      cfg: MinHashConfig = MinHashConfig(),
       maxBucket: Int = 1000): DataFrame = {
-    val nearVictims = crossMinhashCandidates(
-        batch, corpus, idCol, textCol, cfg, maxBucket)
+    val bPrep = crossPrep(batch, idCol, textCol, cfg)
+    val nearVictims = crossMinhashCandidatesPrepped(
+        bPrep, corpusPrepped, cfg, maxBucket)
       .select(col("batch_id").as("__victim")).distinct()
-    val exactVictims = batch
-      .select(col(idCol).as("__victim"), normalize(col(textCol)).as("__nrm"))
-      .join(corpus.select(normalize(col(textCol)).as("__nrm")).distinct(),
+    val exactVictims = bPrep
+      .select(col("__id").as("__victim"), col("__nrm"))
+      .join(corpusPrepped.select(col("__nrm")).distinct(),
         Seq("__nrm"), "left_semi")
       .select(col("__victim"))
     batch.join(nearVictims.union(exactVictims).distinct(),
@@ -944,13 +977,18 @@ object Dedup {
       idCol: String,
       textCol: String,
       cfg: MinHashConfig = MinHashConfig(),
-      maxBucket: Int = 1000): DataFrame = {
-    def prep(df: DataFrame) = df.select(
-        col(idCol).as("__id"),
-        shingleHashSet(col(textCol), cfg.shingleSize).as("__sh"))
-      .withColumn("__sig", minhashSignature(col("__sh"), cfg.numHashes, cfg.seed))
-      .withColumn("__bands", bandHashes(col("__sig"), cfg.bands, cfg.rowsPerBand))
-      .transform(graft.core.Checkpoint.cut)
+      maxBucket: Int = 1000): DataFrame =
+    crossMinhashCandidatesPrepped(
+      crossPrep(batch, idCol, textCol, cfg),
+      crossPrep(corpus, idCol, textCol, cfg), cfg, maxBucket)
+
+  /** Candidate pipeline over two ALREADY-PREPARED [[crossPrep]] sides —
+    * the shared core of the recompute and incremental-state paths. */
+  private[graft] def crossMinhashCandidatesPrepped(
+      bBase: DataFrame,
+      cBase: DataFrame,
+      cfg: MinHashConfig,
+      maxBucket: Int): DataFrame = {
     // Per-side capped bucket lists (same discipline as minhashCandidates:
     // one shuffle per side, bounded reducer memory, observable drops);
     // both aggregations hash-partition on (band, hash) so the bucket join
@@ -968,8 +1006,6 @@ object Dedup {
       .filter(col("__bk.n") <= maxBucket)
       .select(col("__b"), col("__bh"), col("__bk.ids").as(out))
 
-    val bBase = prep(batch)
-    val cBase = prep(corpus)
     val pairs = bucketIds(bBase, "cross_lsh_batch", "__bids")
       .join(bucketIds(cBase, "cross_lsh_corpus", "__cids"), Seq("__b", "__bh"))
       .select(explode(col("__bids")).as("batch_id"), col("__cids"))

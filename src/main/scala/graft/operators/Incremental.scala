@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.Dedup.MinHashConfig
+
+/** Incremental corpus processing (VERDICT r9 directive 1) — the
+  * operational 100 TB shape: production pipelines ingest crawl DELTAS,
+  * not full snapshots, so the dedup state of the already-processed corpus
+  * PERSISTS as parquet tables and each new batch runs against it instead
+  * of recomputing anything over the old corpus.
+  *
+  * State tables (written/read through the [[graft.core.Tables]] layer,
+  * one storage convention with the corpus):
+  *  - `dedup_state(doc_id, nrm, sh, sig)` — per processed doc, the
+  *    normalized text (exact-dup probe), the hashed shingle set (exact
+  *    Jaccard verify), and the MinHash signature (estimate pre-filter;
+  *    band keys are a pure function of the signature and recompute on
+  *    read). Exactly the columns of [[Dedup.crossPrep]], so the
+  *    incremental path and the full-recompute path flow through the SAME
+  *    [[Dedup.crossDedupPrepped]] core — `full-from-scratch ≡
+  *    prior-state + delta` holds by construction (longs/strings
+  *    round-trip parquet bit-exactly) and IncrementalSpec proves it
+  *    row-for-row at two SFs.
+  *  - `pack_state(next_offset)` — the packed export's token high-water
+  *    mark: the next delta's [[Sampling.packSequences]] continues from
+  *    it, so offsets/bins are stable across ingests (an appended batch
+  *    packs exactly as if it had been in the original run).
+  *
+  * Scale shape: state size ∝ corpus (it IS the dedup index — parquet,
+  * distributed, never driver-side); a delta ingest touches the full state
+  * only through the banded-bucket join and the broadcast-free exact
+  * probes, the same exchange budget as d08's recompute path minus the
+  * corpus-side signature computation (at 100 TB that recompute is the
+  * whole cost — the state read is a column-pruned parquet scan). */
+object Incremental {
+
+  val DedupStateTable = "dedup_state"
+  val PackStateTable = "pack_state"
+
+  /** Persist (or with mode="append", extend) the dedup state of a
+    * processed corpus. */
+  def writeDedupState(df: DataFrame, idCol: String, textCol: String,
+      cfg: MinHashConfig, stateDir: String,
+      mode: String = "errorifexists"): Unit =
+    Tables.save(
+      Dedup.crossPrep(df, idCol, textCol, cfg)
+        .select(col("__id").as("doc_id"), col("__nrm").as("nrm"),
+          col("__sh").as("sh"), col("__sig").as("sig")),
+      stateDir, DedupStateTable, mode)
+
+  /** Extend the dedup state with a processed delta (the post-ingest step:
+    * the NEXT delta must also dedup against this one). */
+  def appendDedupState(df: DataFrame, idCol: String, textCol: String,
+      cfg: MinHashConfig, stateDir: String): Unit =
+    writeDedupState(df, idCol, textCol, cfg, stateDir, mode = "append")
+
+  /** The persisted state as a [[Dedup.crossPrep]]-shaped frame (band keys
+    * recomputed from the stored signatures — a pure deterministic
+    * function, so read-back preps are value-identical to live ones). */
+  def readDedupState(spark: SparkSession, stateDir: String,
+      cfg: MinHashConfig): DataFrame =
+    Tables.load(spark, stateDir, DedupStateTable)
+      .select(col("doc_id").as("__id"), col("nrm").as("__nrm"),
+        col("sh").as("__sh"), col("sig").as("__sig"))
+      .withColumn("__bands",
+        Dedup.bandHashes(col("__sig"), cfg.bands, cfg.rowsPerBand))
+
+  /** d08's cross-dedup with the corpus side READ FROM STATE instead of
+    * recomputed: delta docs that duplicate the processed corpus exactly
+    * or nearly are dropped; survivors are the new content to ingest.
+    * `cfg` must equal the config the state was written with (signatures
+    * are seed/hash-count specific). */
+  def crossDedupAgainstState(delta: DataFrame, idCol: String,
+      textCol: String, stateDir: String,
+      cfg: MinHashConfig = MinHashConfig(),
+      maxBucket: Int = 1000): DataFrame =
+    Dedup.crossDedupPrepped(delta, idCol, textCol,
+      readDedupState(delta.sparkSession, stateDir, cfg), cfg, maxBucket)
+
+  /** Record the packed export's next free token offset. */
+  def writePackState(spark: SparkSession, stateDir: String,
+      nextOffset: Long, mode: String = "overwrite"): Unit = {
+    import spark.implicits._
+    Tables.save(Seq(nextOffset).toDF("next_offset"),
+      stateDir, PackStateTable, mode)
+  }
+
+  /** The stored high-water mark (max survives append-mode writes). */
+  def readPackHighWater(spark: SparkSession, stateDir: String): Long =
+    Tables.load(spark, stateDir, PackStateTable)
+      .agg(max(col("next_offset"))).head().getLong(0) // 1-row state read
+}

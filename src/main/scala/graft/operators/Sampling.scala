@@ -281,8 +281,18 @@ object Sampling {
     * both jobs read the SAME materialized rows — determinism holds even
     * over a nondeterministic source. NULL token counts pack as 0. */
   def packSequences(df: DataFrame, idCol: String, tokensCol: String,
-      budgetTokens: Long): DataFrame = {
+      budgetTokens: Long): DataFrame =
+    packSequences(df, idCol, tokensCol, budgetTokens, startOffset = 0L)
+
+  /** [[packSequences]] continuing from a prior export's high-water mark:
+    * `startOffset` seeds the global cumulative offset, so an APPENDED
+    * batch packs exactly as if it had been part of the original run
+    * (stable offsets/bins across incremental ingests — the p07 contract;
+    * a partially-filled final bin keeps filling). */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
+      budgetTokens: Long, startOffset: Long): DataFrame = {
     require(budgetTokens > 0, "budgetTokens must be positive")
+    require(startOffset >= 0L, "startOffset must be >= 0")
     val taken = df.columns.filter(Set("tok_offset", "bin")).distinct
     require(taken.isEmpty,
       s"input columns ${taken.mkString(", ")} collide with the operator's " +
@@ -302,7 +312,7 @@ object Sampling {
       .mapPartitionsWithIndex((i, it) =>
         Iterator((i, it.foldLeft(0L)((a, r) => a + tok(r)))))
       .collect().sortBy(_._1).map(_._2)
-    val offsets = sums.scanLeft(0L)(_ + _)
+    val offsets = sums.scanLeft(startOffset)(_ + _)
     val packed = rdd.mapPartitionsWithIndex { (i, it) =>
       var acc = offsets(i)
       it.map { r =>

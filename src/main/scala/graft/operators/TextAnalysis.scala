@@ -475,6 +475,171 @@ object TextAnalysis {
     merges.result().toDF("merge_rank", "sym_a", "sym_b", "pair_freq")
   }
 
+  /** Viterbi segmentation of one word under a unigram-LM piece table —
+    * the ONE decoding convention every unigram-LM path shares (trainer
+    * E-step, [[unigramLmEncode]], and — independently reimplemented —
+    * the t38 oracle replay): symbols are CODE POINTS
+    * ([[codePointSplit]]); positions scanned left to right; at each end
+    * position candidate pieces are tried LONGEST FIRST with
+    * strictly-greater replacement, so an exact score tie keeps the
+    * longest trailing piece — a deterministic convention, not midpoint
+    * smoothing. Single-code-point pieces are always in the vocab (the
+    * trainer guarantees it), so every word segments. */
+  private[graft] def viterbiSegment(w: String, logp: Map[String, Double],
+      maxLen: Int): Vector[String] = {
+    val syms = codePointSplit(w)
+    val n = syms.length
+    if (n == 0) return Vector.empty
+    val best = Array.fill(n + 1)(Double.NegativeInfinity)
+    val back = new Array[Int](n + 1)
+    best(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - maxLen) // smallest j = longest piece first
+      while (j < i) {
+        logp.get(syms.slice(j, i).mkString) match {
+          case Some(lp) if best(j) + lp > best(i) =>
+            best(i) = best(j) + lp; back(i) = j
+          case _ =>
+        }
+        j += 1
+      }
+      i += 1
+    }
+    var out = List.empty[String]
+    var k = n
+    while (k > 0) { out = syms.slice(back(k), k).mkString :: out; k = back(k) }
+    out.toVector
+  }
+
+  /** Unigram-LM (SentencePiece-family) tokenizer trainer — the OTHER
+    * production tokenizer family beside BPE (t16): Kudo 2018's
+    * seed-then-prune shape with hard (Viterbi) EM. Like [[bpeTrain]],
+    * the corpus is read ONCE into the distinct (word, freq) table; every
+    * later job is dictionary-sized, never corpus-sized:
+    *
+    *  1. SEED: every 1..seedMaxLen-code-point substring of every distinct
+    *     word, occurrence-weighted by word frequency — all single
+    *     code points (mandatory: they keep every word segmentable) plus
+    *     the top `seedMultiCap` multi-symbol pieces by (count desc,
+    *     piece asc).
+    *  2. EM (×emIters per round): probabilities from current counts with
+    *     Laplace smoothing — logp = ln((cnt+1)/(total+|vocab|)), exact
+    *     longs through math.log, deterministic — then one distributed
+    *     E-step: broadcast the logp table, [[viterbiSegment]] each
+    *     DISTINCT word, aggregate freq-weighted piece counts (exact
+    *     longs — order-free, so distributed ≡ single-node replay
+    *     bit-exactly).
+    *  3. PRUNE: keep single code points + the top
+    *     max(vocabSize − #chars, ¾·#multi) multi-symbol pieces by
+    *     (count desc, piece asc); repeat from 2 until the vocab fits.
+    *
+    * One final E-step refits counts over the final vocab; the output
+    * (piece, cnt, logp) rows embed from the driver (vocab-sized). The
+    * whole prune SEQUENCE is deterministic — UnigramLmSpec pins it and
+    * the t38 oracle replays it independently. */
+  def unigramLmTrain(df: DataFrame, textCol: String, vocabSize: Int,
+      seedMaxLen: Int = 4, seedMultiCap: Int = 512,
+      emIters: Int = 2): DataFrame = {
+    require(vocabSize > 0 && seedMaxLen >= 2 && emIters >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .transform(graft.core.Checkpoint.cut)
+    val subUdf = udf((w: String) => {
+      val syms = codePointSplit(w)
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        var l = 1
+        while (l <= seedMaxLen && i + l <= syms.length) {
+          out += syms.slice(i, i + l).mkString; l += 1
+        }
+        i += 1
+      }
+      out.toSeq
+    })
+    val cpLen = udf((s: String) => s.codePointCount(0, s.length))
+    val seed = words
+      .select(col("freq"), explode(subUdf(col("w"))).as("p"))
+      .groupBy("p").agg(sum(col("freq")).as("cnt"))
+      .transform(graft.core.Checkpoint.cut)
+    // bounded collects: the alphabet, then the top-capped multi pieces
+    val chars: Seq[(String, Long)] = seed.filter(cpLen(col("p")) === 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    require(chars.nonEmpty, "empty corpus: no symbols to seed from")
+    require(vocabSize > chars.size,
+      s"vocabSize $vocabSize must exceed the ${chars.size} mandatory " +
+        "single-code-point pieces")
+    val multi0: Seq[(String, Long)] = seed.filter(cpLen(col("p")) > 1)
+      .orderBy(col("cnt").desc, col("p"))
+      .limit(seedMultiCap)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+    def cpn(s: String): Int = s.codePointCount(0, s.length)
+    def estep(vc: Seq[(String, Long)]): Map[String, Long] = {
+      val total = vc.map(_._2).sum
+      val v = vc.size
+      val logp = vc.map { case (p, c) =>
+        p -> math.log((c + 1.0) / (total.toDouble + v)) }.toMap
+      val maxLen = vc.map(p => cpn(p._1)).max
+      val segUdf = udf((w: String) => viterbiSegment(w, logp, maxLen))
+      words.select(col("freq"), explode(segUdf(col("w"))).as("p"))
+        .groupBy("p").agg(sum(col("freq")).as("c"))
+        .collect() // bounded by the current vocab, never the corpus
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    def refit(vc: Seq[(String, Long)], iters: Int): Seq[(String, Long)] = {
+      var cur = vc
+      (0 until iters).foreach { _ =>
+        val got = estep(cur)
+        cur = cur.map { case (p, _) => p -> got.getOrElse(p, 0L) }
+      }
+      cur
+    }
+    var vocab: Seq[(String, Long)] = chars ++ multi0
+    var multiN = multi0.size
+    while (chars.size + multiN > vocabSize && multiN > 0) {
+      vocab = refit(vocab, emIters)
+      val (cs, ms) = vocab.partition(p => cpn(p._1) == 1)
+      val keepN = math.max(vocabSize - cs.size, ms.size * 3 / 4)
+      vocab = cs ++ ms.sortBy { case (p, c) => (-c, p) }.take(keepN)
+      multiN = vocab.size - cs.size
+    }
+    val fin = refit(vocab, 1)
+    val total = fin.map(_._2).sum
+    val v = fin.size
+    fin.map { case (p, c) =>
+      (p, c, math.log((c + 1.0) / (total.toDouble + v))) }
+      .toDF("piece", "cnt", "logp")
+  }
+
+  /** Corpus encoding with a trained unigram-LM vocab — the companion of
+    * [[unigramLmTrain]] and the t17 shape: [[viterbiSegment]] runs once
+    * per DISTINCT word (the dictionary), the corpus-sized side is one
+    * equi-join + hash aggregate. Returns (doc_id, n_tokens, n_pieces);
+    * empty docs report zeros. */
+  def unigramLmEncode(df: DataFrame, idCol: String, textCol: String,
+      vocab: Seq[(String, Double)]): DataFrame = {
+    require(vocab.nonEmpty)
+    val logp = vocab.toMap
+    val maxLen = vocab.map(p => p._1.codePointCount(0, p._1.length)).max
+    val nPiecesUdf = udf((w: String) =>
+      viterbiSegment(w, logp, maxLen).length)
+    val wordsAll = df.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("word"))
+    val dict = wordsAll.select(col("word")).distinct()
+      .withColumn("n_p", nPiecesUdf(col("word")).cast("long"))
+    val agg = wordsAll.join(dict, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("n_p")).as("n_pieces"))
+    df.select(col(idCol).as("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"))
+  }
+
   /** Code-point split — the single-node twin of the trainer's
     * `split(w, "")` (Java-regex zero-width splits never separate a
     * surrogate pair), so [[bpeEncode]] and every oracle replay see the
@@ -1123,6 +1288,61 @@ object TextAnalysis {
       else { pos(b) = p; neg(b) = g }
     }
     (pos, neg, posDocs, negDocs)
+  }
+
+  /** FIT of one [[qualityClassifierFit]]-shaped NB model PER CLASS (the
+    * CCNet deployment shape: each language gets its own quality model,
+    * fitted only on that language's documents) — still ONE gram-level
+    * aggregate: the per-(class × label) occurrence counts ride as 2C agg
+    * columns of the same explode (classes are a bounded label universe,
+    * collected first; the sentinel bucket `dim` carries per-class
+    * document counts). ≤ dim+1 result rows; exact long counts through
+    * math.log — deterministic. Rows with a NULL class contribute to no
+    * model. Returns (class, weights, bias) sorted by class — the same
+    * label order [[langIdFit]] produces, so routing by predicted class
+    * aligns by construction. */
+  def perClassClassifierFit(df: DataFrame, textCol: String,
+      classCol: String, label: Column, dim: Int = 1024,
+      maxN: Int = 2): Seq[(String, Array[Double], Double)] = {
+    require(dim > 0 && (dim & (dim - 1)) == 0, s"dim must be a power of two")
+    val classes = df.select(col(classCol).cast("string")).na.drop()
+      .distinct().collect().map(_.getString(0)).sorted // bounded label set
+    require(classes.nonEmpty, s"no non-null classes in $classCol")
+    val buckets = graft.functions.TextHashExprs.hashedGramBuckets(
+      normalize(col(textCol)), dim, maxN)
+    val aggs = classes.toIndexedSeq.zipWithIndex.flatMap { case (c, i) =>
+      Seq(sum(when(col("__c") === c && col("__y"), 1L).otherwise(0L))
+          .as(s"__p_$i"),
+        sum(when(col("__c") === c && !col("__y"), 1L).otherwise(0L))
+          .as(s"__n_$i")) }
+    // label/class pre-projected BELOW the explode (the Generate
+    // re-evaluation trap documented at hashedGramClassCounts)
+    val rows = df.select(col(textCol),
+        col(classCol).cast("string").as("__c"),
+        coalesce(label, lit(false)).as("__y"))
+      .select(col("__c"), col("__y"),
+        explode(concat(buckets, array(lit(dim)))).as("__b"))
+      .groupBy(col("__b")).agg(aggs.head, aggs.tail: _*)
+      .collect() // bounded: <= dim+1 rows (the gram-level model aggregate)
+    val pos = classes.map(_ => new Array[Long](dim))
+    val neg = classes.map(_ => new Array[Long](dim))
+    val posDocs = new Array[Long](classes.length)
+    val negDocs = new Array[Long](classes.length)
+    rows.foreach { r =>
+      val b = r.getInt(0)
+      classes.indices.foreach { i =>
+        val p = r.getLong(1 + 2 * i); val n = r.getLong(2 + 2 * i)
+        if (b == dim) { posDocs(i) = p; negDocs(i) = n }
+        else { pos(i)(b) = p; neg(i)(b) = n }
+      }
+    }
+    classes.indices.map { i =>
+      val pTot = pos(i).sum; val nTot = neg(i).sum
+      val w = Array.tabulate(dim)(b =>
+        math.log((pos(i)(b) + 1.0) / (pTot + dim)) -
+          math.log((neg(i)(b) + 1.0) / (nTot + dim)))
+      (classes(i), w, math.log((posDocs(i) + 1.0) / (negDocs(i) + 1.0)))
+    }.toSeq
   }
 
   /** FIT of DSIR importance weights (Xie et al. 2023, "Data Selection

@@ -371,6 +371,165 @@ object Pipeline {
         FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id"""
   }
 
+  /** Single-node unigram-LM replay (memoized per (dir, params)): word
+    * freqs from the collected corpus (the bpeReplay tokenization), then
+    * the SAME deterministic seed → Viterbi-EM → prune sequence as
+    * [[graft.operators.TextAnalysis.unigramLmTrain]], reimplemented with
+    * plain driver loops — including an INDEPENDENT Viterbi that shares
+    * only the documented convention (code-point symbols, longest
+    * trailing piece on exact ties). Returns (piece, cnt, logp). */
+  private val ulmReplayCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Int, Int, Int, Int), Seq[(String, Long, Double)]]
+  private def ulmReplay(s: SparkSession, dir: String, vocabSize: Int,
+      seedMaxLen: Int, seedMultiCap: Int,
+      emIters: Int): Seq[(String, Long, Double)] =
+    ulmReplayCache.getOrElseUpdate(
+      (dir, vocabSize, seedMaxLen, seedMultiCap, emIters), {
+      val freq = scala.collection.mutable.HashMap.empty[String, Long]
+      Tables.load(s, dir, "documents").select("text").collect().foreach { r =>
+        Option(r.getString(0)).getOrElse("").toLowerCase
+          .replaceAll("[ \\t\\n\\x0B\\f\\r]+", " ").trim
+          .split(" ").filter(_.nonEmpty)
+          .foreach(w => freq(w) = freq.getOrElse(w, 0L) + 1L)
+      }
+      val wordSyms = freq.toSeq.map { case (w, f) =>
+        (graft.operators.TextAnalysis.codePointSplit(w), f) }
+      def cpn(p: String): Int = p.codePointCount(0, p.length)
+      // independent Viterbi: back-pointers store the PIECE, not an index
+      def viterbi(syms: Vector[String], logp: Map[String, Double],
+          maxLen: Int): List[String] = {
+        val n = syms.length
+        if (n == 0) return Nil
+        val best = Array.fill(n + 1)(Double.NegativeInfinity)
+        val bp = new Array[String](n + 1)
+        best(0) = 0.0
+        for (i <- 1 to n; j <- math.max(0, i - maxLen) until i) {
+          val piece = syms.slice(j, i).mkString
+          logp.get(piece).foreach { lp =>
+            if (best(j) + lp > best(i)) { best(i) = best(j) + lp; bp(i) = piece }
+          }
+        }
+        var out = List.empty[String]; var k = n
+        while (k > 0) { out = bp(k) :: out; k -= cpn(bp(k)) }
+        out
+      }
+      val sc = scala.collection.mutable.HashMap.empty[String, Long]
+      wordSyms.foreach { case (syms, f) =>
+        for (i <- syms.indices; l <- 1 to seedMaxLen if i + l <= syms.length)
+          sc.updateWith(syms.slice(i, i + l).mkString)(
+            o => Some(o.getOrElse(0L) + f))
+      }
+      val chars = sc.toSeq.filter(p => cpn(p._1) == 1).sortBy(_._1)
+      val multi0 = sc.toSeq.filter(p => cpn(p._1) > 1)
+        .sortBy { case (p, c) => (-c, p) }.take(seedMultiCap)
+      def estep(vc: Seq[(String, Long)]): Seq[(String, Long)] = {
+        val total = vc.map(_._2).sum; val v = vc.size
+        val logp = vc.map { case (p, c) =>
+          p -> math.log((c + 1.0) / (total.toDouble + v)) }.toMap
+        val maxLen = vc.map(p => cpn(p._1)).max
+        val got = scala.collection.mutable.HashMap.empty[String, Long]
+        wordSyms.foreach { case (syms, f) =>
+          viterbi(syms, logp, maxLen).foreach(p =>
+            got.updateWith(p)(o => Some(o.getOrElse(0L) + f))) }
+        vc.map { case (p, _) => p -> got.getOrElse(p, 0L) }
+      }
+      def refit(vc: Seq[(String, Long)], iters: Int): Seq[(String, Long)] =
+        (0 until iters).foldLeft(vc)((acc, _) => estep(acc))
+      var vocab: Seq[(String, Long)] = chars ++ multi0
+      var multiN = multi0.size
+      while (chars.size + multiN > vocabSize && multiN > 0) {
+        vocab = refit(vocab, emIters)
+        val (cs, ms) = vocab.partition(p => cpn(p._1) == 1)
+        val keepN = math.max(vocabSize - cs.size, ms.size * 3 / 4)
+        vocab = cs ++ ms.sortBy { case (p, c) => (-c, p) }.take(keepN)
+        multiN = vocab.size - cs.size
+      }
+      val fin = refit(vocab, 1)
+      val total = fin.map(_._2).sum; val v = fin.size
+      fin.map { case (p, c) =>
+        (p, c, math.log((c + 1.0) / (total.toDouble + v))) }
+    })
+
+  private def ulmParams = (40, 4, 64, 2) // (vocabSize, seedMaxLen, cap, em)
+
+  private def ulmOracle(s: SparkSession, dir: String): String = {
+    val (vs, ml, cap, em) = ulmParams
+    val rows = ulmReplay(s, dir, vs, ml, cap, em)
+    def q(x: String) = "'" + x.replace("'", "''") + "'"
+    rows.map { case (p, c, lp) =>
+      s"(${q(p)}, CAST($c AS BIGINT), CAST('$lp' AS DOUBLE))" }
+      .mkString("SELECT * FROM (VALUES ", ", ", ") AS t(piece, cnt, logp)")
+  }
+
+  /** Memoized DISTRIBUTED-trained unigram vocab (piece, logp) — t39
+    * encodes with the distributed trainer's vocab while its oracle
+    * re-derives everything from the independent replay, so train and
+    * encode cross-check end to end (the t17 pattern). */
+  private val ulmVocabCache = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[(String, Double)]]
+  private def ulmTrainedVocab(s: SparkSession,
+      dir: String): Seq[(String, Double)] =
+    ulmVocabCache.getOrElseUpdate(dir, {
+      val (vs, ml, cap, em) = ulmParams
+      graft.operators.TextAnalysis.unigramLmTrain(
+          t(s, dir, "documents"), "text", vs, ml, cap, em)
+        .select("piece", "logp").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    })
+
+  private def ulmEncodeOracle(s: SparkSession, dir: String): String = {
+    val (vs, ml, cap, em) = ulmParams
+    val fin = ulmReplay(s, dir, vs, ml, cap, em)
+    val total = fin.map(_._2).sum; val v = fin.size
+    val logp = fin.map { case (p, c, _) =>
+      p -> math.log((c + 1.0) / (total.toDouble + v)) }.toMap
+    val maxLen = fin.map(p => p._1.codePointCount(0, p._1.length)).max
+    val words = scala.collection.mutable.LinkedHashSet.empty[String]
+    Tables.load(s, dir, "documents").select("text").collect().foreach { r =>
+      Option(r.getString(0)).getOrElse("").toLowerCase
+        .replaceAll("[ \\t\\n\\x0B\\f\\r]+", " ").trim
+        .split(" ").filter(_.nonEmpty).foreach(words += _)
+    }
+    // the replay's own Viterbi, reused via the memoized final table: a
+    // driver re-derivation (bp(i) piece back-pointers) — NOT the engine's
+    def cpn(p: String): Int = p.codePointCount(0, p.length)
+    def nPieces(w: String): Int = {
+      val syms = graft.operators.TextAnalysis.codePointSplit(w)
+      val n = syms.length
+      if (n == 0) return 0
+      val best = Array.fill(n + 1)(Double.NegativeInfinity)
+      val bp = new Array[String](n + 1)
+      best(0) = 0.0
+      for (i <- 1 to n; j <- math.max(0, i - maxLen) until i) {
+        val piece = syms.slice(j, i).mkString
+        logp.get(piece).foreach { lp =>
+          if (best(j) + lp > best(i)) { best(i) = best(j) + lp; bp(i) = piece }
+        }
+      }
+      var cntP = 0; var k = n
+      while (k > 0) { cntP += 1; k -= cpn(bp(k)) }
+      cntP
+    }
+    def q(x: String) = "'" + x.replace("'", "''") + "'"
+    val mapRows = words.toSeq.sorted
+      .map(w => s"(${q(w)}, ${nPieces(w)})").mkString(", ")
+    raw"""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_filter(string_split(
+              trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')),
+              ' '), x -> len(x) > 0)) AS word
+          FROM documents),
+        map(word, n_p) AS (VALUES $mapRows),
+        agg AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(n_p) AS BIGINT) AS n_pieces
+          FROM toks JOIN map USING (word) GROUP BY doc_id)
+        SELECT d.doc_id,
+               COALESCE(agg.n_tokens, 0) AS n_tokens,
+               COALESCE(agg.n_pieces, 0) AS n_pieces
+        FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id"""
+  }
+
   private def bpeOracle(s: SparkSession, dir: String, numMerges: Int): String = {
     val rows = bpeReplay(s, dir, numMerges)
     if (rows.isEmpty)
@@ -1041,6 +1200,173 @@ object Pipeline {
         ${evalMetricsSql("clf_j", "classifier", "keep")}
     UNION ALL
     $lidBlocks"""
+  }
+
+  /** p07's MinHash config — d08's fixture shape (64 hashes, 16 bands,
+    * exact-Jaccard threshold 0.35, 5-char shingles). */
+  private val p07Cfg = Dedup.MinHashConfig(
+    numHashes = 64, bands = 16, threshold = 0.35)
+
+  /** The p05 keep decision + token count in ONE zero-exchange scan
+    * (shared by p07's prior high-water computation and its delta
+    * ingest) — gate formulas identical to p05/p06 so the
+    * [[qualityFunnelOracle]] twin covers the keep set. */
+  private def p07FunnelKeep(df: org.apache.spark.sql.DataFrame,
+      w: Array[Double], bias: Double): org.apache.spark.sql.DataFrame = {
+    val page = regexp_replace(col("text"),
+      "((?:[^ \\t\\n\\x0B\\f\\r]+ ){6})", "$1.\n")
+    val norm = Dedup.normalize(coalesce(col("text"), lit("")))
+    val staged = df.select(col("doc_id"),
+      TextAnalysis.gopherSignals(col("text"), minStopHits = 1L).last,
+      TextAnalysis.c4Signals(page).last,
+      graft.functions.TextHashExprs.gopherRepetition(col("text")).as("__r"),
+      graft.functions.TextHashExprs.hashedGramScore(norm, w, bias, maxN = 2)
+        .as("__s"),
+      size(filter(split(norm, " "), t0 => length(t0) > 0))
+        .cast("long").as("n_tok"))
+    val repPass = TextAnalysis.gopherRepetitionBars.zipWithIndex
+      .map { case (bar, i) => element_at(col("__r"), i + 1) <= bar }
+      .reduce(_ && _)
+    staged.filter(col("gopher_pass") && repPass && col("c4_keep") &&
+        col("__s") > lit(0.0))
+      .select(col("doc_id"), col("n_tok"))
+  }
+
+  /** Built-once-per-dir incremental state for p07 (the PRIOR round's
+    * export, paid once — the p07 QUERY is the delta ingest): the prior
+    * corpus (doc_id % 10 <> 9) persists as dedup_state, and pack_state
+    * records the high-water token mass of its funnel-kept export. */
+  private val p07StateCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def p07State(s: SparkSession, dir: String): String =
+    p07StateCache.getOrElseUpdate(dir, {
+      val stateDir = java.nio.file.Files
+        .createTempDirectory("graft_p07_state").toFile.getAbsolutePath
+      val (w, bias) = clfModel(s, dir, dim = 1024, maxN = 2)
+      val prior = t(s, dir, "documents").filter(col("doc_id") % 10 =!= 9)
+      graft.operators.Incremental.writeDedupState(
+        prior, "doc_id", "text", p07Cfg, stateDir)
+      val hw = p07FunnelKeep(prior, w, bias)
+        .agg(coalesce(sum(col("n_tok")), lit(0L)))
+        .head().getLong(0) // 1-row high-water aggregate at state build
+      graft.operators.Incremental.writePackState(s, stateDir, hw)
+      stateDir
+    })
+
+  /** DuckDB twin of p07: the d08 exact cross-Jaccard victim set at the
+    * %10 split, the p05 funnel keep, the prior export's token high-water,
+    * and the u04 packing recurrence seeded at that high-water. The oracle
+    * neither knows nor cares that the ENGINE read persisted state — the
+    * equivalence `full-from-scratch ≡ prior-state + delta` is exactly
+    * what IncrementalSpec pins. */
+  private def p07Oracle(s: SparkSession, dir: String): String = s"""
+        WITH shx AS (
+          SELECT doc_id, nrm,
+            list_distinct(list_transform(range(1, greatest(len(nrm)-3, 1)),
+              i -> nrm[i:i+4])) AS sh
+          FROM (SELECT doc_id,
+                  trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS nrm
+                FROM documents)),
+        victims AS (
+          SELECT b.doc_id
+          FROM shx b JOIN shx c ON b.doc_id % 10 = 9 AND c.doc_id % 10 <> 9
+          WHERE b.nrm = c.nrm
+             OR CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE) /
+                (len(b.sh) + len(c.sh) - len(list_intersect(b.sh, c.sh)))
+                >= 0.35),
+        keepf AS (SELECT doc_id, keep
+                  FROM (${qualityFunnelOracle(s, dir)}) f),
+        toks AS (
+          SELECT doc_id, CAST(len(list_filter(string_split(
+            trim(regexp_replace(lower(coalesce(text, '')),
+              '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')),
+            ' '), x -> len(x) > 0)) AS BIGINT) AS n_tok
+          FROM documents),
+        hw AS (
+          SELECT CAST(COALESCE(SUM(t.n_tok), 0) AS BIGINT) AS hw
+          FROM toks t JOIN keepf k USING (doc_id)
+          WHERE k.keep AND t.doc_id % 10 <> 9),
+        surv AS (
+          SELECT t.doc_id, t.n_tok
+          FROM toks t JOIN keepf k USING (doc_id)
+          WHERE t.doc_id % 10 = 9 AND k.keep
+            AND t.doc_id NOT IN (SELECT doc_id FROM victims)),
+        c2 AS (
+          SELECT doc_id, n_tok,
+            (SELECT hw FROM hw) +
+            CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS tok_offset
+          FROM surv)
+        SELECT doc_id, n_tok, tok_offset, tok_offset // 64 AS bin
+        FROM c2"""
+
+  /** Trained PER-LANGUAGE quality classifiers (p08's CCNet routing shape),
+    * memoized per (dir, dim, maxN): one NB model per language, fitted on
+    * that language's documents with the t29 gopher_pass seed labels —
+    * ONE gram-level aggregate for all of them. */
+  private val perLangClfCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Int, Int), Seq[(String, Array[Double], Double)]]
+  private def perLangClfModels(s: SparkSession, dir: String,
+      dim: Int, maxN: Int): Seq[(String, Array[Double], Double)] =
+    perLangClfCache.getOrElseUpdate((dir, dim, maxN),
+      TextAnalysis.perClassClassifierFit(t(s, dir, "documents"), "text",
+        "lang", TextAnalysis.gopherSignals(col("text"), minStopHits = 1L).last,
+        dim, maxN))
+
+  /** DuckDB twin of the p08 per-language funnel: the SHARED gram chain
+    * hosts the C lang-id models (suffix _l*) AND the C per-language
+    * classifiers (suffix _c*); pred_lang resolves by the t35 CASE chain,
+    * the routed clf_score by a CASE over pred_lang, and the rule gates
+    * join from their stage twins (the oracle may shuffle; the engine's
+    * plan must not — PlanLint pins budget 0). */
+  private def perLangFunnelOracle(s: SparkSession, dir: String): String = {
+    val lid = lidModels(s, dir, dim = 1024, maxN = 2)
+    val perLang = perLangClfModels(s, dir, dim = 1024, maxN = 2)
+    val sfx = graft.operators.TextAnalysis.labelSuffixes(lid.map(_._1))
+    def lity(l: String) = "'" + l.replace("'", "''") + "'"
+    val ctes = hashedGramScoreCtesMulti(
+      lid.zip(sfx).map { case ((_, w, b), sx) =>
+        (s"_l$sx", w.toIndexedSeq, s"CAST('$b' AS DOUBLE)") } ++
+      perLang.zip(sfx).map { case ((_, w, b), sx) =>
+        (s"_c$sx", w.toIndexedSeq, s"CAST('$b' AS DOUBLE)") }, 1024)
+    val scoreCols = (lid.zip(sfx).map { case ((_, _, b), sx) =>
+      s"COALESCE(folded_l$sx.sc, CAST('$b' AS DOUBLE)) AS s_l$sx" } ++
+      perLang.zip(sfx).map { case ((_, _, b), sx) =>
+        s"COALESCE(folded_c$sx.sc, CAST('$b' AS DOUBLE)) AS s_c$sx" })
+      .mkString(",\n          ")
+    val joins = sfx.flatMap(sx => Seq(
+        s"LEFT JOIN folded_l$sx ON folded_l$sx.doc_id = d.doc_id",
+        s"LEFT JOIN folded_c$sx ON folded_c$sx.doc_id = d.doc_id"))
+      .mkString("\n          ")
+    val best = s"greatest(${sfx.map(sx => s"s_l$sx").mkString(", ")})"
+    val pred = "CASE " + lid.zip(sfx).map { case (m, sx) =>
+      s"WHEN s_l$sx = $best THEN ${lity(m._1)}" }.mkString(" ") + " END"
+    val routed = "CASE pred_lang " + lid.zip(sfx).map { case (m, sx) =>
+      s"WHEN ${lity(m._1)} THEN s_c$sx" }.mkString(" ") + " END"
+    s"""
+        WITH $ctes,
+        scored AS (
+          SELECT d.doc_id,
+          $scoreCols
+          FROM documents d
+          $joins),
+        predicted AS (
+          SELECT doc_id, ${sfx.map(sx => s"s_c$sx").mkString(", ")},
+                 $pred AS pred_lang
+          FROM scored),
+        routed AS (
+          SELECT doc_id, pred_lang, $routed AS clf_score FROM predicted),
+        g AS (SELECT doc_id, gopher_pass
+              FROM (${gopherOracle(minStopHits = 1L)}) x),
+        r AS (SELECT doc_id, rep_pass FROM ($gopherRepetitionOracle) y),
+        c AS (SELECT doc_id, c4_keep FROM ($c4Oracle) z)
+        SELECT t.doc_id, t.pred_lang, g.gopher_pass, r.rep_pass, c.c4_keep,
+          t.clf_score, t.clf_score > 0.0 AS clf_keep,
+          (g.gopher_pass AND r.rep_pass AND c.c4_keep AND
+            t.clf_score > 0.0) AS keep
+        FROM routed t JOIN g USING (doc_id) JOIN r USING (doc_id)
+             JOIN c USING (doc_id)"""
   }
 
   /** Trained multiclass lang-id models, memoized per (dir, dim, maxN) —
@@ -3210,6 +3536,33 @@ object Pipeline {
       None,
       oracleGen = Some((s, dir) => bpeEncodeOracle(s, dir, numMerges = 20))),
 
+    // ---- Unigram-LM (SentencePiece-family) tokenizer training (t38):
+    // the OTHER production tokenizer family beside BPE — Kudo 2018's
+    // seed-then-prune with hard Viterbi-EM, corpus read ONCE into the
+    // (word, freq) table, every later job dictionary-sized. Oracle:
+    // GENERATED — an independent single-node replay of the same
+    // deterministic sequence (the t16 pattern), so the full seed → EM →
+    // prune trajectory hash-checks, logp doubles included.
+    Q("t38_unigram_train",
+      (s, dir) => {
+        val (vs, ml, cap, em) = ulmParams
+        TextAnalysis.unigramLmTrain(t(s, dir, "documents"), "text",
+          vs, ml, cap, em)
+      },
+      None,
+      oracleGen = Some((s, dir) => ulmOracle(s, dir))),
+
+    // ---- Unigram-LM corpus encoding (t39): Viterbi-segment every doc
+    // with t38's learned vocab and report per-doc token/piece budgets.
+    // The query encodes with the DISTRIBUTED trainer's vocab; the
+    // oracle's word → piece-count map comes from the INDEPENDENT replay —
+    // train and encode cross-check each other end to end (t17 pattern).
+    Q("t39_unigram_encode",
+      (s, dir) => TextAnalysis.unigramLmEncode(
+        t(s, dir, "documents"), "doc_id", "text", ulmTrainedVocab(s, dir)),
+      None,
+      oracleGen = Some((s, dir) => ulmEncodeOracle(s, dir))),
+
     // ---- Corpus vocabulary: top-k tokens by total frequency with document
     // frequency — partial agg map-side, TakeOrderedAndProject merge (no
     // global sort at any corpus size); ties break lexicographically.
@@ -3812,6 +4165,79 @@ object Pipeline {
         SELECT doc_id, n_removed_tokens, n_tok, tok_offset,
                tok_offset // 64 AS bin
         FROM c2""")),
+
+    // ---- Incremental corpus ingest (p07): the operational 100 TB shape —
+    // the prior corpus' dedup signatures and export high-water PERSIST
+    // as parquet state (built once per dir in p07State); the QUERY is
+    // the delta ingest a production pipeline runs per crawl: cross-dedup
+    // the new 10% against the persisted state (no recompute over the
+    // old corpus), funnel only the survivors, and pack with offsets
+    // CONTINUING from the stored high-water so the append is stable.
+    Q("p07_incremental_ingest",
+      (s, dir) => {
+        val (w, bias) = clfModel(s, dir, dim = 1024, maxN = 2)
+        val stateDir = p07State(s, dir)
+        val delta = t(s, dir, "documents").filter(col("doc_id") % 10 === 9)
+        val survivors = graft.operators.Incremental.crossDedupAgainstState(
+          delta, "doc_id", "text", stateDir, p07Cfg)
+        val kept = p07FunnelKeep(survivors, w, bias)
+        val hw = graft.operators.Incremental.readPackHighWater(s, stateDir)
+        graft.operators.Sampling.packSequences(kept, "doc_id", "n_tok",
+          budgetTokens = 64L, startOffset = hw)
+      },
+      None,
+      oracleGen = Some((s, dir) => p07Oracle(s, dir))),
+
+    // ---- Per-language quality funnel (p08): the CCNet deployment shape
+    // p05 lacks — each language carries its OWN quality model, and a doc
+    // routes through the model of its PREDICTED language (truth is
+    // unknown at apply time). Still ONE zero-exchange scan: C lang-id
+    // kernel columns + C per-language classifier kernel columns (codegen
+    // CSE shares the gram stream), argmax, a routing CASE, and the three
+    // rule gates — 2C+3 weight sets ride as plan literals.
+    Q("p08_perlang_funnel",
+      (s, dir) => {
+        val lid = lidModels(s, dir, dim = 1024, maxN = 2)
+        val perLang = perLangClfModels(s, dir, dim = 1024, maxN = 2)
+        require(lid.map(_._1) == perLang.map(_._1),
+          "lang-id and per-language classifier label sets must align")
+        val sfx = TextAnalysis.labelSuffixes(lid.map(_._1))
+        val docs = t(s, dir, "documents")
+        val page = regexp_replace(col("text"),
+          "((?:[^ \\t\\n\\x0B\\f\\r]+ ){6})", "$1.\n")
+        val c4 = TextAnalysis.c4Signals(page)
+        val norm = Dedup.normalize(coalesce(col("text"), lit("")))
+        val lidCols = lid.zip(sfx).map { case ((_, w, b), sx) =>
+          graft.functions.TextHashExprs.hashedGramScore(norm, w, b, maxN = 2)
+            .as(s"__lid_$sx") }
+        val clfCols = perLang.zip(sfx).map { case ((_, w, b), sx) =>
+          graft.functions.TextHashExprs.hashedGramScore(norm, w, b, maxN = 2)
+            .as(s"__clf_$sx") }
+        val staged = docs.select(Seq(col("doc_id"),
+          TextAnalysis.gopherSignals(col("text"), minStopHits = 1L).last,
+          c4.last,
+          graft.functions.TextHashExprs.gopherRepetition(col("text"))
+            .as("__r")) ++ lidCols ++ clfCols: _*)
+        val pred =
+          if (lid.size == 1) lit(lid.head._1)
+          else {
+            val best = greatest(sfx.map(sx => col(s"__lid_$sx")): _*)
+            coalesce(lid.zip(sfx).map { case (m, sx) =>
+              when(col(s"__lid_$sx") === best, lit(m._1)) }: _*)
+          }
+        val repPass = TextAnalysis.gopherRepetitionBars.zipWithIndex
+          .map { case (bar, i) => element_at(col("__r"), i + 1) <= bar }
+          .reduce(_ && _)
+        val routed = coalesce(lid.zip(sfx).map { case (m, sx) =>
+          when(pred === lit(m._1), col(s"__clf_$sx")) }: _*)
+        staged.select(col("doc_id"), pred.as("pred_lang"),
+          col("gopher_pass"), repPass.as("rep_pass"), col("c4_keep"),
+          routed.as("clf_score"), (routed > lit(0.0)).as("clf_keep"),
+          (col("gopher_pass") && repPass && col("c4_keep") &&
+            routed > lit(0.0)).as("keep"))
+      },
+      None,
+      oracleGen = Some((s, dir) => perLangFunnelOracle(s, dir))),
 
     // ---- Canonical-source keep-best dedup (d20): the crawl pipeline's
     // URL dedup — one hash-aggregate per canonical key with the arg-max

@@ -599,6 +599,76 @@ object ScaleStress {
       ex10.getLong(1) == ex10.getLong(2),
       "p06 packing does not conserve tokens")
 
+    // per-language funnel (p08) at 10x: lang-id routing + per-language
+    // scoring are pure per-row functions of the TEXT, so the
+    // per-PREDICTED-language (n, keep) counts scale exactly 10x (models
+    // fitted once on the 1x corpus, the production shape)
+    val plM = TextAnalysis.perClassClassifierFit(docsLang, "text", "lang",
+      TextAnalysis.gopherSignals(col("text"), minStopHits = 1L).last,
+      dim = 1024, maxN = 2)
+    val sfxP = TextAnalysis.labelSuffixes(lidM.map(_._1))
+    def perLangCounts(d: org.apache.spark.sql.DataFrame) = {
+      val norm = graft.operators.Dedup.normalize(
+        coalesce(col("text"), lit("")))
+      val lidCols = lidM.zip(sfxP).map { case ((_, w, b), sx) =>
+        graft.functions.TextHashExprs.hashedGramScore(norm, w, b, 2)
+          .as(s"__lid_$sx") }
+      val clfCols = plM.zip(sfxP).map { case ((_, w, b), sx) =>
+        graft.functions.TextHashExprs.hashedGramScore(norm, w, b, 2)
+          .as(s"__clf_$sx") }
+      val staged = d.select(Seq(col("doc_id")) ++ lidCols ++ clfCols: _*)
+      val best = greatest(sfxP.map(sx => col(s"__lid_$sx")): _*)
+      val pred = coalesce(lidM.zip(sfxP).map { case (m, sx) =>
+        when(col(s"__lid_$sx") === best, lit(m._1)) }: _*)
+      val routed = coalesce(lidM.zip(sfxP).map { case (m, sx) =>
+        when(pred === lit(m._1), col(s"__clf_$sx")) }: _*)
+      staged.select(pred.as("pl"), (routed > lit(0.0)).cast("long").as("k"))
+        .groupBy(col("pl"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("kp"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+    }
+    val pl1 = perLangCounts(docsLang)
+    val pl10 = time("p08-perlang-50k") { perLangCounts(bigLang) }
+    println("[stress] p08 per-pred-lang (n,keep) 1x=" + pl1.toSeq.sorted +
+      " 10x=" + pl10.toSeq.sorted)
+    require(pl10 == pl1.map { case (k, (n, h)) => k -> (n * 10, h * 10) },
+      "p08 per-language funnel clone invariance drifted")
+
+    // incremental ingest (p07) at 10x: dedup state persisted from the 10x
+    // PRIOR corpus (45k docs), the 10% delta (5k) ingested against it.
+    // Survivor-ness is a pure function of (delta text, prior text SET),
+    // which cloning preserves — so the 10x survivor ids are exactly the
+    // 10 clones of each 1x survivor. maxBucket raised so LSH bucket caps
+    // can't differ between the scales (cap effects are d08's concern,
+    // not this invariant's).
+    val cfgInc = Dedup.MinHashConfig(numHashes = 64, bands = 16,
+      threshold = 0.35)
+    val priorFull = docsFull.filter(col("doc_id") % 10 =!= 9)
+    val deltaFull = docsFull.filter(col("doc_id") % 10 === 9)
+    def clone10(df: org.apache.spark.sql.DataFrame) = (0 until 10).map(i =>
+        df.select((col("doc_id") * 10 + i).as("doc_id"), col("text")))
+      .reduce(_ union _)
+    val incState = java.nio.file.Files
+      .createTempDirectory("graft_stress_state").toFile.getAbsolutePath
+    time("p07-state-build-45k") {
+      graft.operators.Incremental.writeDedupState(
+        clone10(priorFull), "doc_id", "text", cfgInc, incState)
+    }
+    val surv1 = Dedup.crossDedup(deltaFull, priorFull, "doc_id", "text",
+        cfgInc, maxBucket = 20000)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val surv10 = time("p07-delta-ingest-5k-vs-45k") {
+      graft.operators.Incremental.crossDedupAgainstState(
+          clone10(deltaFull), "doc_id", "text", incState, cfgInc,
+          maxBucket = 20000)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    println("[stress] p07 survivors=" + surv10.size + "/" + surv1.size)
+    require(surv10 ==
+      surv1.flatMap(id => (0 until 10).map(i => id * 10 + i)),
+      "p07 incremental-ingest clone invariance drifted")
+
     // media resize / audio dedup at 10x with kind-preserving clone ids:
     // every clone resamples/decodes the identical payload, so the resize
     // checksum mass is exactly 10x and the distinct audio clip set is

@@ -90,18 +90,19 @@ class PlanLintSpec extends SparkSpec {
     * path). Any change to a count — up OR down — fails here and forces a
     * re-audit + justification in this map. */
   private val collectSites: Map[String, Int] = Map(
-    "queries/Pipeline.scala" -> 6, // driver-side ORACLE generators: single-node replay twins (incl. m01's encoded-size inliner), never a data path
+    "queries/Pipeline.scala" -> 10, // driver-side ORACLE generators: single-node replay twins (incl. m01's encoded-size inliner + the t38/t39 unigram-LM replay corpus reads), never a data path; p07State's 1-row high-water aggregate at state build; ulmTrainedVocab's vocab-sized memo collect (the bpeTrainedMerges shape)
     "operators/Sampling.scala" -> 1, // per-partition Long count array (size = #partitions)
     "operators/Dedup.scala" -> 4, // longestRepeat per-round length menu (bounded by levels x lengths); head(): longestRepeat 1-row max-count agg + bloomBitsOf's 1-row fixed-size sketch (the materialize-then-embed shape of df.stat.bloomFilter); decontaminateSpans' benchmark-bounded sorted gram array (the decontaminateStream shape)
     "operators/Dml.scala" -> 1, // per-partition count array for ROWNUM/LIMIT semantics
-    "operators/TextAnalysis.scala" -> 6, // BPE top-m driver argmax (bounded by merge batch); bm25Idf's per-term df collect (bounded by the literal term universe — the IDF table embeds as plan literals, materialize-then-embed like bloomBitsOf); hashedGramClassCounts' <= dim+1 row model aggregate (weights embed as one double[] plan literal, same shape); dsirSelect's k-row top-k boundary collect (threshold embeds as two plan literals); langIdFit's bounded label-universe distinct + its <= dim+1 row per-class aggregate (models embed as C double[] plan literals)
+    "operators/TextAnalysis.scala" -> 11, // BPE top-m driver argmax (bounded by merge batch); bm25Idf's per-term df collect (bounded by the literal term universe — the IDF table embeds as plan literals, materialize-then-embed like bloomBitsOf); hashedGramClassCounts' <= dim+1 row model aggregate (weights embed as one double[] plan literal, same shape); dsirSelect's k-row top-k boundary collect (threshold embeds as two plan literals); langIdFit's bounded label-universe distinct + its <= dim+1 row per-class aggregate (models embed as C double[] plan literals); perClassClassifierFit's same bounded pair (label universe + <= dim+1 rows with 2C columns); unigramLmTrain's three vocab-bounded collects (alphabet, capped seed pieces, per-EM piece counts — all dictionary-sized, never corpus-sized)
     "dsl/Model.scala" -> 2, // findList/findOne: the DSL's intentional executors (reference Model.java parity)
     "sqlfront/Engine.scala" -> 1, // SET @v = (scalar expr): 1-row eval, reference Variable.java parity
     "sqlfront/EngineDdl.scala" -> 1, // 1-row max(_rowid_) agg for identity backfill
     "sqlfront/EngineTranslate.scala" -> 1, // @var scalar substitution: 1-row eval
     "streaming/StreamDecontaminate.scala" -> 1, // benchmark gram-set materialization, bounded by the benchmark (KBs-MBs), embedded as a sorted reference array — materialize-then-embed like bloomBitsOf
     "core/ModelStore.scala" -> 2, // registry reads: readAll's collect is bounded by MODEL size (dim / C·dim / merges / k·d / m·kc·subdim / mBits÷64 rows — never the corpus); corpusFingerprint's head() is a 1-row global XOR aggregate
-    "operators/Eval.scala" -> 1 // rank-sum offset pass: #partitions driver rows (the packSequences shape), never row-scaled
+    "operators/Eval.scala" -> 1, // rank-sum offset pass: #partitions driver rows (the packSequences shape), never row-scaled
+    "operators/Incremental.scala" -> 1 // readPackHighWater: 1-row pack_state read
   )
 
   test("driver collect() surface matches the audited per-file record") {
@@ -367,7 +368,21 @@ class PlanLintSpec extends SparkSpec {
     // t37 eval: each (model, cls) rank-sum job (one range exchange + a
     // per-partition offset pass, the packSequences shape) runs EAGERLY
     // at plan-build time; the emitted plan unions 1-row literal frames
-    "t37_model_eval" -> 0
+    "t37_model_eval" -> 0,
+    // p08 per-language funnel: 2C kernel columns + rule gates + routing
+    // CASE in ONE scan — all three fit aggregates run at plan-build time
+    // and embed as plan literals
+    "p08_perlang_funnel" -> 0,
+    // p07 delta ingest: cross-dedup against persisted state + funnel run
+    // EAGERLY inside packSequences' offset jobs (state build is memoized
+    // per dir); the emitted plan scans the packed RDD
+    "p07_incremental_ingest" -> 0,
+    // t38 trainer: seed/EM jobs run at plan-build time over the
+    // dictionary; the emitted plan is the vocab-sized literal frame
+    "t38_unigram_train" -> 0,
+    // t39 encode: distinct-word dictionary aggregate + per-doc aggregate
+    // (the dictionary join broadcasts — t17's exact shape and budget)
+    "t39_unigram_encode" -> 2
   )
 
   /** sf0.01 OVERRIDES on top of [[exchangeBudget]] (VERDICT r6 directive
