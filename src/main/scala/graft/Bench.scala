@@ -98,7 +98,13 @@ object Bench {
     "p01_corpus_prep" -> 5.086,
     "p02_embedding_prep" -> 0.881,
     "p03_media_prep" -> 2.460,
-    "p05_quality_funnel" -> 1.013)
+    "p05_quality_funnel" -> 1.013,
+    "t37_model_eval" -> 1.599,
+    "t38_unigram_train" -> 1.321,
+    "t39_unigram_encode" -> 0.622,
+    "t40_unigram_ppl" -> 1.441,
+    "p07_incremental_ingest" -> 1.593,
+    "p08_perlang_funnel" -> 1.478)
 
   val headline: Seq[String] = Seq(
     "q02_filter_project",        // B1 scan+filter+project
@@ -164,7 +170,13 @@ object Bench {
     "p02_embedding_prep",        // composed: embedding prep
     "p03_media_prep",            // composed: media prep (real codecs)
     "p05_quality_funnel",        // composed: rules + classifier, one scan
-    "p06_pretrain_export")       // composed: funnel + span-clean + pack
+    "p06_pretrain_export",       // composed: funnel + span-clean + pack
+    "t37_model_eval",            // eval: exact AUC/P/R rank-sum jobs
+    "t38_unigram_train",         // tokenizer: unigram-LM seed/EM/prune
+    "t39_unigram_encode",        // tokenizer: Viterbi dictionary encode
+    "t40_unigram_ppl",           // quality: unigram-LM perplexity scoring
+    "p07_incremental_ingest",    // composed: delta vs persisted state
+    "p08_perlang_funnel")        // composed: per-language routing funnel
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

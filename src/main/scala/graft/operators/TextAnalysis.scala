@@ -640,6 +640,45 @@ object TextAnalysis {
         coalesce(col("n_pieces"), lit(0L)).as("n_pieces"))
   }
 
+  /** Unigram-LM perplexity scoring — what CCNet actually filters on,
+    * powered by [[unigramLmTrain]]'s vocab: each document's negative
+    * log-likelihood under the trained piece LM (Viterbi-segmented) and
+    * its per-piece average. Per-word NLL computes once per DISTINCT word
+    * (left-to-right piece order — deterministic); the per-doc total
+    * folds word contributions in SORTED (word, nll) order (the t28
+    * discipline), so the model-dependent DOUBLE scores hash-verify
+    * against the replay-literal twin. Returns (doc_id, n_tokens,
+    * n_pieces, nll, avg_nll); empty docs report zeros with NULL avg. */
+  def unigramLmScore(df: DataFrame, idCol: String, textCol: String,
+      vocab: Seq[(String, Double)]): DataFrame = {
+    require(vocab.nonEmpty)
+    val logp = vocab.toMap
+    val maxLen = vocab.map(p => p._1.codePointCount(0, p._1.length)).max
+    val segUdf = udf((w: String) => {
+      val ps = viterbiSegment(w, logp, maxLen)
+      (ps.length.toLong, -ps.map(logp).sum)
+    })
+    val words = df.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("word"))
+    val dict = words.select(col("word")).distinct()
+      .withColumn("__s", segUdf(col("word")))
+      .select(col("word"), col("__s._1").as("n_p"), col("__s._2").as("w_nll"))
+    val agg = words.join(dict, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("n_p")).as("n_pieces"),
+        aggregate(
+          array_sort(collect_list(struct(col("word"), col("w_nll")))),
+          lit(0.0), (a, x) => a + x.getField("w_nll")).as("nll"))
+    df.select(col(idCol).as("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+        coalesce(col("nll"), lit(0.0)).as("nll"),
+        when(coalesce(col("n_pieces"), lit(0L)) > 0,
+          coalesce(col("nll"), lit(0.0)) /
+            col("n_pieces").cast("double")).as("avg_nll"))
+  }
+
   /** Code-point split — the single-node twin of the trainer's
     * `split(w, "")` (Java-regex zero-width splits never separate a
     * surrogate pair), so [[bpeEncode]] and every oracle replay see the

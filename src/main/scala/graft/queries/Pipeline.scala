@@ -530,6 +530,73 @@ object Pipeline {
         FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id"""
   }
 
+  /** DuckDB twin of t40: the replay's per-word (piece count, NLL) as
+    * exact literals, per-doc BIGINT sums plus the SAME sorted-(word, nll)
+    * double fold the engine runs (the t28 list_sort/list_reduce shape —
+    * lowercase-ASCII words sort identically under both engines' binary
+    * collation). */
+  private def ulmPplOracle(s: SparkSession, dir: String): String = {
+    val (vs, ml, cap, em) = ulmParams
+    val fin = ulmReplay(s, dir, vs, ml, cap, em)
+    val total = fin.map(_._2).sum; val v = fin.size
+    val logp = fin.map { case (p, c, _) =>
+      p -> math.log((c + 1.0) / (total.toDouble + v)) }.toMap
+    val maxLen = fin.map(p => p._1.codePointCount(0, p._1.length)).max
+    def cpn(p: String): Int = p.codePointCount(0, p.length)
+    def segment(w: String): List[String] = {
+      val syms = graft.operators.TextAnalysis.codePointSplit(w)
+      val n = syms.length
+      if (n == 0) return Nil
+      val best = Array.fill(n + 1)(Double.NegativeInfinity)
+      val bp = new Array[String](n + 1)
+      best(0) = 0.0
+      for (i <- 1 to n; j <- math.max(0, i - maxLen) until i) {
+        val piece = syms.slice(j, i).mkString
+        logp.get(piece).foreach { lp =>
+          if (best(j) + lp > best(i)) { best(i) = best(j) + lp; bp(i) = piece }
+        }
+      }
+      var out = List.empty[String]; var k = n
+      while (k > 0) { out = bp(k) :: out; k -= cpn(bp(k)) }
+      out
+    }
+    val words = scala.collection.mutable.LinkedHashSet.empty[String]
+    Tables.load(s, dir, "documents").select("text").collect().foreach { r =>
+      Option(r.getString(0)).getOrElse("").toLowerCase
+        .replaceAll("[ \\t\\n\\x0B\\f\\r]+", " ").trim
+        .split(" ").filter(_.nonEmpty).foreach(words += _)
+    }
+    def q(x: String) = "'" + x.replace("'", "''") + "'"
+    val mapRows = words.toSeq.sorted.map { w =>
+      val ps = segment(w)
+      val nll = -ps.map(logp).sum
+      s"(${q(w)}, ${ps.length}, CAST('$nll' AS DOUBLE))"
+    }.mkString(", ")
+    raw"""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_filter(string_split(
+              trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')),
+              ' '), x -> len(x) > 0)) AS word
+          FROM documents),
+        map(word, n_p, w_nll) AS (VALUES $mapRows),
+        agg AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(n_p) AS BIGINT) AS n_pieces,
+                 list_reduce(list_prepend(CAST('0.0' AS DOUBLE),
+                   list_transform(list_sort(list(struct_pack(
+                     w := word, c := w_nll))), x -> x.c)),
+                   (a, x) -> a + x) AS nll
+          FROM toks JOIN map USING (word) GROUP BY doc_id)
+        SELECT d.doc_id,
+               COALESCE(agg.n_tokens, 0) AS n_tokens,
+               COALESCE(agg.n_pieces, 0) AS n_pieces,
+               COALESCE(agg.nll, 0.0) AS nll,
+               CASE WHEN COALESCE(agg.n_pieces, 0) > 0
+                    THEN COALESCE(agg.nll, 0.0) /
+                         CAST(agg.n_pieces AS DOUBLE) END AS avg_nll
+        FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id"""
+  }
+
   private def bpeOracle(s: SparkSession, dir: String, numMerges: Int): String = {
     val rows = bpeReplay(s, dir, numMerges)
     if (rows.isEmpty)
@@ -3562,6 +3629,18 @@ object Pipeline {
         t(s, dir, "documents"), "doc_id", "text", ulmTrainedVocab(s, dir)),
       None,
       oracleGen = Some((s, dir) => ulmEncodeOracle(s, dir))),
+
+    // ---- Unigram-LM perplexity scoring (t40): the metric CCNet actually
+    // filters on, under t38's trained piece LM — per-doc NLL (sorted-fold
+    // deterministic, the t28 discipline) and per-piece average. The
+    // query scores with the DISTRIBUTED vocab; the oracle inlines the
+    // INDEPENDENT replay's per-word (pieces, nll) literals — a third
+    // end-to-end cross-check of the trainer twins.
+    Q("t40_unigram_ppl",
+      (s, dir) => TextAnalysis.unigramLmScore(
+        t(s, dir, "documents"), "doc_id", "text", ulmTrainedVocab(s, dir)),
+      None,
+      oracleGen = Some((s, dir) => ulmPplOracle(s, dir))),
 
     // ---- Corpus vocabulary: top-k tokens by total frequency with document
     // frequency — partial agg map-side, TakeOrderedAndProject merge (no

@@ -90,7 +90,7 @@ class PlanLintSpec extends SparkSpec {
     * path). Any change to a count — up OR down — fails here and forces a
     * re-audit + justification in this map. */
   private val collectSites: Map[String, Int] = Map(
-    "queries/Pipeline.scala" -> 10, // driver-side ORACLE generators: single-node replay twins (incl. m01's encoded-size inliner + the t38/t39 unigram-LM replay corpus reads), never a data path; p07State's 1-row high-water aggregate at state build; ulmTrainedVocab's vocab-sized memo collect (the bpeTrainedMerges shape)
+    "queries/Pipeline.scala" -> 11, // driver-side ORACLE generators: single-node replay twins (incl. m01's encoded-size inliner + the t38/t39/t40 unigram-LM replay corpus reads), never a data path; p07State's 1-row high-water aggregate at state build; ulmTrainedVocab's vocab-sized memo collect (the bpeTrainedMerges shape)
     "operators/Sampling.scala" -> 1, // per-partition Long count array (size = #partitions)
     "operators/Dedup.scala" -> 4, // longestRepeat per-round length menu (bounded by levels x lengths); head(): longestRepeat 1-row max-count agg + bloomBitsOf's 1-row fixed-size sketch (the materialize-then-embed shape of df.stat.bloomFilter); decontaminateSpans' benchmark-bounded sorted gram array (the decontaminateStream shape)
     "operators/Dml.scala" -> 1, // per-partition count array for ROWNUM/LIMIT semantics
@@ -382,7 +382,9 @@ class PlanLintSpec extends SparkSpec {
     "t38_unigram_train" -> 0,
     // t39 encode: distinct-word dictionary aggregate + per-doc aggregate
     // (the dictionary join broadcasts — t17's exact shape and budget)
-    "t39_unigram_encode" -> 2
+    "t39_unigram_encode" -> 2,
+    // t40 ppl: same dictionary shape with the sorted-fold NLL aggregate
+    "t40_unigram_ppl" -> 2
   )
 
   /** sf0.01 OVERRIDES on top of [[exchangeBudget]] (VERDICT r6 directive
