@@ -85,6 +85,12 @@ object ModelStore {
   final case class BloomModel(bits: Array[Long], mBits: Int, k: Int,
       fitFingerprint: Long)
 
+  /** Trained unigram-LM tokenizer vocab (t38): (piece, count, logp) —
+    * counts are the exact longs the logp derive from, so a loaded model
+    * can re-derive smoothing-consistent probabilities. */
+  final case class UlmModel(pieces: Seq[(String, Long, Double)],
+      fitFingerprint: Long)
+
   /** Order-independent EXACT fingerprint of a fit corpus: XOR of
     * xxhash64(id, text) over all rows — one aggregate, one long, stable
     * under partitioning/order, sensitive to any added/removed/edited doc
@@ -158,6 +164,12 @@ object ModelStore {
         meta("fingerprint", l = m.fitFingerprint)),
       m.bits.toIndexedSeq.zipWithIndex.map { case (w, i) =>
         row("bits", i = i, l = w) })
+
+  def save(spark: SparkSession, path: String, m: UlmModel): Unit =
+    write(spark, path, "ulm",
+      Seq(meta("fingerprint", l = m.fitFingerprint)),
+      m.pieces.zipWithIndex.map { case ((p, c, lp), i) =>
+        row("piece", i = i, s = p, l = c, v = lp) })
 
   // ---- load --------------------------------------------------------------
 
@@ -258,6 +270,15 @@ object ModelStore {
       .map(_.getLong(7)).toArray
     BloomModel(bits, metas("m_bits").getLong(7).toInt,
       metas("bloom_k").getLong(7).toInt, metas("fingerprint").getLong(7))
+  }
+
+  def loadUlm(spark: SparkSession, path: String): UlmModel = {
+    val (metas, rows) = readAll(spark, path)
+    require(metas("kind").getString(5) == "ulm",
+      s"$path holds a ${metas("kind").getString(5)}, not a unigram-LM vocab")
+    UlmModel(rows.filter(_.getString(0) == "piece").sortBy(_.getLong(1))
+        .map(r => (r.getString(5), r.getLong(7), r.getDouble(6))).toSeq,
+      metas("fingerprint").getLong(7))
   }
 
   // ---- versioning / registry ----------------------------------------------

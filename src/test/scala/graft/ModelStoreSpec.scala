@@ -124,6 +124,24 @@ class ModelStoreSpec extends SparkSpec {
         bm.bits, xxhash64(col("text")), bm.mBits, bm.k).as("m"))
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(probe1 == probe2 && probe1.values.forall(identity))
+
+    // unigram-LM vocab: exact round trip, and loaded-vocab scoring ≡
+    // trained-vocab scoring value-for-value
+    val ulm = TextAnalysis.unigramLmTrain(docs, "text", vocabSize = 32,
+        seedMaxLen = 4, seedMultiCap = 32, emIters = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    val uPath = ModelStore.nextVersionPath(spark, root, "ulm")
+    ModelStore.save(spark, uPath, ModelStore.UlmModel(ulm, 4L))
+    val um = ModelStore.loadUlm(spark, uPath)
+    assert(um.pieces == ulm && um.fitFingerprint == 4L)
+    val sc1 = TextAnalysis.unigramLmScore(docs, "doc_id", "text",
+        ulm.map(p => (p._1, p._3)))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val sc2 = TextAnalysis.unigramLmScore(docs, "doc_id", "text",
+        um.pieces.map(p => (p._1, p._3)))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(sc1 == sc2)
   }
 
   test("corpusFingerprint: order/partitioning-independent, edit-sensitive") {
@@ -147,7 +165,8 @@ class ModelStoreSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
     assert(listed.count(_._1 == "clf") == 2) // v1 + v2
     assert(listed.map(_._2).toSet ==
-      Set("classifier", "dsir", "langid", "bpe", "ivf", "pq", "bloom"))
+      Set("classifier", "dsir", "langid", "bpe", "ivf", "pq", "bloom",
+        "ulm"))
     val e = new Engine(spark)
     // unset registry → empty MODELS (schema intact)
     assert(e.sql("SELECT * FROM INFORMATION_SCHEMA.MODELS").count() == 0)
