@@ -839,7 +839,15 @@ final class Engine(val spark: SparkSession)
         execOne(body)
       case deallocateRe(name) =>
         procedures.remove(name.toLowerCase); status()
-      case createViewRe(name, cmt, colList, query) =>
+      case createViewRe(orReplace, ine, name, cmt, colList, query) =>
+        // CreateView.java:90-98: an existing object under the name means
+        // IF NOT EXISTS → silent no-op; otherwise only OR REPLACE over an
+        // existing VIEW may proceed (a TABLE is never replaceable)
+        if (tables.contains(name.toLowerCase)) {
+          if (ine != null) return status()
+          require(orReplace != null && viewDefs.contains(name.toLowerCase),
+            s"VIEW_ALREADY_EXISTS: $name (CreateView.java:95)")
+        }
         viewDefs(name.toLowerCase) = query.trim
         // COMMENT IS 'remark' in the definition (Parser.java parseCreateView)
         Option(cmt).foreach(c => comments(("VIEW", name.toLowerCase)) = c)

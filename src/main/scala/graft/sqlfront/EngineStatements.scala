@@ -282,8 +282,8 @@ private[sqlfront] trait EngineStatements { this: Engine =>
       OptG(Kw("SAMPLE_SIZE"), SkipNum), Eos)
   private[sqlfront] val explainAnalyzeRe = P(Kw("EXPLAIN", "ANALYZE"), Rest)
   private[sqlfront] val createViewRe =
-    P(Kw("CREATE"), Opt("OR", "REPLACE"), Opt("FORCE"), Kw("VIEW"),
-      Opt("IF", "NOT", "EXISTS"), Ident,
+    P(Kw("CREATE"), OptCap("OR", "REPLACE"), Opt("FORCE"), Kw("VIEW"),
+      OptCap("IF", "NOT", "EXISTS"), Ident,
       OptG(Kw("COMMENT", "IS"), LitCap), OptG(Paren), Kw("AS"), Rest)
   private[sqlfront] val dropViewRe =
     P(Kw("DROP", "VIEW"), Opt("IF", "EXISTS"), Ident, Eos)

@@ -1386,6 +1386,27 @@ class EngineSpec extends SparkSpec {
     assert(ddl3.exists(_.toUpperCase.contains("GLOBAL TEMPORARY")), ddl3.toSeq)
   }
 
+  test("duplicate CREATE VIEW follows CreateView.java:90-98: IF NOT " +
+      "EXISTS no-op, OR REPLACE only over a VIEW, else error") {
+    val e = freshEngine
+    e.sql("CREATE TABLE vt (a int)")
+    e.sql("INSERT INTO vt VALUES (1), (2)")
+    e.sql("CREATE VIEW vv AS SELECT a FROM vt WHERE a > 1")
+    // plain duplicate → VIEW_ALREADY_EXISTS
+    val err = intercept[Exception](
+      e.sql("CREATE VIEW vv AS SELECT a FROM vt"))
+    assert(err.getMessage.contains("VIEW_ALREADY_EXISTS"), err.getMessage)
+    // IF NOT EXISTS leaves the existing view untouched
+    e.sql("CREATE VIEW IF NOT EXISTS vv AS SELECT a FROM vt")
+    assert(e.sql("SELECT count(*) FROM vv").head().getLong(0) == 1)
+    // OR REPLACE over a view replaces
+    e.sql("CREATE OR REPLACE VIEW vv AS SELECT a FROM vt")
+    assert(e.sql("SELECT count(*) FROM vv").head().getLong(0) == 2)
+    // OR REPLACE can never replace a TABLE
+    intercept[Exception](
+      e.sql("CREATE OR REPLACE VIEW vt AS SELECT a FROM vt"))
+  }
+
   test("sequence not found carries the reference's error text") {
     val e = freshEngine
     val err = intercept[Exception](
