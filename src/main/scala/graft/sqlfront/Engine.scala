@@ -709,6 +709,29 @@ final class Engine(val spark: SparkSession)
     "CREATE " + stmt.substring(ts(i).start)
   }
 
+  /** Built-in type names (DataType.java:164-261): the FIRST name of each
+    * family is NON-HIDDEN — never creatable as a user data type, even
+    * under IF NOT EXISTS (CreateUserDataType.java:66-68); the remaining
+    * ALIASES are HIDDEN — shadowable, but only while no user table
+    * exists (CreateUserDataType.java:69-74; UserDataTypeTest pins
+    * `CREATE DATATYPE IF NOT EXISTS int` succeeding and `… integer`
+    * throwing). */
+  private val builtinTypeNames: Set[String] = Set(
+    "NULL", "VARCHAR", "LONGVARCHAR", "CHAR", "VARCHAR_IGNORECASE",
+    "BOOLEAN", "TINYINT", "SMALLINT", "INTEGER", "SERIAL", "BIGINT",
+    "IDENTITY", "DECIMAL", "NUMERIC", "REAL", "DOUBLE", "FLOAT", "TIME",
+    "DATE", "TIMESTAMP", "VARBINARY", "BINARY", "LONGVARBINARY", "UUID",
+    "OTHER", "BLOB", "CLOB", "ARRAY", "RESULT_SET")
+
+  private val hiddenTypeNames: Set[String] = Set(
+    "VARCHAR2", "NVARCHAR", "NVARCHAR2", "VARCHAR_CASESENSITIVE",
+    "LONGNVARCHAR", "CHARACTER", "NCHAR", "BIT", "BOOL", "YEAR", "INT2",
+    "INT", "MEDIUMINT", "INT4", "SIGNED", "INT8", "LONG", "BIGSERIAL",
+    "DEC", "NUMBER", "FLOAT4", "DOUBLE PRECISION", "FLOAT8", "DATETIME",
+    "SMALLDATETIME", "RAW", "BYTEA", "OBJECT", "JAVA_OBJECT", "TINYBLOB",
+    "MEDIUMBLOB", "LONGBLOB", "IMAGE", "OID", "TINYTEXT", "TEXT",
+    "MEDIUMTEXT", "LONGTEXT", "NTEXT", "NCLOB")
+
   /** Storage prefix staged by [[normalizeCreateHead]] for the CREATE in
     * flight; committed to [[tableStorage]] by [[commitPendingStorage]]
     * only after the create succeeds (and discarded at the next
@@ -987,7 +1010,13 @@ final class Engine(val spark: SparkSession)
       case dropDatabaseRe(name) =>
         require(name.toLowerCase != "graft", "cannot drop the current database")
         databases -= name.toLowerCase; status()
-      case createIndexRe(unique, name, tn, cols) =>
+      case createIndexRe(unique, ine, name, tn, cols) =>
+        if (indexes.contains(name.toLowerCase)) {
+          // INDEX_ALREADY_EXISTS_1 (CreateIndex.java:87)
+          require(ine != null,
+            s"INDEX_ALREADY_EXISTS: $name (CreateIndex.java:87)")
+          return status()
+        }
         val ks = cols.split(",").map(_.trim.toLowerCase).toSeq
         if (unique != null)
           require(Dml.duplicateKeys(nonNullKeyed(table(tn), ks), ks).isEmpty,
@@ -1039,11 +1068,32 @@ final class Engine(val spark: SparkSession)
         status()
       case dropAggregateRe(name) =>
         userAggs.remove(name.toLowerCase); status()
-      case createConstantRe(name, value) =>
-        constants(name.toLowerCase) = value.trim; status()
+      case createConstantRe(ine, name, value) =>
+        if (constants.contains(name.toLowerCase))
+          // CONSTANT_ALREADY_EXISTS_1 (CreateConstant.java:61)
+          require(ine != null,
+            s"CONSTANT_ALREADY_EXISTS: $name (CreateConstant.java:61)")
+        else constants(name.toLowerCase) = value.trim
+        status()
       case dropConstantRe(name) =>
         constants.remove(name.toLowerCase); status()
-      case createDomainRe(name, baseType, check) =>
+      case createDomainRe(ine, name, baseType, check) =>
+        if (domains.contains(name.toLowerCase)) {
+          // USER_DATA_TYPE_ALREADY_EXISTS_1 (CreateUserDataType.java:63)
+          require(ine != null,
+            s"USER_DATA_TYPE_ALREADY_EXISTS: $name (CreateUserDataType.java:63)")
+          return status()
+        }
+        // a NON-HIDDEN built-in type name is never creatable, even under
+        // IF NOT EXISTS; a HIDDEN alias (int, bool, text, …) is
+        // shadowable only while no user table exists
+        // (CreateUserDataType.java:63-74)
+        require(!builtinTypeNames(name.toUpperCase),
+          s"USER_DATA_TYPE_ALREADY_EXISTS: $name (CreateUserDataType.java:68)")
+        if (hiddenTypeNames(name.toUpperCase))
+          require(tables.isEmpty,
+            s"USER_DATA_TYPE_ALREADY_EXISTS: $name (${tables.keys.head}) " +
+              "(CreateUserDataType.java:72)")
         // resolves through parseType, so the domain is usable in CREATE
         // TABLE column definitions (CreateUserDataType.java)
         domains(name.toLowerCase) = baseType.trim
@@ -1052,7 +1102,13 @@ final class Engine(val spark: SparkSession)
       case dropDomainRe(name) =>
         domains.remove(name.toLowerCase)
         domainChecks.remove(name.toLowerCase); status()
-      case createTriggerRe(name, timing, tableName, tail) =>
+      case createTriggerRe(ine, name, timing, tableName, tail) =>
+        if (triggers.contains(name.toLowerCase)) {
+          // TRIGGER_ALREADY_EXISTS_1 (CreateTrigger.java:105)
+          require(ine != null,
+            s"TRIGGER_ALREADY_EXISTS: $name (CreateTrigger.java:105)")
+          return status()
+        }
         val ev = timing.trim.toUpperCase.replaceAll("\\s+", " ")
         // QUEUE must be non-negative (ddl/CreateTrigger.setQueueSize →
         // ErrorCode.INVALID_VALUE_2, TriggerObjectTest)
@@ -1422,7 +1478,13 @@ final class Engine(val spark: SparkSession)
           require(ifExists != null, s"service $key not found")
         services.remove(key); serviceInstances.remove(key)
         status()
-      case createSeqRe(name, rest) =>
+      case createSeqRe(ine, name, rest) =>
+        if (sequences.contains(name.toLowerCase)) {
+          // SEQUENCE_ALREADY_EXISTS_1 (CreateSequence.java:67)
+          require(ine != null,
+            s"SEQUENCE_ALREADY_EXISTS: $name (CreateSequence.java:67)")
+          return status()
+        }
         val o = parseSeqOptions(Option(rest).getOrElse(""))
         val inc = o.inc.getOrElse(1L)
         // default start = min bound for ascending, max for descending

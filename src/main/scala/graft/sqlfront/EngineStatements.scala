@@ -42,7 +42,7 @@ private[sqlfront] trait EngineStatements { this: Engine =>
   // order-free option loop (Parser.java:4375-4422 / 4780-4826), which a
   // fixed-order pattern cannot express
   private[sqlfront] val createSeqRe =
-    P(Kw("CREATE", "SEQUENCE"), Opt("IF", "NOT", "EXISTS"), Ident, Rest)
+    P(Kw("CREATE", "SEQUENCE"), OptCap("IF", "NOT", "EXISTS"), Ident, Rest)
   private[sqlfront] val alterSeqRe =
     P(Kw("ALTER", "SEQUENCE"), Ident, Rest)
   private[sqlfront] val dropSeqRe =
@@ -347,7 +347,7 @@ private[sqlfront] trait EngineStatements { this: Engine =>
   // bucketBy layout on the indexed key).
   private[sqlfront] val createIndexRe =
     P(Kw("CREATE"), OptCap("UNIQUE"), Opt("HASH"), Kw("INDEX"),
-      Opt("IF", "NOT", "EXISTS"), Ident, Kw("ON"), Ident, Paren, Eos)
+      OptCap("IF", "NOT", "EXISTS"), Ident, Kw("ON"), Ident, Paren, Eos)
   private[sqlfront] val dropIndexRe =
     P(Kw("DROP", "INDEX"), Opt("IF", "EXISTS"), Ident, Eos)
   // CSVWRITE('dir','sql') statement form (Function.java:353, Csv.java:123)
@@ -382,7 +382,7 @@ private[sqlfront] trait EngineStatements { this: Engine =>
     P(Kw("DROP", "AGGREGATE"), Opt("IF", "EXISTS"), Ident,
       Opt("IF", "EXISTS"), Eos)
   private[sqlfront] val createConstantRe =
-    P(Kw("CREATE", "CONSTANT"), Opt("IF", "NOT", "EXISTS"), Ident,
+    P(Kw("CREATE", "CONSTANT"), OptCap("IF", "NOT", "EXISTS"), Ident,
       Kw("VALUE"), Rest)
   private[sqlfront] val dropConstantRe =
     P(Kw("DROP", "CONSTANT"), Opt("IF", "EXISTS"), Ident, Eos)
@@ -391,7 +391,7 @@ private[sqlfront] trait EngineStatements { this: Engine =>
   // every column of the domain, with VALUE as the placeholder column.
   private[sqlfront] val createDomainRe =
     P(Kw("CREATE"), AltKw(Seq("DOMAIN"), Seq("TYPE"), Seq("DATATYPE")),
-      Opt("IF", "NOT", "EXISTS"), Ident, Opt("AS"), DomainTail)
+      OptCap("IF", "NOT", "EXISTS"), Ident, Opt("AS"), DomainTail)
   private[sqlfront] val dropDomainRe =
     P(Kw("DROP"), AltKw(Seq("DOMAIN"), Seq("TYPE"), Seq("DATATYPE")),
       Opt("IF", "EXISTS"), Ident, Eos)
@@ -400,7 +400,7 @@ private[sqlfront] trait EngineStatements { this: Engine =>
   // [CALL "class"] (Parser.parseCreateTrigger; TriggerObjectTest shapes) —
   // the tail is captured for the reference's validation errors
   private[sqlfront] val createTriggerRe =
-    P(Kw("CREATE"), Opt("FORCE"), Kw("TRIGGER"), Opt("IF", "NOT", "EXISTS"),
+    P(Kw("CREATE"), Opt("FORCE"), Kw("TRIGGER"), OptCap("IF", "NOT", "EXISTS"),
       Ident, Peek("BEFORE", "AFTER", "INSTEAD"), CapUntil("ON"), Kw("ON"),
       Ident, Rest)
   private[sqlfront] val dropTriggerRe =

@@ -1407,6 +1407,51 @@ class EngineSpec extends SparkSpec {
       e.sql("CREATE OR REPLACE VIEW vt AS SELECT a FROM vt"))
   }
 
+  test("duplicate CREATE across schema-object families mirrors the " +
+      "reference: error without IF NOT EXISTS, silent no-op with it") {
+    val e = freshEngine
+    e.sql("CREATE SEQUENCE dseq START WITH 5")
+    intercept[Exception](e.sql("CREATE SEQUENCE dseq"))
+    e.sql("CREATE SEQUENCE IF NOT EXISTS dseq START WITH 99")
+    assert(e.sql("SELECT NEXTVAL('dseq') FROM SYSTEM_RANGE(1,1)")
+      .head().get(0).asInstanceOf[Number].longValue == 5) // original intact
+    e.sql("CREATE TABLE dt (a int, b int)")
+    e.sql("CREATE INDEX dix ON dt(a)")
+    intercept[Exception](e.sql("CREATE INDEX dix ON dt(b)"))
+    e.sql("CREATE INDEX IF NOT EXISTS dix ON dt(b)") // no-op
+    e.sql("CREATE CONSTANT dc VALUE 7")
+    intercept[Exception](e.sql("CREATE CONSTANT dc VALUE 8"))
+    e.sql("CREATE CONSTANT IF NOT EXISTS dc VALUE 8")
+    assert(e.sql("SELECT dc FROM SYSTEM_RANGE(1,1)").head().getInt(0) == 7)
+    e.sql("CREATE TRIGGER dtr BEFORE INSERT ON dt FOR EACH ROW " +
+      "CALL \"x\"")
+    intercept[Exception](e.sql(
+      "CREATE TRIGGER dtr AFTER INSERT ON dt FOR EACH ROW CALL \"x\""))
+    e.sql("CREATE TRIGGER IF NOT EXISTS dtr AFTER DELETE ON dt " +
+      "FOR EACH ROW CALL \"x\"") // no-op
+  }
+
+  test("user data types follow CreateUserDataType.java's built-in rules: " +
+      "primary names never creatable, hidden aliases only pre-table") {
+    val e = freshEngine
+    // hidden alias with NO user table: shadowable (UserDataTypeTest)
+    e.sql("CREATE DATATYPE IF NOT EXISTS int AS VARCHAR(255)")
+    e.sql("DROP DATATYPE int")
+    // primary name: never, even under IF NOT EXISTS
+    val err = intercept[Exception](
+      e.sql("CREATE DATATYPE IF NOT EXISTS integer AS VARCHAR(255)"))
+    assert(err.getMessage.contains("USER_DATA_TYPE_ALREADY_EXISTS"),
+      err.getMessage)
+    // duplicate user domain: error without IF NOT EXISTS, no-op with it
+    e.sql("CREATE DOMAIN email AS VARCHAR(255)")
+    intercept[Exception](e.sql("CREATE DOMAIN email AS INT"))
+    e.sql("CREATE DOMAIN IF NOT EXISTS email AS INT") // no-op
+    // hidden alias AFTER a user table exists: rejected
+    e.sql("CREATE TABLE udt_t (a int)")
+    intercept[Exception](
+      e.sql("CREATE DATATYPE IF NOT EXISTS int AS VARCHAR(255)"))
+  }
+
   test("sequence not found carries the reference's error text") {
     val e = freshEngine
     val err = intercept[Exception](
