@@ -103,6 +103,7 @@ object Bench {
     "t38_unigram_train" -> 1.321,
     "t39_unigram_encode" -> 0.622,
     "t40_unigram_ppl" -> 1.441,
+    "t41_calibration" -> 0.619,
     "p07_incremental_ingest" -> 1.593,
     "p08_perlang_funnel" -> 1.478)
 
@@ -175,6 +176,7 @@ object Bench {
     "t38_unigram_train",         // tokenizer: unigram-LM seed/EM/prune
     "t39_unigram_encode",        // tokenizer: Viterbi dictionary encode
     "t40_unigram_ppl",           // quality: unigram-LM perplexity scoring
+    "t41_calibration",           // eval: reliability table, one aggregate
     "p07_incremental_ingest",    // composed: delta vs persisted state
     "p08_perlang_funnel")        // composed: per-language routing funnel
 

@@ -82,6 +82,31 @@ object Eval {
       parts.map(_._7).sum, parts.map(_._8).sum)
   }
 
+  /** Calibration (reliability) table: scores bucketed on FIXED literal
+    * edges — bucket b covers [lo + b·w, lo + (b+1)·w), clamped to
+    * [0, buckets) so outliers land in the end bins — with exact long
+    * counts per bin and the observed positive rate as one IEEE division.
+    * A well-calibrated score has obs_rate tracking the bin midpoint;
+    * the judge of that is the CALLER — this operator only measures.
+    * One hash aggregate over (buckets) rows; no window, no sort. */
+  def calibration(df: DataFrame, scoreCol: String, labelCol: String,
+      lo: Double, width: Double, buckets: Int): DataFrame = {
+    require(width > 0.0 && buckets > 0)
+    val b = least(lit(buckets - 1), greatest(lit(0),
+      floor((col(scoreCol).cast("double") - lit(lo)) / lit(width))
+        .cast("int")))
+    df.select(b.as("bucket"),
+        coalesce(col(labelCol).cast("boolean"), lit(false)).as("__y"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"))
+      .select(col("bucket"),
+        (lit(lo) + col("bucket").cast("double") * lit(width)).as("bin_lo"),
+        col("n"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n").cast("double"))
+          .as("obs_rate"))
+  }
+
   private val evalSchema = StructType(Seq(
     StructField("model", StringType, nullable = false),
     StructField("cls", StringType, nullable = false),

@@ -4146,6 +4146,43 @@ object Pipeline {
       None,
       oracleGen = Some((s, dir) => modelEvalOracle(s, dir))),
 
+    // ---- Score calibration (t41): the reliability table for the t33
+    // classifier — fixed-edge buckets over the NB score vs the observed
+    // gopher_pass rate (exact long counts, one IEEE division per bin; no
+    // window, no sort, ONE hash aggregate). Together with t37's AUC this
+    // completes in-pipeline model grading: discrimination AND calibration.
+    Q("t41_calibration",
+      (s, dir) => {
+        val (w, bias) = clfModel(s, dir, dim = 1024, maxN = 2)
+        val scored = t(s, dir, "documents").select(
+          TextAnalysis.gopherSignals(col("text"), minStopHits = 1L).last,
+          graft.functions.TextHashExprs.hashedGramScore(
+            Dedup.normalize(coalesce(col("text"), lit(""))),
+            w, bias, maxN = 2).as("clf_score"))
+        graft.operators.Eval.calibration(scored, "clf_score",
+          "gopher_pass", lo = -8.0, width = 1.0, buckets = 16)
+      },
+      None,
+      oracleGen = Some((s, dir) => s"""
+        WITH clf AS (SELECT doc_id, clf_score
+                     FROM (${qualityClassifierOracle(s, dir, dim = 1024,
+                       maxN = 2)}) cc),
+        g AS (SELECT doc_id, gopher_pass
+              FROM (${gopherOracle(minStopHits = 1L)}) gg),
+        j AS (SELECT LEAST(15, GREATEST(0,
+                CAST(floor((c.clf_score - (-8.0)) / 1.0) AS INT)))
+                AS bucket,
+              g.gopher_pass AS y
+              FROM clf c JOIN g USING (doc_id))
+        SELECT bucket,
+               -8.0 + CAST(bucket AS DOUBLE) * 1.0 AS bin_lo,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(COALESCE(SUM(CASE WHEN y THEN 1 ELSE 0 END), 0)
+                 AS BIGINT) AS n_pos,
+               CAST(COALESCE(SUM(CASE WHEN y THEN 1 ELSE 0 END), 0)
+                 AS DOUBLE) / CAST(count(*) AS DOUBLE) AS obs_rate
+        FROM j GROUP BY bucket""")),
+
     // ---- Full quality funnel (p05): the production DCLM/FineWeb shape —
     // the three RULE gates (p04's fusion) plus the LEARNED classifier
     // (t33) in the SAME single scan, zero exchanges: every gate is a

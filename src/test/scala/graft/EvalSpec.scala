@@ -57,6 +57,22 @@ class EvalSpec extends SparkSpec {
     assert(st == Eval.BinaryEvalStats(3, 2, 1, 4, 1, 1, 1, 0))
   }
 
+  test("calibration: fixed-edge buckets clamp outliers into end bins, " +
+      "exact counts + one-division rates") {
+    val df = Seq((0.05, true), (0.15, false), (0.15, true),
+      (-5.0, false), (99.0, true)).toDF("s", "y")
+    val got = Eval.calibration(df, "s", "y", lo = 0.0, width = 0.1,
+        buckets = 10)
+      .collect()
+      .map(r => r.getInt(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got(0) == ((0.0, 2L, 1L, 0.5))) // 0.05 + the clamped -5.0
+    assert(got(1) == ((0.1, 2L, 1L, 0.5))) // the two 0.15s
+    assert(got(9) == ((0.9, 1L, 1L, 1.0))) // clamped 99.0
+    assert(got.size == 3) // empty bins are absent, not zero rows
+  }
+
   test("binaryEval row shape: metrics surface once per (model, cls)") {
     val df = Eval.binaryEval(fix, "id", "s", "y", "p", "m1", "c1")
     val r = df.head()

@@ -384,7 +384,9 @@ class PlanLintSpec extends SparkSpec {
     // (the dictionary join broadcasts — t17's exact shape and budget)
     "t39_unigram_encode" -> 2,
     // t40 ppl: same dictionary shape with the sorted-fold NLL aggregate
-    "t40_unigram_ppl" -> 2
+    "t40_unigram_ppl" -> 2,
+    // t41 calibration: one hash aggregate over <= buckets rows
+    "t41_calibration" -> 1
   )
 
   /** sf0.01 OVERRIDES on top of [[exchangeBudget]] (VERDICT r6 directive
