@@ -933,13 +933,20 @@ object Dedup {
     * recompute path holds by construction (longs/strings round-trip
     * parquet exactly) and is proven empirically in IncrementalSpec. */
   private[graft] def crossPrep(df: DataFrame, idCol: String,
-      textCol: String, cfg: MinHashConfig): DataFrame = df.select(
-      col(idCol).as("__id"),
-      normalize(col(textCol)).as("__nrm"),
-      shingleHashSet(col(textCol), cfg.shingleSize).as("__sh"))
-    .withColumn("__sig", minhashSignature(col("__sh"), cfg.numHashes, cfg.seed))
-    .withColumn("__bands", bandHashes(col("__sig"), cfg.bands, cfg.rowsPerBand))
-    .transform(graft.core.Checkpoint.cut)
+      textCol: String, cfg: MinHashConfig, cut: Boolean = true): DataFrame = {
+    val base = df.select(
+        col(idCol).as("__id"),
+        normalize(col(textCol)).as("__nrm"),
+        shingleHashSet(col(textCol), cfg.shingleSize).as("__sh"))
+      .withColumn("__sig",
+        minhashSignature(col("__sh"), cfg.numHashes, cfg.seed))
+      .withColumn("__bands",
+        bandHashes(col("__sig"), cfg.bands, cfg.rowsPerBand))
+    // cut = false for write-through consumers (Incremental state build):
+    // the parquet write IS the materialization — checkpointing first
+    // would double the write volume at corpus scale for nothing
+    if (cut) base.transform(graft.core.Checkpoint.cut) else base
+  }
 
   /** [[crossDedup]] against an ALREADY-PREPARED corpus side (a
     * [[crossPrep]] frame — live or read back from persisted dedup

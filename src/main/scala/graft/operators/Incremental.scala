@@ -45,7 +45,9 @@ object Incremental {
       cfg: MinHashConfig, stateDir: String,
       mode: String = "errorifexists"): Unit =
     Tables.save(
-      Dedup.crossPrep(df, idCol, textCol, cfg)
+      // cut = false: this write is the materialization — a checkpoint
+      // first would double the corpus-scale write volume
+      Dedup.crossPrep(df, idCol, textCol, cfg, cut = false)
         .select(col("__id").as("doc_id"), col("__nrm").as("nrm"),
           col("__sh").as("sh"), col("__sig").as("sig")),
       stateDir, DedupStateTable, mode)
