@@ -4224,6 +4224,9 @@ object Pipeline {
     // fixed-window sequence packing of the CLEANED token counts (u04's
     // deterministic offsets). Per-row stages compose into the same scan;
     // packing adds the one range exchange it always costs.
+    // budgetTokens = 64 is the FIXTURE window (oracle-scale); production
+    // packs at the model context (2k-8k) — a parameter, same cost (see
+    // the README "Fixture constants vs production knobs" table and u04).
     Q("p06_pretrain_export",
       (s, dir) => {
         val (wghts, bias) = clfModel(s, dir, dim = 1024, maxN = 2)
