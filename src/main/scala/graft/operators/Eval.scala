@@ -49,12 +49,15 @@ object Eval {
 
   /** Compute [[BinaryEvalStats]] for (score, label, pred) columns; NULL
     * labels/preds count as false (the SQL twin's CASE WHEN semantics),
-    * NULL scores sort first (Spark and DuckDB agree: NULLS FIRST is both
-    * engines' ascending default). */
+    * and a NULL score ranks LOWEST — coalesced to −∞ on BOTH twin sides,
+    * because the engines' bare NULL orderings disagree (Spark ascending
+    * is NULLS FIRST, DuckDB's default is NULLS LAST — a latent
+    * divergence the coalesce removes outright). */
   def binaryEvalStats(df: DataFrame, idCol: String, scoreCol: String,
       labelCol: String, predCol: String): BinaryEvalStats = {
     val base = df.select(
-      col(scoreCol).cast("double").as("__s"),
+      coalesce(col(scoreCol).cast("double"),
+        lit(Double.NegativeInfinity)).as("__s"),
       col(idCol).cast("long").as("__id"),
       coalesce(col(labelCol).cast("boolean"), lit(false)).as("__y"),
       coalesce(col(predCol).cast("boolean"), lit(false)).as("__p"))

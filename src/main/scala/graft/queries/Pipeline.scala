@@ -1227,7 +1227,12 @@ object Pipeline {
                CAST(COALESCE(SUM(CASE WHEN NOT y AND NOT p THEN 1 ELSE 0 END),
                  0) AS BIGINT) AS tn
         FROM (SELECT y, p,
-                     ROW_NUMBER() OVER (ORDER BY s, doc_id) AS rk
+                     -- COALESCE to -inf: a NULL score ranks LOWEST on
+                     -- both twins (Spark NULLS FIRST vs DuckDB NULLS
+                     -- LAST would otherwise diverge)
+                     ROW_NUMBER() OVER (ORDER BY
+                       COALESCE(s, CAST('-infinity' AS DOUBLE)), doc_id)
+                       AS rk
               FROM $src) rr) a) m"""
 
   /** DuckDB twin of t37: the u01 test-bucket filter, the t33 scoring

@@ -55,6 +55,12 @@ class EvalSpec extends SparkSpec {
       .toDF("id", "s", "y", "p")
     val st = Eval.binaryEvalStats(withNulls, "id", "s", "y", "p")
     assert(st == Eval.BinaryEvalStats(3, 2, 1, 4, 1, 1, 1, 0))
+    // NULL score ranks LOWEST (coalesced to -inf on both twin sides):
+    // a null-scored positive takes rank 1, not a nondeterministic slot
+    val nullScore = Seq((1L, Some(0.5), false, false),
+      (2L, None: Option[Double], true, false)).toDF("id", "s", "y", "p")
+    assert(Eval.binaryEvalStats(nullScore, "id", "s", "y", "p")
+      .rankSumPos == 1L)
   }
 
   test("calibration: fixed-edge buckets clamp outliers into end bins, " +
