@@ -23,6 +23,10 @@ import graft.operators.Dedup.MinHashConfig
   *    prior-state + delta` holds by construction (longs/strings
   *    round-trip parquet bit-exactly) and IncrementalSpec proves it
   *    row-for-row at two SFs.
+  *  - `dedup_cfg(num_hashes, bands, shingle_size, threshold, seed)` —
+  *    the MinHash config the state was written with; every append and
+  *    read REQUIRES an exact match (a mismatched seed/hash-count would
+  *    silently miss near-duplicates — wrong answers, no error).
   *  - `pack_state(next_offset)` — the packed export's token high-water
   *    mark: the next delta's [[Sampling.packSequences]] continues from
   *    it, so offsets/bins are stable across ingests (an appended batch
@@ -37,13 +41,45 @@ import graft.operators.Dedup.MinHashConfig
 object Incremental {
 
   val DedupStateTable = "dedup_state"
+  val DedupCfgTable = "dedup_cfg"
   val PackStateTable = "pack_state"
 
+  /** The config a state dir was written with — signatures are
+    * seed/hash-count/shingle-size specific, so a MISMATCHED read would
+    * silently miss near-duplicates (the worst failure mode: wrong
+    * answers, no error). Persisted beside the state and REQUIRED to
+    * match on every append and read. */
+  private def readCfg(spark: SparkSession,
+      stateDir: String): MinHashConfig = {
+    val r = Tables.load(spark, stateDir, DedupCfgTable).head() // 1-row cfg
+    MinHashConfig(r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3),
+      r.getLong(4))
+  }
+
+  private def requireCfg(spark: SparkSession, stateDir: String,
+      cfg: MinHashConfig): Unit = {
+    val stored = readCfg(spark, stateDir)
+    require(stored == cfg,
+      s"dedup state at $stateDir was written with $stored but accessed " +
+        s"with $cfg — mismatched signatures would silently miss " +
+        "near-duplicates")
+  }
+
   /** Persist (or with mode="append", extend) the dedup state of a
-    * processed corpus. */
+    * processed corpus. Appends must carry the config the state was
+    * written with. */
   def writeDedupState(df: DataFrame, idCol: String, textCol: String,
       cfg: MinHashConfig, stateDir: String,
-      mode: String = "errorifexists"): Unit =
+      mode: String = "errorifexists"): Unit = {
+    if (mode == "append") requireCfg(df.sparkSession, stateDir, cfg)
+    else {
+      import df.sparkSession.implicits._
+      Tables.save(
+        Seq((cfg.numHashes, cfg.bands, cfg.shingleSize, cfg.threshold,
+            cfg.seed))
+          .toDF("num_hashes", "bands", "shingle_size", "threshold", "seed"),
+        stateDir, DedupCfgTable, mode)
+    }
     Tables.save(
       // cut = false: this write is the materialization — a checkpoint
       // first would double the corpus-scale write volume
@@ -51,6 +87,7 @@ object Incremental {
         .select(col("__id").as("doc_id"), col("__nrm").as("nrm"),
           col("__sh").as("sh"), col("__sig").as("sig")),
       stateDir, DedupStateTable, mode)
+  }
 
   /** Extend the dedup state with a processed delta (the post-ingest step:
     * the NEXT delta must also dedup against this one). */
@@ -60,14 +97,18 @@ object Incremental {
 
   /** The persisted state as a [[Dedup.crossPrep]]-shaped frame (band keys
     * recomputed from the stored signatures — a pure deterministic
-    * function, so read-back preps are value-identical to live ones). */
+    * function, so read-back preps are value-identical to live ones).
+    * Refuses a config that differs from the one the state was written
+    * with. */
   def readDedupState(spark: SparkSession, stateDir: String,
-      cfg: MinHashConfig): DataFrame =
+      cfg: MinHashConfig): DataFrame = {
+    requireCfg(spark, stateDir, cfg)
     Tables.load(spark, stateDir, DedupStateTable)
       .select(col("doc_id").as("__id"), col("nrm").as("__nrm"),
         col("sh").as("__sh"), col("sig").as("__sig"))
       .withColumn("__bands",
         Dedup.bandHashes(col("__sig"), cfg.bands, cfg.rowsPerBand))
+  }
 
   /** d08's cross-dedup with the corpus side READ FROM STATE instead of
     * recomputed: delta docs that duplicate the processed corpus exactly

@@ -93,6 +93,23 @@ class IncrementalSpec extends SparkSpec {
     assert(rows(p1) ++ rows(p2) == combined)
   }
 
+  test("a config mismatch against persisted state is refused, never a " +
+      "silent near-dup miss") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .limit(10)
+    val stateDir = tmp()
+    Incremental.writeDedupState(docs, "doc_id", "text", cfg, stateDir)
+    val other = cfg.copy(seed = 7L)
+    val err = intercept[IllegalArgumentException](
+      Incremental.crossDedupAgainstState(docs, "doc_id", "text",
+        stateDir, other).count())
+    assert(err.getMessage.contains("mismatched signatures"), err.getMessage)
+    intercept[IllegalArgumentException](
+      Incremental.appendDedupState(docs, "doc_id", "text", other, stateDir))
+    // the matching config still reads fine
+    assert(Incremental.readDedupState(spark, stateDir, cfg).count() == 10)
+  }
+
   test("state lives behind the Tables layer and never silently overwrites") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
       .limit(10)

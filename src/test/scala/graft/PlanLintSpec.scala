@@ -102,7 +102,7 @@ class PlanLintSpec extends SparkSpec {
     "streaming/StreamDecontaminate.scala" -> 1, // benchmark gram-set materialization, bounded by the benchmark (KBs-MBs), embedded as a sorted reference array — materialize-then-embed like bloomBitsOf
     "core/ModelStore.scala" -> 2, // registry reads: readAll's collect is bounded by MODEL size (dim / C·dim / merges / k·d / m·kc·subdim / mBits÷64 rows — never the corpus); corpusFingerprint's head() is a 1-row global XOR aggregate
     "operators/Eval.scala" -> 1, // rank-sum offset pass: #partitions driver rows (the packSequences shape), never row-scaled
-    "operators/Incremental.scala" -> 1 // readPackHighWater: 1-row pack_state read
+    "operators/Incremental.scala" -> 2 // readPackHighWater + readCfg: 1-row state reads
   )
 
   test("driver collect() surface matches the audited per-file record") {
