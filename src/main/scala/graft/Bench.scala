@@ -1,11 +1,15 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
 
-/** Driver benchmark: headline queries over SPARK_GRAFT_SF_DIR, one JSON
-  * line on stdout (driver contract). Each query is forced end-to-end with a
-  * noop datasource write (full plan execution, no driver collect, no disk
-  * write skew).
+/** Driver benchmark: headline queries over SPARK_GRAFT_SF_DIR, one SHORT
+  * JSON line on stdout (driver contract; <1 KB — the driver keeps only a
+  * ~2 KB stdout tail, see [[renderLine]]) plus a full-detail sidecar
+  * `bench_detail.json` (override: SPARK_GRAFT_BENCH_DETAIL) carrying the
+  * per-query medians and outlier adjudication triples. Each query is
+  * forced end-to-end with a noop datasource write (full plan execution,
+  * no driver collect, no disk write skew).
   *
   * Timing is the per-query median across `runs` INTERLEAVED passes: the
   * whole suite runs N times and each query's median is taken across passes,
@@ -256,6 +260,7 @@ object Bench {
       else outliers.map { case (n, inpass, iso, bar) =>
         "\"" + n + "\":{" + f""""inpass":$inpass%.3f,"isolated":$iso%.3f,"bar":$bar%.3f}"""
       }.mkString("{", ",", "}")
+    val outlierCount = if (!atBars) -1 else outliers.size
     // Box-state self-adjudication (VERDICT r7 directive 3): the three
     // cheapest fixed-plan queries double as a machine calibration probe —
     // measured/bar ratios against their committed BASELINE.md sf0.1 bars
@@ -275,7 +280,35 @@ object Bench {
           byName.get(q).map(v => "\"" + q + "\":" + f"${v / bar}%.2f")
         }.mkString("{", ",", "}")
       }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"calibration":$calibration,"outliers":$outliersJson,"sf":"$sfDir"}""")
+    // ARTIFACT CONTRACT (VERDICT r10 directive 1a): the driver captures
+    // only a ~2 KB stdout tail, and the r10 line (68 queries + 28 outlier
+    // adjudication triples) grew to 3.8 KB — the driver's json parse saw a
+    // mid-line fragment and recorded `parsed: null`. The parsed stdout
+    // line therefore stays SMALL and FIXED-SHAPE (<1 KB by BenchLineSpec):
+    // headline total + calibration anchors + outlier COUNT + a pointer to
+    // the sidecar. The full per-query map and the outlier triples move to
+    // bench_detail.json (written before the line, so the pointer is never
+    // dangling) and to stderr, which the driver streams unbounded.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      "bench_detail.json")
+    val detail =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
+      s""""queries":$qs,"calibration":$calibration,""" +
+      s""""outliers":$outliersJson,"sf":"$sfDir"}"""
+    Files.writeString(Paths.get(detailPath), detail)
+    System.err.println(s"[bench-detail] $detail")
+    println(renderLine(total, results.size, calibration, outlierCount,
+      detailPath, sfDir))
     spark.stop()
+  }
+
+  /** The ONE parsed stdout line — kept under 1 KB (BenchLineSpec) so the
+    * driver's bounded stdout-tail capture always sees a complete JSON
+    * object. `outlierCount` is -1 off sf0.1 (bars don't bind) and emits
+    * as null; the per-query breakdown lives in `detail`. */
+  def renderLine(total: Double, nQueries: Int, calibration: String,
+      outlierCount: Int, detailPath: String, sfDir: String): String = {
+    val oc = if (outlierCount < 0) "null" else outlierCount.toString
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":$nQueries,"calibration":$calibration,"outlier_count":$oc,"detail":"$detailPath","sf":"$sfDir"}"""
   }
 }

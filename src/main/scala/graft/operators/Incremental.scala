@@ -134,4 +134,39 @@ object Incremental {
   def readPackHighWater(spark: SparkSession, stateDir: String): Long =
     Tables.load(spark, stateDir, PackStateTable)
       .agg(max(col("next_offset"))).head().getLong(0) // 1-row state read
+
+  // ---- model-refresh scoring log (VERDICT r10 directive 4) ---------------
+
+  val ScoreLogTable = "score_log"
+
+  /** Append-only record of WHICH registry model version scored WHICH
+    * ingest batch. Production pipelines refresh the funnel model as the
+    * corpus drifts — one [[graft.core.ModelStore]] version per crawl —
+    * and an auditable ingest must be RE-SCORABLE with exactly the model
+    * that produced it: the recorded registry path pins the bits (parquet
+    * round-trips doubles exactly), so re-loading it reproduces the
+    * batch's scores bit-for-bit even after newer versions land
+    * (ModelRefreshSpec proves it). One row per (batch, model); the log is
+    * #batches-sized, never corpus-sized. */
+  def recordScoredBatch(spark: SparkSession, stateDir: String,
+      batchId: Long, modelName: String, versionPath: String): Unit = {
+    import spark.implicits._
+    Tables.save(Seq((batchId, modelName, versionPath))
+        .toDF("batch_id", "model_name", "version_path"),
+      stateDir, ScoreLogTable, "append")
+  }
+
+  /** The scoring log: (batch_id, model_name, version_path). */
+  def scoreLog(spark: SparkSession, stateDir: String): DataFrame =
+    Tables.load(spark, stateDir, ScoreLogTable)
+
+  /** The registry version recorded for (batch, model) — the exact model
+    * to re-load for reproducing that batch's scores. */
+  def recordedVersion(spark: SparkSession, stateDir: String,
+      batchId: Long, modelName: String): Option[String] =
+    scoreLog(spark, stateDir)
+      .filter(col("batch_id") === batchId &&
+        col("model_name") === modelName)
+      .select("version_path")
+      .collect().headOption.map(_.getString(0)) // log is #batches-sized
 }

@@ -163,10 +163,20 @@ object Multimodal {
 
   // ================= REAL DECODER (image + audio + video) =================
 
+  /** REAL-decode counter (test instrumentation, VERDICT r10 directive 3):
+    * one atomic add per actual PNG decode. The content-addressed frame
+    * caches are supposed to collapse byte-identical repeats; a silently
+    * dead cache re-decodes every repeat and is indistinguishable from a
+    * slow box in wall time — DecodeCacheSpec asserts the EXACT expected
+    * decode count (= Σ distinct frames per video) against this counter.
+    * local-mode JVM-shared; cost is noise next to the decode itself. */
+  private[graft] val frameDecodeCount =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Iterate a GVID container's length-prefixed compressed frames — the
     * ONE parser behind decodeMeta, frameChecksums, and extractFeatures
     * (a container-format change has exactly one site to update). */
-  private def gvidFrames(id: Long, payload: Array[Byte]): Iterator[Array[Byte]] = {
+  private[graft] def gvidFrames(id: Long, payload: Array[Byte]): Iterator[Array[Byte]] = {
     val in = new java.io.DataInputStream(new ByteArrayInputStream(payload))
     val magic = new Array[Byte](4)
     in.readFully(magic)
@@ -185,6 +195,7 @@ object Multimodal {
     * undecodable bytes — a fake or truncated frame can never checksum). */
   private def decodeFrame(id: Long, f: Int,
       fb: Array[Byte]): java.awt.image.BufferedImage = {
+    frameDecodeCount.incrementAndGet()
     val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(fb))
     if (img == null)
       throw new IllegalArgumentException(s"media_id=$id: undecodable frame $f")

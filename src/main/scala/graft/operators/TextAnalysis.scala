@@ -650,7 +650,8 @@ object TextAnalysis {
     * against the replay-literal twin. Returns (doc_id, n_tokens,
     * n_pieces, nll, avg_nll); empty docs report zeros with NULL avg. */
   def unigramLmScore(df: DataFrame, idCol: String, textCol: String,
-      vocab: Seq[(String, Double)]): DataFrame = {
+      vocab: Seq[(String, Double)],
+      passthrough: Seq[String] = Nil): DataFrame = {
     require(vocab.nonEmpty)
     val logp = vocab.toMap
     val maxLen = vocab.map(p => p._1.codePointCount(0, p._1.length)).max
@@ -669,14 +670,19 @@ object TextAnalysis {
         aggregate(
           array_sort(collect_list(struct(col("word"), col("w_nll")))),
           lit(0.0), (a, x) => a + x.getField("w_nll")).as("nll"))
-    df.select(col(idCol).as("doc_id")).join(agg, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
-        coalesce(col("nll"), lit(0.0)).as("nll"),
+    // passthrough columns ride the EXISTING doc-side join (column pruning
+    // drops them from the explode branch) — a caller composing extra
+    // per-doc columns (p09's loaded-model kernels) pays zero additional
+    // exchanges instead of a corpus×corpus doc_id join
+    df.select(col(idCol).as("doc_id") +: passthrough.map(col): _*)
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id") +: passthrough.map(col) :+
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens") :+
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces") :+
+        coalesce(col("nll"), lit(0.0)).as("nll") :+
         when(coalesce(col("n_pieces"), lit(0L)) > 0,
           coalesce(col("nll"), lit(0.0)) /
-            col("n_pieces").cast("double")).as("avg_nll"))
+            col("n_pieces").cast("double")).as("avg_nll"): _*)
   }
 
   /** Code-point split — the single-node twin of the trainer's

@@ -461,21 +461,26 @@ object Pipeline {
       .mkString("SELECT * FROM (VALUES ", ", ", ") AS t(piece, cnt, logp)")
   }
 
-  /** Memoized DISTRIBUTED-trained unigram vocab (piece, logp) — t39
-    * encodes with the distributed trainer's vocab while its oracle
-    * re-derives everything from the independent replay, so train and
-    * encode cross-check end to end (the t17 pattern). */
-  private val ulmVocabCache = scala.collection.concurrent.TrieMap
-    .empty[String, Seq[(String, Double)]]
-  private def ulmTrainedVocab(s: SparkSession,
-      dir: String): Seq[(String, Double)] =
-    ulmVocabCache.getOrElseUpdate(dir, {
+  /** Memoized DISTRIBUTED-trained unigram vocab triples (piece, cnt,
+    * logp) — t39/t40 encode and score with the distributed trainer's
+    * vocab while their oracles re-derive everything from the independent
+    * replay, so train and encode cross-check end to end (the t17
+    * pattern); p09 persists the SAME triples through the ModelStore
+    * registry and scores from the LOADED copy. */
+  private val ulmPiecesCache = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[(String, Long, Double)]]
+  private def ulmTrainedPieces(s: SparkSession,
+      dir: String): Seq[(String, Long, Double)] =
+    ulmPiecesCache.getOrElseUpdate(dir, {
       val (vs, ml, cap, em) = ulmParams
       graft.operators.TextAnalysis.unigramLmTrain(
           t(s, dir, "documents"), "text", vs, ml, cap, em)
-        .select("piece", "logp").collect()
-        .map(r => (r.getString(0), r.getDouble(1))).toSeq
+        .select("piece", "cnt", "logp").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
     })
+  private def ulmTrainedVocab(s: SparkSession,
+      dir: String): Seq[(String, Double)] =
+    ulmTrainedPieces(s, dir).map(p => (p._1, p._3))
 
   private def ulmEncodeOracle(s: SparkSession, dir: String): String = {
     val (vs, ml, cap, em) = ulmParams
@@ -675,8 +680,14 @@ object Pipeline {
     * value-emitting oracle like s06 does not). The string→DOUBLE cast is
     * strtod: correctly rounded, so each literal is the EXACT double the
     * Spark plan inlined. */
+  /** Exact-double list literal, compact form: one space-joined string
+    * split + cast (each element takes its shortest round-trip decimal
+    * instead of a ~30-char CAST wrapper — the 1024-dim weight tables are
+    * the second-largest oracle_sql.json cost after the hash chain, and
+    * the cast-from-string path is byte-identical to CAST('x' AS DOUBLE)). */
   private def dlistSql(xs: Seq[Double]): String =
-    xs.map(x => s"CAST('$x' AS DOUBLE)").mkString("[", ", ", "]")
+    s"list_transform(string_split('${xs.mkString(" ")}', ' '), " +
+      "__v -> CAST(__v AS DOUBLE))"
 
   /** The exact left-to-right double fold both engines share (Spark
     * DotProduct kernel ≡ DuckDB list_reduce). */
@@ -879,29 +890,33 @@ object Pipeline {
     def rd(i: String, w: Int) = "(" + (0 until w).map(j =>
       s"CAST(${hexByte(s"($i)+$j")} AS HUGEINT) * ${BigInt(1) << (8 * j)}::HUGEINT")
       .mkString(" + ") + ")"
-    def step8(h: String, b: String) = {
-      val k = mulmod(rotl(mulmod(b, P2), 31) + s" % $N", P1)
-      s"((${mulmod(rotl(xor64(h, k), 27) + s" % $N", P1)} + $P4::HUGEINT) % $N)"
-    }
-    def step4(h: String, b4: String) =
-      s"((${mulmod(rotl(xor64(h, mulmod(b4, P1)), 23) + s" % $N", P2)} + $P3::HUGEINT) % $N)"
-    def stepB(h: String, b1: String) =
-      mulmod(rotl(xor64(h, mulmod(b1, P5)), 11) + s" % $N", P1)
 
     /** CTE chain t0…th mapping an upstream `toks($key, tok)` relation to
       * `th($key, hu)` — hu = unsigned XXH64(tok, seed=42) as HUGEINT.
       *
-      * `maxBytes` bounds the supported token byte length: each 8-byte
-      * step8 stage expands to ~100 KB of HUGEINT SQL, and the stacked
-      * megabyte texts are what pushes a many-query DuckDB session into
-      * allocation failure — so dead stages are not emitted. The corpus
-      * max token is 8 bytes (asserted by the hash-match itself: a longer
-      * token would hash through a missing stage and mismatch LOUDLY). */
+      * Every step is STAGED through lateral column aliases (DuckDB
+      * resolves same-SELECT alias references), so each large
+      * sub-expression — the 8-byte word extraction, each mulmod/rotl/xor
+      * — is emitted ONCE and referenced by a short name. The first cut
+      * macro-expanded the whole tree (~600 KB of SQL per chain, the
+      * single largest driver-artifact cost: oracle_sql.json hit 10.3 MB
+      * and round 10's correctness artifact came back empty — VERDICT r10
+      * directive 1b); staged, a chain is ~15 KB with IDENTICAL
+      * arithmetic. Guards: dead lanes (c8 < i / no 4-byte word / no tail
+      * byte) pin the extracted word to 0 inside the CASE, keeping every
+      * staged intermediate inside [0, 2^64) — out-of-range hex reads
+      * yield negative bytes whose products overflow the BIGINT cast in
+      * tos() — and the final CASE forwards the untouched input hash.
+      *
+      * `maxBytes` bounds the supported token byte length; dead stages
+      * are not emitted. The corpus max token is 8 bytes (asserted by the
+      * hash-match itself: a longer token would hash through a missing
+      * stage and mismatch LOUDLY). */
     def chain(key: String, maxBytes: Int = 15,
         materialized: Boolean = false): String = {
       val n8 = maxBytes / 8 // step8 stages that can ever run
       // MATERIALIZED pins every stage CTE: referenced-once CTEs otherwise
-      // inline, and each step8 references its input hash many times, so a
+      // inline, and each stage references its input hash many times, so a
       // 2-stage chain's inlined expression tree grows past DuckDB's
       // allocator (observed: t33's first cut OOM'd at maxBytes=17)
       val m = if (materialized) "MATERIALIZED " else ""
@@ -914,22 +929,51 @@ object Pipeline {
           ((42 + $P5::HUGEINT + n) % $N) AS h0, n // 8 AS c8 FROM t0),""")
       var h = "h0"
       var t = "t1"
+      // intermediate aliases carry the stage index: DuckDB resolves REAL
+      // columns before lateral aliases, so a stage reusing its
+      // predecessor's alias names would silently read the predecessor's
+      // projected values
       (1 to n8).foreach { i =>
         sb.append(s"""
         t1$i AS $m(SELECT $key, hx, n, c8,
-          CASE WHEN c8 >= $i THEN ${step8(h, rd(s"${8 * (i - 1) + 1}", 8))} ELSE $h END AS h1$i FROM $t),""")
+          CASE WHEN c8 >= $i THEN ${rd(s"${8 * (i - 1) + 1}", 8)}
+               ELSE 0::HUGEINT END AS w$i,
+          ${mulmod(s"w$i", P2)} AS ka$i,
+          (${rotl(s"ka$i", 31)} % $N) AS kb$i,
+          ${mulmod(s"kb$i", P1)} AS kc$i,
+          ${xor64(h, s"kc$i")} AS xr$i,
+          (${rotl(s"xr$i", 27)} % $N) AS xs$i,
+          CASE WHEN c8 >= $i THEN ((${mulmod(s"xs$i", P1)} + $P4::HUGEINT) % $N)
+               ELSE $h END AS h1$i FROM $t),""")
         h = s"h1$i"; t = s"t1$i"
       }
       sb.append(s"""
         t5 AS $m(SELECT $key, hx, n, 8*c8 AS o4, (n - 8*c8) >= 4 AS has4,
-          CASE WHEN (n - 8*c8) >= 4 THEN ${step4(h, rd("8*c8+1", 4))} ELSE $h END AS h4 FROM $t),
-        t6 AS $m(SELECT $key, hx, n, o4 + (CASE WHEN has4 THEN 4 ELSE 0 END) AS ob, h4 FROM t5),
-        t7 AS $m(SELECT $key, hx, n, ob,
-          CASE WHEN n > ob THEN ${stepB("h4", s"CAST(${hexByte("ob+1")} AS HUGEINT)")} ELSE h4 END AS h5 FROM t6),
-        t8 AS $m(SELECT $key, hx, n, ob,
-          CASE WHEN n > ob+1 THEN ${stepB("h5", s"CAST(${hexByte("ob+2")} AS HUGEINT)")} ELSE h5 END AS h6 FROM t7),
-        t9 AS $m(SELECT $key, hx, n, ob,
-          CASE WHEN n > ob+2 THEN ${stepB("h6", s"CAST(${hexByte("ob+3")} AS HUGEINT)")} ELSE h6 END AS h7 FROM t8),
+          CASE WHEN (n - 8*c8) >= 4 THEN ${rd("8*c8+1", 4)}
+               ELSE 0::HUGEINT END AS b4,
+          ${mulmod("b4", P1)} AS qa,
+          ${xor64(h, "qa")} AS qb,
+          (${rotl("qb", 23)} % $N) AS qc,
+          CASE WHEN (n - 8*c8) >= 4
+               THEN ((${mulmod("qc", P2)} + $P3::HUGEINT) % $N)
+               ELSE $h END AS h4 FROM $t),
+        t6 AS $m(SELECT $key, hx, n, o4 + (CASE WHEN has4 THEN 4 ELSE 0 END) AS ob, h4 FROM t5),""")
+      var hb = "h4"
+      var tb = "t6"
+      (1 to 3).foreach { j =>
+        val guard = s"n > ob+${j - 1}"
+        sb.append(s"""
+        t${6 + j} AS $m(SELECT $key, hx, n, ob,
+          CASE WHEN $guard THEN CAST(${hexByte(s"ob+$j")} AS HUGEINT)
+               ELSE 0::HUGEINT END AS bb$j,
+          ${mulmod(s"bb$j", P5)} AS ra$j,
+          ${xor64(hb, s"ra$j")} AS rb$j,
+          (${rotl(s"rb$j", 11)} % $N) AS rc$j,
+          CASE WHEN $guard THEN ${mulmod(s"rc$j", P1)}
+               ELSE $hb END AS h${4 + j} FROM $tb),""")
+        hb = s"h${4 + j}"; tb = s"t${6 + j}"
+      }
+      sb.append(s"""
         a1 AS $m(SELECT $key, ${xor64("h7", shr("h7", 33))} AS v1 FROM t9),
         a2 AS $m(SELECT $key, ${mulmod("v1", P2)} AS v2 FROM a1),
         a3 AS $m(SELECT $key, ${xor64("v2", shr("v2", 29))} AS v3 FROM a2),
@@ -1372,6 +1416,32 @@ object Pipeline {
           FROM surv)
         SELECT doc_id, n_tok, tok_offset, tok_offset // 64 AS bin
         FROM c2"""
+
+  /** Built-once-per-dir ModelStore registry for p09 (VERDICT r10
+    * directive 2): the t33 classifier, the t35 lang-id set, and the t38
+    * unigram LM persist as v1 artifacts under one temp root; the p09
+    * QUERY loads them back and scores from the LOADED copies. Parquet
+    * round-trips doubles/longs bit-exactly (ModelStoreSpec pins it), so
+    * the loaded-model scores hash against the SAME oracle twins the
+    * fit-model queries use — any break in save/version/load surfaces as
+    * a driver hash mismatch. */
+  private val p09RegistryCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def p09Registry(s: SparkSession, dir: String): String =
+    p09RegistryCache.getOrElseUpdate(dir, {
+      val M = graft.core.ModelStore
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_p09_registry").toFile.getAbsolutePath
+      val fp = M.corpusFingerprint(t(s, dir, "documents"), "doc_id", "text")
+      val (w, b) = clfModel(s, dir, dim = 1024, maxN = 2)
+      M.save(s, M.nextVersionPath(s, root, "quality_clf"),
+        M.ClassifierModel(w, b, 1024, 2, fp))
+      M.save(s, M.nextVersionPath(s, root, "langid"),
+        M.LangIdModel(lidModels(s, dir, dim = 1024, maxN = 2), 1024, 2, fp))
+      M.save(s, M.nextVersionPath(s, root, "unigram_lm"),
+        M.UlmModel(ulmTrainedPieces(s, dir), fp))
+      root
+    })
 
   /** Trained PER-LANGUAGE quality classifiers (p08's CCNet routing shape),
     * memoized per (dir, dim, maxN): one NB model per language, fitted on
@@ -4362,6 +4432,53 @@ object Pipeline {
       },
       None,
       oracleGen = Some((s, dir) => perLangFunnelOracle(s, dir))),
+
+    // ---- Registry-loaded apply (p09): the ModelStore DURABILITY path
+    // under the driver's oracle hash (VERDICT r10 directive 2) —
+    // fit-session models (t33 classifier, t35 lang-id, t38 unigram LM)
+    // persist to a versioned registry once per dir, the query LOADS the
+    // latest versions back from parquet, and every apply kernel runs
+    // FROM THE LOADED COPIES. The oracle twins are the fit-model ones —
+    // load ≡ fit bit-exactness is exactly what the hash checks. clf +
+    // lang-id share ONE zero-exchange kernel scan (clf_score rides
+    // langIdScore's passthrough); the ppl columns join on doc_id (t40's
+    // dictionary-sized word table keeps the corpus side one exchange).
+    Q("p09_registry_apply",
+      (s, dir) => {
+        val M = graft.core.ModelStore
+        val root = p09Registry(s, dir)
+        val clf = M.loadClassifier(s,
+          M.latestVersion(s, root, "quality_clf").get)
+        val lid = M.loadLangId(s, M.latestVersion(s, root, "langid").get)
+        val ulm = M.loadUlm(s, M.latestVersion(s, root, "unigram_lm").get)
+        val docs = t(s, dir, "documents")
+        val withClf = docs.withColumn("clf_score",
+          graft.functions.TextHashExprs.hashedGramScore(
+            Dedup.normalize(coalesce(col("text"), lit(""))),
+            clf.weights, clf.bias, clf.maxN))
+        val scored = TextAnalysis.langIdScore(withClf, "doc_id", "text",
+            lid.models, passthrough = Seq("clf_score", "text"),
+            maxN = lid.maxN)
+          .select(col("doc_id"), col("text"), col("clf_score"),
+            (col("clf_score") > lit(0.0)).as("clf_keep"), col("pred_lang"))
+        // kernels ride t40's own doc-side join via passthrough — no
+        // corpus×corpus join on top of the dictionary shape
+        TextAnalysis.unigramLmScore(scored, "doc_id", "text",
+          ulm.pieces.map(p => (p._1, p._3)),
+          passthrough = Seq("clf_score", "clf_keep", "pred_lang"))
+      },
+      None,
+      oracleGen = Some((s, dir) => s"""
+        WITH clfq AS (SELECT doc_id, clf_score, clf_keep
+          FROM (${qualityClassifierOracle(s, dir, dim = 1024, maxN = 2)}) c),
+        lidq AS (SELECT doc_id, pred_lang
+          FROM (${langIdOracleGen(s, dir, dim = 1024, maxN = 2)}) l),
+        pplq AS (SELECT doc_id, n_tokens, n_pieces, nll, avg_nll
+          FROM (${ulmPplOracle(s, dir)}) p)
+        SELECT c.doc_id, c.clf_score, c.clf_keep, l.pred_lang,
+               p.n_tokens, p.n_pieces, p.nll, p.avg_nll
+        FROM clfq c JOIN lidq l USING (doc_id)
+             JOIN pplq p USING (doc_id)""")),
 
     // ---- Canonical-source keep-best dedup (d20): the crawl pipeline's
     // URL dedup — one hash-aggregate per canonical key with the arg-max

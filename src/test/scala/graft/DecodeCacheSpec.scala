@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.Multimodal
+
+/** Decode-cache hit-rate instrumentation (VERDICT r10 directive 3): p03's
+  * wall time has read high in three degraded-box windows, and a silently
+  * cold/dead content-addressed frame cache would look EXACTLY like a slow
+  * box. This pins the cache structurally: the number of REAL PNG decodes
+  * a video pass performs must equal Σ(distinct compressed frames per
+  * video) — strictly fewer than the total frame count, because the
+  * synthetic corpus (like still-heavy real corpora) repeats compressed
+  * frames verbatim. A dead cache fails the equality loudly; no wall-clock
+  * reading is involved. */
+class DecodeCacheSpec extends SparkSpec {
+
+  test("video decode count == Σ distinct frames per video (cache " +
+      "collapses byte-identical repeats)") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val videos = Multimodal.syntheticMedia(docs)
+      .filter(col("kind") === "video")
+      .select("media_id", "payload").collect()
+    assert(videos.nonEmpty, "fixture has no video rows")
+
+    // expected decodes: the distinct compressed-frame count per container
+    // (the same per-video content-addressing the engine caches on)
+    var totalFrames = 0L
+    var distinctFrames = 0L
+    videos.foreach { r =>
+      val frames = Multimodal
+        .gvidFrames(r.getLong(0), r.getAs[Array[Byte]](1)).toSeq
+      totalFrames += frames.size
+      distinctFrames += frames.map(java.nio.ByteBuffer.wrap).toSet.size
+    }
+    assert(distinctFrames < totalFrames,
+      s"fixture has no repeated frames (distinct=$distinctFrames of " +
+        s"$totalFrames) — the cache assertion would be vacuous")
+
+    val media = Multimodal.syntheticMedia(docs)
+      .filter(col("kind") === "video")
+    val before = Multimodal.frameDecodeCount.get()
+    Multimodal.decodeMeta(media).write.format("noop")
+      .mode("overwrite").save()
+    val decodes = Multimodal.frameDecodeCount.get() - before
+    assert(decodes == distinctFrames,
+      s"decodeMeta ran $decodes real decodes; expected $distinctFrames " +
+        s"(distinct frames) of $totalFrames total — cache hit rate " +
+        "regressed")
+
+    // the feature pass shares the same per-video cache discipline
+    val before2 = Multimodal.frameDecodeCount.get()
+    Multimodal.extractFeatures(media).write.format("noop")
+      .mode("overwrite").save()
+    val decodes2 = Multimodal.frameDecodeCount.get() - before2
+    assert(decodes2 == distinctFrames,
+      s"extractFeatures ran $decodes2 real decodes; expected " +
+        s"$distinctFrames")
+  }
+}

@@ -102,7 +102,7 @@ class PlanLintSpec extends SparkSpec {
     "streaming/StreamDecontaminate.scala" -> 1, // benchmark gram-set materialization, bounded by the benchmark (KBs-MBs), embedded as a sorted reference array — materialize-then-embed like bloomBitsOf
     "core/ModelStore.scala" -> 2, // registry reads: readAll's collect is bounded by MODEL size (dim / C·dim / merges / k·d / m·kc·subdim / mBits÷64 rows — never the corpus); corpusFingerprint's head() is a 1-row global XOR aggregate
     "operators/Eval.scala" -> 1, // rank-sum offset pass: #partitions driver rows (the packSequences shape), never row-scaled
-    "operators/Incremental.scala" -> 2 // readPackHighWater + readCfg: 1-row state reads
+    "operators/Incremental.scala" -> 3 // readPackHighWater + readCfg: 1-row state reads; recordedVersion: 1-row lookup in the #batches-sized scoring log
   )
 
   test("driver collect() surface matches the audited per-file record") {
@@ -385,6 +385,10 @@ class PlanLintSpec extends SparkSpec {
     "t39_unigram_encode" -> 2,
     // t40 ppl: same dictionary shape with the sorted-fold NLL aggregate
     "t40_unigram_ppl" -> 2,
+    // p09 registry apply: the clf+lid kernels ride t40's scan (one
+    // zero-exchange column set), so the budget IS t40's dictionary
+    // shape — the loaded-model join adds no exchange (broadcast)
+    "p09_registry_apply" -> 2,
     // t41 calibration: one hash aggregate over <= buckets rows
     "t41_calibration" -> 1
   )

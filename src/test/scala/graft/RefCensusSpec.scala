@@ -53,6 +53,29 @@ class RefCensusSpec extends SparkSpec {
     assert(fail <= 3, s"census fail=$fail above the triaged 3")
     assert(skip <= 32, s"census skip=$skip above the adjudicated 29 — a " +
       "formerly-gradable statement fell back to a skip class")
+    // the committed per-fail adjudication table (VERDICT r10 directive 5):
+    // EVERY failure must match an entry by (file, statement fragment) — an
+    // unlisted failure is a regression even while fail <= 3 holds. The
+    // r9/r10 constant-resolution tricks do not apply to any of the three:
+    // none is a constant-resolution problem.
+    val adjudicated = Seq(
+      // SequenceTest.java:77 — succeeds in the reference only after the
+      // mid-test Java-API call setBelongsToTable(false) (line 76), which
+      // no SQL replay can express; our throw is the pre-call behavior the
+      // same file's line 70 negative test demands
+      ("SequenceTest.java", "DROP SEQUENCE IF EXISTS myseq"),
+      // ViewTest.java:175 — DEAD statement (assigned to `sql`, overwritten
+      // before any execute); the reference's own comment records it errors
+      // ("f1,f2找不到"), so throwing IS parity
+      ("ViewTest.java", "select f1, f2 from (select id,name from ViewTest)"),
+      // SystemFunctionTest.java — dead statement carrying a source typo
+      // (`0,/'v2'`) no SQL parser accepts; the reference would throw too
+      ("SystemFunctionTest.java", "0,/'v2'"))
+    val unadjudicated = rs.flatMap(r => r.failLines.map(l => (r.file, l)))
+      .filterNot { case (f, l) =>
+        adjudicated.exists { case (af, frag) => f == af && l.contains(frag) } }
+    assert(unadjudicated.isEmpty, "census failures outside the committed " +
+      s"adjudication table:\n${unadjudicated.map(_._2).mkString("\n")}")
     // fully-green files stay fully green — these are the ones whose every
     // executable statement (positive AND negative) matches the reference
     val green = Set(
