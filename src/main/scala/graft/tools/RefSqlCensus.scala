@@ -331,10 +331,21 @@ object RefSqlCensus {
           skipLines += f"${p.getFileName}%-30s $why: " +
             ex.text.replaceAll("\\s+", " ").take(100)
         }
+        val msrc = maskCommentsOnly(src)
         stmts.foreach { ex =>
+          // `?`-statements: try the literal JDBC value feed first — a
+          // recoverable feed (PreparedStatementTest/MergeTest) grades the
+          // statement through its concrete executions; an unrecoverable
+          // one (loop counters, commented-out setters) stays a param skip
+          val feeds =
+            if (!ex.holes && hasParamMarker(ex.text)) {
+              val until = stmts.collectFirst {
+                case s2 if s2.at > ex.at => s2.at }.getOrElse(src.length)
+              paramFeeds(msrc, ex.text, ex.at, until)
+            } else Nil
           val why =
             if (ex.holes) Some("hole")
-            else if (hasParamMarker(ex.text)) Some("param")
+            else if (hasParamMarker(ex.text) && feeds.isEmpty) Some("param")
             else if (ex.text.contains("org.lealone")) Some("classref")
             else None
           if (why.isDefined) recordSkip(ex, why.get)
@@ -352,9 +363,11 @@ object RefSqlCensus {
               val failAt = src.indexOf("fail(", ex.at)
               failAt >= 0 && failAt < nextAt
             }
-            val threw =
-              try { en.sql(ex.text).collect(); false }
+            val texts = if (feeds.nonEmpty) feeds else Seq(ex.text)
+            val threw = texts.exists { t0 =>
+              try { en.sql(t0).collect(); false }
               catch { case e: Throwable => true }
+            }
             val dependsOnGuess = threw && !expectError &&
               ex.text.split("[^A-Za-z0-9_$$.]+")
                 .exists(w => w.length > 2 && guessNames(w.toLowerCase))
@@ -423,5 +436,120 @@ object RefSqlCensus {
       i += 1
     }
     false
+  }
+
+  // ---- JDBC literal value-feed resolution (skip class `param`, r11) ------
+
+  /** Comment-blanked copy of the source with STRING LITERALS preserved —
+    * the opposite masking of [[stringBindings]]: setter/execute calls in
+    * commented-out code must never feed parameters (ViewTest's my_view2
+    * feeds are all commented out — that statement stays a param skip). */
+  private def maskCommentsOnly(src: String): String = {
+    val n = src.length
+    val out = new Array[Char](n)
+    var i = 0
+    while (i < n) {
+      val c = src.charAt(i)
+      if (c == '/' && i + 1 < n && src.charAt(i + 1) == '/') {
+        while (i < n && src.charAt(i) != '\n') { out(i) = ' '; i += 1 }
+      } else if (c == '/' && i + 1 < n && src.charAt(i + 1) == '*') {
+        while (i + 1 < n &&
+            !(src.charAt(i) == '*' && src.charAt(i + 1) == '/')) {
+          out(i) = ' '; i += 1
+        }
+        if (i < n) { out(i) = ' '; i += 1 }
+        if (i < n) { out(i) = ' '; i += 1 }
+      } else if (c == '"') {
+        out(i) = c; i += 1
+        while (i < n && src.charAt(i) != '"') {
+          out(i) = src.charAt(i)
+          if (src.charAt(i) == '\\' && i + 1 < n) { i += 1; out(i) = src.charAt(i) }
+          i += 1
+        }
+        if (i < n) { out(i) = '"'; i += 1 }
+      } else { out(i) = c; i += 1 }
+    }
+    new String(out)
+  }
+
+  private def countPlaceholders(sql: String): Int = {
+    var i = 0; var inStr = false; var n = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'') inStr = !inStr
+      else if (c == '?' && !inStr) n += 1
+      i += 1
+    }
+    n
+  }
+
+  /** A Java setter argument as a SQL literal, when it IS a literal:
+    * string/int/long/decimal/boolean. Anything else (loop counters,
+    * arithmetic, method calls) disqualifies the binding — BatchTest's
+    * `setInt(1, i)` loop feeds stay unresolvable, honestly. */
+  private def literalSql(raw: String): Option[String] = {
+    val t = raw.trim
+    if (t.length >= 2 && t.head == '"' && t.last == '"' &&
+        t.matches("\"([^\"\\\\]|\\\\.)*\"")) {
+      val inner = t.substring(1, t.length - 1)
+        .replace("\\n", "\n").replace("\\t", "\t")
+        .replace("\\\"", "\"").replace("\\\\", "\\")
+      Some("'" + inner.replace("'", "''") + "'")
+    } else if (t.matches("[+-]?\\d+[Ll]?"))
+      Some(t.stripSuffix("L").stripSuffix("l"))
+    else if (t.matches("[+-]?\\d*\\.\\d+([eE][+-]?\\d+)?[fFdD]?")) Some(t)
+    else if (t == "true" || t == "false") Some(t.toUpperCase)
+    else None
+  }
+
+  /** Positional `?` substitution, quote-aware. */
+  private def substituteParams(sql: String, vals: Seq[String]): String = {
+    val sb = new StringBuilder
+    var i = 0; var vi = 0; var inStr = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'') { inStr = !inStr; sb.append(c) }
+      else if (c == '?' && !inStr && vi < vals.length) {
+        sb.append(vals(vi)); vi += 1
+      } else sb.append(c)
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Concrete executions of a `?`-statement, recovered from the adjacent
+    * JDBC value feed: scan [from, until) of the comment-masked source for
+    * `set<Type>(idx, <literal>)` calls; each executeUpdate/executeQuery/
+    * addBatch with every placeholder bound to a literal yields ONE
+    * concrete statement (bindings RETAIN across executions — JDBC keeps
+    * unset parameters, PreparedStatementTest re-binds all three but the
+    * contract is retention). A non-literal value poisons its index until
+    * re-set. Empty result = the feed is not literal-recoverable and the
+    * statement stays a `param` skip. */
+  private def paramFeeds(msrc: String, sqlText: String, from: Int,
+      until: Int): Seq[String] = {
+    val nP = countPlaceholders(sqlText)
+    if (nP == 0) return Nil
+    val region = msrc.substring(math.min(from, msrc.length),
+      math.max(math.min(until, msrc.length), math.min(from, msrc.length)))
+    val call =
+      """\.(set[A-Za-z]+|executeUpdate|executeQuery|addBatch)\(([^)]*)\)""".r
+    val bound = scala.collection.mutable.Map.empty[Int, Option[String]]
+    val out = Vector.newBuilder[String]
+    call.findAllMatchIn(region).foreach { m =>
+      val name = m.group(1)
+      if (name.startsWith("set")) {
+        val argPat = """^\s*(\d+)\s*,(.*)$""".r
+        m.group(2) match {
+          case argPat(idx, raw) => bound(idx.toInt) = literalSql(raw)
+          case _ => // single-arg setters (setFetchSize) — not a parameter
+        }
+      } else {
+        val vals = (1 to nP).map(i => bound.getOrElse(i, None))
+        if (vals.forall(_.isDefined))
+          out += substituteParams(sqlText, vals.map(_.get))
+      }
+    }
+    out.result().distinct
   }
 }

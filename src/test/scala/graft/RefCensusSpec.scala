@@ -10,13 +10,16 @@ import graft.tools.RefSqlCensus
   * expectation on the statement adjacent to fail(). Order-artifact files
   * (setup methods declared after their use sites) replay in live
   * call-tree order via the faithful interpreter. The floors pin the
-  * triaged state — 660 ok / 29 skip / 3 fail at 99.5% (r10's skip
-  * burn-down: unique-value string-constant resolution made 24 formerly
-  * hole-skipped statements concrete and gradable; the guess-taint rule
-  * reclassified failures that depend on spliced/skipped prerequisite
-  * state; r8 was 636/51/5, r7 pre-live-order 696/…/88) — so a front-door
-  * regression that breaks reference statements in bulk fails CI even if
-  * no curated probe covers the exact statement.
+  * triaged state — 664 ok / 25 skip / 3 fail at 99.6% (r11's burn-down:
+  * literal JDBC value-feed resolution grades `?`-statements through
+  * their adjacent setInt/setString feeds — PreparedStatementTest ×3 +
+  * MergeTest ×1 formerly param-skipped, now ok; r10 was 660/29/3 after
+  * unique-value string-constant resolution made 24 formerly
+  * hole-skipped statements concrete; the guess-taint rule reclassified
+  * failures that depend on spliced/skipped prerequisite state; r8 was
+  * 636/51/5, r7 pre-live-order 696/…/88) — so a front-door regression
+  * that breaks reference statements in bulk fails CI even if no curated
+  * probe covers the exact statement.
   *
   * The three allowed failures, each triaged as not-a-gap:
   *  1. SequenceTest DROP SEQUENCE: needs the setBelongsToTable(false)
@@ -30,16 +33,19 @@ import graft.tools.RefSqlCensus
   * (r8's my_view2 allowed-fails ×2 are now guess-dep SKIPS: the only
   * my_view2 CREATE is `?`-parameterized, so reads of it are ungradable.)
   *
-  * The 29 remaining skips, by adjudicated class (all environment-bound,
+  * The 25 remaining skips, by adjudicated class (all environment-bound,
   * none a grammar/semantics gap): 11 hole (statements broken by
   * non-constant Java expressions — loop counters `VALUES(i, …)`,
   * computed paths `BACKUP TO <temp-file expr>`, salt/hash bytes);
-  * 6 param (JDBC `?` placeholders — need a PreparedStatement value
-  * feed); 4 classref (CALL/TRIGGER naming org.lealone test classes);
-  * 4 splice + 4 guess-dep (statements whose text or prerequisite state
-  * is a by-name GUESS for an unresolvable identifier — executing them
-  * proves nothing either way). Cancels when the reference tree is not
-  * on disk. */
+  * 2 param (the `?`-statements whose value feed is NOT literal-
+  * recoverable: BatchTest's loop-counter setInt(1, i) and ViewTest's
+  * my_view2 CREATE whose setters are all commented out — the four with
+  * literal adjacent feeds now grade ok via paramFeeds); 4 classref
+  * (CALL/TRIGGER naming org.lealone test classes); 4 splice +
+  * 4 guess-dep (statements whose text or prerequisite state is a
+  * by-name GUESS for an unresolvable identifier — executing them proves
+  * nothing either way). Cancels when the reference tree is not on
+  * disk. */
 class RefCensusSpec extends SparkSpec {
 
   test("reference test-tree census holds its parity floor") {
@@ -49,9 +55,9 @@ class RefCensusSpec extends SparkSpec {
     val ok = rs.map(_.ok).sum
     val fail = rs.map(_.fail).sum
     val skip = rs.map(_.skip).sum
-    assert(ok >= 655, s"census ok=$ok dropped below the recorded 660")
+    assert(ok >= 660, s"census ok=$ok dropped below the recorded 664")
     assert(fail <= 3, s"census fail=$fail above the triaged 3")
-    assert(skip <= 32, s"census skip=$skip above the adjudicated 29 — a " +
+    assert(skip <= 28, s"census skip=$skip above the adjudicated 25 — a " +
       "formerly-gradable statement fell back to a skip class")
     // the committed per-fail adjudication table (VERDICT r10 directive 5):
     // EVERY failure must match an entry by (file, statement fragment) — an
