@@ -109,7 +109,8 @@ object Bench {
     "t40_unigram_ppl" -> 1.441,
     "t41_calibration" -> 0.619,
     "p07_incremental_ingest" -> 1.593,
-    "p08_perlang_funnel" -> 1.478)
+    "p08_perlang_funnel" -> 1.478,
+    "p09_registry_apply" -> 1.834)
 
   val headline: Seq[String] = Seq(
     "q02_filter_project",        // B1 scan+filter+project
@@ -182,7 +183,8 @@ object Bench {
     "t40_unigram_ppl",           // quality: unigram-LM perplexity scoring
     "t41_calibration",           // eval: reliability table, one aggregate
     "p07_incremental_ingest",    // composed: delta vs persisted state
-    "p08_perlang_funnel")        // composed: per-language routing funnel
+    "p08_perlang_funnel",        // composed: per-language routing funnel
+    "p09_registry_apply")        // composed: apply from LOADED registry models
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
