@@ -1427,7 +1427,7 @@ object Pipeline {
     * a driver hash mismatch. */
   private val p09RegistryCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
-  private def p09Registry(s: SparkSession, dir: String): String =
+  private[graft] def p09Registry(s: SparkSession, dir: String): String =
     p09RegistryCache.getOrElseUpdate(dir, {
       val M = graft.core.ModelStore
       val root = java.nio.file.Files

@@ -179,4 +179,20 @@ class ModelStoreSpec extends SparkSpec {
     val ddl = e.sql("SCRIPT").collect().map(_.getString(0))
     assert(ddl.exists(_.startsWith("SET MODEL_REGISTRY")), ddl.toSeq)
   }
+
+  test("p09's OWN registry surfaces through the front door and SCRIPT " +
+      "round-trips the binding it ran with (VERDICT r10 directive 2)") {
+    val p09root = graft.queries.Pipeline
+      .p09Registry(spark, "/root/testdata/sf0.001")
+    val e = new Engine(spark)
+    e.sql(s"SET MODEL_REGISTRY '$p09root'")
+    val rows = e.sql("SELECT model_name, kind, version " +
+        "FROM INFORMATION_SCHEMA.MODELS").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(rows == Set(("quality_clf", "classifier", 1),
+      ("langid", "langid", 1), ("unigram_lm", "ulm", 1)), rows)
+    val ddl = e.sql("SCRIPT").collect().map(_.getString(0))
+    assert(ddl.exists(l => l.startsWith("SET MODEL_REGISTRY") &&
+      l.contains(p09root)), ddl.filter(_.contains("MODEL")).toSeq)
+  }
 }
