@@ -297,7 +297,14 @@ object Bench {
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
       s""""queries":$qs,"calibration":$calibration,""" +
       s""""outliers":$outliersJson,"sf":"$sfDir"}"""
-    Files.writeString(Paths.get(detailPath), detail)
+    // the stdout line is the round's ONE parsed signal — a failed sidecar
+    // write (read-only cwd, bad env path) must never take it down; the
+    // detail also always goes to stderr, which survives regardless
+    try Files.writeString(Paths.get(detailPath), detail)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench-detail-write-failed] $detailPath: " +
+        e.getMessage)
+    }
     System.err.println(s"[bench-detail] $detail")
     println(renderLine(total, results.size, calibration, outlierCount,
       detailPath, sfDir))

@@ -86,7 +86,13 @@ object Verify {
       s""""oracle_max_query":${q(maxName)},""" +
       s""""oracle_max_bytes":$maxBytes,""" +
       s""""queries":$rows}"""
-    Files.writeString(Paths.get(s"$outDir/verify_status.json"), statusJson)
+    // the status file is diagnosis, not the artifact — its write must
+    // never fail a run whose oracle_sql.json already landed
+    try Files.writeString(Paths.get(s"$outDir/verify_status.json"),
+      statusJson)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify-status-write-failed] ${e.getMessage}")
+    }
     System.err.println(s"[verify-status] n_ok=$nOk/${status.size} " +
       s"oracle_parse=$parseStatus total=${json.length}B " +
       s"max=$maxName:${maxBytes}B")
