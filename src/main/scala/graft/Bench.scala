@@ -318,6 +318,14 @@ object Bench {
   def renderLine(total: Double, nQueries: Int, calibration: String,
       outlierCount: Int, detailPath: String, sfDir: String): String = {
     val oc = if (outlierCount < 0) "null" else outlierCount.toString
-    f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":$nQueries,"calibration":$calibration,"outlier_count":$oc,"detail":"$detailPath","sf":"$sfDir"}"""
+    // paths are env-controlled: escape them, or one quote/backslash in
+    // SPARK_GRAFT_BENCH_DETAIL breaks the round's single parsed artifact
+    def js(s: String) = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":$nQueries,"calibration":$calibration,"outlier_count":$oc,"detail":"${js(detailPath)}","sf":"${js(sfDir)}"}"""
   }
 }

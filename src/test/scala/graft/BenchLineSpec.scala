@@ -48,4 +48,11 @@ class BenchLineSpec extends AnyFunSuite {
     assert(node.get("outlier_count").isNull)
     assert(node.get("calibration").isNull)
   }
+
+  test("env-controlled paths are JSON-escaped on the line") {
+    val line = Bench.renderLine(1.0, 68, "null", -1,
+      """C:\tmp\odd "dir"\bench.json""", "/root/testdata/sf0.01")
+    val node = mapper.readTree(line) // must still parse strictly
+    assert(node.get("detail").asText() == """C:\tmp\odd "dir"\bench.json""")
+  }
 }
