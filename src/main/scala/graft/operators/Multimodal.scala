@@ -99,6 +99,11 @@ object Multimodal {
     *   audio: sum over nFrames samples (ub(text[j mod n]) - 128) * 256
     *   video: nFrames * (the image form over 3*w*h). */
   def encodeMedia(id: Long, kind: String, textBytes: Array[Byte]): Array[Byte] = {
+    // the p03 cost center: one real codec encode per payload. The count
+    // is test instrumentation (DecodeCacheSpec) — a silently dropped
+    // Checkpoint.cut would re-encode per CONSUMER and read exactly like
+    // the box-noise inflation p03 keeps getting blamed for
+    mediaEncodeCount.incrementAndGet()
     if (textBytes == null) return null
     val n = textBytes.length
     kind match {
@@ -171,6 +176,13 @@ object Multimodal {
     * decode count (= Σ distinct frames per video) against this counter.
     * local-mode JVM-shared; cost is noise next to the decode itself. */
   private[graft] val frameDecodeCount =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Companion ENCODE counter: one real codec encode per payload per
+    * materialization — DecodeCacheSpec pins that a checkpointed media
+    * frame feeds BOTH consumers (features + decode) from one encode
+    * pass. */
+  private[graft] val mediaEncodeCount =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Iterate a GVID container's length-prefixed compressed frames — the

@@ -57,4 +57,24 @@ class DecodeCacheSpec extends SparkSpec {
       s"extractFeatures ran $decodes2 real decodes; expected " +
         s"$distinctFrames")
   }
+
+  test("a checkpointed media frame feeds both consumers from ONE encode " +
+      "pass (p03's Checkpoint.cut contract)") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val nPayloads = docs.count()
+    // snapshot BEFORE the cut: an eager checkpoint runs the encode at
+    // cut() time, which is exactly the once we want to count
+    val before = Multimodal.mediaEncodeCount.get()
+    // p03's exact staging: encode once behind the cut, consume twice
+    val media = Multimodal.syntheticMedia(docs)
+      .transform(graft.core.Checkpoint.cut)
+    Multimodal.extractFeatures(media, dim = 16).write.format("noop")
+      .mode("overwrite").save()
+    Multimodal.decodeMeta(media).write.format("noop")
+      .mode("overwrite").save()
+    val encodes = Multimodal.mediaEncodeCount.get() - before
+    assert(encodes == nPayloads,
+      s"two consumers of the cut media frame cost $encodes encodes for " +
+        s"$nPayloads payloads — the materialization barrier regressed")
+  }
 }
