@@ -99,12 +99,13 @@ object Multimodal {
     *   audio: sum over nFrames samples (ub(text[j mod n]) - 128) * 256
     *   video: nFrames * (the image form over 3*w*h). */
   def encodeMedia(id: Long, kind: String, textBytes: Array[Byte]): Array[Byte] = {
-    // the p03 cost center: one real codec encode per payload. The count
-    // is test instrumentation (DecodeCacheSpec) — a silently dropped
-    // Checkpoint.cut would re-encode per CONSUMER and read exactly like
-    // the box-noise inflation p03 keeps getting blamed for
-    mediaEncodeCount.incrementAndGet()
     if (textBytes == null) return null
+    // the p03 cost center: one real codec encode per NON-NULL payload.
+    // The count is test instrumentation (DecodeCacheSpec) — a silently
+    // dropped Checkpoint.cut would re-encode per CONSUMER and read exactly
+    // like the box-noise inflation p03 keeps getting blamed for. Counted
+    // after the null return so the counter measures real codec work only.
+    mediaEncodeCount.incrementAndGet()
     val n = textBytes.length
     kind match {
       case "image" =>

@@ -686,7 +686,10 @@ object Pipeline {
     * the second-largest oracle_sql.json cost after the hash chain, and
     * the cast-from-string path is byte-identical to CAST('x' AS DOUBLE)). */
   private def dlistSql(xs: Seq[Double]): String =
-    s"list_transform(string_split('${xs.mkString(" ")}', ' '), " +
+    // empty input short-circuits: string_split('', ' ') is [''], whose
+    // CAST('' AS DOUBLE) would make the oracle unparseable
+    if (xs.isEmpty) "CAST([] AS DOUBLE[])"
+    else s"list_transform(string_split('${xs.mkString(" ")}', ' '), " +
       "__v -> CAST(__v AS DOUBLE))"
 
   /** The exact left-to-right double fold both engines share (Spark

@@ -467,6 +467,16 @@ object RefSqlCensus {
           i += 1
         }
         if (i < n) { out(i) = '"'; i += 1 }
+      } else if (c == '\'') {
+        // Java char literal — without this branch a '"' literal would be
+        // read as a string opener and swallow comments up to the next quote
+        out(i) = c; i += 1
+        while (i < n && src.charAt(i) != '\'') {
+          out(i) = src.charAt(i)
+          if (src.charAt(i) == '\\' && i + 1 < n) { i += 1; out(i) = src.charAt(i) }
+          i += 1
+        }
+        if (i < n) { out(i) = '\''; i += 1 }
       } else { out(i) = c; i += 1 }
     }
     new String(out)
@@ -497,7 +507,8 @@ object RefSqlCensus {
       Some("'" + inner.replace("'", "''") + "'")
     } else if (t.matches("[+-]?\\d+[Ll]?"))
       Some(t.stripSuffix("L").stripSuffix("l"))
-    else if (t.matches("[+-]?\\d*\\.\\d+([eE][+-]?\\d+)?[fFdD]?")) Some(t)
+    else if (t.matches("[+-]?\\d*\\.\\d+([eE][+-]?\\d+)?[fFdD]?"))
+      Some(t.replaceAll("[fFdD]$", "")) // 2.5f is Java, not SQL
     else if (t == "true" || t == "false") Some(t.toUpperCase)
     else None
   }
@@ -532,22 +543,37 @@ object RefSqlCensus {
     if (nP == 0) return Nil
     val region = msrc.substring(math.min(from, msrc.length),
       math.max(math.min(until, msrc.length), math.min(from, msrc.length)))
+    // Receiver discipline: when the SQL literal sits inside a
+    // `<var> = ….prepareStatement(` assignment, only calls on that SAME
+    // variable feed its parameters — an interleaved Statement or a second
+    // PreparedStatement in the [stmt, next-stmt) window must not bind
+    // foreign values onto this statement. An undeterminable receiver
+    // (chained call, field re-use) keeps the permissive behavior.
+    val head = msrc.substring(math.max(0, from - 200), math.min(from, msrc.length))
+    val receiver =
+      """([A-Za-z_$][A-Za-z0-9_$]*)\s*=[^;{}=]*\bprepareStatement\s*\(\s*$""".r
+        .findFirstMatchIn(head).map(_.group(1))
     val call =
-      """\.(set[A-Za-z]+|executeUpdate|executeQuery|addBatch)\(([^)]*)\)""".r
+      """(?:([A-Za-z_$][A-Za-z0-9_$]*))?\.(set[A-Za-z]+|executeUpdate|executeQuery|addBatch)\(([^)]*)\)""".r
     val bound = scala.collection.mutable.Map.empty[Int, Option[String]]
     val out = Vector.newBuilder[String]
     call.findAllMatchIn(region).foreach { m =>
-      val name = m.group(1)
-      if (name.startsWith("set")) {
-        val argPat = """^\s*(\d+)\s*,(.*)$""".r
-        m.group(2) match {
-          case argPat(idx, raw) => bound(idx.toInt) = literalSql(raw)
-          case _ => // single-arg setters (setFetchSize) — not a parameter
+      val callRecv = Option(m.group(1))
+      val name = m.group(2)
+      val recvOk = receiver.isEmpty || callRecv.isEmpty ||
+        receiver == callRecv
+      if (recvOk) {
+        if (name.startsWith("set")) {
+          val argPat = """^\s*(\d+)\s*,(.*)$""".r
+          m.group(3) match {
+            case argPat(idx, raw) => bound(idx.toInt) = literalSql(raw)
+            case _ => // single-arg setters (setFetchSize) — not a parameter
+          }
+        } else {
+          val vals = (1 to nP).map(i => bound.getOrElse(i, None))
+          if (vals.forall(_.isDefined))
+            out += substituteParams(sqlText, vals.map(_.get))
         }
-      } else {
-        val vals = (1 to nP).map(i => bound.getOrElse(i, None))
-        if (vals.forall(_.isDefined))
-          out += substituteParams(sqlText, vals.map(_.get))
       }
     }
     out.result().distinct

@@ -61,7 +61,9 @@ class DecodeCacheSpec extends SparkSpec {
   test("a checkpointed media frame feeds both consumers from ONE encode " +
       "pass (p03's Checkpoint.cut contract)") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
-    val nPayloads = docs.count()
+    // the counter measures real codec work only: null texts return before
+    // the increment, so the contract binds on NON-NULL payloads
+    val nPayloads = docs.filter(docs("text").isNotNull).count()
     // snapshot BEFORE the cut: an eager checkpoint runs the encode at
     // cut() time, which is exactly the once we want to count
     val before = Multimodal.mediaEncodeCount.get()
