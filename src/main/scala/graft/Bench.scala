@@ -94,6 +94,7 @@ object Bench {
     "m05_image_resize" -> 1.099,
     "m06_audio_dedup" -> 0.571,
     "m07_image_phash" -> 1.063,
+    "m08_caption_consistency" -> 1.201,
     "t33_quality_classifier" -> 0.259,
     "t34_dsir_select" -> 0.430,
     "t35_langid_learned" -> 0.452,
@@ -168,6 +169,7 @@ object Bench {
     "m05_image_resize",          // media: real NN resample + re-encode
     "m06_audio_dedup",           // media: audio PCM-checksum dedup
     "m07_image_phash",           // media: perceptual aHash over real decodes
+    "m08_caption_consistency",   // cross-modal: caption vs decoded brightness
     "t33_quality_classifier",    // quality: learned hashed-gram NB apply
     "t34_dsir_select",           // selection: DSIR Gumbel-top-k resampling
     "t35_langid_learned",        // quality: learned multiclass lang-id

@@ -3437,6 +3437,67 @@ object Pipeline {
           t(s, dir, "documents").filter(pmod(col("doc_id"), lit(3)) === 0))),
       Some(imagePHashOracle)),
 
+    // ---- Cross-modal caption<->image consistency gate (m08, VERDICT
+    // r11 directive 7): the standard multimodal-pretraining filter — a
+    // text-side caption score (the t33 hashed-gram NB kernel, one
+    // zero-exchange scan) against a REAL decoded-content statistic of
+    // the SAME document's image twin (mean channel brightness from the
+    // exact decoded pixel sum), joined on ONE doc_id equi-join. The
+    // affinity squash is algebraic (no transcendentals: s -> 0.5 +
+    // 0.5*s/(1+|s|)), so every double is one IEEE op from exact
+    // integers on both engines. The oracle predicts BOTH sides from
+    // the text alone (gram chain + the cyclic-fill closed form), so a
+    // fake decode, a drifted classifier, or a mis-joined pair cannot
+    // hash-match.
+    Q("m08_caption_consistency",
+      (s, dir) => {
+        val (w, bias) = clfModel(s, dir, dim = 1024, maxN = 2)
+        val imgDocs = t(s, dir, "documents")
+          .filter(pmod(col("doc_id"), lit(3)) === 0)
+        val textSide = imgDocs.select(col("doc_id"),
+          graft.functions.TextHashExprs.hashedGramScore(
+            Dedup.normalize(coalesce(col("text"), lit(""))),
+            w, bias, maxN = 2).as("caption_score"))
+        val mediaSide = Multimodal.decodeMeta(
+            Multimodal.syntheticMedia(imgDocs))
+          .select(col("media_id").as("doc_id"), col("width"), col("height"),
+            col("content_sum"))
+        val brightness = col("content_sum").cast("double") /
+          (lit(3) * col("width") * col("height")).cast("double") / lit(255.0)
+        val affinity = lit(0.5) + lit(0.5) * col("caption_score") /
+          (lit(1.0) + abs(col("caption_score")))
+        textSide.join(mediaSide, Seq("doc_id"))
+          .select(col("doc_id"), col("width"), col("height"),
+            col("caption_score"), brightness.as("brightness"),
+            affinity.as("caption_affinity"),
+            abs(affinity - brightness).as("gap"),
+            (abs(affinity - brightness) <= lit(0.35)).as("consistent"))
+      },
+      None,
+      oracleGen = Some((s, dir) => {
+        val (w, bias) = clfModel(s, dir, dim = 1024, maxN = 2)
+        val b = s"CAST('$bias' AS DOUBLE)"
+        val aff = "(0.5::DOUBLE + 0.5::DOUBLE * c.caption_score" +
+          " / (1.0::DOUBLE + abs(c.caption_score)))"
+        s"""
+        WITH ${mediaDecodeOracle},
+        ${hashedGramScoreCtesMulti(Seq(("_cap", w.toIndexedSeq, b)), 1024)},
+        cap AS (
+          SELECT d.doc_id, COALESCE(f.sc, $b) AS caption_score
+          FROM documents d LEFT JOIN folded_cap f ON f.doc_id = d.doc_id
+          WHERE d.doc_id % 3 = 0),
+        img AS (
+          SELECT media_id AS doc_id, width, height,
+            CAST(content_sum AS DOUBLE)
+              / CAST(3*width*height AS DOUBLE) / 255.0::DOUBLE AS brightness
+          FROM decoded WHERE kind = 'image')
+        SELECT c.doc_id, i.width, i.height, c.caption_score, i.brightness,
+          $aff AS caption_affinity,
+          abs($aff - i.brightness) AS gap,
+          abs($aff - i.brightness) <= 0.35::DOUBLE AS consistent
+        FROM cap c JOIN img i USING (doc_id)"""
+      })),
+
     // ---- Real image resize (m05): decode -> integer nearest-neighbor
     // resample -> re-encode PNG -> independent re-decode + checksum. The
     // oracle predicts the RESIZED pixel checksum from the text alone

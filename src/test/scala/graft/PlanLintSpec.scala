@@ -340,6 +340,11 @@ class PlanLintSpec extends SparkSpec {
     "m06_audio_dedup" -> 1,
     // map-shaped: decode + block fold per row, no shuffle
     "m07_image_phash" -> 0,
+    // cross-modal gate: zero-exchange kernel scan (text side) BHJ'd
+    // against the map-shaped decode side on doc_id — no shuffle at
+    // bench SFs; at corpus scale the join degrades to an SMJ whose two
+    // exchanges share the doc_id clustering (bucketed-layout lever)
+    "m08_caption_consistency" -> 0,
     // APPLY of the learned classifier: one zero-exchange codegen kernel
     // pass per row (the FIT's single gram-level aggregate runs eagerly at
     // plan-build time and embeds the weights as one double[] literal —
