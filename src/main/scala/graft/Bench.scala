@@ -95,6 +95,7 @@ object Bench {
     "m06_audio_dedup" -> 0.571,
     "m07_image_phash" -> 1.063,
     "m08_caption_consistency" -> 1.201,
+    "p10_multimodal_export" -> 1.239,
     "t33_quality_classifier" -> 0.259,
     "t34_dsir_select" -> 0.430,
     "t35_langid_learned" -> 0.452,
@@ -186,7 +187,8 @@ object Bench {
     "t41_calibration",           // eval: reliability table, one aggregate
     "p07_incremental_ingest",    // composed: delta vs persisted state
     "p08_perlang_funnel",        // composed: per-language routing funnel
-    "p09_registry_apply")        // composed: apply from LOADED registry models
+    "p09_registry_apply",        // composed: apply from LOADED registry models
+    "p10_multimodal_export")     // composed: text gates + cross-modal gate
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

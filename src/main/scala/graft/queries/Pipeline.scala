@@ -2762,6 +2762,86 @@ object Pipeline {
           c.clean_text
         FROM g JOIN r USING (doc_id) JOIN c USING (doc_id)""")),
 
+    // ---- Composed multimodal pretrain filter (p10): the image-caption
+    // corpus end to end — p04's three fused text gates (Gopher quality +
+    // repetition + C4, still ONE zero-exchange scan) plus the m08
+    // cross-modal consistency gate (t33 caption kernel vs the REAL
+    // decoded brightness of the same doc's image twin), one doc_id
+    // equi-join between the scan and the map-shaped decode side. keep =
+    // all four gates — the standard multimodal-pretraining selection.
+    // The oracle composes the four stage twins by doc_id join (the
+    // ORACLE may shuffle; the engine plan must not — PlanLint budget 0).
+    Q("p10_multimodal_export",
+      (s, dir) => {
+        val (w, bias) = clfModel(s, dir, dim = 1024, maxN = 2)
+        val imgDocs = t(s, dir, "documents")
+          .filter(pmod(col("doc_id"), lit(3)) === 0)
+        val page = regexp_replace(col("text"),
+          "((?:[^ \\t\\n\\x0B\\f\\r]+ ){6})", "$1.\n")
+        val c4 = TextAnalysis.c4Signals(page)
+        val staged = imgDocs.select(col("doc_id"),
+          TextAnalysis.gopherSignals(col("text"), minStopHits = 1L).last,
+          c4.last,
+          graft.functions.TextHashExprs.gopherRepetition(col("text"))
+            .as("__r"),
+          graft.functions.TextHashExprs.hashedGramScore(
+            Dedup.normalize(coalesce(col("text"), lit(""))),
+            w, bias, maxN = 2).as("caption_score"))
+        val repPass = TextAnalysis.gopherRepetitionBars.zipWithIndex
+          .map { case (bar, i) => element_at(col("__r"), i + 1) <= bar }
+          .reduce(_ && _)
+        val textSide = staged.select(col("doc_id"), col("gopher_pass"),
+          repPass.as("rep_pass"), col("c4_keep"), col("caption_score"))
+        val mediaSide = Multimodal.decodeMeta(
+            Multimodal.syntheticMedia(imgDocs))
+          .select(col("media_id").as("doc_id"), col("width"),
+            col("height"), col("content_sum"))
+        val brightness = col("content_sum").cast("double") /
+          (lit(3) * col("width") * col("height")).cast("double") / lit(255.0)
+        val affinity = lit(0.5) + lit(0.5) * col("caption_score") /
+          (lit(1.0) + abs(col("caption_score")))
+        val consistent = abs(affinity - brightness) <= lit(0.35)
+        textSide.join(mediaSide, Seq("doc_id"))
+          .select(col("doc_id"), col("gopher_pass"), col("rep_pass"),
+            col("c4_keep"), col("caption_score"),
+            brightness.as("brightness"), consistent.as("consistent"),
+            (col("gopher_pass") && col("rep_pass") && col("c4_keep") &&
+              consistent).as("keep"))
+      },
+      None,
+      oracleGen = Some((s, dir) => {
+        val (w, bias) = clfModel(s, dir, dim = 1024, maxN = 2)
+        val b = s"CAST('$bias' AS DOUBLE)"
+        val aff = "(0.5::DOUBLE + 0.5::DOUBLE * cap.caption_score" +
+          " / (1.0::DOUBLE + abs(cap.caption_score)))"
+        s"""
+        WITH ${mediaDecodeOracle},
+        ${hashedGramScoreCtesMulti(Seq(("_cap", w.toIndexedSeq, b)), 1024)},
+        g AS (SELECT doc_id, gopher_pass
+              FROM (${gopherOracle(minStopHits = 1L)}) x
+              WHERE doc_id % 3 = 0),
+        r AS (SELECT doc_id, rep_pass FROM ($gopherRepetitionOracle) y
+              WHERE doc_id % 3 = 0),
+        c AS (SELECT doc_id, c4_keep FROM ($c4Oracle) z
+              WHERE doc_id % 3 = 0),
+        cap AS (
+          SELECT d.doc_id, COALESCE(f.sc, $b) AS caption_score
+          FROM documents d LEFT JOIN folded_cap f ON f.doc_id = d.doc_id
+          WHERE d.doc_id % 3 = 0),
+        img AS (
+          SELECT media_id AS doc_id,
+            CAST(content_sum AS DOUBLE)
+              / CAST(3*width*height AS DOUBLE) / 255.0::DOUBLE AS brightness
+          FROM decoded WHERE kind = 'image')
+        SELECT g.doc_id, g.gopher_pass, r.rep_pass, c.c4_keep,
+          cap.caption_score, img.brightness,
+          abs($aff - img.brightness) <= 0.35::DOUBLE AS consistent,
+          (g.gopher_pass AND r.rep_pass AND c.c4_keep AND
+            abs($aff - img.brightness) <= 0.35::DOUBLE) AS keep
+        FROM g JOIN r USING (doc_id) JOIN c USING (doc_id)
+             JOIN cap USING (doc_id) JOIN img USING (doc_id)"""
+      })),
+
     Q("p03_media_prep",
       (s, dir) => {
         // the encode pass is real codec work now — cut lineage so the two

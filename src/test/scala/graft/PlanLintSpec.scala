@@ -345,6 +345,9 @@ class PlanLintSpec extends SparkSpec {
     // bench SFs; at corpus scale the join degrades to an SMJ whose two
     // exchanges share the doc_id clustering (bucketed-layout lever)
     "m08_caption_consistency" -> 0,
+    // p04's fused gate scan + the m08 kernel column, BHJ'd to the decode
+    // side — same shape and scale posture as m08
+    "p10_multimodal_export" -> 0,
     // APPLY of the learned classifier: one zero-exchange codegen kernel
     // pass per row (the FIT's single gram-level aggregate runs eagerly at
     // plan-build time and embeds the weights as one double[] literal —
