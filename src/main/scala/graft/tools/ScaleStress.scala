@@ -787,6 +787,65 @@ object ScaleStress {
     println("[stress] p09 registry: loaded==fit on both 25k batches, " +
       "recorded-version replay bit-exact after refresh")
 
+    // cross-modal gate (m08) + composed multimodal filter (p10) at 10x
+    // with KIND-PRESERVING clone ids: every clone of an image doc
+    // carries the identical text AND (because doc_id%3 is preserved)
+    // encodes the identical payload, so caption score, decoded
+    // brightness, and every gate flag are clone-invariant — the
+    // per-distinct (score, brightness, consistent) group counts and the
+    // p10 keep counts must scale EXACTLY 10x through the real
+    // encode->decode->join path. The model is fitted ONCE on the 1x
+    // corpus (the production shape).
+    def crossModalStats(d: org.apache.spark.sql.DataFrame) = {
+      val img = d.filter(pmod(col("doc_id"), lit(3)) === 0)
+      val page = regexp_replace(col("text"),
+        "((?:[^ \\t\\n\\x0B\\f\\r]+ ){6})", "$1.\n")
+      val textSide = img.select(col("doc_id"),
+        TextAnalysis.gopherSignals(col("text"), minStopHits = 1L).last,
+        TextAnalysis.c4Signals(page).last,
+        graft.functions.TextHashExprs.gopherRepetition(col("text"))
+          .as("__r"),
+        graft.functions.TextHashExprs.hashedGramScore(
+          Dedup.normalize(coalesce(col("text"), lit(""))), clfW, clfB, 2)
+          .as("s"))
+      val repPass = TextAnalysis.gopherRepetitionBars.zipWithIndex
+        .map { case (bar, i) => element_at(col("__r"), i + 1) <= bar }
+        .reduce(_ && _)
+      val media = graft.operators.Multimodal.decodeMeta(
+          graft.operators.Multimodal.syntheticMedia(img))
+        .select(col("media_id").as("doc_id"), col("width"), col("height"),
+          col("content_sum"))
+      val brightness = col("content_sum").cast("double") /
+        (lit(3) * col("width") * col("height")).cast("double") / lit(255.0)
+      val affinity = lit(0.5) + lit(0.5) * col("s") /
+        (lit(1.0) + abs(col("s")))
+      val consistent = abs(affinity - brightness) <= lit(0.35)
+      val joined = textSide
+        .select(col("doc_id"), col("gopher_pass"), repPass.as("rp"),
+          col("c4_keep"), col("s"))
+        .join(media, Seq("doc_id"))
+        .select(col("s"), brightness.as("b"), consistent.as("c"),
+          (col("gopher_pass") && col("rp") && col("c4_keep") && consistent)
+            .as("keep"))
+      val groups = joined.groupBy(col("s"), col("b"), col("c"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => (r.getDouble(0), r.getDouble(1), r.getBoolean(2)) ->
+          r.getLong(3)).toMap
+      val keeps = joined.agg(count(lit(1)),
+        sum(col("keep").cast("long"))).head()
+      (groups, keeps.getLong(0), keeps.getLong(1))
+    }
+    val (cm1, cmN1, cmK1) = crossModalStats(docsFull)
+    val (cm10, cmN10, cmK10) = time("m08-p10-crossmodal-50k") {
+      crossModalStats(kindSafe)
+    }
+    println("[stress] crossmodal rows=" + cmN10 + "/" + cmN1 +
+      " keep=" + cmK10 + "/" + cmK1 + " groups=" + cm10.size + "/" + cm1.size)
+    require(cmN10 == cmN1 * 10 && cmK10 == cmK1 * 10,
+      "m08/p10 clone invariance drifted (row/keep counts)")
+    require(cm10 == cm1.map { case (k, v) => k -> (v * 10) },
+      "m08 per-(score,brightness,flag) clone group counts drifted")
+
     // media resize / audio dedup at 10x with kind-preserving clone ids:
     // every clone resamples/decodes the identical payload, so the resize
     // checksum mass is exactly 10x and the distinct audio clip set is
