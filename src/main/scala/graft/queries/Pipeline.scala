@@ -2762,6 +2762,63 @@ object Pipeline {
           c.clean_text
         FROM g JOIN r USING (doc_id) JOIN c USING (doc_id)""")),
 
+    // ---- Cross-modal caption<->audio consistency gate (m09): the audio
+    // sibling of m08 (the CLAP-style audio-caption filter shape) — the
+    // same caption kernel against the mean decoded PCM sample level of
+    // the SAME document's audio twin, normalized to [0,1] from the exact
+    // content_sum/n_frames integers ((mean + 32768) / 65536). Same
+    // zero-exchange-plus-one-join plan and oracle discipline as m08; no
+    // separate bench bar — identical plan shape and cost class as m08,
+    // whose P58 bar carries the family's perf signal (the t21
+    // fixed-subset precedent).
+    Q("m09_audio_caption_consistency",
+      (s, dir) => {
+        val (w, bias) = clfModel(s, dir, dim = 1024, maxN = 2)
+        val audioDocs = t(s, dir, "documents")
+          .filter(pmod(col("doc_id"), lit(3)) === 1)
+        val textSide = audioDocs.select(col("doc_id"),
+          graft.functions.TextHashExprs.hashedGramScore(
+            Dedup.normalize(coalesce(col("text"), lit(""))),
+            w, bias, maxN = 2).as("caption_score"))
+        val mediaSide = Multimodal.decodeMeta(
+            Multimodal.syntheticMedia(audioDocs))
+          .select(col("media_id").as("doc_id"), col("n_frames"),
+            col("content_sum"))
+        val level = (col("content_sum").cast("double") / col("n_frames") +
+          lit(32768.0)) / lit(65536.0)
+        val affinity = lit(0.5) + lit(0.5) * col("caption_score") /
+          (lit(1.0) + abs(col("caption_score")))
+        textSide.join(mediaSide, Seq("doc_id"))
+          .select(col("doc_id"), col("n_frames"), col("caption_score"),
+            level.as("level"), affinity.as("caption_affinity"),
+            abs(affinity - level).as("gap"),
+            (abs(affinity - level) <= lit(0.35)).as("consistent"))
+      },
+      None,
+      oracleGen = Some((s, dir) => {
+        val (w, bias) = clfModel(s, dir, dim = 1024, maxN = 2)
+        val b = s"CAST('$bias' AS DOUBLE)"
+        val aff = "(0.5::DOUBLE + 0.5::DOUBLE * c.caption_score" +
+          " / (1.0::DOUBLE + abs(c.caption_score)))"
+        s"""
+        WITH ${mediaDecodeOracle},
+        ${hashedGramScoreCtesMulti(Seq(("_cap", w.toIndexedSeq, b)), 1024)},
+        cap AS (
+          SELECT d.doc_id, COALESCE(f.sc, $b) AS caption_score
+          FROM documents d LEFT JOIN folded_cap f ON f.doc_id = d.doc_id
+          WHERE d.doc_id % 3 = 1),
+        au AS (
+          SELECT media_id AS doc_id, n_frames,
+            (CAST(content_sum AS DOUBLE) / n_frames + 32768.0::DOUBLE)
+              / 65536.0::DOUBLE AS level
+          FROM decoded WHERE kind = 'audio')
+        SELECT c.doc_id, a.n_frames, c.caption_score, a.level,
+          $aff AS caption_affinity,
+          abs($aff - a.level) AS gap,
+          abs($aff - a.level) <= 0.35::DOUBLE AS consistent
+        FROM cap c JOIN au a USING (doc_id)"""
+      })),
+
     // ---- Composed multimodal pretrain filter (p10): the image-caption
     // corpus end to end — p04's three fused text gates (Gopher quality +
     // repetition + C4, still ONE zero-exchange scan) plus the m08

@@ -57,6 +57,27 @@ class CrossModalSpec extends SparkSpec {
       s"gate does not split the fixture corpus: $flags")
   }
 
+  test("m09 audio sibling: one row per audio doc, level bounded, " +
+      "algebra recomputes") {
+    val audioIds = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(pmod(col("doc_id"), lit(3)) === 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val rows = SparkEntry.queries("m09_audio_caption_consistency")(spark, sf)
+      .collect().map { r =>
+        (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5), r.getBoolean(6))
+      }
+    assert(rows.map(_._1).toSet == audioIds &&
+      rows.length == audioIds.size, "audio id set drifted")
+    rows.foreach { case (id, nf, score, level, affinity, gap, consistent) =>
+      assert(nf >= 1 && nf <= 4800, s"doc $id: n_frames outside encoder cap")
+      assert(level >= 0.0 && level <= 1.0, s"doc $id: level outside [0,1]")
+      val aff = 0.5 + 0.5 * score / (1.0 + math.abs(score))
+      assert(aff == affinity && math.abs(aff - level) == gap &&
+        (gap <= 0.35) == consistent, s"doc $id: m09 algebra drifted")
+    }
+  }
+
   test("re-execution is bit-identical (deterministic kernels + decode)") {
     val again = SparkEntry.queries("m08_caption_consistency")(spark, sf)
       .collect().map { r =>

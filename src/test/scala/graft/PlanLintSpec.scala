@@ -345,6 +345,8 @@ class PlanLintSpec extends SparkSpec {
     // bench SFs; at corpus scale the join degrades to an SMJ whose two
     // exchanges share the doc_id clustering (bucketed-layout lever)
     "m08_caption_consistency" -> 0,
+    // the audio sibling: same kernel-scan-BHJ-decode shape as m08
+    "m09_audio_caption_consistency" -> 0,
     // p04's fused gate scan + the m08 kernel column, BHJ'd to the decode
     // side — same shape and scale posture as m08
     "p10_multimodal_export" -> 0,
