@@ -121,13 +121,28 @@ object Multimodal {
           data(2 * j + 1) = (((if (n > 0) textBytes(j % n) & 0xFF else 0) - 128)).toByte
           j += 1
         }
-        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
-        val ais = new javax.sound.sampled.AudioInputStream(
-          new ByteArrayInputStream(data), fmt, nf.toLong)
-        val bos = new ByteArrayOutputStream(4096)
-        javax.sound.sampled.AudioSystem.write(ais,
-          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-        bos.toByteArray
+        // canonical 44-byte RIFF/WAVE header + the PCM data chunk —
+        // byte-identical to AudioSystem.write's output for PCM s16le
+        // mono, minus its process-global writer-registry lock (the same
+        // JDK13Services section the decode side left; see parseWavPcm)
+        val out = new Array[Byte](44 + data.length)
+        def w32(o: Int, v: Int): Unit = {
+          out(o) = v.toByte; out(o + 1) = (v >>> 8).toByte
+          out(o + 2) = (v >>> 16).toByte; out(o + 3) = (v >>> 24).toByte
+        }
+        def w16(o: Int, v: Int): Unit = {
+          out(o) = v.toByte; out(o + 1) = (v >>> 8).toByte
+        }
+        def tag(o: Int, s: String): Unit =
+          System.arraycopy(s.getBytes("US-ASCII"), 0, out, o, 4)
+        tag(0, "RIFF"); w32(4, 36 + data.length); tag(8, "WAVE")
+        tag(12, "fmt "); w32(16, 16)
+        w16(20, 1) /* PCM */ ; w16(22, 1) /* mono */
+        w32(24, 8000) /* rate */ ; w32(28, 16000) /* byteRate */
+        w16(32, 2) /* blockAlign */ ; w16(34, 16) /* bits */
+        tag(36, "data"); w32(40, data.length)
+        System.arraycopy(data, 0, out, 44, data.length)
+        out
       case _ =>
         // video: GVID container — "GVID" magic, 4-byte BE frame count,
         // then per frame a 4-byte BE length + a real PNG. The scene is
@@ -269,20 +284,18 @@ object Multimodal {
         reader.dispose()
         Row(id, kind, n, img.getWidth, img.getHeight, null, fmtName, sumRgb(img))
       case "audio" =>
-        // real decode: parse the WAV container, stream the PCM frames back
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new ByteArrayInputStream(payload))
-        val fmtName = javax.sound.sampled.AudioSystem.getAudioFileFormat(
-          new ByteArrayInputStream(payload)).getType.toString.toLowerCase
-        val nf = ais.getFrameLength.toInt
-        val data = ais.readAllBytes()
-        ais.close()
+        // real decode: strict RIFF/WAVE container parse (see parseWavPcm
+        // — AudioSystem's per-call global lock serialized this stage),
+        // then every PCM frame read back; "wave" is asserted by the
+        // validated container magic, not guessed
+        val data = parseWavPcm(id, payload)
+        val nf = data.length / 2
         var sum = 0L; var j = 0
         while (j + 1 < data.length) { // s16le
           sum += ((data(j) & 0xFF) | (data(j + 1).toInt << 8)).toLong
           j += 2
         }
-        Row(id, kind, n, null, null, nf, fmtName, sum)
+        Row(id, kind, n, null, null, nf, "wave", sum)
       case _ =>
         // real decode: parse the GVID container, run every DISTINCT
         // compressed frame through the PNG reader and replay its exact
@@ -456,10 +469,7 @@ object Multimodal {
         cycle(Array(sr / n / 255.0, sg / n / 255.0, sb / n / 255.0) ++
           hist.map(_ / n) ++ Array(w / 192.0, ht / 108.0))
       case "audio" =>
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new ByteArrayInputStream(payload))
-        val data = ais.readAllBytes()
-        ais.close()
+        val data = parseWavPcm(id, payload)
         val nf = data.length / 2
         var sum = 0L; var sq = 0.0; var zc = 0L; var prev = 0
         val hist = new Array[Long](8)
@@ -556,6 +566,59 @@ object Multimodal {
     StructField("pcm_sum", LongType, nullable = false),
     StructField("pcm_wsum", LongType, nullable = false)))
 
+  /** Strict RIFF/WAVE container parse for the decode hot path — returns
+    * the PCM s16le payload of the `data` chunk, validating the container
+    * field by field (RIFF/WAVE magic, fmt tag 1 = PCM, mono, 16-bit) and
+    * failing LOUDLY on anything else. Why not AudioSystem: the JDK's
+    * `AudioSystem.getAudioInputStream` takes a PROCESS-GLOBAL lock per
+    * call (`JDK13Services.getProviders` is `static synchronized`), which
+    * serializes a 32-thread decode stage to ~0.4 ms/clip — the r12
+    * amplified bench caught the audio family scaling LINEARLY with clip
+    * count (m06 7.1 s, m09 10.6 s at 10×) while the image family
+    * parallelized (m07 ~1×). Parsing the container directly decodes the
+    * same bytes with no global section; the oracles' decoded-sample
+    * checksums (content_sum / pcm_sum / pcm_wsum, predicted from the
+    * text alone) verify sample-exactness at both SFs. The ENCODER stays
+    * `javax.sound` (`AudioSystem.write`), so the container this parser
+    * reads is still produced by the real platform codec. */
+  private def parseWavPcm(id: Long, payload: Array[Byte]): Array[Byte] = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"media_id=$id: $msg")
+    def u32(o: Int): Long = (payload(o) & 0xFFL) |
+      ((payload(o + 1) & 0xFFL) << 8) | ((payload(o + 2) & 0xFFL) << 16) |
+      ((payload(o + 3) & 0xFFL) << 24)
+    def u16(o: Int): Int =
+      (payload(o) & 0xFF) | ((payload(o + 1) & 0xFF) << 8)
+    def tag(o: Int): String = new String(payload, o, 4, "US-ASCII")
+    if (payload.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE")
+      fail("not a RIFF/WAVE container")
+    var off = 12
+    var data: Array[Byte] = null
+    var fmtSeen = false
+    while (off + 8 <= payload.length) {
+      val len = u32(off + 4).toInt
+      val body = off + 8
+      if (len < 0 || body + len > payload.length)
+        fail(s"corrupt chunk length at offset $off")
+      tag(off) match {
+        case "fmt " =>
+          if (len < 16) fail("fmt chunk too short")
+          val (fmtTag, ch, bits) = (u16(body), u16(body + 2), u16(body + 14))
+          if (fmtTag != 1 || ch != 1 || bits != 16)
+            fail(s"unsupported WAV format (tag=$fmtTag ch=$ch bits=$bits)" +
+              " — PCM s16le mono expected")
+          fmtSeen = true
+        case "data" =>
+          data = java.util.Arrays.copyOfRange(payload, body, body + len)
+        case _ => // skip unknown chunk (LIST, fact, ...)
+      }
+      off = body + len + (len & 1) // chunks are word-aligned
+    }
+    if (!fmtSeen) fail("missing fmt chunk")
+    if (data == null) fail("missing data chunk")
+    data
+  }
+
   /** Real WAV decode → per-clip PCM checksum PAIR: the additive sample
     * sum and the position-weighted sum Σ (j+1)·sample_j (order-sensitive,
     * the audio analogue of [[sumsRgb]]'s raster pair; |wsum| ≤
@@ -569,10 +632,7 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new ByteArrayInputStream(r.getAs[Array[Byte]](1)))
-          val data = ais.readAllBytes()
-          ais.close()
+          val data = parseWavPcm(id, r.getAs[Array[Byte]](1))
           var sum = 0L; var wsum = 0L; var j = 0
           while (2 * j + 1 < data.length) { // s16le
             val s = ((data(2 * j) & 0xFF) | (data(2 * j + 1).toInt << 8)).toLong
