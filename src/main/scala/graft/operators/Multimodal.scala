@@ -11,15 +11,18 @@ import org.apache.spark.sql.types._
   * extract / resize / frame-sample stages.
   *
   * ALL THREE kinds run a real codec end to end: the media table carries
-  * genuinely ENCODED payloads — PNG bytes written by `javax.imageio`, WAV
-  * (PCM 16-bit LE mono) bytes written by `javax.sound.sampled`, and for
-  * video a GVID container (magic + frame count + length-prefixed PNG
-  * frames: the MJPEG idea with a lossless frame codec, bespoke because no
-  * standard video codec ships in this environment) — and [[decodeMeta]]
-  * recovers dimensions, frame counts, container format, and a
-  * decoded-content checksum by actually parsing those bytes back
-  * (ImageIO / AudioSystem; video decodes EVERY frame through the PNG
-  * reader and sums its pixels, so a header-only parse cannot fake it).
+  * genuinely ENCODED payloads — PNG bytes written by `javax.imageio`,
+  * canonical RIFF/WAVE containers (PCM 16-bit LE mono; byte-identical to
+  * `AudioSystem.write`'s output, written directly because the javax
+  * provider registry takes a process-global lock per call — see
+  * [[parseWavPcm]]), and for video a GVID container (magic + frame count
+  * + length-prefixed PNG frames: the MJPEG idea with a lossless frame
+  * codec, bespoke because no standard video codec ships in this
+  * environment) — and [[decodeMeta]] recovers dimensions, frame counts,
+  * container format, and a decoded-content checksum by actually parsing
+  * those bytes back (ImageIO / the strict field-validated WAV parse;
+  * video decodes EVERY frame through the PNG reader and sums its
+  * pixels, so a header-only parse cannot fake it).
   *
   * Verifiability is the design driver: the encoder chooses dimensions and
   * frame counts as a fold over the SOURCE text bytes and fills pixels /
@@ -92,7 +95,8 @@ object Multimodal {
 
   /** ENCODER (synthesis-time): doc text -> real encoded media bytes.
     * image -> PNG via javax.imageio; audio -> WAV (PCM s16le mono, 8 kHz)
-    * via javax.sound.sampled; video -> GVID (length-prefixed PNG frames).
+    * as a canonical RIFF/WAVE write; video -> GVID (length-prefixed PNG
+    * frames).
     * Pixel channels / PCM high bytes cycle the text bytes, so the
     * decoded-content checksum has the closed form the oracle computes:
     *   image: sum over 3*w*h channel values ub(text[i mod n])
@@ -578,9 +582,12 @@ object Multimodal {
     * parallelized (m07 ~1×). Parsing the container directly decodes the
     * same bytes with no global section; the oracles' decoded-sample
     * checksums (content_sum / pcm_sum / pcm_wsum, predicted from the
-    * text alone) verify sample-exactness at both SFs. The ENCODER stays
-    * `javax.sound` (`AudioSystem.write`), so the container this parser
-    * reads is still produced by the real platform codec. */
+    * text alone) verify sample-exactness at both SFs. The ENCODER writes
+    * the canonical 44-byte RIFF header directly for the same reason
+    * (`AudioSystem.write` resolves its writer through the same locked
+    * registry) — jshell-probed byte-identical to the javax output for
+    * PCM s16le mono, so the container this parser reads is the same
+    * real WAV the platform codec produces. */
   private def parseWavPcm(id: Long, payload: Array[Byte]): Array[Byte] = {
     def fail(msg: String): Nothing =
       throw new IllegalArgumentException(s"media_id=$id: $msg")

@@ -79,4 +79,21 @@ class DecodeCacheSpec extends SparkSpec {
       s"two consumers of the cut media frame cost $encodes encodes for " +
         s"$nPayloads payloads — the materialization barrier regressed")
   }
+
+  test("codec hot paths stay off the JDK's globally-locked provider " +
+      "registries") {
+    // r12 amplified-bench finding: AudioSystem's encode AND decode both
+    // resolve providers through JDK13Services.getProviders, which is
+    // `static synchronized` — a process-global lock taken per clip that
+    // serialized 32-thread audio stages to ~0.4 ms/clip (m06 12.5x at
+    // 10x data while the image family parallelized). The WAV container
+    // is written and parsed directly now; this lint keeps the registry
+    // call from quietly coming back.
+    val src = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      "src/main/scala/graft/operators/Multimodal.scala"))
+    assert(!src.contains("javax.sound.sampled.AudioSystem"),
+      "an AudioSystem provider-registry call was reintroduced on a " +
+        "codec path — it serializes every decode/encode thread in the " +
+        "process; use parseWavPcm / the canonical RIFF write instead")
+  }
 }
