@@ -153,6 +153,11 @@ object Aggregators {
       out
     }
     def reduce(b: Array[Long], a: java.lang.Long): Array[Long] = {
+      // null-safe skip (uncounted): lets a tagged union feed two capped
+      // collectors through when(side, id) columns in ONE aggregation —
+      // the fused cross-dedup bucket agg — without a side's nulls
+      // inflating the other side's true count
+      if (a == null) return b
       val out = if (b(1) < cap) append(b, a.longValue) else b
       out(0) += 1
       out

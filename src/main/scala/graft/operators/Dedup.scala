@@ -964,10 +964,23 @@ object Dedup {
     val nearVictims = crossMinhashCandidatesPrepped(
         bPrep, corpusPrepped, cfg, maxBucket)
       .select(col("batch_id").as("__victim")).distinct()
-    val exactVictims = bPrep
-      .select(col("__id").as("__victim"), col("__nrm"))
-      .join(corpusPrepped.select(col("__nrm")).distinct(),
-        Seq("__nrm"), "left_semi")
+    // Exact victims decide on 8-byte hashes, not document text (r13,
+    // guide §2.3/§8): the old shape distinct-shuffled the FULL corpus
+    // nrm strings, then semi-join-shuffled them again — two corpus-text
+    // exchanges to answer a membership question. Now the batch side's
+    // xxhash64(nrm) set (delta-sized, 8 B/row — broadcastable long after
+    // the text isn't) prunes the corpus to only hash-matching rows, and
+    // ONLY those few rows carry their nrm into the verifying equi-join
+    // on (hash, nrm) — same victim set bit-for-bit (the join still
+    // requires exact string equality; the hash only pre-filters), with
+    // the corpus-text shuffle gone.
+    val bEx = bPrep.select(col("__id").as("__victim"), col("__nrm"),
+      xxhash64(col("__nrm")).as("__h"))
+    val cMatch = corpusPrepped
+      .select(col("__nrm"), xxhash64(col("__nrm")).as("__h"))
+      .join(bEx.select(col("__h")).distinct(), Seq("__h"), "left_semi")
+    val exactVictims = bEx
+      .join(cMatch, Seq("__h", "__nrm"), "left_semi")
       .select(col("__victim"))
     batch.join(nearVictims.union(exactVictims).distinct(),
       col(idCol) === col("__victim"), "left_anti")
@@ -996,26 +1009,38 @@ object Dedup {
       cBase: DataFrame,
       cfg: MinHashConfig,
       maxBucket: Int): DataFrame = {
-    // Per-side capped bucket lists (same discipline as minhashCandidates:
-    // one shuffle per side, bounded reducer memory, observable drops);
-    // both aggregations hash-partition on (band, hash) so the bucket join
-    // is co-partitioned — no third exchange.
+    // Capped bucket lists for BOTH sides out of ONE aggregation (r13,
+    // guide §2.4): the former per-side agg + co-partitioned bucket join
+    // spent two shuffles plus the join's sorts; a side-tagged union into
+    // a single groupBy moves the same bytes through one exchange and
+    // emits each bucket's (batch ids, corpus ids) on one row — the pair
+    // explode is list-local, no join at all. Caps, true counts and the
+    // per-side drop metrics are unchanged: each side feeds its own
+    // CollectCapped through a when(side, id) column (null-safe skip in
+    // reduce keeps the other side's rows uncounted), so a bucket drops
+    // iff THAT side overflows — exactly the old per-side semantics,
+    // with bounded reducer memory by construction as before.
     val cappedIds = udaf(
       new graft.functions.Aggregators.CollectCapped(maxBucket),
       org.apache.spark.sql.Encoders.LONG)
-    def bucketIds(base: DataFrame, obs: String, out: String) = base
-      .select(col("__id"), posexplode(col("__bands")).as(Seq("__b", "__bh")))
+    def banded(base: DataFrame, isBatch: Boolean) = base
+      .select(lit(isBatch).as("__isb"), col("__id"),
+        posexplode(col("__bands")).as(Seq("__b", "__bh")))
+    val pairs = banded(bBase, isBatch = true)
+      .unionByName(banded(cBase, isBatch = false))
       .groupBy(col("__b"), col("__bh"))
-      .agg(cappedIds(col("__id")).as("__bk"))
-      .observe(obs,
-        sum(when(col("__bk.n") > maxBucket, col("__bk.n")).otherwise(0L))
-          .as("dropped_band_rows"))
-      .filter(col("__bk.n") <= maxBucket)
-      .select(col("__b"), col("__bh"), col("__bk.ids").as(out))
-
-    val pairs = bucketIds(bBase, "cross_lsh_batch", "__bids")
-      .join(bucketIds(cBase, "cross_lsh_corpus", "__cids"), Seq("__b", "__bh"))
-      .select(explode(col("__bids")).as("batch_id"), col("__cids"))
+      .agg(
+        cappedIds(when(col("__isb"), col("__id"))).as("__bbk"),
+        cappedIds(when(!col("__isb"), col("__id"))).as("__cbk"))
+      .observe("cross_lsh",
+        sum(when(col("__bbk.n") > maxBucket, col("__bbk.n")).otherwise(0L))
+          .as("dropped_batch_band_rows"),
+        sum(when(col("__cbk.n") > maxBucket, col("__cbk.n")).otherwise(0L))
+          .as("dropped_corpus_band_rows"))
+      .filter(col("__bbk.n").between(1, maxBucket) &&
+        col("__cbk.n").between(1, maxBucket))
+      .select(explode(col("__bbk.ids")).as("batch_id"),
+        col("__cbk.ids").as("__cids"))
       .select(col("batch_id"), explode(col("__cids")).as("corpus_id"))
       .distinct()
 
