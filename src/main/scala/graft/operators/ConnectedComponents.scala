@@ -45,7 +45,11 @@ object ConnectedComponents {
           (col("nbr_min") < col("label")).as("__chg"))
         .transform(graft.core.Checkpoint.cut)
       changed = updated.filter(coalesce(col("__chg"), lit(false))).count()
-      labels = updated.select(col("node"), col("label")).transform(graft.core.Checkpoint.cut)
+      // `updated` is already materialized by the cut above: the next
+      // round's labels are a lazy projection over those blocks — lineage
+      // is cut, and the former second checkpoint per round (a full extra
+      // materialization job, ~1/3 of every propagation round) is gone (r13)
+      labels = updated.select(col("node"), col("label"))
       i += 1
     }
     labels.withColumnRenamed("label", "component")

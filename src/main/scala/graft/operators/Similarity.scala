@@ -262,7 +262,7 @@ object Similarity {
   def knnGraph(
       df: DataFrame, idCol: String, vecCol: String,
       k: Int, dim: Int = 64, bitsPerTable: Int = 6, tables: Int = 4,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, maxBucket: Int = 1000): DataFrame = {
     val planesPerTable = (0 until tables).map(t =>
       hyperplanes(dim, bitsPerTable, seed + 200 + t))
     // candidate DEDUP runs on bare id pairs: a dense bucket emits the same
@@ -276,12 +276,32 @@ object Similarity {
     val b = vecs.select(col("__id"),
       posexplode(array(planesPerTable.map(p => lshBucket(col("__v"), p)): _*))
         .as(Seq("__tbl", "__bkt")))
-    val cand = b.select(col("__tbl"), col("__bkt"), col("__id").as("node_id"))
-      .join(b.select(col("__tbl").as("__t2"), col("__bkt").as("__b2"),
-          col("__id").as("neighbor_id")),
-        col("__tbl") === col("__t2") && col("__bkt") === col("__b2") &&
-          col("node_id") =!= col("neighbor_id"))
-      .select(col("node_id"), col("neighbor_id"))
+    // r13 (VERDICT r12 directive 4): candidate generation was a bucket
+    // SELF-JOIN — two exchanges of the exploded stream, and per-bucket
+    // pair count quadratic in occupancy with NO cap (s05 was the sidecar's
+    // steepest 10× grower at 6.7×). Now the same capped-bucket aggregation
+    // as minhashCandidates: ONE exchange into per-bucket id lists with
+    // BOUNDED buffer memory, pairs explode list-locally, and a degenerate
+    // bucket (a hyperplane cell swallowing a dense clone flood) drops
+    // observably via `knn_lsh.dropped_bucket_rows` instead of emitting
+    // occupancy² pairs. maxBucket = 1000 never fires at the driver scales
+    // (measured max occupancy: 69 at sf0.1, 690 at 10×-amplified — results
+    // are join-identical there) and caps the worst bucket's pair fan-out
+    // at corpus scale.
+    val cappedIds = udaf(
+      new graft.functions.Aggregators.CollectCapped(maxBucket),
+      org.apache.spark.sql.Encoders.LONG)
+    val cand = b
+      .groupBy(col("__tbl"), col("__bkt"))
+      .agg(cappedIds(col("__id")).as("__bk"))
+      .observe("knn_lsh",
+        sum(when(col("__bk.n") > maxBucket, col("__bk.n")).otherwise(0L))
+          .as("dropped_bucket_rows"))
+      .filter(col("__bk.n").between(2, maxBucket))
+      .select(explode(col("__bk.ids")).as("node_id"),
+        col("__bk.ids").as("__ids"))
+      .select(col("node_id"), explode(col("__ids")).as("neighbor_id"))
+      .filter(col("node_id") =!= col("neighbor_id"))
       .distinct() // a pair may share buckets in several tables
     val scored = cand
       .join(vecs.select(col("__id").as("node_id"), col("__v").as("__va"),

@@ -87,6 +87,80 @@ object R13Probe {
     }
     println("[r13probe] n_pairs=" + pairs.count() +
       " n_est=" + estimated.count())
+
+    // ---- self-join path (minhashCandidates) breakdown -------------------
+    val base = docs.select(
+        col("doc_id").as("__id"),
+        Dedup.shingleHashSet(col("text"), cfg.shingleSize).as("__sh"))
+      .withColumn("__sig",
+        Dedup.minhashSignature(col("__sh"), cfg.numHashes, cfg.seed))
+      .withColumn("__bands",
+        Dedup.bandHashes(col("__sig"), cfg.bands, cfg.rowsPerBand))
+    time("self.base_cut") {
+      noop(base.localCheckpoint(true))
+    }
+    val baseC = base.localCheckpoint(true)
+    val bandedSelf = baseC.select(col("__id"),
+      posexplode(col("__bands")).as(Seq("__b", "__bh")))
+    val pairsSelf = bandedSelf
+      .groupBy(col("__b"), col("__bh"))
+      .agg(cappedIds(col("__id")).as("__bk"))
+      .filter(col("__bk.n").between(2, 1000))
+      .select(explode(col("__bk.ids")).as("id_a"), col("__bk.ids").as("__ids"))
+      .select(col("id_a"), explode(col("__ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+    time("self.pairs") { noop(pairsSelf) }
+    val sigs = baseC.select(col("__id"), col("__sig"))
+    val estSelf = pairsSelf
+      .join(sigs.select(col("__id").as("id_a"), col("__sig").as("__ga")),
+        Seq("id_a"))
+      .join(sigs.select(col("__id").as("id_b"), col("__sig").as("__gb")),
+        Seq("id_b"))
+      .withColumn("__est",
+        graft.functions.TextHashExprs.matchingFraction(col("__ga"),
+          col("__gb")))
+      .filter(col("__est") >= cfg.threshold - margin)
+      .select(col("id_a"), col("id_b"))
+    time("self.estimated") { noop(estSelf) }
+    val sets = baseC.select(col("__id"), col("__sh"))
+    val exactSelf = estSelf
+      .join(sets.select(col("__id").as("id_a"), col("__sh").as("__sa")),
+        Seq("id_a"))
+      .join(sets.select(col("__id").as("id_b"), col("__sh").as("__sb")),
+        Seq("id_b"))
+      .withColumn("jaccard",
+        graft.functions.TextHashExprs.jaccardSorted(col("__sa"), col("__sb")))
+      .filter(col("jaccard") >= cfg.threshold)
+    time("self.exact") { noop(exactSelf) }
+    time("self.full_candidates") {
+      noop(Dedup.minhashCandidates(docs, "doc_id", "text", cfg))
+    }
+    println("[r13probe] self n_pairs=" + pairsSelf.count() +
+      " n_est=" + estSelf.count() + " n_exact=" + exactSelf.count())
+    // selectivity of the size-ratio prune on this fixture
+    val sz = baseC.select(col("__id"), size(col("__sh")).as("__n"))
+    val nSize = pairsSelf
+      .join(sz.select(col("__id").as("id_a"), col("__n").as("__na")),
+        Seq("id_a"))
+      .join(sz.select(col("__id").as("id_b"), col("__n").as("__nb")),
+        Seq("id_b"))
+      .filter(least(col("__na"), col("__nb")).cast("double") >=
+        lit(cfg.threshold) *
+          greatest(col("__na"), col("__nb")).cast("double") - lit(1e-9))
+      .count()
+    println("[r13probe] self n_size_pass=" + nSize)
+    println("[r13probe] size_histogram:")
+    baseC.select((size(col("__sh")) / 100).cast("int").as("bucket"))
+      .groupBy("bucket").count().orderBy("bucket").show(30)
+
+    // cc label propagation rounds
+    val cand = Dedup.minhashCandidates(docs, "doc_id", "text", cfg)
+      .localCheckpoint(true)
+    time("self.cc_labelprop", runs = 3) {
+      noop(graft.operators.ConnectedComponents.labelPropagation(
+        cand.select(col("id_a"), col("id_b"))))
+    }
     spark.stop()
   }
 }

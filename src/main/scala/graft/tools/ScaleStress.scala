@@ -141,6 +141,46 @@ object ScaleStress {
         k = 5, dim = 64, bitsPerTable = 8, tables = 4).count()
     }
     println("[stress] knn edges=" + knn)
+    // r13 (VERDICT r12 directive 4): candidate-pair growth gauge for the
+    // capped knnGraph bucket agg — candidate count at 1x vs 10x with the
+    // s05 headline params, plus the drop observation, so a super-linear
+    // blow-up (or a silently capped bucket) is a visible number, not a
+    // bench-time surprise. Dense clones multiply per-bucket occupancy by
+    // the clone factor, so pairs/vector may grow by up to that factor —
+    // the assert bounds growth at occupancy-linear (10x pairs/vector),
+    // NOT quadratic-in-corpus.
+    def knnCandidates(e: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val planes = (0 until 4).map(t =>
+        Similarity.hyperplanes(64, 6, 42L + 200 + t))
+      val b = e.select(col("vec_id").as("__id"),
+        posexplode(array(planes.map(p =>
+          Similarity.lshBucket(col("embedding"), p)): _*))
+          .as(Seq("__tbl", "__bkt")))
+      val cappedIds = udaf(
+        new graft.functions.Aggregators.CollectCapped(1000),
+        org.apache.spark.sql.Encoders.LONG)
+      val buckets = b.groupBy(col("__tbl"), col("__bkt"))
+        .agg(cappedIds(col("__id")).as("__bk"))
+        .localCheckpoint(true)
+      val dropped = buckets
+        .agg(sum(when(col("__bk.n") > 1000, col("__bk.n")).otherwise(0L)))
+        .head().getLong(0) // 1-row gauge aggregate
+      val cand = buckets
+        .filter(col("__bk.n").between(2, 1000))
+        .select(explode(col("__bk.ids")).as("a"), col("__bk.ids").as("__i"))
+        .select(col("a"), explode(col("__i")).as("b"))
+        .filter(col("a") =!= col("b")).distinct().count()
+      (cand, dropped)
+    }
+    val (cand1, drop1) = knnCandidates(emb)
+    val (cand10, drop10) = knnCandidates(bigEmb)
+    val nVec1 = emb.count(); val nVec10 = bigEmb.count()
+    println(s"[stress] knn candidates 1x=$cand1 (n=$nVec1, dropped=$drop1) " +
+      s"10x=$cand10 (n=$nVec10, dropped=$drop10) " +
+      f"per-vector growth=${(cand10.toDouble / nVec10) / (cand1.toDouble / nVec1)}%.2fx")
+    require(cand10.toDouble / nVec10 <= 10.5 * (cand1.toDouble / nVec1),
+      "knn candidate pairs per vector grew faster than the 10x occupancy " +
+        "factor — a quadratic-in-corpus blow-up the bucket cap should bound")
     val sem = time("semdedup-20k-dense-clusters") {
       Similarity.semDedup(bigEmb, "vec_id", "embedding",
         threshold = 0.9999, dim = 64, bitsPerTable = 8, tables = 4).count()
